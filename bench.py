@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end including the action that materializes it
+(count of a noop-projected frame — forces the full plan without
+collecting rows to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from retail_sales_data_pipeline_spark.plans import all_queries
+from retail_sales_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "customer_monthly_mart",
+    "sales_team_mart",
+    "star_join_enrich",
+    "conform_union",
+    "monthly_grouped_sum",
+]
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """JIT-warm the scan/join/window/agg codepaths on a tiny slice so
+    per-query timings reflect steady-state throughput, not first-use
+    codegen compilation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    (
+        df.join(F.broadcast(df.select("s_suppkey")), "s_suppkey")
+        .withColumn("r", F.rank().over(w))
+        .groupBy("s_nationkey")
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(18,4)")))
+        .distinct()
+        .count()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+    _warmup(spark, sf_dir)
+
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # include any extension headliners registered later
+    names += [n for n in sorted(queries) if n.startswith("bench_")]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""retail_sales_data_pipeline_spark — a PySpark-native analytics engine.
+
+A brand-new, idiomatic PySpark implementation of the query and
+data-processing capabilities of the reference retail-sales ETL pipeline
+(siddhantgit1/RETAIL-SALES-DATA-PIPELINE; see SURVEY.md), rebuilt as a
+declarative, testable library:
+
+- ``session``    — SparkSession factory (no import-time side effects).
+- ``schema``     — canonical sales schema, mandatory columns, conform/fold.
+- ``validate``   — mandatory-column validation + quarantine routing.
+- ``ledger``     — ingestion ledger (A/I lifecycle) over parquet.
+- ``sources``    — file discovery, CSV/parquet readers, table catalog.
+- ``sinks``      — parquet (plain + partitioned) and append writers.
+- ``operators``  — star join, mart derivations (window aggs, rank,
+  incentive), dedup family, similarity search, text analysis.
+- ``functions``  — scalar expression helpers shared by operators.
+- ``plans``      — named queries over the test star schema, each paired
+  with an ANSI-SQL oracle for DuckDB cross-checking.
+- ``streaming``  — Structured Streaming ingestion (extension, not parity).
+
+Everything is expressed against the DataFrame API so Catalyst handles
+column pruning, predicate pushdown, and join strategy selection; the
+library only adds semantics (conform/fold, ledger lifecycle, mart
+derivations) on top.
+"""
+
+__version__ = "0.1.0"

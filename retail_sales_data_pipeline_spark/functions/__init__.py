@@ -1,0 +1,19 @@
+from .scalars import (
+    exact_decimal,
+    full_name,
+    incentive,
+    money,
+    month_key,
+    month_key_substring,
+    revenue,
+)
+
+__all__ = [
+    "exact_decimal",
+    "full_name",
+    "incentive",
+    "money",
+    "month_key",
+    "month_key_substring",
+    "revenue",
+]

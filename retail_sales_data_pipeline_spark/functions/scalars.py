@@ -1,0 +1,80 @@
+"""Scalar expression helpers (SURVEY.md §2.9).
+
+Numeric-determinism policy (used by every oracle-checked query):
+money-like doubles are cast to exact DECIMAL before arithmetic/sums so
+intermediate results are associative and engine-independent, then cast
+back to DOUBLE and rounded at the edge. Both the Spark queries and the
+DuckDB oracle SQL follow the identical cast chain, so value hashes
+match bit-for-bit (see SURVEY.md §7.4 "Float vs decimal drift").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale-4 decimal holds any plausible money/discount input exactly.
+_DEC = "decimal(18,4)"
+
+
+def exact_decimal(c: Column | str) -> Column:
+    """Cast a money-like double to an exact decimal for stable sums."""
+    return F.col(c).cast(_DEC) if isinstance(c, str) else c.cast(_DEC)
+
+
+def money(c: Column) -> Column:
+    """Edge cast: exact decimal aggregate → rounded to cents → DOUBLE.
+
+    Rounding happens in decimal space (HALF_UP in Spark, half-away-from-
+    zero in DuckDB — identical results), *then* the cast to double:
+    rounding after a double cast diverges between engines on exact-half
+    values because Spark's ``round(double)`` goes through the shortest
+    string representation while DuckDB rounds the binary value.
+    """
+    return F.round(c, 2).cast("double")
+
+
+def revenue(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:
+    """Per-line revenue ``price * (1 - discount)`` in exact decimals.
+
+    Plays the role of the reference's ``total_cost`` fact measure
+    (reference: src/main/transformations/jobs/main.py:231).
+    """
+    return exact_decimal(price) * (F.lit(1).cast(_DEC) - exact_decimal(discount))
+
+
+def month_key(date_col: str | Column) -> Column:
+    """``"yyyy-MM"`` month key — idiomatic form of the reference's
+    ``substring(sales_date, 1, 7)`` on a DateType column
+    (reference: customer_mart_sql_tranform_write.py:11-12).
+    """
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return F.date_format(c, "yyyy-MM")
+
+
+def month_key_substring(date_col: str) -> Column:
+    """The reference's literal form: SUBSTRING(date-as-string, 1, 7)
+    (reference: src/main/transformations/jobs/main.py:332). Kept for
+    parity tests proving equivalence with :func:`month_key`.
+    """
+    return F.expr(f"substring(cast({date_col} as string), 1, 7)")
+
+
+def full_name(first: str, last: str) -> Column:
+    """``concat(first, ' ', last)`` — NULL-propagating, exactly like the
+    reference (customer_mart_sql_tranform_write.py:15-16).
+    """
+    return F.concat(F.col(first), F.lit(" "), F.col(last))
+
+
+def incentive(total_col: str, rank_col: str = "rnk", rate: float = 0.01) -> Column:
+    """Top-ranked seller incentive: ``round(total * rate, 2)`` when
+    ``rnk == 1`` else ``0.0``
+    (reference: sales_mart_sql_transform_write.py:23-25). ``rank()``
+    ties ⇒ several rank-1 rows each get the incentive — preserved.
+    """
+    rate_dec = F.lit(rate).cast(_DEC)
+    return F.when(
+        F.col(rank_col) == 1,
+        F.round(exact_decimal(total_col) * rate_dec, 2).cast("double"),
+    ).otherwise(F.lit(0.0))

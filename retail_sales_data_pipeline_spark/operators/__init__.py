@@ -1,0 +1,4 @@
+from .marts import rank_incentive, window_sum_distinct
+from .star_join import star_join
+
+__all__ = ["rank_incentive", "star_join", "window_sum_distinct"]

@@ -1,0 +1,87 @@
+"""Mart derivations: windowed sums, rank, incentive (SURVEY.md §2.7).
+
+The reference's aggregation idiom is a *window sum over the group keys
+followed by ``distinct()``* — a grouped sum that also carries every
+grouped-constant attribute
+(reference: src/main/transformations/jobs/customer_mart_sql_tranform_write.py:10-19,
+sales_mart_sql_transform_write.py:9-16). That idiom is preserved here
+verbatim because it is observable: if a "grouped-constant" attribute
+actually varies within a group, the reference emits one row per distinct
+attribute combination, which ``groupBy`` would not.
+
+Scale note: Window(partitionBy=keys) and groupBy(keys) hash-shuffle
+identically (one exchange on the keys); the window form additionally
+carries the non-key columns through the shuffle, and ``distinct()`` adds
+a second aggregate exchange over all columns. At 100 TB prefer
+:func:`grouped_sum` when attributes are guaranteed constant per group —
+both forms are implemented and the test suite proves them equivalent on
+clean dims. AQE handles skewed keys (skewJoin + partition coalescing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from ..functions.scalars import incentive, money
+
+
+def window_sum_distinct(
+    df: DataFrame,
+    partition_cols: list[str],
+    measure: Column,
+    total_alias: str,
+    keep_cols: list[str] | None = None,
+    round_money: bool = True,
+) -> DataFrame:
+    """Reference idiom A1/A2 + A3: windowed SUM then ``distinct()``.
+
+    ``measure`` should already be an exact-decimal expression (see
+    ``functions.scalars``); the summed total is edge-cast with
+    :func:`money` so oracle hashes are stable.
+    """
+    w = Window.partitionBy(*partition_cols)
+    total = F.sum(measure).over(w)
+    total = money(total) if round_money else total
+    keep = keep_cols if keep_cols is not None else []
+    cols = [*partition_cols, *[c for c in keep if c not in partition_cols]]
+    return df.select(*cols, total.alias(total_alias)).distinct()
+
+
+def grouped_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    measure: Column,
+    total_alias: str,
+    round_money: bool = True,
+) -> DataFrame:
+    """The ``groupBy().agg(sum)`` twin of :func:`window_sum_distinct`.
+
+    Identical results when every non-key column is dropped (proved in
+    tests); cheaper at scale (single exchange, map-side partial agg).
+    """
+    total = F.sum(measure)
+    total = money(total) if round_money else total
+    return df.groupBy(*group_cols).agg(total.alias(total_alias))
+
+
+def rank_incentive(
+    df: DataFrame,
+    rank_partition: list[str],
+    total_col: str,
+    rate: float = 0.01,
+    rank_alias: str = "rnk",
+    incentive_alias: str = "incentive",
+) -> DataFrame:
+    """Reference A4+A5: ``rank()`` per partition by total desc, then the
+    top-rank conditional incentive.
+
+    ``rank()`` (not ``row_number``): ties on the top total all receive
+    rank 1 and each gets the incentive — exact reference semantics
+    (sales_mart_sql_transform_write.py:18-25).
+    """
+    w = Window.partitionBy(*rank_partition).orderBy(F.col(total_col).desc())
+    return df.withColumn(rank_alias, F.rank().over(w)).withColumn(
+        incentive_alias, incentive(total_col, rank_alias, rate)
+    )

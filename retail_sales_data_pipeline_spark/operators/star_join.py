@@ -1,0 +1,61 @@
+"""Star-join dimension enrichment (SURVEY.md §2.6 J1-J3).
+
+The reference chains three inner equi-joins fact→customer→store→
+sales_team, dropping unneeded dim columns right after each join and
+renaming colliding person columns
+(reference: src/main/transformations/jobs/dimension_tables_join.py:16-53).
+
+This generalization takes a fact frame plus an ordered list of dimension
+specs and produces the same left-deep enrichment. Physical strategy is
+left to Catalyst/AQE: genuinely small dims (nation, region, supplier at
+any SF; store/sales_team in the reference) get an explicit
+``broadcast()`` hint so the 100 TB fact never shuffles for them; large
+dims (customer/orders at high SF) go through AQE-managed shuffle joins —
+at cluster scale, bucketing both sides on the join key turns those into
+shuffle-free sort-merge joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Dim:
+    """One dimension to join onto the running fact frame.
+
+    - ``on``: (fact_key, dim_key) equi-join condition.
+    - ``keep``: dim columns carried forward (manual pruning mirrors the
+      reference's ``drop`` discipline, dimension_tables_join.py:19-20,35,
+      53; Catalyst would prune anyway, but the explicit projection keeps
+      the schema contract visible).
+    - ``rename``: optional {old: new} applied to kept dim columns — the
+      reference's collision-avoidance copies (P5).
+    - ``broadcast``: hint the build side as broadcastable.
+    """
+
+    df: DataFrame
+    on: tuple[str, str]
+    keep: list[str]
+    rename: dict[str, str] = field(default_factory=dict)
+    broadcast: bool = False
+    how: str = "inner"
+
+
+def star_join(fact: DataFrame, dims: list[Dim]) -> DataFrame:
+    """Left-deep enrichment join of ``fact`` against ``dims`` in order."""
+    out = fact
+    for d in dims:
+        fact_key, dim_key = d.on
+        dim = d.df.select(dim_key, *[c for c in d.keep if c != dim_key])
+        for old, new in d.rename.items():
+            dim = dim.withColumnRenamed(old, new)
+        if d.broadcast:
+            dim = F.broadcast(dim)
+        out = out.join(dim, on=out[fact_key] == dim[dim_key], how=d.how)
+        # Reference drops the duplicate dim join key immediately (P4).
+        out = out.drop(dim[dim_key]) if dim_key != fact_key else out
+    return out

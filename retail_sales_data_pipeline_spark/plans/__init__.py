@@ -1,0 +1,3 @@
+from .registry import all_oracle_sql, all_queries
+
+__all__ = ["all_oracle_sql", "all_queries"]

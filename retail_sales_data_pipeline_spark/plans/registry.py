@@ -1,0 +1,53 @@
+"""Query registry: merges parity queries with extension operators.
+
+``all_queries()`` / ``all_oracle_sql()`` feed the driver contract in
+``__spark_entry__.py``. Extension modules register here as they land;
+queries without an oracle twin get the driver's weaker rows-only check
+(documented per-query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import retail_queries
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(retail_queries.QUERIES)
+    try:
+        from . import llm_ops
+
+        out.update(llm_ops.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from . import events_queries
+
+        out.update(events_queries.QUERIES)
+    except ImportError:
+        pass
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(retail_queries.ORACLE_SQL)
+    try:
+        from . import llm_ops
+
+        out.update(llm_ops.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from . import events_queries
+
+        out.update(events_queries.ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,373 @@
+"""Parity queries (SURVEY.md §2) expressed on the test star schema.
+
+The reference's star is sales-fact ⋈ {customer, store, sales_team};
+the test data's star is lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+with supplier as the salesperson analogue. Mapping used throughout:
+
+- fact measure ``total_cost``  → ``l_extendedprice * (1 - l_discount)``
+- ``sales_date``               → ``l_shipdate``
+- customer dim                 → ``customer`` via ``orders``
+- store dim                    → ``nation`` (via supplier/customer)
+- sales_person dim             → ``supplier``
+
+Every query has a DuckDB oracle twin in ``ORACLE_SQL`` following the
+numeric-determinism policy of ``functions.scalars`` (exact DECIMAL
+intermediates, DOUBLE+round at the edge) so value hashes match exactly.
+
+Column names are aliased identically in both forms — the driver sorts
+columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import full_name, month_key, month_key_substring, revenue
+from ..operators.marts import grouped_sum, rank_incentive, window_sum_distinct
+from ..schema import conform, union_conformed
+from ..sources.tables import load_table
+
+# Exact-decimal revenue expression shared by the oracle SQL strings.
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: customer_monthly_mart — the flagship (J1+A1+A3+C1+C3 analogue)
+# ---------------------------------------------------------------------------
+def customer_monthly_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer monthly spend mart.
+
+    Reference: customer mart = star join + window SUM over
+    (customer, month) + distinct, carrying grouped-constant customer
+    attributes and a NULL-propagating concat label
+    (customer_mart_sql_tranform_write.py:9-23).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = load_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]
+    )
+    enriched = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            full_name("c_name", "c_mktsegment").alias("customer_label"),
+            month_key("l_shipdate").alias("sales_month"),
+            revenue().alias("_rev"),
+        )
+    )
+    return window_sum_distinct(
+        enriched,
+        ["customer_id", "sales_month"],
+        F.col("_rev"),
+        "total_sales",
+        keep_cols=["customer_name", "customer_label"],
+    )
+
+
+_CUSTOMER_MART_SQL = f"""
+SELECT DISTINCT
+  o.o_custkey AS customer_id,
+  strftime(l.l_shipdate, '%Y-%m') AS sales_month,
+  c.c_name AS customer_name,
+  c.c_name || ' ' || c.c_mktsegment AS customer_label,
+  CAST(round(sum({_SQL_REV}) OVER (
+      PARTITION BY o.o_custkey, strftime(l.l_shipdate, '%Y-%m')
+  ), 2) AS DOUBLE) AS total_sales
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: sales_team_mart — rank + incentive (A2+A3+A4+A5+C6+C7+C8)
+# ---------------------------------------------------------------------------
+def sales_team_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-salesperson monthly mart with top-seller incentive.
+
+    supplier ≈ sales_person, nation(key) ≈ store. Exact reference
+    semantics: window SUM + distinct, then ``rank()`` (ties share rank 1
+    and each earns the 1% incentive), ``round(_, 2)``
+    (sales_mart_sql_transform_write.py:8-33).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    sup = load_table(spark, sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    enriched = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+        F.col("s_nationkey").cast("int").alias("store_id"),
+        F.col("s_suppkey").alias("sales_person_id"),
+        F.col("s_name").alias("sales_person_name"),
+        month_key("l_shipdate").alias("sales_month"),
+        revenue().alias("_rev"),
+    )
+    step1 = window_sum_distinct(
+        enriched,
+        ["store_id", "sales_person_id", "sales_month"],
+        F.col("_rev"),
+        "total_sales",
+        keep_cols=["sales_person_name"],
+    )
+    out = rank_incentive(step1, ["store_id", "sales_month"], "total_sales")
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+_SALES_MART_SQL = f"""
+WITH enriched AS (
+  SELECT
+    CAST(s.s_nationkey AS INTEGER) AS store_id,
+    s.s_suppkey AS sales_person_id,
+    s.s_name AS sales_person_name,
+    strftime(l.l_shipdate, '%Y-%m') AS sales_month,
+    {_SQL_REV} AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), step1 AS (
+  SELECT DISTINCT
+    store_id, sales_person_id, sales_month, sales_person_name,
+    CAST(round(sum(rev) OVER (
+        PARTITION BY store_id, sales_person_id, sales_month
+    ), 2) AS DOUBLE) AS total_sales
+  FROM enriched
+), ranked AS (
+  SELECT *,
+    rank() OVER (
+        PARTITION BY store_id, sales_month ORDER BY total_sales DESC
+    ) AS rnk
+  FROM step1
+)
+SELECT store_id, sales_person_id, sales_month, sales_person_name, total_sales, rnk,
+  CASE WHEN rnk = 1
+       THEN CAST(round(CAST(total_sales AS DECIMAL(18,4))
+                       * CAST(0.01 AS DECIMAL(18,4)), 2) AS DOUBLE)
+       ELSE 0.0 END AS incentive
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: star_join_enrich — full left-deep star join (J1-J3 + P4 pruning)
+# ---------------------------------------------------------------------------
+def star_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dimension enrichment of the fact table.
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, pruning unneeded
+    columns after each hop exactly as the reference does
+    (dimension_tables_join.py:16-53). nation/region are broadcast —
+    they stay tiny at any scale factor; orders/customer are left to
+    AQE (shuffle join; bucketed co-partitioning at cluster scale).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nation = load_table(spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = load_table(spark, sf_dir, "region", ["r_regionkey", "r_name"])
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .drop("o_custkey")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .drop("c_nationkey")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .drop("n_regionkey")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            month_key("l_shipdate").alias("sales_month"),
+            F.round(revenue(), 2).cast("double").alias("line_revenue"),
+        )
+    )
+
+
+_STAR_JOIN_SQL = f"""
+SELECT
+  l.l_orderkey AS order_id,
+  l.l_linenumber AS line_number,
+  c.c_custkey AS customer_id,
+  c.c_name AS customer_name,
+  n.n_name AS nation_name,
+  r.r_name AS region_name,
+  strftime(l.l_shipdate, '%Y-%m') AS sales_month,
+  CAST(round({_SQL_REV}, 2) AS DOUBLE) AS line_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: conform_union — schema conform/fold + unionByName (W1+C4+P1+U1)
+# ---------------------------------------------------------------------------
+_CONFORM_CANON = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+
+
+def conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two 'files' of differing width conformed to one schema and unioned.
+
+    Part A carries extra columns (folded into ``additional_column`` via
+    NULL-skipping concat_ws, reference main.py:245-250); part B has none
+    (NULL fold, main.py:254). Union is by-name over the canonical order
+    (reference uses positional union after canonical select,
+    main.py:258).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem", _CONFORM_CANON + ["l_returnflag", "l_linestatus"]
+    )
+    part_a = conform(li.filter(F.col("l_linenumber") <= 3), _CONFORM_CANON)
+    part_b = conform(
+        li.filter(F.col("l_linenumber") > 3).select(*_CONFORM_CANON), _CONFORM_CANON
+    )
+    return union_conformed([part_a, part_b])
+
+
+_CONFORM_UNION_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       concat_ws(', ', CAST(l_returnflag AS VARCHAR), CAST(l_linestatus AS VARCHAR))
+         AS additional_column
+FROM lineitem WHERE l_linenumber <= 3
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       CAST(NULL AS VARCHAR) AS additional_column
+FROM lineitem WHERE l_linenumber > 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: ledger_filter — status + IN-list predicate (W2)
+# ---------------------------------------------------------------------------
+def ledger_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ledger crash-detection predicate shape:
+    ``status = 'A' AND key IN (...)`` (reference main.py:49-54), applied
+    to orders: open-status urgent/high orders. Both filters reach the
+    parquet scan as pushed predicates.
+    """
+    orders = load_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2).cast("double").alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+_LEDGER_FILTER_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: distinct_dedup — A3 in isolation
+# ---------------------------------------------------------------------------
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``distinct()`` over a projection (HashAggregate over all cols)."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return li.distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Q: monthly_grouped_sum — groupBy twin of the window idiom
+# ---------------------------------------------------------------------------
+def monthly_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().agg(sum)`` form of the monthly rollup — the
+    scale-preferred twin of ``window_sum_distinct`` (single exchange,
+    map-side partial aggregation).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_shipdate", "l_extendedprice", "l_discount"]
+    )
+    monthly = li.select(month_key("l_shipdate").alias("sales_month"), revenue().alias("_rev"))
+    out = grouped_sum(monthly, ["sales_month"], F.col("_rev"), "total_sales")
+    return out.join(
+        monthly.groupBy("sales_month").agg(F.count(F.lit(1)).alias("n_lines")),
+        "sales_month",
+    )
+
+
+_MONTHLY_GROUPED_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS sales_month,
+       CAST(round(sum({_SQL_REV}), 2) AS DOUBLE) AS total_sales,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: month_key_forms — C1/C2 equivalence surface
+# ---------------------------------------------------------------------------
+def month_key_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both month-key derivations the reference uses: the implicit
+    date→string SUBSTRING (main.py:332) and the idiomatic date_format;
+    emitted side by side so the oracle pins their equivalence.
+    """
+    li = load_table(spark, sf_dir, "lineitem", ["l_shipdate"])
+    return li.select(
+        month_key("l_shipdate").alias("month_fmt"),
+        month_key_substring("l_shipdate").alias("month_sub"),
+    ).distinct()
+
+
+_MONTH_KEY_SQL = """
+SELECT DISTINCT
+  strftime(l_shipdate, '%Y-%m') AS month_fmt,
+  substring(CAST(l_shipdate AS VARCHAR), 1, 7) AS month_sub
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "customer_monthly_mart": customer_monthly_mart,
+    "sales_team_mart": sales_team_mart,
+    "star_join_enrich": star_join_enrich,
+    "conform_union": conform_union,
+    "ledger_filter": ledger_filter,
+    "distinct_dedup": distinct_dedup,
+    "monthly_grouped_sum": monthly_grouped_sum,
+    "month_key_forms": month_key_forms,
+}
+
+ORACLE_SQL = {
+    "customer_monthly_mart": _CUSTOMER_MART_SQL,
+    "sales_team_mart": _SALES_MART_SQL,
+    "star_join_enrich": _STAR_JOIN_SQL,
+    "conform_union": _CONFORM_UNION_SQL,
+    "ledger_filter": _LEDGER_FILTER_SQL,
+    "distinct_dedup": _DISTINCT_SQL,
+    "monthly_grouped_sum": _MONTHLY_GROUPED_SQL,
+    "month_key_forms": _MONTH_KEY_SQL,
+}

@@ -1,0 +1,99 @@
+"""Canonical sales schema, mandatory columns, and conform/fold logic.
+
+Reference semantics reproduced here (SURVEY.md §1.3, §2.4):
+
+- A fixed canonical target schema; the reference's is 9 columns
+  (reference: src/main/transformations/jobs/main.py:223-233).
+- ``mandatory_columns`` contract (reference: resources/dev/config.py:40):
+  a file missing any mandatory column is rejected (quarantined).
+- Extra source columns are folded into a single ``additional_column``
+  string via ``concat_ws(", ", *extras)``
+  (reference: src/main/transformations/jobs/main.py:245-256), or NULL
+  when there are none.
+- After conforming, per-file frames are union-folded. The reference uses
+  positional ``union`` seeded by an empty frame (main.py:235,258); we use
+  ``unionByName`` over conformed frames — equivalent because conform
+  emits the canonical column order, and safe even if it didn't.
+
+Scale note: conform/fold is pure projection (no shuffle); ``unionByName``
+is a plan-level concatenation (no shuffle). This layer costs nothing at
+100 TB beyond the scan itself.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Canonical 9-column sales schema (reference: main.py:223-233).
+SALES_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.IntegerType(), True),
+        T.StructField("store_id", T.IntegerType(), True),
+        T.StructField("product_name", T.StringType(), True),
+        T.StructField("sales_date", T.DateType(), True),
+        T.StructField("sales_person_id", T.IntegerType(), True),
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("quantity", T.IntegerType(), True),
+        T.StructField("total_cost", T.DoubleType(), True),
+        T.StructField("additional_column", T.StringType(), True),
+    ]
+)
+
+# Mandatory-column contract (reference: resources/dev/config.py:40).
+MANDATORY_COLUMNS = [
+    "customer_id",
+    "store_id",
+    "product_name",
+    "sales_date",
+    "sales_person_id",
+    "price",
+    "quantity",
+    "total_cost",
+]
+
+
+def missing_mandatory(columns: list[str], mandatory: list[str] | None = None) -> set[str]:
+    """Columns of the contract absent from ``columns`` (W1).
+
+    Non-empty result ⇒ the file must be quarantined
+    (reference: main.py:146-153).
+    """
+    mandatory = mandatory if mandatory is not None else MANDATORY_COLUMNS
+    return set(mandatory) - set(columns)
+
+
+def conform(
+    df: DataFrame,
+    canonical: list[str] | None = None,
+    extra_sink: str = "additional_column",
+) -> DataFrame:
+    """Conform ``df`` to the canonical column set.
+
+    Any column not in ``canonical`` is folded into one string column
+    ``extra_sink`` with ``concat_ws(", ", *extras)`` (NULL-skipping),
+    or NULL if the frame has no extra columns
+    (reference: main.py:245-256). Output column order is canonical +
+    ``extra_sink``.
+    """
+    canonical = canonical if canonical is not None else MANDATORY_COLUMNS
+    extras = [c for c in df.columns if c not in canonical]
+    if extras:
+        folded = F.concat_ws(", ", *[F.col(c).cast("string") for c in extras])
+    else:
+        folded = F.lit(None).cast("string")
+    return df.select(*canonical, folded.alias(extra_sink))
+
+
+def union_conformed(frames: list[DataFrame]) -> DataFrame:
+    """Union already-conformed frames into one fact DataFrame (U1).
+
+    ``unionByName`` replaces the reference's positional ``union`` +
+    empty-seed fold (main.py:235,258); requires ≥1 frame.
+    """
+    if not frames:
+        raise ValueError("union_conformed requires at least one frame")
+    return reduce(lambda a, b: a.unionByName(b), frames)

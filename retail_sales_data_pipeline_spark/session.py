@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+The reference creates a session at import time as a side effect
+(reference: src/main/utility/spark_session.py:18) and then re-creates it
+mid-run (src/main/transformations/jobs/main.py:130-132). This module
+fixes both: sessions are only built on explicit request, and the factory
+is idempotent (``getOrCreate``).
+
+Scale posture: AQE is enabled so shuffle partition counts, skew joins,
+and broadcast conversions are re-planned at runtime from real sizes —
+the same config is correct on ``local[32]`` and on a 1000-executor
+cluster; only ``master`` and the memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "retail_sales_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    - ``master`` defaults to ``$SPARK_MASTER`` or ``local[*]``; on a real
+      cluster the submit environment supplies it and this arg is ignored.
+    - UTC session timezone so date/timestamp derivations (month keys) are
+      deterministic across environments.
+    - Arrow enabled: pandas interchange and pandas UDFs use columnar
+      batches instead of per-row pickling.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = os.environ.get("SPARK_MASTER") or (
+            f"local[{cpus}]" if cpus else "local[*]"
+        )
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,10 @@
+from .files import discover_csv_files, read_csv_full, read_csv_header
+from .tables import TABLE_NAMES, load_table
+
+__all__ = [
+    "TABLE_NAMES",
+    "discover_csv_files",
+    "load_table",
+    "read_csv_full",
+    "read_csv_header",
+]

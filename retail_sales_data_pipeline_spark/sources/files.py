@@ -1,0 +1,60 @@
+"""File discovery and CSV readers (SURVEY.md §2.1 S1/S2/S5/S6).
+
+The reference lists an S3 prefix with boto3, downloads each object to a
+local staging dir, and reads files one by one
+(reference: src/main/read/aws_read.py:7-22,
+src/main/download/aws_file_download.py:12-25). Spark reads object
+stores natively, so discovery here is a driver-side listing used only
+for *per-file* validation/quarantine decisions; the data path itself is
+``spark.read.csv`` over whatever URI scheme the cluster has mounted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def discover_csv_files(directory: str, suffix: str = ".csv") -> list[str]:
+    """List data files under ``directory`` (non-recursive), sorted.
+
+    Driver-side analogue of the reference's S3 listing (aws_read.py:7-22,
+    including the skip-directories and suffix checks, main.py:41,110-114).
+    """
+    if not os.path.isdir(directory):
+        return []
+    return sorted(
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if f.endswith(suffix) and os.path.isfile(os.path.join(directory, f))
+    )
+
+
+def read_csv_header(spark: SparkSession, path: str) -> list[str]:
+    """Header-probe scan (S1): column names only, no data read.
+
+    Reference reads the file with header=true and takes ``.columns``
+    (main.py:139-141); limiting to 0 rows keeps it a metadata-only pass.
+    """
+    return spark.read.option("header", "true").csv(path).limit(0).columns
+
+
+def read_csv_full(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    infer: bool = False,
+) -> DataFrame:
+    """Full CSV scan (S2).
+
+    The reference always infers (main.py:239-242) which costs an extra
+    pass per file; callers here should pass an explicit ``schema`` and
+    keep ``infer`` for parity tests only.
+    """
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -1,0 +1,71 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL side by side at a small
+scale factor and asserts: row count, column set, and order-insensitive
+exact value equality (after canonical normalization). Catching a
+mismatch here is far cheaper than waiting for CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from retail_sales_data_pipeline_spark.sources.tables import TABLE_NAMES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver compares value hashes; floats must match exactly, so
+        # normalize only the textual form, not the value
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return str(v)
+
+
+def _normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple("" if x is None else str(x) for x in t))
+
+
+def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> None:
+    from retail_sales_data_pipeline_spark.plans import all_oracle_sql, all_queries
+
+    q = all_queries()[name]
+    sql = all_oracle_sql()[name]
+
+    sdf = q(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_connection(sf_dir)
+    res = con.sql(sql)
+    duck_cols = list(res.columns)
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"

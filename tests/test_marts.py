@@ -1,0 +1,79 @@
+"""Unit tests for mart operators: window+distinct ≡ groupBy on clean
+dims, rank-tie incentive semantics, month-key equivalence
+(SURVEY.md §2.7, §7.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.functions.scalars import (
+    exact_decimal,
+    month_key,
+    month_key_substring,
+)
+from retail_sales_data_pipeline_spark.operators.marts import (
+    grouped_sum,
+    rank_incentive,
+    window_sum_distinct,
+)
+
+
+def test_window_distinct_equals_groupby(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    measure = exact_decimal("l_quantity")
+    w = window_sum_distinct(li, ["l_returnflag"], measure, "total")
+    g = grouped_sum(li, ["l_returnflag"], measure, "total")
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_window_distinct_keeps_varying_attribute(spark):
+    """Reference semantics: a 'grouped-constant' column that varies
+    yields one row per distinct combination (SURVEY.md §7.4)."""
+    df = spark.createDataFrame(
+        [(1, "phone-a", 10.0), (1, "phone-b", 5.0), (2, "phone-c", 1.0)],
+        ["cust", "phone", "amt"],
+    )
+    out = window_sum_distinct(
+        df, ["cust"], exact_decimal("amt"), "total", keep_cols=["phone"]
+    )
+    rows = {(r.cust, r.phone): r.total for r in out.collect()}
+    # both phone rows survive for cust 1, both showing the group total
+    assert rows[(1, "phone-a")] == 15.0
+    assert rows[(1, "phone-b")] == 15.0
+    assert rows[(2, "phone-c")] == 1.0
+
+
+def test_rank_ties_all_get_incentive(spark):
+    """Two sellers tied on top ⇒ both rank 1 ⇒ both earn incentive
+    (reference: sales_mart_sql_transform_write.py:18-25 uses rank())."""
+    df = spark.createDataFrame(
+        [
+            ("s1", "2024-01", 1, 100.0),
+            ("s1", "2024-01", 2, 100.0),
+            ("s1", "2024-01", 3, 50.0),
+        ],
+        ["store", "month", "seller", "total_sales"],
+    )
+    out = rank_incentive(df, ["store", "month"], "total_sales")
+    rows = {r.seller: (r.rnk, r.incentive) for r in out.collect()}
+    assert rows[1] == (1, 1.0)
+    assert rows[2] == (1, 1.0)
+    # rank (with gaps), not dense_rank/row_number: next rank is 3
+    assert rows[3] == (3, 0.0)
+
+
+def test_month_key_forms_agree(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_shipdate")
+    diff = li.select(
+        month_key("l_shipdate").alias("a"),
+        month_key_substring("l_shipdate").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert diff.count() == 0
+
+
+def test_year_boundary_month_key(spark):
+    df = spark.createDataFrame(
+        [("2023-12-31",), ("2024-01-01",)], ["d"]
+    ).select(F.col("d").cast("date").alias("d"))
+    out = sorted(r[0] for r in df.select(month_key("d")).collect())
+    assert out == ["2023-12", "2024-01"]

@@ -1,0 +1,46 @@
+"""Mirror of the driver's correctness gate: every registered query with
+an oracle twin must match DuckDB exactly at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_sales_data_pipeline_spark.plans import all_oracle_sql, all_queries
+
+from .oracle import assert_query_matches_oracle
+
+ORACLE_NAMES = sorted(set(all_queries()) & set(all_oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_every_query_declares_oracle_policy():
+    """Every query either has an oracle or is explicitly rows-only."""
+    missing = set(all_queries()) - set(all_oracle_sql())
+    from retail_sales_data_pipeline_spark.plans.registry import all_queries as _
+    # rows-only queries must be documented in their module's ROWS_ONLY set
+    allowed: set[str] = set()
+    try:
+        from retail_sales_data_pipeline_spark.plans import llm_ops
+
+        allowed |= getattr(llm_ops, "ROWS_ONLY", set())
+    except ImportError:
+        pass
+    try:
+        from retail_sales_data_pipeline_spark.plans import events_queries
+
+        allowed |= getattr(events_queries, "ROWS_ONLY", set())
+    except ImportError:
+        pass
+    assert missing <= allowed, f"undeclared rows-only queries: {missing - allowed}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0

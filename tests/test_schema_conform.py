@@ -1,0 +1,62 @@
+"""Unit tests for the conform/fold/union layer (SURVEY.md §2.4, §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.schema import (
+    MANDATORY_COLUMNS,
+    SALES_SCHEMA,
+    conform,
+    missing_mandatory,
+    union_conformed,
+)
+
+
+def test_missing_mandatory_detects_absent_columns():
+    cols = [c for c in MANDATORY_COLUMNS if c != "store_id"]
+    assert missing_mandatory(cols) == {"store_id"}
+    assert missing_mandatory(MANDATORY_COLUMNS) == set()
+    # extra columns never trigger rejection
+    assert missing_mandatory(MANDATORY_COLUMNS + ["payment_mode"]) == set()
+
+
+def test_conform_folds_extras(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "cash", "web")], ["id", "name", "payment_mode", "channel"]
+    )
+    out = conform(df, canonical=["id", "name"])
+    assert out.columns == ["id", "name", "additional_column"]
+    assert out.collect()[0].additional_column == "cash, web"
+
+
+def test_conform_null_skipping_fold(spark):
+    # concat_ws skips NULLs (reference uses concat_ws, main.py:248)
+    df = spark.createDataFrame(
+        [(1, "a", None, "web")], "id int, name string, pm string, ch string"
+    )
+    out = conform(df, canonical=["id", "name"])
+    assert out.collect()[0].additional_column == "web"
+
+
+def test_conform_without_extras_yields_null(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    out = conform(df, canonical=["id", "name"])
+    row = out.collect()[0]
+    assert row.additional_column is None
+
+
+def test_union_conformed_matches_whole(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    parts = [
+        conform(li.filter(F.col("l_linenumber") == n), canonical=li.columns)
+        for n in range(1, 8)
+    ]
+    whole = conform(li, canonical=li.columns)
+    assert union_conformed(parts).count() == whole.count()
+
+
+def test_sales_schema_shape():
+    assert [f.name for f in SALES_SCHEMA] == MANDATORY_COLUMNS + ["additional_column"]
