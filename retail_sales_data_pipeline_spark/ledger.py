@@ -1,0 +1,107 @@
+"""Ingestion ledger: the reference's A/I file lifecycle (SURVEY.md §2.1 S7,
+§2.2 K6/K7) re-expressed as an append-only event log over parquet.
+
+Reference protocol (src/main/transformations/jobs/main.py):
+- pre-run probe: ``SELECT DISTINCT file_name FROM product_staging_table
+  WHERE file_name IN (...) AND status='A'`` → a hit means the previous
+  run died mid-flight (main.py:46-61);
+- per accepted file: ``INSERT ... status='A'`` (main.py:184-213);
+- on success: ``UPDATE ... SET status='I', updated_date=...``
+  (main.py:417-447).
+
+Parquet is immutable, so UPDATE becomes *append a new event*; the
+current status of a file is its latest event. That is the idiomatic
+distributed design anyway (same shape as a Delta/iceberg commit log):
+appends are cheap and conflict-free from many writers, and the snapshot
+is one window query over a tiny metadata table — at 100 TB of fact data
+the ledger still holds one row per *file*, i.e. millions at most.
+
+SURVEY.md §7.4 notes the reference's protocol is not transactional with
+the data writes (mart append can land while the status flip fails ⇒
+duplicate appends on rerun). The observable protocol is preserved;
+idempotent run-scoped sinks (sinks.run_scoped_path) are the mitigation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATUS_ACTIVE = "A"
+STATUS_INACTIVE = "I"
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("file_location", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("event_time", T.TimestampType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class Ledger:
+    """Append-only ledger at ``path`` (a parquet directory)."""
+
+    path: str
+
+    def _now(self) -> datetime:
+        return datetime.now(tz=timezone.utc).replace(tzinfo=None)
+
+    def _append(
+        self, spark: SparkSession, files: dict[str, str], status: str, seq: int
+    ) -> None:
+        now = self._now()
+        rows = [(name, loc, status, now, seq) for name, loc in files.items()]
+        spark.createDataFrame(rows, LEDGER_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def _events(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        except Exception:
+            return None  # ledger not created yet
+
+    def mark_active(self, spark: SparkSession, files: dict[str, str], seq: int = 0) -> None:
+        """K6: record accepted files as in-flight (reference main.py:184-213)."""
+        self._append(spark, files, STATUS_ACTIVE, seq)
+
+    def mark_done(self, spark: SparkSession, files: dict[str, str], seq: int = 1) -> None:
+        """K7: flip files to inactive on success (reference main.py:417-447).
+        ``seq`` breaks ties when both events share a timestamp tick.
+        """
+        self._append(spark, files, STATUS_INACTIVE, seq)
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Latest event per file (the reference's mutable-row view of
+        ``product_staging_table``). One window over a metadata-sized
+        table; never touches fact data.
+        """
+        events = self._events(spark)
+        if events is None:
+            return spark.createDataFrame([], LEDGER_SCHEMA).drop("seq")
+        w = Window.partitionBy("file_name").orderBy(
+            F.col("event_time").desc(), F.col("seq").desc()
+        )
+        return (
+            events.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "seq")
+        )
+
+    def active_files(self, spark: SparkSession, among: list[str] | None = None) -> list[str]:
+        """S7/W2: crash-detection probe — files currently 'A', optionally
+        restricted to an IN-list (reference main.py:46-61). Returns file
+        names; non-empty ⇒ a previous run died mid-flight.
+        """
+        snap = self.snapshot(spark).filter(F.col("status") == STATUS_ACTIVE)
+        if among is not None:
+            snap = snap.filter(F.col("file_name").isin(among))
+        return [r.file_name for r in snap.select("file_name").collect()]

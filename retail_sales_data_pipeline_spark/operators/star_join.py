@@ -56,6 +56,8 @@ def star_join(fact: DataFrame, dims: list[Dim]) -> DataFrame:
         if d.broadcast:
             dim = F.broadcast(dim)
         out = out.join(dim, on=out[fact_key] == dim[dim_key], how=d.how)
-        # Reference drops the duplicate dim join key immediately (P4).
-        out = out.drop(dim[dim_key]) if dim_key != fact_key else out
+        # Reference drops the duplicate dim join key immediately (P4);
+        # the frame-qualified reference disambiguates even when the dim
+        # key shares the fact key's name.
+        out = out.drop(dim[dim_key])
     return out

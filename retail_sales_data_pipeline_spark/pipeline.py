@@ -1,0 +1,239 @@
+"""End-to-end retail pipeline runner (SURVEY.md §3.1).
+
+Reproduces the reference driver's flow
+(src/main/transformations/jobs/main.py, 450 lines of straight-line
+script) as one orchestration function over the library layers:
+
+discover → crash-detect (ledger 'A' probe) → validate headers →
+quarantine rejects → ledger mark-active → conform+union accepted files →
+star-join dims → cache → derive customer + sales marts → fan-out sinks
+(parquet, partitioned parquet, mart append) → archive processed files →
+ledger mark-done.
+
+Deliberate fixes over the reference, all flagged in SURVEY.md §4/§7.4:
+- the joined frame is cached once; the reference recomputes the
+  conform+union+join subtree for every one of its ≥8 actions;
+- sink failures raise (reference swallows JDBC errors);
+- outputs are run-scoped (``{out}/{run_id}/…``) so a retried run
+  overwrites itself — idempotent where the reference double-appends.
+
+Scale: the only driver-side per-file work is header probing and ledger
+bookkeeping (metadata-sized). All accepted files are read in ONE
+``spark.read.csv(paths)`` with the explicit canonical schema — a single
+distributed scan, not the reference's per-file read-then-union loop
+(main.py:239-258), which at 100 TB would serialize scheduling on the
+driver. Semantics are identical because conform+union is a projection.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.scalars import full_name, month_key
+from .ledger import Ledger
+from .operators.marts import rank_incentive, window_sum_distinct
+from .operators.star_join import Dim, star_join
+from .schema import MANDATORY_COLUMNS, SALES_SCHEMA, conform, union_conformed
+from .sinks import append_table, run_scoped_path, write_parquet, write_partitioned_parquet
+from .sources.files import discover_csv_files, read_csv_full
+from .validate import archive_files, quarantine_files, validate_files
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    accepted: list[str] = field(default_factory=list)
+    quarantined: list[str] = field(default_factory=list)
+    crashed_files: list[str] = field(default_factory=list)
+    customer_mart_rows: int = 0
+    sales_mart_rows: int = 0
+    outputs: dict[str, str] = field(default_factory=dict)
+
+
+def derive_customer_mart(enriched: DataFrame) -> DataFrame:
+    """Customer monthly mart (reference
+    customer_mart_sql_tranform_write.py:9-23): window SUM over
+    (customer_id, month) + distinct, carrying grouped-constant customer
+    attributes and the NULL-propagating full_name concat.
+    """
+    df = enriched.select(
+        "customer_id",
+        full_name("first_name", "last_name").alias("full_name"),
+        "address",
+        "phone_number",
+        month_key("sales_date").alias("sales_date_month"),
+        F.col("total_cost").cast("decimal(18,4)").alias("_cost"),
+    )
+    return window_sum_distinct(
+        df,
+        ["customer_id", "sales_date_month"],
+        F.col("_cost"),
+        "total_sales",
+        keep_cols=["full_name", "address", "phone_number"],
+    )
+
+
+def derive_sales_mart(enriched: DataFrame) -> DataFrame:
+    """Sales-team monthly mart with top-seller incentive (reference
+    sales_mart_sql_transform_write.py:8-33): window SUM + distinct, then
+    rank() over (store_id, month) by total desc — ties all take rank 1
+    and each earns the 1% incentive.
+    """
+    df = enriched.select(
+        "store_id",
+        "sales_person_id",
+        full_name("sales_person_first_name", "sales_person_last_name").alias(
+            "full_name"
+        ),
+        month_key("sales_date").alias("sales_month"),
+        F.col("total_cost").cast("decimal(18,4)").alias("_cost"),
+    )
+    step1 = window_sum_distinct(
+        df,
+        ["store_id", "sales_person_id", "sales_month"],
+        F.col("_cost"),
+        "total_sales",
+        keep_cols=["full_name"],
+    )
+    return rank_incentive(step1, ["store_id", "sales_month"], "total_sales")
+
+
+def enrich_with_dims(
+    fact: DataFrame,
+    customer: DataFrame,
+    store: DataFrame,
+    sales_team: DataFrame,
+) -> DataFrame:
+    """The reference's three-hop star join (dimension_tables_join.py:4-55)
+    with its exact keep/rename discipline. All three dims are broadcast —
+    they are genuinely small in the reference (25/4/10 rows) and
+    dimension-sized (not fact-sized) at any scale.
+    """
+    return star_join(
+        fact,
+        [
+            Dim(
+                customer,
+                on=("customer_id", "customer_id"),
+                keep=["first_name", "last_name", "address", "pincode", "phone_number"],
+                broadcast=True,
+            ),
+            Dim(
+                store,
+                on=("store_id", "id"),
+                keep=["address", "store_manager_name"],
+                rename={"address": "store_address"},
+                broadcast=True,
+            ),
+            Dim(
+                sales_team,
+                on=("sales_person_id", "id"),
+                keep=["first_name", "last_name", "manager_id", "is_manager"],
+                rename={
+                    "first_name": "sales_person_first_name",
+                    "last_name": "sales_person_last_name",
+                },
+                broadcast=True,
+            ),
+        ],
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    error_dir: str,
+    processed_dir: str,
+    output_dir: str,
+    dims: dict[str, DataFrame],
+    ledger: Ledger | None = None,
+    run_id: str | None = None,
+    mandatory: list[str] | None = None,
+) -> PipelineResult:
+    """One pipeline run over every CSV in ``source_dir``."""
+    run_id = run_id if run_id is not None else str(int(time.time() * 1000))
+    result = PipelineResult(run_id=run_id)
+    mandatory = mandatory if mandatory is not None else MANDATORY_COLUMNS
+
+    # 1. discover (reference main.py:66-97 S3 list+download → local dir)
+    paths = discover_csv_files(source_dir)
+    if not paths:
+        return result  # clean no-op, reference aborts (main.py:75-77)
+
+    # 2. crash detection (reference main.py:41-64)
+    if ledger is not None:
+        names = [p.rsplit("/", 1)[-1] for p in paths]
+        result.crashed_files = ledger.active_files(spark, among=names)
+
+    # 3. validate + quarantine (reference main.py:136-176)
+    report = validate_files(spark, paths, mandatory)
+    result.quarantined = quarantine_files(list(report.rejected), error_dir)
+    result.accepted = report.accepted
+    if not report.accepted:
+        return result
+
+    # 4. ledger mark-active (reference main.py:184-213)
+    accepted_named = {p.rsplit("/", 1)[-1]: p for p in report.accepted}
+    if ledger is not None:
+        ledger.mark_active(spark, accepted_named, seq=0)
+
+    # 5. conform + union. Files whose header IS the canonical 8 columns
+    # are read in one distributed pass with the explicit schema; files
+    # with extra columns are read per-file (their schemas differ) and
+    # conformed via the concat_ws fold (reference main.py:223-258).
+    canonical_8 = [f.name for f in SALES_SCHEMA.fields if f.name != "additional_column"]
+    exact, wide = [], []
+    for p in report.accepted:
+        cols = read_csv_full(spark, p, infer=False).columns
+        (exact if list(cols) == canonical_8 else wide).append(p)
+    frames = []
+    if exact:
+        base_schema = type(SALES_SCHEMA)(
+            [f for f in SALES_SCHEMA.fields if f.name != "additional_column"]
+        )
+        frames.append(conform(read_csv_full(spark, exact, schema=base_schema), canonical_8))
+    for p in wide:
+        frames.append(conform(read_csv_full(spark, p, infer=True), canonical_8))
+    fact = union_conformed(frames)
+
+    # 6-7. star join + cache (fixes recomputation, SURVEY.md §3.1)
+    enriched = enrich_with_dims(
+        fact, dims["customer"], dims["store"], dims["sales_team"]
+    ).cache()
+
+    # 8. marts
+    customer_mart = derive_customer_mart(enriched)
+    sales_mart = derive_sales_mart(enriched)
+
+    # 9. fan-out sinks (reference main.py:313-380, K1/K2/K3 semantics)
+    out = run_scoped_path(output_dir, run_id)
+    result.outputs = {
+        "customer_mart": f"{out}/customer_data_mart",
+        "sales_mart": f"{out}/sales_team_data_mart",
+        "sales_mart_partitioned": f"{out}/sales_partitioned_data_mart",
+        "customer_mart_table": f"{output_dir}/tables/customers_data_mart",
+        "sales_mart_table": f"{output_dir}/tables/sales_team_data_mart",
+    }
+    write_parquet(customer_mart, result.outputs["customer_mart"])
+    write_parquet(sales_mart, result.outputs["sales_mart"])
+    write_partitioned_parquet(
+        sales_mart,
+        result.outputs["sales_mart_partitioned"],
+        ["sales_month", "store_id"],
+    )
+    append_table(customer_mart, result.outputs["customer_mart_table"])
+    append_table(sales_mart, result.outputs["sales_mart_table"])
+    result.customer_mart_rows = customer_mart.count()
+    result.sales_mart_rows = sales_mart.count()
+
+    # 10. finalize (reference main.py:394-447)
+    archive_files(report.accepted, processed_dir)
+    if ledger is not None:
+        ledger.mark_done(spark, accepted_named, seq=1)
+    enriched.unpersist()
+    return result

@@ -1,0 +1,60 @@
+"""Sinks (SURVEY.md §2.2 K1-K5): parquet overwrite, partitioned parquet,
+append-mode mart table, run-scoped output layout.
+
+The reference fans each mart out to local parquet, an epoch-stamped S3
+prefix, a partitioned parquet copy, and a MySQL append
+(reference: src/main/write/parquet_writer.py:3-14, main.py:360-380,
+database_write.py:8-17). Spark writes object stores natively, so the
+local-write-then-upload dance collapses into a single ``df.write`` to
+whatever URI the cluster mounts; the epoch prefix survives as
+``run_scoped_path`` because it is the reference's idempotency unit.
+
+``append_table`` deliberately RAISES on failure — the reference's
+``DatabaseWriter.write_dataframe`` swallows exceptions
+(database_write.py:16-17), a bug SURVEY.md §7.4 flags as must-not-copy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1: plain parquet write (reference parquet_writer.py:8-14)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """K2: parquet partitioned by ``partition_cols`` (reference
+    main.py:360-365 partitions by sales_month, store_id). At scale this
+    is the layout that lets month/store queries prune: each partition
+    directory is skipped entirely unless the predicate selects it.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    """K3: append a mart batch to a table (JDBC-append stand-in backed by
+    parquet so tests need no MySQL; on a real deployment swap for
+    ``df.write.jdbc(url, table, mode="append", properties=...)``).
+    Errors propagate (fixes reference database_write.py:16-17).
+    """
+    df.write.mode("append").parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read back an appended mart table (empty frame if never written)."""
+    return spark.read.parquet(path)
+
+
+def run_scoped_path(base: str, run_id: str | int) -> str:
+    """K4/K5: the reference uploads every run under
+    ``{prefix}/{epoch_ms}/`` (reference upload_to_s3.py:10-24,
+    main.py:368-380); the run id is the idempotency unit — a retried run
+    overwrites its own prefix, never a previous run's.
+    """
+    return os.path.join(base, str(run_id))

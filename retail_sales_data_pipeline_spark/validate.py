@@ -1,0 +1,81 @@
+"""Per-file schema validation and quarantine routing (SURVEY.md §2.5 W1, §2.3 F1).
+
+The reference probes each CSV's header, computes
+``set(mandatory) - set(actual)``, and moves files with missing mandatory
+columns to an error folder before any data is read
+(reference: src/main/transformations/jobs/main.py:136-176). Extra columns
+are fine — they are folded later by ``schema.conform``.
+
+This stays a *driver-side* decision on purpose: at 100 TB the fact data
+never moves through the driver — only file names and header lines do
+(one tiny metadata read per file), and the accepted set is then read by
+executors in one distributed ``spark.read.csv([paths])`` pass.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .schema import MANDATORY_COLUMNS, missing_mandatory
+from .sources.files import read_csv_header
+
+
+@dataclass
+class ValidationReport:
+    """Outcome of validating one batch of files."""
+
+    accepted: list[str] = field(default_factory=list)
+    # path -> missing mandatory columns that caused rejection
+    rejected: dict[str, set[str]] = field(default_factory=dict)
+
+
+def validate_files(
+    spark: SparkSession,
+    paths: list[str],
+    mandatory: list[str] | None = None,
+) -> ValidationReport:
+    """Split ``paths`` into accepted / rejected by the mandatory-column
+    contract (reference main.py:146-153). Header-probe only — no data
+    rows are read for rejected files.
+    """
+    mandatory = mandatory if mandatory is not None else MANDATORY_COLUMNS
+    report = ValidationReport()
+    for path in paths:
+        missing = missing_mandatory(read_csv_header(spark, path), mandatory)
+        if missing:
+            report.rejected[path] = missing
+        else:
+            report.accepted.append(path)
+    return report
+
+
+def quarantine_files(paths: list[str], error_dir: str) -> list[str]:
+    """Move rejected files into ``error_dir`` (reference main.py:159-176,
+    local move; the S3 copy+delete analogue is the same operation against
+    an object store). Returns the new locations.
+    """
+    os.makedirs(error_dir, exist_ok=True)
+    moved = []
+    for path in paths:
+        dst = os.path.join(error_dir, os.path.basename(path))
+        shutil.move(path, dst)
+        moved.append(dst)
+    return moved
+
+
+def archive_files(paths: list[str], processed_dir: str) -> list[str]:
+    """Move successfully processed files to the processed prefix
+    (reference main.py:394-399, S3→S3 move via copy+delete,
+    move_files.py:26-62). Returns the new locations.
+    """
+    os.makedirs(processed_dir, exist_ok=True)
+    moved = []
+    for path in paths:
+        dst = os.path.join(processed_dir, os.path.basename(path))
+        shutil.move(path, dst)
+        moved.append(dst)
+    return moved
