@@ -1,0 +1,253 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extensions (SURVEY.md §7.2 M5). Design rules for
+100 TB corpora:
+
+- **No driver-side state.** Every stage is a DataFrame op; candidate
+  generation is a shuffle on a *bounded* key (fingerprint, shingle,
+  band key), never an O(n²) cross join.
+- **Deterministic hashing via md5** (identical in Spark and DuckDB) so
+  every op here is oracle-checkable. md5 hex strings compare
+  lexicographically, which makes ``min()`` a valid minhash reducer in
+  both engines.
+- **Exact dedup** groups on the md5 fingerprint, not the full text, so
+  the shuffle carries 32-byte keys instead of documents.
+- **MinHash/LSH**: k independent hash functions are simulated as
+  ``md5(i || ':' || token)`` for i in 0..k-1; signatures are banded and
+  docs sharing any band key become candidates — the classic
+  shingle→minhash→band→bucket-join pipeline, all in relational algebra.
+- **SimHash**: 32-bit signatures from per-token md5 bits, one
+  explode + groupBy per corpus pass.
+
+Skew note: shingle/band keys are hash-uniform by construction; the only
+skew risk is a pathological token appearing in most documents, which the
+``df_cap`` guard removes (drop shingles more frequent than a cap —
+standard practice, also removes useless candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with the
+    canonical (minimum) id and the duplicate count.
+
+    Output: ``canonical_id, fingerprint, n_dups``.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("canonical_id", "fingerprint", "n_dups")
+    )
+
+
+def token_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-token shingles per document: ``(id, shingle)``.
+
+    Shingling is a projection (no shuffle); the later self-join on the
+    shingle column is the candidate-generation shuffle.
+    """
+    toks = tokens(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    ).where(F.length("shingle") > 0).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram (token shingle) Jaccard similarity.
+
+    shingle → inverted-index self-join → per-pair intersection count →
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. Output:
+    ``id_a < id_b, jaccard (6 dp)`` for pairs ≥ threshold.
+
+    ``df_cap`` drops shingles occurring in more than ``df_cap`` docs —
+    the skew guard for web-scale corpora (a boilerplate shingle shared
+    by millions of docs would otherwise quadratically explode one key).
+    """
+    sh = token_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= df_cap), "shingle").drop("_df")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_verify(cand: DataFrame, elements: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over element sets for candidate pairs.
+
+    ``cand``: (id_a, id_b); ``elements``: (id, shingle) distinct.
+    Output: ``id_a, id_b, jaccard`` (6 dp) for pairs ≥ threshold.
+    """
+    sizes = elements.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ea = elements.select(F.col("id").alias("id_a"), "shingle")
+    eb = elements.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash signatures over a shingle relation ``(id, shingle)``:
+    ``(id, i, minhash)`` for i in 0..num_hashes-1.
+
+    Hash family i is ``md5(i || ':' || shingle)``; the signature
+    component is the lexicographic minimum over the document's shingle
+    set — one explode + one groupBy, shuffle key = (id, i). Shingles
+    (not raw tokens) are the set elements: on a small shared vocabulary
+    token sets of unrelated documents overlap heavily, while n-token
+    shingles stay distinctive.
+    """
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
+    return (
+        shingles.select("id", "shingle", idx)
+        .select(
+            "id",
+            "i",
+            F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("id", "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature: ``(id, band, band_key)`` where band_key is the
+    md5 of the band's minhash components concatenated in hash order.
+    """
+    return (
+        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("i"), F.col("minhash")))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingles → signatures → bands →
+    bucket join → candidate pairs → exact Jaccard verification on the
+    shingle sets.
+
+    Output: ``id_a < id_b, jaccard`` for verified pairs ≥ threshold.
+    The bucket join shuffles on (band, band_key) — bounded and uniform;
+    candidates are a tiny fraction of n², which is the whole point:
+    unlike :func:`ngram_jaccard_pairs` the full inverted-index join
+    never happens, only |bands| × |docs| rows move.
+    """
+    sh = token_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold)
+
+
+def simhash_signatures(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document from per-token md5 bits.
+
+    Token hash = first 8 hex chars of md5 as a 32-bit integer; bit b of
+    the signature is the sign of Σ_tokens (±1 by token bit b). One
+    explode to (doc, token, bit) and one groupBy — linear in corpus size.
+    Output: ``(id, simhash)`` as a long.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    ).distinct()
+    h32 = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    per_bit = (
+        tok.select("id", h32.alias("h"), bit)
+        .select(
+            "id",
+            "b",
+            # shiftright/shiftleft builtins take a literal count; the SQL
+            # expression form accepts a column shift amount
+            F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("w"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("w").alias("s"))
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )

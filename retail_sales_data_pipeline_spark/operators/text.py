@@ -1,0 +1,152 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+These are the training-data-pipeline extensions layered on top of the
+reference's relational surface (SURVEY.md §7.2 M5): token counting,
+quality scoring, language-ID, and document fingerprinting over a
+``documents(doc_id, text, lang, source, n_chars)`` corpus.
+
+Everything here is pure built-in-function column algebra — no Python
+UDFs — so the whole layer stays inside whole-stage codegen and scales
+linearly with the scan: at 100 TB each operator is a single projection
+over the corpus with zero shuffles.
+
+Determinism contract: every derived number is either an integer count
+or rounded at the edge, and every hash is md5 (identical in Spark and
+DuckDB), so all of these are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer shared by all text operators. The corpus is
+# single-space separated; \s+ keeps it robust to arbitrary whitespace.
+TOKEN_SPLIT_RE = r"\s+"
+
+# A BPE-ish fallback tokenizer: word pieces OR single non-space symbols —
+# approximates subword token counts for budget estimation without a
+# vocab file (cheap JVM-side regex, not a real BPE).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Small embedded stopword list (English function words present in the
+# synthetic corpus vocabulary).
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+# Marker vocabularies for the n-gram/marker-count language heuristic.
+# Deterministic argmax over marker hits; lexicographic tiebreak.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "window", "order", "hash", "table"],
+    "de": ["customer", "join", "row", "column", "key"],
+    "es": ["slow", "agg", "merge", "vector", "value"],
+    "fr": ["scan", "data", "batch", "query", "small"],
+    "zh": ["stream", "fast", "line", "big", "sort"],
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens of ``text`` (empty string → single empty token
+    is avoided by trimming first)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str | Column = "text") -> Column:
+    """Subword-ish token count via the BPE-ish regex: count of word and
+    symbol pieces. ``regexp_count`` stays JVM-side."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_ISH_RE))
+
+
+def distinct_token_count(text_col: str | Column = "text") -> Column:
+    return F.size(F.array_distinct(tokens(text_col)))
+
+
+def char_count_no_ws(text_col: str | Column = "text") -> Column:
+    """Characters excluding whitespace — numerator for mean token length."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(F.regexp_replace(c, TOKEN_SPLIT_RE, ""))
+
+
+def stopword_count(text_col: str | Column = "text", stopwords: list[str] | None = None) -> Column:
+    """Stopword occurrences (with repeats)."""
+    stopwords = stopwords if stopwords is not None else STOPWORDS
+    return F.size(F.filter(tokens(text_col), lambda t: t.isin(stopwords)))
+
+
+def quality_features(text_col: str = "text") -> list[Column]:
+    """Quality-scoring feature columns: token count, distinct ratio,
+    stopword ratio, mean token length, and a composite quality score in
+    [0, 1]. All ratios rounded at the edge (6 dp) for oracle stability.
+    """
+    n_tok = token_count(text_col)
+    n_uniq = distinct_token_count(text_col)
+    n_stop = stopword_count(text_col)
+    mean_len = F.round(char_count_no_ws(text_col) / n_tok, 6)
+    stop_ratio = F.round(n_stop / n_tok, 6)
+    uniq_ratio = F.round(n_uniq / n_tok, 6)
+    # Heuristic composite: reward stopword presence (naturalness) and
+    # lexical diversity, saturate length contribution at 100 tokens.
+    score = F.round(
+        0.4 * stop_ratio + 0.4 * uniq_ratio + 0.2 * F.least(n_tok / 100.0, F.lit(1.0)),
+        6,
+    )
+    return [
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_distinct_tokens"),
+        n_stop.alias("n_stopwords"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    ]
+
+
+def _isin(values: list[str]):
+    # NB: the lambda must take exactly one parameter — PySpark treats a
+    # two-parameter higher-order-function lambda as (element, index).
+    return lambda t: t.isin(values)
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Marker-hit count per candidate language (with repeats)."""
+    toks = tokens(text_col)
+    return [
+        F.size(F.filter(toks, _isin(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def lang_predict() -> Column:
+    """Argmax over the ``score_*`` columns produced by ``lang_scores``;
+    ties break lexicographically (deterministic in both engines)."""
+    langs = sorted(LANG_MARKERS)
+    # struct sort: highest score first, then lang ascending
+    pairs = F.array(
+        *[F.struct((-F.col(f"score_{lg}")).alias("neg"), F.lit(lg).alias("lang")) for lg in langs]
+    )
+    return F.array_sort(pairs)[0]["lang"]
+
+
+def fingerprint_md5(text_col: str | Column = "text") -> Column:
+    """Exact-content fingerprint: md5 of the raw text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(c)
+
+
+def fingerprint_bag(text_col: str | Column = "text") -> Column:
+    """Order-insensitive fingerprint: md5 of the sorted distinct token
+    set — equal for any permutation of the same vocabulary (the cheap
+    first-pass near-dup key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+
+
+def fingerprint_bucket(text_col: str | Column = "text", buckets: int = 1024) -> Column:
+    """Small integer shard key from the fingerprint — the partition key
+    for dedup shuffles (uniform by construction)."""
+    return (F.conv(F.substring(fingerprint_md5(text_col), 1, 8), 16, 10).cast("long") % buckets).cast("int")

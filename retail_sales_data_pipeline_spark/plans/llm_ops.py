@@ -1,0 +1,365 @@
+"""Text-analysis and dedup queries over the ``documents`` corpus, each
+with a DuckDB oracle twin (SURVEY.md §7.2 M5; extensions beyond the
+reference's relational surface).
+
+Near-dup queries run on a *constructed* corpus: the documents table
+unioned with deterministic variants (exact copies for exact-dedup,
+5-token-truncated copies for near-dup) built identically in Spark and
+in the oracle SQL — so the dedup operators demonstrably find the
+planted duplicates and the hashes still match bit-for-bit.
+
+Hashing is md5 in both engines; ``min(md5)`` is a valid minhash
+reducer because hex strings compare lexicographically identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as X
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# corpus builders (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+
+
+def _exact_dup_corpus(df: DataFrame) -> DataFrame:
+    """documents ∪ exact copies (id+100000) of every 5th doc."""
+    dup = df.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return df.select("doc_id", "text").unionByName(dup)
+
+
+def _neardup_corpus(df: DataFrame) -> DataFrame:
+    """documents ∪ truncated variants (first n-5 tokens) of every 5th doc."""
+    toks = X.tokens("text")
+    variant = df.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    return df.select("doc_id", "text").unionByName(variant)
+
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_SQL_EXACT_CORPUS = f"""
+corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+_SQL_NEARDUP_CORPUS = f"""
+corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id,
+         array_to_string(
+           list_slice({_SQL_TOKS}, 1, greatest(len({_SQL_TOKS}) - 5, 1)), ' '
+         ) AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text_token_stats — token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        X.distinct_token_count("text").cast("long").alias("n_distinct_tokens"),
+        X.char_count_no_ws("text").cast("long").alias("n_chars_no_ws"),
+        F.round(X.char_count_no_ws("text") / X.token_count("text"), 6).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+  len({_SQL_TOKS}) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+  len(list_distinct({_SQL_TOKS})) AS n_distinct_tokens,
+  length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars_no_ws,
+  round(length(regexp_replace(text, '\\s+', '', 'g')) / len({_SQL_TOKS}), 6)
+    AS mean_token_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text_quality — quality scoring (stopword/diversity/length ratios)
+# ---------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    feats = X.quality_features("text")
+    # integer counts as long to align with DuckDB BIGINT
+    return df.select(
+        "doc_id",
+        feats[0].cast("long").alias("n_tokens"),
+        feats[1].cast("long").alias("n_distinct_tokens"),
+        feats[2].cast("long").alias("n_stopwords"),
+        feats[3],
+        feats[4],
+        feats[5],
+        feats[6],
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct_tokens,
+    len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS n_stopwords,
+    nchars
+  FROM t
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, n_stopwords,
+  round(nchars / n_tokens, 6) AS mean_token_len,
+  round(n_stopwords / n_tokens, 6) AS stopword_ratio,
+  round(n_distinct_tokens / n_tokens, 6) AS distinct_ratio,
+  round(0.4 * round(n_stopwords / n_tokens, 6)
+      + 0.4 * round(n_distinct_tokens / n_tokens, 6)
+      + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text_lang_id — marker-vocabulary language heuristic
+# ---------------------------------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    scored = df.select("doc_id", "lang", *X.lang_scores("text"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{lg}").cast("long") for lg in sorted(X.LANG_MARKERS)],
+        X.lang_predict().alias("lang_pred"),
+    ).withColumn(
+        "is_correct", (F.col("lang") == F.col("lang_pred")).cast("int")
+    )
+
+
+def _lang_sql() -> str:
+    langs = sorted(X.LANG_MARKERS)
+    score_cols = ",\n    ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lg]), lg
+        )
+        for lg in langs
+    )
+    # first lang (in lexicographic order) whose score >= all later/other
+    # scores == argmax with lexicographic tiebreak
+    cases = []
+    for lg in langs:
+        conds = " AND ".join(
+            f"score_{lg} >= score_{other}" for other in langs if other != lg
+        )
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {score_cols}
+  FROM t
+)
+SELECT doc_id, lang, {", ".join("score_" + lg for lg in langs)},
+  {case_sql} AS lang_pred,
+  CAST(lang = ({case_sql}) AS INT) AS is_correct
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text_fingerprint — md5 + bag fingerprint + shard bucket
+# ---------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        X.fingerprint_md5("text").alias("fp_md5"),
+        X.fingerprint_bag("text").alias("fp_bag"),
+        X.fingerprint_bucket("text").cast("int").alias("bucket"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  md5(text) AS fp_md5,
+  md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp_bag,
+  CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024 AS INT) AS bucket
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_exact — hash-groupBy exact dedup over a planted-dup corpus
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _exact_dup_corpus(_docs(spark, sf_dir))
+    return D.exact_dedup(corpus, text_col="text", id_col="doc_id")
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_SQL_EXACT_CORPUS}
+SELECT min(id) AS canonical_id, md5(text) AS fingerprint,
+       count(*) AS n_dups
+FROM corpus GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_ngram_jaccard — 3-gram shingle Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(_docs(spark, sf_dir))
+    return D.ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
+
+
+_SQL_SHINGLES = f"""
+shingles AS (
+  SELECT DISTINCT id, array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM (
+    SELECT id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+    FROM (SELECT id, {_SQL_TOKS} AS toks FROM corpus)
+  )
+  WHERE length(array_to_string(list_slice(toks, i, i + 2), ' ')) > 0
+)
+"""
+
+_DEDUP_NGRAM_SQL = f"""
+WITH {_SQL_NEARDUP_CORPUS},
+{_SQL_SHINGLES},
+sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT c.id_a, c.id_b,
+  round(c.n_common / (sa.n + sb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.id
+JOIN sizes sb ON c.id_b = sb.id
+WHERE round(c.n_common / (sa.n + sb.n - c.n_common), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_minhash_lsh — shingle→minhash→band→bucket-join near-dup
+# ---------------------------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(_docs(spark, sf_dir))
+    return D.minhash_lsh_pairs(corpus, num_hashes=8, rows_per_band=2, threshold=0.5)
+
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {_SQL_NEARDUP_CORPUS},
+{_SQL_SHINGLES},
+sig AS (
+  SELECT id, gs.i,
+         min(md5(CAST(gs.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM shingles, generate_series(0, 7) gs(i)
+  GROUP BY id, gs.i
+),
+bands AS (
+  SELECT id, CAST(i // 2 AS INT) AS band,
+         md5(string_agg(minhash, '' ORDER BY i)) AS band_key
+  FROM sig GROUP BY id, CAST(i // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.id = c.id_a
+  JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+  round(c.n_common / (za.n + zb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes za ON c.id_a = za.id
+JOIN sizes zb ON c.id_b = zb.id
+WHERE round(c.n_common / (za.n + zb.n - c.n_common), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_simhash — 32-bit SimHash signatures
+# ---------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(_docs(spark, sf_dir))
+    return D.simhash_signatures(corpus).select(
+        F.col("id"), F.col("simhash").cast("long")
+    )
+
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH {_SQL_NEARDUP_CORPUS},
+tok AS (
+  SELECT DISTINCT id, unnest(list_distinct({_SQL_TOKS})) AS token FROM corpus
+),
+bits AS (
+  SELECT id, gs.b,
+    sum(CASE WHEN (CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) >> gs.b) & 1 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM tok, generate_series(0, 31) gs(b)
+  GROUP BY id, gs.b
+)
+SELECT id,
+  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE_SQL = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality": _QUALITY_SQL,
+    "text_lang_id": _lang_sql(),
+    "text_fingerprint": _FINGERPRINT_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+    "dedup_simhash": _DEDUP_SIMHASH_SQL,
+}
