@@ -1,0 +1,215 @@
+"""Vector similarity search over an ``array<float>`` embedding column.
+
+Two search paths (SURVEY.md §7.2 M5 / training-data extensions):
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set, scan the corpus once, rank per query. Linear in
+  corpus size, embarrassingly parallel, zero shuffle on the corpus side
+  (only the final per-query top-k exchange, which is tiny). At 100 TB
+  this is the "scan path": it works at any scale, bounded by scan
+  throughput.
+- **Random-hyperplane LSH buckets** — the sublinear scale path: P
+  sign-bits of projections onto deterministic pseudo-random hyperplanes
+  form a bucket key; candidates share a bucket; cosine is verified only
+  for candidates. The shuffle key is the bucket — bounded cardinality
+  2^P, hash-uniform by construction.
+
+Determinism contract: hyperplane weights derive from md5 (identical in
+Spark/DuckDB): ``w(p, d) = hex(md5('p:d')[:8]) / 2^32 - 0.5``. All dot
+products fold element-wise in index order; cosines are rounded at the
+edge (6 dp) and rankings order by the *rounded* value with an id
+tiebreak, so both engines produce identical rows.
+
+Everything below is built-in expression algebra (zip_with / aggregate /
+transform) — JVM-side, no Python UDFs. For maximum single-node
+throughput a vectorized Arrow/pandas matmul variant would beat the
+expression tree; the expression form is kept because it is
+oracle-checkable and shuffle-free. (A pandas_udf batch variant is the
+documented follow-up for the bench path.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column | str) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product folded in index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: every query against every corpus vector.
+
+    ``queries`` is broadcast (query sets are small by definition); the
+    corpus is scanned once. Output:
+    ``query_id, neighbor_id, cosine, rk`` with ``rk`` = row_number over
+    (rounded cosine desc, neighbor_id asc).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_q")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_c")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
+    )
+
+
+def hyperplanes(spark, num_planes: int, dim: int) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes ``(p, d, w)``,
+    w ∈ [-0.5, 0.5), derived from md5 so any engine can regenerate them.
+    Tiny (num_planes × dim rows) — always broadcast.
+    """
+    return (
+        spark.range(num_planes)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "p",
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("p").cast("string"), F.col("d").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(4294967296.0)
+                - 0.5
+            ).alias("w"),
+        )
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit bucket key per vector: ``(id, bucket)``.
+
+    Explodes the embedding to (id, d, value), broadcast-joins the plane
+    weights, aggregates projections per (id, p), then packs sign bits in
+    plane order into an integer bucket. Two corpus passes of narrow
+    rows; shuffle keys are (id, p) then id — uniform.
+    """
+    elems = df.select(
+        F.col(id_col).alias("id"), F.posexplode(as_double(vec_col)).alias("d", "v")
+    )
+    proj = (
+        elems.join(F.broadcast(planes), "d")
+        .groupBy("id", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("proj"))
+    )
+    return proj.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing the query's
+    LSH bucket; exact cosine verified on candidates only.
+
+    Output schema matches :func:`cosine_topk`; recall < 1 by design —
+    the tradeoff that makes 100 TB ANN feasible (candidates per query
+    ≈ corpus / 2^P instead of corpus).
+    """
+    from pyspark.sql import Window
+
+    qb = lsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed("id", "query_id")
+    cb = lsh_buckets(corpus, planes, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
+    cand = qb.join(cb, "bucket").select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_q"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_c"))
+    pairs = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Brute-force all-pairs — correct at validation scale; at corpus scale
+    swap the pair generator for :func:`lsh_buckets` co-bucket candidates
+    (same verification tail).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("_a"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_a"), F.col("_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

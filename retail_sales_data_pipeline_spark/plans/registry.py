@@ -32,6 +32,12 @@ def all_queries() -> dict[str, QueryFn]:
         out.update(events_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import vector_ops
+
+        out.update(vector_ops.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -48,6 +54,12 @@ def all_oracle_sql() -> dict[str, str]:
         from . import events_queries
 
         out.update(events_queries.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from . import vector_ops
+
+        out.update(vector_ops.ORACLE_SQL)
     except ImportError:
         pass
     return out

@@ -1,0 +1,161 @@
+"""Similarity-search queries over the ``embeddings`` table with DuckDB
+oracle twins.
+
+Query vectors are ``vec_id < 10``; the corpus is the rest. Cosines are
+rounded to 6 dp and rankings order by the rounded value with an id
+tiebreak, so Spark and DuckDB emit identical rows (the underlying
+double arithmetic agrees far beyond 6 dp; see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources.tables import load_table
+
+DIM = 64
+NUM_PLANES = 4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+
+
+# ---------------------------------------------------------------------------
+# Q: ann_cosine_topk — exact brute-force top-5 neighbors
+# ---------------------------------------------------------------------------
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id >= 10
+), pairs AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qe, ce)
+          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+          6) AS cosine
+  FROM q, c
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: ann_lsh_topk — hyperplane-LSH bucketed approximate top-5
+# ---------------------------------------------------------------------------
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    planes = S.hyperplanes(spark, NUM_PLANES, DIM)
+    return S.lsh_ann_topk(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        planes=planes,
+        k=5,
+    )
+
+
+_LSH_SQL = f"""
+WITH planes AS (
+  SELECT p.p, d.d,
+    CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 8))
+         AS BIGINT) / 4294967296.0 - 0.5 AS w
+  FROM (SELECT unnest(generate_series(0, {NUM_PLANES - 1})) AS p) p,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), elems AS (
+  SELECT vec_id, i - 1 AS d, e[i] AS v
+  FROM (SELECT vec_id, e, unnest(generate_series(1, {DIM})) AS i FROM vecs)
+), proj AS (
+  SELECT elems.vec_id, planes.p, sum(elems.v * planes.w) AS proj
+  FROM elems JOIN planes ON elems.d = planes.d
+  GROUP BY elems.vec_id, planes.p
+), buckets AS (
+  SELECT vec_id,
+    sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+), cand AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets cb ON qb.bucket = cb.bucket
+  WHERE qb.vec_id < 10 AND cb.vec_id >= 10
+), pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+    round(list_dot_product(q.e, n.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))),
+          6) AS cosine
+  FROM cand c
+  JOIN vecs q ON q.vec_id = c.query_id
+  JOIN vecs n ON n.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_embedding_cosine — near-dup pairs over a planted-variant corpus
+# ---------------------------------------------------------------------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    variants = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(S.as_double("embedding"), lambda x: x + 0.01).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", S.as_double("embedding").alias("embedding")).unionByName(
+        variants
+    )
+    return S.cosine_neardup_pairs(corpus, threshold=0.9)
+
+
+_NEARDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS e
+  FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  round(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) AS cosine
+FROM corpus a JOIN corpus b ON a.id < b.id
+WHERE round(list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+      6) >= 0.9
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE_SQL = {
+    "ann_cosine_topk": _COSINE_SQL,
+    "ann_lsh_topk": _LSH_SQL,
+    "dedup_embedding_cosine": _NEARDUP_SQL,
+}

@@ -1,0 +1,75 @@
+"""Unit tests for vector similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [2.0, 0.0, 0.0, 0.0]),   # same direction as 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_values(spark, vecs):
+    out = S.cosine_topk(
+        corpus=vecs.where(F.col("vec_id") > 0),
+        queries=vecs.where(F.col("vec_id") == 0),
+        k=4,
+    ).collect()
+    by_n = {r.neighbor_id: r for r in out}
+    assert by_n[4].cosine == 1.0                       # same direction
+    assert by_n[4].rk == 1
+    assert by_n[1].cosine == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert by_n[2].cosine == 0.0
+    assert by_n[3].cosine == -1.0
+    assert by_n[3].rk == 4
+
+
+def test_topk_limits_rows(spark, vecs):
+    out = S.cosine_topk(
+        corpus=vecs.where(F.col("vec_id") > 0),
+        queries=vecs.where(F.col("vec_id") == 0),
+        k=2,
+    )
+    assert out.count() == 2
+
+
+def test_lsh_subset_of_exact(spark, vecs):
+    planes = S.hyperplanes(spark, 2, 4)
+    queries = vecs.where(F.col("vec_id") == 0)
+    corpus = vecs.where(F.col("vec_id") > 0)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             S.cosine_topk(corpus, queries, k=4).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              S.lsh_ann_topk(corpus, queries, planes, k=4).collect()}
+    assert approx <= exact
+    # the same-direction vector projects identically -> always co-bucketed
+    assert (0, 4) in approx
+
+
+def test_hyperplanes_deterministic(spark):
+    a = {(r.p, r.d): r.w for r in S.hyperplanes(spark, 2, 3).collect()}
+    b = {(r.p, r.d): r.w for r in S.hyperplanes(spark, 2, 3).collect()}
+    assert a == b
+    assert all(-0.5 <= w < 0.5 for w in a.values())
+    assert len(set(a.values())) == 6  # md5 spread: no accidental repeats
+
+
+def test_neardup_pairs(spark, vecs):
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             S.cosine_neardup_pairs(vecs, threshold=0.95).collect()}
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+    assert (0, 1) in pairs  # cos ≈ 0.9939
