@@ -1,0 +1,108 @@
+"""Event-stream operators (batch form): time rollups, gap sessionization,
+JSON property extraction.
+
+The reference has no streaming surface (SURVEY.md §2.10) — these are the
+extension operators a telemetry/training pipeline needs, expressed so
+the *same* logic runs batch (here) and under Structured Streaming
+(streaming.py wraps the rollup; sessionization gets a stateful
+streaming twin).
+
+Scale notes: rollups shuffle once on (bucket, type) with map-side
+partial aggregation; sessionization shuffles once on user_id — the
+natural key, uniform here; at 100 TB a power-user skew would be handled
+by AQE skew splitting (session windows must stay whole per user, so
+salting is not applicable — this is the one operator where key design
+matters).
+
+Determinism: second-resolution epoch arithmetic (floor) everywhere;
+money-ish sums in exact decimal, rounded at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Per (hour, event_type): event count and value sum (2 dp)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_sec``.
+
+    Output per session: ``user_id, session_seq, session_start,
+    session_end, n_events, duration_sec, total_value``.
+
+    Classic lag → flag → running-sum → group. Both window and groupBy
+    hash-partition on user_id, so the whole operator is ONE shuffle;
+    Catalyst reuses the exchange for the window and the aggregation.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.col("ts").cast("long")
+    prev_sec = F.lag(sec).over(w)
+    flagged = events.withColumn(
+        "_new",
+        F.when(prev_sec.isNull() | ((sec - prev_sec) > gap_sec), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(sec) - F.min(sec)).alias("duration_sec"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def json_prop_stats(events: DataFrame, prop: str = "k") -> DataFrame:
+    """Extract an integer property from the JSON ``props`` column and
+    aggregate per event_type. ``get_json_object`` is JVM-side (Jackson),
+    no UDF.
+    """
+    v = F.get_json_object("props", f"$.{prop}").cast("long")
+    return (
+        events.select("event_type", v.alias("_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_v").alias("n_with_prop"),
+            F.sum("_v").alias("sum_prop"),
+            F.round(F.avg("_v"), 6).alias("avg_prop"),
+        )
+    )
+
+
+def daily_stats(events: DataFrame) -> DataFrame:
+    """Per day: events, exact distinct users, value sum (2 dp)."""
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Event-analytics queries over the ``events`` table with DuckDB oracle
+twins, plus the streaming rollup (whose availableNow drain equals the
+batch rollup, making even the streaming path oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import events as E
+from ..sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.hourly_rollup(_events(spark, sf_dir))
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sessionize(_events(spark, sf_dir))
+
+
+_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {E.SESSION_GAP_SEC}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.json_prop_stats(_events(spark, sf_dir), prop="k")
+
+
+_JSON_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_prop,
+  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_prop,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_prop
+FROM events GROUP BY event_type
+"""
+
+
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.daily_stats(_events(spark, sf_dir))
+
+
+_DAILY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming rollup drained with availableNow — on finite
+    input it must equal the batch rollup, so it shares the batch oracle.
+    """
+    from ..streaming import stream_hourly_rollup
+
+    return stream_hourly_rollup(spark, sf_dir)
+
+
+QUERIES = {
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_sessionize": events_sessionize,
+    "events_json_props": events_json_props,
+    "events_daily_stats": events_daily_stats,
+    "streaming_hourly_rollup": streaming_hourly_rollup,
+}
+
+ORACLE_SQL = {
+    "events_hourly_rollup": _HOURLY_SQL,
+    "events_sessionize": _SESSIONIZE_SQL,
+    "events_json_props": _JSON_SQL,
+    "events_daily_stats": _DAILY_SQL,
+    "streaming_hourly_rollup": _HOURLY_SQL,
+}

@@ -41,5 +41,13 @@ def load_table(
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLE_NAMES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long nanos; truncate to micros like
+        # DuckDB does so both engines see identical timestamps
+        from pyspark.sql import functions as F
+
+        # integer division — float division loses precision above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.select(*columns) if columns else df

@@ -1,0 +1,1 @@
+from .jobs import stream_hourly_rollup, stream_sessionize  # noqa: F401

@@ -1,0 +1,180 @@
+"""Structured Streaming jobs (extension surface; the reference is
+batch-only, SURVEY.md §2.10 — its operational loop of daily file drops
+maps onto a file-source stream with ``trigger(availableNow=True)``).
+
+Two jobs:
+
+- :func:`stream_hourly_rollup` — watermarked event-time tumbling-window
+  aggregation over the events table read as a file stream. With
+  ``availableNow`` the stream drains everything and the result equals
+  the batch rollup (oracle-checkable).
+- :func:`stream_sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: per-user gap sessionization with
+  event-time timeout, the streaming twin of ``operators.events.
+  sessionize``. Sessions still open at end-of-stream are flushed by a
+  final timeout pass.
+
+Scale notes: state is keyed by user_id (uniform); watermark bounds
+state size — at 100 TB/day the rollup state is |hours×types| and the
+sessionizer state is |active users in the gap window|, both tiny
+relative to throughput. Checkpointing to the job's checkpoint dir gives
+exactly-once over the file source (replacing the reference's A/I ledger
+for the streaming path).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.events import SESSION_GAP_SEC
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # nanos-as-long → micro-precision timestamp (see sources.tables)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a finite stream into a memory sink and return the table."""
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling-window rollup, drained via
+    availableNow. Equals the batch hourly rollup on a finite input.
+    """
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("hour"), "event_type", "n_events", "total_value"
+    )
+
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_sec", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("start_sec", T.LongType()),
+        T.StructField("last_sec", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-user sessionizer. State = the open session; closed
+    sessions are emitted as soon as a gap exceeds SESSION_GAP_SEC; the
+    open session is flushed on event-time timeout (end of stream under
+    availableNow).
+    """
+    (user_id,) = key
+    closed: list[tuple] = []
+
+    if state.hasTimedOut:
+        seq, start, last, n, sv = state.get
+        closed.append((user_id, seq, start, last, n, last - start, round(sv, 2)))
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        secs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+        vals = rows["value"].tolist()
+        if state.exists:
+            seq, start, last, n, sv = state.get
+        else:
+            seq, start, last, n, sv = 0, None, None, 0, 0.0
+        for s, v in zip(secs, vals):
+            if start is None:
+                seq, start, last, n, sv = seq + 1, s, s, 1, float(v)
+            elif s - last > SESSION_GAP_SEC:
+                closed.append((user_id, seq, start, last, n, last - start, round(sv, 2)))
+                seq, start, last, n, sv = seq + 1, s, s, 1, float(v)
+            else:
+                last, n, sv = s, n + 1, sv + float(v)
+        state.update((seq, start, last, n, sv))
+        # close the open session once event time passes last + gap
+        state.setTimeoutTimestamp((last + SESSION_GAP_SEC) * 1000)
+
+    if closed:
+        df = pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_seq", "session_start", "session_end",
+                "n_events", "duration_sec", "total_value",
+            ],
+        )
+        df["session_start"] = pd.to_datetime(df["session_start"], unit="s")
+        df["session_end"] = pd.to_datetime(df["session_end"], unit="s")
+        yield df
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization (applyInPandasWithState).
+
+    On a finite input (availableNow) the closed-session output matches
+    the batch ``operators.events.sessionize`` up to second-resolution
+    timestamps (proved in tests).
+    """
+    events = _events_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _run_to_memory(sessions, "append")

@@ -1,0 +1,104 @@
+"""Events operators + Structured Streaming equivalence tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.operators import events as E
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # user 1: two sessions (gap > 30 min between e2 and e3)
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1, "click", 1.0),
+        (2, datetime(2024, 1, 1, 10, 10, 0), 1, "view", 2.0),
+        (3, datetime(2024, 1, 1, 11, 0, 1), 1, "click", 3.0),
+        # user 2: one session, single event
+        (4, datetime(2024, 1, 1, 10, 5, 0), 2, "purchase", 10.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gaps(spark, ev):
+    out = {(r.user_id, r.session_seq): r for r in E.sessionize(ev).collect()}
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 2 and s1.duration_sec == 600 and s1.total_value == 3.0
+    s2 = out[(1, 2)]
+    assert s2.n_events == 1 and s2.duration_sec == 0 and s2.total_value == 3.0
+    assert out[(2, 1)].n_events == 1
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap of exactly 1800s continues the session; 1801s starts a new one
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1, "a", 1.0),
+        (2, datetime(2024, 1, 1, 10, 30, 0), 1, "a", 1.0),   # +1800 → same
+        (3, datetime(2024, 1, 1, 11, 0, 1), 1, "a", 1.0),    # +1801 → new
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = E.sessionize(df).collect()
+    assert {r.session_seq: r.n_events for r in out} == {1: 2, 2: 1}
+
+
+def test_hourly_rollup(spark, ev):
+    out = {(r.hour, r.event_type): r for r in E.hourly_rollup(ev).collect()}
+    assert out[(datetime(2024, 1, 1, 10), "click")].n_events == 1
+    assert out[(datetime(2024, 1, 1, 10), "view")].total_value == 2.0
+    assert out[(datetime(2024, 1, 1, 11), "click")].n_events == 1
+
+
+def test_streaming_rollup_equals_batch(spark):
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+    from retail_sales_data_pipeline_spark.streaming import stream_hourly_rollup
+
+    batch = E.hourly_rollup(load_table(spark, SF, "events"))
+    stream = stream_hourly_rollup(spark, SF)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """Closed sessions from the stateful streaming sessionizer must match
+    the batch sessionizer at second resolution (the stream keys state by
+    whole seconds)."""
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+    from retail_sales_data_pipeline_spark.streaming import stream_sessionize
+
+    events = load_table(spark, SF, "events")
+    batch = {
+        (r.user_id, r.session_seq): (
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events,
+            r.duration_sec,
+        )
+        for r in E.sessionize(events).collect()
+    }
+    stream = {
+        (r.user_id, r.session_seq): (
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events,
+            r.duration_sec,
+        )
+        for r in stream_sessionize(spark, SF).collect()
+    }
+    # every streamed (closed) session must agree with its batch twin
+    assert stream, "stream emitted no sessions"
+    for k, v in stream.items():
+        assert batch[k] == v, f"mismatch at {k}: {batch[k]} vs {v}"
+    # and with availableNow + event-time timeout, coverage is complete
+    # except possibly each user's final open session
+    assert len(stream) >= len(batch) - events.select("user_id").distinct().count()
