@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+A 100 TB multimodal training pipeline stores media as binary columns
+(or object-store pointers) beside typed metadata, and runs decode /
+feature-extraction / resize / frame-sampling as vectorized Python over
+Arrow batches. The Spark-side plumbing here — schemas, batch iteration,
+partition sizing, output contracts — is real and tested; the actual
+codec calls are STUBBED because the image/audio libraries are not in
+this container:
+
+- :func:`decode_media` dispatches to PIL/libav when importable and
+  otherwise raises ``NotImplementedError`` — unless ``fake=True``
+  (default), which substitutes a *deterministic* fake decode derived
+  from the payload bytes so tests and row-count checks are stable.
+
+Scale notes: ``mapInPandas`` streams Arrow batches (no per-row
+pickling); ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+batch memory for fat payloads. Media rows are large and skew by size —
+repartition by a uniform key (doc hash) before the decode stage so one
+partition doesn't collect all the 4K videos.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents corpus: the UTF-8 payload
+    stands in for encoded media bytes (deterministic, any engine can
+    reproduce it). media_type round-robins image/audio/video.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        "source",
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic fake decode: dimensions and an 8-dim feature vector
+    derived from the payload's md5 — stable across runs and engines.
+    REPLACE with real codecs (PIL / torchaudio / pyav) in production.
+    """
+    digest = hashlib.md5(payload).digest()
+    width = 16 + digest[0] % 640
+    height = 16 + digest[1] % 480
+    n_frames = 1 if media_type == "image" else 1 + digest[2] % 300
+    feature = [round(b / 255.0, 6) for b in digest[:8]]
+    return {"width": width, "height": height, "n_frames": n_frames, "feature": feature}
+
+
+def _real_decode(payload: bytes, media_type: str) -> dict:
+    """Real decode path — requires codec libraries absent from this
+    environment."""
+    raise NotImplementedError(
+        "real media decoding requires PIL/pyav/torchaudio; "
+        "run with fake=True or install codecs"
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode/feature-extract media payloads via ``mapInPandas``.
+
+    Output follows ``FEATURE_SCHEMA``. The Arrow batch loop is the real
+    production shape; only the per-payload codec call is stubbed.
+    """
+    decode = _fake_decode if fake else _real_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                if payload is None:
+                    rows.append((mid, mtype, None, None, None, None, None))
+                    continue
+                d = decode(bytes(payload), mtype)
+                rows.append(
+                    (mid, mtype, len(payload), d["width"], d["height"],
+                     d["n_frames"], d["feature"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "n_bytes", "width", "height",
+                    "n_frames", "feature",
+                ],
+            )
+
+    # uniform repartition key defeats payload-size skew before the
+    # python stage (content bytes travel the exchange once)
+    return media.repartition(F.crc32(F.col("media_id").cast("string"))).mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    frame index (pure relational explode — the actual frame extraction
+    would join this plan back to the decode stage).
+    """
+    video = decoded.where(F.col("media_type") == "video")
+    return video.select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

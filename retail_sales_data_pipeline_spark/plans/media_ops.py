@@ -1,0 +1,92 @@
+"""Multimodal plumbing queries.
+
+``multimodal_decode`` exercises the real Arrow/mapInPandas decode path
+(operators/multimodal.py). Because the stubbed decode derives features
+deterministically from md5 of the payload, DuckDB can replicate it in
+SQL — so even the Python-stage plumbing is oracle-checked (byte counts,
+fake dimensions, and the float feature vector formatted at 6 dp).
+``multimodal_frame_sample`` checks the frame-sampling plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_media, frame_sample, synth_media_from_documents
+from ..sources.tables import load_table
+
+
+def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    return decode_media(synth_media_from_documents(docs), fake=True)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _decoded(spark, sf_dir)
+    return out.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("n_frames").cast("long"),
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+        ).alias("feature_str"),
+    )
+
+
+# digest byte k (1-indexed pair of hex chars) as integer
+def _byte(k: int) -> str:
+    return f"CAST(('0x' || substr(md5(text), {2 * k - 1}, 2)) AS INT)"
+
+
+_DECODE_SQL = f"""
+SELECT doc_id AS media_id,
+  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  strlen(text) AS n_bytes,
+  CAST(16 + {_byte(1)} % 640 AS BIGINT) AS width,
+  CAST(16 + {_byte(2)} % 480 AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + {_byte(3)} % 300 END AS BIGINT)
+    AS n_frames,
+  array_to_string(
+    [printf('%.6f', round({_byte(1)} / 255.0, 6)),
+     printf('%.6f', round({_byte(2)} / 255.0, 6)),
+     printf('%.6f', round({_byte(3)} / 255.0, 6)),
+     printf('%.6f', round({_byte(4)} / 255.0, 6)),
+     printf('%.6f', round({_byte(5)} / 255.0, 6)),
+     printf('%.6f', round({_byte(6)} / 255.0, 6)),
+     printf('%.6f', round({_byte(7)} / 255.0, 6)),
+     printf('%.6f', round({_byte(8)} / 255.0, 6))], ',') AS feature_str
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(_decoded(spark, sf_dir), every_n=30).select(
+        "media_id", F.col("n_frames").cast("long"), F.col("frame_idx").cast("long")
+    )
+
+
+_FRAME_SQL = f"""
+WITH decoded AS (
+  SELECT doc_id AS media_id,
+    CAST(1 + {_byte(3)} % 300 AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, n_frames,
+  unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
+FROM decoded
+"""
+
+
+QUERIES = {
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLE_SQL = {
+    "multimodal_decode": _DECODE_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
+}

@@ -8,58 +8,37 @@ queries without an oracle twin get the driver's weaker rows-only check
 
 from __future__ import annotations
 
+import importlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import retail_queries
-
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# modules contributing QUERIES / ORACLE_SQL dicts (order = display order)
+_MODULES = [
+    "retail_queries",
+    "llm_ops",
+    "events_queries",
+    "vector_ops",
+    "media_ops",
+]
+
+
+def _collect(attr: str) -> dict:
+    out: dict = {}
+    for name in _MODULES:
+        try:
+            mod = importlib.import_module(f".{name}", __package__)
+        except ImportError:
+            continue
+        out.update(getattr(mod, attr, {}))
+    return out
 
 
 def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
-    out.update(retail_queries.QUERIES)
-    try:
-        from . import llm_ops
-
-        out.update(llm_ops.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from . import events_queries
-
-        out.update(events_queries.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from . import vector_ops
-
-        out.update(vector_ops.QUERIES)
-    except ImportError:
-        pass
-    return out
+    return _collect("QUERIES")
 
 
 def all_oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    out.update(retail_queries.ORACLE_SQL)
-    try:
-        from . import llm_ops
-
-        out.update(llm_ops.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from . import events_queries
-
-        out.update(events_queries.ORACLE_SQL)
-    except ImportError:
-        pass
-    try:
-        from . import vector_ops
-
-        out.update(vector_ops.ORACLE_SQL)
-    except ImportError:
-        pass
-    return out
+    return _collect("ORACLE_SQL")

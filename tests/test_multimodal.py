@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: schema contract, batch shape, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    synth_media_from_documents,
+)
+from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF, "documents", ["doc_id", "text", "source"])
+    return synth_media_from_documents(docs)
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    types = {r.media_type for r in media.select("media_type").distinct().collect()}
+    assert types == {"image", "audio", "video"}
+
+
+def test_decode_contract(spark, media):
+    out = decode_media(media, fake=True)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "media_type", "n_bytes", "width", "height", "n_frames", "feature",
+    ]
+    rows = out.collect()
+    assert len(rows) == media.count()
+    r = rows[0]
+    assert r.n_bytes > 0 and 16 <= r.width < 656 and 16 <= r.height < 496
+    assert len(r.feature) == 8 and all(0.0 <= x <= 1.0 for x in r.feature)
+    # images are single-frame by contract
+    assert all(x.n_frames == 1 for x in rows if x.media_type == "image")
+
+
+def test_decode_deterministic(spark, media):
+    a = sorted(map(tuple, decode_media(media, fake=True).collect()))
+    b = sorted(map(tuple, decode_media(media, fake=True).collect()))
+    assert a == b
+
+
+def test_real_decode_is_gated(spark, media):
+    with pytest.raises(Exception) as exc:
+        decode_media(media.limit(1), fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sample(spark, media):
+    decoded = decode_media(media, fake=True)
+    frames = frame_sample(decoded, every_n=30)
+    r = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_frames").alias("nf")
+    ).collect()
+    for row in r:
+        assert row.n == (row.nf - 1) // 30 + 1
