@@ -4,24 +4,27 @@ Training-data-pipeline extensions (SURVEY.md §7.2 M5). Design rules for
 100 TB corpora:
 
 - **No driver-side state.** Every stage is a DataFrame op; candidate
-  generation is a shuffle on a *bounded* key (fingerprint, shingle,
-  band key), never an O(n²) cross join.
-- **Deterministic hashing via md5** (identical in Spark and DuckDB) so
-  every op here is oracle-checkable. md5 hex strings compare
-  lexicographically, which makes ``min()`` a valid minhash reducer in
-  both engines.
+  generation is a shuffle on a *bounded* key (fingerprint, shingle
+  hash, band key), never an O(n²) cross join.
+- **Shingles travel as 60-bit hashes, not strings.** ``md5`` is
+  computed once per shingle; every downstream join/exchange carries
+  8-byte longs instead of ~30-char strings. A 60-bit space makes
+  accidental collisions negligible (birthday bound ≈ 4·10⁻⁸ at 10⁹
+  shingles) and md5 is identical in Spark and DuckDB, so everything
+  stays oracle-checkable.
 - **Exact dedup** groups on the md5 fingerprint, not the full text, so
   the shuffle carries 32-byte keys instead of documents.
-- **MinHash/LSH**: k independent hash functions are simulated as
-  ``md5(i || ':' || token)`` for i in 0..k-1; signatures are banded and
-  docs sharing any band key become candidates — the classic
-  shingle→minhash→band→bucket-join pipeline, all in relational algebra.
+- **MinHash** pays the md5 once and derives the k-function family with
+  affine rehashes mod 2³¹−1 (two multiplies each, whole-stage codegen).
+- **LSH verification** first semi-joins the shingle relation down to
+  candidate ids — the expensive exchanges see |candidates|·|doc| rows,
+  not the whole corpus.
 - **SimHash**: 32-bit signatures from per-token md5 bits, one
   explode + groupBy per corpus pass.
 
 Skew note: shingle/band keys are hash-uniform by construction; the only
-skew risk is a pathological token appearing in most documents, which the
-``df_cap`` guard removes (drop shingles more frequent than a cap —
+skew risk is a pathological shingle appearing in most documents, which
+the ``df_cap`` guard removes (drop shingles more frequent than a cap —
 standard practice, also removes useless candidates).
 """
 
@@ -31,6 +34,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, tokens
+
+# Affine MinHash family: all arithmetic stays under 2^62 so int64 math
+# is exact (and engine-identical).
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = 2654435761  # Knuth multiplicative constant
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -51,10 +59,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def token_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct n-token shingles per document: ``(id, shingle)``.
+    """Distinct n-token shingle strings per document: ``(id, shingle)``.
 
-    Shingling is a projection (no shuffle); the later self-join on the
-    shingle column is the candidate-generation shuffle.
+    ``array_distinct`` dedups within the document before the explode, so
+    no post-explode distinct is needed. Pure projection — no shuffle.
     """
     toks = tokens(text_col)
     shingles = F.transform(
@@ -64,64 +72,43 @@ def token_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles)).alias("shingle"),
-    ).where(F.length("shingle") > 0).distinct()
+    ).where(F.length("shingle") > 0)
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    threshold: float = 0.5,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    df_cap: int | None = None,
-) -> DataFrame:
-    """Near-duplicate pairs by n-gram (token shingle) Jaccard similarity.
+def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct shingles as 60-bit longs: ``(id, sh)``.
 
-    shingle → inverted-index self-join → per-pair intersection count →
-    ``|A∩B| / (|A| + |B| - |A∩B|)``. Output:
-    ``id_a < id_b, jaccard (6 dp)`` for pairs ≥ threshold.
-
-    ``df_cap`` drops shingles occurring in more than ``df_cap`` docs —
-    the skew guard for web-scale corpora (a boilerplate shingle shared
-    by millions of docs would otherwise quadratically explode one key).
+    ``sh = int(md5(shingle)[:15], 16)`` — one md5 per shingle, then
+    every downstream exchange carries 8-byte keys.
     """
-    sh = token_shingles(df, n=n, text_col=text_col, id_col=id_col)
-    if df_cap is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(freq.where(F.col("_df") <= df_cap), "shingle").drop("_df")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return token_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
+        "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh"),
     )
 
 
 def jaccard_verify(cand: DataFrame, elements: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over element sets for candidate pairs.
+    """Exact Jaccard over hashed element sets for candidate pairs.
 
-    ``cand``: (id_a, id_b); ``elements``: (id, shingle) distinct.
-    Output: ``id_a, id_b, jaccard`` (6 dp) for pairs ≥ threshold.
+    ``cand``: (id_a, id_b); ``elements``: (id, sh) distinct. The element
+    relation is first semi-joined down to ids that appear in any
+    candidate pair, so the per-pair intersection join only exchanges
+    candidate documents' shingles — at corpus scale that is the
+    difference between shuffling |candidates|·doc_len and |corpus|·
+    doc_len rows. Output: ``id_a, id_b, jaccard`` (6 dp) ≥ threshold.
     """
-    sizes = elements.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    ea = elements.select(F.col("id").alias("id_a"), "shingle")
-    eb = elements.select(F.col("id").alias("id_b"), "shingle")
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    el = elements.join(ids, "id")
+    sizes = el.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ea = el.select(F.col("id").alias("id_a"), "sh")
+    eb = el.select(F.col("id").alias("id_b"), "sh")
     common = (
         cand.join(ea, "id_a")
-        .join(eb, ["id_b", "shingle"])
+        .join(eb, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -137,25 +124,70 @@ def jaccard_verify(cand: DataFrame, elements: DataFrame, threshold: float) -> Da
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram (token shingle) Jaccard similarity.
+
+    hashed shingle → inverted-index self-join → per-pair intersection →
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. Output:
+    ``id_a < id_b, jaccard (6 dp)`` for pairs ≥ threshold.
+
+    ``df_cap`` drops shingles occurring in more than ``df_cap`` docs —
+    the skew guard for web-scale corpora (a boilerplate shingle shared
+    by millions of docs would otherwise quadratically explode one key).
+    """
+    sh = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col)
+    if df_cap is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= df_cap), "sh").select("id", "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """MinHash signatures over a shingle relation ``(id, shingle)``:
+    """MinHash signatures over a hashed-shingle relation ``(id, sh)``:
     ``(id, i, minhash)`` for i in 0..num_hashes-1.
 
-    Hash family i is ``md5(i || ':' || shingle)``; the signature
-    component is the lexicographic minimum over the document's shingle
-    set — one explode + one groupBy, shuffle key = (id, i). Shingles
-    (not raw tokens) are the set elements: on a small shared vocabulary
-    token sets of unrelated documents overlap heavily, while n-token
-    shingles stay distinctive.
+    Family member i is the affine rehash
+    ``((2i+1)·A·(sh mod P) + i·A) mod P`` — the md5 cost was already
+    paid in :func:`shingle_hashes`; each family member is two multiplies
+    (whole-stage codegen). The signature component is the numeric
+    minimum over the document's shingle set — one explode + one
+    groupBy, shuffle key = (id, i).
+
+    Shingles (not raw tokens) are the set elements: on a small shared
+    vocabulary token sets of unrelated documents overlap heavily, while
+    n-token shingles stay distinctive.
     """
     idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
+    a = (2 * F.col("i") + 1) * MINHASH_A % MINHASH_P
+    b = F.col("i") * MINHASH_A % MINHASH_P
     return (
-        shingles.select("id", "shingle", idx)
-        .select(
-            "id",
-            "i",
-            F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("shingle"))).alias("h"),
-        )
+        shingles.select("id", (F.col("sh") % MINHASH_P).alias("base"), idx)
+        .select("id", "i", ((a * F.col("base") + b) % MINHASH_P).alias("h"))
         .groupBy("id", "i")
         .agg(F.min("h").alias("minhash"))
     )
@@ -171,12 +203,12 @@ def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
         .agg(
             F.md5(
                 F.concat_ws(
-                    "",
+                    ",",
                     F.transform(
                         F.array_sort(
                             F.collect_list(F.struct(F.col("i"), F.col("minhash")))
                         ),
-                        lambda s: s["minhash"],
+                        lambda s: s["minhash"].cast("string"),
                     ),
                 )
             ).alias("band_key")
@@ -193,9 +225,9 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingles → signatures → bands →
-    bucket join → candidate pairs → exact Jaccard verification on the
-    shingle sets.
+    """MinHash+LSH near-dup pipeline: hashed shingles → signatures →
+    bands → bucket join → candidate pairs → exact Jaccard verification
+    on the shingle sets.
 
     Output: ``id_a < id_b, jaccard`` for verified pairs ≥ threshold.
     The bucket join shuffles on (band, band_key) — bounded and uniform;
@@ -203,7 +235,10 @@ def minhash_lsh_pairs(
     unlike :func:`ngram_jaccard_pairs` the full inverted-index join
     never happens, only |bands| × |docs| rows move.
     """
-    sh = token_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    # the shingle relation feeds both the signature path and the
+    # verification tail — persist so the tokenize+explode+md5 runs once
+    # (Spark evicts LRU; MinHashLSH in Spark ML does the same)
+    sh = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col).persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")

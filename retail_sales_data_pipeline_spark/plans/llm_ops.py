@@ -241,13 +241,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SHINGLES = f"""
-shingles AS (
+shingle_strs AS (
   SELECT DISTINCT id, array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
   FROM (
     SELECT id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
     FROM (SELECT id, {_SQL_TOKS} AS toks FROM corpus)
   )
   WHERE length(array_to_string(list_slice(toks, i, i + 2), ' ')) > 0
+),
+shingles AS (
+  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+  FROM shingle_strs
 )
 """
 
@@ -258,7 +262,7 @@ sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
   FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.id < b.id
+    ON a.sh = b.sh AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT c.id_a, c.id_b,
@@ -281,15 +285,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_MINHASH_SQL = f"""
 WITH {_SQL_NEARDUP_CORPUS},
 {_SQL_SHINGLES},
+based AS (
+  SELECT id, sh % 2147483647 AS base FROM shingles
+),
 sig AS (
   SELECT id, gs.i,
-         min(md5(CAST(gs.i AS VARCHAR) || ':' || shingle)) AS minhash
-  FROM shingles, generate_series(0, 7) gs(i)
+    min(((2 * gs.i + 1) * 2654435761 % 2147483647 * base
+         + gs.i * 2654435761 % 2147483647) % 2147483647) AS minhash
+  FROM based, generate_series(0, 7) gs(i)
   GROUP BY id, gs.i
 ),
 bands AS (
   SELECT id, CAST(i // 2 AS INT) AS band,
-         md5(string_agg(minhash, '' ORDER BY i)) AS band_key
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
   FROM sig GROUP BY id, CAST(i // 2 AS INT)
 ),
 cand AS (
@@ -302,7 +310,7 @@ common AS (
   SELECT c.id_a, c.id_b, count(*) AS n_common
   FROM cand c
   JOIN shingles sa ON sa.id = c.id_a
-  JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
   GROUP BY c.id_a, c.id_b
 )
 SELECT c.id_a, c.id_b,
