@@ -350,6 +350,45 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: product_enrich — the product-dimension join the reference declares
+# but never exercises (loads `product` at main.py:276, never joins it;
+# SURVEY.md §2.6). part ≈ product; per-brand rollup of enriched lines.
+# ---------------------------------------------------------------------------
+def product_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = load_table(spark, sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.round(F.sum(revenue()), 2).cast("double").alias("total_revenue"),
+            F.round(F.avg(F.col("p_retailprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("avg_retail_price"),
+        )
+    )
+
+
+_PRODUCT_ENRICH_SQL = f"""
+SELECT p.p_brand,
+  count(*) AS n_lines,
+  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+  CAST(round(sum({_SQL_REV}), 2) AS DOUBLE) AS total_revenue,
+  CAST(round(avg(CAST(p.p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+    AS avg_retail_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
     "customer_monthly_mart": customer_monthly_mart,
     "sales_team_mart": sales_team_mart,
@@ -359,6 +398,7 @@ QUERIES = {
     "distinct_dedup": distinct_dedup,
     "monthly_grouped_sum": monthly_grouped_sum,
     "month_key_forms": month_key_forms,
+    "product_enrich": product_enrich,
 }
 
 ORACLE_SQL = {
@@ -370,4 +410,5 @@ ORACLE_SQL = {
     "distinct_dedup": _DISTINCT_SQL,
     "monthly_grouped_sum": _MONTHLY_GROUPED_SQL,
     "month_key_forms": _MONTH_KEY_SQL,
+    "product_enrich": _PRODUCT_ENRICH_SQL,
 }

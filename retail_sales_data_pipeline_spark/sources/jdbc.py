@@ -1,0 +1,76 @@
+"""JDBC source/sink (SURVEY.md §2.1 S3, §2.2 K3).
+
+The reference reads its dimension tables and writes its marts over JDBC
+to MySQL (reference: src/main/read/database_read.py:6-10,
+src/main/write/database_write.py:8-17). This module keeps that surface
+with the same shapes; tests and the driver harness use the parquet
+catalog (sources.tables) instead because no database ships in this
+environment — the two are interchangeable behind ``load_table`` /
+``sinks.append_table``.
+
+Scale notes baked into the API:
+- reads accept ``partition_column/num_partitions/bounds`` — without
+  them a JDBC scan is a SINGLE task pulling the whole table through one
+  connection, the classic accidental bottleneck;
+- ``fetchsize``/``batchsize`` default to sane bulk values (the MySQL
+  driver default of row-at-a-time streaming is pathological);
+- writes RAISE on failure — the reference swallows write errors
+  (database_write.py:16-17), flagged in SURVEY.md §7.4 as a bug not to
+  copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """JDBC table scan; pass partition bounds for parallel reads."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetchsize))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError("partitioned JDBC read needs lower/upper bounds and num_partitions")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Append a mart batch to a JDBC table. Errors propagate."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

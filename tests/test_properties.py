@@ -1,0 +1,102 @@
+"""Property-based tests (SURVEY.md §5 item 5, hypothesis):
+- grouped totals are invariant under how rows are split into files;
+- window-sum+distinct ≡ groupBy-sum+join-back on clean dims;
+- the incentive is positive exactly on rank-1 rows;
+- conform folds extras identically regardless of row content.
+Small example counts: each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.functions.scalars import exact_decimal
+from retail_sales_data_pipeline_spark.operators.marts import (
+    grouped_sum,
+    rank_incentive,
+    window_sum_distinct,
+)
+from retail_sales_data_pipeline_spark.schema import conform, union_conformed
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),            # key
+        st.integers(min_value=0, max_value=10_000),       # cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy, split=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_totals_invariant_under_file_split(spark, rows, split):
+    """Union of per-'file' conformed parts aggregates identically to the
+    whole, however the rows are split (reference unions per-file frames,
+    main.py:258)."""
+    data = [(k, c / 100.0) for k, c in rows]
+    whole = spark.createDataFrame(data, "k int, amt double")
+    parts = [
+        spark.createDataFrame(data[i::split] or [(0, 0.0)], "k int, amt double")
+        for i in range(split)
+        if data[i::split]
+    ]
+    a = grouped_sum(whole, ["k"], exact_decimal("amt"), "t")
+    b = grouped_sum(union_conformed(parts), ["k"], exact_decimal("amt"), "t")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_window_distinct_equiv_groupby(spark, rows):
+    data = [(k, c / 100.0) for k, c in rows]
+    df = spark.createDataFrame(data, "k int, amt double")
+    w = window_sum_distinct(df, ["k"], exact_decimal("amt"), "t")
+    g = grouped_sum(df, ["k"], exact_decimal("amt"), "t")
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, g.collect()))
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_incentive_iff_rank_one(spark, rows):
+    data = [(k, i, c / 100.0) for i, (k, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "store int, seller int, total_sales double")
+    out = rank_incentive(df, ["store"], "total_sales").collect()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for r in out:
+        if r.rnk == 1:
+            expected = float(
+                (Decimal(str(r.total_sales)) * Decimal("0.01")).quantize(
+                    Decimal("0.01"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert r.incentive == expected
+        else:
+            assert r.incentive == 0.0
+    # every store has at least one rank-1 row
+    stores = {r.store for r in out}
+    top = {r.store for r in out if r.rnk == 1}
+    assert stores == top
+
+
+@given(
+    extras=st.lists(
+        st.text(alphabet="abcXYZ ", min_size=0, max_size=5), min_size=0, max_size=3
+    )
+)
+@SETTINGS
+def test_conform_fold_matches_python(spark, extras):
+    """concat_ws fold of extra columns equals the Python join of their
+    string forms (NULL-skipping semantics, reference main.py:245-256)."""
+    cols = ["a", "b"] + [f"x{i}" for i in range(len(extras))]
+    row = tuple(["1", "2"] + list(extras))
+    df = spark.createDataFrame([row], ", ".join(f"{c} string" for c in cols))
+    out = conform(df, canonical=["a", "b"]).collect()[0]
+    assert out.additional_column == (", ".join(extras) if extras else None)
