@@ -1,0 +1,117 @@
+"""Scale toolkit: skew salting and bucketed co-located joins.
+
+These are the manual levers for the cases AQE cannot fix alone at
+100 TB (SURVEY.md §7.3 "AQE skew-join handling for the 100 TB goal"):
+
+- :func:`salted_grouped_sum` — two-phase aggregation through a salt for
+  *hot grouping keys*. Spark's hash aggregate already does map-side
+  partial aggregation for algebraic functions, so plain sums rarely
+  need this; the salt matters when the per-key state is heavy
+  (collect_list/distinct-style) or when one reduce key would otherwise
+  receive a large fraction of all rows.
+- :func:`salted_skew_join` — the classic replicate-and-salt equi-join:
+  the skewed (large) side gets a random salt in [0, n); the small side
+  is replicated n times with every salt value, restoring correctness.
+  AQE's skewJoin split handles sort-merge cases adaptively; the manual
+  form remains necessary for deliberate layouts and for joins AQE
+  can't split (e.g. under bucketing constraints).
+- :func:`write_bucketed` / :func:`bucketed_join_ready` — persist both
+  sides of a recurring fact-fact join bucketed by the join key so the
+  join runs shuffle-free (each bucket pair joins locally). On a
+  cluster this is THE lever that turns the repeated 100 TB
+  lineitem⋈orders exchange into a zero-exchange sort-merge join.
+
+Correctness notes: salting a SUM in exact decimal is exactly
+associative, so salted results are bit-identical to unsalted (proved in
+tests). The salt is ``pmod(hash(row-id columns), n)`` — deterministic,
+uniform, and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def salted_grouped_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    measure: Column,
+    total_alias: str,
+    salt_cols: list[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase grouped sum: partial per (keys, salt), final per keys.
+
+    ``salt_cols`` should identify rows roughly uniquely (any high-
+    cardinality columns); the salt is a deterministic hash bucket so
+    reruns produce identical partials.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(buckets)).alias("_salt")
+    partial = (
+        df.select(*group_cols, salt, measure.alias("_m"))
+        .groupBy(*group_cols, "_salt")
+        .agg(F.sum("_m").alias("_partial"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("_partial").alias(total_alias))
+
+
+def salted_skew_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: tuple[str, str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the large side, replicate the
+    small side across all salt values, join on (key, salt).
+
+    Output columns = large ∪ small (minus the small side's join key),
+    same as a plain inner join.
+    """
+    lk, sk = on
+    l_salted = large.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets))
+    )
+    s_replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    joined = l_salted.join(
+        s_replicated,
+        (l_salted[lk] == s_replicated[sk]) & (l_salted["_salt"] == s_replicated["_salt"]),
+        how,
+    )
+    # frame-qualified drops disambiguate even when the key names match
+    return (
+        joined.drop(s_replicated["_salt"])
+        .drop(l_salted["_salt"])
+        .drop(s_replicated[sk])
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Both sides of a recurring join written with the SAME bucket count
+    and key join with zero exchanges (and zero sort if sorted).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join_ready(spark: SparkSession, left: str, right: str, key: tuple[str, str]) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket keys —
+    shuffle-free when bucket specs line up."""
+    lt, rt = spark.table(left), spark.table(right)
+    lk, rk = key
+    return lt.join(rt, lt[lk] == rt[rk])

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from retail_sales_data_pipeline_spark.session import get_spark
@@ -9,7 +11,15 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # keep bucketed-table tests out of the repo dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")
+        },
+    )
     yield s
 
 

@@ -1,0 +1,76 @@
+"""Scale-toolkit tests: salting correctness, bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.functions.scalars import exact_decimal
+from retail_sales_data_pipeline_spark.operators.marts import grouped_sum
+from retail_sales_data_pipeline_spark.operators.scale import (
+    bucketed_join_ready,
+    salted_grouped_sum,
+    salted_skew_join,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_sum_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = grouped_sum(li, ["l_returnflag"], exact_decimal("l_quantity"), "t")
+    salted = salted_grouped_sum(
+        li, ["l_returnflag"], exact_decimal("l_quantity"), "t",
+        salt_cols=["l_orderkey", "l_linenumber"], buckets=16,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_skew_join_equals_plain(spark):
+    # pathological skew: 90% of fact rows share one key
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k int, name string")
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_skew_join(fact, dim, on=("k", "k")).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    assert salted.count() == 1000
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li, "li_b", "l_orderkey", num_buckets=8, sort_col="l_orderkey")
+    write_bucketed(orders, "ord_b", "o_orderkey", num_buckets=8, sort_col="o_orderkey")
+
+    # force the non-broadcast path so the bucketing is what saves the shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join_ready(spark, "li_b", "ord_b", ("l_orderkey", "o_orderkey"))
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result is the real join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
