@@ -189,6 +189,76 @@ def lsh_ann_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized exact top-k: numpy matmul over Arrow batches.
+
+    The query matrix is collected to the driver (query sets are small by
+    definition) and closed over by a ``mapInPandas`` stage that computes
+    a batch×queries cosine matrix per Arrow batch and emits only each
+    batch's per-query top-k; a final window selects the global top-k.
+    Same output contract as :func:`cosine_topk`, ~BLAS throughput
+    instead of expression-tree evaluation — the bench path for corpus-
+    scale scans. Per-batch top-k keeps the Python→JVM traffic at
+    |batches|·|queries|·k rows regardless of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cos = cn @ qn.T  # |batch| x |queries|
+            top = min(k, cos.shape[0])
+            # per-query top-k within the batch bounds the emitted rows
+            idx = np.argpartition(-cos, top - 1, axis=0)[:top]
+            out = {
+                "query_id": np.repeat(qids, top),
+                "neighbor_id": ids[idx].T.ravel(),
+                "cosine": np.take_along_axis(cos, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("long"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

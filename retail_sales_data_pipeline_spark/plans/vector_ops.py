@@ -148,14 +148,29 @@ WHERE round(list_dot_product(a.e, b.e)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: bench_ann_cosine_arrow — Arrow/numpy twin of ann_cosine_topk
+# (same oracle; the bench_ prefix auto-enrolls it in bench.py)
+# ---------------------------------------------------------------------------
+def bench_ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk_arrow(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": _COSINE_SQL,
     "ann_lsh_topk": _LSH_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
+    "bench_ann_cosine_arrow": _COSINE_SQL,
 }

@@ -67,6 +67,14 @@ def test_hyperplanes_deterministic(spark):
     assert len(set(a.values())) == 6  # md5 spread: no accidental repeats
 
 
+def test_arrow_topk_equals_expression(spark, vecs):
+    queries = vecs.where(F.col("vec_id") == 0)
+    corpus = vecs.where(F.col("vec_id") > 0)
+    expr = sorted(map(tuple, S.cosine_topk(corpus, queries, k=3).collect()))
+    arrow = sorted(map(tuple, S.cosine_topk_arrow(corpus, queries, k=3).collect()))
+    assert expr == arrow
+
+
 def test_neardup_pairs(spark, vecs):
     pairs = {(r.id_a, r.id_b): r.cosine for r in
              S.cosine_neardup_pairs(vecs, threshold=0.95).collect()}
