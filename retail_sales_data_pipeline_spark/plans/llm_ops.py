@@ -350,6 +350,55 @@ FROM bits GROUP BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus_report — per-(lang, source) corpus rollup of the quality
+# features (the "dataset card" aggregation a training pipeline emits)
+# ---------------------------------------------------------------------------
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    feats = X.quality_features("text")
+    per_doc = df.select("lang", "source", feats[0].alias("n_tokens"), feats[6])
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+
+
+_CORPUS_REPORT_SQL = f"""
+WITH t AS (
+  SELECT lang, source, {_SQL_TOKS} AS toks,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+  FROM documents
+), f AS (
+  SELECT lang, source,
+    len(toks) AS n_tokens,
+    round(0.4 * round(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) / len(toks), 6)
+        + 0.4 * round(len(list_distinct(toks)) / len(toks), 6)
+        + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS quality_score
+  FROM t
+)
+SELECT lang, source, count(*) AS n_docs,
+  sum(n_tokens) AS total_tokens,
+  round(avg(quality_score), 6) AS mean_quality
+FROM f GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus_approx_distinct — HLL++ sketch cardinalities (rows-only:
+# approximate by design, so no exact SQL twin; the test suite bounds the
+# error against exact counts instead)
+# ---------------------------------------------------------------------------
+def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    tok = df.select("lang", F.explode(X.tokens("text")).alias("token"))
+    return tok.groupBy("lang").agg(
+        F.approx_count_distinct("token", rsd=0.02).alias("approx_vocab"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -359,6 +408,8 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "corpus_report": corpus_report,
+    "corpus_approx_distinct": corpus_approx_distinct,
 }
 
 ORACLE_SQL = {
@@ -370,4 +421,6 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
+    "corpus_report": _CORPUS_REPORT_SQL,
+    # corpus_approx_distinct: intentionally no oracle — approximate op
 }

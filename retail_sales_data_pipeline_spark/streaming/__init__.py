@@ -1,1 +1,2 @@
 from .jobs import stream_hourly_rollup, stream_sessionize  # noqa: F401
+from .retail_stream import stream_retail_pipeline  # noqa: F401

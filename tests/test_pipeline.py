@@ -170,6 +170,33 @@ def test_crash_detection_and_ledger_lifecycle(spark, dims, workdir):
     assert len(snap) == 1 and snap[0].status == "I"
 
 
+def test_streaming_pipeline_matches_batch_and_skips_processed(spark, dims, workdir):
+    """The streaming mode derives the same marts as the batch pipeline,
+    and a rerun with the same checkpoint processes nothing new (the
+    checkpoint replaces the A/I ledger)."""
+    from retail_sales_data_pipeline_spark.streaming import stream_retail_pipeline
+
+    _write_csv(f"{workdir['source']}/sales_2023.csv", HAPPY_HEADER, _happy_rows())
+    ckpt = f"{workdir['out']}/_ckpt"
+    c1 = stream_retail_pipeline(
+        spark, workdir["source"], dims, workdir["out"], ckpt
+    )
+    assert c1["batches"] == 1 and c1["customer_mart_rows"] == 10
+
+    cm = spark.read.parquet(f"{workdir['out']}/tables/customers_data_mart")
+    total = sum(r[-1] for r in _happy_rows())
+    assert float(cm.agg(F.sum("total_sales")).first()[0]) == pytest.approx(total)
+
+    # rerun with same checkpoint: file already processed -> no new batch rows
+    c2 = stream_retail_pipeline(
+        spark, workdir["source"], dims, workdir["out"], ckpt
+    )
+    assert c2["batches"] == 0
+    assert spark.read.parquet(
+        f"{workdir['out']}/tables/customers_data_mart"
+    ).count() == cm.count()
+
+
 def test_rerun_same_run_id_is_idempotent(spark, dims, workdir):
     _write_csv(f"{workdir['source']}/a.csv", HAPPY_HEADER, _happy_rows())
     res1 = run_pipeline(

@@ -110,6 +110,25 @@ def test_lang_id_deterministic(spark, docs):
     assert r[3].pred == "de"
 
 
+def test_approx_distinct_error_bound(spark):
+    """HLL++ vocab estimate stays within 5% of the exact count."""
+    from retail_sales_data_pipeline_spark.plans.llm_ops import corpus_approx_distinct
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.lang: r.approx_vocab for r in corpus_approx_distinct(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents", ["text", "lang"])
+    exact = {
+        r.lang: r.v
+        for r in docs.select("lang", F.explode(X.tokens("text")).alias("t"))
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()
+    }
+    for lang, v in exact.items():
+        assert abs(approx[lang] - v) / v <= 0.05, (lang, approx[lang], v)
+
+
 def test_shingle_skew_cap(spark):
     """df_cap drops ubiquitous shingles (boilerplate guard)."""
     rows = [(i, "common boiler plate " + w, "en") for i, w in
