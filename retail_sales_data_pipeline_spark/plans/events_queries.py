@@ -82,6 +82,82 @@ FROM events GROUP BY 1
 """
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attached to the user's most
+    recent prior view (as-of join; oracle = DuckDB's native ASOF JOIN).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, key="user_id", ts="ts", right_payload=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value").cast("decimal(18,4)"), 2).cast("double").alias(
+            "purchase_value"
+        ),
+        F.round(F.col("asof_value").cast("decimal(18,4)"), 2).cast("double").alias(
+            "view_value"
+        ),
+        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias("gap_sec"),
+    )
+
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+  CAST(round(CAST(p.value AS DECIMAL(18,4)), 2) AS DOUBLE) AS purchase_value,
+  CAST(round(CAST(v.value AS DECIMAL(18,4)), 2) AS DOUBLE) AS view_value,
+  CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within ±5 minutes of a purchase by the same user (banded
+    range join; oracle = plain inequality join).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.temporal import banded_range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    out = banded_range_join(purchases, errors, key="user_id", ts="ts", band_sec=300)
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_event"),
+        F.col("r_event_id").alias("error_event"),
+        "delta_sec",
+    )
+
+
+_RANGE_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.event_id AS purchase_event, e.event_id AS error_event,
+  CAST(floor(epoch(p.ts)) - floor(epoch(e.ts)) AS BIGINT) AS delta_sec
+FROM p JOIN e ON p.user_id = e.user_id
+WHERE abs(floor(epoch(p.ts)) - floor(epoch(e.ts))) <= 300
+"""
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup drained with availableNow — on finite
     input it must equal the batch rollup, so it shares the batch oracle.
@@ -96,6 +172,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
     "events_daily_stats": events_daily_stats,
+    "events_asof_attribution": events_asof_attribution,
+    "events_range_pairs": events_range_pairs,
     "streaming_hourly_rollup": streaming_hourly_rollup,
 }
 
@@ -104,5 +182,7 @@ ORACLE_SQL = {
     "events_sessionize": _SESSIONIZE_SQL,
     "events_json_props": _JSON_SQL,
     "events_daily_stats": _DAILY_SQL,
+    "events_asof_attribution": _ASOF_SQL,
+    "events_range_pairs": _RANGE_SQL,
     "streaming_hourly_rollup": _HOURLY_SQL,
 }

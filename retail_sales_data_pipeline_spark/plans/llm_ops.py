@@ -412,6 +412,10 @@ QUERIES = {
     "corpus_approx_distinct": corpus_approx_distinct,
 }
 
+# queries deliberately without an oracle twin (driver does rows-only):
+# approximate-by-design results can't hash-match an exact SQL answer
+ROWS_ONLY = {"corpus_approx_distinct"}
+
 ORACLE_SQL = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality": _QUALITY_SQL,

@@ -1,0 +1,72 @@
+"""As-of join and banded range join unit tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from retail_sales_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    banded_range_join,
+)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0), 100.0),
+            (1, datetime(2024, 1, 1, 10, 5, 0), 101.0),
+            (2, datetime(2024, 1, 1, 10, 1, 0), 50.0),
+        ],
+        "sym int, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (10, 1, datetime(2024, 1, 1, 10, 2, 0)),   # -> 100.0
+            (11, 1, datetime(2024, 1, 1, 10, 5, 0)),   # equal ts -> 101.0 (inclusive)
+            (12, 1, datetime(2024, 1, 1, 9, 59, 0)),   # before any quote -> dropped
+            (13, 2, datetime(2024, 1, 1, 11, 0, 0)),   # -> 50.0
+        ],
+        "trade_id int, sym int, ts timestamp",
+    )
+    return trades, quotes
+
+
+def test_asof_inner(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, key="sym", ts="ts", right_payload=["px"]).collect()}
+    assert out[10].asof_px == 100.0
+    assert out[11].asof_px == 101.0          # <= is inclusive
+    assert 12 not in out                     # no prior quote -> dropped (inner)
+    assert out[13].asof_px == 50.0
+    assert out[13].asof_ts == datetime(2024, 1, 1, 10, 1, 0)
+
+
+def test_asof_left_keeps_unmatched(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, key="sym", ts="ts",
+                     right_payload=["px"], how="left").collect()}
+    assert len(out) == 4
+    assert out[12].asof_px is None
+
+
+def test_range_join_band_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1, 10, 5, 0))], "k int, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 200, datetime(2024, 1, 1, 10, 0, 0)),   # delta +300 (edge, kept)
+            (1, 201, datetime(2024, 1, 1, 10, 10, 0)),  # delta -300 (edge, kept)
+            (1, 202, datetime(2024, 1, 1, 10, 10, 1)),  # delta -301 (dropped)
+            (2, 203, datetime(2024, 1, 1, 10, 5, 0)),   # other key (dropped)
+        ],
+        "k int, rid int, ts timestamp",
+    )
+    out = banded_range_join(left, right, key="k", ts="ts", band_sec=300)
+    got = {(r.l_lid, r.r_rid, r.delta_sec) for r in out.collect()}
+    assert got == {(100, 200, 300), (100, 201, -300)}
