@@ -389,6 +389,86 @@ GROUP BY p.p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: sales_rollup_cube — grouping-sets rollup (month, store) with
+# subtotals and a grand total (beyond the reference's surface; the
+# standard OLAP rollup a mart consumer asks for next)
+# ---------------------------------------------------------------------------
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    sup = load_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    base = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+        month_key("l_shipdate").alias("sales_month"),
+        F.col("s_nationkey").cast("int").alias("store_id"),
+        revenue().alias("_rev"),
+    )
+    return base.rollup("sales_month", "store_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("_rev"), 2).cast("double").alias("total_sales"),
+    )
+
+
+_SALES_ROLLUP_SQL = f"""
+SELECT strftime(l.l_shipdate, '%Y-%m') AS sales_month,
+       CAST(s.s_nationkey AS INTEGER) AS store_id,
+       count(*) AS n_lines,
+       CAST(round(sum({_SQL_REV}), 2) AS DOUBLE) AS total_sales
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY ROLLUP (strftime(l.l_shipdate, '%Y-%m'), CAST(s.s_nationkey AS INTEGER))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_customers_per_month — windowed top-k per group (classic mart
+# consumer pattern; row_number over rounded totals for determinism)
+# ---------------------------------------------------------------------------
+def top_customers_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            month_key("l_shipdate").alias("sales_month"),
+            revenue().alias("_rev"),
+        )
+        .groupBy("customer_id", "sales_month")
+        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("total_sales"))
+    )
+    w = Window.partitionBy("sales_month").orderBy(
+        F.col("total_sales").desc(), F.col("customer_id").asc()
+    )
+    return (
+        monthly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )
+
+
+_TOP_CUSTOMERS_SQL = f"""
+WITH monthly AS (
+  SELECT o.o_custkey AS customer_id,
+         strftime(l.l_shipdate, '%Y-%m') AS sales_month,
+         CAST(round(sum({_SQL_REV}), 2) AS DOUBLE) AS total_sales
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY sales_month
+                               ORDER BY total_sales DESC, customer_id) AS rk
+  FROM monthly
+)
+SELECT customer_id, sales_month, total_sales, rk FROM ranked WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "customer_monthly_mart": customer_monthly_mart,
     "sales_team_mart": sales_team_mart,
@@ -399,6 +479,8 @@ QUERIES = {
     "monthly_grouped_sum": monthly_grouped_sum,
     "month_key_forms": month_key_forms,
     "product_enrich": product_enrich,
+    "sales_rollup": sales_rollup,
+    "top_customers_per_month": top_customers_per_month,
 }
 
 ORACLE_SQL = {
@@ -411,4 +493,6 @@ ORACLE_SQL = {
     "monthly_grouped_sum": _MONTHLY_GROUPED_SQL,
     "month_key_forms": _MONTH_KEY_SQL,
     "product_enrich": _PRODUCT_ENRICH_SQL,
+    "sales_rollup": _SALES_ROLLUP_SQL,
+    "top_customers_per_month": _TOP_CUSTOMERS_SQL,
 }

@@ -149,6 +149,64 @@ WHERE round(list_dot_product(a.e, b.e)
 
 
 # ---------------------------------------------------------------------------
+# Q: ann_ivf_topk — IVF-style ANN: the `label` column acts as the coarse
+# quantizer (inverted-file cell id); each query searches only its own
+# cell. The cell equi-join replaces the cross join — the shuffle key is
+# the cell id, bounded and uniform, which is the IVF scale story.
+# ---------------------------------------------------------------------------
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        S.as_double("embedding").alias("_q"),
+    )
+    c = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        S.as_double("embedding").alias("_c"),
+    )
+    pairs = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(S.cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
+    )
+
+
+_IVF_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS cell, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS cell, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id >= 10
+), pairs AS (
+  SELECT q.query_id, c.neighbor_id,
+    round(list_dot_product(q.qe, c.ce)
+          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))),
+          6) AS cosine
+  FROM q JOIN c ON q.cell = c.cell
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: bench_ann_cosine_arrow — Arrow/numpy twin of ann_cosine_topk
 # (same oracle; the bench_ prefix auto-enrolls it in bench.py)
 # ---------------------------------------------------------------------------
@@ -164,6 +222,7 @@ def bench_ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
 }
@@ -171,6 +230,7 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_cosine_topk": _COSINE_SQL,
     "ann_lsh_topk": _LSH_SQL,
+    "ann_ivf_topk": _IVF_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
     "bench_ann_cosine_arrow": _COSINE_SQL,
 }

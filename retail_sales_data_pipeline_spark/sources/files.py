@@ -40,6 +40,37 @@ def read_csv_header(spark: SparkSession, path: str) -> list[str]:
     return spark.read.option("header", "true").csv(path).limit(0).columns
 
 
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str | list[str],
+    schema,
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level validation: PERMISSIVE CSV parse routing malformed rows
+    to a rejects frame instead of failing the file.
+
+    The reference validates at FILE granularity only (missing columns ⇒
+    quarantine the file, main.py:146-176); at corpus scale a single bad
+    row must not reject a 10 GB file. Returns ``(good, rejects)`` where
+    rejects carries the raw line in ``_corrupt_record``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+    ).cache()  # Spark disallows filtering the corrupt column on the raw scan
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, rejects
+
+
 def read_csv_full(
     spark: SparkSession,
     path: str,

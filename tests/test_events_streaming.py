@@ -58,6 +58,46 @@ def test_hourly_rollup(spark, ev):
     assert out[(datetime(2024, 1, 1, 11), "click")].n_events == 1
 
 
+def test_builtin_session_window_agrees_with_manual(spark):
+    """Spark's built-in session_window (gap-merge windows) produces the
+    same sessions as the manual lag+cumsum sessionizer on real data
+    (second-resolution; no exact-boundary gaps in the fixture data)."""
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    manual = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events)
+        for r in E.sessionize(events).collect()
+    }
+    builtin = {
+        (r.user_id, int(r.start.timestamp()), r.n)
+        for r in events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+        .collect()
+    }
+    assert manual == builtin
+
+
+def test_permissive_row_level_rejects(spark, tmp_path):
+    """A malformed row routes to the rejects frame; the file survives."""
+    from pyspark.sql import types as T
+
+    from retail_sales_data_pipeline_spark.sources.files import read_csv_permissive
+
+    p = tmp_path / "rows.csv"
+    p.write_text("a,b\n1,x\nnot_an_int,y\n3,z\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    good, rejects = read_csv_permissive(spark, str(p), schema)
+    assert {(r.a, r.b) for r in good.collect()} == {(1, "x"), (3, "z")}
+    bad = [r._corrupt_record for r in rejects.collect()]
+    assert bad == ["not_an_int,y"]
+
+
 def test_streaming_rollup_equals_batch(spark):
     from retail_sales_data_pipeline_spark.sources.tables import load_table
     from retail_sales_data_pipeline_spark.streaming import stream_hourly_rollup
