@@ -47,6 +47,28 @@ def test_salted_skew_join_equals_plain(spark):
     assert salted.count() == 1000
 
 
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The (sales_month, store_id) output layout lets month predicates
+    prune at the directory level (PartitionFilters, not data filters)."""
+    from retail_sales_data_pipeline_spark.functions.scalars import month_key
+    from retail_sales_data_pipeline_spark.sinks import write_partitioned_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        month_key("l_shipdate").alias("sales_month"),
+        (F.col("l_suppkey") % 4).cast("int").alias("store_id"),
+        "l_extendedprice",
+    )
+    out = str(tmp_path / "mart")
+    write_partitioned_parquet(li, out, ["sales_month", "store_id"])
+
+    back = spark.read.parquet(out).where(F.col("sales_month") == "1995-01")
+    plan = _plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "sales_month" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    months = {r.sales_month for r in back.select("sales_month").distinct().collect()}
+    assert months <= {"1995-01"}
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
