@@ -168,51 +168,52 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """MinHash signatures over a hashed-shingle relation ``(id, sh)``:
-    ``(id, i, minhash)`` for i in 0..num_hashes-1.
+    """MinHash signatures over a hashed-shingle relation ``(id, sh)``,
+    wide form: ``(id, mh_0, …, mh_{k-1})``.
 
     Family member i is the affine rehash
     ``((2i+1)·A·(sh mod P) + i·A) mod P`` — the md5 cost was already
     paid in :func:`shingle_hashes`; each family member is two multiplies
-    (whole-stage codegen). The signature component is the numeric
-    minimum over the document's shingle set — one explode + one
-    groupBy, shuffle key = (id, i).
-
-    Shingles (not raw tokens) are the set elements: on a small shared
-    vocabulary token sets of unrelated documents overlap heavily, while
-    n-token shingles stay distinctive.
+    (whole-stage codegen). All k minima are computed as k ``min``
+    aggregates in ONE ``groupBy(id)`` — no ×k row explosion, a single
+    exchange of (id, k longs).
     """
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    a = (2 * F.col("i") + 1) * MINHASH_A % MINHASH_P
-    b = F.col("i") * MINHASH_A % MINHASH_P
-    return (
-        shingles.select("id", (F.col("sh") % MINHASH_P).alias("base"), idx)
-        .select("id", "i", ((a * F.col("base") + b) % MINHASH_P).alias("h"))
-        .groupBy("id", "i")
-        .agg(F.min("h").alias("minhash"))
+    base = F.col("sh") % MINHASH_P
+
+    def h(i: int):
+        a = (2 * i + 1) * MINHASH_A % MINHASH_P
+        b = i * MINHASH_A % MINHASH_P
+        return (F.lit(a) * base + F.lit(b)) % MINHASH_P
+
+    return shingles.groupBy("id").agg(
+        *[F.min(h(i)).alias(f"mh_{i}") for i in range(num_hashes)]
     )
 
 
 def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """Band the signature: ``(id, band, band_key)`` where band_key is the
-    md5 of the band's minhash components concatenated in hash order.
+    """Band a wide signature: ``(id, band, band_key)`` where band_key is
+    the md5 of the band's minhash components joined in hash order.
+    Pure projection + explode — the signature groupBy already
+    partitioned by id, so no further exchange is needed here.
     """
-    return (
-        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("i"), F.col("minhash")))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
-        )
+    mh_cols = sorted(
+        (c for c in signatures.columns if c.startswith("mh_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    bands = [mh_cols[i : i + rows_per_band] for i in range(0, len(mh_cols), rows_per_band)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
+                    "band_key"
+                ),
+            )
+            for bi, cols in enumerate(bands)
+        ]
+    )
+    return signatures.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
     )
 
 
