@@ -256,6 +256,62 @@ def minhash_lsh_pairs(
     return jaccard_verify(cand, sh, threshold)
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: cluster duplicates-of-duplicates into groups so each
+    document maps to one canonical id (the production tail of every
+    near-dup pipeline).
+
+    ``nodes``: (id); ``pairs``: (id_a, id_b) undirected. Output:
+    ``(id, cluster_id)`` with cluster_id = min id reachable.
+
+    Each iteration: every node takes the min of its own label and its
+    neighbors' labels — one join + one aggregation per iteration,
+    converging in graph-diameter steps (near-dup clusters are
+    shallow). ``localCheckpoint`` truncates lineage each round so plans
+    don't grow unboundedly; the driver only ever sees a changed-count.
+    This is the (b)-style iterative algorithm Spark's DataFrame API
+    can't express in one query — and exactly what GraphX/GraphFrames
+    do under the hood.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signatures(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document from per-token md5 bits.
 

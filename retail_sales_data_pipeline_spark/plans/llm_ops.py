@@ -351,6 +351,70 @@ FROM bits GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# Q: dedup_clusters — connected components over the MinHash near-dup
+# pairs: every doc mapped to its canonical (min-reachable) id. Oracle =
+# DuckDB recursive CTE computing the same transitive min.
+# ---------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(_docs(spark, sf_dir))
+    pairs = D.minhash_lsh_pairs(corpus, num_hashes=8, rows_per_band=2, threshold=0.5)
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    return D.connected_components(nodes, pairs)
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SQL_NEARDUP_CORPUS},
+{_SQL_SHINGLES},
+based AS (
+  SELECT id, sh % 2147483647 AS base FROM shingles
+),
+sig AS (
+  SELECT id, gs.i,
+    min(((2 * gs.i + 1) * 2654435761 % 2147483647 * base
+         + gs.i * 2654435761 % 2147483647) % 2147483647) AS minhash
+  FROM based, generate_series(0, 7) gs(i)
+  GROUP BY id, gs.i
+),
+bands AS (
+  SELECT id, CAST(i // 2 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+  FROM sig GROUP BY id, CAST(i // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.id = c.id_a
+  JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM common c
+  JOIN sizes za ON c.id_a = za.id
+  JOIN sizes zb ON c.id_b = zb.id
+  WHERE round(c.n_common / (za.n + zb.n - c.n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM (SELECT id AS doc_id FROM corpus)
+  UNION
+  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
+)
+SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_report — per-(lang, source) corpus rollup of the quality
 # features (the "dataset card" aggregation a training pipeline emits)
 # ---------------------------------------------------------------------------
@@ -408,6 +472,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "corpus_report": corpus_report,
     "corpus_approx_distinct": corpus_approx_distinct,
 }
@@ -425,6 +490,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "corpus_report": _CORPUS_REPORT_SQL,
     # corpus_approx_distinct: intentionally no oracle — approximate op
 }

@@ -110,6 +110,18 @@ def test_lang_id_deterministic(spark, docs):
     assert r[3].pred == "de"
 
 
+def test_connected_components_chain(spark):
+    """A chain 1-2-3-4 collapses to one cluster rooted at 1; singleton
+    and separate pair stay apart — transitivity matters (3 never pairs
+    with 1 directly)."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in D.connected_components(nodes, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
 def test_approx_distinct_error_bound(spark):
     """HLL++ vocab estimate stays within 5% of the exact count."""
     from retail_sales_data_pipeline_spark.plans.llm_ops import corpus_approx_distinct
