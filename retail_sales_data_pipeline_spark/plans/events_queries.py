@@ -158,6 +158,60 @@ WHERE abs(floor(epoch(p.ts)) - floor(epoch(e.ts))) <= 300
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: per-stage
+    user counts where each stage must happen strictly after the prior
+    stage's first occurrence."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, min(e.ts) AS t_view
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.t_signup
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM v) AS n_view_after_signup,
+       (SELECT count(*) FROM p) AS n_purchase_after_view
+"""
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup drained with availableNow — on finite
     input it must equal the batch rollup, so it shares the batch oracle.
@@ -174,6 +228,7 @@ QUERIES = {
     "events_daily_stats": events_daily_stats,
     "events_asof_attribution": events_asof_attribution,
     "events_range_pairs": events_range_pairs,
+    "events_funnel": events_funnel,
     "streaming_hourly_rollup": streaming_hourly_rollup,
 }
 
@@ -184,5 +239,6 @@ ORACLE_SQL = {
     "events_daily_stats": _DAILY_SQL,
     "events_asof_attribution": _ASOF_SQL,
     "events_range_pairs": _RANGE_SQL,
+    "events_funnel": _FUNNEL_SQL,
     "streaming_hourly_rollup": _HOURLY_SQL,
 }

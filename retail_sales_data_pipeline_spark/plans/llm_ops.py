@@ -415,6 +415,29 @@ SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus_sample — deterministic hash sampling (the reproducible
+# alternative to rand()-based .sample() for 100 TB subset builds:
+# stable across runs, engines, and partitionings)
+# ---------------------------------------------------------------------------
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return df.where(bucket < 10).select(
+        "doc_id", "lang", X.token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+_CORPUS_SAMPLE_SQL = f"""
+SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_report — per-(lang, source) corpus rollup of the quality
 # features (the "dataset card" aggregation a training pipeline emits)
 # ---------------------------------------------------------------------------
@@ -473,6 +496,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "corpus_sample": corpus_sample,
     "corpus_report": corpus_report,
     "corpus_approx_distinct": corpus_approx_distinct,
 }
@@ -491,6 +515,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "corpus_sample": _CORPUS_SAMPLE_SQL,
     "corpus_report": _CORPUS_REPORT_SQL,
     # corpus_approx_distinct: intentionally no oracle — approximate op
 }

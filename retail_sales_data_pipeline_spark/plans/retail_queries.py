@@ -469,6 +469,119 @@ SELECT customer_id, sales_month, total_sales, rk FROM ranked WHERE rk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: sales_pivot_by_flag — groupBy().pivot() reshaping (monthly revenue
+# per returnflag as columns). Oracle uses portable CASE sums.
+# ---------------------------------------------------------------------------
+def sales_pivot_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_shipdate", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    base = li.select(
+        month_key("l_shipdate").alias("sales_month"),
+        "l_returnflag",
+        revenue().alias("_rev"),
+    )
+    out = (
+        base.groupBy("sales_month")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("_rev"), 2).cast("double"))
+    )
+    return out.select(
+        "sales_month",
+        F.col("A").alias("rev_a"),
+        F.col("N").alias("rev_n"),
+        F.col("R").alias("rev_r"),
+    )
+
+
+_SALES_PIVOT_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS sales_month,
+  CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN {_SQL_REV} END), 2) AS DOUBLE) AS rev_a,
+  CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN {_SQL_REV} END), 2) AS DOUBLE) AS rev_n,
+  CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN {_SQL_REV} END), 2) AS DOUBLE) AS rev_r
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: customer_running_total — framed windows: cumulative + 3-month
+# moving average per customer (exact-decimal accumulation)
+# ---------------------------------------------------------------------------
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            month_key("l_shipdate").alias("sales_month"),
+            revenue().alias("_rev"),
+        )
+        .groupBy("customer_id", "sales_month")
+        .agg(F.sum("_rev").alias("_monthly"))
+    )
+    w = Window.partitionBy("customer_id").orderBy("sales_month")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    mov = w.rowsBetween(-2, 0)
+    return monthly.select(
+        "customer_id",
+        "sales_month",
+        F.round("_monthly", 2).cast("double").alias("monthly_sales"),
+        F.round(F.sum("_monthly").over(cum), 2).cast("double").alias("running_total"),
+        F.round(
+            F.sum("_monthly").over(mov).cast("double") / F.count("_monthly").over(mov), 6
+        ).alias("moving_avg_3m"),
+    )
+
+
+_RUNNING_TOTAL_SQL = f"""
+WITH monthly AS (
+  SELECT o.o_custkey AS customer_id,
+         strftime(l.l_shipdate, '%Y-%m') AS sales_month,
+         sum({_SQL_REV}) AS m
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT customer_id, sales_month,
+  CAST(round(m, 2) AS DOUBLE) AS monthly_sales,
+  CAST(round(sum(m) OVER (PARTITION BY customer_id ORDER BY sales_month
+                          ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
+  round(CAST(sum(m) OVER (PARTITION BY customer_id ORDER BY sales_month
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(m) OVER (PARTITION BY customer_id ORDER BY sales_month
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3m
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: monthly_price_quantiles — exact interpolated percentiles per month
+# ---------------------------------------------------------------------------
+def monthly_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    return orders.groupBy(month_key("o_orderdate").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+_QUANTILES_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+  count(*) AS n_orders,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "customer_monthly_mart": customer_monthly_mart,
     "sales_team_mart": sales_team_mart,
@@ -481,6 +594,9 @@ QUERIES = {
     "product_enrich": product_enrich,
     "sales_rollup": sales_rollup,
     "top_customers_per_month": top_customers_per_month,
+    "sales_pivot_by_flag": sales_pivot_by_flag,
+    "customer_running_total": customer_running_total,
+    "monthly_price_quantiles": monthly_price_quantiles,
 }
 
 ORACLE_SQL = {
@@ -495,4 +611,7 @@ ORACLE_SQL = {
     "product_enrich": _PRODUCT_ENRICH_SQL,
     "sales_rollup": _SALES_ROLLUP_SQL,
     "top_customers_per_month": _TOP_CUSTOMERS_SQL,
+    "sales_pivot_by_flag": _SALES_PIVOT_SQL,
+    "customer_running_total": _RUNNING_TOTAL_SQL,
+    "monthly_price_quantiles": _QUANTILES_SQL,
 }
