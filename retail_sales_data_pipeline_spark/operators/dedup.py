@@ -1,5 +1,12 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
+Algorithms follow the published classics — MinHash resemblance
+(Broder, "On the resemblance and containment of documents", 1997),
+banded LSH (Indyk & Motwani 1998; Leskovec/Rajaraman/Ullman, *Mining
+of Massive Datasets* ch. 3), SimHash (Charikar 2002; Manku et al.,
+"Detecting near-duplicates for web crawling", WWW 2007) — re-expressed
+as Spark relational plans.
+
 Training-data-pipeline extensions (SURVEY.md §7.2 M5). Design rules for
 100 TB corpora:
 

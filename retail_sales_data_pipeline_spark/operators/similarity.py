@@ -1,5 +1,10 @@
 """Vector similarity search over an ``array<float>`` embedding column.
 
+Hyperplane LSH follows Charikar ("Similarity estimation techniques from
+rounding algorithms", STOC 2002); the IVF cell-probe shape mirrors the
+inverted-file coarse quantizer of Jégou et al. ("Product quantization
+for nearest neighbor search", TPAMI 2011) with provided cell ids.
+
 Two search paths (SURVEY.md §7.2 M5 / training-data extensions):
 
 - **Brute-force cosine top-k** — the exact baseline: broadcast the
