@@ -415,6 +415,58 @@ SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus_filter_pipeline — the composed "clean training set" query:
+# language gate → token-length band → quality threshold → bag-
+# fingerprint dedup (keep min doc_id per fingerprint). The capstone
+# composition of the text/dedup operators into the query an LLM data
+# pipeline actually ships.
+# ---------------------------------------------------------------------------
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    feats = X.quality_features("text")
+    scored = df.select(
+        "doc_id", "lang",
+        feats[0].cast("long").alias("n_tokens"),
+        feats[6],  # quality_score
+        X.fingerprint_bag("text").alias("fp_bag"),
+    )
+    gated = scored.where(
+        (F.col("lang") == "en")
+        & F.col("n_tokens").between(20, 400)
+        & (F.col("quality_score") >= 0.32)
+    )
+    w = Window.partitionBy("fp_bag").orderBy("doc_id")
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
+_CORPUS_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks, text FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    len(toks) AS n_tokens,
+    round(0.4 * round(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) / len(toks), 6)
+        + 0.4 * round(len(list_distinct(toks)) / len(toks), 6)
+        + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS quality_score,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
+  FROM t
+), gated AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND n_tokens BETWEEN 20 AND 400 AND quality_score >= 0.32
+), deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY fp_bag ORDER BY doc_id) AS rn FROM gated
+)
+SELECT doc_id, n_tokens, quality_score FROM deduped WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_sample — deterministic hash sampling (the reproducible
 # alternative to rand()-based .sample() for 100 TB subset builds:
 # stable across runs, engines, and partitionings)
@@ -496,6 +548,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "corpus_filter_pipeline": corpus_filter_pipeline,
     "corpus_sample": corpus_sample,
     "corpus_report": corpus_report,
     "corpus_approx_distinct": corpus_approx_distinct,
@@ -515,6 +568,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "corpus_filter_pipeline": _CORPUS_FILTER_SQL,
     "corpus_sample": _CORPUS_SAMPLE_SQL,
     "corpus_report": _CORPUS_REPORT_SQL,
     # corpus_approx_distinct: intentionally no oracle — approximate op

@@ -51,6 +51,37 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int, sort_col: str | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``target_files`` files (optionally range-sorted on ``sort_col`` so
+    parquet row-group min/max stats enable data skipping on that
+    column). Streaming appends and per-batch mart writes accumulate
+    small files; compaction restores scan efficiency — at object-store
+    scale, file count is a first-order read-cost driver.
+
+    Writes to a staging dir then swaps, so a crash never leaves the
+    dataset half-rewritten. Returns the resulting file count.
+    """
+    import glob
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compact"
+    if sort_col is not None:
+        df.repartitionByRange(target_files, sort_col).sortWithinPartitions(
+            sort_col
+        ).write.mode("overwrite").parquet(staging)
+    else:
+        df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "._old"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return len(glob.glob(f"{path}/part-*"))
+
+
 def run_scoped_path(base: str, run_id: str | int) -> str:
     """K4/K5: the reference uploads every run under
     ``{prefix}/{epoch_ms}/`` (reference upload_to_s3.py:10-24,

@@ -69,6 +69,28 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     assert months <= {"1995-01"}
 
 
+def test_compaction_preserves_data(spark, sf_dir, tmp_path):
+    import glob
+
+    from retail_sales_data_pipeline_spark.sinks import compact_parquet
+
+    out = str(tmp_path / "frag")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    li.repartition(40).write.parquet(out)  # fragment into 40 small files
+    before_rows = spark.read.parquet(out).count()
+    assert len(glob.glob(f"{out}/part-*")) >= 40
+
+    n_files = compact_parquet(spark, out, target_files=4, sort_col="l_orderkey")
+    assert n_files <= 8  # range partitioner may emit fewer/empty splits
+    after = spark.read.parquet(out)
+    assert after.count() == before_rows
+    assert after.agg(F.sum("l_quantity")).first()[0] == li.agg(
+        F.sum("l_quantity")
+    ).first()[0]
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
