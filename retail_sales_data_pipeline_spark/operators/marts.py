@@ -66,6 +66,31 @@ def grouped_sum(
     return df.groupBy(*group_cols).agg(total.alias(total_alias))
 
 
+def merge_grouped_sums(
+    existing: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    total_col: str,
+    round_money: bool = True,
+) -> DataFrame:
+    """Incremental mart maintenance: combine an existing grouped-sum
+    mart with a new batch's grouped sums — union + re-sum on the group
+    keys, never a recompute of history.
+
+    At 100 TB the daily delta is a fraction of the accumulated fact
+    history; incremental maintenance turns the daily mart refresh from
+    O(history) into O(delta + |mart|). Requires the additive (grouped)
+    mart form; totals must still be exact decimals for associativity
+    (proved equivalent to full recompute in tests).
+    """
+    unioned = existing.select(*group_cols, total_col).unionByName(
+        delta.select(*group_cols, total_col)
+    )
+    total = F.sum(F.col(total_col).cast("decimal(18,4)"))
+    total = money(total) if round_money else total
+    return unioned.groupBy(*group_cols).agg(total.alias(total_col))
+
+
 def rank_incentive(
     df: DataFrame,
     rank_partition: list[str],

@@ -57,6 +57,11 @@ def get_spark(
         # DuckDB's silent nanos→micros truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # spill posture: 128 MB scan splits and ~64 MB post-shuffle
+        # partitions keep per-task state well inside executor memory at
+        # any SF; AQE coalesces up from these floors at runtime
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

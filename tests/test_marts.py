@@ -62,6 +62,26 @@ def test_rank_ties_all_get_incentive(spark):
     assert rows[3] == (3, 0.0)
 
 
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """Two-batch incremental mart maintenance produces exactly the
+    full-recompute mart (exact-decimal associativity)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_data_pipeline_spark.operators.marts import merge_grouped_sums
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    measure = exact_decimal("l_quantity")
+    full = grouped_sum(li, ["l_returnflag"], measure, "total")
+
+    day1 = li.where(F.col("l_orderkey") % 2 == 0)
+    day2 = li.where(F.col("l_orderkey") % 2 == 1)
+    mart1 = grouped_sum(day1, ["l_returnflag"], measure, "total")
+    mart2 = grouped_sum(day2, ["l_returnflag"], measure, "total")
+    merged = merge_grouped_sums(mart1, mart2, ["l_returnflag"], "total")
+
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+
+
 def test_month_key_forms_agree(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_shipdate")
     diff = li.select(
