@@ -1,0 +1,102 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The iterative clustering step of a training-data curation pipeline
+(diversity sampling, per-cluster quotas, IVF coarse quantizers). This
+is the canonical "small model state, big data" Spark iteration:
+
+- **assignment** is pure JVM expression code — the k centroids are
+  inlined as literal arrays and the squared-L2 argmin is computed with
+  ``zip_with``/``aggregate`` inside whole-stage codegen, so no Python
+  touches the hot path;
+- **update** is a ``posexplode`` + per-(cluster, dimension) average —
+  one shuffle of k*dim partial sums with map-side combine;
+- only the k*dim centroid matrix (a few KB) ever reaches the driver,
+  once per iteration. At 100 TB the per-iteration cost is one scan of
+  a cached/columnar dataset plus a tiny agg — the textbook MLlib
+  pattern (Lloyd, "Least squares quantization in PCM", 1982; same
+  algorithm as ``pyspark.ml.clustering.KMeans`` with a deterministic
+  init instead of k-means||).
+
+Init is deterministic (the embeddings of the k smallest ids), so runs
+are reproducible across partitionings and engines — the analogue of the
+reference's deterministic fixture seeds (src/test/generate_csv_data.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Centroids = list[list[float]]
+
+
+def _dist2(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between a vector column and a literal centroid."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: Centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, vec, cluster, dist2).
+
+    Entirely JVM-side: the distance array and argmin are codegen'd
+    expressions; ``array_position`` on the exact min element gives the
+    0-based cluster index (first-match = lowest index on ties).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_dist2(v, c) for c in centroids])
+    best = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best.alias("cluster"),
+        F.array_min(dists).alias("dist2"),
+    )
+
+
+def update_centroids(
+    assigned: DataFrame, centroids: Centroids, vec_col: str = "embedding"
+) -> Centroids:
+    """Per-cluster dimension means; empty clusters keep their centroid."""
+    dim = len(centroids[0])
+    exploded = assigned.select(
+        "cluster",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    rows = exploded.groupBy("cluster", "pos").agg(F.avg("val").alias("m")).collect()
+    out = [list(c) for c in centroids]
+    for r in rows:
+        out[r["cluster"]][r["pos"]] = r["m"]
+    assert all(len(c) == dim for c in out)
+    return out
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means; returns the final assignment.
+
+    ``df`` is cached for the duration of the iteration (each of the
+    ``iters`` update jobs rescans it) and unpersisted lazily — callers
+    consume the returned assignment within the same session.
+    """
+    df = df.select(id_col, vec_col).persist()
+    seeds = df.orderBy(id_col).limit(k).collect()
+    centroids: Centroids = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(iters):
+        assigned = assign_clusters(df, centroids, vec_col, id_col)
+        centroids = update_centroids(assigned, centroids, vec_col)
+    return assign_clusters(df, centroids, vec_col, id_col)

@@ -525,6 +525,67 @@ FROM f GROUP BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus_tfidf_terms — top-10 terms per language by corpus-summed
+# TF-IDF (smoothed sklearn-style idf: ln((N+1)/(df+1)) + 1). The
+# term-weighting query a corpus-curation pipeline runs to surface
+# distinctive vocabulary; two shuffles (tf, then per-lang score) plus a
+# vocabulary-sized join that AQE turns into a broadcast when small.
+# idf is rounded to 6 decimals *before* the multiply so both engines
+# sum identical values; the per-(lang, token) sum is rounded at the
+# edge.
+# ---------------------------------------------------------------------------
+def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = _docs(spark, sf_dir)
+    tok = df.select("doc_id", "lang", F.explode(X.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(
+            F.log((F.col("n_docs") + 1) / (F.col("dfreq") + 1)) + 1.0, 6
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(idf, "token")
+        .groupBy("lang", "token")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("lang", "token", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, lang, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), idf AS (
+  SELECT token, round(ln((n_docs + 1) / (dfreq + 1)) + 1.0, 6) AS idf
+  FROM dfreq, nd
+), scored AS (
+  SELECT lang, tf.token, round(sum(tf * idf), 6) AS tfidf
+  FROM tf JOIN idf ON tf.token = idf.token GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT lang, token, tfidf, rk FROM ranked WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_approx_distinct — HLL++ sketch cardinalities (rows-only:
 # approximate by design, so no exact SQL twin; the test suite bounds the
 # error against exact counts instead)
@@ -551,6 +612,7 @@ QUERIES = {
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "corpus_sample": corpus_sample,
     "corpus_report": corpus_report,
+    "corpus_tfidf_terms": corpus_tfidf_terms,
     "corpus_approx_distinct": corpus_approx_distinct,
 }
 
@@ -571,5 +633,6 @@ ORACLE_SQL = {
     "corpus_filter_pipeline": _CORPUS_FILTER_SQL,
     "corpus_sample": _CORPUS_SAMPLE_SQL,
     "corpus_report": _CORPUS_REPORT_SQL,
+    "corpus_tfidf_terms": _TFIDF_SQL,
     # corpus_approx_distinct: intentionally no oracle — approximate op
 }

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import full_name, month_key, month_key_substring, revenue
+from ..functions.scalars import (
+    exact_decimal,
+    full_name,
+    month_key,
+    month_key_substring,
+    revenue,
+)
 from ..operators.marts import grouped_sum, rank_incentive, window_sum_distinct
 from ..schema import conform, union_conformed
 from ..sources.tables import load_table
@@ -422,6 +428,99 @@ GROUP BY ROLLUP (strftime(l.l_shipdate, '%Y-%m'), CAST(s.s_nationkey AS INTEGER)
 
 
 # ---------------------------------------------------------------------------
+# Q: sales_cube — full CUBE over (returnflag, linestatus): all four
+# grouping sets in one pass (beyond the reference's rollup surface;
+# Spark computes the cube with a single shuffle via Expand)
+# ---------------------------------------------------------------------------
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        exact_decimal("l_quantity").alias("_qty"),
+        revenue().alias("_rev"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("_qty").cast("double").alias("sum_qty"),
+        F.round(F.sum("_rev"), 2).cast("double").alias("total_rev"),
+    )
+
+
+_SALES_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(round(sum({_SQL_REV}), 2) AS DOUBLE) AS total_rev
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: customers_churned — anti join (the "dimension rows with no
+# matching fact" primitive: here, customers with no order since
+# 2000-01-01). Spark left_anti ≡ SQL NOT EXISTS; the date filter is
+# pushed below the join so the probe side shrinks before the shuffle,
+# and no columns are ever materialized from the right side.
+# ---------------------------------------------------------------------------
+def customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(
+        spark, sf_dir, "customer",
+        ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+    )
+    recent = load_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"]).where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+    )
+
+
+_CUSTOMERS_CHURNED_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: suppliers_with_returns — semi join (existence filter that never
+# duplicates or widens the left side; Spark left_semi ≡ SQL EXISTS)
+# ---------------------------------------------------------------------------
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(
+        spark, sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]
+    )
+    returned = load_table(
+        spark, sf_dir, "lineitem", ["l_suppkey", "l_returnflag"]
+    ).where(F.col("l_returnflag") == "R")
+    return sup.join(
+        returned, sup.s_suppkey == returned.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", F.col("s_nationkey").cast("int").alias("nation_id"))
+
+
+_SUPPLIERS_RETURNS_SQL = """
+SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS nation_id
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: top_customers_per_month — windowed top-k per group (classic mart
 # consumer pattern; row_number over rounded totals for determinism)
 # ---------------------------------------------------------------------------
@@ -593,6 +692,9 @@ QUERIES = {
     "month_key_forms": month_key_forms,
     "product_enrich": product_enrich,
     "sales_rollup": sales_rollup,
+    "sales_cube": sales_cube,
+    "customers_churned": customers_churned,
+    "suppliers_with_returns": suppliers_with_returns,
     "top_customers_per_month": top_customers_per_month,
     "sales_pivot_by_flag": sales_pivot_by_flag,
     "customer_running_total": customer_running_total,
@@ -610,6 +712,9 @@ ORACLE_SQL = {
     "month_key_forms": _MONTH_KEY_SQL,
     "product_enrich": _PRODUCT_ENRICH_SQL,
     "sales_rollup": _SALES_ROLLUP_SQL,
+    "sales_cube": _SALES_CUBE_SQL,
+    "customers_churned": _CUSTOMERS_CHURNED_SQL,
+    "suppliers_with_returns": _SUPPLIERS_RETURNS_SQL,
     "top_customers_per_month": _TOP_CUSTOMERS_SQL,
     "sales_pivot_by_flag": _SALES_PIVOT_SQL,
     "customer_running_total": _RUNNING_TOTAL_SQL,

@@ -219,13 +219,33 @@ def bench_ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q: kmeans_embeddings — iterative Lloyd's clustering (rows-only: the
+# fixed-point of an iterative algorithm isn't expressible as one SQL
+# query; the test suite pins determinism and partition invariance
+# instead). Output: per-cluster size and inertia.
+# ---------------------------------------------------------------------------
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cluster as C
+
+    assigned = C.kmeans(_emb(spark, sf_dir), k=8, iters=5)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("dist2"), 2).alias("inertia"),
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
+    "kmeans_embeddings": kmeans_embeddings,
 }
+
+# iterative algorithm — no single-query SQL twin; driver does rows-only
+ROWS_ONLY = {"kmeans_embeddings"}
 
 ORACLE_SQL = {
     "ann_cosine_topk": _COSINE_SQL,

@@ -1,0 +1,45 @@
+"""Lloyd's k-means: determinism, partition invariance, convergence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.operators import cluster as C
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_assignment_covers_all_points(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = C.kmeans(emb, k=4, iters=2)
+    assert out.count() == emb.count()
+    clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
+    assert clusters <= set(range(4))
+
+
+def test_partition_invariance(spark, sf_dir):
+    """Same assignments regardless of input partitioning — the operator
+    carries no partition-order dependence (deterministic init + argmin)."""
+    emb = _emb(spark, sf_dir)
+    a = {(r["vec_id"], r["cluster"]) for r in C.kmeans(emb, k=4, iters=3).collect()}
+    b = {
+        (r["vec_id"], r["cluster"])
+        for r in C.kmeans(emb.repartition(13), k=4, iters=3).collect()
+    }
+    assert a == b
+
+
+def test_inertia_monotone_nonincreasing(spark, sf_dir):
+    """More Lloyd iterations never increase total inertia."""
+    emb = _emb(spark, sf_dir)
+
+    def inertia(iters: int) -> float:
+        out = C.kmeans(emb, k=4, iters=iters)
+        return out.agg(F.sum("dist2").alias("s")).collect()[0]["s"]
+
+    i1, i4 = inertia(1), inertia(4)
+    assert i4 <= i1 + 1e-9

@@ -19,22 +19,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 def test_every_query_declares_oracle_policy():
     """Every query either has an oracle or is explicitly rows-only."""
+    import importlib
+
+    from retail_sales_data_pipeline_spark.plans import registry
+
     missing = set(all_queries()) - set(all_oracle_sql())
-    from retail_sales_data_pipeline_spark.plans.registry import all_queries as _
     # rows-only queries must be documented in their module's ROWS_ONLY set
     allowed: set[str] = set()
-    try:
-        from retail_sales_data_pipeline_spark.plans import llm_ops
-
-        allowed |= getattr(llm_ops, "ROWS_ONLY", set())
-    except ImportError:
-        pass
-    try:
-        from retail_sales_data_pipeline_spark.plans import events_queries
-
-        allowed |= getattr(events_queries, "ROWS_ONLY", set())
-    except ImportError:
-        pass
+    for mod_name in registry._MODULES:
+        try:
+            mod = importlib.import_module(
+                f"retail_sales_data_pipeline_spark.plans.{mod_name}"
+            )
+        except ImportError:
+            continue
+        allowed |= getattr(mod, "ROWS_ONLY", set())
     assert missing <= allowed, f"undeclared rows-only queries: {missing - allowed}"
 
 
