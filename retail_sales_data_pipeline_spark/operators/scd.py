@@ -1,0 +1,59 @@
+"""Slowly-changing-dimension (type 2) history maintenance.
+
+The reference keeps dimensions as mutable MySQL tables (customer /
+store / sales_team — resources/sql_scripts/table_scripts.sql:11-19,
+50-57, 94-103) so history is lost on every update. At warehouse scale
+the standard fix is SCD2: each key carries a version chain with
+``valid_from`` / ``valid_to`` / ``is_current`` (Kimball, *The Data
+Warehouse Toolkit*). Spark-first shape:
+
+- **change suppression** — a ``lag`` window per key drops update rows
+  whose tracked attributes did not change, so no-op CDC records never
+  create versions;
+- **interval derivation** — ``lead`` over the surviving versions closes
+  each interval; the open (current) version has NULL ``valid_to``.
+
+One shuffle on the dimension key for both windows (same partitioning,
+Catalyst reuses the exchange). Dimensions are small relative to facts,
+so this runs broadcast-sized even when the fact table is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    versions: DataFrame,
+    key: str,
+    attrs: list[str],
+    eff_col: str = "eff_date",
+) -> DataFrame:
+    """Collapse a (key, attrs, effective-date) version feed into SCD2.
+
+    ``versions`` is the union of the initial snapshot and any number of
+    update batches. Rows whose tracked ``attrs`` equal the previous
+    version (per key, in effective-date order) are suppressed; the
+    survivors get ``valid_from``/``valid_to``/``is_current``/``version``.
+    """
+    w = Window.partitionBy(key).orderBy(eff_col)
+    changed = F.lit(False)
+    for a in attrs:
+        prev = F.lag(a).over(w)
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    # first version per key: lag of the first attr is NULL → eqNullSafe
+    # is false unless the attr itself is NULL; guard with row_number
+    first = F.row_number().over(w) == 1
+    kept = versions.withColumn("_keep", first | changed).where(F.col("_keep"))
+
+    w2 = Window.partitionBy(key).orderBy(eff_col)
+    nxt = F.lead(eff_col).over(w2)
+    return kept.select(
+        key,
+        *attrs,
+        F.col(eff_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

@@ -490,6 +490,33 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus_stratified_sample — per-stratum hash sampling (the
+# deterministic ``sampleBy``: language-balanced subset builds keep 20%
+# of English docs and 5% of everything else). Same md5-bucket trick as
+# ``corpus_sample`` so the subset is stable across runs, engines, and
+# partitionings — a property ``rand()``-based sampling cannot give.
+# ---------------------------------------------------------------------------
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(5))
+    return df.where(bucket < rate).select(
+        "doc_id", "lang", X.token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+_CORPUS_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_report — per-(lang, source) corpus rollup of the quality
 # features (the "dataset card" aggregation a training pipeline emits)
 # ---------------------------------------------------------------------------
@@ -611,6 +638,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "corpus_sample": corpus_sample,
+    "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_report": corpus_report,
     "corpus_tfidf_terms": corpus_tfidf_terms,
     "corpus_approx_distinct": corpus_approx_distinct,
@@ -632,6 +660,7 @@ ORACLE_SQL = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "corpus_filter_pipeline": _CORPUS_FILTER_SQL,
     "corpus_sample": _CORPUS_SAMPLE_SQL,
+    "corpus_stratified_sample": _CORPUS_STRATIFIED_SQL,
     "corpus_report": _CORPUS_REPORT_SQL,
     "corpus_tfidf_terms": _TFIDF_SQL,
     # corpus_approx_distinct: intentionally no oracle — approximate op

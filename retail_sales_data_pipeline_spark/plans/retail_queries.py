@@ -521,6 +521,108 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 
 
 # ---------------------------------------------------------------------------
+# Q: scd2_customer_segments — type-2 dimension history over a planted
+# CDC feed: the customer snapshot (effective 1995-01-01) plus an update
+# batch (effective 2000-01-01) in which every 5th customer churns and
+# every 7th gets a no-op record that change-suppression must drop.
+# Both engines build the identical feed, so the version chains match
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    snap = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("eff_date"),
+    )
+    churn = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("CHURNED").alias("segment"),
+        F.lit("2000-01-01").alias("eff_date"),
+    )
+    noop = cust.where(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0)
+    ).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2000-01-01").alias("eff_date"),
+    )
+    versions = snap.unionByName(churn).unionByName(noop)
+    return scd2_history(versions, "c_custkey", ["segment"])
+
+
+_SCD2_SQL = """
+WITH versions AS (
+  SELECT c_custkey, c_mktsegment AS segment, '1995-01-01' AS eff_date FROM customer
+  UNION ALL
+  SELECT c_custkey, 'CHURNED' AS segment, '2000-01-01' AS eff_date
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment AS segment, '2000-01-01' AS eff_date
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 5 != 0
+), flagged AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY c_custkey ORDER BY eff_date) AS rn,
+    lag(segment) OVER (PARTITION BY c_custkey ORDER BY eff_date) AS prev_seg
+  FROM versions
+), kept AS (
+  SELECT c_custkey, segment, eff_date FROM flagged
+  WHERE rn = 1 OR segment IS DISTINCT FROM prev_seg
+)
+SELECT c_custkey, segment, eff_date AS valid_from,
+  lead(eff_date) OVER (PARTITION BY c_custkey ORDER BY eff_date) AS valid_to,
+  CAST(lead(eff_date) OVER (PARTITION BY c_custkey ORDER BY eff_date) IS NULL
+       AS INT) AS is_current,
+  row_number() OVER (PARTITION BY c_custkey ORDER BY eff_date) AS version
+FROM kept
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: key_skew_profile — heavy-hitter diagnosis on a join/shuffle key:
+# per-key cardinalities, global share, top-20. This is the query you
+# run BEFORE picking a salting factor or trusting AQE's skew-join
+# split at 100 TB. The global top-k window runs over the *aggregated*
+# key relation (|keys| rows, not |rows|), so the unpartitioned
+# row_number is bounded.
+# ---------------------------------------------------------------------------
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem", ["l_suppkey"])
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = li.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("l_suppkey"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT count(*) AS total FROM lineitem
+), ranked AS (
+  SELECT l_suppkey, n, round(n / total, 6) AS share,
+         row_number() OVER (ORDER BY n DESC, l_suppkey) AS rk
+  FROM counts, tot
+)
+SELECT l_suppkey, n, share, rk FROM ranked WHERE rk <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: top_customers_per_month — windowed top-k per group (classic mart
 # consumer pattern; row_number over rounded totals for determinism)
 # ---------------------------------------------------------------------------
@@ -695,6 +797,8 @@ QUERIES = {
     "sales_cube": sales_cube,
     "customers_churned": customers_churned,
     "suppliers_with_returns": suppliers_with_returns,
+    "scd2_customer_segments": scd2_customer_segments,
+    "key_skew_profile": key_skew_profile,
     "top_customers_per_month": top_customers_per_month,
     "sales_pivot_by_flag": sales_pivot_by_flag,
     "customer_running_total": customer_running_total,
@@ -715,6 +819,8 @@ ORACLE_SQL = {
     "sales_cube": _SALES_CUBE_SQL,
     "customers_churned": _CUSTOMERS_CHURNED_SQL,
     "suppliers_with_returns": _SUPPLIERS_RETURNS_SQL,
+    "scd2_customer_segments": _SCD2_SQL,
+    "key_skew_profile": _KEY_SKEW_SQL,
     "top_customers_per_month": _TOP_CUSTOMERS_SQL,
     "sales_pivot_by_flag": _SALES_PIVOT_SQL,
     "customer_running_total": _RUNNING_TOTAL_SQL,

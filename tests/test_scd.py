@@ -1,0 +1,34 @@
+"""SCD2 history: change suppression, interval chaining, current flags."""
+
+from __future__ import annotations
+
+from retail_sales_data_pipeline_spark.operators.scd import scd2_history
+
+
+def test_scd2_chain_and_suppression(spark):
+    versions = spark.createDataFrame(
+        [
+            # key 1: real change then a no-op (suppressed)
+            (1, "GOLD", "2020-01-01"),
+            (1, "SILVER", "2021-01-01"),
+            (1, "SILVER", "2022-01-01"),
+            # key 2: single version
+            (2, "GOLD", "2020-01-01"),
+            # key 3: NULL → value transition counts as a change
+            (3, None, "2020-01-01"),
+            (3, "BRONZE", "2021-01-01"),
+        ],
+        "key int, tier string, eff_date string",
+    )
+    out = {
+        (r["key"], r["version"]): r
+        for r in scd2_history(versions, "key", ["tier"]).collect()
+    }
+
+    assert set(out) == {(1, 1), (1, 2), (2, 1), (3, 1), (3, 2)}
+    assert out[(1, 1)]["valid_to"] == "2021-01-01"
+    assert out[(1, 1)]["is_current"] == 0
+    assert out[(1, 2)]["valid_to"] is None
+    assert out[(1, 2)]["is_current"] == 1
+    assert out[(2, 1)]["is_current"] == 1
+    assert out[(3, 1)]["tier"] is None and out[(3, 2)]["tier"] == "BRONZE"
