@@ -521,6 +521,136 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 
 
 # ---------------------------------------------------------------------------
+# Q: dq_violations — row-level data-quality report: range checks,
+# referential integrity (null-extended join probe), and cross-table
+# date ordering, one row per rule. The post-load counterpart of the
+# reference's pre-load schema gate (main.py:146-176).
+# ---------------------------------------------------------------------------
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..validate import dq_rule_report
+
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey"])
+    orphan_probe = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+    )
+    dated = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return dq_rule_report(
+        [
+            ("lineitem_negative_price", li, F.col("l_extendedprice") < 0),
+            ("lineitem_discount_range", li, ~F.col("l_discount").between(0, 1)),
+            ("orders_orphan_customer", orphan_probe, F.col("c_custkey").isNull()),
+            ("lineitem_ship_before_order", dated,
+             F.col("l_shipdate") < F.col("o_orderdate")),
+        ]
+    )
+
+
+_DQ_SQL = """
+SELECT 'lineitem_negative_price' AS rule, count(*) AS n_checked,
+  coalesce(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END), 0) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range' AS rule, count(*) AS n_checked,
+  coalesce(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END), 0)
+    AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'orders_orphan_customer' AS rule, count(*) AS n_checked,
+  coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS n_violations
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_ship_before_order' AS rule, count(*) AS n_checked,
+  coalesce(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END), 0)
+    AS n_violations
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: mart_reconcile — full-outer regression diff between two mart
+# builds (facts up to 2000-01 vs all facts): per-status row counts and
+# exact-decimal total deltas. The query a pipeline runs to answer "what
+# changed in the mart after the backfill?" without diffing files.
+# ---------------------------------------------------------------------------
+def mart_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("customer_id"),
+        month_key("l_shipdate").alias("sales_month"),
+        revenue().alias("_rev"),
+    )
+
+    def mart(df: DataFrame) -> DataFrame:
+        return df.groupBy("customer_id", "sales_month").agg(
+            F.round(F.sum("_rev"), 2).cast("double").alias("total")
+        )
+
+    old = mart(base.where(F.col("sales_month") < "2000-01")).withColumnRenamed(
+        "total", "old_total"
+    )
+    new = mart(base).withColumnRenamed("total", "new_total")
+    joined = new.join(old, ["customer_id", "sales_month"], "full_outer")
+    status = (
+        F.when(F.col("old_total").isNull(), "added")
+        .when(F.col("new_total").isNull(), "removed")
+        .when(F.col("new_total") != F.col("old_total"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = (
+        F.coalesce(F.col("new_total"), F.lit(0))
+        - F.coalesce(F.col("old_total"), F.lit(0))
+    ).cast("decimal(18,4)")
+    return (
+        joined.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(delta).cast("double").alias("total_delta"),
+        )
+    )
+
+
+_MART_RECONCILE_SQL = f"""
+WITH base AS (
+  SELECT o.o_custkey AS customer_id,
+         strftime(l.l_shipdate, '%Y-%m') AS sales_month,
+         {_SQL_REV} AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), old AS (
+  SELECT customer_id, sales_month, CAST(round(sum(rev), 2) AS DOUBLE) AS old_total
+  FROM base WHERE sales_month < '2000-01' GROUP BY 1, 2
+), new AS (
+  SELECT customer_id, sales_month, CAST(round(sum(rev), 2) AS DOUBLE) AS new_total
+  FROM base GROUP BY 1, 2
+), joined AS (
+  SELECT coalesce(n.customer_id, o.customer_id) AS customer_id,
+         n.new_total, o.old_total
+  FROM new n FULL OUTER JOIN old o
+    ON n.customer_id = o.customer_id AND n.sales_month = o.sales_month
+)
+SELECT CASE WHEN old_total IS NULL THEN 'added'
+            WHEN new_total IS NULL THEN 'removed'
+            WHEN new_total != old_total THEN 'changed'
+            ELSE 'unchanged' END AS status,
+  count(*) AS n_rows,
+  CAST(sum(CAST(coalesce(new_total, 0) - coalesce(old_total, 0)
+                AS DECIMAL(18,4))) AS DOUBLE) AS total_delta
+FROM joined GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: scd2_customer_segments — type-2 dimension history over a planted
 # CDC feed: the customer snapshot (effective 1995-01-01) plus an update
 # batch (effective 2000-01-01) in which every 5th customer churns and
@@ -799,6 +929,8 @@ QUERIES = {
     "suppliers_with_returns": suppliers_with_returns,
     "scd2_customer_segments": scd2_customer_segments,
     "key_skew_profile": key_skew_profile,
+    "dq_violations": dq_violations,
+    "mart_reconcile": mart_reconcile,
     "top_customers_per_month": top_customers_per_month,
     "sales_pivot_by_flag": sales_pivot_by_flag,
     "customer_running_total": customer_running_total,
@@ -821,6 +953,8 @@ ORACLE_SQL = {
     "suppliers_with_returns": _SUPPLIERS_RETURNS_SQL,
     "scd2_customer_segments": _SCD2_SQL,
     "key_skew_profile": _KEY_SKEW_SQL,
+    "dq_violations": _DQ_SQL,
+    "mart_reconcile": _MART_RECONCILE_SQL,
     "top_customers_per_month": _TOP_CUSTOMERS_SQL,
     "sales_pivot_by_flag": _SALES_PIVOT_SQL,
     "customer_running_total": _RUNNING_TOTAL_SQL,

@@ -79,3 +79,34 @@ def archive_files(paths: list[str], processed_dir: str) -> list[str]:
         shutil.move(path, dst)
         moved.append(dst)
     return moved
+
+
+def dq_rule_report(rules):
+    """Row-level data-quality report: one output row per named rule.
+
+    ``rules`` is a list of ``(rule_name, df, violation_predicate)``;
+    each produces ``(rule, n_checked, n_violations)`` via a single
+    full-scan aggregate (count + conditional sum — map-side combined,
+    no shuffle beyond the final single-row exchange). Rules over
+    referential integrity pass a pre-joined ``df`` whose predicate
+    checks the null-extended side.
+
+    Extends the reference's file-level schema gate (main.py:146-153)
+    with the row-level constraint checks a warehouse runs after load;
+    each rule stays an independent scan so Spark can schedule them in
+    parallel and a hot rule can't starve the rest.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [
+        df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias("n_violations"),
+        )
+        for name, df, pred in rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
