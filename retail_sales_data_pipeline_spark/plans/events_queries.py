@@ -6,6 +6,7 @@ batch rollup, making even the streaming path oracle-checkable).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import events as E
 from ..sources.tables import load_table
@@ -212,6 +213,64 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: events_cohort_retention — classic cohort analysis: users grouped
+# by first-active week (the events table spans ~1 month, so weekly
+# grain gives a real retention curve), retention = share still active
+# at each week offset. Two aggregations over the distinct (user, week)
+# activity relation plus a broadcast-sized cohort join — the shuffles
+# key on user_id and cohort_week, both uniform. Week-truncated
+# timestamps differ by exact multiples of 7 days, so offset = days/7
+# is integral in both engines.
+# ---------------------------------------------------------------------------
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", ["user_id", "ts"])
+    # the activity relation feeds both the first-week agg and the
+    # cohort join — persist so the scan+distinct runs once
+    um = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct().persist()
+    first = um.groupBy("user_id").agg(F.min("w").alias("w0"))
+    j = um.join(first, "user_id")
+    cohorts = j.groupBy(
+        F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("w", "w0") / 7).cast("long").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    size = first.groupBy(
+        F.date_format("w0", "yyyy-MM-dd").alias("cohort_week")
+    ).agg(F.countDistinct("user_id").alias("cohort_size"))
+    return cohorts.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+_COHORT_SQL = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), first AS (
+  SELECT user_id, min(w) AS w0 FROM um GROUP BY 1
+), j AS (
+  SELECT um.user_id, um.w, f.w0 FROM um JOIN first f ON um.user_id = f.user_id
+), cohorts AS (
+  SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day', w0, w) / 7 AS BIGINT) AS week_offset,
+         count(DISTINCT user_id) AS n_users
+  FROM j GROUP BY 1, 2
+), size AS (
+  SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+         count(DISTINCT user_id) AS cohort_size
+  FROM first GROUP BY 1
+)
+SELECT c.cohort_week, c.week_offset, c.n_users, s.cohort_size,
+  round(c.n_users / s.cohort_size, 6) AS retention
+FROM cohorts c JOIN size s ON c.cohort_week = s.cohort_week
+"""
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup drained with availableNow — on finite
     input it must equal the batch rollup, so it shares the batch oracle.
@@ -229,6 +288,7 @@ QUERIES = {
     "events_asof_attribution": events_asof_attribution,
     "events_range_pairs": events_range_pairs,
     "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "streaming_hourly_rollup": streaming_hourly_rollup,
 }
 
@@ -240,5 +300,6 @@ ORACLE_SQL = {
     "events_asof_attribution": _ASOF_SQL,
     "events_range_pairs": _RANGE_SQL,
     "events_funnel": _FUNNEL_SQL,
+    "events_cohort_retention": _COHORT_SQL,
     "streaming_hourly_rollup": _HOURLY_SQL,
 }

@@ -566,7 +566,13 @@ def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _docs(spark, sf_dir)
     tok = df.select("doc_id", "lang", F.explode(X.tokens("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency agg and the scoring join —
+    # persist so the tokenize+explode+count pass runs once
+    tf = (
+        tok.groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
     n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
