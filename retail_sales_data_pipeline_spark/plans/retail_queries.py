@@ -893,6 +893,100 @@ FROM monthly
 
 
 # ---------------------------------------------------------------------------
+# Q: revenue_anomalies — windowed z-score anomaly detection on the
+# daily revenue series: 7-day trailing mean/stddev (excluding the
+# current day), flag |z| ≥ 2. The pipeline-monitoring query that
+# catches a bad backfill or a missing file the moment the daily total
+# jumps. One shuffle to the daily grain (exact-decimal sums), then a
+# single ordered window — the series is one row per day, so the
+# unpartitioned window is bounded.
+# ---------------------------------------------------------------------------
+def revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    daily = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day")
+    ).agg(F.round(F.sum(revenue()), 2).cast("double").alias("day_rev"))
+    w = Window.orderBy("ship_day").rowsBetween(-7, -1)
+    mu = F.avg("day_rev").over(w)
+    sd = F.stddev_samp("day_rev").over(w)
+    z = (F.col("day_rev") - mu) / sd
+    return (
+        daily.select(
+            "ship_day",
+            "day_rev",
+            F.round(mu, 2).alias("trailing_mean"),
+            F.round(z, 4).alias("z_score"),
+        )
+        .where(F.col("z_score").isNotNull() & (F.abs("z_score") >= 2))
+    )
+
+
+_REV_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+         CAST(round(sum({_SQL_REV}), 2) AS DOUBLE) AS day_rev
+  FROM lineitem GROUP BY 1
+), scored AS (
+  SELECT ship_day, day_rev,
+    round(avg(day_rev) OVER w, 2) AS trailing_mean,
+    round((day_rev - avg(day_rev) OVER w) / stddev_samp(day_rev) OVER w, 4)
+      AS z_score
+  FROM daily
+  WINDOW w AS (ORDER BY ship_day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT ship_day, day_rev, trailing_mean, z_score
+FROM scored WHERE z_score IS NOT NULL AND abs(z_score) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: order_value_quartiles — ntile bucketing: monthly order-value
+# quartile boundaries (count + min/max per quartile). The histogram
+# query behind "where do our order sizes fall" dashboards.
+# ---------------------------------------------------------------------------
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    base = orders.select(
+        month_key("o_orderdate").alias("order_month"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    w = Window.partitionBy("order_month").orderBy("price")
+    return (
+        base.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("order_month", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("price"), 2).alias("min_price"),
+            F.round(F.max("price"), 2).alias("max_price"),
+        )
+    )
+
+
+_QUARTILES_SQL = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+), bucketed AS (
+  SELECT order_month, price,
+         ntile(4) OVER (PARTITION BY order_month ORDER BY price) AS quartile
+  FROM base
+)
+SELECT order_month, quartile, count(*) AS n_orders,
+  round(min(price), 2) AS min_price,
+  round(max(price), 2) AS max_price
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: monthly_price_quantiles — exact interpolated percentiles per month
 # ---------------------------------------------------------------------------
 def monthly_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +1029,8 @@ QUERIES = {
     "sales_pivot_by_flag": sales_pivot_by_flag,
     "customer_running_total": customer_running_total,
     "monthly_price_quantiles": monthly_price_quantiles,
+    "revenue_anomalies": revenue_anomalies,
+    "order_value_quartiles": order_value_quartiles,
 }
 
 ORACLE_SQL = {
@@ -959,4 +1055,6 @@ ORACLE_SQL = {
     "sales_pivot_by_flag": _SALES_PIVOT_SQL,
     "customer_running_total": _RUNNING_TOTAL_SQL,
     "monthly_price_quantiles": _QUANTILES_SQL,
+    "revenue_anomalies": _REV_ANOMALY_SQL,
+    "order_value_quartiles": _QUARTILES_SQL,
 }
