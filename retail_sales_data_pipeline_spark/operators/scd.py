@@ -24,6 +24,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Keyed last-write-wins upsert (SCD type 1 / ``MERGE INTO`` with
+    whole-row UPDATE + INSERT): update rows replace target rows on key
+    match, unmatched update rows insert, untouched target rows pass
+    through.
+
+    Spark-first shape: ``updates ∪ (target ⟕anti updates)`` — one
+    anti join on the key (broadcast when the delta is small, which it
+    is by definition for incremental maintenance) plus a union; no
+    full-outer join and no per-column coalesce, because updates carry
+    whole rows. This is the batch-parquet equivalent of Delta/Iceberg
+    MERGE for engines without ACID tables.
+    """
+    survivors = target.join(updates, key_cols, "left_anti")
+    return updates.unionByName(survivors)
+
+
 def scd2_history(
     versions: DataFrame,
     key: str,

@@ -651,6 +651,44 @@ FROM joined GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q: customer_upsert — keyed MERGE (SCD type 1): an update batch that
+# promotes every 4th customer and inserts a brand-new key, applied as
+# anti join + union (operators/scd.upsert). The oracle expresses the
+# same MERGE as NOT-EXISTS survivors UNION ALL the delta.
+# ---------------------------------------------------------------------------
+def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import upsert
+
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    target = cust.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    updates = (
+        cust.where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", F.lit("PROMOTED").alias("segment"))
+        .unionByName(
+            spark.range(1).select(
+                F.lit(9_000_001).alias("c_custkey"),
+                F.lit("NEW").alias("segment"),
+            )
+        )
+    )
+    return upsert(target, F.broadcast(updates), ["c_custkey"])
+
+
+_CUSTOMER_UPSERT_SQL = """
+WITH updates AS (
+  SELECT c_custkey, 'PROMOTED' AS segment FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 9000001 AS c_custkey, 'NEW' AS segment
+)
+SELECT c_custkey, segment FROM updates
+UNION ALL
+SELECT c.c_custkey, c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: scd2_customer_segments — type-2 dimension history over a planted
 # CDC feed: the customer snapshot (effective 1995-01-01) plus an update
 # batch (effective 2000-01-01) in which every 5th customer churns and
@@ -1021,6 +1059,7 @@ QUERIES = {
     "sales_cube": sales_cube,
     "customers_churned": customers_churned,
     "suppliers_with_returns": suppliers_with_returns,
+    "customer_upsert": customer_upsert,
     "scd2_customer_segments": scd2_customer_segments,
     "key_skew_profile": key_skew_profile,
     "dq_violations": dq_violations,
@@ -1047,6 +1086,7 @@ ORACLE_SQL = {
     "sales_cube": _SALES_CUBE_SQL,
     "customers_churned": _CUSTOMERS_CHURNED_SQL,
     "suppliers_with_returns": _SUPPLIERS_RETURNS_SQL,
+    "customer_upsert": _CUSTOMER_UPSERT_SQL,
     "scd2_customer_segments": _SCD2_SQL,
     "key_skew_profile": _KEY_SKEW_SQL,
     "dq_violations": _DQ_SQL,

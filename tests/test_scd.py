@@ -32,3 +32,16 @@ def test_scd2_chain_and_suppression(spark):
     assert out[(1, 2)]["is_current"] == 1
     assert out[(2, 1)]["is_current"] == 1
     assert out[(3, 1)]["tier"] is None and out[(3, 2)]["tier"] == "BRONZE"
+
+
+def test_upsert_update_insert_passthrough(spark):
+    from retail_sales_data_pipeline_spark.operators.scd import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "key int, val string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "key int, val string"
+    )
+    out = {r["key"]: r["val"] for r in upsert(target, updates, ["key"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 9: "Z"}
