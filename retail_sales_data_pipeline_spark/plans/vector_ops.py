@@ -220,6 +220,41 @@ def bench_ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q: ann_recall_at_5 — the evaluation harness for the approximate
+# path: per-query recall of the LSH top-5 against the brute-force
+# top-5 ground truth (a left semi membership join on (query,
+# neighbor)). This is the query you run before trusting an ANN config
+# at scale — recall here is a property of the 4-plane toy config, and
+# raising planes/bands trades it against probe cost.
+# ---------------------------------------------------------------------------
+def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hits = brute.join(
+        F.broadcast(approx),
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("a_neighbor_id").alias("n_hits"),
+        F.round(F.count("a_neighbor_id") / 5.0, 6).alias("recall_at_5"),
+    )
+
+
+_RECALL_SQL = f"""
+WITH brute AS ({_COSINE_SQL}), approx AS ({_LSH_SQL})
+SELECT b.query_id, count(a.neighbor_id) AS n_hits,
+       round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: kmeans_embeddings — iterative Lloyd's clustering (rows-only: the
 # fixed-point of an iterative algorithm isn't expressible as one SQL
 # query; the test suite pins determinism and partition invariance
@@ -241,6 +276,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
+    "ann_recall_at_5": ann_recall_at_5,
     "kmeans_embeddings": kmeans_embeddings,
 }
 
@@ -253,4 +289,5 @@ ORACLE_SQL = {
     "ann_ivf_topk": _IVF_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
     "bench_ann_cosine_arrow": _COSINE_SQL,
+    "ann_recall_at_5": _RECALL_SQL,
 }
