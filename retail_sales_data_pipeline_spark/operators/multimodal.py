@@ -141,3 +141,27 @@ def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_plan(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize-with-letterbox parameters per image row:
+    scale factor, output dims, and centering pads for a target×target
+    canvas. Pure relational arithmetic over the decoded dimensions —
+    the pixel resample itself belongs to the (stubbed) codec stage, but
+    the planning math is the part a 100 TB preprocessing job shuffles
+    and audits, so it stays JVM-side and oracle-checkable.
+    """
+    w, h = F.col("width"), F.col("height")
+    scale = F.least(F.lit(float(target)) / w, F.lit(float(target)) / h)
+    out_w = F.floor(w * scale).cast("long")
+    out_h = F.floor(h * scale).cast("long")
+    return decoded.where(F.col("media_type") == "image").select(
+        "media_id",
+        w.cast("long").alias("width"),
+        h.cast("long").alias("height"),
+        F.round(scale, 6).alias("scale"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        F.floor((F.lit(target) - out_w) / 2).cast("long").alias("pad_x"),
+        F.floor((F.lit(target) - out_h) / 2).cast("long").alias("pad_y"),
+    )

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import decode_media, frame_sample, synth_media_from_documents
+from ..operators.multimodal import (
+    decode_media,
+    frame_sample,
+    resize_plan,
+    synth_media_from_documents,
+)
 from ..sources.tables import load_table
 
 
@@ -81,12 +86,41 @@ FROM decoded
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(_decoded(spark, sf_dir), target=224)
+
+
+_RESIZE_SQL = f"""
+WITH decoded AS (
+  SELECT doc_id AS media_id,
+    16 + {_byte(1)} % 640 AS width,
+    16 + {_byte(2)} % 480 AS height
+  FROM documents WHERE doc_id % 3 = 0
+), scaled AS (
+  SELECT media_id, width, height,
+         least(224.0 / width, 224.0 / height) AS s
+  FROM decoded
+)
+SELECT media_id,
+  CAST(width AS BIGINT) AS width,
+  CAST(height AS BIGINT) AS height,
+  round(s, 6) AS scale,
+  CAST(floor(width * s) AS BIGINT) AS out_w,
+  CAST(floor(height * s) AS BIGINT) AS out_h,
+  CAST(floor((224 - floor(width * s)) / 2) AS BIGINT) AS pad_x,
+  CAST(floor((224 - floor(height * s)) / 2) AS BIGINT) AS pad_y
+FROM scaled
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLE_SQL = {
     "multimodal_decode": _DECODE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
+    "multimodal_resize": _RESIZE_SQL,
 }
