@@ -415,6 +415,65 @@ SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# Q: dedup_rate_by_lang — the dedup coverage stat a dataset card
+# reports: per language, how many corpus docs are implicated in at
+# least one verified near-dup pair. Composes the MinHash+LSH pipeline
+# with a map-back join (variant ids map to their source doc for
+# language attribution). Oracle nests the full pair query as a CTE.
+# ---------------------------------------------------------------------------
+def dedup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = _neardup_corpus(docs)
+    pairs = D.minhash_lsh_pairs(corpus, num_hashes=8, rows_per_band=2, threshold=0.5)
+    flagged = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .select(
+            F.when(F.col("id") >= 100000, F.col("id") - 100000)
+            .otherwise(F.col("id"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    per_lang_total = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_lang_flagged = (
+        flagged.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_flagged"))
+    )
+    return per_lang_total.join(per_lang_flagged, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        F.round(F.coalesce("n_flagged", F.lit(0)) / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
+_DEDUP_RATE_SQL = f"""
+WITH pairs AS ({_DEDUP_MINHASH_SQL}),
+flagged AS (
+  SELECT DISTINCT CASE WHEN id >= 100000 THEN id - 100000 ELSE id END AS doc_id
+  FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs)
+),
+totals AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+),
+hits AS (
+  SELECT d.lang, count(DISTINCT f.doc_id) AS n_flagged
+  FROM flagged f JOIN documents d ON f.doc_id = d.doc_id
+  GROUP BY 1
+)
+SELECT t.lang, t.n_docs,
+  coalesce(h.n_flagged, 0) AS n_flagged,
+  round(coalesce(h.n_flagged, 0) / t.n_docs, 6) AS dup_rate
+FROM totals t LEFT JOIN hits h ON t.lang = h.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_filter_pipeline — the composed "clean training set" query:
 # language gate → token-length band → quality threshold → bag-
 # fingerprint dedup (keep min doc_id per fingerprint). The capstone
@@ -642,6 +701,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_rate_by_lang": dedup_rate_by_lang,
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "corpus_sample": corpus_sample,
     "corpus_stratified_sample": corpus_stratified_sample,
@@ -664,6 +724,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_rate_by_lang": _DEDUP_RATE_SQL,
     "corpus_filter_pipeline": _CORPUS_FILTER_SQL,
     "corpus_sample": _CORPUS_SAMPLE_SQL,
     "corpus_stratified_sample": _CORPUS_STRATIFIED_SQL,
