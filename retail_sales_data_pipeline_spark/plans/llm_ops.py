@@ -678,6 +678,39 @@ SELECT lang, token, tfidf, rk FROM ranked WHERE rk <= 10
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus_length_histogram — doc-length distribution in log2 buckets
+# per language (the shape plot on every dataset card). Pure map-side
+# expression work plus one bounded groupBy; log2 of the integer token
+# count floors identically in both engines.
+# ---------------------------------------------------------------------------
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    n = X.token_count("text").cast("long")
+    bucket = F.floor(F.log2(n)).cast("long")
+    return (
+        df.select("lang", n.alias("n_tokens"), bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+_LENGTH_HIST_SQL = f"""
+WITH t AS (
+  SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents
+)
+SELECT lang, CAST(floor(log2(n_tokens)) AS BIGINT) AS len_bucket,
+  count(*) AS n_docs,
+  min(n_tokens) AS min_tokens,
+  max(n_tokens) AS max_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_approx_distinct — HLL++ sketch cardinalities (rows-only:
 # approximate by design, so no exact SQL twin; the test suite bounds the
 # error against exact counts instead)
@@ -707,6 +740,7 @@ QUERIES = {
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_report": corpus_report,
     "corpus_tfidf_terms": corpus_tfidf_terms,
+    "corpus_length_histogram": corpus_length_histogram,
     "corpus_approx_distinct": corpus_approx_distinct,
 }
 
@@ -730,5 +764,6 @@ ORACLE_SQL = {
     "corpus_stratified_sample": _CORPUS_STRATIFIED_SQL,
     "corpus_report": _CORPUS_REPORT_SQL,
     "corpus_tfidf_terms": _TFIDF_SQL,
+    "corpus_length_histogram": _LENGTH_HIST_SQL,
     # corpus_approx_distinct: intentionally no oracle — approximate op
 }
