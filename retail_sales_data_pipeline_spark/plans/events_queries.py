@@ -42,8 +42,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
   SELECT user_id, ts, value,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                      ROWS UNBOUNDED PRECEDING) AS session_seq
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -64,7 +64,8 @@ _JSON_SQL = """
 SELECT event_type,
   count(*) AS n_events,
   count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_prop,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_prop,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_prop,
   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_prop
 FROM events GROUP BY event_type
 """

@@ -345,7 +345,8 @@ bits AS (
   GROUP BY id, gs.b
 )
 SELECT id,
-  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+    AS simhash
 FROM bits GROUP BY id
 """
 
@@ -604,7 +605,7 @@ WITH t AS (
   FROM t
 )
 SELECT lang, source, count(*) AS n_docs,
-  sum(n_tokens) AS total_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   round(avg(quality_score), 6) AS mean_quality
 FROM f GROUP BY lang, source
 """

@@ -554,21 +554,23 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DQ_SQL = """
 SELECT 'lineitem_negative_price' AS rule, count(*) AS n_checked,
-  coalesce(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END), 0) AS n_violations
+  CAST(coalesce(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_violations
 FROM lineitem
 UNION ALL
 SELECT 'lineitem_discount_range' AS rule, count(*) AS n_checked,
-  coalesce(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END), 0)
-    AS n_violations
+  CAST(coalesce(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_violations
 FROM lineitem
 UNION ALL
 SELECT 'orders_orphan_customer' AS rule, count(*) AS n_checked,
-  coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS n_violations
+  CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_violations
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 UNION ALL
 SELECT 'lineitem_ship_before_order' AS rule, count(*) AS n_checked,
-  coalesce(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END), 0)
-    AS n_violations
+  CAST(coalesce(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_violations
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
 
