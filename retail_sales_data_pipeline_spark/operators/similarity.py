@@ -102,9 +102,11 @@ def hyperplanes(spark, num_planes: int, dim: int) -> DataFrame:
     Tiny (num_planes × dim rows) — always broadcast.
     """
     return (
-        spark.range(num_planes)
-        .select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("d")))
+        spark.range(num_planes * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("p"),
+            (F.col("id") % dim).cast("int").alias("d"),
+        )
         .select(
             "p",
             "d",
@@ -281,6 +283,46 @@ def cosine_neardup_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_a"), F.col("_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    planes: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the corpus-scale path.
+
+    Candidates are co-bucketed vector pairs (equi-join on the 2^P-ary
+    hyperplane bucket key, ``id_a < id_b``); exact cosine is verified on
+    candidates only. Replaces :func:`cosine_neardup_pairs`'s O(n²)
+    crossJoin with a bounded bucket-key shuffle — per-bucket candidate
+    counts are ~(n/2^P)², the same candidate-then-verify shape as
+    ``minhash_lsh_pairs`` for text. Recall < 1 by design: a near-dup
+    pair whose vectors straddle a hyperplane is missed; raise recall by
+    unioning several independent plane sets (banding), exactly as
+    MinHash does.
+    """
+    b = lsh_buckets(df, planes, id_col, vec_col)
+    cand = (
+        b.select(F.col("id").alias("id_a"), "bucket")
+        .join(b.select(F.col("id").alias("id_b"), "bucket"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -115,33 +115,67 @@ SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
 
 
 # ---------------------------------------------------------------------------
-# Q: dedup_embedding_cosine — near-dup pairs over a planted-variant corpus
+# Q: dedup_embedding_cosine — near-dup pairs over a planted-variant
+# corpus, via LSH co-bucket candidates (the corpus-scale path: no
+# cross join anywhere in the plan — tools/plan_audit.py asserts it).
+# The brute-force crossJoin twin (cosine_neardup_pairs) remains the
+# pytest ground truth for recall (tests/test_similarity.py).
 # ---------------------------------------------------------------------------
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     variants = emb.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(S.as_double("embedding"), lambda x: x + 0.01).alias("embedding"),
     )
-    corpus = emb.select("vec_id", S.as_double("embedding").alias("embedding")).unionByName(
-        variants
-    )
-    return S.cosine_neardup_pairs(corpus, threshold=0.9)
+    return emb.select(
+        "vec_id", S.as_double("embedding").alias("embedding")
+    ).unionByName(variants)
 
 
-_NEARDUP_SQL = """
-WITH corpus AS (
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    planes = S.hyperplanes(spark, NUM_PLANES, DIM)
+    return S.cosine_neardup_pairs_lsh(corpus, planes, threshold=0.9)
+
+
+_NEARDUP_CORPUS_SQL = """corpus AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   UNION ALL
   SELECT vec_id + 100000 AS id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS e
   FROM embeddings WHERE vec_id % 25 = 0
+)"""
+
+_NEARDUP_SQL = f"""
+WITH {_NEARDUP_CORPUS_SQL},
+planes AS (
+  SELECT p.p, d.d,
+    CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 8))
+         AS BIGINT) / 4294967296.0 - 0.5 AS w
+  FROM (SELECT unnest(generate_series(0, {NUM_PLANES - 1})) AS p) p,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+), elems AS (
+  SELECT id, i - 1 AS d, e[i] AS v
+  FROM (SELECT id, e, unnest(generate_series(1, {DIM})) AS i FROM corpus)
+), proj AS (
+  SELECT elems.id, planes.p, sum(elems.v * planes.w) AS proj
+  FROM elems JOIN planes ON elems.d = planes.d
+  GROUP BY elems.id, planes.p
+), buckets AS (
+  SELECT id,
+    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM proj GROUP BY id
+), cand AS (
+  SELECT ba.id AS id_a, bb.id AS id_b
+  FROM buckets ba JOIN buckets bb
+    ON ba.bucket = bb.bucket AND ba.id < bb.id
 )
-SELECT a.id AS id_a, b.id AS id_b,
+SELECT c.id_a, c.id_b,
   round(list_dot_product(a.e, b.e)
         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
         6) AS cosine
-FROM corpus a JOIN corpus b ON a.id < b.id
+FROM cand c JOIN corpus a ON a.id = c.id_a JOIN corpus b ON b.id = c.id_b
 WHERE round(list_dot_product(a.e, b.e)
       / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
       6) >= 0.9

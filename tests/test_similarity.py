@@ -81,3 +81,31 @@ def test_neardup_pairs(spark, vecs):
     assert pairs[(0, 4)] == 1.0
     assert (0, 2) not in pairs and (0, 3) not in pairs
     assert (0, 1) in pairs  # cos ≈ 0.9939
+
+
+def test_neardup_lsh_subset_and_recall(spark, vecs):
+    """LSH co-bucket near-dup pairs are a subset of brute force, and the
+    always-co-bucketed pair (identical direction) is never missed."""
+    planes = S.hyperplanes(spark, 2, 4)
+    brute = {(r.id_a, r.id_b) for r in
+             S.cosine_neardup_pairs(vecs, threshold=0.95).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           S.cosine_neardup_pairs_lsh(vecs, planes, threshold=0.95).collect()}
+    assert lsh <= brute
+    assert (0, 4) in lsh  # same direction -> identical projections
+
+
+def test_neardup_lsh_values_match_brute(spark, vecs):
+    """Where a pair survives bucketing, its cosine equals brute force."""
+    planes = S.hyperplanes(spark, 2, 4)
+    brute = {(r.id_a, r.id_b): r.cosine for r in
+             S.cosine_neardup_pairs(vecs, threshold=0.95).collect()}
+    for r in S.cosine_neardup_pairs_lsh(vecs, planes, threshold=0.95).collect():
+        assert brute[(r.id_a, r.id_b)] == r.cosine
+
+
+def test_neardup_lsh_plan_has_no_cartesian(spark, vecs):
+    planes = S.hyperplanes(spark, 2, 4)
+    plan = S.cosine_neardup_pairs_lsh(vecs, planes, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
