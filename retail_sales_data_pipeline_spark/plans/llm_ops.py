@@ -236,8 +236,11 @@ FROM corpus GROUP BY md5(text)
 # Q: dedup_ngram_jaccard — 3-gram shingle Jaccard near-dup pairs
 # ---------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df_cap=50: drop shingles shared by >50 docs — the boilerplate-skew
+    # guard that keeps one hot shingle key from exploding quadratically
+    # at corpus scale. The oracle applies the identical cap.
     corpus = _neardup_corpus(_docs(spark, sf_dir))
-    return D.ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
+    return D.ngram_jaccard_pairs(corpus, threshold=0.5, n=3, df_cap=50)
 
 
 _SQL_SHINGLES = f"""
@@ -258,10 +261,14 @@ shingles AS (
 _DEDUP_NGRAM_SQL = f"""
 WITH {_SQL_NEARDUP_CORPUS},
 {_SQL_SHINGLES},
-sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+capped AS (
+  SELECT id, sh FROM shingles
+  QUALIFY count(*) OVER (PARTITION BY sh) <= 50
+),
+sizes AS (SELECT id, count(*) AS n FROM capped GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b
+  FROM capped a JOIN capped b
     ON a.sh = b.sh AND a.id < b.id
   GROUP BY a.id, b.id
 )

@@ -149,3 +149,22 @@ def test_shingle_skew_cap(spark):
     capped = D.ngram_jaccard_pairs(df, threshold=0.01, df_cap=2)
     uncapped = D.ngram_jaccard_pairs(df, threshold=0.01)
     assert capped.count() <= uncapped.count()
+
+
+def test_planted_boilerplate_does_not_explode(spark):
+    """A shingle planted in 50% of docs must not quadratically explode
+    the pair count: with the cap on, the hot key contributes zero
+    candidate pairs; without it, every boilerplate-sharing doc pair
+    (n/2 choose 2) survives a low threshold."""
+    n = 40
+    boiler = "terms of service apply here"
+    rows = []
+    for i in range(n):
+        unique = f"doc{i}a doc{i}b doc{i}c doc{i}d doc{i}e doc{i}f"
+        text = f"{boiler} {unique}" if i % 2 == 0 else unique
+        rows.append((i, text, "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    uncapped = D.ngram_jaccard_pairs(df, threshold=0.01).count()
+    capped = D.ngram_jaccard_pairs(df, threshold=0.01, df_cap=5).count()
+    assert uncapped == (n // 2) * (n // 2 - 1) // 2  # hot key went quadratic
+    assert capped == 0  # cap removed the boilerplate key entirely
