@@ -719,17 +719,47 @@ FROM t GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# Q: corpus_approx_distinct — HLL++ sketch cardinalities (rows-only:
-# approximate by design, so no exact SQL twin; the test suite bounds the
-# error against exact counts instead)
+# Q: corpus_approx_distinct — HLL++ sketch cardinalities. The sketch
+# value itself is engine-specific, so the hash-checkable output carries
+# the exact distinct count plus `approx_ok` = (HLL estimate within 5%
+# of exact), which the oracle asserts as TRUE. At 100 TB you drop the
+# exact column and keep only the sketch — it exists here to make the
+# approximate operator oracle-checkable (tests additionally pin the
+# rsd=0.02 sketch to <5% relative error).
 # ---------------------------------------------------------------------------
 def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
     tok = df.select("lang", F.explode(X.tokens("text")).alias("token"))
-    return tok.groupBy("lang").agg(
-        F.approx_count_distinct("token", rsd=0.02).alias("approx_vocab"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.approx_count_distinct("token", rsd=0.02).alias("_approx"),
+            F.count_distinct("token").alias("exact_vocab"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "exact_vocab",
+            "n_tokens",
+            (
+                F.abs(F.col("_approx") - F.col("exact_vocab"))
+                / F.col("exact_vocab")
+                <= 0.05
+            ).alias("approx_ok"),
+        )
     )
+
+
+_APPROX_DISTINCT_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest({_SQL_TOKS}) AS token FROM documents
+)
+SELECT lang,
+  CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  TRUE AS approx_ok
+FROM tok GROUP BY lang
+"""
 
 
 QUERIES = {
@@ -754,7 +784,7 @@ QUERIES = {
 
 # queries deliberately without an oracle twin (driver does rows-only):
 # approximate-by-design results can't hash-match an exact SQL answer
-ROWS_ONLY = {"corpus_approx_distinct"}
+ROWS_ONLY = set()
 
 ORACLE_SQL = {
     "text_token_stats": _TOKEN_STATS_SQL,
@@ -773,5 +803,5 @@ ORACLE_SQL = {
     "corpus_report": _CORPUS_REPORT_SQL,
     "corpus_tfidf_terms": _TFIDF_SQL,
     "corpus_length_histogram": _LENGTH_HIST_SQL,
-    # corpus_approx_distinct: intentionally no oracle — approximate op
+    "corpus_approx_distinct": _APPROX_DISTINCT_SQL,
 }

