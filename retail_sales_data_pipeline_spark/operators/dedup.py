@@ -316,6 +316,18 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: {changed} labels still changing after "
+            f"max_iter={max_iter} rounds — returned cluster_ids are not the "
+            "full transitive closure (duplicate chains longer than max_iter "
+            "hops). Raise max_iter; convergence needs at most graph-diameter "
+            "rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -23,8 +23,11 @@ These are the manual levers for the cases AQE cannot fix alone at
 
 Correctness notes: salting a SUM in exact decimal is exactly
 associative, so salted results are bit-identical to unsalted (proved in
-tests). The salt is ``pmod(hash(row-id columns), n)`` — deterministic,
-uniform, and engine-independent.
+tests). The salt is ``pmod(hash(salt columns), n)`` — deterministic,
+uniform, and engine-independent — when the caller provides salt
+columns; ``salted_skew_join`` without ``salt_cols`` falls back to a
+uniform but partition-layout-dependent salt (documented on the
+function).
 """
 
 from __future__ import annotations
@@ -63,17 +66,38 @@ def salted_skew_join(
     on: tuple[str, str],
     buckets: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the large side, replicate the
     small side across all salt values, join on (key, salt).
 
+    Pass ``salt_cols`` (high-cardinality columns of the large side) for
+    a deterministic ``pmod(hash(salt_cols), buckets)`` salt; without
+    them the salt falls back to hashing
+    ``monotonically_increasing_id()``, which is partition-layout-
+    dependent — correct (any uniform salt is), but reruns spread rows
+    differently.
+
+    Only ``inner`` and ``left`` joins are supported: under right/full
+    outer, an unmatched small-side row would surface once per salt
+    replica instead of once.
+
     Output columns = large ∪ small (minus the small side's join key),
-    same as a plain inner join.
+    same as a plain join.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_skew_join supports inner/left joins, got how={how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full outer"
+        )
     lk, sk = on
-    l_salted = large.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets))
+    salt_src = (
+        F.hash(*[F.col(c) for c in salt_cols])
+        if salt_cols
+        else F.hash(F.monotonically_increasing_id())
     )
+    l_salted = large.withColumn("_salt", F.pmod(salt_src, F.lit(buckets)))
     s_replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

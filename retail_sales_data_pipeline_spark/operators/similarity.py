@@ -239,14 +239,22 @@ def cosine_topk_arrow(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            cos = cn @ qn.T  # |batch| x |queries|
+            # round BEFORE the per-batch top-k so batch selection uses
+            # the same (rounded desc, id asc) order as the final global
+            # window — otherwise >k batch candidates rounding to the
+            # same value could discard the globally tie-winning
+            # (smaller-id) neighbor before the window sees it
+            cos = np.round(cn @ qn.T, 6)  # |batch| x |queries|
             top = min(k, cos.shape[0])
-            # per-query top-k within the batch bounds the emitted rows
-            idx = np.argpartition(-cos, top - 1, axis=0)[:top]
+            # per-query top-k within the batch bounds the emitted rows;
+            # lexsort per query column applies the id tiebreak
+            order = np.empty((top, cos.shape[1]), dtype=np.int64)
+            for j in range(cos.shape[1]):
+                order[:, j] = np.lexsort((ids, -cos[:, j]))[:top]
             out = {
                 "query_id": np.repeat(qids, top),
-                "neighbor_id": ids[idx].T.ravel(),
-                "cosine": np.take_along_axis(cos, idx, axis=0).T.ravel(),
+                "neighbor_id": ids[order].T.ravel(),
+                "cosine": np.take_along_axis(cos, order, axis=0).T.ravel(),
             }
             yield pd.DataFrame(out)
 

@@ -61,13 +61,20 @@ def compact_parquet(
     small files; compaction restores scan efficiency — at object-store
     scale, file count is a first-order read-cost driver.
 
-    Writes to a staging dir then swaps, so a crash never leaves the
-    dataset half-rewritten. Returns the resulting file count.
+    Writes to a staging dir, validates the staged row count against the
+    source, then rename-swaps. The swap is crash-TOLERANT, not atomic:
+    between the two renames the dataset is briefly absent at ``path``
+    (recoverable from ``._old`` / ``._compact``), and directory rename
+    is not atomic on object stores at all — there, use a table format
+    with an atomic manifest commit (Delta/Iceberg) instead. The
+    ``._old`` backup is removed only after the staged copy has been
+    validated and moved into place. Returns the resulting file count.
     """
     import glob
     import shutil
 
     df = spark.read.parquet(path)
+    n_src = df.count()
     staging = path.rstrip("/") + "._compact"
     if sort_col is not None:
         df.repartitionByRange(target_files, sort_col).sortWithinPartitions(
@@ -75,6 +82,14 @@ def compact_parquet(
         ).write.mode("overwrite").parquet(staging)
     else:
         df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    # validate before touching the live path (parquet count is
+    # footer-metadata-only — cheap even for large datasets)
+    n_staged = spark.read.parquet(staging).count()
+    if n_staged != n_src:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"compaction row-count mismatch: staged {n_staged} != source {n_src}"
+        )
     backup = path.rstrip("/") + "._old"
     shutil.move(path, backup)
     shutil.move(staging, path)

@@ -11,8 +11,15 @@ Two jobs:
 - :func:`stream_sessionize` — custom stateful operator via
   ``applyInPandasWithState``: per-user gap sessionization with
   event-time timeout, the streaming twin of ``operators.events.
-  sessionize``. Sessions still open at end-of-stream are flushed by a
-  final timeout pass.
+  sessionize``. Closed sessions (gap exceeded within the data) are
+  always emitted; a *trailing* open session is emitted only when the
+  watermark (max event ts − delay) passes its last event + gap —
+  sessions closer than watermark+gap to end-of-stream stay in state
+  and are not flushed by the availableNow drain (EventTimeTimeout
+  fires on watermark advance, and the watermark never advances past
+  the final batch). A production stream keeps running, so the next
+  batch flushes them; for a bounded drain, shrink the watermark delay
+  or append a sentinel event past every user's last+gap.
 
 Scale notes: state is keyed by user_id (uniform); watermark bounds
 state size — at 100 TB/day the rollup state is |hours×types| and the
@@ -115,8 +122,10 @@ def _session_fn(
 ) -> Iterator[pd.DataFrame]:
     """Stateful per-user sessionizer. State = the open session; closed
     sessions are emitted as soon as a gap exceeds SESSION_GAP_SEC; the
-    open session is flushed on event-time timeout (end of stream under
-    availableNow).
+    open session is flushed on event-time timeout, which fires only
+    once the watermark passes last+gap (trailing sessions within
+    watermark+gap of end-of-stream remain in state — see module
+    docstring).
     """
     (user_id,) = key
     closed: list[tuple] = []
