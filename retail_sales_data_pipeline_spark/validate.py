@@ -81,6 +81,43 @@ def archive_files(paths: list[str], processed_dir: str) -> list[str]:
     return moved
 
 
+def cleanup_local_dir(dir_path: str) -> list[str]:
+    """F3: delete every file/subdirectory inside ``dir_path`` (the
+    directory itself stays) — the post-upload staging cleanup step
+    (reference src/main/delete/local_file_delete.py:5-19). Unlike the
+    reference, errors propagate instead of being logged-and-reraised
+    after printing a traceback. Returns the deleted paths.
+    """
+    deleted = []
+    for name in os.listdir(dir_path):
+        item = os.path.join(dir_path, name)
+        if os.path.isdir(item):
+            shutil.rmtree(item)
+        else:
+            os.remove(item)
+        deleted.append(item)
+    return deleted
+
+
+def delete_objects(paths: list[str]) -> list[str]:
+    """F4: delete individual data objects by full path — the
+    object-store delete analogue (reference
+    src/main/delete/aws_delete.py:11-23 ``S3Deleter.delete_file``;
+    unused even by the reference's own main flow, kept for parity).
+    Missing objects are skipped (object-store deletes are idempotent);
+    other errors propagate. Returns the paths actually deleted.
+    """
+    deleted = []
+    for path in paths:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            deleted.append(path)
+        elif os.path.exists(path):
+            os.remove(path)
+            deleted.append(path)
+    return deleted
+
+
 def dq_rule_report(rules):
     """Row-level data-quality report: one output row per named rule.
 

@@ -211,3 +211,30 @@ def test_rerun_same_run_id_is_idempotent(spark, dims, workdir):
     )
     cm = spark.read.parquet(res2.outputs["customer_mart"])
     assert cm.count() == res1.customer_mart_rows  # overwrote, not doubled
+
+
+def test_cleanup_local_dir(tmp_path):
+    from retail_sales_data_pipeline_spark.validate import cleanup_local_dir
+
+    d = tmp_path / "staging"
+    d.mkdir()
+    (d / "a.csv").write_text("x")
+    sub = d / "nested"
+    sub.mkdir()
+    (sub / "b.csv").write_text("y")
+    deleted = cleanup_local_dir(str(d))
+    assert len(deleted) == 2
+    assert d.exists() and not any(d.iterdir())  # dir kept, contents gone
+
+
+def test_delete_objects_idempotent(tmp_path):
+    from retail_sales_data_pipeline_spark.validate import delete_objects
+
+    f = tmp_path / "obj.parquet"
+    f.write_text("x")
+    missing = str(tmp_path / "never-existed")
+    deleted = delete_objects([str(f), missing])
+    assert deleted == [str(f)]
+    assert not f.exists()
+    # second delete of the same keys is a no-op, not an error
+    assert delete_objects([str(f), missing]) == []
