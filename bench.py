@@ -29,7 +29,10 @@ HEADLINE = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "events_sessionize",
+    "events_asof_attribution",
+    "corpus_tfidf_terms",
     "ann_lsh_topk",
 ]
 
@@ -74,6 +77,8 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    _regression_check(timings)
+
     result = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -83,6 +88,35 @@ def main() -> None:
     }
     print(json.dumps(result))
     spark.stop()
+
+
+def _regression_check(timings: dict[str, float], factor: float = 1.5) -> None:
+    """Warn (stderr only) for any query slower than ``factor``× its time
+    in the most recent recorded BENCH_r*.json — the per-round
+    regression guard. Single-machine variance is real even with
+    best-of-2, so this flags rather than fails."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not rounds:
+        return
+    try:
+        with open(rounds[-1]) as f:
+            prior = json.load(f).get("parsed", {}).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return
+    for name, t in timings.items():
+        if name in prior and prior[name] > 0 and t > factor * prior[name]:
+            print(
+                f"# REGRESSION {name}: {t}s vs {prior[name]}s in "
+                f"{os.path.basename(rounds[-1])} (>{factor}x)",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

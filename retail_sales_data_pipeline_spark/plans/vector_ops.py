@@ -132,10 +132,19 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(variants)
 
 
+NEARDUP_BANDS = 4
+NEARDUP_PLANES_PER_BAND = 8
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4 bands × 8 planes: candidates ~4·(n/256)² instead of n²/2, with
+    # near-1 recall for true near-dups (cosine ≈ 1 rarely straddles all
+    # bands) — the AND/OR S-curve MinHash banding uses.
     corpus = _neardup_corpus(spark, sf_dir)
-    planes = S.hyperplanes(spark, NUM_PLANES, DIM)
-    return S.cosine_neardup_pairs_lsh(corpus, planes, threshold=0.9)
+    planes = S.hyperplanes(spark, NEARDUP_BANDS * NEARDUP_PLANES_PER_BAND, DIM)
+    return S.cosine_neardup_pairs_lsh(
+        corpus, planes, threshold=0.9, planes_per_band=NEARDUP_PLANES_PER_BAND
+    )
 
 
 _NEARDUP_CORPUS_SQL = """corpus AS (
@@ -152,7 +161,7 @@ planes AS (
   SELECT p.p, d.d,
     CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 8))
          AS BIGINT) / 4294967296.0 - 0.5 AS w
-  FROM (SELECT unnest(generate_series(0, {NUM_PLANES - 1})) AS p) p,
+  FROM (SELECT unnest(generate_series(0, {NEARDUP_BANDS * NEARDUP_PLANES_PER_BAND - 1})) AS p) p,
        (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
 ), elems AS (
   SELECT id, i - 1 AS d, e[i] AS v
@@ -162,14 +171,15 @@ planes AS (
   FROM elems JOIN planes ON elems.d = planes.d
   GROUP BY elems.id, planes.p
 ), buckets AS (
-  SELECT id,
-    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
-      AS bucket
-  FROM proj GROUP BY id
+  SELECT id, p // {NEARDUP_PLANES_PER_BAND} AS band,
+    CAST(sum(CASE WHEN proj > 0
+             THEN (CAST(1 AS BIGINT) << (p % {NEARDUP_PLANES_PER_BAND}))
+             ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY id, band
 ), cand AS (
-  SELECT ba.id AS id_a, bb.id AS id_b
+  SELECT DISTINCT ba.id AS id_a, bb.id AS id_b
   FROM buckets ba JOIN buckets bb
-    ON ba.bucket = bb.bucket AND ba.id < bb.id
+    ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.id < bb.id
 )
 SELECT c.id_a, c.id_b,
   round(list_dot_product(a.e, b.e)

@@ -109,3 +109,28 @@ def test_neardup_lsh_plan_has_no_cartesian(spark, vecs):
     plan = S.cosine_neardup_pairs_lsh(vecs, planes, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_banded_recall_beats_flat(spark):
+    """Banding (OR across bands) recovers pairs a single flat bucket
+    misses, while staying a subset of brute force."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dups: tiny perturbation of each 3rd vector
+    rows += [(100 + i, [x + 0.01 for x in base[i]]) for i in range(0, 30, 3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = S.hyperplanes(spark, 16, 16)
+    brute = {(r.id_a, r.id_b) for r in
+             S.cosine_neardup_pairs(df, threshold=0.99).collect()}
+    flat = {(r.id_a, r.id_b) for r in
+            S.cosine_neardup_pairs_lsh(df, planes, threshold=0.99).collect()}
+    banded = {(r.id_a, r.id_b) for r in
+              S.cosine_neardup_pairs_lsh(df, planes, threshold=0.99,
+                                         planes_per_band=4).collect()}
+    assert banded <= brute and flat <= brute
+    assert len(banded) >= len(flat)  # OR-across-bands only adds recall
+    planted = {(i, 100 + i) for i in range(0, 30, 3)} & brute
+    assert planted <= banded  # near-identical pairs survive banding
