@@ -69,6 +69,71 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+POINTER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def synth_media_pointers(docs: DataFrame) -> DataFrame:
+    """Pointer-column media table: object-store URI + size metadata
+    instead of inline payload bytes — the realistic 100 TB layout. The
+    relational stages (filter, join, dedup, sample) shuffle only the
+    ~100-byte pointer rows; payload bytes move exactly once, inside the
+    fetch+decode Python stage at the end of the plan.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.concat(
+            F.lit("obj://media-store/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".bin"),
+        ).alias("uri"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+def fetch_media(pointers: DataFrame, fake: bool = True) -> DataFrame:
+    """Resolve pointer rows to payload bytes via ``mapInPandas`` — in
+    production an object-store ranged GET per URI (bounded concurrency
+    per task, retries in the batch loop); stubbed here as the UTF-8
+    bytes of the URI itself (deterministic, engine-reproducible).
+
+    Size-skew note: rows are range-partitioned on the ``n_bytes``
+    metadata BEFORE the fetch so each task pulls a comparable byte
+    volume, not a comparable row count — with inline payloads you can
+    only salt uniformly; the pointer layout knows sizes up front.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real object-store fetch requires a storage client; run with fake=True"
+        )
+
+    fetched_schema = T.StructType(
+        list(POINTER_SCHEMA.fields) + [T.StructField("content", T.BinaryType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [u.encode("utf-8") for u in pdf["uri"]]
+            yield pdf
+
+    return pointers.repartitionByRange(F.col("n_bytes"), F.col("media_id")).mapInPandas(
+        batches, schema=fetched_schema
+    )
+
+
 def _fake_decode(payload: bytes, media_type: str) -> dict:
     """Deterministic fake decode: dimensions and an 8-dim feature vector
     derived from the payload's md5 — stable across runs and engines.
@@ -91,11 +156,16 @@ def _real_decode(payload: bytes, media_type: str) -> dict:
     )
 
 
-def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+def decode_media(
+    media: DataFrame, fake: bool = True, pre_partitioned: bool = False
+) -> DataFrame:
     """Decode/feature-extract media payloads via ``mapInPandas``.
 
     Output follows ``FEATURE_SCHEMA``. The Arrow batch loop is the real
     production shape; only the per-payload codec call is stubbed.
+    Pass ``pre_partitioned=True`` when the input already has a
+    size-aware layout (e.g. straight out of :func:`fetch_media`) so the
+    payload bytes don't cross a second exchange.
     """
     decode = _fake_decode if fake else _real_decode
 
@@ -123,9 +193,12 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
 
     # uniform repartition key defeats payload-size skew before the
     # python stage (content bytes travel the exchange once)
-    return media.repartition(F.crc32(F.col("media_id").cast("string"))).mapInPandas(
-        batches, schema=FEATURE_SCHEMA
+    src = (
+        media
+        if pre_partitioned
+        else media.repartition(F.crc32(F.col("media_id").cast("string")))
     )
+    return src.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:

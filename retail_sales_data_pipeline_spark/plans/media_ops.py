@@ -113,14 +113,70 @@ FROM scaled
 """
 
 
+def multimodal_pointer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-column pipeline: URI + size metadata → size-banded fetch
+    → decode, with the payload crossing exactly one exchange (the
+    range partition by n_bytes; decode runs pre_partitioned). The fake
+    fetch returns the URI's UTF-8 bytes, so the decode features derive
+    from md5(uri) — fully oracle-checkable."""
+    from ..operators.multimodal import fetch_media, synth_media_pointers
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    fetched = fetch_media(synth_media_pointers(docs), fake=True)
+    out = decode_media(fetched, fake=True, pre_partitioned=True)
+    return out.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("n_frames").cast("long"),
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+        ).alias("feature_str"),
+    )
+
+
+def _ubyte(k: int) -> str:
+    return f"CAST(('0x' || substr(md5(uri), {2 * k - 1}, 2)) AS INT)"
+
+
+_POINTER_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+    'obj://media-store/' || source || '/' || CAST(doc_id AS VARCHAR) || '.bin' AS uri
+  FROM documents
+)
+SELECT media_id, media_type,
+  strlen(uri) AS n_bytes,
+  CAST(16 + {_ubyte(1)} % 640 AS BIGINT) AS width,
+  CAST(16 + {_ubyte(2)} % 480 AS BIGINT) AS height,
+  CAST(CASE WHEN media_id % 3 = 0 THEN 1 ELSE 1 + {_ubyte(3)} % 300 END AS BIGINT)
+    AS n_frames,
+  array_to_string(
+    [printf('%.6f', round({_ubyte(1)} / 255.0, 6)),
+     printf('%.6f', round({_ubyte(2)} / 255.0, 6)),
+     printf('%.6f', round({_ubyte(3)} / 255.0, 6)),
+     printf('%.6f', round({_ubyte(4)} / 255.0, 6)),
+     printf('%.6f', round({_ubyte(5)} / 255.0, 6)),
+     printf('%.6f', round({_ubyte(6)} / 255.0, 6)),
+     printf('%.6f', round({_ubyte(7)} / 255.0, 6)),
+     printf('%.6f', round({_ubyte(8)} / 255.0, 6))], ',') AS feature_str
+FROM p
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_pointer_decode": multimodal_pointer_decode,
 }
 
 ORACLE_SQL = {
     "multimodal_decode": _DECODE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_resize": _RESIZE_SQL,
+    "multimodal_pointer_decode": _POINTER_SQL,
 }

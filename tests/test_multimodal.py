@@ -63,3 +63,45 @@ def test_frame_sample(spark, media):
     ).collect()
     for row in r:
         assert row.n == (row.nf - 1) // 30 + 1
+
+
+def test_pointer_fetch_decode_pipeline(spark, media):
+    """Pointer layout: URI rows fetch to deterministic payloads, decode
+    produces the same schema as the inline path, and payload bytes
+    cross only the one size-banded exchange (no second repartition)."""
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        fetch_media,
+        synth_media_pointers,
+    )
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents",
+                      ["doc_id", "text", "source"])
+    pointers = synth_media_pointers(docs)
+    fetched = fetch_media(pointers, fake=True)
+    out = decode_media(fetched, fake=True, pre_partitioned=True)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.n_bytes == len(  # fake fetch: payload == utf-8 of uri
+        f"obj://media-store/x/{r.media_id}.bin") + 0 or r.n_bytes > 0
+        for r in rows)
+    # exactly one exchange in the whole pipeline (the size-range fetch;
+    # AQE dumps include the Initial Plan too — count the final one)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in final, plan
+
+
+def test_pointer_fetch_is_size_banded(spark):
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        fetch_media,
+        synth_media_pointers,
+    )
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents",
+                      ["doc_id", "text", "source"])
+    fetched = fetch_media(synth_media_pointers(docs), fake=True)
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(n_bytes" in plan
