@@ -150,3 +150,35 @@ def fingerprint_bucket(text_col: str | Column = "text", buckets: int = 1024) -> 
     """Small integer shard key from the fingerprint — the partition key
     for dedup shuffles (uniform by construction)."""
     return (F.conv(F.substring(fingerprint_md5(text_col), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+
+# PII patterns shared by redaction and counting. RE2-compatible (no
+# lookaround) so DuckDB's regexp engine accepts them verbatim — the
+# determinism contract that makes redaction oracle-checkable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_counts(text_col: str | Column = "text") -> list[Column]:
+    """Per-pattern match counts on the ORIGINAL text (order-independent,
+    unlike the sequential redaction)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(text_col: str | Column = "text") -> Column:
+    """Replace every PII match with its placeholder, applying patterns
+    in PII_PATTERNS order (email before ipv4/phone, so an address is
+    redacted whole before its digit runs could half-match). Pure
+    regexp_replace chain — JVM-side, zero shuffles, linear scan at any
+    scale."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -281,6 +281,23 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hourly_rollup(spark, sf_dir)
 
 
+def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup of a replayed (unioned-with-itself) event stream
+    via dropDuplicatesWithinWatermark, rolled up per event type; equals
+    the batch aggregate over distinct events."""
+    from ..streaming import stream_dedup_rollup
+
+    return stream_dedup_rollup(spark, sf_dir)
+
+
+_DEDUP_ROLLUP_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
@@ -291,6 +308,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "streaming_hourly_rollup": streaming_hourly_rollup,
+    "streaming_dedup_rollup": streaming_dedup_rollup,
 }
 
 ORACLE_SQL = {
@@ -303,4 +321,5 @@ ORACLE_SQL = {
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
     "streaming_hourly_rollup": _HOURLY_SQL,
+    "streaming_dedup_rollup": _DEDUP_ROLLUP_SQL,
 }

@@ -762,6 +762,161 @@ FROM tok GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: text_redact_pii — PII scrubbing over a planted-PII corpus: every
+# doc gets a deterministic email + phone + IPv4 appended (both engines
+# build the identical string), then the redaction chain replaces each
+# with its placeholder. Output carries the per-pattern counts from the
+# ORIGINAL text and md5 of the redacted text, so the oracle checks the
+# redaction byte-for-byte without shipping full documents through the
+# compare. Zero shuffles — a pure projection at any scale.
+# ---------------------------------------------------------------------------
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    planted = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        *X.pii_counts("text"),
+        F.md5(X.redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+def _redact_sql() -> str:
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+        "CAST(doc_id % 100 AS VARCHAR)"
+    )
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in X.PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, repl in X.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (SELECT doc_id, {planted} AS text FROM documents)
+SELECT doc_id,
+  {counts},
+  md5({redacted}) AS redacted_md5
+FROM planted
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus_pack_sequences — GPT-style sequence packing: documents are
+# concatenated in doc_id order within each language shard and chunked
+# every SEQ_LEN tokens; each doc is assigned the pack containing its
+# start offset. The window cumsum is partitioned by lang — the shard
+# key — so no single-partition global window exists at 100 TB (each
+# shard packs independently, which is how real training pipelines
+# shard anyway).
+# ---------------------------------------------------------------------------
+SEQ_LEN = 2048
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = X.token_count("text").cast("long")
+    with_start = df.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        (F.sum(n_tok).over(w) - n_tok).alias("start_offset"),
+    )
+    return with_start.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / SEQ_LEN).alias("pack_id"),
+        (F.col("start_offset") % SEQ_LEN).alias("offset_in_pack"),
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+      AS start_offset
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, start_offset,
+  CAST(floor(start_offset / {SEQ_LEN}) AS BIGINT) AS pack_id,
+  start_offset % {SEQ_LEN} AS offset_in_pack
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus_decontaminate — benchmark decontamination: flag training
+# docs sharing any 5-gram with the held-out eval set (doc_id % 50 = 0).
+# Inverted-index semi-join on 60-bit hashed shingles: the eval shingle
+# set is tiny relative to the corpus (broadcast at real scale), so the
+# train side is one scan + one bounded-key join — never an all-pairs
+# comparison. Output: contaminated doc ids + how many distinct 5-grams
+# they share.
+# ---------------------------------------------------------------------------
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    train = df.where(F.col("doc_id") % 50 != 0)
+    holdout = df.where(F.col("doc_id") % 50 == 0)
+    sh_train = D.shingle_hashes(train, n=5)
+    sh_eval = D.shingle_hashes(holdout, n=5).select("sh").distinct()
+    return (
+        sh_train.join(F.broadcast(sh_eval), "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))
+         AS BIGINT) AS sh
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+    FROM toks
+  )
+  WHERE length(array_to_string(list_slice(toks, i, i + 4), ' ')) > 0
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM sh s JOIN ev ON s.sh = ev.sh
+WHERE s.doc_id % 50 != 0
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -780,6 +935,9 @@ QUERIES = {
     "corpus_tfidf_terms": corpus_tfidf_terms,
     "corpus_length_histogram": corpus_length_histogram,
     "corpus_approx_distinct": corpus_approx_distinct,
+    "text_redact_pii": text_redact_pii,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_decontaminate": corpus_decontaminate,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -804,4 +962,7 @@ ORACLE_SQL = {
     "corpus_tfidf_terms": _TFIDF_SQL,
     "corpus_length_histogram": _LENGTH_HIST_SQL,
     "corpus_approx_distinct": _APPROX_DISTINCT_SQL,
+    "text_redact_pii": _redact_sql(),
+    "corpus_pack_sequences": _PACK_SQL,
+    "corpus_decontaminate": _DECONTAM_SQL,
 }

@@ -1,2 +1,6 @@
-from .jobs import stream_hourly_rollup, stream_sessionize  # noqa: F401
+from .jobs import (  # noqa: F401
+    stream_dedup_rollup,
+    stream_hourly_rollup,
+    stream_sessionize,
+)
 from .retail_stream import stream_retail_pipeline  # noqa: F401

@@ -94,6 +94,29 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once semantics over an at-least-once source: the event
+    stream is unioned with a second read of the same files (simulating
+    replayed deliveries), deduplicated on event_id with
+    ``dropDuplicatesWithinWatermark`` (state for a key is evictable
+    once the watermark passes it — bounded state at 100 TB/day, unlike
+    plain streaming dropDuplicates which keeps keys forever), then
+    rolled up per event type. On finite input the result must equal the
+    batch aggregate over the distinct events — the shared oracle.
+    """
+    replayed = _events_stream(spark, sf_dir).unionByName(_events_stream(spark, sf_dir))
+    deduped = replayed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
 _SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -172,3 +172,57 @@ def test_planted_boilerplate_does_not_explode(spark):
     capped = D.ngram_jaccard_pairs(df, threshold=0.01, df_cap=5).count()
     assert uncapped == (n // 2) * (n // 2 - 1) // 2  # hot key went quadratic
     assert capped == 0  # cap removed the boilerplate key entirely
+
+
+def test_redact_pii(spark):
+    rows = [(0, "mail bob.smith@corp.io now", "en"),
+            (1, "call 555-123-4567 or visit 192.168.1.1", "en"),
+            (2, "clean text only", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", *X.pii_counts("text"),
+        X.redact_pii("text").alias("red")).collect()}
+    assert out[0].n_email == 1 and out[0].red == "mail [EMAIL] now"
+    assert out[1].n_phone == 1 and out[1].n_ipv4 == 1
+    assert out[1].red == "call [PHONE] or visit [IP]"
+    assert out[2].red == "clean text only"
+    assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from retail_sales_data_pipeline_spark.plans.llm_ops import (
+        SEQ_LEN,
+        corpus_pack_sequences,
+    )
+
+    rows = corpus_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in sorted(rows, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, docs in by_lang.items():
+        # start offsets are the exclusive prefix sum of token counts
+        cum = 0
+        for r in docs:
+            assert r.start_offset == cum
+            assert r.pack_id == cum // SEQ_LEN
+            assert r.offset_in_pack == cum % SEQ_LEN
+            cum += r.n_tokens
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from retail_sales_data_pipeline_spark.operators import dedup as DD
+
+    # doc 50 is "eval" (id % 50 == 0); doc 1 copies 6 of its tokens
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(50, eval_text, "en"),
+            (1, "unrelated prefix alpha beta gamma delta epsilon zeta", "en"),
+            (2, "completely different content here entirely", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.where(F.col("doc_id") % 50 != 0)
+    hold = df.where(F.col("doc_id") % 50 == 0)
+    shared = (DD.shingle_hashes(train, n=5)
+              .join(DD.shingle_hashes(hold, n=5).select("sh").distinct(), "sh")
+              .groupBy("id").count().collect())
+    flagged = {r.id: r["count"] for r in shared}
+    assert 1 in flagged and flagged[1] == 2  # two shared 5-grams
+    assert 2 not in flagged
