@@ -133,6 +133,57 @@ def lang_predict() -> Column:
     return F.array_sort(pairs)[0]["lang"]
 
 
+def bigrams(text_col: str | Column = "text") -> Column:
+    """Adjacent-token bigram strings ("tok_i tok_i+1"). Built row-locally
+    with an indexed ``transform`` over the token array — no explode, no
+    shuffle; the whole expression stays in whole-stage codegen."""
+    toks = tokens(text_col)
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        # two-arg HOF lambda = (element, 0-based index); partner token is
+        # toks[i+1] (0-based) via F.get
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+
+
+def repetition_features(text_col: str = "text") -> list[Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters):
+
+    - ``top_token_ratio``   — occurrences of the most frequent token / all
+      tokens (high → degenerate "word soup" spam).
+    - ``dup_bigram_ratio``  — fraction of bigram occurrences that are
+      repeats of an earlier bigram in the same document.
+
+    Everything is computed row-locally with array algebra: the top-token
+    count is max over distinct tokens of that token's occurrence count
+    (O(distinct × len) per row — bounded by document length, zero
+    shuffles, linear in corpus size at 100 TB). Ratios rounded at the
+    edge (6 dp) for bit-exact oracle comparison.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bg = bigrams(text_col)
+    n_bg = F.size(bg)
+    n_bg_d = F.size(F.array_distinct(bg))
+    return [
+        n_tok.cast("long").alias("n_tokens"),
+        top_cnt.cast("long").alias("top_token_count"),
+        F.round(top_cnt / n_tok, 6).alias("top_token_ratio"),
+        n_bg.cast("long").alias("n_bigrams"),
+        n_bg_d.cast("long").alias("n_distinct_bigrams"),
+        F.when(n_bg > 0, F.round((n_bg - n_bg_d) / n_bg, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    ]
+
+
 def fingerprint_md5(text_col: str | Column = "text") -> Column:
     """Exact-content fingerprint: md5 of the raw text."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -917,6 +917,110 @@ GROUP BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: text_repetition — Gopher-style within-doc repetition signals
+# ---------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition filter features (top-token ratio,
+    duplicate-bigram ratio). Pure row-local array algebra: a single
+    projection over the corpus scan — zero shuffles at any scale."""
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", *X.repetition_features("text"))
+
+
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+    list_max(list_transform(list_distinct(toks),
+                            t2 -> len(list_filter(toks, x -> x = t2)))) AS top_cnt
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(top_cnt AS BIGINT) AS top_token_count,
+  round(top_cnt / n_tok, 6) AS top_token_ratio,
+  CAST(len(bg) AS BIGINT) AS n_bigrams,
+  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+  CASE WHEN len(bg) > 0
+       THEN round((len(bg) - len(list_distinct(bg))) / len(bg), 6)
+       ELSE 0.0 END AS dup_bigram_ratio
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus_source_mix — per-source stats + sampling mixture weights
+# ---------------------------------------------------------------------------
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition and a sqrt-scaled sampling weight
+    (mixture reweighting a la The Pile / Dolma source balancing:
+    weight ∝ total_tokens^0.5, normalized over sources).
+
+    Plan shape: one map-side-combined groupBy over the scan (keys =
+    #sources, tiny), then an unpartitioned window over the aggregated
+    frame — the window input is #sources rows, so the single-partition
+    exchange is metadata-sized at any corpus scale.
+
+    The per-source mean quality is summed exactly: each 6-dp score is
+    scaled to an integer micro-score first, so the aggregation is
+    order-independent and bit-identical to the oracle.
+    """
+    from pyspark.sql import Window
+
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    score = X.quality_features("text")[6]
+    micro = F.round(score * 1_000_000).cast("long")
+    per = df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(X.token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(micro).alias("sum_quality_micro"),
+    )
+    w = Window.partitionBy()  # aggregated frame: rows == #sources
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("sum_quality_micro") / F.col("n_docs") / 1e6, 6).alias(
+            "mean_quality"
+        ),
+        F.round(
+            F.sqrt("total_tokens") / F.sum(F.sqrt("total_tokens")).over(w), 6
+        ).alias("mix_weight"),
+    )
+
+
+# The quality score formula is re-stated inline (same expression as
+# _QUALITY_SQL) because the mix needs text+source in one relation.
+_SOURCE_MIX_SQL = f"""
+WITH t AS (
+  SELECT source, {_SQL_TOKS} AS toks,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+  FROM documents
+), f AS (
+  SELECT source, len(toks) AS n_tokens,
+    round(0.4 * round(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) / len(toks), 6)
+        + 0.4 * round(len(list_distinct(toks)) / len(toks), 6)
+        + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS quality_score
+  FROM t
+), per AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(CAST(round(quality_score * 1000000) AS BIGINT)) AS BIGINT)
+      AS sum_quality_micro
+  FROM f GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+  round(sum_quality_micro / n_docs / 1e6, 6) AS mean_quality,
+  round(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER (), 6) AS mix_weight
+FROM per
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -938,6 +1042,8 @@ QUERIES = {
     "text_redact_pii": text_redact_pii,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_decontaminate": corpus_decontaminate,
+    "text_repetition": text_repetition,
+    "corpus_source_mix": corpus_source_mix,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -965,4 +1071,6 @@ ORACLE_SQL = {
     "text_redact_pii": _redact_sql(),
     "corpus_pack_sequences": _PACK_SQL,
     "corpus_decontaminate": _DECONTAM_SQL,
+    "text_repetition": _REPETITION_SQL,
+    "corpus_source_mix": _SOURCE_MIX_SQL,
 }

@@ -226,3 +226,30 @@ def test_decontaminate_flags_planted_overlap(spark):
     flagged = {r.id: r["count"] for r in shared}
     assert 1 in flagged and flagged[1] == 2  # two shared 5-grams
     assert 2 not in flagged
+
+
+def test_repetition_features(spark):
+    rows = [
+        (1, "a a a a b"),          # top token 'a' x4/5; bigrams: aa aa aa ab -> dup 'a a' x3of4
+        (2, "x y z w"),            # all unique: top 1/4, no dup bigrams
+        (3, "go go go go"),        # fully degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x for x in df.select("doc_id", *X.repetition_features("text")).collect()}
+    assert r[1].top_token_count == 4 and r[1].top_token_ratio == 0.8
+    assert r[1].n_bigrams == 4 and r[1].n_distinct_bigrams == 2
+    assert r[1].dup_bigram_ratio == 0.5
+    assert r[2].top_token_ratio == 0.25 and r[2].dup_bigram_ratio == 0.0
+    assert r[3].top_token_ratio == 1.0
+    assert r[3].n_bigrams == 3 and r[3].n_distinct_bigrams == 1
+
+
+def test_source_mix_weights_normalize(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.plans.llm_ops import corpus_source_mix
+
+    out = corpus_source_mix(spark, sf_dir).collect()
+    assert len(out) > 1
+    total_w = sum(x.mix_weight for x in out)
+    assert abs(total_w - 1.0) < 1e-4          # weights normalize
+    assert all(0.0 < x.mix_weight < 1.0 for x in out)
+    assert all(0.0 <= x.mean_quality <= 1.0 for x in out)
