@@ -1021,6 +1021,130 @@ FROM per
 """
 
 
+# Shared 3-gram shingle CTE for the cross-document n-gram queries
+# (mirror of operators/dedup.py token_shingles/shingle_hashes at n=3).
+_SQL_SHINGLES3 = f"""
+toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))
+         AS BIGINT) AS sh
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+    FROM toks
+  )
+  WHERE length(array_to_string(list_slice(toks, i, i + 2), ' ')) > 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus_boilerplate_ngrams — cross-document boilerplate fraction
+# ---------------------------------------------------------------------------
+def corpus_boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, min_docs: int = 10
+) -> DataFrame:
+    """Cross-document boilerplate detection (CCNet / RefinedWeb-style):
+    a 3-gram shingle present in ≥ ``min_docs`` distinct documents is
+    boilerplate; report each document's boilerplate-shingle fraction.
+
+    Plan shape: one inverted-index groupBy on the 60-bit shingle hash
+    (uniform keys — no skew), then the small "hot" set is broadcast
+    back against the shingle relation. The broadcast is safe because
+    the hot set shrinks as ``min_docs`` grows; for low thresholds at
+    100 TB swap the broadcast for a shuffle semi-join on ``sh`` — the
+    key distribution stays uniform either way.
+    """
+    df = _docs(spark, sf_dir)
+    sh = D.shingle_hashes(df, n=3).persist()
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where(F.col("df_count") >= min_docs)
+        .select("sh")
+    )
+    per_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    boil = (
+        sh.join(F.broadcast(hot), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    return per_doc.join(boil, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
+        F.round(
+            F.coalesce("n_boilerplate", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("boilerplate_ratio"),
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH {_SQL_SHINGLES3},
+hot AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 10
+), per AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), b AS (
+  SELECT s.doc_id, count(*) AS n_boil
+  FROM sh s JOIN hot USING (sh) GROUP BY s.doc_id
+)
+SELECT p.doc_id,
+  CAST(p.n_shingles AS BIGINT) AS n_shingles,
+  CAST(coalesce(b.n_boil, 0) AS BIGINT) AS n_boilerplate,
+  round(coalesce(b.n_boil, 0) / p.n_shingles, 6) AS boilerplate_ratio
+FROM per p LEFT JOIN b ON p.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus_ngram_novelty — first-occurrence novelty per document
+# ---------------------------------------------------------------------------
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's 3-gram shingles that are *first seen*
+    in that document (first = lowest doc_id — e.g. earliest-crawled in
+    an id-ordered corpus). High novelty → genuinely new content; low →
+    mostly restatements of earlier documents.
+
+    This is the measurement half of first-occurrence-wins dedup: min
+    per shingle hash, then one equi-join back on the same uniform
+    60-bit key. Two well-distributed shuffles, linear in corpus size.
+    """
+    df = _docs(spark, sf_dir)
+    sh = D.shingle_hashes(df, n=3)
+    first = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("id")).cast("long")).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_ratio"),
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH {_SQL_SHINGLES3},
+fs AS (
+  SELECT sh, min(doc_id) AS first_id FROM sh GROUP BY sh
+)
+SELECT s.doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  round(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) / count(*), 6)
+    AS novelty_ratio
+FROM sh s JOIN fs f USING (sh)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1044,6 +1168,8 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "text_repetition": text_repetition,
     "corpus_source_mix": corpus_source_mix,
+    "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
+    "corpus_ngram_novelty": corpus_ngram_novelty,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -1073,4 +1199,6 @@ ORACLE_SQL = {
     "corpus_decontaminate": _DECONTAM_SQL,
     "text_repetition": _REPETITION_SQL,
     "corpus_source_mix": _SOURCE_MIX_SQL,
+    "corpus_boilerplate_ngrams": _BOILERPLATE_SQL,
+    "corpus_ngram_novelty": _NOVELTY_SQL,
 }

@@ -253,3 +253,37 @@ def test_source_mix_weights_normalize(spark, sf_dir):
     assert abs(total_w - 1.0) < 1e-4          # weights normalize
     assert all(0.0 < x.mix_weight < 1.0 for x in out)
     assert all(0.0 <= x.mean_quality <= 1.0 for x in out)
+
+
+def test_boilerplate_ngrams_planted(spark, monkeypatch, tmp_path):
+    """A footer shared by most docs must be flagged; unique text must not."""
+    from retail_sales_data_pipeline_spark.plans import llm_ops
+
+    footer = "all rights reserved worldwide"
+    rows = [(i, f"unique words {i} alpha beta {footer}") for i in range(8)]
+    rows.append((99, "totally original content with no shared trigrams at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(llm_ops, "_docs", lambda s, d: df)
+    out = {
+        r.doc_id: r
+        for r in llm_ops.corpus_boilerplate_ngrams(spark, "unused", min_docs=5).collect()
+    }
+    assert out[0].n_boilerplate > 0 and out[0].boilerplate_ratio > 0
+    assert out[99].n_boilerplate == 0 and out[99].boilerplate_ratio == 0.0
+
+
+def test_ngram_novelty_first_occurrence(spark, monkeypatch):
+    """doc 1 owns all its shingles; an exact later copy owns none."""
+    from retail_sales_data_pipeline_spark.plans import llm_ops
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # copy of 1
+        (3, "fresh sentences never before seen anywhere else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(llm_ops, "_docs", lambda s, d: df)
+    out = {r.doc_id: r for r in llm_ops.corpus_ngram_novelty(spark, "unused").collect()}
+    assert out[1].novelty_ratio == 1.0
+    assert out[2].novelty_ratio == 0.0
+    assert out[3].novelty_ratio == 1.0
