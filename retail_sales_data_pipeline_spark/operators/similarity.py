@@ -398,3 +398,127 @@ def cosine_neardup_pairs_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Symmetric int8 scalar quantization: ``round(x / scale * 127)``,
+    kept as a double array so downstream dot products are exact (every
+    partial sum is an integer far below 2^53 — order-independent,
+    bit-identical across engines, unlike float accumulation).
+
+    ``scale`` is the corpus-wide max |x|, so values land in [-127, 127].
+    Quantized vectors shrink ANN memory/io ~4× (the standard serving
+    trick); the companion query measures the ranking fidelity loss.
+    """
+    return F.transform(vec, lambda x: F.round(x / scale * 127))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by *int8-quantized* cosine, with the exact cosine emitted
+    beside it for fidelity auditing.
+
+    The quantization scale (global max |x|) is a one-row aggregate
+    broadcast into both sides — no driver round-trip, no collect. The
+    search itself is the brute-force scan path of :func:`cosine_topk`:
+    broadcast queries, single corpus scan, per-query row_number window
+    ranked by (quantized cosine desc, neighbor_id asc).
+    """
+    from pyspark.sql import Window
+
+    both = queries.unionByName(corpus).select(as_double(vec_col).alias("_e"))
+    scale = both.agg(
+        F.max(F.array_max(F.transform("_e", F.abs))).alias("_scale")
+    )
+
+    def prep(df: DataFrame, out_id: str, e: str, q: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(scale)).select(
+            F.col(id_col).alias(out_id),
+            as_double(vec_col).alias(e),
+            quantize_int8(as_double(vec_col), F.col("_scale")).alias(q),
+        )
+
+    qs = prep(queries, "query_id", "_qe", "_qq")
+    cs = prep(corpus, "neighbor_id", "_ce", "_cq")
+    pairs = cs.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qq"), F.col("_cq")), 6).alias("cosine_q"),
+        F.round(cosine(F.col("_qe"), F.col("_ce")), 6).alias("cosine_exact"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_q", "cosine_exact",
+            F.col("rk").cast("long"),
+        )
+    )
+
+
+def semantic_cell_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    2303.09540): assign every vector to its nearest anchor (cell), then
+    verify cosine only on same-cell pairs.
+
+    The anchor set is tiny and broadcast, so assignment is one scan;
+    the pair search is an equi-join on ``cell`` — candidate work is
+    Σ cell_size² instead of n², and at 100 TB you raise the anchor
+    count k so cells stay bounded (SemDeDup uses k in the tens of
+    thousands). Assignment ranks by (rounded cosine desc, anchor_id
+    asc) — deterministic in both engines.
+
+    Output: ``id_a, id_b, cell, cosine`` for same-cell pairs with
+    cosine ≥ threshold.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), as_double(vec_col).alias("_a")
+    )
+    v = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("_v"))
+    scored = v.crossJoin(F.broadcast(a)).select(
+        "id",
+        "_v",
+        "anchor_id",
+        F.round(cosine(F.col("_v"), F.col("_a")), 6).alias("_sim"),
+    )
+    # argmax via max(struct): map-side combine collapses the k scored
+    # rows per vector BEFORE the shuffle (a window over the exploded
+    # relation would shuffle all n·k vector payloads). max(struct)
+    # orders by (_sim, -anchor_id) = best cosine, lowest-anchor tiebreak;
+    # every row of an id carries the same _v, so first() is exact.
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(F.col("_sim").alias("s"), (-F.col("anchor_id")).alias("na"))
+        ).alias("_b"),
+        F.first("_v").alias("_v"),
+    )
+    assigned = best.select(
+        "id", (-F.col("_b.na")).cast("long").alias("cell"), "_v"
+    )
+    left = assigned.select(F.col("id").alias("id_a"), "cell", F.col("_v").alias("_va"))
+    right = assigned.select(F.col("id").alias("id_b"), "cell", F.col("_v").alias("_vb"))
+    return (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -314,6 +314,97 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q: ann_quantized_topk — int8 scalar-quantized cosine top-5 with the
+# exact cosine beside it (fidelity audit of the 4×-smaller index)
+# ---------------------------------------------------------------------------
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.quantized_topk(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+_QUANTIZED_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT max(list_max(list_transform(e, x -> abs(x)))) AS scale FROM vecs
+), vq AS (
+  SELECT vec_id, e, list_transform(e, x -> round(x / scale * 127)) AS qz
+  FROM vecs, s
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, qz AS qq FROM vq WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, e AS ce, qz AS cq FROM vq WHERE vec_id >= 10
+), pairs AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qq, cq)
+          / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(cq, cq))),
+          6) AS cosine_q,
+    round(list_dot_product(qe, ce)
+          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+          6) AS cosine_exact
+  FROM q, c
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_q, cosine_exact,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_q DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_q, cosine_exact, rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_semantic_cells — SemDeDup-style dedup: nearest-anchor cell
+# assignment + within-cell cosine pairs on the planted-variant corpus.
+# Anchors = the first 8 embeddings (deterministic stand-in for k-means
+# centroids, which would make the query non-oracle-able).
+# ---------------------------------------------------------------------------
+N_ANCHORS = 8
+
+
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    anchors = _emb(spark, sf_dir).where(F.col("vec_id") < N_ANCHORS)
+    return S.semantic_cell_pairs(
+        corpus, anchors, threshold=0.9, id_col="vec_id", vec_col="embedding"
+    )
+
+
+_SEMANTIC_CELLS_SQL = f"""
+WITH {_NEARDUP_CORPUS_SQL},
+anchors AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS a
+  FROM embeddings WHERE vec_id < {N_ANCHORS}
+), scored AS (
+  SELECT c.id, c.e, a.anchor_id,
+    round(list_dot_product(c.e, a.a)
+          / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(a.a, a.a))),
+          6) AS sim
+  FROM corpus c, anchors a
+), assigned AS (
+  SELECT id, e, anchor_id AS cell FROM (
+    SELECT id, e, anchor_id,
+      row_number() OVER (PARTITION BY id ORDER BY sim DESC, anchor_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT l.id AS id_a, r.id AS id_b, l.cell,
+  round(list_dot_product(l.e, r.e)
+        / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))),
+        6) AS cosine
+FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.id < r.id
+WHERE round(list_dot_product(l.e, r.e)
+      / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))),
+      6) >= 0.9
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -322,6 +413,8 @@ QUERIES = {
     "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
     "ann_recall_at_5": ann_recall_at_5,
     "kmeans_embeddings": kmeans_embeddings,
+    "ann_quantized_topk": ann_quantized_topk,
+    "dedup_semantic_cells": dedup_semantic_cells,
 }
 
 # iterative algorithm — no single-query SQL twin; driver does rows-only
@@ -334,4 +427,6 @@ ORACLE_SQL = {
     "dedup_embedding_cosine": _NEARDUP_SQL,
     "bench_ann_cosine_arrow": _COSINE_SQL,
     "ann_recall_at_5": _RECALL_SQL,
+    "ann_quantized_topk": _QUANTIZED_SQL,
+    "dedup_semantic_cells": _SEMANTIC_CELLS_SQL,
 }

@@ -134,3 +134,54 @@ def test_neardup_banded_recall_beats_flat(spark):
     assert len(banded) >= len(flat)  # OR-across-bands only adds recall
     planted = {(i, 100 + i) for i in range(0, 30, 3)} & brute
     assert planted <= banded  # near-identical pairs survive banding
+
+
+def test_quantized_topk_fidelity(spark, vecs):
+    out = S.quantized_topk(
+        corpus=vecs.where(F.col("vec_id") > 0),
+        queries=vecs.where(F.col("vec_id") == 0),
+        k=4,
+    ).collect()
+    assert len(out) == 4
+    by_rank = sorted(out, key=lambda r: r.rk)
+    # same direction (id 4) must stay rank 1 even after quantization
+    assert by_rank[0].neighbor_id == 4 and by_rank[0].cosine_q == 1.0
+    # int8 quantization of 4-dim unit-ish vectors stays close to exact
+    assert all(abs(r.cosine_q - r.cosine_exact) < 0.02 for r in out)
+
+
+def test_quantize_int8_range(spark, vecs):
+    both = vecs.select(S.as_double("embedding").alias("e"))
+    scale = both.agg(F.max(F.array_max(F.transform("e", F.abs))).alias("s"))
+    q = (
+        both.crossJoin(scale)
+        .select(S.quantize_int8(F.col("e"), F.col("s")).alias("q"))
+        .select(F.explode("q").alias("v"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .first()
+    )
+    assert -127 <= q.lo and q.hi <= 127
+
+
+def test_semantic_cells_recall_and_precision(spark):
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    from retail_sales_data_pipeline_spark.plans.vector_ops import (
+        _neardup_corpus,
+        dedup_semantic_cells,
+    )
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_pairs(corpus, threshold=0.9).collect()
+    }
+    got_rows = dedup_semantic_cells(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    # precision: every emitted pair is a true near-dup pair
+    assert got <= truth
+    # recall: cell partitioning may split pairs across cells, but most
+    # planted variants land with their original
+    assert len(got) >= 0.7 * len(truth) > 0
+    assert all(r.cosine >= 0.9 for r in got_rows)
