@@ -34,6 +34,8 @@ HEADLINE = [
     "events_asof_attribution",
     "corpus_tfidf_terms",
     "ann_lsh_topk",
+    "corpus_boilerplate_ngrams",
+    "dedup_semantic_cells",
 ]
 
 

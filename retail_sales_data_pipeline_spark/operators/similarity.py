@@ -506,11 +506,25 @@ def semantic_cell_pairs(
         ).alias("_b"),
         F.first("_v").alias("_v"),
     )
+    # Materialize the norm once per vector: the pair step then computes
+    # ONE dot per pair instead of three (dot + both norms). The division
+    # dot/(norm_a*norm_b) is the same float expression the oracle uses,
+    # so caching the norms changes cost, not values. Persist: both join
+    # sides branch from this frame.
     assigned = best.select(
-        "id", (-F.col("_b.na")).cast("long").alias("cell"), "_v"
+        "id",
+        (-F.col("_b.na")).cast("long").alias("cell"),
+        "_v",
+        norm(F.col("_v")).alias("_n"),
+    ).persist()
+    left = assigned.select(
+        F.col("id").alias("id_a"), "cell",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
     )
-    left = assigned.select(F.col("id").alias("id_a"), "cell", F.col("_v").alias("_va"))
-    right = assigned.select(F.col("id").alias("id_b"), "cell", F.col("_v").alias("_vb"))
+    right = assigned.select(
+        F.col("id").alias("id_b"), "cell",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
     return (
         left.join(right, "cell")
         .where(F.col("id_a") < F.col("id_b"))
@@ -518,7 +532,9 @@ def semantic_cell_pairs(
             "id_a",
             "id_b",
             "cell",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
