@@ -370,8 +370,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(nodes, pairs)
 
 
-_DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_SQL_NEARDUP_CORPUS},
+# CTE prefix shared by the cluster-labeling query and the keep-canonical
+# apply step (everything through the transitive closure `reach`).
+_CLUSTERS_CTES = f"""{_SQL_NEARDUP_CORPUS},
 {_SQL_SHINGLES},
 based AS (
   SELECT id, sh % 2147483647 AS base FROM shingles
@@ -417,7 +418,10 @@ reach(id, lbl) AS (
   SELECT doc_id AS id, doc_id AS lbl FROM (SELECT id AS doc_id FROM corpus)
   UNION
   SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
-)
+)"""
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
 SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 
@@ -1021,6 +1025,130 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: dedup_keep_canonical — the APPLY step of the dedup pipeline:
+# detection (MinHash+LSH pairs) → clustering (connected components) →
+# keep one representative per cluster (the min-id canonical). Output =
+# the surviving corpus with each survivor's cluster size — what you
+# actually write back out as the deduplicated training set.
+# ---------------------------------------------------------------------------
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_clusters(spark, sf_dir)  # (id, cluster_id)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.where(F.col("id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+_KEEP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+labels AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+),
+csizes AS (
+  SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id
+)
+SELECT l.id AS doc_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM labels l JOIN csizes s ON l.cluster_id = s.cluster_id
+WHERE l.id = l.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text_langid_confusion — the evaluation matrix for the language-ID
+# heuristic: true label × prediction with per-language share. The
+# aggregation input is one row per document, so the confusion matrix
+# costs a single bounded groupBy (|langs|² keys) at any corpus scale.
+# ---------------------------------------------------------------------------
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pred = text_lang_id(spark, sf_dir).select("lang", "lang_pred")
+    per = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH lp AS ({_lang_sql()})
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+  round(count(*) / sum(count(*)) OVER (PARTITION BY lang), 6) AS share
+FROM lp GROUP BY lang, lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus_unigram_logprob — language-model quality proxy (the CCNet
+# trick, Wenzek et al. 2020: rank documents by LM perplexity; here the
+# LM is the corpus's own unigram distribution). Low avg log-probability
+# → rare-token-heavy gibberish; suspiciously high → repetitive spam.
+#
+# Scale shape: token explode is a flatMap projection (no shuffle); the
+# unigram table is one Heaps'-law-bounded groupBy (vocabulary ≪ corpus,
+# broadcastable); the per-doc aggregation map-side combines. Per-token
+# log-probs are rounded to integer micro-units BEFORE summing, so the
+# aggregation is order-independent and oracle-exact.
+# ---------------------------------------------------------------------------
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freqs.agg(F.sum("tf").alias("n_total"))
+    lp = freqs.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("tf") / F.col("n_total")) * 1e6)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp_micro").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_s") / F.col("n_tokens") / 1e6, 6).alias("avg_logprob"),
+        )
+    )
+
+
+_UNIGRAM_LP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), freqs AS (
+  SELECT token, count(*) AS tf FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM freqs
+), lp AS (
+  SELECT token, CAST(round(ln(tf / n_total) * 1000000) AS BIGINT) AS lp_micro
+  FROM freqs, tot
+)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(CAST(sum(lp_micro) AS BIGINT) / count(*) / 1e6, 6) AS avg_logprob
+FROM toks t JOIN lp USING (token)
+GROUP BY t.doc_id
+"""
+
+
 # Shared 3-gram shingle CTE for the cross-document n-gram queries
 # (mirror of operators/dedup.py token_shingles/shingle_hashes at n=3).
 _SQL_SHINGLES3 = f"""
@@ -1170,6 +1298,9 @@ QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
     "corpus_ngram_novelty": corpus_ngram_novelty,
+    "dedup_keep_canonical": dedup_keep_canonical,
+    "text_langid_confusion": text_langid_confusion,
+    "corpus_unigram_logprob": corpus_unigram_logprob,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -1201,4 +1332,7 @@ ORACLE_SQL = {
     "corpus_source_mix": _SOURCE_MIX_SQL,
     "corpus_boilerplate_ngrams": _BOILERPLATE_SQL,
     "corpus_ngram_novelty": _NOVELTY_SQL,
+    "dedup_keep_canonical": _KEEP_CANONICAL_SQL,
+    "text_langid_confusion": _langid_confusion_sql(),
+    "corpus_unigram_logprob": _UNIGRAM_LP_SQL,
 }

@@ -287,3 +287,56 @@ def test_ngram_novelty_first_occurrence(spark, monkeypatch):
     assert out[1].novelty_ratio == 1.0
     assert out[2].novelty_ratio == 0.0
     assert out[3].novelty_ratio == 1.0
+
+
+def test_keep_canonical_invariants(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.plans.llm_ops import (
+        dedup_clusters,
+        dedup_keep_canonical,
+    )
+
+    labels = dedup_clusters(spark, sf_dir)
+    kept = dedup_keep_canonical(spark, sf_dir)
+    n_clusters = labels.select("cluster_id").distinct().count()
+    # exactly one survivor per cluster, and the survivor IS the label
+    assert kept.count() == n_clusters
+    assert kept.select(F.sum("cluster_size")).first()[0] == labels.count()
+    # canonical = min id of its cluster: no survivor has id > its cluster_id
+    joined = kept.join(labels, kept.doc_id == labels.id)
+    assert joined.where(F.col("doc_id") != F.col("cluster_id")).count() == 0
+
+
+def test_langid_confusion_shares(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.plans.llm_ops import (
+        text_langid_confusion,
+    )
+
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0.0)
+        by_lang[r.lang] += r.share
+    assert all(abs(s - 1.0) < 1e-4 for s in by_lang.values())
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n for r in rows) == n_docs  # every document is classified once
+
+
+def test_unigram_logprob_ranks_rare_tokens_lower(spark, monkeypatch):
+    from retail_sales_data_pipeline_spark.plans import llm_ops
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common rare"),
+        (3, "rare unique singleton oddity"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(llm_ops, "_docs", lambda s, d: df)
+    out = {
+        r.doc_id: r.avg_logprob
+        for r in llm_ops.corpus_unigram_logprob(spark, "unused").collect()
+    }
+    # all-common doc scores highest; rare-token doc lowest
+    assert out[1] > out[2] > out[3]
+    import math
+    # doc 1: every token has p = 7/12 -> avg ln(7/12)
+    assert abs(out[1] - round(math.log(7 / 12), 6)) < 1e-5
