@@ -298,6 +298,57 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: events_approx_quantiles — sketch quantiles with a rank-based
+# tolerance gate. percentile_approx (KLL-style at accuracy=10000) is
+# engine-specific, so the hash-checkable output carries the EXACT
+# p50/p95/p99 plus `approx_ok` = every approx value lying between the
+# exact quantiles at p±0.005 (the sketch's rank-error contract, robust
+# to the value scale — unlike a relative-error bound near zero). The
+# oracle recomputes the exact quantiles and asserts TRUE. At 100 TB you
+# keep only the single-pass sketch; the exact columns exist to make the
+# approximate operator verifiable.
+# ---------------------------------------------------------------------------
+_QPS = [0.5, 0.95, 0.99]
+_QEPS = 0.005
+
+
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", ["event_type", "value"])
+    lo = [p - _QEPS for p in _QPS]
+    hi = [p + _QEPS for p in _QPS]
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.percentile_approx("value", _QPS, 10000).alias("_aq"),
+        F.expr(f"percentile(value, array({','.join(map(str, _QPS))}))").alias("_eq"),
+        F.expr(f"percentile(value, array({','.join(map(str, lo))}))").alias("_lo"),
+        F.expr(f"percentile(value, array({','.join(map(str, hi))}))").alias("_hi"),
+    )
+    ok = None
+    for i in range(len(_QPS)):
+        cond = (F.col("_aq")[i] >= F.col("_lo")[i]) & (
+            F.col("_aq")[i] <= F.col("_hi")[i]
+        )
+        ok = cond if ok is None else (ok & cond)
+    return agg.select(
+        "event_type",
+        "n_events",
+        *[F.round(F.col("_eq")[i], 6).alias(f"p{int(p * 100)}") for i, p in enumerate(_QPS)],
+        ok.alias("approx_ok"),
+    )
+
+
+_APPROX_QUANTILES_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99,
+  TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
@@ -309,6 +360,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_dedup_rollup": streaming_dedup_rollup,
+    "events_approx_quantiles": events_approx_quantiles,
 }
 
 ORACLE_SQL = {
@@ -322,4 +374,5 @@ ORACLE_SQL = {
     "events_cohort_retention": _COHORT_SQL,
     "streaming_hourly_rollup": _HOURLY_SQL,
     "streaming_dedup_rollup": _DEDUP_ROLLUP_SQL,
+    "events_approx_quantiles": _APPROX_QUANTILES_SQL,
 }
