@@ -588,6 +588,86 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus_quality_sample — quality-weighted rejection sampling: keep
+# each document with probability equal to its quality score, using an
+# md5-derived uniform variate so the sample is deterministic and
+# reproducible across engines, reruns, and partitionings (the property
+# that makes a 100 TB subset build auditable). Stateless filter — zero
+# shuffles, exactly like the flat/stratified samplers.
+# ---------------------------------------------------------------------------
+def corpus_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    score = X.quality_features("text")[6]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    ) / 1_000_000.0
+    return (
+        df.select(
+            "doc_id",
+            "lang",
+            X.token_count("text").cast("long").alias("n_tokens"),
+            score.alias("quality_score"),
+            u.alias("u"),
+        )
+        .where(F.col("u") < F.col("quality_score"))
+        .drop("u")
+    )
+
+
+_QUALITY_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+    round(0.4 * round(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) / len(toks), 6)
+        + 0.4 * round(len(list_distinct(toks)) / len(toks), 6)
+        + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS quality_score
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+FROM f
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 1000000) / 1000000.0 < quality_score
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_incremental — dedup a NEW batch against an existing corpus
+# index (the production shape: history's band keys live in a store;
+# each incoming batch joins its band keys against the index and only
+# cross-batch candidates are verified). Here the planted variants play
+# the new batch and the original documents the index. Candidate
+# restriction commutes with Jaccard verification, so the oracle is the
+# full MinHash pair query filtered to cross-split pairs.
+# ---------------------------------------------------------------------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(_docs(spark, sf_dir))
+    sh = D.shingle_hashes(corpus)
+    bands = D.lsh_band_keys(D.minhash_signatures(sh, num_hashes=8), rows_per_band=2)
+    idx = bands.where(F.col("id") < 100000)
+    new = bands.where(F.col("id") >= 100000)
+    cand = (
+        new.select(F.col("id").alias("id_b"), "band", "band_key")
+        .join(
+            idx.select(F.col("id").alias("id_a"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return D.jaccard_verify(cand, sh, threshold=0.5)
+
+
+_INCREMENTAL_SQL = f"""
+WITH m AS ({_DEDUP_MINHASH_SQL})
+SELECT id_a, id_b, jaccard FROM m
+WHERE id_a < 100000 AND id_b >= 100000
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_report — per-(lang, source) corpus rollup of the quality
 # features (the "dataset card" aggregation a training pipeline emits)
 # ---------------------------------------------------------------------------
@@ -1301,6 +1381,8 @@ QUERIES = {
     "dedup_keep_canonical": dedup_keep_canonical,
     "text_langid_confusion": text_langid_confusion,
     "corpus_unigram_logprob": corpus_unigram_logprob,
+    "corpus_quality_sample": corpus_quality_sample,
+    "dedup_incremental": dedup_incremental,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -1335,4 +1417,6 @@ ORACLE_SQL = {
     "dedup_keep_canonical": _KEEP_CANONICAL_SQL,
     "text_langid_confusion": _langid_confusion_sql(),
     "corpus_unigram_logprob": _UNIGRAM_LP_SQL,
+    "corpus_quality_sample": _QUALITY_SAMPLE_SQL,
+    "dedup_incremental": _INCREMENTAL_SQL,
 }

@@ -71,6 +71,49 @@ def read_csv_permissive(
     return good, rejects
 
 
+def read_json_permissive(
+    spark: SparkSession,
+    path: str | list[str],
+    schema,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines reader with the same row-level validation contract as
+    :func:`read_csv_permissive`: returns ``(good, rejects)``, where a
+    malformed line lands in the rejects frame's ``_corrupt_record``
+    instead of failing the file. An explicit schema is required — at
+    corpus scale a sampling ``inferSchema`` pass over the input is a
+    full extra read (and drifts when new files add fields).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .json(path)
+    ).cache()  # same corrupt-column filter restriction as CSV
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, rejects
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ORC scan. ORC carries its own schema and column statistics, so
+    like parquet there is no permissive/infer split — the format-level
+    reader plus an optional projection (which reaches the scan as
+    column pruning, same as the parquet path in ``sources/tables.py``).
+    """
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
 def read_csv_full(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,81 @@
+"""Round-trip tests for the JSON and ORC source paths: write the
+documents table out in each format, read it back through the source
+API, and require exact content equality with the parquet original.
+Also pins the JSON permissive contract (bad line → rejects, not
+failure)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from retail_sales_data_pipeline_spark.sources.files import (
+    read_json_permissive,
+    read_orc,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _assert_same_rows(a, b):
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_json_round_trip(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").json(out)
+    good, rejects = read_json_permissive(spark, out, DOC_SCHEMA)
+    assert rejects.count() == 0
+    _assert_same_rows(good, docs)
+
+
+def test_json_permissive_routes_bad_lines(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+    )
+    good, rejects = read_json_permissive(spark, str(p), DOC_SCHEMA)
+    assert good.count() == 2
+    assert rejects.count() == 1
+    assert "not json" in rejects.first()._corrupt_record
+
+
+def test_orc_round_trip(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = read_orc(spark, out)
+    _assert_same_rows(back, docs)
+
+
+def test_orc_column_pruning_reaches_scan(spark, docs, tmp_path):
+    import contextlib
+    import io
+
+    out = str(tmp_path / "docs_orc2")
+    docs.write.mode("overwrite").orc(out)
+    pruned = read_orc(spark, out, columns=["doc_id", "lang"])
+    assert pruned.columns == ["doc_id", "lang"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.where(F.col("lang") == "en").explain("formatted")
+    plan = buf.getvalue()
+    # projection and predicate both reach the ORC scan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:120]
