@@ -1353,6 +1353,176 @@ GROUP BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus_curation_funnel — the END-TO-END curation DAG as one query:
+#   raw → length gate → quality gate → repetition gate (Gopher) →
+#   boilerplate gate (cross-doc) → bag-fingerprint dedup (keep-first)
+#   → decontamination (drop holdout + eval-overlapping docs)
+# reported as a funnel (stage, surviving docs, surviving tokens) — the
+# dataset-card table a real training-data build publishes.
+#
+# Composition notes: every per-doc signal lands in ONE frame (two
+# left joins: the inverted-index boilerplate ratio and the broadcast
+# contamination flag), the six gates are cumulative boolean columns,
+# and the keep-first dedup among gate-4 survivors is a running count
+# over (fp_bag, doc_id) — so the whole funnel aggregates in a single
+# pass over the per-doc frame. At 100 TB: two indexed joins + one
+# window + one global aggregate; no stage scans the corpus twice.
+# ---------------------------------------------------------------------------
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    feats = X.quality_features("text")
+    rep = X.repetition_features("text")
+    base = df.select(
+        "doc_id",
+        feats[0].cast("long").alias("n_tokens"),
+        feats[6],
+        rep[2],  # top_token_ratio
+        rep[5],  # dup_bigram_ratio
+        X.fingerprint_bag("text").alias("fp_bag"),
+    )
+    bp = corpus_boilerplate_ngrams(spark, sf_dir).select(
+        "doc_id", "boilerplate_ratio"
+    )
+    sh5 = D.shingle_hashes(_docs(spark, sf_dir), n=5)
+    ev = sh5.where(F.col("id") % 50 == 0).select("sh").distinct()
+    contam = (
+        sh5.join(F.broadcast(ev), "sh")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("_contam", F.lit(True))
+    )
+    per = (
+        base.join(bp, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn("boilerplate_ratio", F.coalesce("boilerplate_ratio", F.lit(0.0)))
+        .withColumn("_contam", F.coalesce("_contam", F.lit(False)))
+        .withColumn("c0", F.lit(True))
+        .withColumn("c1", F.col("n_tokens").between(20, 400))
+        .withColumn("c2", F.col("c1") & (F.col("quality_score") >= 0.32))
+        .withColumn(
+            "c3",
+            F.col("c2")
+            & (F.col("top_token_ratio") <= 0.2)
+            & (F.col("dup_bigram_ratio") <= 0.2),
+        )
+        .withColumn("c4", F.col("c3") & (F.col("boilerplate_ratio") <= 0.5))
+    )
+    w = (
+        Window.partitionBy("fp_bag")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per = per.withColumn(
+        "c5", F.col("c4") & (F.sum(F.col("c4").cast("int")).over(w) == 1)
+    ).withColumn("c6", F.col("c5") & ~F.col("_contam"))
+    agg = per.agg(
+        *[F.sum(F.col(f"c{i}").cast("long")).alias(f"d{i}") for i in range(7)],
+        *[
+            F.sum(F.when(F.col(f"c{i}"), F.col("n_tokens")).otherwise(0)).alias(
+                f"t{i}"
+            )
+            for i in range(7)
+        ],
+    )
+    stages = [
+        "raw", "length", "quality", "repetition",
+        "boilerplate", "bag_dedup", "decontaminated",
+    ]
+    stack_args = ", ".join(
+        f"{i}L, '{s}', d{i}, t{i}" for i, s in enumerate(stages)
+    )
+    return agg.select(
+        F.expr(
+            f"stack(7, {stack_args}) as (stage_idx, stage, n_docs, total_tokens)"
+        )
+    )
+
+
+_CURATION_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+  FROM documents
+), feat AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    round(0.4 * round(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) / len(toks), 6)
+        + 0.4 * round(len(list_distinct(toks)) / len(toks), 6)
+        + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS quality_score,
+    round(list_max(list_transform(list_distinct(toks),
+                                  t2 -> len(list_filter(toks, x -> x = t2))))
+          / len(toks), 6) AS top_token_ratio,
+    CASE WHEN len(toks) > 1 THEN
+      round((len(toks) - 1 - len(list_distinct(
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]))))
+            / (len(toks) - 1), 6)
+      ELSE 0.0 END AS dup_bigram_ratio,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
+  FROM t
+), sh3 AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))
+         AS BIGINT) AS sh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        FROM t)
+  WHERE length(array_to_string(list_slice(toks, i, i + 2), ' ')) > 0
+), hot AS (
+  SELECT sh FROM sh3 GROUP BY sh HAVING count(*) >= 10
+), bp AS (
+  SELECT s.doc_id,
+    round(count(CASE WHEN h.sh IS NOT NULL THEN 1 END) / count(*), 6) AS boilerplate_ratio
+  FROM sh3 s LEFT JOIN hot h ON s.sh = h.sh
+  GROUP BY s.doc_id
+), sh5 AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))
+         AS BIGINT) AS sh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+        FROM t)
+  WHERE length(array_to_string(list_slice(toks, i, i + 4), ' ')) > 0
+), ev AS (
+  SELECT DISTINCT sh FROM sh5 WHERE doc_id % 50 = 0
+), contam AS (
+  SELECT DISTINCT s.doc_id FROM sh5 s JOIN ev ON s.sh = ev.sh
+), gated AS (
+  SELECT f.doc_id, f.n_tokens, f.fp_bag,
+    TRUE AS c0,
+    (f.n_tokens BETWEEN 20 AND 400) AS c1,
+    (f.n_tokens BETWEEN 20 AND 400) AND f.quality_score >= 0.32 AS c2,
+    (f.n_tokens BETWEEN 20 AND 400) AND f.quality_score >= 0.32
+      AND f.top_token_ratio <= 0.2 AND f.dup_bigram_ratio <= 0.2 AS c3,
+    (f.n_tokens BETWEEN 20 AND 400) AND f.quality_score >= 0.32
+      AND f.top_token_ratio <= 0.2 AND f.dup_bigram_ratio <= 0.2
+      AND coalesce(b.boilerplate_ratio, 0.0) <= 0.5 AS c4,
+    (c.doc_id IS NOT NULL) AS is_contam
+  FROM feat f
+  LEFT JOIN bp b ON f.doc_id = b.doc_id
+  LEFT JOIN contam c ON f.doc_id = c.doc_id
+), keyed AS (
+  SELECT *,
+    c4 AND (sum(CASE WHEN c4 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY fp_bag ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) = 1) AS c5
+  FROM gated
+), flagged AS (
+  SELECT *, c5 AND NOT is_contam AS c6 FROM keyed
+), agg AS (
+  SELECT
+    {", ".join(f"CAST(sum(CASE WHEN c{i} THEN 1 ELSE 0 END) AS BIGINT) AS d{i}, "
+               f"CAST(sum(CASE WHEN c{i} THEN n_tokens ELSE 0 END) AS BIGINT) AS t{i}"
+               for i in range(7))}
+  FROM flagged
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{s}' AS stage, d{i} AS n_docs, t{i} AS total_tokens FROM agg"
+    for i, s in enumerate(["raw", "length", "quality", "repetition",
+                           "boilerplate", "bag_dedup", "decontaminated"]))}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1383,6 +1553,7 @@ QUERIES = {
     "corpus_unigram_logprob": corpus_unigram_logprob,
     "corpus_quality_sample": corpus_quality_sample,
     "dedup_incremental": dedup_incremental,
+    "corpus_curation_funnel": corpus_curation_funnel,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -1419,4 +1590,5 @@ ORACLE_SQL = {
     "corpus_unigram_logprob": _UNIGRAM_LP_SQL,
     "corpus_quality_sample": _QUALITY_SAMPLE_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
+    "corpus_curation_funnel": _CURATION_FUNNEL_SQL,
 }

@@ -340,3 +340,22 @@ def test_unigram_logprob_ranks_rare_tokens_lower(spark, monkeypatch):
     import math
     # doc 1: every token has p = 7/12 -> avg ln(7/12)
     assert abs(out[1] - round(math.log(7 / 12), 6)) < 1e-5
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.plans.llm_ops import corpus_curation_funnel
+
+    rows = sorted(
+        corpus_curation_funnel(spark, sf_dir).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "length", "quality", "repetition",
+        "boilerplate", "bag_dedup", "decontaminated",
+    ]
+    n_docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows[0].n_docs == n_docs_raw
+    # each gate only removes
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs and b.total_tokens <= a.total_tokens
+    # the pipeline keeps something and removes something
+    assert 0 < rows[-1].n_docs < n_docs_raw
