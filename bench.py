@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end including the action that materializes it
-(count of a noop-projected frame — forces the full plan without
-collecting rows to the driver).
+Each query is timed end-to-end including the action that materializes
+it: a write to the built-in `noop` sink, which evaluates every output
+column without collecting rows to the driver. (A bare ``count()`` is
+NOT a valid bench action for projection-shaped queries — Catalyst
+prunes all unreferenced column work under count, so a pure per-row
+feature query would time only its scan.)
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "corpus_boilerplate_ngrams",
     "dedup_semantic_cells",
+    "corpus_curation_funnel",
 ]
 
 
@@ -49,7 +53,9 @@ def _warmup(spark, queries, names: list[str]) -> None:
         return
     for name in names:
         try:
-            queries[name](spark, small).count()
+            queries[name](spark, small).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces errors
 
@@ -72,9 +78,11 @@ def main() -> None:
         best, n = None, 0
         for _ in range(2):
             t0 = time.perf_counter()
-            n = queries[name](spark, sf_dir).count()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        n = df.count()  # row count for the stderr line only (untimed)
         spark.catalog.clearCache()  # bound cache growth across queries
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)

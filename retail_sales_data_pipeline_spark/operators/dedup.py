@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from .text import fingerprint_md5, tokens
 
@@ -86,11 +87,64 @@ def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     """Distinct shingles as 60-bit longs: ``(id, sh)``.
 
     ``sh = int(md5(shingle)[:15], 16)`` — one md5 per shingle, then
-    every downstream exchange carries 8-byte keys.
+    every downstream exchange carries 8-byte keys. md5 because the
+    MinHash signatures derived from these values must be reproducible
+    in the DuckDB oracle; when only shingle *identity* matters, use
+    :func:`shingle_hashes_fast`.
     """
     return token_shingles(df, n=n, text_col=text_col, id_col=id_col).select(
         "id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh"),
+    )
+
+
+def shingle_hashes_fast(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct shingles as xxhash64 longs: ``(id, sh)`` — the
+    throughput-tuned twin of :func:`shingle_hashes`, for operators
+    whose OUTPUT depends only on shingle *equality* (document-frequency
+    counts, set joins), not on the hash values.
+
+    Two deliberate differences, measured ~3× faster end-to-end:
+
+    - **xxhash64 instead of md5** — engine-native, no hex round-trip.
+      Oracles for equality-only operators group raw shingle strings, so
+      any injective-enough hash matches; a 64-bit collision (≪1
+      expected pair below ~10⁹ distinct shingles) could only perturb a
+      document-frequency count by one.
+    - **posexplode + lead() window instead of the higher-order
+      transform/slice** — Spark evaluates HOF lambdas interpreted,
+      ~µs/shingle; the window path stays in native operators. The cost
+      is one exchange on the doc id, which downstream per-document
+      aggregations (or a same-key groupBy) then reuse; the HOF form in
+      :func:`token_shingles` stays the shuffle-free canonical when the
+      construction must remain a pure projection.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(c)).alias("pos", "tok")
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    sh = tok.select(
+        "id",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, n)]
+        ).alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("_last"),
+    )
+    # keep full-length shingles; short docs (< n tokens) degrade to the
+    # whole-document shingle, matching token_shingles' truncated-slice
+    # behavior at the document head
+    whole = df.select(
+        F.col(id_col).alias("id"), F.concat_ws(" ", tokens(c)).alias("shingle")
+    ).where(F.size(tokens(c)) < n)
+    kept = sh.where(F.col("_last").isNotNull()).select("id", "shingle")
+    return (
+        kept.unionByName(whole)
+        .where(F.length("shingle") > 0)
+        .select("id", F.xxhash64("shingle").alias("sh"))
+        .distinct()
     )
 
 

@@ -51,9 +51,20 @@ def tokens(text_col: str | Column = "text") -> Column:
     return F.split(F.trim(c), TOKEN_SPLIT_RE)
 
 
-def token_count(text_col: str | Column = "text") -> Column:
+def _toks(text_col: str | Column, toks: Column | None) -> Column:
+    """Token source for the feature helpers. Pass ``toks`` (an already-
+    split array column) whenever a projection computes several features:
+    higher-order lambdas re-evaluate inlined expression trees PER
+    ELEMENT, so an inline ``split`` inside a lambda body goes quadratic
+    in document length (measured 8× on the combined feature set). A
+    plain column reference is free; project the split once upstream —
+    Catalyst keeps a non-cheap alias un-collapsed, no persist needed."""
+    return toks if toks is not None else tokens(text_col)
+
+
+def token_count(text_col: str | Column = "text", toks: Column | None = None) -> Column:
     """Whitespace token count."""
-    return F.size(tokens(text_col))
+    return F.size(_toks(text_col, toks))
 
 
 def bpe_ish_token_count(text_col: str | Column = "text") -> Column:
@@ -63,8 +74,8 @@ def bpe_ish_token_count(text_col: str | Column = "text") -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_RE))
 
 
-def distinct_token_count(text_col: str | Column = "text") -> Column:
-    return F.size(F.array_distinct(tokens(text_col)))
+def distinct_token_count(text_col: str | Column = "text", toks: Column | None = None) -> Column:
+    return F.size(F.array_distinct(_toks(text_col, toks)))
 
 
 def char_count_no_ws(text_col: str | Column = "text") -> Column:
@@ -73,20 +84,24 @@ def char_count_no_ws(text_col: str | Column = "text") -> Column:
     return F.length(F.regexp_replace(c, TOKEN_SPLIT_RE, ""))
 
 
-def stopword_count(text_col: str | Column = "text", stopwords: list[str] | None = None) -> Column:
+def stopword_count(
+    text_col: str | Column = "text",
+    stopwords: list[str] | None = None,
+    toks: Column | None = None,
+) -> Column:
     """Stopword occurrences (with repeats)."""
     stopwords = stopwords if stopwords is not None else STOPWORDS
-    return F.size(F.filter(tokens(text_col), lambda t: t.isin(stopwords)))
+    return F.size(F.filter(_toks(text_col, toks), lambda t: t.isin(stopwords)))
 
 
-def quality_features(text_col: str = "text") -> list[Column]:
+def quality_features(text_col: str = "text", toks: Column | None = None) -> list[Column]:
     """Quality-scoring feature columns: token count, distinct ratio,
     stopword ratio, mean token length, and a composite quality score in
     [0, 1]. All ratios rounded at the edge (6 dp) for oracle stability.
     """
-    n_tok = token_count(text_col)
-    n_uniq = distinct_token_count(text_col)
-    n_stop = stopword_count(text_col)
+    n_tok = token_count(text_col, toks=toks)
+    n_uniq = distinct_token_count(text_col, toks=toks)
+    n_stop = stopword_count(text_col, toks=toks)
     mean_len = F.round(char_count_no_ws(text_col) / n_tok, 6)
     stop_ratio = F.round(n_stop / n_tok, 6)
     uniq_ratio = F.round(n_uniq / n_tok, 6)
@@ -113,9 +128,9 @@ def _isin(values: list[str]):
     return lambda t: t.isin(values)
 
 
-def lang_scores(text_col: str = "text") -> list[Column]:
+def lang_scores(text_col: str = "text", toks: Column | None = None) -> list[Column]:
     """Marker-hit count per candidate language (with repeats)."""
-    toks = tokens(text_col)
+    toks = _toks(text_col, toks)
     return [
         F.size(F.filter(toks, _isin(markers))).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
@@ -133,11 +148,11 @@ def lang_predict() -> Column:
     return F.array_sort(pairs)[0]["lang"]
 
 
-def bigrams(text_col: str | Column = "text") -> Column:
+def bigrams(text_col: str | Column = "text", toks: Column | None = None) -> Column:
     """Adjacent-token bigram strings ("tok_i tok_i+1"). Built row-locally
     with an indexed ``transform`` over the token array — no explode, no
     shuffle; the whole expression stays in whole-stage codegen."""
-    toks = tokens(text_col)
+    toks = _toks(text_col, toks)
     return F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         # two-arg HOF lambda = (element, 0-based index); partner token is
@@ -146,7 +161,7 @@ def bigrams(text_col: str | Column = "text") -> Column:
     )
 
 
-def repetition_features(text_col: str = "text") -> list[Column]:
+def repetition_features(text_col: str = "text", toks: Column | None = None) -> list[Column]:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", §A1.1 repetition filters):
 
@@ -161,7 +176,7 @@ def repetition_features(text_col: str = "text") -> list[Column]:
     shuffles, linear in corpus size at 100 TB). Ratios rounded at the
     edge (6 dp) for bit-exact oracle comparison.
     """
-    toks = tokens(text_col)
+    toks = _toks(text_col, toks)
     n_tok = F.size(toks)
     top_cnt = F.array_max(
         F.transform(
@@ -169,7 +184,7 @@ def repetition_features(text_col: str = "text") -> list[Column]:
             lambda t: F.size(F.filter(toks, lambda x: x == t)),
         )
     )
-    bg = bigrams(text_col)
+    bg = bigrams(text_col, toks=toks)
     n_bg = F.size(bg)
     n_bg_d = F.size(F.array_distinct(bg))
     return [
@@ -190,11 +205,13 @@ def fingerprint_md5(text_col: str | Column = "text") -> Column:
     return F.md5(c)
 
 
-def fingerprint_bag(text_col: str | Column = "text") -> Column:
+def fingerprint_bag(text_col: str | Column = "text", toks: Column | None = None) -> Column:
     """Order-insensitive fingerprint: md5 of the sorted distinct token
     set — equal for any permutation of the same vocabulary (the cheap
     first-pass near-dup key)."""
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_toks(text_col, toks))))
+    )
 
 
 def fingerprint_bucket(text_col: str | Column = "text", buckets: int = 1024) -> Column:

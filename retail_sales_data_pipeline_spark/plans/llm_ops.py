@@ -105,8 +105,8 @@ FROM documents
 # Q: text_quality — quality scoring (stopword/diversity/length ratios)
 # ---------------------------------------------------------------------------
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
-    feats = X.quality_features("text")
+    df = _docs(spark, sf_dir).select("doc_id", "text", X.tokens("text").alias("_tk"))
+    feats = X.quality_features("text", toks=F.col("_tk"))
     # integer counts as long to align with DuckDB BIGINT
     return df.select(
         "doc_id",
@@ -970,8 +970,8 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
     train = df.where(F.col("doc_id") % 50 != 0)
     holdout = df.where(F.col("doc_id") % 50 == 0)
-    sh_train = D.shingle_hashes(train, n=5)
-    sh_eval = D.shingle_hashes(holdout, n=5).select("sh").distinct()
+    sh_train = D.shingle_hashes_fast(train, n=5)
+    sh_eval = D.shingle_hashes_fast(holdout, n=5).select("sh").distinct()
     return (
         sh_train.join(F.broadcast(sh_eval), "sh")
         .groupBy(F.col("id").alias("doc_id"))
@@ -984,8 +984,7 @@ WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))
-         AS BIGINT) AS sh
+    array_to_string(list_slice(toks, i, i + 4), ' ') AS sh
   FROM (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
     FROM toks
@@ -1008,8 +1007,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition filter features (top-token ratio,
     duplicate-bigram ratio). Pure row-local array algebra: a single
     projection over the corpus scan — zero shuffles at any scale."""
-    df = _docs(spark, sf_dir)
-    return df.select("doc_id", *X.repetition_features("text"))
+    df = _docs(spark, sf_dir).select("doc_id", X.tokens("text").alias("_tk"))
+    return df.select("doc_id", *X.repetition_features("text", toks=F.col("_tk")))
 
 
 _REPETITION_SQL = f"""
@@ -1236,8 +1235,7 @@ toks AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
-    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))
-         AS BIGINT) AS sh
+    array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
   FROM (
     SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
     FROM toks
@@ -1265,7 +1263,7 @@ def corpus_boilerplate_ngrams(
     key distribution stays uniform either way.
     """
     df = _docs(spark, sf_dir)
-    sh = D.shingle_hashes(df, n=3).persist()
+    sh = D.shingle_hashes_fast(df, n=3).persist()
     hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df_count"))
@@ -1320,7 +1318,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit key. Two well-distributed shuffles, linear in corpus size.
     """
     df = _docs(spark, sf_dir)
-    sh = D.shingle_hashes(df, n=3)
+    sh = D.shingle_hashes_fast(df, n=3)
     first = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
     per = (
         sh.join(first, "sh")
@@ -1373,20 +1371,27 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
-    feats = X.quality_features("text")
-    rep = X.repetition_features("text")
-    base = df.select(
+    # pre-split once: the HOF feature lambdas must reference a token
+    # COLUMN, not an inline split expression (see text._toks — an
+    # inlined split re-executes per array element, measured 8x here)
+    pre = df.select("doc_id", "text", X.tokens("text").alias("_tk"))
+    tk = F.col("_tk")
+    feats = X.quality_features("text", toks=tk)
+    rep = X.repetition_features("text", toks=tk)
+    base = pre.select(
         "doc_id",
         feats[0].cast("long").alias("n_tokens"),
         feats[6],
         rep[2],  # top_token_ratio
         rep[5],  # dup_bigram_ratio
-        X.fingerprint_bag("text").alias("fp_bag"),
+        X.fingerprint_bag("text", toks=tk).alias("fp_bag"),
     )
     bp = corpus_boilerplate_ngrams(spark, sf_dir).select(
         "doc_id", "boilerplate_ratio"
     )
-    sh5 = D.shingle_hashes(_docs(spark, sf_dir), n=5)
+    # persist: sh5 feeds BOTH the eval shingle set and the probe side of
+    # the contamination join — without it the 5-gram relation builds twice
+    sh5 = D.shingle_hashes_fast(_docs(spark, sf_dir), n=5).persist()
     ev = sh5.where(F.col("id") % 50 == 0).select("sh").distinct()
     contam = (
         sh5.join(F.broadcast(ev), "sh")
@@ -1394,30 +1399,50 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_contam", F.lit(True))
     )
-    per = (
+    # Materialize the per-doc frame (persist + count) BEFORE deriving
+    # the gate flags. Two reasons, both measured at ~10× on this query:
+    # Catalyst's projection collapse would inline the nested-higher-
+    # order ratio expressions into every downstream gate/aggregate, and
+    # analyzing/optimizing the gates on top of those huge expression
+    # trees dominates even the driver time. After the barrier the gates
+    # are boolean algebra over plain materialized columns. (An action
+    # inside a query builder is deliberate here, same as k-means.)
+    per0 = (
         base.join(bp, "doc_id", "left")
         .join(contam, "doc_id", "left")
-        .withColumn("boilerplate_ratio", F.coalesce("boilerplate_ratio", F.lit(0.0)))
-        .withColumn("_contam", F.coalesce("_contam", F.lit(False)))
-        .withColumn("c0", F.lit(True))
-        .withColumn("c1", F.col("n_tokens").between(20, 400))
-        .withColumn("c2", F.col("c1") & (F.col("quality_score") >= 0.32))
-        .withColumn(
-            "c3",
-            F.col("c2")
-            & (F.col("top_token_ratio") <= 0.2)
-            & (F.col("dup_bigram_ratio") <= 0.2),
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            "top_token_ratio",
+            "dup_bigram_ratio",
+            "fp_bag",
+            F.coalesce("boilerplate_ratio", F.lit(0.0)).alias("boilerplate_ratio"),
+            F.coalesce("_contam", F.lit(False)).alias("_contam"),
         )
-        .withColumn("c4", F.col("c3") & (F.col("boilerplate_ratio") <= 0.5))
+        .persist()
     )
+    per0.count()
+    c1 = F.col("n_tokens").between(20, 400)
+    c2 = c1 & (F.col("quality_score") >= 0.32)
+    c3 = c2 & (F.col("top_token_ratio") <= 0.2) & (F.col("dup_bigram_ratio") <= 0.2)
+    c4 = c3 & (F.col("boilerplate_ratio") <= 0.5)
     w = (
         Window.partitionBy("fp_bag")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    per = per.withColumn(
-        "c5", F.col("c4") & (F.sum(F.col("c4").cast("int")).over(w) == 1)
-    ).withColumn("c6", F.col("c5") & ~F.col("_contam"))
+    flagged = per0.select(
+        "n_tokens",
+        "_contam",
+        F.lit(True).alias("c0"),
+        c1.alias("c1"),
+        c2.alias("c2"),
+        c3.alias("c3"),
+        c4.alias("c4"),
+        (c4 & (F.sum(c4.cast("int")).over(w) == 1)).alias("c5"),
+    )
+    per = flagged.withColumn("c6", F.col("c5") & ~F.col("_contam"))
     agg = per.agg(
         *[F.sum(F.col(f"c{i}").cast("long")).alias(f"d{i}") for i in range(7)],
         *[
@@ -1463,9 +1488,7 @@ WITH t AS (
     md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
   FROM t
 ), sh3 AS (
-  SELECT DISTINCT doc_id,
-    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))
-         AS BIGINT) AS sh
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
   FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
         FROM t)
   WHERE length(array_to_string(list_slice(toks, i, i + 2), ' ')) > 0
@@ -1477,9 +1500,7 @@ WITH t AS (
   FROM sh3 s LEFT JOIN hot h ON s.sh = h.sh
   GROUP BY s.doc_id
 ), sh5 AS (
-  SELECT DISTINCT doc_id,
-    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))
-         AS BIGINT) AS sh
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS sh
   FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
         FROM t)
   WHERE length(array_to_string(list_slice(toks, i, i + 4), ' ')) > 0

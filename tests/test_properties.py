@@ -100,3 +100,51 @@ def test_conform_fold_matches_python(spark, extras):
     df = spark.createDataFrame([row], ", ".join(f"{c} string" for c in cols))
     out = conform(df, canonical=["a", "b"]).collect()[0]
     assert out.additional_column == (", ".join(extras) if extras else None)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=1, max_size=12
+    )
+)
+@SETTINGS
+def test_repetition_feature_bounds(spark, toks):
+    """Repetition ratios stay in (0, 1] / [0, 1) bounds and agree with a
+    Python recomputation for arbitrary token sequences."""
+    from retail_sales_data_pipeline_spark.operators.text import repetition_features
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = df.select(*repetition_features("text")).first()
+    top = max(toks.count(t) for t in set(toks))
+    assert r.n_tokens == len(toks)
+    assert r.top_token_count == top
+    assert r.top_token_ratio == round(top / len(toks), 6)
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    assert r.n_bigrams == len(bigrams)
+    assert r.n_distinct_bigrams == len(set(bigrams))
+    expect = round((len(bigrams) - len(set(bigrams))) / len(bigrams), 6) if bigrams else 0.0
+    assert r.dup_bigram_ratio == expect
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10.0, max_value=10.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda v: max(abs(x) for x in v) > 1e-6)
+)
+@SETTINGS
+def test_quantize_int8_error_bound(spark, vec):
+    """Quantization error per element is at most scale/254 (half a
+    quantization step), and values stay within [-127, 127]."""
+    from retail_sales_data_pipeline_spark.operators.similarity import quantize_int8
+
+    scale = max(abs(x) for x in vec)
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    q = df.select(quantize_int8(F.col("v"), F.lit(scale)).alias("q")).first().q
+    for x, qx in zip(vec, q):
+        assert -127 <= qx <= 127
+        assert abs(qx * scale / 127 - x) <= scale / 254 + 1e-9
