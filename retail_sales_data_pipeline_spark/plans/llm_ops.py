@@ -1399,14 +1399,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_contam", F.lit(True))
     )
-    # Materialize the per-doc frame (persist + count) BEFORE deriving
-    # the gate flags. Two reasons, both measured at ~10× on this query:
-    # Catalyst's projection collapse would inline the nested-higher-
-    # order ratio expressions into every downstream gate/aggregate, and
-    # analyzing/optimizing the gates on top of those huge expression
-    # trees dominates even the driver time. After the barrier the gates
-    # are boolean algebra over plain materialized columns. (An action
-    # inside a query builder is deliberate here, same as k-means.)
+    # Persist the per-doc frame: the window + the 14 funnel aggregates
+    # all branch from it. (With the pre-split token column upstream the
+    # expression trees here are thin — no materialization action needed,
+    # the persist fills on first use within the final job.)
     per0 = (
         base.join(bp, "doc_id", "left")
         .join(contam, "doc_id", "left")
@@ -1422,7 +1418,6 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    per0.count()
     c1 = F.col("n_tokens").between(20, 400)
     c2 = c1 & (F.col("quality_score") >= 0.32)
     c3 = c2 & (F.col("top_token_ratio") <= 0.2) & (F.col("dup_bigram_ratio") <= 0.2)
