@@ -1,0 +1,65 @@
+"""End-to-end corpus curation WRITE job — the LLM-side analogue of the
+retail ``pipeline.py`` runner: apply the curation gates, keep the
+surviving documents, and publish them as a language-partitioned parquet
+dataset plus the funnel report beside it.
+
+The survivor set comes from the same ``curation_flags`` frame the
+oracle-checked ``corpus_curation_funnel`` query aggregates, so the
+written corpus and the published funnel numbers cannot drift.
+
+Scale shape: the gate computation is the funnel's (two indexed joins +
+one window), the survivor join is on ``doc_id`` (uniform), and the
+write is ``partitionBy(lang)`` — the layout that lets per-language
+training jobs partition-prune their scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.llm_ops import corpus_curation_funnel, curation_flags
+from .sources.tables import load_table
+
+
+@dataclass
+class CurationResult:
+    raw_docs: int = 0
+    kept_docs: int = 0
+    kept_tokens: int = 0
+    out_path: str = ""
+    funnel: list[tuple] = field(default_factory=list)
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationResult:
+    """Run the curation DAG and write the surviving corpus.
+
+    Writes ``{out_dir}/documents`` (parquet, ``partitionBy(lang)``)
+    and ``{out_dir}/funnel`` (the stage report), returns the counts.
+    """
+    flags = curation_flags(spark, sf_dir).persist()
+    survivors = flags.where(F.col("c6")).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    kept = docs.join(survivors, "doc_id")
+    kept.write.mode("overwrite").partitionBy("lang").parquet(f"{out_dir}/documents")
+
+    funnel_df = corpus_curation_funnel(spark, sf_dir)
+    funnel_df.write.mode("overwrite").parquet(f"{out_dir}/funnel")
+    funnel = [
+        (r.stage_idx, r.stage, r.n_docs, r.total_tokens)
+        for r in sorted(funnel_df.collect(), key=lambda r: r.stage_idx)
+    ]
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("c6").cast("long")).alias("kept"),
+        F.sum(F.when(F.col("c6"), F.col("n_tokens")).otherwise(0)).alias("toks"),
+    ).first()
+    return CurationResult(
+        raw_docs=agg.raw,
+        kept_docs=agg.kept,
+        kept_tokens=agg.toks,
+        out_path=out_dir,
+        funnel=funnel,
+    )

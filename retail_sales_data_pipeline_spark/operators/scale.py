@@ -114,6 +114,34 @@ def salted_skew_join(
     )
 
 
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Z-curve (Morton) interleaving of the low ``bits`` bits of each
+    column — the multi-dimension layout lever that partitioning and
+    bucketing don't cover.
+
+    Sorting a table by ``zorder_key([a, b])`` before writing clusters
+    rows so that parquet row-group min/max statistics stay selective on
+    BOTH ``a`` and ``b``: a filter on either column skips most row
+    groups, where a plain ``sortBy(a)`` layout leaves ``b`` scattered
+    across every file. This is the same layout idea behind
+    OPTIMIZE ... ZORDER BY in lakehouse table formats, expressed as a
+    plain sort key with JVM bitwise expressions (no UDF, fully
+    codegen'd).
+
+    Columns must be non-negative integers (pre-bucket floats or hash
+    strings first); values are truncated to ``bits`` bits. Key width =
+    ``bits × len(cols)`` ≤ 63.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(f"z-key would need {bits * len(cols)} bits (max 63)")
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * len(cols) + j))
+    return out
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -1367,7 +1367,11 @@ GROUP BY s.doc_id
 # pass over the per-doc frame. At 100 TB: two indexed joins + one
 # window + one global aggregate; no stage scans the corpus twice.
 # ---------------------------------------------------------------------------
-def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cumulative gate flags ``c0..c6`` (plus ``doc_id``
+    and ``n_tokens``) for the curation DAG — shared by the funnel
+    report below and by :mod:`..corpus_pipeline`'s writer, so the
+    published funnel numbers and the written corpus can never drift."""
     from pyspark.sql import Window
 
     df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -1428,6 +1432,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     flagged = per0.select(
+        "doc_id",
         "n_tokens",
         "_contam",
         F.lit(True).alias("c0"),
@@ -1437,7 +1442,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4.alias("c4"),
         (c4 & (F.sum(c4.cast("int")).over(w) == 1)).alias("c5"),
     )
-    per = flagged.withColumn("c6", F.col("c5") & ~F.col("_contam"))
+    return flagged.withColumn("c6", F.col("c5") & ~F.col("_contam"))
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = curation_flags(spark, sf_dir)
     agg = per.agg(
         *[F.sum(F.col(f"c{i}").cast("long")).alias(f"d{i}") for i in range(7)],
         *[

@@ -238,3 +238,21 @@ def test_delete_objects_idempotent(tmp_path):
     assert not f.exists()
     # second delete of the same keys is a no-op, not an error
     assert delete_objects([str(f), missing]) == []
+
+
+def test_curate_corpus_writes_survivors(spark, tmp_path):
+    from retail_sales_data_pipeline_spark.corpus_pipeline import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    res = curate_corpus(spark, sf, str(tmp_path / "curated"))
+    assert 0 < res.kept_docs < res.raw_docs
+    # written corpus matches the funnel's final stage exactly
+    final = [row for row in res.funnel if row[1] == "decontaminated"][0]
+    assert res.kept_docs == final[2] and res.kept_tokens == final[3]
+    back = spark.read.parquet(f"{res.out_path}/documents")
+    assert back.count() == res.kept_docs
+    # language partitioning reached the layout
+    langs = {r.lang for r in back.select("lang").distinct().collect()}
+    assert len(langs) > 1
+    import os
+    assert any(d.startswith("lang=") for d in os.listdir(f"{res.out_path}/documents"))

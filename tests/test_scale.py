@@ -118,3 +118,51 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from retail_sales_data_pipeline_spark.operators.scale import zorder_key
+    from pyspark.sql import functions as F
+
+    def z_ref(x, y, bits=8):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    rows = [(x, y) for x in range(0, 200, 7) for y in range(0, 200, 11)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")).collect()
+    for r in got:
+        assert r.z == z_ref(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_quadrant_locality(spark):
+    """The top interleaved bits form the quadrant id: all points of one
+    quadrant sort contiguously — the property that keeps row-group
+    min/max selective on both dimensions."""
+    from retail_sales_data_pipeline_spark.operators.scale import zorder_key
+    from pyspark.sql import functions as F
+
+    n = 16  # 4-bit space
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = (
+        df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    quadrant = [(r.x >= n // 2, r.y >= n // 2) for r in out]
+    # contiguity: each quadrant appears as exactly one run in z order
+    runs = 1 + sum(1 for a, b in zip(quadrant, quadrant[1:]) if a != b)
+    assert runs == 4
+
+
+def test_zorder_rejects_overflow(spark):
+    from pyspark.sql import functions as F
+    from retail_sales_data_pipeline_spark.operators.scale import zorder_key
+
+    import pytest
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], bits=32)
