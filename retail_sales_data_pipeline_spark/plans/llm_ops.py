@@ -668,6 +668,33 @@ WHERE id_a < 100000 AND id_b >= 100000
 
 
 # ---------------------------------------------------------------------------
+# Q: streaming_quality_filter — the quality/length gates as a document
+# file-stream (stateless → streaming plan ≡ batch plan; availableNow
+# drain makes it oracle-checkable against the batch SQL)
+# ---------------------------------------------------------------------------
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_quality_filter
+
+    return stream_quality_filter(spark, sf_dir)
+
+
+_STREAM_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+    round(0.4 * round(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) / len(toks), 6)
+        + 0.4 * round(len(list_distinct(toks)) / len(toks), 6)
+        + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS quality_score
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, quality_score
+FROM f
+WHERE n_tokens BETWEEN 20 AND 400 AND quality_score >= 0.32
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_report — per-(lang, source) corpus rollup of the quality
 # features (the "dataset card" aggregation a training pipeline emits)
 # ---------------------------------------------------------------------------
@@ -1579,6 +1606,7 @@ QUERIES = {
     "corpus_quality_sample": corpus_quality_sample,
     "dedup_incremental": dedup_incremental,
     "corpus_curation_funnel": corpus_curation_funnel,
+    "streaming_quality_filter": streaming_quality_filter,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -1616,4 +1644,5 @@ ORACLE_SQL = {
     "corpus_quality_sample": _QUALITY_SAMPLE_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
     "corpus_curation_funnel": _CURATION_FUNNEL_SQL,
+    "streaming_quality_filter": _STREAM_QUALITY_SQL,
 }

@@ -210,3 +210,32 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(sessions, "append")
+
+
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the quality + length gates applied to
+    a document file-stream, drained with availableNow.
+
+    The gates are stateless (pure projection + filter), so the
+    streaming plan IS the batch plan run incrementally — no watermark,
+    no state store, exactly the property that lets a landing-zone
+    micro-batch curator share code (and its oracle) with the backfill
+    job. Output: surviving ``doc_id, lang, n_tokens, quality_score``.
+    """
+    from ..operators import text as X
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    pre = stream.select("doc_id", "lang", "text", X.tokens("text").alias("_tk"))
+    feats = X.quality_features("text", toks=F.col("_tk"))
+    scored = pre.select(
+        "doc_id", "lang", feats[0].cast("long").alias("n_tokens"), feats[6]
+    )
+    gated = scored.where(
+        F.col("n_tokens").between(20, 400) & (F.col("quality_score") >= 0.32)
+    )
+    return _run_to_memory(gated, "append")

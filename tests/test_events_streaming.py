@@ -142,3 +142,24 @@ def test_streaming_sessionize_matches_batch(spark):
     # and with availableNow + event-time timeout, coverage is complete
     # except possibly each user's final open session
     assert len(stream) >= len(batch) - events.select("user_id").distinct().count()
+
+
+def test_stream_quality_filter_equals_batch(spark):
+    """Stateless streaming curation drained with availableNow equals the
+    batch gates row-for-row."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_data_pipeline_spark.operators import text as X
+    from retail_sales_data_pipeline_spark.streaming.jobs import stream_quality_filter
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_quality_filter(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pre = docs.select("doc_id", "lang", "text", X.tokens("text").alias("_tk"))
+    feats = X.quality_features("text", toks=F.col("_tk"))
+    batch = (
+        pre.select("doc_id", "lang", feats[0].cast("long").alias("n_tokens"), feats[6])
+        .where(F.col("n_tokens").between(20, 400) & (F.col("quality_score") >= 0.32))
+    )
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
