@@ -405,6 +405,94 @@ WHERE round(list_dot_product(l.e, r.e)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: kmeans_fixed_assign — Lloyd's k-means made ORACLE-CHECKABLE: a
+# fixed iteration count (2), deterministic seeds (the k lowest ids),
+# and centroids rounded to 6 dp after every update, so both engines
+# walk the identical centroid trajectory and the final per-vector
+# assignment matches bit-for-bit. (The free-running kmeans_embeddings
+# stays rows-only; this query pins the algorithm itself against SQL.)
+# Distances are compared rounded with a lowest-cluster tiebreak.
+# ---------------------------------------------------------------------------
+KM_K = 4
+KM_ITERS = 2
+
+
+def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import _dist2
+
+    vecs = (
+        _emb(spark, sf_dir)
+        .select("vec_id", S.as_double("embedding").alias("e"))
+        .persist()
+    )
+    seeds = vecs.orderBy("vec_id").limit(KM_K).collect()
+    cents = [list(map(float, r.e)) for r in seeds]
+
+    def assign(cents) -> DataFrame:
+        dists = F.array(
+            *[F.round(_dist2(F.col("e"), c), 6) for c in cents]
+        )
+        best = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        return vecs.select("vec_id", best.alias("cluster"))
+
+    for _ in range(KM_ITERS):
+        assigned = assign(cents)
+        rows = (
+            assigned.join(vecs, "vec_id")
+            .select("cluster", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()  # k×dim floats — metadata-sized, as in cluster.py
+        )
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r.cluster][r.pos] = r.m
+        cents = new
+    return assign(cents)
+
+
+def _kmeans_fixed_sql(k: int = KM_K, dim: int = DIM, iters: int = KM_ITERS) -> str:
+    def assign(ci: str, ai: str) -> str:
+        return f"""{ai} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        round(list_aggregate(list_transform(generate_series(1, {dim}),
+              i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])), 'sum'), 6),
+        c.cid) AS rk
+    FROM vecs v, {ci} c
+  ) WHERE rk = 1
+)"""
+
+    parts = [
+        "vecs AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings\n)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+  FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for it in range(iters):
+        parts.append(assign(f"c{it}", f"a{it}"))
+        parts.append(f"""m{it} AS (
+  SELECT a.cid, g.i AS pos, round(avg(v.e[g.i]), 6) AS m
+  FROM a{it} a JOIN vecs v USING (vec_id), generate_series(1, {dim}) g(i)
+  GROUP BY a.cid, g.i
+)""")
+        parts.append(f"""c{it + 1} AS (
+  SELECT c{it}.cid, coalesce(u.c, c{it}.c) AS c
+  FROM c{it} LEFT JOIN
+    (SELECT cid, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cid) u
+    ON c{it}.cid = u.cid
+)""")
+    parts.append(assign(f"c{iters}", "afinal"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal"
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -415,6 +503,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "ann_quantized_topk": ann_quantized_topk,
     "dedup_semantic_cells": dedup_semantic_cells,
+    "kmeans_fixed_assign": kmeans_fixed_assign,
 }
 
 # iterative algorithm — no single-query SQL twin; driver does rows-only
@@ -429,4 +518,5 @@ ORACLE_SQL = {
     "ann_recall_at_5": _RECALL_SQL,
     "ann_quantized_topk": _QUANTIZED_SQL,
     "dedup_semantic_cells": _SEMANTIC_CELLS_SQL,
+    "kmeans_fixed_assign": _kmeans_fixed_sql(),
 }

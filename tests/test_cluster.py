@@ -43,3 +43,20 @@ def test_inertia_monotone_nonincreasing(spark, sf_dir):
 
     i1, i4 = inertia(1), inertia(4)
     assert i4 <= i1 + 1e-9
+
+
+def test_kmeans_fixed_assign_properties(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.plans.vector_ops import (
+        KM_K,
+        kmeans_fixed_assign,
+    )
+
+    out = kmeans_fixed_assign(spark, sf_dir).collect()
+    labels = {r.cluster for r in out}
+    assert labels <= set(range(KM_K))
+    assert len(labels) > 1            # data actually separates
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == n_vecs         # every vector assigned exactly once
+    # deterministic: a second run reproduces the assignment exactly
+    again = {(r.vec_id, r.cluster) for r in kmeans_fixed_assign(spark, sf_dir).collect()}
+    assert {(r.vec_id, r.cluster) for r in out} == again
