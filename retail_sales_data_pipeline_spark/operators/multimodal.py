@@ -238,3 +238,61 @@ def resize_plan(decoded: DataFrame, target: int = 224) -> DataFrame:
         F.floor((F.lit(target) - out_w) / 2).cast("long").alias("pad_x"),
         F.floor((F.lit(target) - out_h) / 2).cast("long").alias("pad_y"),
     )
+
+
+EMBED_DIM = 16
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _fake_encode(doc_id: int, dim: int) -> list[float]:
+    """Deterministic stand-in for a text-encoder forward pass:
+    component j is an md5-derived uniform in [-0.5, 0.5), rounded to
+    6 dp. A real encoder is a model call on the batch; everything
+    around it here is the production shape (same stub contract as
+    ``_fake_decode``), and the determinism makes the stage
+    oracle-checkable."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{doc_id}:{j}".encode()).hexdigest()[:8]
+        out.append(round(int(h, 16) / 4294967296.0 - 0.5, 6))
+    return out
+
+
+def embed_texts(
+    docs: DataFrame, dim: int = EMBED_DIM, batch_rows: int = 256
+) -> DataFrame:
+    """Batch-inference embedding stage: Arrow-streamed ``mapInPandas``
+    over ``(doc_id, text)`` producing ``(doc_id, embedding)``.
+
+    This is the GPU-inference plumbing of a training-data pipeline:
+    rows arrive as Arrow batches, are re-chunked to ``batch_rows``
+    micro-batches (the model's memory budget — independent of Spark's
+    Arrow batch size), and each chunk would be one encoder forward
+    pass. The encoder call itself is the deterministic fake above; at
+    100 TB you repartition uniformly first (doc hash) so every task
+    carries a comparable row count, and size executors so
+    ``batch_rows × dim`` activations fit the accelerator.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": chunk["doc_id"],
+                        "embedding": [
+                            _fake_encode(int(i), dim) for i in chunk["doc_id"]
+                        ],
+                    }
+                )
+
+    src = docs.select("doc_id", "text").repartition(
+        F.crc32(F.col("doc_id").cast("string"))
+    )
+    return src.mapInPandas(batches, schema=EMBED_SCHEMA)

@@ -167,11 +167,53 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: multimodal_embed_texts — the batch-inference embedding stage
+# (Arrow mapInPandas micro-batches; deterministic fake encoder). The
+# output row carries scalar projections of the vector (dim, l2 norm,
+# component checksum) so the stage verifies against SQL without
+# hashing array columns; component sums are over 6-dp-rounded values
+# folded in index order — identical in both engines.
+# ---------------------------------------------------------------------------
+def multimodal_embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import embed_texts
+    from ..operators.similarity import dot
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_texts(docs)
+    e = F.col("embedding")
+    return emb.select(
+        "doc_id",
+        F.size(e).cast("long").alias("emb_dim"),
+        F.round(F.sqrt(dot(e, e)), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("checksum"),
+    )
+
+
+_EMBED_SQL = """
+WITH e AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      j -> round(CAST(('0x' || substr(md5(doc_id || ':' || j), 1, 8)) AS BIGINT)
+                 / 4294967296.0 - 0.5, 6)) AS emb
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(emb) AS BIGINT) AS emb_dim,
+  round(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 6) AS l2_norm,
+  round(list_aggregate(emb, 'sum'), 6) AS checksum
+FROM e
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_pointer_decode": multimodal_pointer_decode,
+    "multimodal_embed_texts": multimodal_embed_texts,
 }
 
 ORACLE_SQL = {
@@ -179,4 +221,5 @@ ORACLE_SQL = {
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_resize": _RESIZE_SQL,
     "multimodal_pointer_decode": _POINTER_SQL,
+    "multimodal_embed_texts": _EMBED_SQL,
 }

@@ -105,3 +105,23 @@ def test_pointer_fetch_is_size_banded(spark):
     fetched = fetch_media(synth_media_pointers(docs), fake=True)
     plan = fetched._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(n_bytes" in plan
+
+
+def test_embed_texts_batching_and_determinism(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        EMBED_DIM,
+        _fake_encode,
+        embed_texts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    out = {r.doc_id: r.embedding for r in embed_texts(docs, batch_rows=7).collect()}
+    assert len(out) == 40
+    # micro-batch size must not change values (pure per-row encoder)
+    out2 = {r.doc_id: r.embedding for r in embed_texts(docs, batch_rows=512).collect()}
+    assert out == out2
+    # matches the reference encoder exactly
+    some_id = next(iter(out))
+    assert out[some_id] == _fake_encode(some_id, EMBED_DIM)
+    assert all(len(v) == EMBED_DIM for v in out.values())
+    assert all(-0.5 <= x < 0.5 for v in out.values() for x in v)
