@@ -208,12 +208,62 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: multimodal_text_retrieval — the retrieval pipeline end-to-end:
+# encoder stage (Arrow batch inference) → cosine top-5 of the first 10
+# documents against the rest. Chains the two halves a production
+# retrieval index build runs: embed, then search. Fully deterministic,
+# so even the composed pipeline is oracle-checkable.
+# ---------------------------------------------------------------------------
+def multimodal_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import embed_texts
+    from ..operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_texts(docs).persist()  # both search sides branch from it
+    return cosine_topk(
+        corpus=emb.where(F.col("doc_id") >= 10),
+        queries=emb.where(F.col("doc_id") < 10),
+        k=5,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+
+
+_RETRIEVAL_SQL = """
+WITH e AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      j -> round(CAST(('0x' || substr(md5(doc_id || ':' || j), 1, 8)) AS BIGINT)
+                 / 4294967296.0 - 0.5, 6)) AS emb
+  FROM documents
+), q AS (
+  SELECT doc_id AS query_id, emb AS qe FROM e WHERE doc_id < 10
+), c AS (
+  SELECT doc_id AS neighbor_id, emb AS ce FROM e WHERE doc_id >= 10
+), pairs AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qe, ce)
+          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+          6) AS cosine
+  FROM q, c
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_pointer_decode": multimodal_pointer_decode,
     "multimodal_embed_texts": multimodal_embed_texts,
+    "multimodal_text_retrieval": multimodal_text_retrieval,
 }
 
 ORACLE_SQL = {
@@ -222,4 +272,5 @@ ORACLE_SQL = {
     "multimodal_resize": _RESIZE_SQL,
     "multimodal_pointer_decode": _POINTER_SQL,
     "multimodal_embed_texts": _EMBED_SQL,
+    "multimodal_text_retrieval": _RETRIEVAL_SQL,
 }
