@@ -406,6 +406,57 @@ WHERE round(list_dot_product(l.e, r.e)
 
 
 # ---------------------------------------------------------------------------
+# Q: dedup_semantic_keep — the APPLY step for embedding-space dedup,
+# mirroring dedup_keep_canonical on the text side: SemDeDup cell pairs
+# → connected components → keep the min-id representative per cluster.
+# Output = the surviving vector set with each survivor's cluster size.
+# ---------------------------------------------------------------------------
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_semantic_cells(spark, sf_dir).select("id_a", "id_b")
+    nodes = _neardup_corpus(spark, sf_dir).select(F.col("vec_id").alias("id"))
+    labels = connected_components(nodes, pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.where(F.col("id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+_SEMANTIC_KEEP_SQL = f"""
+WITH RECURSIVE pairs AS ({_SEMANTIC_CELLS_SQL}),
+nodes AS (
+  WITH {_NEARDUP_CORPUS_SQL}
+  SELECT id FROM corpus
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
+),
+labels AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+),
+csizes AS (
+  SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id
+)
+SELECT l.id AS vec_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM labels l JOIN csizes s ON l.cluster_id = s.cluster_id
+WHERE l.id = l.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: kmeans_fixed_assign — Lloyd's k-means made ORACLE-CHECKABLE: a
 # fixed iteration count (2), deterministic seeds (the k lowest ids),
 # and centroids rounded to 6 dp after every update, so both engines
@@ -504,6 +555,7 @@ QUERIES = {
     "ann_quantized_topk": ann_quantized_topk,
     "dedup_semantic_cells": dedup_semantic_cells,
     "kmeans_fixed_assign": kmeans_fixed_assign,
+    "dedup_semantic_keep": dedup_semantic_keep,
 }
 
 # iterative algorithm — no single-query SQL twin; driver does rows-only
@@ -519,4 +571,5 @@ ORACLE_SQL = {
     "ann_quantized_topk": _QUANTIZED_SQL,
     "dedup_semantic_cells": _SEMANTIC_CELLS_SQL,
     "kmeans_fixed_assign": _kmeans_fixed_sql(),
+    "dedup_semantic_keep": _SEMANTIC_KEEP_SQL,
 }
