@@ -544,6 +544,41 @@ def _kmeans_fixed_sql(k: int = KM_K, dim: int = DIM, iters: int = KM_ITERS) -> s
     )
 
 
+# ---------------------------------------------------------------------------
+# Q: cluster_balanced_sample — diversity sampling: cap each k-means
+# cluster at a fixed quota, picking members by a deterministic hash
+# order (so the subset is reproducible). This is the cluster-balanced
+# selection step of curation pipelines that down-weight redundant
+# regions of embedding space; composed on the oracle-checked
+# fixed-iteration k-means, the whole selection is oracle-checked too.
+# ---------------------------------------------------------------------------
+SAMPLE_PER_CLUSTER = 25
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assigned = kmeans_fixed_assign(spark, sf_dir)
+    pick = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("cluster").orderBy(pick.asc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_PER_CLUSTER)
+        .select("vec_id", "cluster", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_BALANCED_SAMPLE_SQL = f"""
+WITH km AS ({_kmeans_fixed_sql()})
+SELECT vec_id, cluster, rk FROM (
+  SELECT vec_id, cluster,
+    row_number() OVER (PARTITION BY cluster
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM km
+) WHERE rk <= {SAMPLE_PER_CLUSTER}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -556,6 +591,7 @@ QUERIES = {
     "dedup_semantic_cells": dedup_semantic_cells,
     "kmeans_fixed_assign": kmeans_fixed_assign,
     "dedup_semantic_keep": dedup_semantic_keep,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }
 
 # iterative algorithm — no single-query SQL twin; driver does rows-only
@@ -572,4 +608,5 @@ ORACLE_SQL = {
     "dedup_semantic_cells": _SEMANTIC_CELLS_SQL,
     "kmeans_fixed_assign": _kmeans_fixed_sql(),
     "dedup_semantic_keep": _SEMANTIC_KEEP_SQL,
+    "cluster_balanced_sample": _BALANCED_SAMPLE_SQL,
 }
