@@ -40,6 +40,8 @@ HEADLINE = [
     "corpus_boilerplate_ngrams",
     "dedup_semantic_cells",
     "corpus_curation_funnel",
+    "multimodal_text_retrieval",
+    "kmeans_fixed_assign",
 ]
 
 

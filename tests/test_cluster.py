@@ -60,3 +60,21 @@ def test_kmeans_fixed_assign_properties(spark, sf_dir):
     # deterministic: a second run reproduces the assignment exactly
     again = {(r.vec_id, r.cluster) for r in kmeans_fixed_assign(spark, sf_dir).collect()}
     assert {(r.vec_id, r.cluster) for r in out} == again
+
+
+def test_cluster_balanced_sample_quota(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.plans.vector_ops import (
+        SAMPLE_PER_CLUSTER,
+        cluster_balanced_sample,
+    )
+
+    out = cluster_balanced_sample(spark, sf_dir).collect()
+    per_cluster: dict = {}
+    for r in out:
+        per_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert 1 <= r.rk <= SAMPLE_PER_CLUSTER
+    assert all(len(v) <= SAMPLE_PER_CLUSTER for v in per_cluster.values())
+    assert len(per_cluster) > 1
+    # deterministic subset
+    again = {(r.vec_id, r.cluster) for r in cluster_balanced_sample(spark, sf_dir).collect()}
+    assert {(r.vec_id, r.cluster) for r in out} == again
