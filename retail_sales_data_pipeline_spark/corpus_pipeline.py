@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .plans.llm_ops import corpus_curation_funnel, curation_flags
+from .plans.llm_ops import curation_flags, funnel_from_flags
 from .sources.tables import load_table
 
 
@@ -40,22 +40,31 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationRes
     and ``{out_dir}/funnel`` (the stage report), returns the counts.
     """
     flags = curation_flags(spark, sf_dir).persist()
-    survivors = flags.where(F.col("c6")).select("doc_id", "n_tokens")
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"])
-    kept = docs.join(survivors, "doc_id")
-    kept.write.mode("overwrite").partitionBy("lang").parquet(f"{out_dir}/documents")
+    try:
+        survivors = flags.where(F.col("c6")).select("doc_id", "n_tokens")
+        docs = load_table(
+            spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"]
+        )
+        kept = docs.join(survivors, "doc_id")
+        kept.write.mode("overwrite").partitionBy("lang").parquet(
+            f"{out_dir}/documents"
+        )
 
-    funnel_df = corpus_curation_funnel(spark, sf_dir)
-    funnel_df.write.mode("overwrite").parquet(f"{out_dir}/funnel")
-    funnel = [
-        (r.stage_idx, r.stage, r.n_docs, r.total_tokens)
-        for r in sorted(funnel_df.collect(), key=lambda r: r.stage_idx)
-    ]
-    agg = flags.agg(
-        F.count(F.lit(1)).alias("raw"),
-        F.sum(F.col("c6").cast("long")).alias("kept"),
-        F.sum(F.when(F.col("c6"), F.col("n_tokens")).otherwise(0)).alias("toks"),
-    ).first()
+        # aggregate the SAME flags frame the survivors came from — the
+        # funnel report and the written corpus share one DAG evaluation
+        funnel_df = funnel_from_flags(flags)
+        funnel_df.write.mode("overwrite").parquet(f"{out_dir}/funnel")
+        funnel = [
+            (r.stage_idx, r.stage, r.n_docs, r.total_tokens)
+            for r in sorted(funnel_df.collect(), key=lambda r: r.stage_idx)
+        ]
+        agg = flags.agg(
+            F.count(F.lit(1)).alias("raw"),
+            F.sum(F.col("c6").cast("long")).alias("kept"),
+            F.sum(F.when(F.col("c6"), F.col("n_tokens")).otherwise(0)).alias("toks"),
+        ).first()
+    finally:
+        flags.unpersist()
     return CurationResult(
         raw_docs=agg.raw,
         kept_docs=agg.kept,

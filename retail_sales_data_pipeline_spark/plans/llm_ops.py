@@ -10,6 +10,14 @@ planted duplicates and the hashes still match bit-for-bit.
 
 Hashing is md5 in both engines; ``min(md5)`` is a valid minhash
 reducer because hex strings compare lexicographically identically.
+
+Caching contract: several query builders ``persist()`` intermediate
+frames that multiple branches consume (shingle relations, the curation
+flags). The driver and ``bench.py`` clear the cache between queries
+(``spark.catalog.clearCache()``); a long-lived application composing
+many queries should do the same, or consume via
+``corpus_pipeline.curate_corpus``-style runners that unpersist after
+their final action.
 """
 
 from __future__ import annotations
@@ -596,8 +604,11 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 # shuffles, exactly like the flat/stratified samplers.
 # ---------------------------------------------------------------------------
 def corpus_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
-    score = X.quality_features("text")[6]
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"]).select(
+        "doc_id", "lang", "text", X.tokens("text").alias("_tk")
+    )
+    tk = F.col("_tk")
+    score = X.quality_features("text", toks=tk)[6]
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -607,7 +618,7 @@ def corpus_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.select(
             "doc_id",
             "lang",
-            X.token_count("text").cast("long").alias("n_tokens"),
+            X.token_count("text", toks=tk).cast("long").alias("n_tokens"),
             score.alias("quality_score"),
             u.alias("u"),
         )
@@ -1075,20 +1086,26 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame — the window input is #sources rows, so the single-partition
     exchange is metadata-sized at any corpus scale.
 
-    The per-source mean quality is summed exactly: each 6-dp score is
-    scaled to an integer micro-score first, so the aggregation is
-    order-independent and bit-identical to the oracle.
+    Every cross-row float aggregation here is order-independent: the
+    per-source mean quality sums integer micro-scores, and the weight
+    normalizer sums integer micro-sqrts (each per-source sqrt rounded
+    to 6 dp then scaled) — so the result is bit-identical to the
+    oracle regardless of partition or window accumulation order.
     """
     from pyspark.sql import Window
 
-    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
-    score = X.quality_features("text")[6]
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]).select(
+        "source", "text", X.tokens("text").alias("_tk")
+    )
+    tk = F.col("_tk")
+    score = X.quality_features("text", toks=tk)[6]
     micro = F.round(score * 1_000_000).cast("long")
     per = df.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(X.token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(X.token_count("text", toks=tk)).cast("long").alias("total_tokens"),
         F.sum(micro).alias("sum_quality_micro"),
     )
+    sqrt_micro = F.round(F.sqrt("total_tokens") * 1_000_000).cast("long")
     w = Window.partitionBy()  # aggregated frame: rows == #sources
     return per.select(
         "source",
@@ -1097,9 +1114,7 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_quality_micro") / F.col("n_docs") / 1e6, 6).alias(
             "mean_quality"
         ),
-        F.round(
-            F.sqrt("total_tokens") / F.sum(F.sqrt("total_tokens")).over(w), 6
-        ).alias("mix_weight"),
+        F.round(sqrt_micro / F.sum(sqrt_micro).over(w), 6).alias("mix_weight"),
     )
 
 
@@ -1126,7 +1141,9 @@ WITH t AS (
 )
 SELECT source, n_docs, total_tokens,
   round(sum_quality_micro / n_docs / 1e6, 6) AS mean_quality,
-  round(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER (), 6) AS mix_weight
+  round(CAST(round(sqrt(total_tokens) * 1000000) AS BIGINT)
+        / CAST(sum(CAST(round(sqrt(total_tokens) * 1000000) AS BIGINT)) OVER () AS BIGINT),
+        6) AS mix_weight
 FROM per
 """
 
@@ -1275,8 +1292,11 @@ toks AS (
 # ---------------------------------------------------------------------------
 # Q: corpus_boilerplate_ngrams — cross-document boilerplate fraction
 # ---------------------------------------------------------------------------
+BOILERPLATE_MIN_DOCS = 10
+
+
 def corpus_boilerplate_ngrams(
-    spark: SparkSession, sf_dir: str, min_docs: int = 10
+    spark: SparkSession, sf_dir: str, min_docs: int = BOILERPLATE_MIN_DOCS
 ) -> DataFrame:
     """Cross-document boilerplate detection (CCNet / RefinedWeb-style):
     a 3-gram shingle present in ≥ ``min_docs`` distinct documents is
@@ -1316,7 +1336,7 @@ def corpus_boilerplate_ngrams(
 _BOILERPLATE_SQL = f"""
 WITH {_SQL_SHINGLES3},
 hot AS (
-  SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 10
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
 ), per AS (
   SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
 ), b AS (
@@ -1472,8 +1492,11 @@ def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.withColumn("c6", F.col("c5") & ~F.col("_contam"))
 
 
-def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per = curation_flags(spark, sf_dir)
+def funnel_from_flags(per: DataFrame) -> DataFrame:
+    """Funnel report (stage, n_docs, total_tokens) from an existing
+    flags frame — lets callers that already hold ``curation_flags``
+    output (the corpus writer) aggregate it directly instead of
+    rebuilding the whole DAG."""
     agg = per.agg(
         *[F.sum(F.col(f"c{i}").cast("long")).alias(f"d{i}") for i in range(7)],
         *[
@@ -1495,6 +1518,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(7, {stack_args}) as (stage_idx, stage, n_docs, total_tokens)"
         )
     )
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_from_flags(curation_flags(spark, sf_dir))
 
 
 _CURATION_FUNNEL_SQL = f"""
@@ -1524,7 +1551,7 @@ WITH t AS (
         FROM t)
   WHERE length(array_to_string(list_slice(toks, i, i + 2), ' ')) > 0
 ), hot AS (
-  SELECT sh FROM sh3 GROUP BY sh HAVING count(*) >= 10
+  SELECT sh FROM sh3 GROUP BY sh HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
 ), bp AS (
   SELECT s.doc_id,
     round(count(CASE WHEN h.sh IS NOT NULL THEN 1 END) / count(*), 6) AS boilerplate_ratio

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    EMBED_DIM as _EMBED_DIM,
+)
+from ..operators.multimodal import (
     decode_media,
     frame_sample,
     resize_plan,
@@ -192,10 +195,10 @@ def multimodal_embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMBED_SQL = """
+_EMBED_SQL = f"""
 WITH e AS (
   SELECT doc_id,
-    list_transform(generate_series(0, 15),
+    list_transform(generate_series(0, {_EMBED_DIM - 1}),
       j -> round(CAST(('0x' || substr(md5(doc_id || ':' || j), 1, 8)) AS BIGINT)
                  / 4294967296.0 - 0.5, 6)) AS emb
   FROM documents
@@ -230,10 +233,10 @@ def multimodal_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RETRIEVAL_SQL = """
+_RETRIEVAL_SQL = f"""
 WITH e AS (
   SELECT doc_id,
-    list_transform(generate_series(0, 15),
+    list_transform(generate_series(0, {_EMBED_DIM - 1}),
       j -> round(CAST(('0x' || substr(md5(doc_id || ':' || j), 1, 8)) AS BIGINT)
                  / 4294967296.0 - 0.5, 6)) AS emb
   FROM documents
