@@ -349,6 +349,68 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: events_rolling_7day — trailing-window KPIs: per day and event
+# type, the day's total plus the 7-day trailing sum/average via a
+# RANGE-framed window over an integer day number. Range frames (unlike
+# row frames) stay correct when days are missing from the data — the
+# frame covers calendar distance, not row count. The window input is
+# the pre-aggregated daily relation (days × types rows), so the sort
+# is metadata-sized at any event volume.
+# ---------------------------------------------------------------------------
+def events_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            F.col("event_type"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("event_type", "day_num", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").alias("_dv"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.col("_dv"), 2).cast("double").alias("day_value"),
+        F.round(F.sum("_dv").over(w), 2).cast("double").alias("rolling_7d_value"),
+        F.sum("n_events").over(w).cast("long").alias("rolling_7d_events"),
+    )
+
+
+_ROLLING_SQL = """
+WITH daily AS (
+  SELECT event_type,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+    CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) AS n_events,
+    sum(CAST(value AS DECIMAL(18,4))) AS dv
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day, n_events,
+  CAST(round(dv, 2) AS DOUBLE) AS day_value,
+  CAST(round(sum(dv) OVER (PARTITION BY event_type ORDER BY day_num
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+       AS DOUBLE) AS rolling_7d_value,
+  CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS rolling_7d_events
+FROM daily
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
@@ -361,6 +423,7 @@ QUERIES = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_dedup_rollup": streaming_dedup_rollup,
     "events_approx_quantiles": events_approx_quantiles,
+    "events_rolling_7day": events_rolling_7day,
 }
 
 ORACLE_SQL = {
@@ -375,4 +438,5 @@ ORACLE_SQL = {
     "streaming_hourly_rollup": _HOURLY_SQL,
     "streaming_dedup_rollup": _DEDUP_ROLLUP_SQL,
     "events_approx_quantiles": _APPROX_QUANTILES_SQL,
+    "events_rolling_7day": _ROLLING_SQL,
 }

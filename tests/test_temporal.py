@@ -70,3 +70,25 @@ def test_range_join_band_inclusive(spark):
     out = banded_range_join(left, right, key="k", ts="ts", band_sec=300)
     got = {(r.l_lid, r.r_rid, r.delta_sec) for r in out.collect()}
     assert got == {(100, 200, 300), (100, 201, -300)}
+
+
+def test_rolling_7day_range_frame_skips_gaps(spark, monkeypatch):
+    """RANGE frames cover calendar distance: with day 3..8 missing, day
+    9's trailing-7 window must include only days 3..9 present in the
+    data (here: day 9 itself), not the previous 6 ROWS."""
+    import retail_sales_data_pipeline_spark.plans.events_queries as EQ
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"2024-01-0{d} 12:00:00", 1, "click", 10.0, "{}")
+        for i, d in enumerate([1, 1, 2], start=1)
+    ] + [(9, "2024-01-09 12:00:00", 1, "click", 5.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(EQ, "_events", lambda s, d: df)
+    out = {str(r.day): r for r in EQ.events_rolling_7day(spark, "unused").collect()}
+    assert out["2024-01-02"].rolling_7d_value == 30.0   # days 1+2 within range
+    # day 9 is >6 days after day 2: the range window holds only day 9
+    assert out["2024-01-09"].rolling_7d_value == 5.0
+    assert out["2024-01-09"].rolling_7d_events == 1
