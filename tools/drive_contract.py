@@ -1,0 +1,88 @@
+"""Driver-contract harness: mimics what the grading driver does.
+
+Runs from /root/repo so `__spark_entry__` imports the package as the
+driver would. Smoke: entry(spark) at sf0.001. Correctness: each
+queries()[name] at sf0.01 vs oracle_sql()[name] in DuckDB —
+row count, sorted-column schema, order-insensitive value hash.
+"""
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.driver.memory", "8g")
+    .appName("verify")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# --- smoke -----------------------------------------------------------------
+df = e.entry(spark)
+rows = df.count()
+print(f"SMOKE entry(): {rows} rows, schema={[f.name for f in df.schema.fields]}")
+assert rows >= 0
+
+# --- correctness vs duckdb oracle at sf0.01 --------------------------------
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+qs, oracles = e.queries(), e.oracle_sql()
+only = set(sys.argv[1:])
+fails = []
+for name, fn in qs.items():
+    if only and name not in only:
+        continue
+    sdf = fn(spark, SF)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols = sdf.columns
+    if name not in oracles:
+        print(f"ROWS-ONLY {name}: {len(s_rows)} rows (no oracle)")
+        continue
+    o = con.execute(oracles[name])
+    o_cols = [d[0] for d in o.description]
+    o_rows = o.fetchall()
+    ok_n = len(s_rows) == len(o_rows)
+    ok_c = sorted(s_cols) == sorted(o_cols)
+    ok_h = ok_n and ok_c and value_hash(s_rows, s_cols) == value_hash(o_rows, o_cols)
+    status = "OK" if ok_h else "MISMATCH"
+    print(f"{status} {name}: spark={len(s_rows)} oracle={len(o_rows)} "
+          f"cols_match={ok_c} hash_match={ok_h}")
+    if not ok_h:
+        fails.append(name)
+        if not ok_c:
+            print(f"   spark cols: {sorted(s_cols)}\n   oracle cols: {sorted(o_cols)}")
+
+print("RESULT:", "ALL PASS" if not fails else f"FAILED: {fails}")
+sys.exit(1 if fails else 0)
