@@ -22,6 +22,27 @@ def exact_decimal(c: Column | str) -> Column:
     return F.col(c).cast(_DEC) if isinstance(c, str) else c.cast(_DEC)
 
 
+def epoch_sec(name: str) -> Column:
+    """Whole seconds since 1970-01-01 00:00:00 for a timestamp column,
+    matching DuckDB's ``floor(epoch(ts))``.
+
+    Works on TIMESTAMP_NTZ (what Spark 4 infers for parquet
+    ``timestamp[us]`` columns written without a timezone — a plain
+    ``cast("long")`` is illegal there) and is session-timezone-
+    independent: the diff is taken against an NTZ epoch literal, and
+    each timestamp is truncated to the second BEFORE differencing so
+    ties break exactly like floor-per-value (truncating the difference
+    instead would disagree with the oracle when the earlier value has
+    the larger sub-second part). Built with ``expr`` — ``timestampdiff``
+    has no ``pyspark.sql.functions`` binding, and its unit argument is a
+    keyword, so the column is referenced by (backtick-quoted) name.
+    """
+    return F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"date_trunc('second', `{name}`))"
+    )
+
+
 def money(c: Column) -> Column:
     """Edge cast: exact decimal aggregate → rounded to cents → DOUBLE.
 

@@ -45,15 +45,22 @@ def assign_clusters(
     centroids: Centroids,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, vec, cluster, dist2).
 
     Entirely JVM-side: the distance array and argmin are codegen'd
     expressions; ``array_position`` on the exact min element gives the
     0-based cluster index (first-match = lowest index on ties).
+
+    ``round_dp`` rounds each distance before the argmin — part of the
+    cross-engine determinism contract (see :func:`kmeans`).
     """
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_dist2(v, c) for c in centroids])
+    ds = [_dist2(v, c) for c in centroids]
+    if round_dp is not None:
+        ds = [F.round(d, round_dp) for d in ds]
+    dists = F.array(*ds)
     best = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return df.select(
         F.col(id_col),
@@ -64,7 +71,10 @@ def assign_clusters(
 
 
 def update_centroids(
-    assigned: DataFrame, centroids: Centroids, vec_col: str = "embedding"
+    assigned: DataFrame,
+    centroids: Centroids,
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> Centroids:
     """Per-cluster dimension means; empty clusters keep their centroid."""
     dim = len(centroids[0])
@@ -72,7 +82,8 @@ def update_centroids(
         "cluster",
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
     )
-    rows = exploded.groupBy("cluster", "pos").agg(F.avg("val").alias("m")).collect()
+    m = F.avg("val") if round_dp is None else F.round(F.avg("val"), round_dp)
+    rows = exploded.groupBy("cluster", "pos").agg(m.alias("m")).collect()
     out = [list(c) for c in centroids]
     for r in rows:
         out[r["cluster"]][r["pos"]] = r["m"]
@@ -86,17 +97,25 @@ def kmeans(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means; returns the final assignment.
 
     ``df`` is cached for the duration of the iteration (each of the
     ``iters`` update jobs rescans it) and unpersisted lazily — callers
     consume the returned assignment within the same session.
+
+    ``round_dp`` (e.g. 6) rounds every centroid mean and every distance
+    to that many decimals, pinning the whole centroid trajectory so an
+    independent engine (the DuckDB oracle) replaying the same rounded
+    recurrence lands on bit-identical assignments — float summation
+    order inside ``avg`` differs between engines, and unrounded
+    trajectories drift apart after a few iterations.
     """
     df = df.select(id_col, vec_col).persist()
     seeds = df.orderBy(id_col).limit(k).collect()
     centroids: Centroids = [list(map(float, r[vec_col])) for r in seeds]
     for _ in range(iters):
-        assigned = assign_clusters(df, centroids, vec_col, id_col)
-        centroids = update_centroids(assigned, centroids, vec_col)
-    return assign_clusters(df, centroids, vec_col, id_col)
+        assigned = assign_clusters(df, centroids, vec_col, id_col, round_dp)
+        centroids = update_centroids(assigned, centroids, vec_col, round_dp)
+    return assign_clusters(df, centroids, vec_col, id_col, round_dp)

@@ -286,33 +286,32 @@ def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    num_hashes: int = 8,
-    rows_per_band: int = 2,
-    threshold: float = 0.5,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def lsh_candidate_pairs(
+    bands: DataFrame, bucket_cap: int | None = None
 ) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: hashed shingles → signatures →
-    bands → bucket join → candidate pairs → exact Jaccard verification
-    on the shingle sets.
+    """Co-bucket candidate pairs ``(id_a < id_b)`` from banded signatures.
 
-    Output: ``id_a < id_b, jaccard`` for verified pairs ≥ threshold.
-    The bucket join shuffles on (band, band_key) — bounded and uniform;
-    candidates are a tiny fraction of n², which is the whole point:
-    unlike :func:`ngram_jaccard_pairs` the full inverted-index join
-    never happens, only |bands| × |docs| rows move.
+    ``bucket_cap`` drops band buckets with more than ``bucket_cap``
+    members before pairing. A bucket of m docs emits m(m-1)/2 pairs, so
+    one boilerplate cluster holding 10% of a corpus would alone generate
+    ~0.5% of n² candidates — at 100 TB that single hot bucket is the
+    job-killer, not the average case (tests/test_scale.py plants exactly
+    this and measures the counts). Buckets past the cap are degenerate
+    near-exact clusters; the layered guards upstream (exact dedup on
+    fingerprints, ``df_cap`` shingle pruning) catch those members at
+    linear cost, which is why capped LSH is standard in production
+    near-dup pipelines.
     """
-    # the shingle relation feeds both the signature path and the
-    # verification tail — persist so the tokenize+explode+md5 runs once
-    # (Spark evicts LRU; MinHashLSH in Spark ML does the same)
-    sh = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col).persist()
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
+    if bucket_cap is not None:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        bands = bands.join(
+            sizes.where(F.col("_n") <= bucket_cap).select("band", "band_key"),
+            ["band", "band_key"],
+        )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -322,6 +321,36 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: hashed shingles → signatures →
+    bands → bucket join → candidate pairs → exact Jaccard verification
+    on the shingle sets.
+
+    Output: ``id_a < id_b, jaccard`` for verified pairs ≥ threshold.
+    The bucket join shuffles on (band, band_key) — bounded and uniform;
+    candidates are a tiny fraction of n², which is the whole point:
+    unlike :func:`ngram_jaccard_pairs` the full inverted-index join
+    never happens, only |bands| × |docs| rows move. ``bucket_cap``
+    guards the skewed case — see :func:`lsh_candidate_pairs`.
+    """
+    # the shingle relation feeds both the signature path and the
+    # verification tail — persist so the tokenize+explode+md5 runs once
+    # (Spark evicts LRU; MinHashLSH in Spark ML does the same)
+    sh = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col).persist()
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
+    cand = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
     return jaccard_verify(cand, sh, threshold)
 
 

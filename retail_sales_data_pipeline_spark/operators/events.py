@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_sec
+
 SESSION_GAP_SEC = 1800  # 30 min
 
 
@@ -53,7 +55,7 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     Catalyst reuses the exchange for the window and the aggregation.
     """
     w = Window.partitionBy("user_id").orderBy("ts")
-    sec = F.col("ts").cast("long")
+    sec = epoch_sec("ts")
     prev_sec = F.lag(sec).over(w)
     flagged = events.withColumn(
         "_new",

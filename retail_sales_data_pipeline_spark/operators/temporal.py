@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_sec
+
 
 def asof_join(
     left: DataFrame,
@@ -99,9 +101,8 @@ def banded_range_join(
     Output: the key, ``{l,r}_`` prefixed remaining columns, and
     ``delta_sec = l.ts - r.ts`` (seconds, signed).
     """
-    sec = lambda c: F.col(c).cast("long")  # noqa: E731
-    lb = left.withColumn("_b", F.floor(sec(ts) / band_sec))
-    rb = right.withColumn("_rb", F.floor(sec(ts) / band_sec))
+    lb = left.withColumn("_b", F.floor(epoch_sec(ts) / band_sec))
+    rb = right.withColumn("_rb", F.floor(epoch_sec(ts) / band_sec))
     shifted = lb.withColumn("_probe", F.explode(F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)))
     lcols = [c for c in left.columns if c != key]
     rcols = [c for c in right.columns if c != key]
@@ -117,7 +118,7 @@ def banded_range_join(
     )
     lt, rt = f"{left_alias}_{ts}", f"{right_alias}_{ts}"
     return (
-        joined.withColumn("delta_sec", F.col(lt).cast("long") - F.col(rt).cast("long"))
+        joined.withColumn("delta_sec", epoch_sec(lt) - epoch_sec(rt))
         .where(F.abs(F.col("delta_sec")) <= band_sec)
         .drop("_probe", "_rb", "_rkey")
     )

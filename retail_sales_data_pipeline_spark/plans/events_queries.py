@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import scalars as S
 from ..operators import events as E
 from ..sources.tables import load_table
 
@@ -107,7 +108,7 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("asof_value").cast("decimal(18,4)"), 2).cast("double").alias(
             "view_value"
         ),
-        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias("gap_sec"),
+        (S.epoch_sec("ts") - S.epoch_sec("asof_ts")).alias("gap_sec"),
     )
 
 

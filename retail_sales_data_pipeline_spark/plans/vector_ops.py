@@ -299,16 +299,22 @@ GROUP BY b.query_id
 
 
 # ---------------------------------------------------------------------------
-# Q: kmeans_embeddings — iterative Lloyd's clustering (rows-only: the
-# fixed-point of an iterative algorithm isn't expressible as one SQL
-# query; the test suite pins determinism and partition invariance
-# instead). Output: per-cluster size and inertia.
+# Q: kmeans_embeddings — iterative Lloyd's clustering, ORACLE-CHECKED:
+# the operator's ``round_dp=6`` determinism knob pins the centroid
+# trajectory (seeds = k lowest ids, 6-dp-rounded means and distances
+# each iteration), so the DuckDB twin — the same recurrence unrolled as
+# chained CTEs — lands on bit-identical assignments. Output: per-cluster
+# size and inertia (sum of final squared distances, 2 dp).
 # ---------------------------------------------------------------------------
+KME_K = 8
+KME_ITERS = 5
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import cluster as C
 
-    assigned = C.kmeans(_emb(spark, sf_dir), k=8, iters=5)
-    return assigned.groupBy("cluster").agg(
+    assigned = C.kmeans(_emb(spark, sf_dir), k=KME_K, iters=KME_ITERS, round_dp=6)
+    return assigned.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("dist2"), 2).alias("inertia"),
     )
@@ -503,11 +509,22 @@ def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(cents)
 
 
-def _kmeans_fixed_sql(k: int = KM_K, dim: int = DIM, iters: int = KM_ITERS) -> str:
+def _kmeans_fixed_sql(
+    k: int = KM_K, dim: int = DIM, iters: int = KM_ITERS, agg: bool = False
+) -> str:
+    """Unrolled-CTE DuckDB twin of the rounded-trajectory Lloyd's
+    recurrence (``cluster.kmeans(round_dp=6)``): c0 = k lowest-id
+    embeddings, then iters × (assign by rounded distance with lowest-cid
+    tiebreak → 6-dp-rounded per-dimension means). ``agg=True`` returns
+    the per-cluster (n_points, inertia) summary instead of the raw
+    assignment — the ``kmeans_embeddings`` output shape."""
+
     def assign(ci: str, ai: str) -> str:
         return f"""{ai} AS (
-  SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, d AS dist2 FROM (
     SELECT v.vec_id, c.cid,
+      round(list_aggregate(list_transform(generate_series(1, {dim}),
+            i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])), 'sum'), 6) AS d,
       row_number() OVER (PARTITION BY v.vec_id ORDER BY
         round(list_aggregate(list_transform(generate_series(1, {dim}),
               i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])), 'sum'), 6),
@@ -537,11 +554,13 @@ def _kmeans_fixed_sql(k: int = KM_K, dim: int = DIM, iters: int = KM_ITERS) -> s
     ON c{it}.cid = u.cid
 )""")
     parts.append(assign(f"c{iters}", "afinal"))
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal"
+    final = (
+        "SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n_points,\n"
+        "  round(sum(dist2), 2) AS inertia\nFROM afinal GROUP BY cid"
+        if agg
+        else "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal"
     )
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 # ---------------------------------------------------------------------------
@@ -594,10 +613,8 @@ QUERIES = {
     "cluster_balanced_sample": cluster_balanced_sample,
 }
 
-# iterative algorithm — no single-query SQL twin; driver does rows-only
-ROWS_ONLY = {"kmeans_embeddings"}
-
 ORACLE_SQL = {
+    "kmeans_embeddings": _kmeans_fixed_sql(k=KME_K, iters=KME_ITERS, agg=True),
     "ann_cosine_topk": _COSINE_SQL,
     "ann_lsh_topk": _LSH_SQL,
     "ann_ivf_topk": _IVF_SQL,

@@ -65,9 +65,36 @@ def read_csv_permissive(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(full)
         .csv(path)
-    ).cache()  # Spark disallows filtering the corrupt column on the raw scan
+    )
     good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    rejects = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    # Rejects come from a SECOND pass: a plain text scan re-parsed with
+    # from_csv. Two reasons this beats caching the parsed frame (the
+    # previous implementation): (1) Spark disallows a raw-CSV query
+    # whose pruned references are only the corrupt column, and the
+    # cache() workaround pins the full payload in executor memory — at
+    # corpus scale an extra pass over the source is far cheaper; (2) the
+    # passes are independent scans, so neither blocks the other's
+    # pushdowns. Header lines (skipped by the schema'd read above) are
+    # excluded by literal match; multiline/quoted-newline CSV is out of
+    # scope for the rejects pass, as documented.
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
+    )
+    header = ",".join(f.name for f in schema.fields)
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_csv(
+            "value",
+            ddl,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_p"),
+    )
+    rejects = (
+        parsed.where(
+            F.col("_p._corrupt_record").isNotNull() & (F.col("value") != header)
+        )
+        .select(F.col("value").alias("_corrupt_record"))
+    )
     return good, rejects
 
 

@@ -45,9 +45,19 @@ def load_table(
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos; truncate to micros like
-        # DuckDB does so both engines see identical timestamps
+        # DuckDB does so both engines see identical timestamps. Built as
+        # TIMESTAMP_NTZ (epoch-anchored, session-tz-independent) — the
+        # same type Spark 4 infers for plain parquet timestamp[us]
+        # columns, so downstream operators see one timestamp type
+        # regardless of how the fixture was written.
         from pyspark.sql import functions as F
 
         # integer division — float division loses precision above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df.select(*columns) if columns else df

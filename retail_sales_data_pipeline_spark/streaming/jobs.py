@@ -55,6 +55,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "bigint":
         # nanos-as-long → micro-precision timestamp (see sources.tables)
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ) — EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE otherwise. Interpret the NTZ wall-clock as UTC
+        # via epoch micros (session-tz-independent; a plain cast would
+        # shift by the session zone).
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return stream
 
 

@@ -166,3 +166,71 @@ def test_zorder_rejects_overflow(spark):
     import pytest
     with pytest.raises(ValueError):
         zorder_key([F.col("a"), F.col("b")], bits=32)
+
+
+def test_lsh_planted_skew_bucket_cap(spark):
+    """Planted-skew stress for the LSH band join: 10% of the corpus is
+    one near-exact boilerplate cluster, so every one of its members
+    lands in the same band buckets. Uncapped, that single hot bucket
+    emits ~m²/2 of the total candidates (the 100 TB hot-partition
+    killer); with ``bucket_cap`` the bucket is dropped and the candidate
+    count stays linear-ish in corpus size. Measured counts are recorded
+    in docs/SCALE.md.
+    """
+    from retail_sales_data_pipeline_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    n, m = 600, 60  # corpus size, planted-cluster size (10%)
+
+    def background(i: int) -> str:
+        # per-doc pseudorandom word stream — negligible cross-doc overlap
+        return " ".join(
+            f"w{(i * 104729 + j * 7919) % 999983}" for j in range(14)
+        )
+
+    rows = [
+        (
+            i,
+            # boilerplate cluster: identical text + a tiny unique tail
+            f"terms of service apply to all users of this site v{i}"
+            if i < m
+            else background(i),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingle_hashes(df, n=3)
+    bands = lsh_band_keys(minhash_signatures(sh, num_hashes=8), rows_per_band=2)
+
+    hot = F.col("id_a") < m  # pair touches the planted cluster
+    unc = lsh_candidate_pairs(bands).persist()
+    cap = lsh_candidate_pairs(bands, bucket_cap=20).persist()
+    unc_hot, unc_total = unc.where(hot).count(), unc.count()
+    cap_hot, cap_total = cap.where(hot).count(), cap.count()
+
+    planted_pairs = m * (m - 1) // 2  # 1770
+    # uncapped: the planted cluster co-buckets and emits ~m²/2 pairs —
+    # the quadratic hot-bucket blowup
+    assert unc_hot >= planted_pairs * 0.9, (unc_hot, unc_total)
+    # capped: the oversized buckets are dropped, removing ≥95% of the
+    # hot-cluster candidates; the background candidate set is untouched
+    assert cap_hot <= unc_hot * 0.05, (unc_hot, cap_hot)
+    assert cap_total - cap_hot == unc_total - unc_hot
+    print(
+        f"# planted-skew counts: uncapped hot={unc_hot} total={unc_total}; "
+        f"bucket_cap=20 hot={cap_hot} total={cap_total}"
+    )
+
+    # the capped end-to-end pipeline completes and verifies: no false
+    # merges among background docs (the planted cluster itself is
+    # recoverable at linear cost by the exact-dedup layer upstream)
+    verified = minhash_lsh_pairs(df, bucket_cap=20)
+    assert verified.where(~hot).where(F.col("jaccard") < 0.5).count() == 0
+    unc.unpersist()
+    cap.unpersist()

@@ -64,9 +64,14 @@ fails = []
 for name, fn in qs.items():
     if only and name not in only:
         continue
-    sdf = fn(spark, SF)
-    s_rows = [tuple(r) for r in sdf.collect()]
-    s_cols = sdf.columns
+    try:
+        sdf = fn(spark, SF)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        s_cols = sdf.columns
+    except Exception as ex:  # keep going — one broken query must not hide the rest
+        print(f"ERROR {name}: {type(ex).__name__}: {str(ex).splitlines()[0][:200]}")
+        fails.append(name)
+        continue
     if name not in oracles:
         print(f"ROWS-ONLY {name}: {len(s_rows)} rows (no oracle)")
         continue
