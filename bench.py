@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "events_sessionize",
     "events_asof_attribution",
+    "events_funnel",
+    "events_cohort_retention",
+    "streaming_hourly_rollup",
     "corpus_tfidf_terms",
     "ann_lsh_topk",
     "corpus_boilerplate_ngrams",

@@ -55,9 +55,12 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     Catalyst reuses the exchange for the window and the aggregation.
     """
     w = Window.partitionBy("user_id").orderBy("ts")
-    sec = epoch_sec("ts")
+    # project the epoch ONCE: the timestampdiff-based epoch_sec is
+    # heavier than the old cast, and inlining it would re-evaluate it in
+    # the lag, the gap comparison, and both aggregates
+    sec = F.col("_sec")
     prev_sec = F.lag(sec).over(w)
-    flagged = events.withColumn(
+    flagged = events.withColumn("_sec", epoch_sec("ts")).withColumn(
         "_new",
         F.when(prev_sec.isNull() | ((sec - prev_sec) > gap_sec), 1).otherwise(0),
     ).withColumn(
