@@ -1602,6 +1602,51 @@ WITH t AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus_split_assign — leakage-safe deterministic train/val/test
+# split. Buckets are assigned by md5 of the SOURCE (not the doc id), so
+# every document from one source lands in the same split: near-dups
+# cluster within sources, and a doc-level split would leak them across
+# the train/test boundary. 90/5/5 by hash bucket; the assignment is a
+# pure projection (zero shuffles at any scale — the one groupBy here is
+# only the summary), stable across runs, engines, and partitionings.
+# ---------------------------------------------------------------------------
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        df.select(split.alias("split"), X.token_count("text").alias("_n"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_SPLIT_ASSIGN_SQL = f"""
+WITH t AS (
+  SELECT
+    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+      AS split,
+    n
+  FROM (
+    SELECT CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS b,
+           len({_SQL_TOKS}) AS n
+    FROM documents
+  )
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM t GROUP BY split
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1634,6 +1679,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "corpus_curation_funnel": corpus_curation_funnel,
     "streaming_quality_filter": streaming_quality_filter,
+    "corpus_split_assign": corpus_split_assign,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -1672,4 +1718,5 @@ ORACLE_SQL = {
     "dedup_incremental": _INCREMENTAL_SQL,
     "corpus_curation_funnel": _CURATION_FUNNEL_SQL,
     "streaming_quality_filter": _STREAM_QUALITY_SQL,
+    "corpus_split_assign": _SPLIT_ASSIGN_SQL,
 }

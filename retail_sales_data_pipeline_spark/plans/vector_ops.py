@@ -598,6 +598,70 @@ SELECT vec_id, cluster, rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: ann_label_agreement — embedding-quality eval: for each query
+# vector, what fraction of its top-5 cosine neighbors share its label?
+# The kNN label-agreement metric used to sanity-check an embedding
+# space before spending a training run on it (high agreement ⇒ the
+# metric structure respects the labels). Composes the checked
+# cosine_topk with two label joins — the query-side join broadcasts (10
+# rows), the neighbor-side join is an equi-join on the top-k output
+# (|queries|·k rows), so the whole metric adds no scan of the corpus
+# beyond cosine_topk's own.
+# ---------------------------------------------------------------------------
+def ann_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    topk = S.cosine_topk(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")
+    )
+    same = (F.col("_nl") == F.col("_ql")).cast("int")
+    return (
+        topk.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .groupBy("query_id", F.col("_ql").cast("long").alias("label"))
+        .agg(
+            F.sum(same).alias("n_same"),
+            F.round(F.avg(same), 6).alias("agree_frac"),
+        )
+    )
+
+
+_LABEL_AGREEMENT_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, label AS ql FROM vecs WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, e AS ce, label AS nl FROM vecs
+  WHERE vec_id >= 10
+), pairs AS (
+  SELECT query_id, neighbor_id, ql, nl,
+    round(list_dot_product(qe, ce)
+          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+          6) AS cosine
+  FROM q, c
+), ranked AS (
+  SELECT query_id, ql, nl,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, CAST(ql AS BIGINT) AS label,
+  CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+  round(avg(CASE WHEN nl = ql THEN 1.0 ELSE 0.0 END), 6) AS agree_frac
+FROM ranked WHERE rk <= 5
+GROUP BY query_id, ql
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -611,6 +675,7 @@ QUERIES = {
     "kmeans_fixed_assign": kmeans_fixed_assign,
     "dedup_semantic_keep": dedup_semantic_keep,
     "cluster_balanced_sample": cluster_balanced_sample,
+    "ann_label_agreement": ann_label_agreement,
 }
 
 ORACLE_SQL = {
@@ -626,4 +691,5 @@ ORACLE_SQL = {
     "kmeans_fixed_assign": _kmeans_fixed_sql(),
     "dedup_semantic_keep": _SEMANTIC_KEEP_SQL,
     "cluster_balanced_sample": _BALANCED_SAMPLE_SQL,
+    "ann_label_agreement": _LABEL_AGREEMENT_SQL,
 }
