@@ -359,3 +359,34 @@ def test_curation_funnel_monotone(spark, sf_dir):
         assert b.n_docs <= a.n_docs and b.total_tokens <= a.total_tokens
     # the pipeline keeps something and removes something
     assert 0 < rows[-1].n_docs < n_docs_raw
+
+
+def test_split_assign_is_leakage_safe(spark, sf_dir):
+    """Every source lands in exactly ONE split (group-aware hashing), so
+    near-duplicates clustered within a source can never straddle the
+    train/test boundary; splits are exhaustive and deterministic."""
+    from retail_sales_data_pipeline_spark.plans.llm_ops import corpus_split_assign
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    per_source = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_source.where(F.col("n_splits") != 1).count() == 0
+
+    # summary is exhaustive: split doc counts sum to the corpus size
+    summary = corpus_split_assign(spark, sf_dir)
+    assert summary.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    # and deterministic across invocations
+    a = sorted(map(tuple, summary.collect()))
+    b = sorted(map(tuple, corpus_split_assign(spark, sf_dir).collect()))
+    assert a == b

@@ -1,0 +1,96 @@
+"""Emit next round's DRIVER_PRIORITY list from the CORRECTNESS history.
+
+The grading driver hard-verifies only the FIRST 50 registry queries per
+round (see ``plans/registry.py`` — VERIFICATION-COVERAGE POLICY). This
+tool operationalizes the rotate-by-staleness policy: it reads every
+``CORRECTNESS_r*.json`` in the repo root, computes for each registered
+query the most recent round in which it had a fully-green row
+(rows+schema+hash), and prints a 50-name priority list ordered by
+
+1. never-checked queries first (newest additions),
+2. then ascending last-green round (stalest next),
+3. then queries whose last row was NOT green (need a confirming row),
+4. ties broken by registry order.
+
+Paste the output into ``registry.DRIVER_PRIORITY`` at the start of the
+next round, and keep ``tools/drive_contract.py`` green over the FULL
+registry locally.
+
+    python tools/rotate_registry.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+
+
+def history() -> dict[int, dict]:
+    out = {}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)", path).group(1))
+        try:
+            with open(path) as f:
+                out[rnd] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+    )
+
+
+def main() -> None:
+    from retail_sales_data_pipeline_spark.plans.registry import all_queries
+
+    names = list(all_queries())
+    hist = history()
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    for rnd in sorted(hist):
+        for name, row in hist[rnd].items():
+            if name not in names:
+                continue
+            last_seen[name] = rnd
+            if green(row):
+                last_green[name] = rnd
+
+    def key(name: str):
+        order = names.index(name)
+        if name not in last_seen:
+            return (0, 0, order)  # never checked — highest priority
+        if name not in last_green:
+            return (1, last_seen[name], order)  # checked but never green
+        return (2, last_green[name], order)  # stalest green first
+
+    ranked = sorted(names, key=key)
+    window = ranked[:WINDOW]
+    print(f"# rotate_registry: {len(names)} registered, window={WINDOW}")
+    print(f"# never-checked: {sum(1 for n in names if n not in last_seen)}; "
+          f"checked-not-green: "
+          f"{sum(1 for n in last_seen if n not in last_green)}")
+    print("DRIVER_PRIORITY = [")
+    for n in window:
+        tag = (
+            "never checked"
+            if n not in last_seen
+            else ("NOT GREEN" if n not in last_green
+                  else f"green r{last_green[n]}")
+        )
+        print(f'    "{n}",  # {tag}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
