@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from retail_sales_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_media,
     frame_sample,
     synth_media_from_documents,
@@ -47,12 +48,46 @@ def test_decode_deterministic(spark, media):
     assert a == b
 
 
-def test_real_decode_is_gated(spark, media):
+def test_real_decode_rejects_unknown_formats(spark, media):
+    # the synthesized fixtures are raw text bytes, not a self-describing
+    # media format — the real decoder must refuse them loudly
     with pytest.raises(Exception) as exc:
         decode_media(media.limit(1), fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
-    )
+    assert "ValueError" in str(exc.value) or isinstance(exc.value, ValueError)
+
+
+def _p6(w, h, pixels):
+    return b"P6\n# test frame\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _wav(rate, channels, samples16):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_real_decode_ppm_wav_video(spark):
+    """REAL decode through the Arrow mapInPandas path: a 4x3 binary PPM
+    image, a 2-channel 8kHz WAV, and a 2-frame PPM-stream video — all
+    parsed with pure stdlib, no codec libraries."""
+    img = _p6(4, 3, bytes(range(36)))
+    wav = _wav(8000, 2, [0, 1000, -1000, 32767, -32768, 12, -12, 99])
+    frame = _p6(2, 2, bytes(range(12)))
+    vid = frame + frame
+    rows = [(1, "image", img, "t"), (2, "audio", wav, "t"), (3, "video", vid, "t")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_media(media, fake=False).collect()}
+
+    assert (out[1].width, out[1].height, out[1].n_frames) == (4, 3, 1)
+    assert len(out[1].feature) == 8 and all(0 <= f <= 1 for f in out[1].feature)
+    # WAV: width=sample rate, height=channels, n_frames=samples/channel
+    assert (out[2].width, out[2].height, out[2].n_frames) == (8000, 2, 4)
+    assert (out[3].width, out[3].height, out[3].n_frames) == (2, 2, 2)
 
 
 def test_frame_sample(spark, media):
