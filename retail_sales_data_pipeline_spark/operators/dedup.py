@@ -422,6 +422,95 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — same output contract as :func:`connected_components`
+    (``(id, cluster_id)``, cluster_id = min reachable id) but converges
+    in **O(log n) rounds instead of graph-diameter rounds**: a
+    100-hop duplicate chain closes in ~7 alternations where min-label
+    propagation needs 100. Use this when components may be deep
+    (transitive near-dup chains in web corpora); the propagation
+    variant stays as the simpler oracle twin for shallow graphs.
+
+    Per round: each op is one groupBy (neighborhood min) + one join —
+    bounded, uniformly-keyed shuffles; ``localCheckpoint`` truncates
+    lineage; only a changed-count reaches the driver.
+
+    - large-star: every node connects its strictly-larger neighbors to
+      the minimum of its closed neighborhood;
+    - small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to that minimum.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        sym = _sym(e)
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        joined = sym.join(m, "u")
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = joined.where(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        # canonical undirected form (min, max), self-loops dropped
+        return (
+            out.where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        nxt = _star(_star(edges, large=True), large=False).localCheckpoint()
+        changed = (
+            nxt.exceptAll(edges).count() + edges.exceptAll(nxt).count()
+        )
+        edges = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: edge set still changing after "
+            f"max_iter={max_iter} alternations — labels may be partial. "
+            "O(log n) convergence means this indicates a pathological "
+            "input; raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # after convergence the edge set is a star per component: each
+    # node's closed-neighborhood min IS the component min
+    mins = (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("cluster_id"))
+    )
+    return nodes.join(mins, nodes.id == mins.u, "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+
+
 def simhash_signatures(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document from per-token md5 bits.
 
