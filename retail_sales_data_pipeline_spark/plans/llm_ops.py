@@ -378,6 +378,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(nodes, pairs)
 
 
+# Q: dedup_clusters_star — the same clustering through the O(log n)
+# large-star/small-star algorithm; the recursive-CTE oracle is
+# implementation-independent, so both variants share it and the driver
+# pins that the two algorithms agree on real near-dup graphs.
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(_docs(spark, sf_dir))
+    pairs = D.minhash_lsh_pairs(corpus, num_hashes=8, rows_per_band=2, threshold=0.5)
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    return D.connected_components_star(nodes, pairs)
+
+
 # CTE prefix shared by the cluster-labeling query and the keep-canonical
 # apply step (everything through the transitive closure `reach`).
 _CLUSTERS_CTES = f"""{_SQL_NEARDUP_CORPUS},
@@ -1657,6 +1668,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_rate_by_lang": dedup_rate_by_lang,
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "corpus_sample": corpus_sample,
@@ -1696,6 +1708,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_star": _DEDUP_CLUSTERS_SQL,  # implementation-independent oracle
     "dedup_rate_by_lang": _DEDUP_RATE_SQL,
     "corpus_filter_pipeline": _CORPUS_FILTER_SQL,
     "corpus_sample": _CORPUS_SAMPLE_SQL,
