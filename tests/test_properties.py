@@ -148,3 +148,29 @@ def test_quantize_int8_error_bound(spark, vec):
     for x, qx in zip(vec, q):
         assert -127 <= qx <= 127
         assert abs(qx * scale / 127 - x) <= scale / 254 + 1e-9
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    micros=st.lists(
+        st.integers(min_value=0, max_value=4_102_444_800_000_000),  # 1970..2100
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_epoch_sec_matches_python_floor(spark, micros):
+    """epoch_sec == floor(epoch) per value for arbitrary micro-precision
+    NTZ timestamps — including the floor-before-subtract edge where the
+    earlier timestamp has the larger sub-second part."""
+    import datetime
+
+    from retail_sales_data_pipeline_spark.functions.scalars import epoch_sec
+
+    rows = [
+        (i, datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us))
+        for i, us in enumerate(micros)
+    ]
+    df = spark.createDataFrame(rows, "i long, ts timestamp_ntz")
+    got = {r.i: r.s for r in df.select("i", epoch_sec("ts").alias("s")).collect()}
+    for i, us in enumerate(micros):
+        assert got[i] == us // 1_000_000, (us, got[i])
