@@ -300,6 +300,67 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Q: streaming_sessionize — the custom stateful operator
+# (applyInPandasWithState, event-time timeout), oracle-checked by
+# modeling the availableNow drain EXACTLY in SQL: the drain processes
+# all files in one batch (every non-final session per user is emitted on
+# gap detection), then the watermark advances to max(ts) − 2 h and the
+# closing batch fires event-time timeouts — flushing precisely the
+# trailing sessions with (floor(epoch(session_end)) + gap)·1000 ms
+# strictly below the millisecond watermark. Sessions inside that horizon
+# stay in the state store (unbounded-stream semantics; documented in
+# streaming/jobs.py). Timestamps are second-resolution (the state keeps
+# floor-epoch seconds); sums are sequential float64 over DECIMAL(18,4)-
+# exact inputs, rounded at the edge.
+# ---------------------------------------------------------------------------
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir)
+
+
+_STREAM_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {E.SESSION_GAP_SEC}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq,
+    TIMESTAMP '1970-01-01 00:00:00'
+      + CAST(floor(epoch(min(ts))) AS BIGINT) * INTERVAL '1 second'
+      AS session_start,
+    TIMESTAMP '1970-01-01 00:00:00'
+      + CAST(floor(epoch(max(ts))) AS BIGINT) * INTERVAL '1 second'
+      AS session_end,
+    count(*) AS n_events,
+    CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+      AS duration_sec,
+    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+  FROM numbered GROUP BY user_id, session_seq
+), lastseq AS (
+  SELECT user_id, max(session_seq) AS last_seq FROM sess GROUP BY user_id
+), wm AS (
+  SELECT epoch_ms(max(ts)) - {2 * 3600 * 1000} AS wm_ms FROM events
+)
+SELECT s.user_id, s.session_seq, s.session_start, s.session_end,
+       s.n_events, s.duration_sec, s.total_value
+FROM sess s LEFT JOIN lastseq l
+  ON s.user_id = l.user_id AND s.session_seq = l.last_seq, wm
+WHERE l.user_id IS NULL
+   OR (CAST(floor(epoch(s.session_end)) AS BIGINT) + {E.SESSION_GAP_SEC}) * 1000
+      < wm.wm_ms
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: events_approx_quantiles — sketch quantiles with a rank-based
 # tolerance gate. percentile_approx (KLL-style at accuracy=10000) is
 # engine-specific, so the hash-checkable output carries the EXACT
@@ -423,6 +484,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_dedup_rollup": streaming_dedup_rollup,
+    "streaming_sessionize": streaming_sessionize,
     "events_approx_quantiles": events_approx_quantiles,
     "events_rolling_7day": events_rolling_7day,
 }
@@ -438,6 +500,7 @@ ORACLE_SQL = {
     "events_cohort_retention": _COHORT_SQL,
     "streaming_hourly_rollup": _HOURLY_SQL,
     "streaming_dedup_rollup": _DEDUP_ROLLUP_SQL,
+    "streaming_sessionize": _STREAM_SESSIONIZE_SQL,
     "events_approx_quantiles": _APPROX_QUANTILES_SQL,
     "events_rolling_7day": _ROLLING_SQL,
 }

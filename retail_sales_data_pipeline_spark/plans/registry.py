@@ -63,6 +63,7 @@ DRIVER_PRIORITY = [
     "events_cohort_retention",
     "streaming_hourly_rollup",
     "streaming_dedup_rollup",
+    "streaming_sessionize",
     "events_approx_quantiles",
     "events_rolling_7day",
     # vector / ANN family
@@ -101,7 +102,6 @@ DRIVER_PRIORITY = [
     "dedup_clusters",
     "corpus_report",
     "corpus_approx_distinct",
-    "text_redact_pii",
 ]
 
 
