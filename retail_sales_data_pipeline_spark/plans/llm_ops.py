@@ -1614,6 +1614,54 @@ WITH t AS (
 
 
 # ---------------------------------------------------------------------------
+# Q: dedup_fuzzy_keys — edit-distance (Levenshtein) near-dup pairs on a
+# short normalized key with prefix+length-band blocking: the entity-
+# resolution capability token/shingle dedup lacks (a single character
+# typo shifts every shingle but costs edit distance 1). The fixture
+# plants a typo variant ('x' at position 20 of the 32-char key) for
+# every 7th doc; blocking keeps the pairwise Levenshtein inside
+# same-prefix same-length-band blocks — one bounded shuffle, never n².
+# ---------------------------------------------------------------------------
+def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    key = F.lower(F.substring(F.trim(F.col("text")), 1, 32))
+    base = df.select(F.col("doc_id"), key.alias("k"))
+    variant = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring("k", 1, 19), F.lit("x"), F.substring("k", 21, 12)
+        ).alias("k"),
+    )
+    corpus = base.unionByName(variant)
+    out = D.blocked_levenshtein_pairs(
+        corpus, key_col="k", id_col="doc_id", max_dist=3
+    )
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+_FUZZY_KEYS_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, lower(substr(trim(text), 1, 32)) AS k FROM documents
+), variant AS (
+  SELECT id + 200000 AS id,
+         substr(k, 1, 19) || 'x' || substr(k, 21, 12) AS k
+  FROM base WHERE id % 7 = 0
+), corpus AS (
+  SELECT id, k FROM base UNION ALL SELECT id, k FROM variant
+), blocked AS (
+  SELECT id, k, substr(k, 1, 4) AS pfx,
+         CAST(floor(length(k) / 8) AS BIGINT) AS band
+  FROM corpus
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b
+  ON a.pfx = b.pfx AND a.band = b.band AND a.id < b.id
+WHERE levenshtein(a.k, b.k) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_split_assign — leakage-safe deterministic train/val/test
 # split. Buckets are assigned by md5 of the SOURCE (not the doc id), so
 # every document from one source lands in the same split: near-dups
@@ -1692,6 +1740,7 @@ QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "streaming_quality_filter": streaming_quality_filter,
     "corpus_split_assign": corpus_split_assign,
+    "dedup_fuzzy_keys": dedup_fuzzy_keys,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -1732,4 +1781,5 @@ ORACLE_SQL = {
     "corpus_curation_funnel": _CURATION_FUNNEL_SQL,
     "streaming_quality_filter": _STREAM_QUALITY_SQL,
     "corpus_split_assign": _SPLIT_ASSIGN_SQL,
+    "dedup_fuzzy_keys": _FUZZY_KEYS_SQL,
 }

@@ -431,3 +431,28 @@ def test_connected_components_star_matches_propagation_and_closes_chains(spark):
         # no convergence warning (unrelated ResourceWarnings may appear)
         assert not [w for w in caught if w.category is RuntimeWarning]
     assert all(r.cluster_id == 0 for r in full)
+
+
+def test_blocked_levenshtein_finds_typos_not_ngrams(spark):
+    """A one-character typo costs edit distance 1 but shifts every
+    3-gram containing it; the fuzzy-key pass catches what shingle
+    Jaccard misses on short keys, and blocking keeps the candidate set
+    to same-prefix same-length-band pairs."""
+    from retail_sales_data_pipeline_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brawn fox jumps"),   # 1 substitution vs 1
+        (3, "the quick brown fox jumped"),  # sub + insert = dist 2 vs 1
+        (4, "a completely different string"),
+        (5, "the quick brown dog sprints far away"),  # same prefix, other band
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_levenshtein_pairs(df, key_col="text", max_dist=3).collect()
+    }
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 2 and pairs[(2, 3)] == 3
+    assert all(4 not in p and 5 not in p for p in pairs)
