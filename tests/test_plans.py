@@ -1,0 +1,71 @@
+"""Physical-plan invariants as tests: the properties tools/plan_audit.py
+documents, pinned so a future code change that silently degrades a plan
+(cartesian product, lost pushdown, fact-side shuffle) fails CI instead
+of only showing up in a regenerated PLANS.md. Plan compilation only —
+no actions, so the whole file runs in seconds."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from retail_sales_data_pipeline_spark.plans.registry import all_queries
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+NO_CARTESIAN = [
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_star",
+    "dedup_fuzzy_keys",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "corpus_decontaminate",
+    "corpus_boilerplate_ngrams",
+    "corpus_ngram_novelty",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product(spark, sf_dir, name):
+    p = _plan(all_queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in p, f"{name}: cartesian product in plan"
+    assert "BroadcastNestedLoopJoin" not in p, f"{name}: BNLJ in plan"
+
+
+def test_star_join_is_all_broadcast_no_fact_shuffle(spark, sf_dir):
+    p = _plan(all_queries()["star_join_enrich"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p, "fact-side shuffle appeared"
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_ledger_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = _plan(all_queries()["ledger_filter"](spark, sf_dir))
+    assert "PushedFilters: [" in p
+    assert "EqualTo(o_orderstatus" in p
+    assert "In(o_orderpriority" in p
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """monthly_grouped_sum touches 3 of lineitem's 11 columns; the scan
+    schema must show only those (pruning pushed to parquet)."""
+    p = _plan(all_queries()["monthly_grouped_sum"](spark, sf_dir))
+    assert "ReadSchema: struct<l_extendedprice:double,l_discount:double" in p
+    assert "l_orderkey" not in p.split("ReadSchema")[1][:200]
+
+
+def test_split_assign_is_projection_plus_one_agg(spark, sf_dir):
+    """The split assignment itself must not shuffle — only the summary
+    aggregation exchanges (2 = partial/final pair)."""
+    p = _plan(all_queries()["corpus_split_assign"](spark, sf_dir))
+    assert p.count("Exchange") <= 2
