@@ -72,6 +72,32 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: events_json_variant — the same JSON-prop aggregation through Spark
+# 4's VARIANT type: parse_json once into the binary variant encoding,
+# then typed variant_get extraction. At 100 TB this is the semi-
+# structured scale path — the JSON text is parsed ONCE per row instead
+# of re-tokenized per extracted field (get_json_object re-parses for
+# every path), and the open-format binary encoding pushes through
+# shuffles far smaller than the source text. Oracle: DuckDB's JSON
+# extraction — the engines' parse trees differ, the values must not.
+# ---------------------------------------------------------------------------
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", ["event_type", "props"])
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_v").alias("n_with_prop"),
+            F.sum("_v").alias("sum_prop"),
+            F.round(F.avg("_v"), 6).alias("avg_prop"),
+        )
+    )
+
+
 def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.daily_stats(_events(spark, sf_dir))
 
@@ -477,6 +503,7 @@ QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
+    "events_json_variant": events_json_variant,
     "events_daily_stats": events_daily_stats,
     "events_asof_attribution": events_asof_attribution,
     "events_range_pairs": events_range_pairs,
@@ -493,6 +520,7 @@ ORACLE_SQL = {
     "events_hourly_rollup": _HOURLY_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "events_json_props": _JSON_SQL,
+    "events_json_variant": _JSON_SQL,  # same values, variant-typed extraction
     "events_daily_stats": _DAILY_SQL,
     "events_asof_attribution": _ASOF_SQL,
     "events_range_pairs": _RANGE_SQL,
