@@ -56,6 +56,9 @@ def get_spark(
         # to micro-precision timestamps in sources.tables, matching
         # DuckDB's silent nanos→micros truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # allow Python DataSources (sources/pydatasource.py) to push
+        # filters into generation/scan
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # spill posture: 128 MB scan splits and ~64 MB post-shuffle
         # partitions keep per-task state well inside executor memory at

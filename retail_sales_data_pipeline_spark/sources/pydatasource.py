@@ -1,0 +1,125 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API): a
+deterministic synthetic-events generator with real partition planning
+and filter pushdown.
+
+Why this exists: the reference reads fixed CSV/JDBC inputs; a
+training/telemetry pipeline also needs *generated* load (backfill
+rehearsal, soak tests, benchmark corpora) that scales horizontally. The
+Spark 4 Python DataSource API makes that a first-class `spark.read
+.format(...)` source — the engine plans one `InputPartition` per shard,
+executors generate rows independently (no driver bottleneck, no files),
+and pushed filters skip generation work instead of filtering after.
+
+Scale shape: `partitions()` returns `rows/partition_rows` shards, so a
+100 TB synthetic corpus is just more shards on more executors; rows are
+derived from md5 of the row index, so any shard is reproducible in
+isolation (the same determinism contract as the parquet fixtures,
+FIXTURES.md).
+
+Registration is per-session::
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", 100_000).option("partitions", 32).load())
+
+ENGINE CAVEAT (pinned by tests/test_pydatasource.py): Spark caches the
+post-pushdown reader snapshot on the loaded relation, so after a
+filtered query executes, the SAME DataFrame object replays that pushed
+filter for every later query — ``df.count()`` after
+``df.where(...).count()`` returns the filtered count. Call ``load()``
+per logical query (it is plan-only, effectively free); the
+``partitions()`` handoff below additionally clears reader state so a
+fresh load is never tainted by an earlier plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+    type_eq: str | None = None  # pushed event_type equality, if any
+
+
+def _row(i: int) -> tuple[int, int, str, float]:
+    """Deterministic row i — pure function of the index, so every shard
+    regenerates identically on retry/speculation (md5, same primitive as
+    the fixture generators and the LSH planes)."""
+    d = hashlib.md5(f"ev:{i}".encode()).digest()
+    user_id = int.from_bytes(d[0:4], "big") % 1000
+    etype = EVENT_TYPES[d[4] % len(EVENT_TYPES)]
+    value = round(int.from_bytes(d[5:8], "big") % 100_000 / 100.0, 2)
+    return (i, user_id, etype, value)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+        self.type_eq: str | None = None  # pushed event_type == 'x'
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept one `event_type = <v>` equality; everything else is
+        returned to Spark to evaluate post-scan. Pushing the filter
+        into generation skips the per-row work entirely — the same
+        contract as parquet predicate pushdown."""
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("event_type",)
+                and self.type_eq is None
+                and isinstance(f.value, str)
+            ):
+                self.type_eq = f.value
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # Embed the pushed filter into the partition specs and CLEAR it:
+        # the engine may reuse this reader instance across queries on the
+        # same loaded DataFrame, and pushFilters is only invoked when a
+        # query has filters — without the handoff-and-reset, a filter
+        # pushed by one query would silently taint the next one's scan.
+        type_eq, self.type_eq = self.type_eq, None
+        per = max(1, -(-self.rows // self.num_partitions))  # ceil div
+        return [
+            _Range(start, min(start + per, self.rows), type_eq)
+            for start in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            row = _row(i)
+            if partition.type_eq is not None and row[2] != partition.type_eq:
+                continue
+            yield row
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+
+    def reader(self, schema: StructType) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)

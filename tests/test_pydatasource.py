@@ -1,0 +1,86 @@
+"""Spark 4 custom Python DataSource: partition planning, determinism,
+and filter pushdown of the synthetic-events generator source.
+
+Each test takes a FRESH load(): the engine caches the post-pushdown
+reader snapshot per loaded relation (pinned below), so sharing one
+DataFrame across differently-filtered queries replays stale filters.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from retail_sales_data_pipeline_spark.sources.pydatasource import (
+    EVENT_TYPES,
+    SyntheticEventsDataSource,
+    _row,
+)
+
+ROWS = 5000
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def _load(spark):
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+def test_partition_planning(spark):
+    # one task per InputPartition — the horizontal-scale unit
+    assert _load(spark).rdd.getNumPartitions() == 8
+
+
+def test_rows_deterministic_and_complete(spark):
+    expected = sorted(_row(i) for i in range(ROWS))
+    assert sorted(map(tuple, _load(spark).collect())) == expected
+
+
+def test_filter_pushdown_into_generation(spark):
+    df = _load(spark)
+    filtered = df.where(df.event_type == "purchase")
+    expected = sorted(r for r in (_row(i) for i in range(ROWS)) if r[2] == "purchase")
+    assert sorted(map(tuple, filtered.collect())) == expected
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    # the equality reached the source (pushed), not just a post-scan Filter
+    assert "PushedFilters" in buf.getvalue()
+
+
+def test_unsupported_filters_still_correct(spark):
+    # value > x is NOT pushed (reader yields it back); Spark must apply it
+    df = _load(spark)
+    out = df.where((df.event_type == "error") & (df.value > 500.0))
+    expected = [
+        r for r in (_row(i) for i in range(ROWS)) if r[2] == "error" and r[3] > 500.0
+    ]
+    assert sorted(map(tuple, out.collect())) == sorted(expected)
+
+
+def test_event_type_domain(spark):
+    df = _load(spark)
+    got = {r.event_type for r in df.select("event_type").distinct().collect()}
+    assert got == set(EVENT_TYPES)
+
+
+def test_engine_caches_pushed_reader_per_relation(spark):
+    """Pin the engine caveat the module docstring documents: after a
+    filtered query executes, the same DataFrame replays the pushed
+    filter; a fresh load() is clean."""
+    df = _load(spark)
+    assert df.count() == ROWS
+    n_err = df.where(df.event_type == "error").count()
+    assert 0 < n_err < ROWS
+    assert df.count() == n_err  # tainted — this is the engine behavior
+    assert _load(spark).count() == ROWS  # fresh relation is clean
