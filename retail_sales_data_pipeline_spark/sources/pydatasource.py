@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -111,6 +112,34 @@ class SyntheticEventsReader(DataSourceReader):
             yield row
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: the same deterministic row stream consumed as a
+    micro-batch source. The offset is simply the next row index, so the
+    source is replayable from any checkpointed offset — exactly the
+    contract exactly-once sinks need (a retried batch [a, b) regenerates
+    identical rows). ``batch_rows`` caps rows per micro-batch;
+    ``max_rows`` makes the stream finite so availableNow drains
+    terminate (0 = unbounded)."""
+
+    def __init__(self, options: dict) -> None:
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 0))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["index"]
+        hi = lo + self.batch_rows
+        if self.max_rows:
+            hi = min(hi, self.max_rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # replay path (failure recovery): regenerate the exact batch
+        return iter([_row(i) for i in range(start["index"], end["index"])])
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -123,3 +152,6 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)

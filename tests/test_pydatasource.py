@@ -84,3 +84,38 @@ def test_engine_caches_pushed_reader_per_relation(spark):
     assert 0 < n_err < ROWS
     assert df.count() == n_err  # tainted — this is the engine behavior
     assert _load(spark).count() == ROWS  # fresh relation is clean
+
+
+def test_stream_reader_multi_batch_exact(spark):
+    """The streaming twin advances offsets by batch_rows per micro-batch
+    (availableNow drains only ONE chunk for simple stream readers, so a
+    continuous trigger is polled until the finite stream is exhausted):
+    the drained rows are exactly rows [0, max_rows), each batch
+    regenerated from its offset range — the replayable-offset contract,
+    same deterministic _row stream as the batch reader."""
+    import tempfile
+    import time
+    import uuid
+
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batch_rows", 150)
+        .option("max_rows", 1000)
+        .load()
+    )
+    name = "synth_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_synth_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(name).count() < 1000 and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == sorted(_row(i) for i in range(1000))
