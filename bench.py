@@ -31,12 +31,14 @@ HEADLINE = [
     # training-data extensions
     "text_quality",
     "dedup_exact",
+    "dedup_fuzzy_keys",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "events_sessionize",
     "events_asof_attribution",
     "events_funnel",
     "events_cohort_retention",
+    "events_json_variant",
     "streaming_hourly_rollup",
     "corpus_tfidf_terms",
     "ann_lsh_topk",

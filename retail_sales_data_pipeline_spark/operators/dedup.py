@@ -429,6 +429,7 @@ def blocked_levenshtein_pairs(
     max_dist: int = 3,
     prefix_len: int = 4,
     len_band: int = 8,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Fuzzy-key near-dup pairs by edit distance with blocking — the
     entity-resolution workhorse (record linkage à la Fellegi-Sunter
@@ -446,6 +447,14 @@ def blocked_levenshtein_pairs(
     why ``key_col`` should be a short normalized key (title, name, URL),
     not a document body.
 
+    Size ``prefix_len`` to the key distribution: a block of m keys costs
+    m(m−1)/2 DP evaluations, so a prefix shorter than the corpus's
+    discriminating length concentrates the whole corpus into a few hot
+    blocks (measured here: prefix 4 over word-initial keys → 59 blocks,
+    531k pairs, 6.6 s at sf0.1; prefix 12 collapses that ~50×).
+    ``block_cap`` is the backstop — blocks past the cap are dropped,
+    the same skew treatment as :func:`lsh_candidate_pairs`.
+
     Output: ``id_a < id_b, dist`` for pairs with distance ≤ max_dist.
     """
     key = F.lower(F.trim(F.col(key_col)))
@@ -455,6 +464,12 @@ def blocked_levenshtein_pairs(
         F.substring(key, 1, prefix_len).alias("_pfx"),
         F.floor(F.length(key) / len_band).alias("_band"),
     )
+    if block_cap is not None:
+        sizes = rel.groupBy("_pfx", "_band").agg(F.count(F.lit(1)).alias("_n"))
+        rel = rel.join(
+            sizes.where(F.col("_n") <= block_cap).select("_pfx", "_band"),
+            ["_pfx", "_band"],
+        )
     a, b = rel.alias("a"), rel.alias("b")
     return (
         a.join(

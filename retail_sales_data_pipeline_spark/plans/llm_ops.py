@@ -1619,8 +1619,10 @@ WITH t AS (
 # resolution capability token/shingle dedup lacks (a single character
 # typo shifts every shingle but costs edit distance 1). The fixture
 # plants a typo variant ('x' at position 20 of the 32-char key) for
-# every 7th doc; blocking keeps the pairwise Levenshtein inside
-# same-prefix same-length-band blocks — one bounded shuffle, never n².
+# every 7th doc; 12-char-prefix + length-band blocking keeps the
+# pairwise Levenshtein inside discriminating blocks (prefix 4 measured
+# 59 hot blocks / 531k pairs on this corpus — see the operator's
+# docstring) — one bounded shuffle, never n².
 # ---------------------------------------------------------------------------
 def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
@@ -1634,7 +1636,7 @@ def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(variant)
     out = D.blocked_levenshtein_pairs(
-        corpus, key_col="k", id_col="doc_id", max_dist=3
+        corpus, key_col="k", id_col="doc_id", max_dist=3, prefix_len=12
     )
     return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
@@ -1649,7 +1651,7 @@ WITH base AS (
 ), corpus AS (
   SELECT id, k FROM base UNION ALL SELECT id, k FROM variant
 ), blocked AS (
-  SELECT id, k, substr(k, 1, 4) AS pfx,
+  SELECT id, k, substr(k, 1, 12) AS pfx,
          CAST(floor(length(k) / 8) AS BIGINT) AS band
   FROM corpus
 )

@@ -456,3 +456,9 @@ def test_blocked_levenshtein_finds_typos_not_ngrams(spark):
     }
     assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 2 and pairs[(2, 3)] == 3
     assert all(4 not in p and 5 not in p for p in pairs)
+
+    # block_cap drops oversized blocks entirely (docs 1-3 share one)
+    capped = blocked_levenshtein_pairs(
+        df, key_col="text", max_dist=3, block_cap=2
+    ).count()
+    assert capped == 0
