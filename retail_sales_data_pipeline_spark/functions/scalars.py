@@ -43,6 +43,20 @@ def epoch_sec(name: str) -> Column:
     )
 
 
+def ntz_from_ltz(name: str) -> Column:
+    """Epoch-anchored TIMESTAMP → TIMESTAMP_NTZ conversion: the NTZ
+    value is the UTC wall clock of the instant, REGARDLESS of the
+    session timezone (a plain cast would render the session zone's wall
+    clock instead — collected results would then differ between a UTC
+    and a non-UTC driver). Used at streaming output edges, where
+    watermarks force LTZ internally but the output contract is the
+    engine-portable NTZ."""
+    return F.expr(
+        "timestampadd(MICROSECOND, unix_micros(" + name + "), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
 def money(c: Column) -> Column:
     """Edge cast: exact decimal aggregate → rounded to cents → DOUBLE.
 

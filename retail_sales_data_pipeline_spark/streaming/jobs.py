@@ -103,8 +103,16 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = _run_to_memory(agg, "complete")
+    from ..functions.scalars import ntz_from_ltz
+
+    # epoch-anchored NTZ at the output edge: identical collected values
+    # under any driver/session timezone (pinned by the contract harness
+    # run with TZ=America/New_York)
     return out.select(
-        F.col("window.start").alias("hour"), "event_type", "n_events", "total_value"
+        ntz_from_ltz("window.start").alias("hour"),
+        "event_type",
+        "n_events",
+        "total_value",
     )
 
 
@@ -131,12 +139,15 @@ def stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+# NTZ outputs: the pandas worker emits naive UTC wall-clock values; an
+# LTZ schema would re-interpret them in the session zone (collected
+# values would shift on a non-UTC driver)
 _SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("session_seq", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("duration_sec", T.LongType()),
         T.StructField("total_value", T.DoubleType()),
@@ -154,54 +165,73 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Stateful per-user sessionizer. State = the open session; closed
-    sessions are emitted as soon as a gap exceeds SESSION_GAP_SEC; the
-    open session is flushed on event-time timeout, which fires only
-    once the watermark passes last+gap (trailing sessions within
-    watermark+gap of end-of-stream remain in state — see module
-    docstring).
+def _make_session_fn(tz: str):
+    """Build the stateful per-user sessionizer bound to the session
+    timezone. The bind matters for correctness on non-UTC drivers:
+    Arrow hands the worker the LTZ event time as naive SESSION-ZONE
+    wall clock, but ``setTimeoutTimestamp`` compares true epoch ms
+    against the watermark — without localizing back through ``tz``, a
+    non-UTC session shifts every computed epoch by the zone offset and
+    the timeout logic flushes the wrong sessions (observed: UTC drains
+    9520 sessions at sf0.01, an unfixed America/New_York drain 9549).
     """
-    (user_id,) = key
-    closed: list[tuple] = []
 
-    if state.hasTimedOut:
-        seq, start, last, n, sv = state.get
-        closed.append((user_id, seq, start, last, n, last - start, round(sv, 2)))
-        state.remove()
-    else:
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        secs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
-        vals = rows["value"].tolist()
-        if state.exists:
+    def _session_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # State = the open session; closed sessions are emitted as soon
+        # as a gap exceeds SESSION_GAP_SEC; the open session is flushed
+        # on event-time timeout, which fires only once the watermark
+        # passes last+gap (trailing sessions within watermark+gap of
+        # end-of-stream remain in state — see module docstring).
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
             seq, start, last, n, sv = state.get
+            closed.append(
+                (user_id, seq, start, last, n, last - start, round(sv, 2))
+            )
+            state.remove()
         else:
-            seq, start, last, n, sv = 0, None, None, 0, 0.0
-        for s, v in zip(secs, vals):
-            if start is None:
-                seq, start, last, n, sv = seq + 1, s, s, 1, float(v)
-            elif s - last > SESSION_GAP_SEC:
-                closed.append((user_id, seq, start, last, n, last - start, round(sv, 2)))
-                seq, start, last, n, sv = seq + 1, s, s, 1, float(v)
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            ts = rows["ts"]
+            if ts.dt.tz is None:  # naive session-zone wall clock → epoch
+                ts = ts.dt.tz_localize(tz)
+            secs = (ts.astype("int64") // 1_000_000_000).tolist()
+            vals = rows["value"].tolist()
+            if state.exists:
+                seq, start, last, n, sv = state.get
             else:
-                last, n, sv = s, n + 1, sv + float(v)
-        state.update((seq, start, last, n, sv))
-        # close the open session once event time passes last + gap
-        state.setTimeoutTimestamp((last + SESSION_GAP_SEC) * 1000)
+                seq, start, last, n, sv = 0, None, None, 0, 0.0
+            for s, v in zip(secs, vals):
+                if start is None:
+                    seq, start, last, n, sv = seq + 1, s, s, 1, float(v)
+                elif s - last > SESSION_GAP_SEC:
+                    closed.append(
+                        (user_id, seq, start, last, n, last - start, round(sv, 2))
+                    )
+                    seq, start, last, n, sv = seq + 1, s, s, 1, float(v)
+                else:
+                    last, n, sv = s, n + 1, sv + float(v)
+            state.update((seq, start, last, n, sv))
+            # close the open session once event time passes last + gap
+            state.setTimeoutTimestamp((last + SESSION_GAP_SEC) * 1000)
 
-    if closed:
-        df = pd.DataFrame(
-            closed,
-            columns=[
-                "user_id", "session_seq", "session_start", "session_end",
-                "n_events", "duration_sec", "total_value",
-            ],
-        )
-        df["session_start"] = pd.to_datetime(df["session_start"], unit="s")
-        df["session_end"] = pd.to_datetime(df["session_end"], unit="s")
-        yield df
+        if closed:
+            df = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_seq", "session_start", "session_end",
+                    "n_events", "duration_sec", "total_value",
+                ],
+            )
+            # naive UTC wall clock — verbatim under the NTZ output schema
+            df["session_start"] = pd.to_datetime(df["session_start"], unit="s")
+            df["session_end"] = pd.to_datetime(df["session_end"], unit="s")
+            yield df
+
+    return _session_fn
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,11 +242,12 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps (proved in tests).
     """
     events = _events_stream(spark, sf_dir)
+    tz = spark.conf.get("spark.sql.session.timeZone")
     sessions = (
         events.withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            _make_session_fn(tz),
             outputStructType=_SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
