@@ -56,6 +56,7 @@ DRIVER_PRIORITY = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_json_props",
+    "events_json_variant",
     "events_daily_stats",
     "events_asof_attribution",
     "events_range_pairs",
@@ -96,7 +97,6 @@ DRIVER_PRIORITY = [
     "conform_union",
     "ledger_filter",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
