@@ -119,3 +119,19 @@ def test_stream_reader_multi_batch_exact(spark):
         q.stop()
     got = sorted(map(tuple, spark.table(name).collect()))
     assert got == sorted(_row(i) for i in range(1000))
+
+
+def test_stream_replay_contract_unit(spark):
+    """readBetweenOffsets regenerates ANY checkpointed range exactly —
+    the unit-level pin of the replayable-offset contract (no Spark
+    machinery involved: offsets are pure row indexes)."""
+    from retail_sales_data_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader({"batch_rows": "50"})
+    assert r.initialOffset() == {"index": 0}
+    rows, nxt = r.read({"index": 0})
+    assert list(rows) == [_row(i) for i in range(50)] and nxt == {"index": 50}
+    replay = list(r.readBetweenOffsets({"index": 37}, {"index": 201}))
+    assert replay == [_row(i) for i in range(37, 201)]
