@@ -135,3 +135,55 @@ def test_stream_replay_contract_unit(spark):
     assert list(rows) == [_row(i) for i in range(50)] and nxt == {"index": 50}
     replay = list(r.readBetweenOffsets({"index": 37}, {"index": 201}))
     assert replay == [_row(i) for i in range(37, 201)]
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill a running stream mid-flight, restart from the same
+    checkpoint, drain to completion: the parquet sink must hold EXACTLY
+    rows [0, max_rows) — no gaps (offsets resumed) and no duplicates
+    (committed batches not re-emitted). This is the end-to-end
+    exactly-once contract: checkpointed offsets + replayable source +
+    transactional file sink."""
+    import time
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("batch_rows", 100)
+            .option("max_rows", 1000)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    # let a few micro-batches commit, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 200:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(0.5)
+    q.stop()
+    n_before = spark.read.parquet(out).count()
+    assert 0 < n_before  # some but not necessarily all rows landed
+
+    # restart from the same checkpoint; drain the finite remainder
+    q2 = start()
+    deadline = time.time() + 120
+    while spark.read.parquet(out).count() < 1000 and time.time() < deadline:
+        time.sleep(1)
+    q2.stop()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == sorted(_row(i) for i in range(1000))  # no gaps, no dups
