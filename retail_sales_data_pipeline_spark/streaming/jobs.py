@@ -27,6 +27,14 @@ sessionizer state is |active users in the gap window|, both tiny
 relative to throughput. Checkpointing to the job's checkpoint dir gives
 exactly-once over the file source (replacing the reference's A/I ledger
 for the streaming path).
+
+API note: Spark 4's ``transformWithStateInPandas`` (SPARK-49564, the
+successor stateful API with named ValueState handles and first-class
+event-time timers) was evaluated as a second implementation, but its
+Python worker requires ``google.protobuf``, which is not importable in
+this container (``pip install`` is unavailable) — the
+``applyInPandasWithState`` implementation here is the one that runs and
+is oracle-verified.
 """
 
 from __future__ import annotations
