@@ -40,6 +40,7 @@ HEADLINE = [
     "events_cohort_retention",
     "events_json_variant",
     "streaming_hourly_rollup",
+    "streaming_sessionize",
     "corpus_tfidf_terms",
     "ann_lsh_topk",
     "corpus_boilerplate_ngrams",
