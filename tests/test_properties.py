@@ -174,3 +174,89 @@ def test_epoch_sec_matches_python_floor(spark, micros):
     got = {r.i: r.s for r in df.select("i", epoch_sec("ts").alias("s")).collect()}
     for i, us in enumerate(micros):
         assert got[i] == us // 1_000_000, (us, got[i])
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_blocked_levenshtein_sound_and_blocked(spark, keys):
+    """Every emitted pair carries the TRUE edit distance (soundness vs a
+    pure-Python DP reference) and respects the blocking rule — the
+    operator never invents pairs across blocks, and within-block recall
+    is exact."""
+    from retail_sales_data_pipeline_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_levenshtein_pairs(
+            df, key_col="text", max_dist=2, prefix_len=2, len_band=4
+        ).collect()
+    }
+
+    def norm(s):
+        return s.strip().lower()
+
+    def block(s):
+        k = norm(s)
+        return (k[:2], len(k) // 4)
+
+    expected = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and block(a) == block(b):
+                d = _lev(norm(a), norm(b))
+                if d <= 2:
+                    expected[(i, j)] = d
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_sessionize_partition_invariant(spark, seed):
+    """Gap sessionization must be invariant to the physical layout of
+    its input: shuffling the events into arbitrary partitions cannot
+    change any session."""
+    import random
+
+    from retail_sales_data_pipeline_spark.operators.events import sessionize
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for user in range(4):
+        t = 1_700_000_000 + rng.randrange(0, 5000)
+        for _ in range(rng.randrange(1, 12)):
+            t += rng.choice([30, 300, 1900, 4000])
+            rows.append((eid, user, t + rng.random(), rng.uniform(0, 50)))
+            eid += 1
+    import datetime
+
+    data = [
+        (e, datetime.datetime.utcfromtimestamp(ts), u, round(v, 4))
+        for e, u, ts, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    base = sorted(map(tuple, sessionize(df).collect()))
+    shuffled = sorted(map(tuple, sessionize(df.repartition(7)).collect()))
+    assert base == shuffled
