@@ -662,6 +662,64 @@ GROUP BY query_id, ql
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: decontaminate_semantic — embedding-space benchmark decontamination:
+# flag corpus vectors whose nearest eval-set vector exceeds a cosine
+# threshold. Complements the n-gram `corpus_decontaminate` (exact
+# phrase overlap): paraphrased eval leakage shares no 5-gram but sits
+# next to the eval item in embedding space. Scale shape = the ANN
+# broadcast pattern: the eval set is benchmark-sized (tiny), so the
+# check is one corpus scan against broadcast eval vectors — never a
+# corpus×corpus join. Output: flagged (vec_id, eval_id, cosine).
+# ---------------------------------------------------------------------------
+DECONTAM_COS = 0.9
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planted-variant corpus: every 25th vector gets a +0.01 near-copy,
+    # so the variant of eval vector 0 IS a semantic contamination of the
+    # eval set (cosine ≈ 1) — the positive case the gate must flag
+    emb = _emb(spark, sf_dir)
+    corpus = _neardup_corpus(spark, sf_dir).where(F.col("vec_id") >= 10)
+    top1 = S.cosine_topk(
+        corpus=corpus,
+        queries=emb.where(F.col("vec_id") < 10),
+        k=1,
+    )
+    return (
+        top1.where(F.col("cosine") >= DECONTAM_COS)
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("query_id").alias("eval_id"),
+            "cosine",
+        )
+    )
+
+
+_DECONTAM_SEMANTIC_SQL = f"""
+WITH {_NEARDUP_CORPUS_SQL},
+q AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT id AS vec_id, e AS ce FROM corpus WHERE id >= 10
+), pairs AS (
+  SELECT q.eval_id, c.vec_id,
+    round(list_dot_product(qe, ce)
+          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+          6) AS cosine
+  FROM q, c
+), ranked AS (
+  SELECT eval_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY eval_id
+                       ORDER BY cosine DESC, vec_id) AS rk
+  FROM pairs
+)
+SELECT vec_id, eval_id, cosine FROM ranked
+WHERE rk = 1 AND cosine >= {DECONTAM_COS}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -676,6 +734,7 @@ QUERIES = {
     "dedup_semantic_keep": dedup_semantic_keep,
     "cluster_balanced_sample": cluster_balanced_sample,
     "ann_label_agreement": ann_label_agreement,
+    "decontaminate_semantic": decontaminate_semantic,
 }
 
 ORACLE_SQL = {
@@ -692,4 +751,5 @@ ORACLE_SQL = {
     "dedup_semantic_keep": _SEMANTIC_KEEP_SQL,
     "cluster_balanced_sample": _BALANCED_SAMPLE_SQL,
     "ann_label_agreement": _LABEL_AGREEMENT_SQL,
+    "decontaminate_semantic": _DECONTAM_SEMANTIC_SQL,
 }
