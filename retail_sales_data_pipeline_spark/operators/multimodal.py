@@ -107,29 +107,48 @@ def synth_media_pointers(docs: DataFrame) -> DataFrame:
 
 
 def fetch_media(pointers: DataFrame, fake: bool = True) -> DataFrame:
-    """Resolve pointer rows to payload bytes via ``mapInPandas`` — in
-    production an object-store ranged GET per URI (bounded concurrency
-    per task, retries in the batch loop); stubbed here as the UTF-8
-    bytes of the URI itself (deterministic, engine-reproducible).
+    """Resolve pointer rows to payload bytes via ``mapInPandas``.
+
+    ``fake=True`` (the oracle path for synthesized pointers) substitutes
+    the UTF-8 bytes of the URI itself — deterministic and
+    engine-reproducible. ``fake=False`` REALLY fetches: ``file://`` and
+    plain-path URIs are read from the task-local filesystem (which at
+    cluster scale is any mounted store — NFS, FUSE-mounted object
+    buckets, alluxio), per row inside the Arrow batch loop; a missing
+    file yields a NULL payload (the relational stages downstream treat
+    it as a dead pointer). Scheme'd object-store URIs (``s3://``,
+    ``obj://``) raise ``ValueError`` naming the client they need — no
+    cloud SDK ships in this environment.
 
     Size-skew note: rows are range-partitioned on the ``n_bytes``
     metadata BEFORE the fetch so each task pulls a comparable byte
     volume, not a comparable row count — with inline payloads you can
     only salt uniformly; the pointer layout knows sizes up front.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real object-store fetch requires a storage client; run with fake=True"
-        )
-
     fetched_schema = T.StructType(
         list(POINTER_SCHEMA.fields) + [T.StructField("content", T.BinaryType(), True)]
     )
 
+    def _read_local(uri: str) -> bytes | None:
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        if "://" in path:
+            raise ValueError(
+                f"object-store URI {uri!r} needs a storage client "
+                "(boto3/gcsfs); mount the bucket or pass file:// paths"
+            )
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None  # dead pointer → NULL payload
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf["content"] = [u.encode("utf-8") for u in pdf["uri"]]
+            if fake:
+                pdf["content"] = [u.encode("utf-8") for u in pdf["uri"]]
+            else:
+                pdf["content"] = [_read_local(u) for u in pdf["uri"]]
             yield pdf
 
     return pointers.repartitionByRange(F.col("n_bytes"), F.col("media_id")).mapInPandas(

@@ -160,3 +160,27 @@ def test_embed_texts_batching_and_determinism(spark, sf_dir):
     assert out[some_id] == _fake_encode(some_id, EMBED_DIM)
     assert all(len(v) == EMBED_DIM for v in out.values())
     assert all(-0.5 <= x < 0.5 for v in out.values() for x in v)
+
+
+def test_fetch_media_real_local_files(spark, tmp_path):
+    """fetch_media(fake=False) reads real bytes from file:// and plain
+    paths inside the Arrow batch loop; a dead pointer yields a NULL
+    payload instead of failing the task."""
+    from pyspark.sql import Row
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import fetch_media
+
+    p1 = tmp_path / "a.bin"
+    p1.write_bytes(b"\x00\x01payload-a")
+    p2 = tmp_path / "b.bin"
+    p2.write_bytes(b"payload-b")
+    rows = [
+        Row(media_id=1, media_type="image", uri=f"file://{p1}", n_bytes=11),
+        Row(media_id=2, media_type="audio", uri=str(p2), n_bytes=9),
+        Row(media_id=3, media_type="video", uri=str(tmp_path / "gone.bin"), n_bytes=5),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.media_id: r.content for r in fetch_media(df, fake=False).collect()}
+    assert bytes(out[1]) == b"\x00\x01payload-a"
+    assert bytes(out[2]) == b"payload-b"
+    assert out[3] is None
