@@ -33,6 +33,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.sessionize(_events(spark, sf_dir))
 
 
+# Q: events_sessionize_scalable — the two-level (bucket-local + star-CC
+# boundary stitch) sessionizer for celebrity-user skew; shares the
+# plain sessionize oracle, so the driver pins the algorithms agree.
+def events_sessionize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sessionize_scalable(_events(spark, sf_dir))
+
+
 _SESSIONIZE_SQL = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -502,6 +509,7 @@ FROM daily
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
+    "events_sessionize_scalable": events_sessionize_scalable,
     "events_json_props": events_json_props,
     "events_json_variant": events_json_variant,
     "events_daily_stats": events_daily_stats,
@@ -519,6 +527,7 @@ QUERIES = {
 ORACLE_SQL = {
     "events_hourly_rollup": _HOURLY_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
+    "events_sessionize_scalable": _SESSIONIZE_SQL,  # algorithm-equivalence pin
     "events_json_props": _JSON_SQL,
     "events_json_variant": _JSON_SQL,  # same values, variant-typed extraction
     "events_daily_stats": _DAILY_SQL,

@@ -55,6 +55,7 @@ DRIVER_PRIORITY = [
     # BIGINT-cast fixes have never been driver-confirmed)
     "events_hourly_rollup",
     "events_sessionize",
+    "events_sessionize_scalable",
     "events_json_props",
     "events_json_variant",
     "events_daily_stats",
@@ -99,7 +100,6 @@ DRIVER_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_clusters",
     "corpus_report",
     "corpus_approx_distinct",
 ]

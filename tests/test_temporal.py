@@ -92,3 +92,42 @@ def test_rolling_7day_range_frame_skips_gaps(spark, monkeypatch):
     # day 9 is >6 days after day 2: the range window holds only day 9
     assert out["2024-01-09"].rolling_7d_value == 5.0
     assert out["2024-01-09"].rolling_7d_events == 1
+
+
+def test_sessionize_scalable_equals_plain(spark, sf_dir):
+    """Two-level (bucket + stitch) sessionization is bit-identical to
+    plain sessionization on the real events table AND on a planted
+    celebrity-skew stream whose hot user is continuously active (one
+    session chained across every bucket boundary)."""
+    import datetime
+
+    from retail_sales_data_pipeline_spark.operators.events import (
+        sessionize,
+        sessionize_scalable,
+    )
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, sessionize(ev).collect()))
+    b = sorted(map(tuple, sessionize_scalable(ev).collect()))
+    assert a == b and len(a) > 0
+
+    # celebrity user: 2000 events 900s apart (always within gap) →
+    # exactly ONE session spanning ~20 days of 6h buckets; a cold user
+    # with isolated events → one session each
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(seconds=900 * i), 1, 1.0) for i in range(2000)]
+    rows += [(9000 + j, t0 + datetime.timedelta(days=40 + j), 2, 2.0) for j in range(3)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    pa = sorted(map(tuple, sessionize(df).collect()))
+    pb = sorted(map(tuple, sessionize_scalable(df).collect()))
+    assert pa == pb
+    hot = [r for r in pb if r[0] == 1]
+    assert len(hot) == 1 and hot[0][4] == 2000  # one stitched session
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sessionize_scalable(df, gap_sec=1800, bucket_sec=600)
