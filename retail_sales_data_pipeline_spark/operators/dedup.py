@@ -436,7 +436,15 @@ def blocked_levenshtein_pairs(
     blocking; complements token/shingle dedup, which misses
     character-level typos that shift every shingle).
 
-    Candidate pairs must share a block = (normalized ``prefix_len``-char
+    ``key_col`` is used VERBATIM — callers normalize (lower/trim/
+    truncate) before calling, and the oracle twin must apply the same
+    normalization. An internal ``lower(trim(...))`` was removed in
+    round 4: it silently diverged from oracles that block on the
+    caller's key whenever the key had case or edge whitespace the
+    caller kept (e.g. a trailing space at a truncation boundary flips
+    the length band and shifts the distance by 1).
+
+    Candidate pairs must share a block = (``prefix_len``-char
     prefix, length band of width ``len_band``): two strings within edit
     distance d differ in length by ≤ d, so with ``len_band > 2 *
     max_dist`` same-band-or-adjacent blocking would be exhaustive; the
@@ -457,7 +465,7 @@ def blocked_levenshtein_pairs(
 
     Output: ``id_a < id_b, dist`` for pairs with distance ≤ max_dist.
     """
-    key = F.lower(F.trim(F.col(key_col)))
+    key = F.col(key_col)
     rel = df.select(
         F.col(id_col).alias("id"),
         key.alias("_k"),

@@ -139,8 +139,12 @@ def fetch_media(pointers: DataFrame, fake: bool = True) -> DataFrame:
         try:
             with open(path, "rb") as f:
                 return f.read()
-        except OSError:
+        except (FileNotFoundError, IsADirectoryError):
             return None  # dead pointer → NULL payload
+        # Every other OSError (EACCES, EIO, ESTALE on a flaky NFS/FUSE
+        # mount) propagates and fails the task: at scale a sick mount
+        # must surface as task retries/failures, not silently drop
+        # payloads as if the pointers were dead.
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

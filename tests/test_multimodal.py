@@ -184,3 +184,40 @@ def test_fetch_media_real_local_files(spark, tmp_path):
     assert bytes(out[1]) == b"\x00\x01payload-a"
     assert bytes(out[2]) == b"payload-b"
     assert out[3] is None
+
+
+def test_fetch_media_io_errors_fail_the_task(spark, tmp_path):
+    """Only FileNotFoundError/IsADirectoryError map to a NULL dead
+    pointer. Any other OSError (EACCES here; EIO/ESTALE on a flaky
+    mount at scale) must propagate and fail the task — silently
+    dropping payloads would corrupt the corpus without a trace
+    (round-4 ADVICE)."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.utils import PythonException
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import fetch_media
+
+    # a directory pointer is a dead pointer, not a task failure
+    d = tmp_path / "somedir"
+    d.mkdir()
+    rows = [Row(media_id=1, media_type="image", uri=str(d), n_bytes=1)]
+    out = fetch_media(spark.createDataFrame(rows), fake=False).collect()
+    assert out[0].content is None
+
+    if os.geteuid() != 0:
+        locked = tmp_path / "locked.bin"
+        locked.write_bytes(b"secret")
+        locked.chmod(0o000)
+        rows = [Row(media_id=2, media_type="image", uri=str(locked), n_bytes=6)]
+        with pytest.raises(PythonException, match="PermissionError"):
+            fetch_media(spark.createDataFrame(rows), fake=False).collect()
+
+    # ENAMETOOLONG is a plain OSError (works under root too): must fail,
+    # not NULL
+    toolong = str(tmp_path / ("x" * 300))
+    rows = [Row(media_id=3, media_type="image", uri=toolong, n_bytes=1)]
+    with pytest.raises(PythonException, match="OSError"):
+        fetch_media(spark.createDataFrame(rows), fake=False).collect()

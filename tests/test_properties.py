@@ -212,18 +212,16 @@ def test_blocked_levenshtein_sound_and_blocked(spark, keys):
         ).collect()
     }
 
-    def norm(s):
-        return s.strip().lower()
-
+    # the operator uses the key VERBATIM (callers normalize) — the
+    # reference must too, including any case/whitespace hypothesis kept
     def block(s):
-        k = norm(s)
-        return (k[:2], len(k) // 4)
+        return (s[:2], len(s) // 4)
 
     expected = {}
     for i, a in rows:
         for j, b in rows:
             if i < j and block(a) == block(b):
-                d = _lev(norm(a), norm(b))
+                d = _lev(a, b)
                 if d <= 2:
                     expected[(i, j)] = d
     assert got == expected

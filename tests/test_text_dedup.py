@@ -462,3 +462,36 @@ def test_blocked_levenshtein_finds_typos_not_ngrams(spark):
         df, key_col="text", max_dist=3, block_cap=2
     ).count()
     assert capped == 0
+
+
+def test_blocked_levenshtein_key_used_verbatim(spark):
+    """The operator must NOT re-normalize the key: a trailing space kept
+    by the caller (e.g. a 32-char truncation landing on a word boundary)
+    is part of the key — it flips the length band at band-width
+    multiples and costs one edit. An internal trim would diverge from
+    any oracle that blocks on the caller's key (round-4 ADVICE)."""
+    from retail_sales_data_pipeline_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    # len("abcdefg")=7 → band 0; "abcdefg "=8 → band 1 with len_band=8:
+    # verbatim keys put them in DIFFERENT blocks → no pair. Keys 3,4
+    # share band 1 and differ only by that space → dist 1.
+    rows = [
+        (1, "abcdefg"),
+        (2, "abcdefg "),
+        (3, "abcdefgh"),
+        (4, "abcdefgh "),
+        (5, "ABCDEFG"),  # case differs from 1 — dist 7 verbatim, not 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_levenshtein_pairs(
+            df, key_col="text", max_dist=3, prefix_len=4, len_band=8
+        ).collect()
+    }
+    assert (1, 2) not in pairs  # bands 0 vs 1 under verbatim lengths
+    assert pairs.get((2, 3)) == 1  # trailing space substituted by "h"
+    assert pairs.get((3, 4)) == 1  # trailing space = one edit
+    assert (1, 5) not in pairs  # case not folded → dist 7 > max_dist

@@ -32,11 +32,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50
 
 
-def history() -> dict[int, dict]:
+def history(max_round: int | None = None) -> dict[int, dict]:
+    """CORRECTNESS_r*.json by round number, optionally capped at max_round.
+
+    The cap lets tests pin a rotation against the history it was computed
+    from, so the window stays asserted even after the driver writes the
+    next round's CORRECTNESS file into the repo root.
+    """
     out = {}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)", path).group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path) as f:
                 out[rnd] = json.load(f)
@@ -51,11 +59,8 @@ def green(row: dict) -> bool:
     )
 
 
-def main() -> None:
-    from retail_sales_data_pipeline_spark.plans.registry import all_queries
-
-    names = list(all_queries())
-    hist = history()
+def ranked_names(names: list[str], hist: dict[int, dict]) -> list[str]:
+    """All registered names in rotation-priority order (see module doc)."""
     last_green: dict[str, int] = {}
     last_seen: dict[str, int] = {}
     for rnd in sorted(hist):
@@ -74,7 +79,31 @@ def main() -> None:
             return (1, last_seen[name], order)  # checked but never green
         return (2, last_green[name], order)  # stalest green first
 
-    ranked = sorted(names, key=key)
+    return sorted(names, key=key)
+
+
+def compute_window(max_round: int | None = None) -> list[str]:
+    from retail_sales_data_pipeline_spark.plans.registry import all_queries
+
+    return ranked_names(list(all_queries()), history(max_round))[:WINDOW]
+
+
+def main() -> None:
+    from retail_sales_data_pipeline_spark.plans.registry import all_queries
+
+    names = list(all_queries())
+    hist = history()
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    for rnd in sorted(hist):
+        for name, row in hist[rnd].items():
+            if name not in names:
+                continue
+            last_seen[name] = rnd
+            if green(row):
+                last_green[name] = rnd
+
+    ranked = ranked_names(names, hist)
     window = ranked[:WINDOW]
     print(f"# rotate_registry: {len(names)} registered, window={WINDOW}")
     print(f"# never-checked: {sum(1 for n in names if n not in last_seen)}; "
