@@ -394,6 +394,48 @@ WHERE l.user_id IS NULL
 
 
 # ---------------------------------------------------------------------------
+# Q: streaming_sessionize_complete — the bounded-drain/backfill mode of
+# the stateful streaming sessionizer (drain_complete=True): a watermark-
+# advancing sentinel flushes every trailing open session, so the stream
+# equals the BATCH sessionizer row-for-row and the oracle is simply the
+# batch SQL at the stream's second-resolution timestamps — no drain
+# modeling needed (contrast _STREAM_SESSIONIZE_SQL above).
+# ---------------------------------------------------------------------------
+def streaming_sessionize_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir, drain_complete=True)
+
+
+_STREAM_COMPLETE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {E.SESSION_GAP_SEC}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  TIMESTAMP '1970-01-01 00:00:00'
+    + CAST(floor(epoch(min(ts))) AS BIGINT) * INTERVAL '1 second'
+    AS session_start,
+  TIMESTAMP '1970-01-01 00:00:00'
+    + CAST(floor(epoch(max(ts))) AS BIGINT) * INTERVAL '1 second'
+    AS session_end,
+  count(*) AS n_events,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: events_approx_quantiles — sketch quantiles with a rank-based
 # tolerance gate. percentile_approx (KLL-style at accuracy=10000) is
 # engine-specific, so the hash-checkable output carries the EXACT
@@ -520,6 +562,7 @@ QUERIES = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_dedup_rollup": streaming_dedup_rollup,
     "streaming_sessionize": streaming_sessionize,
+    "streaming_sessionize_complete": streaming_sessionize_complete,
     "events_approx_quantiles": events_approx_quantiles,
     "events_rolling_7day": events_rolling_7day,
 }
@@ -538,6 +581,7 @@ ORACLE_SQL = {
     "streaming_hourly_rollup": _HOURLY_SQL,
     "streaming_dedup_rollup": _DEDUP_ROLLUP_SQL,
     "streaming_sessionize": _STREAM_SESSIONIZE_SQL,
+    "streaming_sessionize_complete": _STREAM_COMPLETE_SQL,
     "events_approx_quantiles": _APPROX_QUANTILES_SQL,
     "events_rolling_7day": _ROLLING_SQL,
 }

@@ -49,6 +49,7 @@ DRIVER_PRIORITY = [
     "dedup_clusters_star",  # never checked
     "dedup_fuzzy_keys",  # never checked
     "decontaminate_semantic",  # never checked
+    "streaming_sessionize_complete",  # never checked (added in round 4)
     "distinct_dedup",  # green r2
     "monthly_grouped_sum",  # green r2
     "month_key_forms",  # green r2
@@ -95,7 +96,6 @@ DRIVER_PRIORITY = [
     "corpus_curation_funnel",  # green r3
     "streaming_quality_filter",  # green r3
     "events_hourly_rollup",  # green r3
-    "events_sessionize",  # green r3
 ]
 
 

@@ -18,8 +18,10 @@ Two jobs:
   and are not flushed by the availableNow drain (EventTimeTimeout
   fires on watermark advance, and the watermark never advances past
   the final batch). A production stream keeps running, so the next
-  batch flushes them; for a bounded drain, shrink the watermark delay
-  or append a sentinel event past every user's last+gap.
+  batch flushes them; ``drain_complete=True`` closes the gap exactly
+  for bounded drains/backfills via a watermark-advancing sentinel
+  (:func:`_sentinel_source_dir`) — with it, the output equals batch
+  ``sessionize`` row-for-row (pinned strictly in tests).
 
 Scale notes: state is keyed by user_id (uniform); watermark bounds
 state size — at 100 TB/day the rollup state is |hours×types| and the
@@ -52,12 +54,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..operators.events import SESSION_GAP_SEC
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -173,15 +177,22 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_session_fn(tz: str):
-    """Build the stateful per-user sessionizer bound to the session
-    timezone. The bind matters for correctness on non-UTC drivers:
-    Arrow hands the worker the LTZ event time as naive SESSION-ZONE
-    wall clock, but ``setTimeoutTimestamp`` compares true epoch ms
-    against the watermark — without localizing back through ``tz``, a
-    non-UTC session shifts every computed epoch by the zone offset and
-    the timeout logic flushes the wrong sessions (observed: UTC drains
-    9520 sessions at sf0.01, an unfixed America/New_York drain 9549).
+def _make_session_fn():
+    """Build the stateful per-user sessionizer.
+
+    The worker reads event time from the JVM-computed ``_sec`` epoch
+    column, NEVER from the timestamp column: Arrow hands the worker the
+    LTZ event time as naive SESSION-ZONE wall clock, and reconstructing
+    the epoch from it in Python (``tz_localize``) is wrong twice over —
+    a non-UTC zone shifts every epoch by the offset unless localized
+    through the exact session zone, and in the DST fall-back fold the
+    wall clock is AMBIGUOUS: pandas raises ``AmbiguousTimeError``
+    (killing the query) or, under any non-raise policy, maps half the
+    fold an hour off, corrupting gap/timeout logic. Epoch seconds
+    computed JVM-side (``unix_micros div 1_000_000``) are zone- and
+    DST-independent, and ``setTimeoutTimestamp`` already speaks epoch
+    ms. Wall-clock order also can't sort a fold correctly — the sort
+    key is ``_sec`` too.
     """
 
     def _session_fn(
@@ -202,11 +213,8 @@ def _make_session_fn(tz: str):
             )
             state.remove()
         else:
-            rows = pd.concat(list(pdfs)).sort_values("ts")
-            ts = rows["ts"]
-            if ts.dt.tz is None:  # naive session-zone wall clock → epoch
-                ts = ts.dt.tz_localize(tz)
-            secs = (ts.astype("int64") // 1_000_000_000).tolist()
+            rows = pd.concat(list(pdfs)).sort_values("_sec")
+            secs = rows["_sec"].tolist()
             vals = rows["value"].tolist()
             if state.exists:
                 seq, start, last, n, sv = state.get
@@ -242,27 +250,94 @@ def _make_session_fn(tz: str):
     return _session_fn
 
 
-def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sentinel_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a drain-complete stream source: the events file plus
+    one sentinel event far enough in the future that the final watermark
+    passes every real user's ``last + gap`` timeout.
+
+    The availableNow drain leaves sessions within watermark+gap of
+    end-of-stream in state (the watermark never advances past them). A
+    single sentinel for a dummy user at ``global_max + gap + delay +
+    1s`` fixes that exactly: final watermark = sentinel − delay =
+    global_max + gap + 1s > every user's last + gap, so the no-data
+    timeout micro-batch (``spark.sql.streaming.noDataMicroBatches``,
+    on by default) flushes every trailing session. The sentinel's own
+    session is the only state left unflushed, and it belongs to no
+    real user. O(1) extra data — scale-free.
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    out = tempfile.mkdtemp(prefix="drain_")
+    shutil.copy(src, os.path.join(out, "events.parquet"))
+
+    schema = pq.read_schema(src)
+    tbl = pq.read_table(src, columns=["ts"])
+    ts_type = schema.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        max_us = pa.compute.max(tbl["ts"]).cast(pa.int64()).as_py()
+        unit = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+        sentinel = max_us + (SESSION_GAP_SEC + 2 * 3600 + 1) * unit
+    else:  # INT64 nanos-as-long
+        max_ns = pa.compute.max(tbl["ts"]).as_py()
+        sentinel = max_ns + (SESSION_GAP_SEC + 2 * 3600 + 1) * 10**9
+    arrays = []
+    for field in schema:
+        if field.name == "ts":
+            arrays.append(pa.array([sentinel], type=pa.int64()).cast(ts_type))
+        elif field.name == "user_id":
+            arrays.append(pa.array([-1], type=field.type))
+        elif field.name == "value":
+            arrays.append(pa.array([0.0]).cast(field.type))
+        else:
+            arrays.append(pa.nulls(1, type=field.type))
+    pq.write_table(
+        pa.Table.from_arrays(arrays, schema=schema),
+        os.path.join(out, "zz_sentinel.parquet"),
+    )
+    return out
+
+
+def stream_sessionize(
+    spark: SparkSession, sf_dir: str, drain_complete: bool = False
+) -> DataFrame:
     """Custom stateful streaming sessionization (applyInPandasWithState).
 
     On a finite input (availableNow) the closed-session output matches
     the batch ``operators.events.sessionize`` up to second-resolution
-    timestamps (proved in tests).
+    timestamps (proved in tests) — minus each user's trailing session
+    when ``drain_complete=False`` (the production default: an unbounded
+    stream's next batch flushes those), and EXACTLY when
+    ``drain_complete=True`` (a watermark-advancing sentinel closes all
+    state — the bounded-drain/backfill mode).
     """
-    events = _events_stream(spark, sf_dir)
-    tz = spark.conf.get("spark.sql.session.timeZone")
+    if drain_complete:
+        sf_dir = _sentinel_source_dir(spark, sf_dir)
+        events = _events_stream(spark, sf_dir, glob="*.parquet")
+    else:
+        events = _events_stream(spark, sf_dir)
+    # epoch seconds computed JVM-side: the pandas worker must never
+    # reconstruct epochs from the session-zone wall clock (DST folds)
     sessions = (
-        events.withWatermark("ts", "2 hours")
+        events.withColumn("_sec", F.expr("unix_micros(ts) div 1000000"))
+        .withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_fn(tz),
+            _make_session_fn(),
             outputStructType=_SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    return _run_to_memory(sessions, "append")
+    out = _run_to_memory(sessions, "append")
+    # the sentinel user's own (never-emitted) session is filtered
+    # defensively; real users are non-negative in every fixture
+    return out.where(F.col("user_id") >= 0) if drain_complete else out
 
 
 def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
