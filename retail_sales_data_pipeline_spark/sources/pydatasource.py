@@ -26,10 +26,15 @@ ENGINE CAVEAT (pinned by tests/test_pydatasource.py): Spark caches the
 post-pushdown reader snapshot on the loaded relation, so after a
 filtered query executes, the SAME DataFrame object replays that pushed
 filter for every later query — ``df.count()`` after
-``df.where(...).count()`` returns the filtered count. Call ``load()``
-per logical query (it is plan-only, effectively free); the
-``partitions()`` handoff below additionally clears reader state so a
-fresh load is never tainted by an earlier plan.
+``df.where(...).count()`` returns the filtered count (measured: this
+holds even when the reader yields every filter back to Spark, so it is
+relation-level scan caching, not reader-state leakage). Call
+``load()`` per logical query (it is plan-only, effectively free).
+Within one reader the pushed state is deliberately STICKY: once a
+filter is accepted, Spark never re-evaluates it post-scan, so every
+``partitions()`` call — including plan re-executions that skip
+``pushFilters`` — must keep honoring it (a clear-on-handoff protocol
+would return extra rows there).
 """
 
 from __future__ import annotations
@@ -92,15 +97,19 @@ class SyntheticEventsReader(DataSourceReader):
                 yield f
 
     def partitions(self) -> Sequence[InputPartition]:
-        # Embed the pushed filter into the partition specs and CLEAR it:
-        # the engine may reuse this reader instance across queries on the
-        # same loaded DataFrame, and pushFilters is only invoked when a
-        # query has filters — without the handoff-and-reset, a filter
-        # pushed by one query would silently taint the next one's scan.
-        type_eq, self.type_eq = self.type_eq, None
+        # Embed the pushed filter into the partition specs WITHOUT
+        # clearing it. Once a filter is accepted in pushFilters, Spark
+        # stops evaluating that predicate post-scan — so the reader must
+        # honor it on EVERY later partitions() call (plan re-execution /
+        # retry may re-invoke partitions() with no fresh pushFilters; a
+        # clear-on-handoff protocol here returned unfiltered specs in
+        # that case and silently yielded extra rows). The pushed state
+        # is per-reader = per-load(), which matches the engine's own
+        # caching of the scan per loaded relation (see module caveat:
+        # one load() per logical query).
         per = max(1, -(-self.rows // self.num_partitions))  # ceil div
         return [
-            _Range(start, min(start + per, self.rows), type_eq)
+            _Range(start, min(start + per, self.rows), self.type_eq)
             for start in range(0, self.rows, per)
         ]
 

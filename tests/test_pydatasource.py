@@ -74,6 +74,28 @@ def test_event_type_domain(spark):
     assert got == set(EVENT_TYPES)
 
 
+def test_pushed_filter_sticky_across_partition_replans():
+    """Plan re-execution may call partitions() again WITHOUT a fresh
+    pushFilters. Spark stopped evaluating an accepted filter post-scan,
+    so the reader must keep embedding it in every partitions() call —
+    the old clear-on-handoff protocol returned unfiltered specs on the
+    second call and silently yielded extra rows (round-4 ADVICE)."""
+    from retail_sales_data_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    reader = SyntheticEventsReader({"rows": "100", "partitions": "4"})
+    residual = list(reader.pushFilters([EqualTo(("event_type",), "error")]))
+    assert residual == []  # accepted → Spark won't re-check it
+    first = reader.partitions()
+    second = reader.partitions()  # re-plan, no pushFilters in between
+    assert all(p.type_eq == "error" for p in first)
+    assert all(p.type_eq == "error" for p in second)
+    rows = [r for p in second for r in reader.read(p)]
+    assert rows and all(r[2] == "error" for r in rows)
+
+
 def test_engine_caches_pushed_reader_per_relation(spark):
     """Pin the engine caveat the module docstring documents: after a
     filtered query executes, the same DataFrame replays the pushed
