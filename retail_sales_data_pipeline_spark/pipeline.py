@@ -186,11 +186,12 @@ def run_pipeline(
     # are read in one distributed pass with the explicit schema; files
     # with extra columns are read per-file (their schemas differ) and
     # conformed via the concat_ws fold (reference main.py:223-258).
+    # The routing reuses the headers probed during validation (step 3) —
+    # one driver-side metadata read per file end-to-end, not two.
     canonical_8 = [f.name for f in SALES_SCHEMA.fields if f.name != "additional_column"]
     exact, wide = [], []
     for p in report.accepted:
-        cols = read_csv_full(spark, p, infer=False).columns
-        (exact if list(cols) == canonical_8 else wide).append(p)
+        (exact if report.columns[p] == canonical_8 else wide).append(p)
     frames = []
     if exact:
         base_schema = type(SALES_SCHEMA)(

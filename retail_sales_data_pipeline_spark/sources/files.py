@@ -70,17 +70,32 @@ def read_csv_permissive(
     # Rejects come from a SECOND pass: a plain text scan re-parsed with
     # from_csv. Two reasons this beats caching the parsed frame (the
     # previous implementation): (1) Spark disallows a raw-CSV query
-    # whose pruned references are only the corrupt column, and the
-    # cache() workaround pins the full payload in executor memory — at
-    # corpus scale an extra pass over the source is far cheaper; (2) the
-    # passes are independent scans, so neither blocks the other's
-    # pushdowns. Header lines (skipped by the schema'd read above) are
-    # excluded by literal match; multiline/quoted-newline CSV is out of
-    # scope for the rejects pass, as documented.
+    # whose references are only the corrupt column (analysis-time
+    # UNSUPPORTED_FEATURE, measured to fire even when the filter touches
+    # data columns), and the cache() workaround pins the full payload in
+    # executor memory — at corpus scale an extra pass over the source is
+    # far cheaper; (2) the passes are independent scans, so neither
+    # blocks the other's pushdowns.
+    #
+    # Header lines (skipped positionally by the schema'd read above)
+    # must be excluded here, where the text scan has no position info.
+    # Exclusion is PARSE-AWARE, not a literal string match: the line is
+    # CSV-split and each token unquoted/trimmed/case-folded before
+    # comparing against the schema's field names, so a real header
+    # written as `A, "b"` is still recognized (a literal match against
+    # ','.join(names) was not — it sent such headers to rejects).
+    # Residual blind spots, documented: a MID-FILE corrupt line whose
+    # tokens equal the column names is indistinguishable from a header
+    # without position and is excluded too; quoted commas/newlines
+    # inside the header are out of scope like the rest of this pass.
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
     )
-    header = ",".join(f.name for f in schema.fields)
+    expected = F.array(*[F.lit(f.name.lower()) for f in schema.fields])
+    tokens = F.transform(
+        F.split(F.col("value"), ","),
+        lambda x: F.lower(F.trim(F.regexp_replace(F.trim(x), '^"|"$', ""))),
+    )
     parsed = spark.read.text(path).select(
         F.col("value"),
         F.from_csv(
@@ -91,7 +106,7 @@ def read_csv_permissive(
     )
     rejects = (
         parsed.where(
-            F.col("_p._corrupt_record").isNotNull() & (F.col("value") != header)
+            F.col("_p._corrupt_record").isNotNull() & (tokens != expected)
         )
         .select(F.col("value").alias("_corrupt_record"))
     )

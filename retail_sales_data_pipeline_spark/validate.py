@@ -31,6 +31,12 @@ class ValidationReport:
     accepted: list[str] = field(default_factory=list)
     # path -> missing mandatory columns that caused rejection
     rejected: dict[str, set[str]] = field(default_factory=dict)
+    # path -> probed header columns, for every accepted file: downstream
+    # steps that need the header (exact-vs-wide schema routing in the
+    # pipeline) MUST reuse these instead of re-probing — each probe is a
+    # sequential driver-side JVM metadata read, and at 10^5 daily files
+    # a redundant second probe pass costs tens of minutes (docs/SCALE.md)
+    columns: dict[str, list[str]] = field(default_factory=dict)
 
 
 def validate_files(
@@ -40,16 +46,20 @@ def validate_files(
 ) -> ValidationReport:
     """Split ``paths`` into accepted / rejected by the mandatory-column
     contract (reference main.py:146-153). Header-probe only — no data
-    rows are read for rejected files.
+    rows are read for rejected files. The probed headers of accepted
+    files are carried in ``report.columns`` so the batch is read with
+    exactly ONE header probe per file end-to-end.
     """
     mandatory = mandatory if mandatory is not None else MANDATORY_COLUMNS
     report = ValidationReport()
     for path in paths:
-        missing = missing_mandatory(read_csv_header(spark, path), mandatory)
+        cols = read_csv_header(spark, path)
+        missing = missing_mandatory(cols, mandatory)
         if missing:
             report.rejected[path] = missing
         else:
             report.accepted.append(path)
+            report.columns[path] = cols
     return report
 
 

@@ -98,6 +98,30 @@ def test_permissive_row_level_rejects(spark, tmp_path):
     assert bad == ["not_an_int,y"]
 
 
+def test_permissive_rejects_header_formatting_variants(spark, tmp_path):
+    """Header exclusion in the rejects pass is parse-aware: a real
+    header whose formatting differs from ','.join(names) — spacing,
+    quoting, case — must NOT be misclassified as a corrupt record
+    (round-4 ADVICE; the old literal match sent it to rejects)."""
+    from pyspark.sql import types as T
+
+    from retail_sales_data_pipeline_spark.sources.files import read_csv_permissive
+
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    (tmp_path / "spaced.csv").write_text('A, "b"\n1,x\nbad,y\n')
+    (tmp_path / "plain.csv").write_text("a,b\n2,w\nalso_bad,z\n")
+    good, rejects = read_csv_permissive(
+        spark, [str(tmp_path / "spaced.csv"), str(tmp_path / "plain.csv")], schema
+    )
+    assert {(r.a, r.b) for r in good.collect()} == {(1, "x"), (2, "w")}
+    assert sorted(r._corrupt_record for r in rejects.collect()) == [
+        "also_bad,z",
+        "bad,y",
+    ]
+
+
 def test_streaming_rollup_equals_batch(spark):
     from retail_sales_data_pipeline_spark.sources.tables import load_table
     from retail_sales_data_pipeline_spark.streaming import stream_hourly_rollup

@@ -256,3 +256,39 @@ def test_curate_corpus_writes_survivors(spark, tmp_path):
     assert len(langs) > 1
     import os
     assert any(d.startswith("lang=") for d in os.listdir(f"{res.out_path}/documents"))
+
+
+def test_single_header_probe_per_file(spark, dims, workdir, monkeypatch):
+    """The exact-vs-wide routing in step 5 must reuse the headers probed
+    during validation: exactly ONE driver-side header read per file
+    end-to-end (round-3 verdict — the old second probe pass cost 10^5
+    extra sequential JVM metadata reads at daily-batch scale), and no
+    schemaless/inferless read_csv_full probe calls at all."""
+    import retail_sales_data_pipeline_spark.pipeline as pl
+    import retail_sales_data_pipeline_spark.validate as v
+
+    probes: list[str] = []
+    real_header = v.read_csv_header
+    monkeypatch.setattr(
+        v, "read_csv_header", lambda s, p: probes.append(p) or real_header(s, p)
+    )
+    real_full = pl.read_csv_full
+
+    def guarded_full(spark_, path, schema=None, infer=False):
+        assert schema is not None or infer, (
+            f"header re-probe via read_csv_full({path!r}) — reuse "
+            "ValidationReport.columns instead"
+        )
+        return real_full(spark_, path, schema=schema, infer=infer)
+
+    monkeypatch.setattr(pl, "read_csv_full", guarded_full)
+
+    _write_csv(f"{workdir['source']}/a.csv", HAPPY_HEADER, _happy_rows())
+    rows = [r + ["UPI"] for r in _happy_rows()]
+    _write_csv(f"{workdir['source']}/b.csv", HAPPY_HEADER + ["payment_mode"], rows)
+    res = run_pipeline(
+        spark, workdir["source"], workdir["error"], workdir["processed"],
+        workdir["out"], dims, run_id="r1",
+    )
+    assert len(res.accepted) == 2
+    assert sorted(os.path.basename(p) for p in probes) == ["a.csv", "b.csv"]
