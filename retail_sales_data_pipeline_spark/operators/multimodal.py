@@ -9,13 +9,14 @@ partition sizing, output contracts — is real and tested, and so is the
 decode for self-describing formats:
 
 - :func:`decode_media` with ``fake=False`` REALLY decodes binary
-  PPM/PGM images, RIFF/WAVE PCM audio, and PPM-stream video with pure
-  stdlib parsing (``tests/test_multimodal.py`` drives actual P6/WAV
-  bytes through the Arrow path). Formats that require codec libraries
-  absent from this container (JPEG/MP4/OGG) raise ``ValueError``
-  naming the library. ``fake=True`` (default) substitutes a
-  *deterministic* md5-derived decode so the synthesized text-byte
-  fixtures stay oracle-checkable.
+  PPM/PGM images, 8-bit PNG (zlib inflate + all five scanline
+  filters), RIFF/WAVE PCM audio, and PPM-stream video with pure
+  stdlib parsing (``tests/test_multimodal.py`` drives actual P6/PNG/
+  WAV bytes through the Arrow path). Formats that require codec
+  libraries absent from this container (JPEG/MP4/OGG) raise
+  ``ValueError`` naming the library. ``fake=True`` (default)
+  substitutes a *deterministic* md5-derived decode so the synthesized
+  text-byte fixtures stay oracle-checkable.
 
 Scale notes: ``mapInPandas`` streams Arrow batches (no per-row
 pickling); ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
@@ -210,11 +211,90 @@ def _sample_feature(data: bytes, norm: float, k: int = 8) -> list[float]:
     return [round(data[min(i * step, len(data) - 1)] / norm, 6) for i in range(k)]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit non-interlaced PNG with stdlib zlib: returns
+    ``(width, height, raster)`` where raster is the de-filtered pixel
+    bytes (channels interleaved). Implements the five scanline filters
+    of the PNG spec (RFC 2083 §6); palette images return their index
+    bytes (enough for the sampled-feature path — full palette lookup
+    belongs to a real imaging library)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w = h = None
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + body + crc32
+    if w is None:
+        raise ValueError("PNG payload missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported here (depth="
+            f"{bit_depth}, interlace={interlace}); use PIL for the rest"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * channels, channels
+    expected = h * (stride + 1)
+    if len(raw) < expected:
+        raise ValueError("truncated PNG raster")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _row in range(h):
+        filt = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if filt == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif filt == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"invalid PNG filter type {filt}")
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
 def _real_decode(payload: bytes, media_type: str) -> dict:
     """Real decode path for self-describing formats, pure stdlib:
 
     - ``image``: binary PPM/PGM (P6/P5) — header dims, raster-sampled
-      feature vector;
+      feature vector — or 8-bit non-interlaced PNG (zlib inflate +
+      scanline de-filtering, :func:`_png_decode`);
     - ``audio``: RIFF/WAVE PCM — ``width``=sample rate, ``height``=
       channels, ``n_frames``=samples per channel, feature sampled from
       the PCM data chunk;
@@ -222,14 +302,22 @@ def _real_decode(payload: bytes, media_type: str) -> dict:
       MJPEG idea without the JPEG) — per-frame dims from the first
       header, ``n_frames`` by walking the stream.
 
-    Formats that need real codec libraries (JPEG/PNG/MP4/OGG) are out
-    of scope in this container — those payloads raise ``ValueError``
+    Formats that need real codec libraries (JPEG/MP4/OGG) are out of
+    scope in this container — those payloads raise ``ValueError``
     with the library to install; the deterministic ``fake=True`` path
     remains the oracle route for synthesized fixtures.
     """
     import struct
 
     if media_type == "image":
+        if payload[:8] == _PNG_SIG:
+            w, h, raster = _png_decode(payload)
+            return {
+                "width": w,
+                "height": h,
+                "n_frames": 1,
+                "feature": _sample_feature(raster, 255.0),
+            }
         magic, w, h, maxval, off = _ppm_header(payload)
         return {
             "width": w,
