@@ -45,8 +45,43 @@ def test_no_cartesian_product(spark, sf_dir, name):
 def test_star_join_is_all_broadcast_no_fact_shuffle(spark, sf_dir):
     p = _plan(all_queries()["star_join_enrich"](spark, sf_dir))
     assert "SortMergeJoin" not in p
-    assert "Exchange hashpartitioning" not in p, "fact-side shuffle appeared"
+    # formatted mode renders exchange args on their own line — the old
+    # literal "Exchange hashpartitioning" check was vacuously true
+    assert "hashpartitioning" not in p, "fact-side shuffle appeared"
     assert p.count("BroadcastHashJoin") >= 4
+
+
+# Exchange/broadcast/join-node counts of the most expensive bench
+# queries, pinned EXACTLY (round-3 verdict item 5): a plan regression
+# must fail here, immediately and attributably, instead of surfacing as
+# an unexplained bench delta two rounds later. If a deliberate operator
+# change moves a count: re-audit the plan (tools/plan_audit.py →
+# docs/PLANS.md), convince yourself the new shape is the one you'd want
+# at 100x scale, then update the pin in the same commit.
+PLAN_SHAPE = {
+    # name: (exchanges, broadcast_exchanges, bcast_hash_joins, sort_merge_joins)
+    "customer_monthly_mart": (6, 4, 4, 0),
+    "sales_team_mart": (6, 2, 2, 0),
+    "star_join_enrich": (8, 8, 8, 0),
+    "dedup_minhash_lsh": (80, 26, 26, 8),
+    "dedup_embedding_cosine": (22, 8, 8, 2),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_SHAPE))
+def test_bench_query_plan_shape_pinned(spark, sf_dir, name):
+    p = _plan(all_queries()[name](spark, sf_dir))
+    got = (
+        p.count("Exchange"),
+        p.count("BroadcastExchange"),
+        p.count("BroadcastHashJoin"),
+        p.count("SortMergeJoin"),
+    )
+    assert got == PLAN_SHAPE[name], (
+        f"{name}: plan shape drifted (exchanges, broadcast, BHJ, SMJ) "
+        f"{PLAN_SHAPE[name]} -> {got} — re-audit docs/PLANS.md before "
+        "updating this pin"
+    )
 
 
 def test_ledger_filter_pushdown_reaches_scan(spark, sf_dir):
