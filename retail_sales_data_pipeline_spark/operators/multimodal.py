@@ -107,19 +107,30 @@ def synth_media_pointers(docs: DataFrame) -> DataFrame:
     )
 
 
-def fetch_media(pointers: DataFrame, fake: bool = True) -> DataFrame:
+def fetch_media(
+    pointers: DataFrame, fake: bool = True, storage=None
+) -> DataFrame:
     """Resolve pointer rows to payload bytes via ``mapInPandas``.
 
     ``fake=True`` (the oracle path for synthesized pointers) substitutes
     the UTF-8 bytes of the URI itself — deterministic and
-    engine-reproducible. ``fake=False`` REALLY fetches: ``file://`` and
-    plain-path URIs are read from the task-local filesystem (which at
-    cluster scale is any mounted store — NFS, FUSE-mounted object
-    buckets, alluxio), per row inside the Arrow batch loop; a missing
-    file yields a NULL payload (the relational stages downstream treat
-    it as a dead pointer). Scheme'd object-store URIs (``s3://``,
-    ``obj://``) raise ``ValueError`` naming the client they need — no
-    cloud SDK ships in this environment.
+    engine-reproducible. ``fake=False`` REALLY fetches through the
+    ``storage`` seam: ``file://`` and plain-path URIs read from the
+    task-local filesystem (which at cluster scale is any mounted store
+    — NFS, FUSE-mounted object buckets, alluxio), per row inside the
+    Arrow batch loop; a missing file yields a NULL payload (the
+    relational stages downstream treat it as a dead pointer). Scheme'd
+    object-store URIs (``s3://``, ``obj://``) dispatch to whatever
+    backend ``storage.register(scheme, ...)`` installed — a dependency
+    injection, not an operator change — and raise ``ValueError``
+    naming the client they need when none is registered (no cloud SDK
+    ships in this environment).
+
+    Pass ``storage`` EXPLICITLY to route every fetch through one
+    backend: the instance is cloudpickled into the task closure, which
+    is the only way an injected backend reliably reaches Python
+    workers — ``storage.register()`` mutates a per-process registry
+    that executor workers, being fresh processes, never saw.
 
     Size-skew note: rows are range-partitioned on the ``n_bytes``
     metadata BEFORE the fetch so each task pulls a comparable byte
@@ -131,15 +142,15 @@ def fetch_media(pointers: DataFrame, fake: bool = True) -> DataFrame:
     )
 
     def _read_local(uri: str) -> bytes | None:
-        path = uri[len("file://"):] if uri.startswith("file://") else uri
-        if "://" in path:
-            raise ValueError(
-                f"object-store URI {uri!r} needs a storage client "
-                "(boto3/gcsfs); mount the bucket or pass file:// paths"
-            )
+        # Storage seam: an explicitly-passed backend (captured in this
+        # closure, cloudpickled to the worker) wins; otherwise file://
+        # and plain paths hit LocalStorage and unregistered schemes
+        # raise naming the client they need (honest env boundary).
+        from ..storage import for_path
+
         try:
-            with open(path, "rb") as f:
-                return f.read()
+            backend = storage if storage is not None else for_path(uri)
+            return backend.read_bytes(uri)
         except (FileNotFoundError, IsADirectoryError):
             return None  # dead pointer → NULL payload
         # Every other OSError (EACCES, EIO, ESTALE on a flaky NFS/FUSE

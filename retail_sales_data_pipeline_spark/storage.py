@@ -1,0 +1,127 @@
+"""Pluggable object-storage seam (fsspec-style, dependency-free).
+
+The reference talks to S3 directly with boto3 (listing
+``src/main/read/aws_read.py:7-22``, download
+``src/main/download/aws_file_download.py:12-25``, upload
+``src/main/upload/upload_to_s3.py:10-24``, move
+``src/main/move/move_files.py:26-62``). No cloud SDK ships in this
+container, so the engine's control-plane file operations (validate/
+quarantine/archive/cleanup/delete, media pointer fetch) run against the
+local filesystem — but through THIS seam, so a real deployment plugs in
+an object store as a dependency injection instead of a code change:
+
+    from retail_sales_data_pipeline_spark import storage
+
+    class S3Storage:            # thin boto3/gcsfs/fsspec adapter
+        def read_bytes(self, path): ...
+        ...
+
+    storage.register("s3", S3Storage())
+
+Paths carry their backend as a URI scheme (``s3://bucket/key``);
+scheme-less paths and ``file://`` resolve to :class:`LocalStorage`.
+Unknown schemes raise ``ValueError`` naming the missing client — the
+same honest env boundary ``fetch_media`` pinned in round 3.
+
+Scale note: every method here is a METADATA-sized driver-side operation
+(list/move/delete of file names) or a single-object read used inside an
+executor task. Bulk data never flows through this seam — the fact path
+is always a distributed ``spark.read``/``write`` against paths the
+storage backend merely names.
+
+Implementations must be picklable: ``read_bytes`` is called inside
+Arrow-batch workers (``operators/multimodal.fetch_media``), so a
+backend holding live clients should create them lazily per process
+(the standard boto3-in-worker pattern).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Protocol, runtime_checkable
+
+
+@runtime_checkable
+class Storage(Protocol):
+    """Minimal object-store surface the engine's control plane needs."""
+
+    def read_bytes(self, path: str) -> bytes: ...
+
+    def list(self, dir_path: str) -> list[str]: ...
+
+    def exists(self, path: str) -> bool: ...
+
+    def is_dir(self, path: str) -> bool: ...
+
+    def makedirs(self, dir_path: str) -> None: ...
+
+    def move(self, src: str, dst: str) -> None: ...
+
+    def delete(self, path: str) -> None: ...
+
+
+class LocalStorage:
+    """Local/mounted filesystem backend (NFS, FUSE-mounted buckets,
+    alluxio — anything path-addressable from driver and executors)."""
+
+    @staticmethod
+    def _strip(path: str) -> str:
+        return path[len("file://"):] if path.startswith("file://") else path
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._strip(path), "rb") as f:
+            return f.read()
+
+    def list(self, dir_path: str) -> list[str]:
+        d = self._strip(dir_path)
+        return sorted(os.path.join(d, n) for n in os.listdir(d))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._strip(path))
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(self._strip(path))
+
+    def makedirs(self, dir_path: str) -> None:
+        os.makedirs(self._strip(dir_path), exist_ok=True)
+
+    def move(self, src: str, dst: str) -> None:
+        shutil.move(self._strip(src), self._strip(dst))
+
+    def delete(self, path: str) -> None:
+        p = self._strip(path)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+
+
+LOCAL = LocalStorage()
+
+_REGISTRY: dict[str, Storage] = {"file": LOCAL, "": LOCAL}
+
+
+def register(scheme: str, backend: Storage) -> None:
+    """Install a backend for a URI scheme (``s3``, ``gs``, ``obj``...)."""
+    _REGISTRY[scheme.lower()] = backend
+
+
+def scheme_of(path: str) -> str:
+    head, sep, _ = path.partition("://")
+    return head.lower() if sep else ""
+
+
+def for_path(path: str) -> Storage:
+    """Resolve the backend for a path; unknown schemes fail loudly with
+    the client they need rather than silently treating the URI as a
+    relative local path."""
+    scheme = scheme_of(path)
+    backend = _REGISTRY.get(scheme)
+    if backend is None:
+        raise ValueError(
+            f"no storage backend registered for {scheme!r} URI {path!r}; "
+            "install/register a client (e.g. boto3 for s3://) via "
+            "storage.register(scheme, backend)"
+        )
+    return backend

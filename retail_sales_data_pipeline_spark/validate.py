@@ -15,13 +15,13 @@ executors in one distributed ``spark.read.csv([paths])`` pass.
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
 from .schema import MANDATORY_COLUMNS, missing_mandatory
 from .sources.files import read_csv_header
+from .storage import LOCAL, Storage
 
 
 @dataclass
@@ -63,35 +63,41 @@ def validate_files(
     return report
 
 
-def quarantine_files(paths: list[str], error_dir: str) -> list[str]:
+def quarantine_files(
+    paths: list[str], error_dir: str, storage: Storage = LOCAL
+) -> list[str]:
     """Move rejected files into ``error_dir`` (reference main.py:159-176,
     local move; the S3 copy+delete analogue is the same operation against
-    an object store). Returns the new locations.
+    an object store — inject it via ``storage``). Returns the new
+    locations.
     """
-    os.makedirs(error_dir, exist_ok=True)
+    storage.makedirs(error_dir)
     moved = []
     for path in paths:
         dst = os.path.join(error_dir, os.path.basename(path))
-        shutil.move(path, dst)
+        storage.move(path, dst)
         moved.append(dst)
     return moved
 
 
-def archive_files(paths: list[str], processed_dir: str) -> list[str]:
+def archive_files(
+    paths: list[str], processed_dir: str, storage: Storage = LOCAL
+) -> list[str]:
     """Move successfully processed files to the processed prefix
     (reference main.py:394-399, S3→S3 move via copy+delete,
-    move_files.py:26-62). Returns the new locations.
+    move_files.py:26-62 — an object-store backend makes this that exact
+    operation). Returns the new locations.
     """
-    os.makedirs(processed_dir, exist_ok=True)
+    storage.makedirs(processed_dir)
     moved = []
     for path in paths:
         dst = os.path.join(processed_dir, os.path.basename(path))
-        shutil.move(path, dst)
+        storage.move(path, dst)
         moved.append(dst)
     return moved
 
 
-def cleanup_local_dir(dir_path: str) -> list[str]:
+def cleanup_local_dir(dir_path: str, storage: Storage = LOCAL) -> list[str]:
     """F3: delete every file/subdirectory inside ``dir_path`` (the
     directory itself stays) — the post-upload staging cleanup step
     (reference src/main/delete/local_file_delete.py:5-19). Unlike the
@@ -99,17 +105,13 @@ def cleanup_local_dir(dir_path: str) -> list[str]:
     after printing a traceback. Returns the deleted paths.
     """
     deleted = []
-    for name in os.listdir(dir_path):
-        item = os.path.join(dir_path, name)
-        if os.path.isdir(item):
-            shutil.rmtree(item)
-        else:
-            os.remove(item)
+    for item in storage.list(dir_path):
+        storage.delete(item)
         deleted.append(item)
     return deleted
 
 
-def delete_objects(paths: list[str]) -> list[str]:
+def delete_objects(paths: list[str], storage: Storage = LOCAL) -> list[str]:
     """F4: delete individual data objects by full path — the
     object-store delete analogue (reference
     src/main/delete/aws_delete.py:11-23 ``S3Deleter.delete_file``;
@@ -119,11 +121,8 @@ def delete_objects(paths: list[str]) -> list[str]:
     """
     deleted = []
     for path in paths:
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-            deleted.append(path)
-        elif os.path.exists(path):
-            os.remove(path)
+        if storage.exists(path):
+            storage.delete(path)
             deleted.append(path)
     return deleted
 

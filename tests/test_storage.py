@@ -1,0 +1,95 @@
+"""Storage seam: local backend semantics, scheme resolution, and real
+dependency injection of an object-store backend into fetch_media."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_sales_data_pipeline_spark import storage as S
+
+
+def test_local_storage_roundtrip(tmp_path):
+    loc = S.LocalStorage()
+    p = tmp_path / "a.bin"
+    p.write_bytes(b"payload")
+    assert loc.read_bytes(str(p)) == b"payload"
+    assert loc.read_bytes(f"file://{p}") == b"payload"
+    assert loc.exists(str(p)) and not loc.exists(str(tmp_path / "nope"))
+    assert loc.list(str(tmp_path)) == [str(p)]
+    loc.makedirs(str(tmp_path / "sub"))  # idempotent
+    loc.makedirs(str(tmp_path / "sub"))
+    loc.move(str(p), str(tmp_path / "sub" / "a.bin"))
+    assert loc.exists(str(tmp_path / "sub" / "a.bin")) and not p.exists()
+    loc.delete(str(tmp_path / "sub"))  # recursive dir delete
+    assert not loc.is_dir(str(tmp_path / "sub"))
+
+
+def test_for_path_resolution():
+    assert S.for_path("/plain/path") is S.LOCAL
+    assert S.for_path("file:///x/y") is S.LOCAL
+    with pytest.raises(ValueError, match="boto3"):
+        S.for_path("s3://bucket/key")
+    with pytest.raises(ValueError, match="register"):
+        S.for_path("weird://x")
+
+
+class DictStore:
+    """In-memory object store; cloudpickled into task closures."""
+
+    def __init__(self, objects: dict[str, bytes]):
+        self.objects = objects
+
+    def read_bytes(self, path: str) -> bytes:
+        if path not in self.objects:
+            raise FileNotFoundError(path)
+        return self.objects[path]
+
+
+def test_registry_injection_driver_side(tmp_path):
+    store = DictStore({"obj://b/k": b"v"})
+    S.register("obj", store)
+    try:
+        assert S.for_path("obj://b/k") is store
+        assert S.for_path("obj://b/k").read_bytes("obj://b/k") == b"v"
+    finally:
+        S._REGISTRY.pop("obj", None)
+
+
+def test_fetch_media_through_injected_backend(spark):
+    """An object-store backend passed to fetch_media reaches the Arrow
+    workers via the task closure — obj:// pointers fetch REAL bytes
+    with zero operator changes, and a missing key is a dead pointer."""
+    from pyspark.sql import Row
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import fetch_media
+
+    store = DictStore(
+        {
+            "obj://media/1.bin": b"\x00\x01one",
+            "obj://media/2.bin": b"two",
+        }
+    )
+    rows = [
+        Row(media_id=1, media_type="image", uri="obj://media/1.bin", n_bytes=5),
+        Row(media_id=2, media_type="audio", uri="obj://media/2.bin", n_bytes=3),
+        Row(media_id=3, media_type="video", uri="obj://media/gone.bin", n_bytes=9),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.media_id: r.content
+        for r in fetch_media(df, fake=False, storage=store).collect()
+    }
+    assert bytes(out[1]) == b"\x00\x01one"
+    assert bytes(out[2]) == b"two"
+    assert out[3] is None
+
+
+def test_unregistered_scheme_fails_loudly_in_worker(spark):
+    from pyspark.sql import Row
+    from pyspark.sql.utils import PythonException
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import fetch_media
+
+    rows = [Row(media_id=1, media_type="image", uri="s3://b/k.bin", n_bytes=1)]
+    with pytest.raises(PythonException, match="boto3"):
+        fetch_media(spark.createDataFrame(rows), fake=False).collect()
