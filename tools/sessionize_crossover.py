@@ -1,0 +1,109 @@
+"""Measure the plain-vs-scalable sessionize crossover under hot-user skew.
+
+Round-3 verdict item 7: ``sessionize_scalable`` is insurance for the
+celebrity-user case — one user owning enough rows that the per-user
+window sort in plain :func:`operators.events.sessionize` becomes a
+single straggler task (and, past executor memory, a spill cliff).  The
+round-3 point measurement (4M rows, 90% hot) showed plain still winning
+on one box; this harness sweeps the hot-user share at a fixed row count
+so SCALE.md can record a *decision threshold* instead of a single point.
+
+Usage::
+
+    python tools/sessionize_crossover.py [--rows 20000000] \
+        [--shares 0,50,90,99] [--repeats 2]
+
+Events are generated JVM-side from ``spark.range`` (no Python per-row
+cost): user 0 receives ``share``% of rows, the rest spread uniformly
+over 100k users; timestamps are xxhash-scattered over 30 days so the
+session structure is realistic (many sessions per user).  Each variant
+is timed end-to-end with a noop-sink write, best-of-``repeats``.
+
+Output: one markdown table row per share on stdout (paste into
+SCALE.md) plus a JSON line for the record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from retail_sales_data_pipeline_spark.operators.events import (  # noqa: E402
+    sessionize,
+    sessionize_scalable,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+BASE_SEC = 1_704_067_200  # 2024-01-01 UTC
+SPAN_SEC = 30 * 86_400  # one month of wall clock
+N_COLD_USERS = 100_000
+
+
+def skewed_events(spark, rows: int, hot_share_pct: int):
+    """``rows`` synthetic events; user 0 owns ``hot_share_pct``% of them,
+    the remainder uniform over N_COLD_USERS cold users.  All columns are
+    pure JVM expressions of the range index — generation is never the
+    bottleneck being measured."""
+    idx = F.col("id")
+    hot = F.pmod(F.xxhash64(idx, F.lit(1)), F.lit(100)) < hot_share_pct
+    user = F.when(hot, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(idx, F.lit(2)), F.lit(N_COLD_USERS)) + 1
+    )
+    ts_sec = F.lit(BASE_SEC) + F.pmod(F.xxhash64(idx, F.lit(3)), F.lit(SPAN_SEC))
+    value = (F.pmod(F.xxhash64(idx, F.lit(4)), F.lit(10_000)) / 100.0)
+    return spark.range(rows).select(
+        user.cast("long").alias("user_id"),
+        F.timestamp_seconds(ts_sec).alias("ts"),
+        value.cast("double").alias("value"),
+    )
+
+
+def _time(df_fn, repeats: int) -> float:
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--shares", default="0,50,90,99")
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+    shares = [int(s) for s in args.shares.split(",")]
+
+    spark = get_spark(app_name="sessionize-crossover")
+    results = []
+    print("| hot-user share | plain `sessionize` | `sessionize_scalable` | winner |")
+    print("|---|---|---|---|")
+    for share in shares:
+        ev = skewed_events(spark, args.rows, share)
+        # cache the input so both variants read identical materialized
+        # rows and generation cost drops out of the comparison
+        ev = ev.cache()
+        ev.count()
+        t_plain = _time(lambda: sessionize(ev), args.repeats)
+        t_scal = _time(lambda: sessionize_scalable(ev), args.repeats)
+        ev.unpersist()
+        winner = "plain" if t_plain <= t_scal else "scalable"
+        print(f"| {share}% | {t_plain} s | {t_scal} s | {winner} |")
+        results.append(
+            {"share_pct": share, "plain_s": t_plain, "scalable_s": t_scal}
+        )
+        sys.stdout.flush()
+    print(json.dumps({"rows": args.rows, "sweep": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
