@@ -109,14 +109,15 @@ def sessionize_scalable(
        user by session start.
 
     Cost: two bounded shuffles + the stitch (which touches only
-    boundary sessions, ≪ corpus). MEASURED honestly (4M events, 90%
-    one user, local[32]): plain 7.8 s, scalable 20.4 s with identical
-    output — a 3.6M-row single-task sort is still cheap on one box, and
-    the stitch pays ~O(log chain) CC rounds of fixed job overhead for a
-    continuously-active user. This variant is INSURANCE, not a default:
-    it wins only once the hot user's rows exceed a task's sort/memory
-    budget (the spill cliff plain sessionize hits with no alternative),
-    which is exactly the 100 TB celebrity-user case.
+    boundary sessions, ≪ corpus). MEASURED (20M-row hot-share sweep,
+    tools/sessionize_crossover.py, full table in docs/SCALE.md): plain
+    degrades linearly in the hottest user's rows (~290k rows/s in the
+    one straggler task) while this variant's cost tracks session count
+    — the curves cross at ~7-8M hot-user rows on local[32]/128 GB, and
+    earlier on a real cluster where the straggler hits a task's
+    sort/memory budget first. :func:`sessionize_auto` dispatches on a
+    measured max-rows-per-user with a deliberately conservative
+    threshold.
     """
     if bucket_sec <= gap_sec:
         raise ValueError(
@@ -209,6 +210,43 @@ def sessionize_scalable(
         "duration_sec",
         "total_value",
     )
+
+
+# Measured on local[32]/128 GB at 20M rows (tools/sessionize_crossover.py,
+# table in docs/SCALE.md): plain sessionize beats the two-level variant
+# until the hottest user's row count reaches the low millions, where the
+# single-task window sort overtakes the stitch's fixed overhead. On a
+# real cluster the binding constraint arrives EARLIER — a task's
+# sort/memory budget, not wall time — so the default dispatch threshold
+# is the conservative end of the measured band.
+HOT_USER_THRESHOLD_ROWS = 2_000_000
+
+
+def sessionize_auto(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    hot_user_threshold_rows: int = HOT_USER_THRESHOLD_ROWS,
+) -> DataFrame:
+    """Gap sessionization that picks plain vs two-level by measuring the
+    skew it actually faces, per the crossover sweep in docs/SCALE.md.
+
+    One profiling pass — ``groupBy(user_id).count`` then a global max,
+    keys-only and map-side combined, returning a single long to the
+    driver — decides the variant: below the threshold the one-shuffle
+    :func:`sessionize` wins outright; above it the hottest user's
+    window sort is a straggler (and, past task memory, a spill cliff),
+    so :func:`sessionize_scalable` spreads that user across time
+    buckets. Output is identical either way (pinned by tests).
+    """
+    max_user_rows = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .first()[0]
+    ) or 0
+    if max_user_rows > hot_user_threshold_rows:
+        return sessionize_scalable(events, gap_sec=gap_sec)
+    return sessionize(events, gap_sec=gap_sec)
 
 
 def json_prop_stats(events: DataFrame, prop: str = "k") -> DataFrame:

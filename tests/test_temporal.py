@@ -131,3 +131,24 @@ def test_sessionize_scalable_equals_plain(spark, sf_dir):
 
     with pytest.raises(ValueError):
         sessionize_scalable(df, gap_sec=1800, bucket_sec=600)
+
+
+def test_sessionize_auto_dispatch(spark, sf_dir):
+    """sessionize_auto routes by measured hot-user row count: below the
+    threshold it is plain sessionize, with threshold forced to 0 it is
+    the scalable variant — identical output either way."""
+    from retail_sales_data_pipeline_spark.operators.events import (
+        sessionize,
+        sessionize_auto,
+    )
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = sorted(map(tuple, sessionize(ev).collect()))
+    # fixture max user rows << default threshold → plain path
+    assert sorted(map(tuple, sessionize_auto(ev).collect())) == plain
+    # force the scalable path: every user is "hot" at threshold 0
+    forced = sorted(
+        map(tuple, sessionize_auto(ev, hot_user_threshold_rows=0).collect())
+    )
+    assert forced == plain and len(plain) > 0
