@@ -171,7 +171,11 @@ def jaccard_verify(cand: DataFrame, elements: DataFrame, threshold: float) -> Da
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    el = elements.join(ids, "id")
+    # el feeds three subtrees (sizes, ea, eb) — persist eagerly or the
+    # semi-join (and everything above it) recomputes per reference;
+    # it holds only CANDIDATE documents' elements, ≪ corpus
+    el = elements.join(ids, "id").persist()
+    el.count()
     sizes = el.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     ea = el.select(F.col("id").alias("id_a"), "sh")
     eb = el.select(F.col("id").alias("id_b"), "sh")
@@ -215,6 +219,11 @@ def ngram_jaccard_pairs(
     if df_cap is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(freq.where(F.col("_df") <= df_cap), "sh").select("id", "sh")
+    # sh feeds sizes AND both sides of the inverted-index self-join —
+    # persist eagerly so tokenize+explode+md5 (+ the df_cap join) runs
+    # once, not per reference (same pattern as minhash_lsh_pairs)
+    sh = sh.persist()
+    sh.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -344,13 +353,25 @@ def minhash_lsh_pairs(
     never happens, only |bands| × |docs| rows move. ``bucket_cap``
     guards the skewed case — see :func:`lsh_candidate_pairs`.
     """
-    # the shingle relation feeds both the signature path and the
-    # verification tail — persist so the tokenize+explode+md5 runs once
-    # (Spark evicts LRU; MinHashLSH in Spark ML does the same)
+    # Persist every relation the DAG references more than once, and
+    # fill each cache EAGERLY (count) before building downstream —
+    # otherwise the whole upstream subtree recomputes per reference
+    # (bands feeds the bucket-size guard AND both sides of the pair
+    # self-join; cand feeds the id semi-join AND the intersection join
+    # in jaccard_verify; within one job the references are planned
+    # before any cache partition lands, so lazy persist only halves the
+    # waste).  Measured at 20k synthetic docs (tools/dedup_headroom.py):
+    # 21.4 s unpersisted → 12.4 s lazy persists → 6.2 s eager.  Sizes
+    # are scale-safe: sh is |corpus|·doc_len hashed longs, sig is
+    # |docs| rows of k longs, cand is |candidate| pairs — all
+    # MEMORY_AND_DISK, so at 100 TB they spill rather than OOM (Spark
+    # ML's MinHashLSH persists the same relations).
     sh = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col).persist()
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    sig = minhash_signatures(sh, num_hashes=num_hashes).persist()
+    sig.count()  # also fills sh (its only input) one subtree deep
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
-    cand = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
+    cand = lsh_candidate_pairs(bands, bucket_cap=bucket_cap).persist()
+    cand.count()
     return jaccard_verify(cand, sh, threshold)
 
 

@@ -1,0 +1,124 @@
+"""Measure the dedup family's wall-time slope vs corpus size.
+
+The bench `documents` table tops out at 5k docs (sf0.1), where fixed
+job overhead dominates — so "MinHash+LSH degrades with corpus size, not
+quadratically" was an argued property, not a measured one.  This
+harness generates a synthetic corpus JVM-side (no Python per-row cost),
+plants a controlled near-dup rate, and times the three corpus-pass
+dedup operators at increasing document counts so SCALE.md can record
+the slope.
+
+Corpus shape (all pure column expressions over ``spark.range``):
+
+- each doc is 50 words drawn from a 1000-word vocab by
+  ``xxhash64(base_id, position)`` — two random docs share almost no
+  3-shingles, so the candidate structure is sparse like a real corpus;
+- docs are generated in pairs-of-20: every id with ``id % 20 == 1``
+  reuses the previous id's word stream with ONE word substituted →
+  a planted ~5% near-dup rate at Jaccard ≈ (48-3)/(48+3) ≈ 0.88,
+  comfortably above the 0.5 verification threshold.
+
+Usage::
+
+    python tools/dedup_headroom.py [--sizes 50000,200000,500000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from retail_sales_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+WORDS_PER_DOC = 50
+VOCAB = 1000
+
+
+def _vocab() -> list[str]:
+    """1000 deterministic pseudo-words (md5-hex stems, 6 chars)."""
+    return [
+        hashlib.md5(f"w:{i}".encode()).hexdigest()[:6] for i in range(VOCAB)
+    ]
+
+
+def synthetic_corpus(spark, n_docs: int):
+    """(doc_id, text) with a planted near-dup for every 20th doc."""
+    vocab = F.array(*[F.lit(w) for w in _vocab()])
+    is_dup = F.col("id") % 20 == 1
+    base_id = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(WORDS_PER_DOC - 1)),
+        lambda p: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(base_id, p), F.lit(VOCAB)) + 1).cast("int"),
+        ),
+    )
+    # the near-dup substitutes word 25 with a doc-unique token
+    words = F.when(
+        is_dup,
+        F.concat(
+            F.slice(words, 1, 25),
+            F.array(F.concat(F.lit("uniq"), F.col("id").cast("string"))),
+            F.slice(words, 27, WORDS_PER_DOC - 26),
+        ),
+    ).otherwise(words)
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def _time(df_fn) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df_fn().count()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="50000,200000,500000")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_spark(app_name="dedup-headroom")
+    results = []
+    print("| docs | exact_dedup | simhash | minhash_lsh_pairs | verified pairs |")
+    print("|---|---|---|---|---|")
+    for n in sizes:
+        corpus = synthetic_corpus(spark, n).cache()
+        corpus.count()
+        t_exact, _ = _time(lambda: exact_dedup(corpus))
+        t_sim, _ = _time(lambda: simhash_signatures(corpus))
+        t_mh, pairs = _time(
+            lambda: minhash_lsh_pairs(corpus, threshold=0.5, bucket_cap=50)
+        )
+        corpus.unpersist()
+        print(f"| {n} | {t_exact} s | {t_sim} s | {t_mh} s | {pairs} |")
+        sys.stdout.flush()
+        results.append(
+            {
+                "docs": n,
+                "exact_s": t_exact,
+                "simhash_s": t_sim,
+                "minhash_s": t_mh,
+                "pairs": pairs,
+            }
+        )
+    print(json.dumps({"sweep": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

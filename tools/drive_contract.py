@@ -61,6 +61,11 @@ def value_hash(rows, colnames):
 qs, oracles = e.queries(), e.oracle_sql()
 only = set(sys.argv[1:])
 fails = []
+# a misspelled name must FAIL loudly, not vacuously "ALL PASS"
+unknown = only - set(qs)
+if unknown:
+    print(f"UNKNOWN query names: {sorted(unknown)}")
+    fails.extend(sorted(unknown))
 for name, fn in qs.items():
     if only and name not in only:
         continue
