@@ -366,8 +366,15 @@ def cosine_neardup_pairs_lsh(
     the sharp S-curve dedup wants; a single flat bucket (default) is
     the plain one-band special case.
     """
+    # the bucket relation feeds BOTH sides of the candidate self-join.
+    # Locally Spark's ReuseExchange dedupes the identical groupBy
+    # subtree (persisting A/B-measured neutral at sf0.1), but exchange
+    # reuse is a planner artifact, not a contract — the same shape in
+    # minhash_lsh_pairs measurably recomputed 9×. Persist pins the
+    # single-compute guarantee; b is |vectors|·|bands| rows of three
+    # longs, MEMORY_AND_DISK.
     if planes_per_band is not None:
-        b = lsh_band_buckets(df, planes, planes_per_band, id_col, vec_col)
+        b = lsh_band_buckets(df, planes, planes_per_band, id_col, vec_col).persist()
         cand = (
             b.select(F.col("id").alias("id_a"), "band", "bucket")
             .join(
@@ -379,7 +386,7 @@ def cosine_neardup_pairs_lsh(
             .distinct()
         )
     else:
-        b = lsh_buckets(df, planes, id_col, vec_col)
+        b = lsh_buckets(df, planes, id_col, vec_col).persist()
         cand = (
             b.select(F.col("id").alias("id_a"), "bucket")
             .join(b.select(F.col("id").alias("id_b"), "bucket"), "bucket")
@@ -510,7 +517,10 @@ def semantic_cell_pairs(
     # ONE dot per pair instead of three (dot + both norms). The division
     # dot/(norm_a*norm_b) is the same float expression the oracle uses,
     # so caching the norms changes cost, not values. Persist: both join
-    # sides branch from this frame.
+    # sides branch from this frame. (Lazy is the right call here — the
+    # shuffle boundary under `best` fills the cache before the second
+    # branch runs; an eager count() was A/B-measured 10% SLOWER at
+    # sf0.1 from the extra job barrier.)
     assigned = best.select(
         "id",
         (-F.col("_b.na")).cast("long").alias("cell"),
