@@ -666,8 +666,14 @@ WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 # ---------------------------------------------------------------------------
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(_docs(spark, sf_dir))
-    sh = D.shingle_hashes(corpus)
-    bands = D.lsh_band_keys(D.minhash_signatures(sh, num_hashes=8), rows_per_band=2)
+    # sh feeds the band path AND the verification tail; bands feeds both
+    # splits of the index⋈new join — persist or each reference recomputes
+    # its upstream subtree (the minhash_lsh_pairs defect class, measured
+    # in operators/dedup.py)
+    sh = D.shingle_hashes(corpus).persist()
+    bands = D.lsh_band_keys(
+        D.minhash_signatures(sh, num_hashes=8), rows_per_band=2
+    ).persist()
     idx = bands.where(F.col("id") < 100000)
     new = bands.where(F.col("id") >= 100000)
     cand = (

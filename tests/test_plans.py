@@ -77,6 +77,12 @@ PLAN_SHAPE = {
 
 @pytest.mark.parametrize("name", sorted(PLAN_SHAPE))
 def test_bench_query_plan_shape_pinned(spark, sf_dir, name):
+    # CacheManager state is session-global: if an earlier test already
+    # materialized one of the query's persisted relations, the planner
+    # substitutes the existing InMemoryRelation (now with exact stats →
+    # extra broadcast conversions) and the printed shape depends on test
+    # ORDER. Pin the cold-cache plan — the one a fresh driver compiles.
+    spark.catalog.clearCache()
     p = _plan(all_queries()[name](spark, sf_dir))
     got = (
         p.count("Exchange"),
