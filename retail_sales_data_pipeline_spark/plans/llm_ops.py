@@ -1714,6 +1714,125 @@ FROM t GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus_mix_rebalance — down-sample every source to hit a TARGET
+# token mix without upsampling (the data-mixing step of Dolma / The
+# Pile / RedPajama dataset builds): given target weights w_s, the
+# largest feasible corpus is T = min_s(tokens_s · W / w_s) (the
+# binding source is kept whole), and source s keeps
+# rate_s = (w_s · T) / (W · tokens_s) of its docs by deterministic
+# md5-bucket — so the sampled corpus hits the target proportions in
+# expectation and the sample is reproducible across engines, reruns,
+# and partitionings.
+#
+# Scale shape: one map-side-combined groupBy for the per-source totals
+# (keys = #sources, tiny), the rate algebra on that metadata-sized
+# frame, then ONE broadcast join back over the doc projection for the
+# kept counts. The doc-level (source, bucket, n_tokens) projection
+# feeds both passes — persisted so tokenization runs once. All rate
+# arithmetic is single IEEE divisions of exact longs (no accumulation
+# order), so rounded rates match the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    # target weight: "high-quality" sources (index % 4 == 0) get 3x
+    widx = F.substring("source", 4, 10).cast("long")
+    weight = F.when(widx % 4 == 0, F.lit(3)).otherwise(F.lit(1))
+    d = docs.select(
+        "source",
+        weight.alias("w"),
+        bucket.alias("_b"),
+        X.token_count("text").cast("long").alias("_n"),
+    ).persist()
+    per = d.groupBy("source").agg(
+        F.first("w").alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n").alias("total_tokens"),
+    )
+    win = Window.partitionBy()  # aggregated frame: rows == #sources
+    # layer the windows (a window inside a window is illegal): the
+    # weight total first, then the feasibility min over plain columns.
+    # NB: Spark resolves column names case-insensitively — a column
+    # literally named "W" would silently REPLACE "w" via withColumn.
+    with_w = per.withColumn("w_sum", F.sum("w").over(win))
+    with_t = with_w.withColumn(
+        "t_min",
+        F.min(F.col("total_tokens") * F.col("w_sum") / F.col("w")).over(win),
+    )
+    rates = with_t.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.col("w").cast("long").alias("weight"),
+        F.round(F.col("w") / F.col("w_sum"), 6).alias("target_share"),
+        F.round(
+            (F.col("w") * F.col("t_min")) / (F.col("w_sum") * F.col("total_tokens")),
+            6,
+        ).alias("rate"),
+    )
+    thresh = F.round(F.col("rate") * 1_000_000).cast("long")
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(F.col("_b") < thresh)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("_n").alias("kept_tokens"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "weight",
+        "target_share",
+        "rate",
+        F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )
+
+
+_MIX_REBALANCE_SQL = f"""
+WITH d AS (
+  SELECT source,
+    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 4 = 0 THEN 3 ELSE 1 END AS w,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 AS b,
+    len({_SQL_TOKS}) AS n
+  FROM documents
+), per AS (
+  SELECT source, max(w) AS w, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens
+  FROM d GROUP BY source
+), with_w AS (
+  SELECT *, CAST(sum(w) OVER () AS BIGINT) AS w_sum FROM per
+), with_t AS (
+  SELECT *, min(total_tokens * w_sum / w) OVER () AS t_min FROM with_w
+), rates AS (
+  SELECT source, n_docs, total_tokens, CAST(w AS BIGINT) AS weight,
+    round(w / w_sum, 6) AS target_share,
+    round((w * t_min) / (w_sum * total_tokens), 6) AS rate
+  FROM with_t
+), kept AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(d.n) AS BIGINT) AS kept_tokens
+  FROM d JOIN rates r ON d.source = r.source
+  WHERE d.b < CAST(round(r.rate * 1000000) AS BIGINT)
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.total_tokens, r.weight, r.target_share, r.rate,
+  CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1748,6 +1867,7 @@ QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "streaming_quality_filter": streaming_quality_filter,
     "corpus_split_assign": corpus_split_assign,
+    "corpus_mix_rebalance": corpus_mix_rebalance,
     "dedup_fuzzy_keys": dedup_fuzzy_keys,
 }
 
@@ -1789,5 +1909,6 @@ ORACLE_SQL = {
     "corpus_curation_funnel": _CURATION_FUNNEL_SQL,
     "streaming_quality_filter": _STREAM_QUALITY_SQL,
     "corpus_split_assign": _SPLIT_ASSIGN_SQL,
+    "corpus_mix_rebalance": _MIX_REBALANCE_SQL,
     "dedup_fuzzy_keys": _FUZZY_KEYS_SQL,
 }

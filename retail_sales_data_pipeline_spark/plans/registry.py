@@ -44,12 +44,14 @@ _MODULES = [
 # queries first, then the queries whose last green row is oldest
 # (``python tools/rotate_registry.py`` emits the list to paste here).
 DRIVER_PRIORITY = [
-    # round-4 rotation (tools/rotate_registry.py): never-checked first,
-    # then stalest greens (the r2-era head rotated out in round 3).
+    # round-4 rotation (tools/rotate_registry.py): never-checked first
+    # (incl. the two queries added mid-round-4), then stalest greens.
     "dedup_clusters_star",  # never checked
     "dedup_fuzzy_keys",  # never checked
     "decontaminate_semantic",  # never checked
-    "streaming_sessionize_complete",  # never checked (added in round 4)
+    "streaming_sessionize_complete",  # never checked
+    "maintenance_compaction_plan",  # never checked
+    "corpus_mix_rebalance",  # never checked
     "distinct_dedup",  # green r2
     "monthly_grouped_sum",  # green r2
     "month_key_forms",  # green r2
@@ -94,8 +96,6 @@ DRIVER_PRIORITY = [
     "corpus_quality_sample",  # green r3
     "dedup_incremental",  # green r3
     "corpus_curation_funnel",  # green r3
-    "streaming_quality_filter",  # green r3
-    "events_hourly_rollup",  # green r3
 ]
 
 

@@ -1047,6 +1047,64 @@ FROM orders GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: maintenance_compaction_plan — small-file compaction bins (the
+# OPTIMIZE/bin-pack maintenance pass every petabyte lake schedules):
+# given a file listing (path, partition, bytes), group files per
+# partition into sequential rewrite bins of ~target bytes via an
+# exclusive prefix-sum — next-fit packing, the same grouping Delta's
+# OPTIMIZE and Iceberg's rewriteDataFiles use, as ONE window over the
+# listing. The listing is metadata (one row per FILE, not per data
+# row), so even a 100 TB table's plan is a few million rows; the
+# window partitions by the table partition key, so no global sort.
+#
+# The documents table stands in for the listing (doc_id = file id,
+# lang = partition, n_chars = bytes) — the fixture has no file-listing
+# table, and the operator is pure relational algebra over any
+# (id, part, bytes) relation.
+# ---------------------------------------------------------------------------
+COMPACT_TARGET_BYTES = 2000
+
+
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    files = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    prefix = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = files.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.floor(prefix / COMPACT_TARGET_BYTES).cast("long").alias("bin"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("first_file"),
+        F.max("doc_id").alias("last_file"),
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH binned AS (
+  SELECT lang, doc_id, n_chars,
+    CAST(floor(coalesce(sum(n_chars) OVER (
+        PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin
+  FROM documents
+)
+SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+  min(doc_id) AS first_file, max(doc_id) AS last_file
+FROM binned GROUP BY lang, bin
+"""
+
+
 QUERIES = {
     "customer_monthly_mart": customer_monthly_mart,
     "sales_team_mart": sales_team_mart,
@@ -1064,6 +1122,7 @@ QUERIES = {
     "customer_upsert": customer_upsert,
     "scd2_customer_segments": scd2_customer_segments,
     "key_skew_profile": key_skew_profile,
+    "maintenance_compaction_plan": maintenance_compaction_plan,
     "dq_violations": dq_violations,
     "mart_reconcile": mart_reconcile,
     "top_customers_per_month": top_customers_per_month,
@@ -1091,6 +1150,7 @@ ORACLE_SQL = {
     "customer_upsert": _CUSTOMER_UPSERT_SQL,
     "scd2_customer_segments": _SCD2_SQL,
     "key_skew_profile": _KEY_SKEW_SQL,
+    "maintenance_compaction_plan": _COMPACTION_SQL,
     "dq_violations": _DQ_SQL,
     "mart_reconcile": _MART_RECONCILE_SQL,
     "top_customers_per_month": _TOP_CUSTOMERS_SQL,
