@@ -1741,7 +1741,10 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 1_000_000
     )
-    # target weight: "high-quality" sources (index % 4 == 0) get 3x
+    # target weight: "high-quality" sources (index % 4 == 0) get 3x.
+    # Spark's cast yields NULL on a non-numeric suffix and the oracle
+    # uses TRY_CAST for the same behavior (DuckDB's plain CAST raises),
+    # so an unparseable source name falls to weight 1 in BOTH engines.
     widx = F.substring("source", 4, 10).cast("long")
     weight = F.when(widx % 4 == 0, F.lit(3)).otherwise(F.lit(1))
     d = docs.select(
@@ -1801,7 +1804,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_REBALANCE_SQL = f"""
 WITH d AS (
   SELECT source,
-    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 4 = 0 THEN 3 ELSE 1 END AS w,
+    CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 4 = 0 THEN 3 ELSE 1 END AS w,
     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       % 1000000 AS b,
     len({_SQL_TOKS}) AS n
