@@ -1,0 +1,125 @@
+"""Invariant tests for the maintenance/mixing queries beyond their
+fixture oracle rows: the algebraic properties that must hold on ANY
+input, checked on seeded synthetic relations."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.plans.llm_ops import corpus_mix_rebalance
+from retail_sales_data_pipeline_spark.plans.retail_queries import (
+    COMPACT_TARGET_BYTES,
+    maintenance_compaction_plan,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_mix_rebalance_invariants(spark):
+    rows = {r.source: r for r in corpus_mix_rebalance(spark, SF).collect()}
+    assert rows, "no sources"
+    # no upsampling: every rate in (0, 1]; the binding source is kept
+    # whole (rate rounds to 1.0)
+    assert all(0.0 < r.rate <= 1.0 for r in rows.values())
+    assert max(r.rate for r in rows.values()) == 1.0
+    # target shares sum to ~1 and kept docs never exceed source docs
+    assert abs(sum(r.target_share for r in rows.values()) - 1.0) < 1e-4
+    assert all(r.kept_docs <= r.n_docs for r in rows.values())
+    # kept docs per source is Binomial(n_docs, rate) under the md5
+    # buckets; with only 25 docs/source at sf0.01 the noise is large,
+    # so bound at 5 sigma + 1 — wide enough for any legitimate draw,
+    # still catches a broken threshold comparison (those are off by
+    # n_docs, not sigmas)
+    for r in rows.values():
+        mu = r.rate * r.n_docs
+        sigma = (r.n_docs * r.rate * max(1e-9, 1 - r.rate)) ** 0.5
+        assert abs(r.kept_docs - mu) <= 5 * sigma + 1, r
+    # the REALIZED mix should track the target within aggregate noise
+    total_kept = sum(r.kept_tokens for r in rows.values())
+    worst = max(
+        abs(r.kept_tokens / total_kept - r.target_share) for r in rows.values()
+    )
+    assert worst < 0.10
+
+
+def test_compaction_plan_invariants(spark):
+    plan = maintenance_compaction_plan(spark, SF).collect()
+    assert plan
+    by_lang: dict[str, list] = {}
+    for r in plan:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r.bin)
+        # bins are contiguous from 0
+        assert [r.bin for r in bins] == list(range(len(bins)))
+        # next-fit bound: a bin never exceeds target + its largest file
+        # (the overflowing file that closed it); conservatively bound by
+        # target + max file bytes in the partition
+        max_file = max(r.total_bytes for r in bins)  # upper bound on any file
+        for r in bins:
+            assert r.total_bytes <= COMPACT_TARGET_BYTES + max_file
+        # file ranges don't interleave across bins (ordered packing)
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_file < b.first_file
+
+
+def test_compaction_plan_is_layout_invariant(spark):
+    """The plan depends only on the relation's CONTENT, not its
+    physical partitioning — repartitioning the input must not change a
+    single bin."""
+    from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+    base = sorted(map(tuple, maintenance_compaction_plan(spark, SF).collect()))
+
+    files = load_table(spark, SF, "documents", ["doc_id", "lang", "n_chars"])
+    shuffled = files.repartition(7, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    prefix = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    alt = (
+        shuffled.select(
+            "lang", "doc_id", "n_chars",
+            F.floor(prefix / COMPACT_TARGET_BYTES).cast("long").alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_file"),
+            F.max("doc_id").alias("last_file"),
+        )
+    )
+    assert sorted(map(tuple, alt.collect())) == base
+
+
+def test_mix_rebalance_binding_source_kept_whole(spark):
+    """Synthetic check of the feasibility math on a controlled corpus:
+    with one source far below its target share, that source binds and
+    every other source is down-sampled toward the target ratio."""
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    # src0 (weight 3 under the query's rule) gets FEW docs → binding;
+    # src1/src2 (weight 1) get many
+    for source, n in [("src0", 5), ("src1", 60), ("src2", 60)]:
+        for _ in range(n):
+            text = " ".join(f"w{rng.randrange(50)}" for _ in range(20))
+            rows.append((did, text, "en", source, len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.source: r for r in corpus_mix_rebalance(spark, d).collect()}
+    assert out["src0"].rate == 1.0  # binding source kept whole
+    # others down-sampled: target share 1/5 each vs ~half the raw corpus
+    assert out["src1"].rate < 0.5 and out["src2"].rate < 0.5
