@@ -1,0 +1,102 @@
+"""Measure the multimodal decode stage's throughput slope.
+
+Completes the measured-headroom set (events 20M rows, dedup 1M docs,
+ANN 1M vectors): synthetic but REAL-format media payloads are built
+JVM-side — a valid binary PPM (P6) image per row, header + md5-derived
+raster bytes — and pushed through ``decode_media(fake=False)``, i.e.
+the actual stdlib codec inside the Arrow ``mapInPandas`` batch loop,
+at increasing row counts.  This times the production shape end-to-end:
+size-uniform repartition, Arrow serialization of binary columns into
+the Python workers, per-payload decode, feature extraction, Arrow
+return.
+
+Usage::
+
+    python tools/media_headroom.py [--sizes 10000,50000,200000]
+        [--side 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from retail_sales_data_pipeline_spark.operators.multimodal import (  # noqa: E402
+    decode_media,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def synthetic_ppm_media(spark, n: int, side: int):
+    """(media_id, media_type, content, source): one valid P6 PPM of
+    ``side``×``side`` px per row; raster bytes are concatenated md5
+    digests of (id, chunk) — deterministic, incompressible, and decoded
+    for real by ``_real_decode``."""
+    raster_bytes = side * side * 3
+    header = F.encode(F.lit(f"P6\n{side} {side}\n255\n"), "ISO-8859-1")
+    # two-tier build keeps the expression tree small for big rasters:
+    # a 768-byte block of 48 md5 digests, self-concatenated then cut
+    block = F.concat(
+        *[
+            F.unhex(F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit(i))))
+            for i in range(48)
+        ]
+    )
+    n_blocks = -(-raster_bytes // 768)
+    raster = F.substring(F.concat(*([block] * n_blocks)), 1, raster_bytes)
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(header, raster).alias("content"),
+        F.lit("synthetic").alias("source"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="10000,50000,200000")
+    ap.add_argument("--side", type=int, default=16)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_spark(app_name="media-headroom")
+    # throwaway warmup: Python worker spawn + Arrow codegen otherwise
+    # lands on the first measured row
+    decode_media(synthetic_ppm_media(spark, 2000, args.side), fake=False).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    bytes_per = args.side * args.side * 3 + len(f"P6\n{args.side} {args.side}\n255\n")
+    results = []
+    print("| payloads | payload bytes | decode wall | rows/s | MB/s |")
+    print("|---|---|---|---|---|")
+    for n in sizes:
+        media = synthetic_ppm_media(spark, n, args.side).cache()
+        media.count()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decode_media(media, fake=False).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        media.unpersist()
+        rps = int(n / best)
+        mbps = round(n * bytes_per / best / 1e6, 1)
+        print(f"| {n} | {bytes_per} | {round(best, 2)} s | {rps} | {mbps} |")
+        sys.stdout.flush()
+        results.append({"n": n, "wall_s": round(best, 2), "rows_per_s": rps})
+    print(json.dumps({"side": args.side, "bytes_per": bytes_per, "sweep": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
