@@ -196,6 +196,65 @@ def lsh_ann_topk(
     )
 
 
+def lsh_ann_topk_banded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    planes_per_band: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table (band-OR) approximate top-k: candidates = corpus
+    vectors sharing ANY band's bucket with the query; exact cosine
+    reranks candidates.
+
+    The single-table variant (:func:`lsh_ann_topk`) trades recall for
+    bucket size with ONE knob — P planes give 2^P buckets, and the
+    1M-vector sweep (docs/SCALE.md) measured its recall@5 stuck at the
+    bucket-collision geometry (~0.68 at 4 planes) regardless of corpus
+    size. Banding is the standard fix (same AND/OR S-curve as MinHash
+    banding): L tables of P planes each — a sharp per-table bucket
+    (AND over P sign bits) for precision, an OR over L tables for
+    recall ≈ 1-(1-s^P)^L. Candidates stay bounded:
+    ~L·|corpus|/2^P per query. The bucket join shuffles on
+    (band, bucket) — bounded and uniform, the same scale shape as the
+    near-dup variant.
+    """
+    from pyspark.sql import Window
+
+    qb = lsh_band_buckets(queries, planes, planes_per_band, id_col, vec_col)
+    cb = lsh_band_buckets(corpus, planes, planes_per_band, id_col, vec_col)
+    cand = (
+        qb.select(F.col("id").alias("query_id"), "band", "bucket")
+        .join(
+            cb.select(F.col("id").alias("neighbor_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_q"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_c"))
+    pairs = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

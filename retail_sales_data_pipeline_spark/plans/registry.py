@@ -45,13 +45,14 @@ _MODULES = [
 # (``python tools/rotate_registry.py`` emits the list to paste here).
 DRIVER_PRIORITY = [
     # round-4 rotation (tools/rotate_registry.py): never-checked first
-    # (incl. the two queries added mid-round-4), then stalest greens.
+    # (incl. the three queries added mid-round-4), then stalest greens.
     "dedup_clusters_star",  # never checked
     "dedup_fuzzy_keys",  # never checked
     "decontaminate_semantic",  # never checked
     "streaming_sessionize_complete",  # never checked
     "maintenance_compaction_plan",  # never checked
     "corpus_mix_rebalance",  # never checked
+    "ann_lsh_banded_topk",  # never checked
     "distinct_dedup",  # green r2
     "monthly_grouped_sum",  # green r2
     "month_key_forms",  # green r2
@@ -95,7 +96,6 @@ DRIVER_PRIORITY = [
     "corpus_unigram_logprob",  # green r3
     "corpus_quality_sample",  # green r3
     "dedup_incremental",  # green r3
-    "corpus_curation_funnel",  # green r3
 ]
 
 

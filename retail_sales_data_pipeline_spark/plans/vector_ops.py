@@ -115,6 +115,73 @@ SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
 
 
 # ---------------------------------------------------------------------------
+# Q: ann_lsh_banded_topk — multi-table (band-OR) ANN: L tables of P
+# sharp sign-bit buckets each, OR'd for recall (the production LSH
+# layout; single-table recall is geometry-capped — measured in
+# docs/SCALE.md). Candidates = any-band co-bucket, exact-cosine rerank.
+# ---------------------------------------------------------------------------
+ANN_BANDS = 4
+ANN_PLANES_PER_BAND = 4
+
+
+def ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    planes = S.hyperplanes(spark, ANN_BANDS * ANN_PLANES_PER_BAND, DIM)
+    return S.lsh_ann_topk_banded(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        planes=planes,
+        planes_per_band=ANN_PLANES_PER_BAND,
+        k=5,
+    )
+
+
+_LSH_BANDED_SQL = f"""
+WITH planes AS (
+  SELECT p.p, d.d,
+    CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 8))
+         AS BIGINT) / 4294967296.0 - 0.5 AS w
+  FROM (SELECT unnest(generate_series(0, {ANN_BANDS * ANN_PLANES_PER_BAND - 1})) AS p) p,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS d) d
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), elems AS (
+  SELECT vec_id, i - 1 AS d, e[i] AS v
+  FROM (SELECT vec_id, e, unnest(generate_series(1, {DIM})) AS i FROM vecs)
+), proj AS (
+  SELECT elems.vec_id, planes.p, sum(elems.v * planes.w) AS proj
+  FROM elems JOIN planes ON elems.d = planes.d
+  GROUP BY elems.vec_id, planes.p
+), buckets AS (
+  SELECT vec_id, p // {ANN_PLANES_PER_BAND} AS band,
+    CAST(sum(CASE WHEN proj > 0
+             THEN (CAST(1 AS BIGINT) << (p % {ANN_PLANES_PER_BAND}))
+             ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets cb
+    ON qb.band = cb.band AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 10 AND cb.vec_id >= 10
+), pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+    round(list_dot_product(q.e, n.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))),
+          6) AS cosine
+  FROM cand c
+  JOIN vecs q ON q.vec_id = c.query_id
+  JOIN vecs n ON n.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: dedup_embedding_cosine — near-dup pairs over a planted-variant
 # corpus, via LSH co-bucket candidates (the corpus-scale path: no
 # cross join anywhere in the plan — tools/plan_audit.py asserts it).
@@ -724,6 +791,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_banded_topk": ann_lsh_banded_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
     "ann_recall_at_5": ann_recall_at_5,
@@ -742,6 +810,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": _COSINE_SQL,
     "ann_lsh_topk": _LSH_SQL,
     "ann_ivf_topk": _IVF_SQL,
+    "ann_lsh_banded_topk": _LSH_BANDED_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
     "bench_ann_cosine_arrow": _COSINE_SQL,
     "ann_recall_at_5": _RECALL_SQL,

@@ -185,3 +185,38 @@ def test_semantic_cells_recall_and_precision(spark):
     # planted variants land with their original
     assert len(got) >= 0.7 * len(truth) > 0
     assert all(r.cosine >= 0.9 for r in got_rows)
+
+
+def test_banded_ann_recall_beats_single_table(spark, sf_dir):
+    """Multi-table (band-OR) ANN recovers at least the recall of the
+    single-table variant on the fixture embeddings — the AND/OR S-curve
+    argument, checked against the exact top-5."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact: dict[int, set] = {}
+    for r in S.cosine_topk(corpus, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    flat = S.lsh_ann_topk(
+        corpus, queries, S.hyperplanes(spark, 4, 64), k=5
+    )
+    banded = S.lsh_ann_topk_banded(
+        corpus, queries, S.hyperplanes(spark, 16, 64), planes_per_band=4, k=5
+    )
+    r_flat, r_banded = recall(flat), recall(banded)
+    assert r_banded >= r_flat
+    assert r_banded >= 0.5  # OR over 4 tables must recover real recall
+    # candidates stay a subset of the exact ranking's universe: the
+    # output schema and rank tie-break match the single-table variant
+    assert banded.columns == flat.columns

@@ -39,6 +39,7 @@ from retail_sales_data_pipeline_spark.operators.similarity import (  # noqa: E40
     cosine_topk_arrow,
     hyperplanes,
     lsh_ann_topk,
+    lsh_ann_topk_banded,
 )
 from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -141,9 +142,9 @@ def main() -> None:
     results = []
     print(
         "| corpus | brute (arrow) | lsh 4p | recall 4p | lsh 8p | recall 8p "
-        "| ivf | recall ivf |"
+        "| lsh 4x4 bands | recall 4x4 | ivf | recall ivf |"
     )
-    print("|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for n in sizes:
         corpus = synthetic_embeddings(spark, n).cache()
         corpus.count()
@@ -181,6 +182,17 @@ def main() -> None:
             approx.unpersist()
             row[f"lsh{planes_n}_s"], row[f"recall{planes_n}"] = t_lsh, rec
             cells.append(f"{t_lsh} s | {rec}")
+        # multi-table LSH: 4 bands x 4 planes (band-OR recall recovery)
+        bplanes = hyperplanes(spark, 16, DIM)
+        t_band, band = timed(
+            lambda: lsh_ann_topk_banded(
+                corpus, queries, bplanes, planes_per_band=4, k=args.k
+            )
+        )
+        rec_band = _recall(band, exact, args.k)
+        band.unpersist()
+        row["lsh_banded_s"], row["recall_banded"] = t_band, rec_band
+        cells.append(f"{t_band} s | {rec_band}")
         t_ivf, iv = timed(lambda: ivf_topk(corpus, queries, args.k))
         rec_ivf = _recall(iv, exact, args.k)
         iv.unpersist()
