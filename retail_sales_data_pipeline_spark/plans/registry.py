@@ -31,11 +31,11 @@ _MODULES = [
 # rows are now the stalest. Queries not listed keep their module order after
 # these; the full surface stays covered by tools/drive_contract.py locally.
 #
-# VERIFICATION-COVERAGE POLICY (why 85 registered queries > a trimmed 50):
+# VERIFICATION-COVERAGE POLICY (why 97 registered queries > a trimmed 50):
 # trimming the registry to the 50-query driver window was considered and
 # rejected — the 24 reference-parity retail queries are non-negotiable
 # (SURVEY.md §2 maps to them line by line), which would leave 26 slots for
-# 61 extension queries and *permanently* orphan 35 of them from the hard
+# 73 extension queries and *permanently* orphan 47 of them from the hard
 # signal. Rotation instead guarantees every registered query a driver-
 # oracle row at least every TWO rounds (round-2 ∪ round-3 covers 100% of
 # the surface; never-checked count is zero after round 3), while
