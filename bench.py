@@ -43,6 +43,7 @@ HEADLINE = [
     "streaming_sessionize",
     "corpus_tfidf_terms",
     "ann_lsh_topk",
+    "ann_lsh_banded_topk",
     "corpus_boilerplate_ngrams",
     "dedup_semantic_cells",
     "corpus_curation_funnel",
