@@ -333,6 +333,121 @@ def cosine_topk_arrow(
     )
 
 
+def lsh_band_buckets_arrow(
+    df: DataFrame,
+    planes: DataFrame,
+    planes_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`lsh_band_buckets`: one batch×planes
+    matmul per Arrow batch, sign bits packed per band — same
+    ``(id, band, bucket)`` output, ~BLAS throughput, ZERO shuffles.
+
+    The expression form materializes |vectors|·dim·planes intermediate
+    rows through a broadcast join + two hash aggregations (codegen'd,
+    but volume-bound); a literal zip_with fold removes the volume but
+    Catalyst interprets higher-order functions per row (measured 2×
+    slower — docs/SCALE.md). The matmul does the same arithmetic in C.
+    Sign agreement with the oracle rests on the same float64 ≈
+    index-ordered-sum argument the arrow cosine path already pins
+    (``bench_ann_cosine_arrow`` hash-matches its oracle): md5-derived
+    weights put no projection within float-noise of zero.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    by_p: dict[int, dict[int, float]] = {}
+    for r in planes.collect():  # metadata-sized: planes × dims rows
+        by_p.setdefault(r.p, {})[r.d] = r.w
+    wm = np.array(
+        [[by_p[p][d] for d in sorted(by_p[p])] for p in sorted(by_p)],
+        dtype=np.float64,
+    )  # (L·P, dim)
+    n_bands = wm.shape[0] // planes_per_band
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            em = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (em @ wm.T) > 0  # |batch| × L·P
+            buckets = np.zeros((len(ids), n_bands), dtype=np.int64)
+            for band in range(n_bands):
+                for bp in range(planes_per_band):
+                    buckets[:, band] |= (
+                        bits[:, band * planes_per_band + bp].astype(np.int64) << bp
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(ids)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def lsh_ann_topk_banded_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    planes_per_band: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`lsh_ann_topk_banded` with the bucket stage on the Arrow
+    matmul path — the production-throughput variant; the candidate join
+    and exact-cosine rerank are identical, so the output contract (and
+    oracle) is the same."""
+    from pyspark.sql import Window
+
+    qb = lsh_band_buckets_arrow(queries, planes, planes_per_band, id_col, vec_col)
+    cb = lsh_band_buckets_arrow(corpus, planes, planes_per_band, id_col, vec_col)
+    cand = (
+        qb.select(F.col("id").alias("query_id"), "band", "bucket")
+        .join(
+            cb.select(F.col("id").alias("neighbor_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_q"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_c"))
+    pairs = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -31,7 +31,7 @@ _MODULES = [
 # rows are now the stalest. Queries not listed keep their module order after
 # these; the full surface stays covered by tools/drive_contract.py locally.
 #
-# VERIFICATION-COVERAGE POLICY (why 97 registered queries > a trimmed 50):
+# VERIFICATION-COVERAGE POLICY (why 98 registered queries > a trimmed 50):
 # trimming the registry to the 50-query driver window was considered and
 # rejected — the 24 reference-parity retail queries are non-negotiable
 # (SURVEY.md §2 maps to them line by line), which would leave 26 slots for
@@ -45,7 +45,7 @@ _MODULES = [
 # (``python tools/rotate_registry.py`` emits the list to paste here).
 DRIVER_PRIORITY = [
     # round-4 rotation (tools/rotate_registry.py): never-checked first
-    # (incl. the three queries added mid-round-4), then stalest greens.
+    # (incl. the four queries added mid-round-4), then stalest greens.
     "dedup_clusters_star",  # never checked
     "dedup_fuzzy_keys",  # never checked
     "decontaminate_semantic",  # never checked
@@ -53,6 +53,7 @@ DRIVER_PRIORITY = [
     "maintenance_compaction_plan",  # never checked
     "corpus_mix_rebalance",  # never checked
     "ann_lsh_banded_topk",  # never checked
+    "bench_ann_banded_arrow",  # never checked
     "distinct_dedup",  # green r2
     "monthly_grouped_sum",  # green r2
     "month_key_forms",  # green r2
@@ -95,7 +96,6 @@ DRIVER_PRIORITY = [
     "text_langid_confusion",  # green r2
     "corpus_unigram_logprob",  # green r3
     "corpus_quality_sample",  # green r3
-    "dedup_incremental",  # green r3
 ]
 
 

@@ -182,6 +182,25 @@ SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
 
 
 # ---------------------------------------------------------------------------
+# Q: bench_ann_banded_arrow — the banded ANN with its bucket stage on
+# the Arrow matmul path (production throughput; bench_ prefix auto-
+# enrolls it in bench.py). Shares _LSH_BANDED_SQL: the candidate join
+# and rerank are identical, so matching the oracle hash VERIFIES the
+# matmul bucket signs agree with the expression form end-to-end.
+# ---------------------------------------------------------------------------
+def bench_ann_banded_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    planes = S.hyperplanes(spark, ANN_BANDS * ANN_PLANES_PER_BAND, DIM)
+    return S.lsh_ann_topk_banded_arrow(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        planes=planes,
+        planes_per_band=ANN_PLANES_PER_BAND,
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q: dedup_embedding_cosine — near-dup pairs over a planted-variant
 # corpus, via LSH co-bucket candidates (the corpus-scale path: no
 # cross join anywhere in the plan — tools/plan_audit.py asserts it).
@@ -792,6 +811,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_banded_topk": ann_lsh_banded_topk,
+    "bench_ann_banded_arrow": bench_ann_banded_arrow,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
     "ann_recall_at_5": ann_recall_at_5,
@@ -811,6 +831,7 @@ ORACLE_SQL = {
     "ann_lsh_topk": _LSH_SQL,
     "ann_ivf_topk": _IVF_SQL,
     "ann_lsh_banded_topk": _LSH_BANDED_SQL,
+    "bench_ann_banded_arrow": _LSH_BANDED_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
     "bench_ann_cosine_arrow": _COSINE_SQL,
     "ann_recall_at_5": _RECALL_SQL,
