@@ -40,6 +40,7 @@ from retail_sales_data_pipeline_spark.operators.similarity import (  # noqa: E40
     hyperplanes,
     lsh_ann_topk,
     lsh_ann_topk_banded,
+    lsh_ann_topk_banded_arrow,
 )
 from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -142,9 +143,9 @@ def main() -> None:
     results = []
     print(
         "| corpus | brute (arrow) | lsh 4p | recall 4p | lsh 8p | recall 8p "
-        "| lsh 4x4 bands | recall 4x4 | ivf | recall ivf |"
+        "| lsh 4x4 bands | recall 4x4 | arrow 8x8 | recall 8x8 | ivf | recall ivf |"
     )
-    print("|---|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for n in sizes:
         corpus = synthetic_embeddings(spark, n).cache()
         corpus.count()
@@ -193,6 +194,18 @@ def main() -> None:
         band.unpersist()
         row["lsh_banded_s"], row["recall_banded"] = t_band, rec_band
         cells.append(f"{t_band} s | {rec_band}")
+        # sharp 8x8 config with the Arrow matmul bucket stage — the
+        # production-throughput variant (bench_ann_banded_arrow)
+        aplanes = hyperplanes(spark, 64, DIM)
+        t_arrow, arrow = timed(
+            lambda: lsh_ann_topk_banded_arrow(
+                corpus, queries, aplanes, planes_per_band=8, k=args.k
+            )
+        )
+        rec_arrow = _recall(arrow, exact, args.k)
+        arrow.unpersist()
+        row["arrow8x8_s"], row["recall_arrow8x8"] = t_arrow, rec_arrow
+        cells.append(f"{t_arrow} s | {rec_arrow}")
         t_ivf, iv = timed(lambda: ivf_topk(corpus, queries, args.k))
         rec_ivf = _recall(iv, exact, args.k)
         iv.unpersist()
