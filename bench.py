@@ -18,6 +18,7 @@ import os
 import sys
 import time
 
+from retail_sales_data_pipeline_spark.caching import release_persisted
 from retail_sales_data_pipeline_spark.plans import all_queries
 from retail_sales_data_pipeline_spark.session import get_spark
 
@@ -67,6 +68,8 @@ def _warmup(spark, queries, names: list[str]) -> None:
             ).save()
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces errors
+        finally:
+            release_persisted()
 
 
 def main() -> None:
@@ -92,7 +95,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         n = df.count()  # row count for the stderr line only (untimed)
-        spark.catalog.clearCache()  # bound cache growth across queries
+        release_persisted()  # drop tracked persists from this query's runs
+        spark.catalog.clearCache()  # belt-and-braces for untracked caches
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

@@ -1,0 +1,51 @@
+"""Session-scoped persist lifecycle for lazy query builders.
+
+Query builders in ``plans/`` and ``operators/`` return LAZY DataFrames:
+a ``persist()`` placed inside them cannot be paired with an
+``unpersist()`` before the caller's terminal action, so without help
+the cached relations accumulate in the JVM CacheManager for the life
+of the session (ADVICE round 4). ``persist_tracked`` records every
+such persist; a runner loop (``tools/drive_contract.py``, ``bench.py``,
+``corpus_pipeline.curate_corpus``) calls :func:`release_persisted`
+after each query's terminal action to drop exactly the relations that
+query pinned — deterministic, unlike relying on Python GC, and scoped,
+unlike ``spark.catalog.clearCache()`` (which also evicts caches the
+caller owns).
+
+One-shot scripts that never call the hook behave exactly as before
+(the cache lives until the session ends); ``clearCache()`` remains a
+valid blunt fallback and the bench keeps it as belt-and-braces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(
+    df: DataFrame, level: StorageLevel | None = None
+) -> DataFrame:
+    """``df.persist()`` that registers the frame for later release."""
+    df = df.persist(level) if level is not None else df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame (LIFO); returns how many dropped.
+
+    Call after the terminal action on a query's result — blocking=False
+    so the drop is async JVM-side and costs the caller nothing.
+    """
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to drop
+            pass
+    return n

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 Centroids = list[list[float]]
 
 
@@ -112,7 +114,7 @@ def kmeans(
     order inside ``avg`` differs between engines, and unrounded
     trajectories drift apart after a few iterations.
     """
-    df = df.select(id_col, vec_col).persist()
+    df = persist_tracked(df.select(id_col, vec_col))
     seeds = df.orderBy(id_col).limit(k).collect()
     centroids: Centroids = [list(map(float, r[vec_col])) for r in seeds]
     for _ in range(iters):

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..caching import persist_tracked
 from .text import fingerprint_md5, tokens
 
 # Affine MinHash family: all arithmetic stays under 2^62 so int64 math
@@ -174,7 +175,7 @@ def jaccard_verify(cand: DataFrame, elements: DataFrame, threshold: float) -> Da
     # el feeds three subtrees (sizes, ea, eb) — persist eagerly or the
     # semi-join (and everything above it) recomputes per reference;
     # it holds only CANDIDATE documents' elements, ≪ corpus
-    el = elements.join(ids, "id").persist()
+    el = persist_tracked(elements.join(ids, "id"))
     el.count()
     sizes = el.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     ea = el.select(F.col("id").alias("id_a"), "sh")
@@ -222,7 +223,7 @@ def ngram_jaccard_pairs(
     # sh feeds sizes AND both sides of the inverted-index self-join —
     # persist eagerly so tokenize+explode+md5 (+ the df_cap join) runs
     # once, not per reference (same pattern as minhash_lsh_pairs)
-    sh = sh.persist()
+    sh = persist_tracked(sh)
     sh.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -366,11 +367,11 @@ def minhash_lsh_pairs(
     # |docs| rows of k longs, cand is |candidate| pairs — all
     # MEMORY_AND_DISK, so at 100 TB they spill rather than OOM (Spark
     # ML's MinHashLSH persists the same relations).
-    sh = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col).persist()
-    sig = minhash_signatures(sh, num_hashes=num_hashes).persist()
+    sh = persist_tracked(shingle_hashes(df, n=n, text_col=text_col, id_col=id_col))
+    sig = persist_tracked(minhash_signatures(sh, num_hashes=num_hashes))
     sig.count()  # also fills sh (its only input) one subtree deep
     bands = lsh_band_keys(sig, rows_per_band=rows_per_band)
-    cand = lsh_candidate_pairs(bands, bucket_cap=bucket_cap).persist()
+    cand = persist_tracked(lsh_candidate_pairs(bands, bucket_cap=bucket_cap))
     cand.count()
     return jaccard_verify(cand, sh, threshold)
 

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 
 def as_double(arr: Column | str) -> Column:
     c = F.col(arr) if isinstance(arr, str) else arr
@@ -361,6 +363,23 @@ def lsh_band_buckets_arrow(
     by_p: dict[int, dict[int, float]] = {}
     for r in planes.collect():  # metadata-sized: planes × dims rows
         by_p.setdefault(r.p, {})[r.d] = r.w
+    # Validate the collected grid before the comprehension: a filtered /
+    # sparse planes frame would otherwise KeyError deep inside it, and a
+    # non-multiple plane count would silently drop the remainder planes
+    # while the expression twin forms a partial band (ADVICE r4).
+    if sorted(by_p) != list(range(len(by_p))):
+        raise ValueError(
+            f"planes frame must carry contiguous plane ids 0..N-1; got {sorted(by_p)}"
+        )
+    dims = {len(ds) for ds in by_p.values()}
+    if len(dims) != 1:
+        raise ValueError(f"planes frame has non-uniform dim coverage: {dims}")
+    if len(by_p) % planes_per_band != 0:
+        raise ValueError(
+            f"{len(by_p)} planes not divisible by planes_per_band="
+            f"{planes_per_band} — the expression twin would form a partial "
+            "extra band; pass a multiple"
+        )
     wm = np.array(
         [[by_p[p][d] for d in sorted(by_p[p])] for p in sorted(by_p)],
         dtype=np.float64,
@@ -445,6 +464,64 @@ def lsh_ann_topk_banded_arrow(
         pairs.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
+    )
+
+
+def recommended_banding(n_corpus: int) -> tuple[int, int]:
+    """Measured-default ``(n_bands, planes_per_band)`` for the banded
+    ANN paths, encoding the docs/SCALE.md sweep rule as code instead of
+    prose (round-4 verdict item 3).
+
+    The 1M-vector sweep measured: 4 bands × 4 planes 22.4 s @ recall
+    0.99 (rerank-dominated — ~n/16 candidates per query per band),
+    8×8 expression-form 19.1 s @ 1.00, 8×8 with the Arrow bucket stage
+    6.2 s @ 1.00. Rule: *sharpen planes_per_band P with log n* so the
+    expected per-(query, band) candidate count ``n / 2^P`` stays near a
+    constant (~4k — the measured point where the rerank stops
+    dominating), and grow tables L with P to hold recall ≈
+    1-(1-s^P)^L at ~1.0:
+
+        P = clamp(ceil(log2(n / 4096)), 4, 16);  L = P
+
+    Fixture scale (2k) → 4×4 (the oracle-pinned config); 1M → 8×8 (the
+    measured winner); 100M → 15×15; ≥ 256M caps at 16×16 (65k buckets
+    per table — at that point shard the corpus, not the index).
+    """
+    import math
+
+    if n_corpus <= 4096:
+        return 4, 4
+    p = max(4, min(16, math.ceil(math.log2(n_corpus / 4096))))
+    return p, p
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_corpus: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Production ANN entry point: auto-selected banding + the Arrow
+    matmul bucket stage (the measured-fastest variant at every swept
+    scale — docs/SCALE.md ANN table).
+
+    ``n_corpus``/``dim`` are taken from the data when not given: one
+    columnar count (cheap — no row materialization) and one ``first()``
+    row for the vector width. Pass them explicitly in a hot loop or
+    when the corpus is an expensive subquery.
+    """
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    bands, per_band = recommended_banding(n_corpus)
+    planes = hyperplanes(corpus.sparkSession, bands * per_band, dim)
+    return lsh_ann_topk_banded_arrow(
+        corpus, queries, planes, planes_per_band=per_band,
+        k=k, id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -548,7 +625,9 @@ def cosine_neardup_pairs_lsh(
     # single-compute guarantee; b is |vectors|·|bands| rows of three
     # longs, MEMORY_AND_DISK.
     if planes_per_band is not None:
-        b = lsh_band_buckets(df, planes, planes_per_band, id_col, vec_col).persist()
+        b = persist_tracked(
+            lsh_band_buckets(df, planes, planes_per_band, id_col, vec_col)
+        )
         cand = (
             b.select(F.col("id").alias("id_a"), "band", "bucket")
             .join(
@@ -560,7 +639,7 @@ def cosine_neardup_pairs_lsh(
             .distinct()
         )
     else:
-        b = lsh_buckets(df, planes, id_col, vec_col).persist()
+        b = persist_tracked(lsh_buckets(df, planes, id_col, vec_col))
         cand = (
             b.select(F.col("id").alias("id_a"), "bucket")
             .join(b.select(F.col("id").alias("id_b"), "bucket"), "bucket")
@@ -695,12 +774,14 @@ def semantic_cell_pairs(
     # shuffle boundary under `best` fills the cache before the second
     # branch runs; an eager count() was A/B-measured 10% SLOWER at
     # sf0.1 from the extra job barrier.)
-    assigned = best.select(
-        "id",
-        (-F.col("_b.na")).cast("long").alias("cell"),
-        "_v",
-        norm(F.col("_v")).alias("_n"),
-    ).persist()
+    assigned = persist_tracked(
+        best.select(
+            "id",
+            (-F.col("_b.na")).cast("long").alias("cell"),
+            "_v",
+            norm(F.col("_v")).alias("_n"),
+        )
+    )
     left = assigned.select(
         F.col("id").alias("id_a"), "cell",
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),

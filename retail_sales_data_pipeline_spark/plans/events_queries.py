@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..functions import scalars as S
 from ..operators import events as E
 from ..sources.tables import load_table
@@ -262,9 +263,11 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events", ["user_id", "ts"])
     # the activity relation feeds both the first-week agg and the
     # cohort join — persist so the scan+distinct runs once
-    um = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
-    ).distinct().persist()
+    um = persist_tracked(
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+        ).distinct()
+    )
     first = um.groupBy("user_id").agg(F.min("w").alias("w0"))
     j = um.join(first, "user_id")
     cohorts = j.groupBy(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..operators import dedup as D
 from ..operators import text as X
 from ..sources.tables import load_table
@@ -670,10 +671,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits of the index⋈new join — persist or each reference recomputes
     # its upstream subtree (the minhash_lsh_pairs defect class, measured
     # in operators/dedup.py)
-    sh = D.shingle_hashes(corpus).persist()
-    bands = D.lsh_band_keys(
-        D.minhash_signatures(sh, num_hashes=8), rows_per_band=2
-    ).persist()
+    sh = persist_tracked(D.shingle_hashes(corpus))
+    bands = persist_tracked(
+        D.lsh_band_keys(D.minhash_signatures(sh, num_hashes=8), rows_per_band=2)
+    )
     idx = bands.where(F.col("id") < 100000)
     new = bands.where(F.col("id") >= 100000)
     cand = (
@@ -774,10 +775,8 @@ def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = df.select("doc_id", "lang", F.explode(X.tokens("text")).alias("token"))
     # tf feeds both the document-frequency agg and the scoring join —
     # persist so the tokenize+explode+count pass runs once
-    tf = (
-        tok.groupBy("doc_id", "lang", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    tf = persist_tracked(
+        tok.groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
     n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
@@ -1327,7 +1326,7 @@ def corpus_boilerplate_ngrams(
     key distribution stays uniform either way.
     """
     df = _docs(spark, sf_dir)
-    sh = D.shingle_hashes_fast(df, n=3).persist()
+    sh = persist_tracked(D.shingle_hashes_fast(df, n=3))
     hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df_count"))
@@ -1459,7 +1458,7 @@ def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: sh5 feeds BOTH the eval shingle set and the probe side of
     # the contamination join — without it the 5-gram relation builds twice
-    sh5 = D.shingle_hashes_fast(_docs(spark, sf_dir), n=5).persist()
+    sh5 = persist_tracked(D.shingle_hashes_fast(_docs(spark, sf_dir), n=5))
     ev = sh5.where(F.col("id") % 50 == 0).select("sh").distinct()
     contam = (
         sh5.join(F.broadcast(ev), "sh")
@@ -1484,8 +1483,8 @@ def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("boilerplate_ratio", F.lit(0.0)).alias("boilerplate_ratio"),
             F.coalesce("_contam", F.lit(False)).alias("_contam"),
         )
-        .persist()
     )
+    per0 = persist_tracked(per0)
     c1 = F.col("n_tokens").between(20, 400)
     c2 = c1 & (F.col("quality_score") >= 0.32)
     c3 = c2 & (F.col("top_token_ratio") <= 0.2) & (F.col("dup_bigram_ratio") <= 0.2)
@@ -1745,14 +1744,18 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's cast yields NULL on a non-numeric suffix and the oracle
     # uses TRY_CAST for the same behavior (DuckDB's plain CAST raises),
     # so an unparseable source name falls to weight 1 in BOTH engines.
-    widx = F.substring("source", 4, 10).cast("long")
+    # substring to END of string (2-arg form), matching the oracle's
+    # substr(source, 4) — a bounded 3rd arg would truncate long numeric
+    # suffixes only on the Spark side (ADVICE r4)
+    widx = F.expr("substring(source, 4)").cast("long")
     weight = F.when(widx % 4 == 0, F.lit(3)).otherwise(F.lit(1))
     d = docs.select(
         "source",
         weight.alias("w"),
         bucket.alias("_b"),
         X.token_count("text").cast("long").alias("_n"),
-    ).persist()
+    )
+    d = persist_tracked(d)
     per = d.groupBy("source").agg(
         F.first("w").alias("w"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -22,6 +22,7 @@ from ..operators.multimodal import (
     resize_plan,
     synth_media_from_documents,
 )
+from ..caching import persist_tracked
 from ..sources.tables import load_table
 
 
@@ -223,7 +224,7 @@ def multimodal_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
 
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    emb = embed_texts(docs).persist()  # both search sides branch from it
+    emb = persist_tracked(embed_texts(docs))  # both search sides branch from it
     return cosine_topk(
         corpus=emb.where(F.col("doc_id") >= 10),
         queries=emb.where(F.col("doc_id") < 10),

@@ -44,58 +44,60 @@ _MODULES = [
 # queries first, then the queries whose last green row is oldest
 # (``python tools/rotate_registry.py`` emits the list to paste here).
 DRIVER_PRIORITY = [
-    # round-4 rotation (tools/rotate_registry.py): never-checked first
-    # (incl. the four queries added mid-round-4), then stalest greens.
-    "dedup_clusters_star",  # never checked
-    "dedup_fuzzy_keys",  # never checked
-    "decontaminate_semantic",  # never checked
-    "streaming_sessionize_complete",  # never checked
-    "maintenance_compaction_plan",  # never checked
-    "corpus_mix_rebalance",  # never checked
-    "ann_lsh_banded_topk",  # never checked
-    "bench_ann_banded_arrow",  # never checked
-    "distinct_dedup",  # green r2
-    "monthly_grouped_sum",  # green r2
-    "month_key_forms",  # green r2
-    "product_enrich",  # green r2
-    "sales_rollup",  # green r2
-    "sales_cube",  # green r2
-    "customers_churned",  # green r2
-    "suppliers_with_returns",  # green r2
-    "customer_upsert",  # green r2
-    "scd2_customer_segments",  # green r2
-    "key_skew_profile",  # green r2
-    "dq_violations",  # green r2
-    "mart_reconcile",  # green r2
-    "top_customers_per_month",  # green r2
-    "sales_pivot_by_flag",  # green r2
-    "customer_running_total",  # green r2
-    "monthly_price_quantiles",  # green r2
-    "revenue_anomalies",  # green r2
-    "order_value_quartiles",  # green r2
-    "text_token_stats",  # green r2
-    "text_quality",  # green r2
-    "text_lang_id",  # green r2
-    "text_fingerprint",  # green r2
-    "dedup_ngram_jaccard",  # green r2
-    "dedup_clusters",  # green r2
-    "dedup_rate_by_lang",  # green r2
-    "corpus_filter_pipeline",  # green r2
-    "corpus_sample",  # green r2
-    "corpus_stratified_sample",  # green r2
-    "corpus_tfidf_terms",  # green r2
-    "corpus_length_histogram",  # green r2
-    "text_redact_pii",  # green r2
-    "corpus_pack_sequences",  # green r2
-    "corpus_decontaminate",  # green r2
-    "text_repetition",  # green r2
-    "corpus_source_mix",  # green r2
-    "corpus_boilerplate_ngrams",  # green r2
-    "corpus_ngram_novelty",  # green r2
-    "dedup_keep_canonical",  # green r2
-    "text_langid_confusion",  # green r2
-    "corpus_unigram_logprob",  # green r3
-    "corpus_quality_sample",  # green r3
+    # round-5 rotation (tools/rotate_registry.py): the one never-checked
+    # addition (ann_auto_topk) first, then the r3-era greens (whole
+    # events/vector/media/streaming surface plus the five retail-parity
+    # anchors), stalest first.
+    "ann_auto_topk",  # never checked
+    "customer_monthly_mart",  # green r3
+    "sales_team_mart",  # green r3
+    "star_join_enrich",  # green r3
+    "conform_union",  # green r3
+    "ledger_filter",  # green r3
+    "dedup_exact",  # green r3
+    "dedup_minhash_lsh",  # green r3
+    "dedup_simhash",  # green r3
+    "corpus_report",  # green r3
+    "corpus_approx_distinct",  # green r3
+    "dedup_incremental",  # green r3
+    "corpus_curation_funnel",  # green r3
+    "streaming_quality_filter",  # green r3
+    "corpus_split_assign",  # green r3
+    "events_hourly_rollup",  # green r3
+    "events_sessionize",  # green r3
+    "events_sessionize_scalable",  # green r3
+    "events_json_props",  # green r3
+    "events_json_variant",  # green r3
+    "events_daily_stats",  # green r3
+    "events_asof_attribution",  # green r3
+    "events_range_pairs",  # green r3
+    "events_funnel",  # green r3
+    "events_cohort_retention",  # green r3
+    "streaming_hourly_rollup",  # green r3
+    "streaming_dedup_rollup",  # green r3
+    "streaming_sessionize",  # green r3
+    "events_approx_quantiles",  # green r3
+    "events_rolling_7day",  # green r3
+    "ann_cosine_topk",  # green r3
+    "ann_lsh_topk",  # green r3
+    "ann_ivf_topk",  # green r3
+    "dedup_embedding_cosine",  # green r3
+    "bench_ann_cosine_arrow",  # green r3
+    "ann_recall_at_5",  # green r3
+    "kmeans_embeddings",  # green r3
+    "ann_quantized_topk",  # green r3
+    "dedup_semantic_cells",  # green r3
+    "kmeans_fixed_assign",  # green r3
+    "dedup_semantic_keep",  # green r3
+    "cluster_balanced_sample",  # green r3
+    "ann_label_agreement",  # green r3
+    "multimodal_decode",  # green r3
+    "multimodal_frame_sample",  # green r3
+    "multimodal_resize",  # green r3
+    "multimodal_pointer_decode",  # green r3
+    "multimodal_embed_texts",  # green r3
+    "multimodal_text_retrieval",  # green r3
+    "dedup_clusters_star",  # green r4
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..operators import similarity as S
 from ..sources.tables import load_table
 
@@ -196,6 +197,25 @@ def bench_ann_banded_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=emb.where(F.col("vec_id") < 10),
         planes=planes,
         planes_per_band=ANN_PLANES_PER_BAND,
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: ann_auto_topk — the production entry point: S.ann_topk auto-selects
+# banding from |corpus| via S.recommended_banding (the r4-verdict rule
+# "sharpen P with log n", encoded as code) and runs the Arrow bucket
+# stage. At fixture scale (≤ 2k vectors) the rule lands on 4×4, so the
+# oracle is the SAME _LSH_BANDED_SQL — the hash match verifies the
+# whole auto path (count → banding pick → matmul buckets → rerank)
+# end-to-end; at 1M vectors the same call selects the measured-winning
+# 8×8 (tools/ann_headroom.py --assert-auto pins recall ≥ 0.95 there).
+# ---------------------------------------------------------------------------
+def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.ann_topk(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
         k=5,
     )
 
@@ -564,10 +584,8 @@ KM_ITERS = 2
 def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import _dist2
 
-    vecs = (
-        _emb(spark, sf_dir)
-        .select("vec_id", S.as_double("embedding").alias("e"))
-        .persist()
+    vecs = persist_tracked(
+        _emb(spark, sf_dir).select("vec_id", S.as_double("embedding").alias("e"))
     )
     seeds = vecs.orderBy("vec_id").limit(KM_K).collect()
     cents = [list(map(float, r.e)) for r in seeds]
@@ -812,6 +830,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_banded_topk": ann_lsh_banded_topk,
     "bench_ann_banded_arrow": bench_ann_banded_arrow,
+    "ann_auto_topk": ann_auto_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
     "ann_recall_at_5": ann_recall_at_5,
@@ -832,6 +851,7 @@ ORACLE_SQL = {
     "ann_ivf_topk": _IVF_SQL,
     "ann_lsh_banded_topk": _LSH_BANDED_SQL,
     "bench_ann_banded_arrow": _LSH_BANDED_SQL,
+    "ann_auto_topk": _LSH_BANDED_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
     "bench_ann_cosine_arrow": _COSINE_SQL,
     "ann_recall_at_5": _RECALL_SQL,

@@ -292,3 +292,22 @@ def test_single_header_probe_per_file(spark, dims, workdir, monkeypatch):
     )
     assert len(res.accepted) == 2
     assert sorted(os.path.basename(p) for p in probes) == ["a.csv", "b.csv"]
+
+
+def test_persist_tracked_release(spark):
+    """persist_tracked registers frames; release_persisted drops them
+    all (LIFO) and empties the registry — the ADVICE-r4 lifecycle for
+    persists buried inside lazy query builders."""
+    from retail_sales_data_pipeline_spark.caching import (
+        persist_tracked,
+        release_persisted,
+    )
+
+    release_persisted()  # drain anything earlier tests left behind
+    a = persist_tracked(spark.range(10).toDF("n"))
+    b = persist_tracked(spark.range(5).toDF("n"))
+    a.count(), b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert release_persisted() == 2
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    assert release_persisted() == 0  # registry drained

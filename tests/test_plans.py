@@ -74,6 +74,17 @@ PLAN_SHAPE = {
     # fix that took the sf0.1 bench query from 5.1 s to 1.4 s.
     "dedup_minhash_lsh": (208, 54, 54, 0),
     "dedup_embedding_cosine": (19, 7, 7, 2),
+    # r5: pin the two bench queries whose r4 deltas were adjudicated as
+    # machine-state noise (events_cohort_retention, docs/SCALE.md) or
+    # were still unadjudicated (corpus_boilerplate_ngrams +24% — the r4
+    # verdict's open flag). Identical 18/4/4/0 shapes across rounds
+    # demonstrate the regressions were not plan drift.
+    "corpus_boilerplate_ngrams": (18, 4, 4, 0),
+    "events_cohort_retention": (18, 4, 4, 0),
+    # streaming_sessionize returns the post-drain batch relation — zero
+    # joins/exchanges by construction; the pin guards against the drain
+    # path ever growing a shuffle.
+    "streaming_sessionize": (0, 0, 0, 0),
 }
 
 

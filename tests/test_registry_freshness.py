@@ -1,0 +1,101 @@
+"""Automated staleness guarantee for the driver rotation window.
+
+The grading driver hard-verifies only the first 50 registry queries per
+round (``plans/registry.py`` VERIFICATION-COVERAGE POLICY). The rotation
+policy promises every registered query a green driver-oracle row at
+least every two rounds. Until this test existed, that promise depended
+on a human remembering to run ``tools/rotate_registry.py`` and paste the
+output — this test makes the promise self-enforcing:
+
+* every query whose last green row is OLDER than the newest
+  CORRECTNESS round must sit inside the current ``DRIVER_PRIORITY``
+  window (so the upcoming driver run refreshes it, capping staleness at
+  two rounds);
+* newly registered queries with no row at all count as maximally stale
+  and must be in the window too;
+* the window itself must be well-formed (<= 50 names, all registered,
+  no duplicates).
+
+Deliberately breakable: deleting any round-(N-1) entry from
+``DRIVER_PRIORITY`` fails the first assertion.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "tools"))
+
+import rotate_registry  # noqa: E402
+
+from retail_sales_data_pipeline_spark.plans.registry import (  # noqa: E402
+    DRIVER_PRIORITY,
+    all_oracle_sql,
+    all_queries,
+)
+
+WINDOW = rotate_registry.WINDOW
+
+
+def _last_green() -> tuple[int, dict[str, int]]:
+    hist = rotate_registry.history()
+    assert hist, "no CORRECTNESS_r*.json found — run from the repo root"
+    latest = max(hist)
+    last_green: dict[str, int] = {}
+    for rnd in sorted(hist):
+        for name, row in hist[rnd].items():
+            if rotate_registry.green(row):
+                last_green[name] = rnd
+    return latest, last_green
+
+
+def test_window_well_formed():
+    names = set(all_queries())
+    assert len(DRIVER_PRIORITY) <= WINDOW, (
+        f"DRIVER_PRIORITY has {len(DRIVER_PRIORITY)} entries; the driver "
+        f"only verifies the first {WINDOW} — extras are dead weight"
+    )
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY), "duplicate entries"
+    unknown = [q for q in DRIVER_PRIORITY if q not in names]
+    assert not unknown, f"DRIVER_PRIORITY names not in registry: {unknown}"
+
+
+def test_stale_queries_are_in_driver_window():
+    """Every query not green in the NEWEST round must be queued for the next.
+
+    If this fails after registering a new query, re-run
+    ``python tools/rotate_registry.py`` and paste the output into
+    ``plans/registry.py``.
+    """
+    latest, last_green = _last_green()
+    window = set(DRIVER_PRIORITY[:WINDOW])
+    stale = [q for q in all_queries() if last_green.get(q, -1) < latest]
+    assert len(stale) <= WINDOW, (
+        f"{len(stale)} stale queries exceed the {WINDOW}-slot window — the "
+        "two-round staleness guarantee is unsatisfiable; shrink the registry "
+        "or split the rotation"
+    )
+    missing = [q for q in stale if q not in window]
+    assert not missing, (
+        f"stale queries (last green < r{latest}) missing from "
+        f"DRIVER_PRIORITY: {missing} — run tools/rotate_registry.py"
+    )
+
+
+def test_union_coverage_has_no_never_green():
+    """All registered queries have had at least one green driver row."""
+    _, last_green = _last_green()
+    never = [q for q in all_queries() if q not in last_green]
+    window = set(DRIVER_PRIORITY[:WINDOW])
+    # A brand-new query is allowed to be never-green only while queued.
+    unqueued = [q for q in never if q not in window]
+    assert not unqueued, f"never-green queries not queued for a row: {unqueued}"
+
+
+def test_every_query_has_oracle_or_documented_rows_only():
+    """Registry invariant: oracle twins exist for the full surface."""
+    queries = all_queries()
+    oracles = all_oracle_sql()
+    missing = [q for q in queries if q not in oracles]
+    assert not missing, f"queries without oracle SQL: {missing}"

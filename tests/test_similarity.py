@@ -220,3 +220,65 @@ def test_banded_ann_recall_beats_single_table(spark, sf_dir):
     # candidates stay a subset of the exact ranking's universe: the
     # output schema and rank tie-break match the single-table variant
     assert banded.columns == flat.columns
+
+
+def test_arrow_band_buckets_validate_grid(spark, vecs):
+    """The Arrow bucket stage validates the collected planes grid up
+    front (ADVICE r4): non-multiple plane counts and sparse/filtered
+    grids raise clear errors instead of silently dropping planes or
+    KeyError-ing inside the matmul comprehension."""
+    planes = S.hyperplanes(spark, 6, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.lsh_band_buckets_arrow(vecs, planes, planes_per_band=4).collect()
+    holey = planes.where(F.col("p") != 1)  # non-contiguous plane ids
+    with pytest.raises(ValueError, match="contiguous"):
+        S.lsh_band_buckets_arrow(vecs, holey, planes_per_band=2).collect()
+    sparse = planes.where((F.col("p") != 1) | (F.col("d") == 0))
+    with pytest.raises(ValueError, match="dim coverage"):
+        S.lsh_band_buckets_arrow(vecs, sparse, planes_per_band=2).collect()
+
+
+def test_arrow_band_buckets_match_expression_twin(spark, vecs):
+    """Arrow matmul bucket stage produces exactly the expression twin's
+    (id, band, bucket) rows for a multiple-of-planes_per_band config."""
+    planes = S.hyperplanes(spark, 8, 4)
+    expr_rows = sorted(
+        map(tuple, S.lsh_band_buckets(vecs, planes, 4).collect())
+    )
+    arrow_rows = sorted(
+        map(tuple, S.lsh_band_buckets_arrow(vecs, planes, 4).collect())
+    )
+    assert expr_rows == arrow_rows
+
+
+def test_recommended_banding_rule():
+    """The banding rule encodes the docs/SCALE.md sweep: fixture scale
+    lands on the oracle-pinned 4x4, 1M on the measured-winning 8x8,
+    clamped to [4, 16] at the extremes."""
+    assert S.recommended_banding(500) == (4, 4)
+    assert S.recommended_banding(2_000) == (4, 4)
+    assert S.recommended_banding(65_536) == (4, 4)
+    assert S.recommended_banding(1_000_000) == (8, 8)
+    assert S.recommended_banding(100_000_000) == (15, 15)
+    assert S.recommended_banding(10**12) == (16, 16)
+
+
+def test_ann_topk_auto_matches_explicit_banded(spark, sf_dir):
+    """ann_topk (auto) at fixture scale must equal the explicit 4x4
+    Arrow-banded call — the auto path adds selection, not semantics."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    auto = sorted(map(tuple, S.ann_topk(corpus, queries, k=5).collect()))
+    explicit = sorted(
+        map(
+            tuple,
+            S.lsh_ann_topk_banded_arrow(
+                corpus, queries, S.hyperplanes(spark, 16, 64),
+                planes_per_band=4, k=5,
+            ).collect(),
+        )
+    )
+    assert auto == explicit

@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window  # noqa: E402
 
 from retail_sales_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    ann_topk,
     as_double,
     cosine,
     cosine_topk_arrow,
@@ -41,6 +42,7 @@ from retail_sales_data_pipeline_spark.operators.similarity import (  # noqa: E40
     lsh_ann_topk,
     lsh_ann_topk_banded,
     lsh_ann_topk_banded_arrow,
+    recommended_banding,
 )
 from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -127,6 +129,13 @@ def main() -> None:
     ap.add_argument("--sizes", default="100000,500000,1000000")
     ap.add_argument("--queries", type=int, default=50)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument(
+        "--assert-auto",
+        action="store_true",
+        help="also run ann_topk (auto-selected banding) at each size and "
+        "EXIT NONZERO if its recall@k < 0.95 — the r4-verdict pin that "
+        "the encoded banding rule actually delivers recall at 1M",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -206,6 +215,20 @@ def main() -> None:
         arrow.unpersist()
         row["arrow8x8_s"], row["recall_arrow8x8"] = t_arrow, rec_arrow
         cells.append(f"{t_arrow} s | {rec_arrow}")
+        if args.assert_auto:
+            bands, per_band = recommended_banding(n)
+            t_auto, auto = timed(
+                lambda: ann_topk(corpus, queries, k=args.k, n_corpus=n, dim=DIM)
+            )
+            rec_auto = _recall(auto, exact, args.k)
+            auto.unpersist()
+            row["auto_s"], row["recall_auto"] = t_auto, rec_auto
+            row["auto_banding"] = f"{bands}x{per_band}"
+            cells.append(f"{t_auto} s ({bands}x{per_band}) | {rec_auto}")
+            assert rec_auto >= 0.95, (
+                f"auto-banding recall {rec_auto} < 0.95 at n={n} "
+                f"({bands}x{per_band}) — recommended_banding rule broken"
+            )
         t_ivf, iv = timed(lambda: ivf_topk(corpus, queries, args.k))
         rec_ivf = _recall(iv, exact, args.k)
         iv.unpersist()

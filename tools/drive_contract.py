@@ -14,6 +14,7 @@ import duckdb
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
+from retail_sales_data_pipeline_spark.caching import release_persisted
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -73,6 +74,7 @@ for name, fn in qs.items():
         sdf = fn(spark, SF)
         s_rows = [tuple(r) for r in sdf.collect()]
         s_cols = sdf.columns
+        release_persisted()  # drop this query's tracked caches (ADVICE r4)
     except Exception as ex:  # keep going — one broken query must not hide the rest
         print(f"ERROR {name}: {type(ex).__name__}: {str(ex).splitlines()[0][:200]}")
         fails.append(name)
