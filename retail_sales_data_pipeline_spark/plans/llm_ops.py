@@ -11,13 +11,14 @@ planted duplicates and the hashes still match bit-for-bit.
 Hashing is md5 in both engines; ``min(md5)`` is a valid minhash
 reducer because hex strings compare lexicographically identically.
 
-Caching contract: several query builders ``persist()`` intermediate
-frames that multiple branches consume (shingle relations, the curation
-flags). The driver and ``bench.py`` clear the cache between queries
-(``spark.catalog.clearCache()``); a long-lived application composing
-many queries should do the same, or consume via
-``corpus_pipeline.curate_corpus``-style runners that unpersist after
-their final action.
+Caching contract: several query builders persist intermediate frames
+that multiple branches consume (shingle relations, the curation flags)
+via ``caching.persist_tracked``. A runner loop calls
+``caching.release_persisted()`` after each query's terminal action to
+drop exactly those relations (``tools/drive_contract.py`` and
+``bench.py`` do; ``bench.py`` keeps ``clearCache()`` as belt-and-
+braces); one-shot scripts can skip it — the cache dies with the
+session.
 """
 
 from __future__ import annotations

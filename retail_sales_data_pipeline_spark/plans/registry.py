@@ -42,7 +42,16 @@ _MODULES = [
 # tools/drive_contract.py asserts the FULL registry against its DuckDB
 # oracles locally every round. Per round, rotate: put never-checked
 # queries first, then the queries whose last green row is oldest
-# (``python tools/rotate_registry.py`` emits the list to paste here).
+# (``python tools/rotate_registry.py`` emits the list to paste here);
+# tests/test_registry_freshness.py enforces this mechanically.
+#
+# CAPACITY: with 99 registered queries and a 50-slot window, each round
+# refreshes one half of the surface, so the two-round guarantee has
+# room for AT MOST ONE new registered query per round (the new query
+# takes the window's one spare slot — round 5's went to ann_auto_topk).
+# A second addition would evict a round-stale query and break the
+# freshness test; park extra query ideas until the next round or grow
+# them as pytest-covered operators first.
 DRIVER_PRIORITY = [
     # round-5 rotation (tools/rotate_registry.py): the one never-checked
     # addition (ann_auto_topk) first, then the r3-era greens (whole

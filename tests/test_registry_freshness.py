@@ -37,9 +37,17 @@ from retail_sales_data_pipeline_spark.plans.registry import (  # noqa: E402
 
 WINDOW = rotate_registry.WINDOW
 
+# The round whose CORRECTNESS history the current DRIVER_PRIORITY was
+# rotated from. Bump this in the same commit as the re-pasted rotation
+# each round. Capping here (like test_oracle_parity's window pin) keeps
+# the test meaningful after the driver writes the NEXT round's
+# CORRECTNESS file — without the cap, every query verified by that very
+# window would count stale the moment its new row lands.
+ROTATION_BASIS_ROUND = 4
+
 
 def _last_green() -> tuple[int, dict[str, int]]:
-    hist = rotate_registry.history()
+    hist = rotate_registry.history(max_round=ROTATION_BASIS_ROUND)
     assert hist, "no CORRECTNESS_r*.json found — run from the repo root"
     latest = max(hist)
     last_green: dict[str, int] = {}

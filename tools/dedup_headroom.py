@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from retail_sales_data_pipeline_spark.caching import (  # noqa: E402
+    release_persisted,
+)
 from retail_sales_data_pipeline_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
@@ -86,6 +89,19 @@ def _time(df_fn) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 2), n
 
 
+def _storage_audit(spark) -> dict:
+    """Bytes held by the JVM CacheManager right now: peak persisted
+    memory + disk across cached relations. diskSize > 0 means the
+    default MEMORY_AND_DISK(_DESER) level actually spilled — the
+    question the 10M-doc decade answers (round-4 verdict item 7)."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return {
+        "cached_rdds": len(infos),
+        "mem_bytes": int(sum(i.memSize() for i in infos)),
+        "disk_bytes": int(sum(i.diskSize() for i in infos)),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="50000,200000,500000")
@@ -104,8 +120,19 @@ def main() -> None:
         t_mh, pairs = _time(
             lambda: minhash_lsh_pairs(corpus, threshold=0.5, bucket_cap=50)
         )
-        corpus.unpersist()
-        print(f"| {n} | {t_exact} s | {t_sim} s | {t_mh} s | {pairs} |")
+        # persist-lifecycle audit: peak cached bytes while the minhash
+        # relations (sh/sig/cand via persist_tracked) are still live,
+        # then release and confirm the CacheManager actually drains
+        peak = _storage_audit(spark)
+        released = release_persisted()
+        corpus.unpersist(blocking=True)
+        after = _storage_audit(spark)
+        print(
+            f"| {n} | {t_exact} s | {t_sim} s | {t_mh} s | {pairs} | "
+            f"peak {peak['mem_bytes'] / 2**30:.2f} GiB mem + "
+            f"{peak['disk_bytes'] / 2**30:.2f} GiB disk, "
+            f"released {released} |"
+        )
         sys.stdout.flush()
         results.append(
             {
@@ -114,6 +141,9 @@ def main() -> None:
                 "simhash_s": t_sim,
                 "minhash_s": t_mh,
                 "pairs": pairs,
+                "peak_cache": peak,
+                "released": released,
+                "post_release": after,
             }
         )
     print(json.dumps({"sweep": results}))

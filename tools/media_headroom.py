@@ -13,7 +13,13 @@ return.
 Usage::
 
     python tools/media_headroom.py [--sizes 10000,50000,200000]
-        [--side 16]
+        [--side 16] [--format ppm|jpeg]
+
+``--format jpeg`` swaps the payload for a real baseline JPEG (encoded
+once driver-side by the forward twin in tests/test_multimodal.py and
+replicated as a binary literal — decode work is per-row identical, so
+the throughput read is honest) and times the full huffman+IDCT decode
+path inside the Arrow batch loop.
 """
 
 from __future__ import annotations
@@ -59,26 +65,54 @@ def synthetic_ppm_media(spark, n: int, side: int):
     )
 
 
+def synthetic_jpeg_media(spark, n: int, side: int):
+    """(media_id, media_type, content, source): one REAL baseline JPEG
+    per row — gradient gray image, encoded by the test-suite's forward
+    twin; every row decodes through the full marker/huffman/IDCT path."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(os.path.dirname(here), "tests"))
+    from test_multimodal import _jpeg
+
+    gray = bytes((x * 13 + y * 7) % 256 for y in range(side) for x in range(side))
+    payload = _jpeg(side, side, gray=gray)
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit(payload).alias("content"),
+        F.lit("synthetic").alias("source"),
+    ), len(payload)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="10000,50000,200000")
     ap.add_argument("--side", type=int, default=16)
+    ap.add_argument("--format", default="ppm", choices=["ppm", "jpeg"])
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
     spark = get_spark(app_name="media-headroom")
+
+    if args.format == "jpeg":
+        def build(n):
+            return synthetic_jpeg_media(spark, n, args.side)[0]
+        bytes_per = synthetic_jpeg_media(spark, 1, args.side)[1]
+    else:
+        def build(n):
+            return synthetic_ppm_media(spark, n, args.side)
+        bytes_per = args.side * args.side * 3 + len(
+            f"P6\n{args.side} {args.side}\n255\n"
+        )
     # throwaway warmup: Python worker spawn + Arrow codegen otherwise
     # lands on the first measured row
-    decode_media(synthetic_ppm_media(spark, 2000, args.side), fake=False).write.format(
+    decode_media(build(2000), fake=False).write.format(
         "noop"
     ).mode("overwrite").save()
-
-    bytes_per = args.side * args.side * 3 + len(f"P6\n{args.side} {args.side}\n255\n")
     results = []
     print("| payloads | payload bytes | decode wall | rows/s | MB/s |")
     print("|---|---|---|---|---|")
     for n in sizes:
-        media = synthetic_ppm_media(spark, n, args.side).cache()
+        media = build(n).cache()
         media.count()
         best = None
         for _ in range(2):
@@ -94,7 +128,8 @@ def main() -> None:
         print(f"| {n} | {bytes_per} | {round(best, 2)} s | {rps} | {mbps} |")
         sys.stdout.flush()
         results.append({"n": n, "wall_s": round(best, 2), "rows_per_s": rps})
-    print(json.dumps({"side": args.side, "bytes_per": bytes_per, "sweep": results}))
+    print(json.dumps({"side": args.side, "format": args.format,
+                      "bytes_per": bytes_per, "sweep": results}))
     spark.stop()
 
 
