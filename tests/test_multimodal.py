@@ -513,3 +513,39 @@ def test_real_decode_jpeg(spark):
     # truncated entropy data fails loudly
     with pytest.raises(ValueError, match="truncated|marker"):
         _jpeg_decode(jc[: len(jc) // 2])
+
+
+def test_jpeg_roundtrip_property():
+    """Property: any 8-bit grayscale image (1..3 blocks per side, odd
+    sizes forcing edge padding) survives the encode->decode round trip
+    within DCT integer-rounding tolerance. Hypothesis hunts the corner
+    cases a hand-picked gradient misses (flat blocks, extreme values,
+    non-multiple-of-8 dims)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import _jpeg_decode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=20),
+        data=st.data(),
+    )
+    def prop(w, h, data):
+        px = data.draw(
+            arrays(np.uint8, (h, w), elements=st.integers(0, 255))
+        )
+        gw, gh, raster = _jpeg_decode(_jpeg(w, h, gray=px.tobytes()))
+        assert (gw, gh) == (w, h)
+        got = np.frombuffer(raster, np.uint8).reshape(h, w).astype(int)
+        err = np.abs(got - px.astype(int)).max()
+        # all-ones quant: error is DCT coefficient rounding only; the
+        # worst case over a block is bounded by sum of 64 half-unit
+        # coefficient errors through the orthonormal IDCT (~4 in
+        # practice for adversarial noise images)
+        assert err <= 6, f"{w}x{h} round-trip max err {err}"
+
+    prop()
