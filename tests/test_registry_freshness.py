@@ -107,3 +107,19 @@ def test_every_query_has_oracle_or_documented_rows_only():
     oracles = all_oracle_sql()
     missing = [q for q in queries if q not in oracles]
     assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py silently skips HEADLINE names missing from the registry
+    (`n in queries` filter) — a rename would shrink the bench total and
+    read as a perf win. Pin that every headline query resolves."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    names = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"

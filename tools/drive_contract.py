@@ -32,7 +32,8 @@ print(f"SMOKE entry(): {rows} rows, schema={[f.name for f in df.schema.fields]}"
 assert rows >= 0
 
 # --- correctness vs duckdb oracle at sf0.01 --------------------------------
-SF = "/root/testdata/sf0.01"
+import os as _os
+SF = _os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 con = duckdb.connect()
 for t in TABLES:
