@@ -40,12 +40,21 @@ def release_persisted() -> int:
     Call after the terminal action on a query's result — blocking=False
     so the drop is async JVM-side and costs the caller nothing.
     """
+    import sys
+
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
         try:
             df.unpersist(blocking=False)
             n += 1
-        except Exception:  # session already stopped — nothing to drop
-            pass
+        except Exception as e:  # noqa: BLE001 — must not fail the runner
+            # A stopped session has nothing to drop (expected at exit);
+            # anything else is surfaced, not swallowed, because the
+            # dedup_headroom persist-lifecycle audit records this count.
+            print(
+                f"release_persisted: unpersist failed "
+                f"({type(e).__name__}: {e})",
+                file=sys.stderr,
+            )
     return n

@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import release_persisted
 from .plans.llm_ops import curation_flags, funnel_from_flags
 from .sources.tables import load_table
 
@@ -65,6 +66,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationRes
         ).first()
     finally:
         flags.unpersist()
+        # curation_flags' internal builders persist_tracked their shared
+        # relations (the 5-gram shingle frame, the per-doc projection);
+        # drop them too or repeated curate_corpus calls accumulate the
+        # largest cached relations in the repo for the session's life
+        release_persisted()
     return CurationResult(
         raw_docs=agg.raw,
         kept_docs=agg.kept,

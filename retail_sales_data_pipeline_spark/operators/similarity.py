@@ -374,6 +374,16 @@ def lsh_band_buckets_arrow(
     dims = {len(ds) for ds in by_p.values()}
     if len(dims) != 1:
         raise ValueError(f"planes frame has non-uniform dim coverage: {dims}")
+    # dim ids must be the contiguous 0..D-1 the matmul columns align to
+    # — a uniformly shifted/holey grid would pass the count check but
+    # silently bucket against misaligned vector indices
+    d = dims.pop()
+    for p, ds in by_p.items():
+        if sorted(ds) != list(range(d)):
+            raise ValueError(
+                f"plane {p} dim ids are not contiguous 0..{d - 1}; the "
+                "matmul would misalign weights to vector indices"
+            )
     if len(by_p) % planes_per_band != 0:
         raise ValueError(
             f"{len(by_p)} planes not divisible by planes_per_band="
@@ -515,8 +525,13 @@ def ann_topk(
     """
     if n_corpus is None:
         n_corpus = corpus.count()
+    if n_corpus == 0:
+        raise ValueError("ann_topk: empty corpus — nothing to index")
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        head = corpus.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError("ann_topk: empty corpus — nothing to index")
+        dim = len(head[0])
     bands, per_band = recommended_banding(n_corpus)
     planes = hyperplanes(corpus.sparkSession, bands * per_band, dim)
     return lsh_ann_topk_banded_arrow(

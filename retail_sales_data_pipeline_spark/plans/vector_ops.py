@@ -213,10 +213,23 @@ def bench_ann_banded_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    n = corpus.count()
+    if S.recommended_banding(n) != (ANN_BANDS, ANN_PLANES_PER_BAND):
+        # the STATIC oracle twin pins the 4x4 regime; at a fixture size
+        # where the rule picks sharper banding the hash comparison would
+        # silently diverge and misreport a healthy auto-select as a bug —
+        # fail loudly instead (regenerate the oracle SQL for that scale)
+        raise ValueError(
+            f"ann_auto_topk oracle pins {ANN_BANDS}x{ANN_PLANES_PER_BAND} "
+            f"banding but recommended_banding({n}) = "
+            f"{S.recommended_banding(n)} — fixture outgrew the oracle"
+        )
     return S.ann_topk(
-        corpus=emb.where(F.col("vec_id") >= 10),
+        corpus=corpus,
         queries=emb.where(F.col("vec_id") < 10),
         k=5,
+        n_corpus=n,
     )
 
 

@@ -309,152 +309,9 @@ def test_fetch_media_io_errors_fail_the_task(spark, tmp_path):
         fetch_media(spark.createDataFrame(rows), fake=False).collect()
 
 
-def _jpeg(w, h, rgb=None, gray=None, subsample=1, dri=0):
-    """Minimal baseline-JPEG encoder (stdlib + numpy), the forward twin
-    of multimodal._jpeg_decode: orthonormal FDCT, all-ones quant tables
-    (so dequant is exact and round-trip error is just coefficient
-    rounding), fixed-length-8 canonical huffman tables over the full
-    DC/AC symbol alphabet, MCU-interleaved scan with optional restart
-    intervals, 0xFF byte stuffing. ``rgb`` is h*w*3 bytes (subsample=2
-    applies 2x2 chroma subsampling); ``gray`` is h*w luma bytes."""
-    import struct
-
-    import numpy as np
-
-    from retail_sales_data_pipeline_spark.operators.multimodal import _JPEG_ZIGZAG
-
-    grid = np.arange(8)
-    cmat = np.cos((2 * grid[None, :] + 1) * grid[:, None] * np.pi / 16) * 0.5
-    cmat[0, :] *= 1 / np.sqrt(2)
-
-    if gray is not None:
-        px = np.frombuffer(gray, np.uint8).reshape(h, w).astype(np.float64)
-        planes = [px]
-        samp = [(1, 1)]
-    else:
-        px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
-        r, g, b = px[..., 0], px[..., 1], px[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-        if subsample == 2:
-            def down(p):
-                ph = p[: h - h % 2 or h, : w - w % 2 or w]
-                return (ph[0::2, 0::2] + ph[1::2, 0::2]
-                        + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4
-            planes = [y, down(cb), down(cr)]
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y, cb, cr]
-            samp = [(1, 1), (1, 1), (1, 1)]
-
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    padded = []
-    for (sh, sv), p in zip(samp, planes):
-        ph, pw = mcuy * 8 * sv, mcux * 8 * sh
-        pp = np.zeros((ph, pw))
-        pp[: p.shape[0], : p.shape[1]] = p
-        pp[p.shape[0]:, : p.shape[1]] = p[-1:, :]  # edge-replicate pad
-        pp[:, p.shape[1]:] = pp[:, p.shape[1] - 1 : p.shape[1]]
-        padded.append(pp)
-
-    dc_vals = bytes(range(12))
-    ac_vals = bytes(sorted({0x00, 0xF0} | {
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    }))
-
-    def canonical(values):
-        return {v: (8, i) for i, v in enumerate(values)}  # all length 8
-
-    enc_dc, enc_ac = canonical(dc_vals), canonical(ac_vals)
-
-    out = bytearray()
-    acc = [0, 0]  # bit accumulator, count
-
-    def put(code, nbits):
-        acc[0] = (acc[0] << nbits) | code
-        acc[1] += nbits
-        while acc[1] >= 8:
-            acc[1] -= 8
-            byte = (acc[0] >> acc[1]) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)  # stuffing
-        acc[0] &= (1 << acc[1]) - 1
-
-    def put_val(v):
-        s = v if v >= 0 else -v
-        size = s.bit_length()
-        if v < 0:
-            v += (1 << size) - 1
-        return size, v
-
-    def flush():
-        if acc[1]:
-            put(((1 << (8 - acc[1])) - 1), 8 - acc[1])  # pad with 1s
-
-    pred = [0] * len(planes)
-    n_mcus = mcux * mcuy
-    for m in range(n_mcus):
-        if dri and m and m % dri == 0:
-            flush()
-            out.extend(bytes([0xFF, 0xD0 + ((m // dri - 1) % 8)]))
-            pred = [0] * len(planes)
-        my, mx = divmod(m, mcux)
-        for ci, ((sh, sv), plane) in enumerate(zip(samp, padded)):
-            for by in range(sv):
-                for bx in range(sh):
-                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
-                    blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128
-                    coef = np.round(cmat @ blk @ cmat.T).astype(int)
-                    zz = [int(coef.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
-                    size, bitsv = put_val(zz[0] - pred[ci])
-                    pred[ci] = zz[0]
-                    put(*reversed(enc_dc[size]))
-                    put(bitsv, size)
-                    run = 0
-                    for k in range(1, 64):
-                        if zz[k] == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            put(*reversed(enc_ac[0xF0]))
-                            run -= 16
-                        size, bitsv = put_val(zz[k])
-                        put(*reversed(enc_ac[(run << 4) | size]))
-                        put(bitsv, size)
-                        run = 0
-                    if run:
-                        put(*reversed(enc_ac[0x00]))
-    flush()
-    entropy = bytes(out)
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    def dht(tc, values):
-        counts = bytearray(16)
-        counts[7] = len(values)  # all codes length 8
-        return bytes([tc << 4]) + bytes(counts) + values
-
-    sof_comps = b"".join(
-        bytes([ci + 1, (sh << 4) | sv, 0]) for ci, (sh, sv) in enumerate(samp)
-    )
-    sos_comps = b"".join(bytes([ci + 1, 0]) for ci in range(len(samp)))
-    payload = bytes([0xFF, 0xD8])
-    payload += seg(0xDB, bytes([0]) + bytes([1] * 64))  # all-ones quant
-    payload += seg(
-        0xC0, bytes([8]) + struct.pack(">HH", h, w)
-        + bytes([len(samp)]) + sof_comps
-    )
-    payload += seg(0xC4, dht(0, dc_vals)) + seg(0xC4, dht(1, ac_vals))
-    if dri:
-        payload += seg(0xDD, struct.pack(">H", dri))
-    payload += seg(0xDA, bytes([len(samp)]) + sos_comps + bytes([0, 63, 0]))
-    payload += entropy + bytes([0xFF, 0xD9])
-    return payload
+from retail_sales_data_pipeline_spark.operators.multimodal import (  # noqa: E402
+    jpeg_encode_baseline as _jpeg,
+)
 
 
 def test_real_decode_jpeg(spark):

@@ -236,6 +236,11 @@ def test_arrow_band_buckets_validate_grid(spark, vecs):
     sparse = planes.where((F.col("p") != 1) | (F.col("d") == 0))
     with pytest.raises(ValueError, match="dim coverage"):
         S.lsh_band_buckets_arrow(vecs, sparse, planes_per_band=2).collect()
+    # uniformly shifted dims (same count per plane, ids 1..D) would
+    # misalign matmul columns against vector indices — must also raise
+    shifted = S.hyperplanes(spark, 6, 5).where(F.col("d") != 0)
+    with pytest.raises(ValueError, match="misalign|contiguous 0"):
+        S.lsh_band_buckets_arrow(vecs, shifted, planes_per_band=2).collect()
 
 
 def test_arrow_band_buckets_match_expression_twin(spark, vecs):

@@ -225,10 +225,11 @@ def main() -> None:
             row["auto_s"], row["recall_auto"] = t_auto, rec_auto
             row["auto_banding"] = f"{bands}x{per_band}"
             cells.append(f"{t_auto} s ({bands}x{per_band}) | {rec_auto}")
-            assert rec_auto >= 0.95, (
-                f"auto-banding recall {rec_auto} < 0.95 at n={n} "
-                f"({bands}x{per_band}) — recommended_banding rule broken"
-            )
+            if rec_auto < 0.95:  # explicit: a bare assert vanishes
+                raise SystemExit(  # under python -O / PYTHONOPTIMIZE
+                    f"auto-banding recall {rec_auto} < 0.95 at n={n} "
+                    f"({bands}x{per_band}) — recommended_banding rule broken"
+                )
         t_ivf, iv = timed(lambda: ivf_topk(corpus, queries, args.k))
         rec_ivf = _recall(iv, exact, args.k)
         iv.unpersist()

@@ -16,10 +16,10 @@ Usage::
         [--side 16] [--format ppm|jpeg]
 
 ``--format jpeg`` swaps the payload for a real baseline JPEG (encoded
-once driver-side by the forward twin in tests/test_multimodal.py and
-replicated as a binary literal — decode work is per-row identical, so
-the throughput read is honest) and times the full huffman+IDCT decode
-path inside the Arrow batch loop.
+once driver-side by ``multimodal.jpeg_encode_baseline``, the decoder's
+forward twin, and replicated as a binary literal — decode work is
+per-row identical, so the throughput read is honest) and times the
+full huffman+IDCT decode path inside the Arrow batch loop.
 """
 
 from __future__ import annotations
@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from retail_sales_data_pipeline_spark.operators.multimodal import (  # noqa: E402
     decode_media,
+    jpeg_encode_baseline,
 )
 from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -65,22 +66,23 @@ def synthetic_ppm_media(spark, n: int, side: int):
     )
 
 
-def synthetic_jpeg_media(spark, n: int, side: int):
-    """(media_id, media_type, content, source): one REAL baseline JPEG
-    per row — gradient gray image, encoded by the test-suite's forward
-    twin; every row decodes through the full marker/huffman/IDCT path."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    sys.path.insert(0, os.path.join(os.path.dirname(here), "tests"))
-    from test_multimodal import _jpeg
-
+def _jpeg_payload(side: int) -> bytes:
+    """One REAL baseline JPEG: gradient gray image, encoded by the
+    decoder's in-package forward twin."""
     gray = bytes((x * 13 + y * 7) % 256 for y in range(side) for x in range(side))
-    payload = _jpeg(side, side, gray=gray)
+    return jpeg_encode_baseline(side, side, gray=gray)
+
+
+def synthetic_jpeg_media(spark, n: int, payload: bytes):
+    """(media_id, media_type, content, source): the same JPEG payload
+    per row; every row decodes through the full marker/huffman/IDCT
+    path."""
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("media_type"),
         F.lit(payload).alias("content"),
         F.lit("synthetic").alias("source"),
-    ), len(payload)
+    )
 
 
 def main() -> None:
@@ -94,9 +96,11 @@ def main() -> None:
     spark = get_spark(app_name="media-headroom")
 
     if args.format == "jpeg":
+        payload = _jpeg_payload(args.side)
+        bytes_per = len(payload)
+
         def build(n):
-            return synthetic_jpeg_media(spark, n, args.side)[0]
-        bytes_per = synthetic_jpeg_media(spark, 1, args.side)[1]
+            return synthetic_jpeg_media(spark, n, payload)
     else:
         def build(n):
             return synthetic_ppm_media(spark, n, args.side)
