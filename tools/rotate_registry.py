@@ -109,6 +109,9 @@ def main() -> None:
     print(f"# never-checked: {sum(1 for n in names if n not in last_seen)}; "
           f"checked-not-green: "
           f"{sum(1 for n in last_seen if n not in last_green)}")
+    basis = max(hist) if hist else 0
+    print(f"# ALSO bump tests/test_registry_freshness.py::ROTATION_BASIS_ROUND "
+          f"to {basis} in the same commit")
     print("DRIVER_PRIORITY = [")
     for n in window:
         tag = (
