@@ -553,12 +553,16 @@ def _jpeg_decode(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
-def jpeg_encode_baseline(w, h, rgb=None, gray=None, subsample=1, dri=0):
+def jpeg_encode_baseline(
+    w, h, rgb=None, gray=None, subsample=1, dri=0, qtable=None, q16=False
+):
     """Minimal baseline-JPEG encoder (stdlib + numpy): the documented
     forward twin of :func:`_jpeg_decode`, used to synthesize REAL
     JPEG fixture bytes (tests, tools/media_headroom.py). Orthonormal
-    FDCT, all-ones quant tables (dequant exact — round-trip error is
-    just coefficient rounding), fixed-length-8 canonical huffman
+    FDCT, all-ones quant tables by default (dequant exact — round-trip
+    error is just coefficient rounding; pass ``qtable`` — 64 zigzag-
+    order ints — for lossy quantization, ``q16=True`` to emit it as a
+    16-bit Pq=1 DQT), fixed-length-8 canonical huffman
     tables over the full DC/AC symbol alphabet, one MCU-interleaved
     scan with optional restart intervals, 0xFF byte stuffing. ``rgb``
     is h*w*3 bytes (``subsample=2`` applies 2x2 chroma subsampling);
@@ -571,6 +575,7 @@ def jpeg_encode_baseline(w, h, rgb=None, gray=None, subsample=1, dri=0):
     grid = np.arange(8)
     cmat = np.cos((2 * grid[None, :] + 1) * grid[:, None] * np.pi / 16) * 0.5
     cmat[0, :] *= 1 / np.sqrt(2)
+    qt = list(qtable) if qtable is not None else [1] * 64
 
     if gray is not None:
         px = np.frombuffer(gray, np.uint8).reshape(h, w).astype(np.float64)
@@ -653,8 +658,11 @@ def jpeg_encode_baseline(w, h, rgb=None, gray=None, subsample=1, dri=0):
                 for bx in range(sh):
                     y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
                     blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128
-                    coef = np.round(cmat @ blk @ cmat.T).astype(int)
-                    zz = [int(coef.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+                    coef = cmat @ blk @ cmat.T
+                    zz = [
+                        int(round(coef.flat[_JPEG_ZIGZAG[k]] / qt[k]))
+                        for k in range(64)
+                    ]
                     size, bitsv = put_val(zz[0] - pred[ci])
                     pred[ci] = zz[0]
                     put(*reversed(enc_dc[size]))
@@ -689,7 +697,11 @@ def jpeg_encode_baseline(w, h, rgb=None, gray=None, subsample=1, dri=0):
     )
     sos_comps = b"".join(bytes([ci + 1, 0]) for ci in range(len(samp)))
     payload = bytes([0xFF, 0xD8])
-    payload += seg(0xDB, bytes([0]) + bytes([1] * 64))  # all-ones quant
+    if q16:  # Pq=1: 16-bit big-endian table entries
+        dqt_body = bytes([0x10]) + b"".join(struct.pack(">H", q) for q in qt)
+    else:
+        dqt_body = bytes([0]) + bytes(qt)
+    payload += seg(0xDB, dqt_body)
     payload += seg(
         0xC0, bytes([8]) + struct.pack(">HH", h, w)
         + bytes([len(samp)]) + sof_comps

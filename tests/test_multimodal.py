@@ -406,3 +406,29 @@ def test_jpeg_roundtrip_property():
         assert err <= 6, f"{w}x{h} round-trip max err {err}"
 
     prop()
+
+
+def test_jpeg_nonuniform_and_16bit_quant_tables():
+    """Pin the dequantization branches the all-ones tests can't see:
+    a NON-uniform zigzag-order quant table (wrong zigzag<->natural
+    indexing would explode the error) and the 16-bit Pq=1 DQT parse."""
+    import numpy as np
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import _jpeg_decode
+
+    w, h = 16, 16
+    gray = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w))
+    # zigzag-position-dependent table: DC fine, AC coarser with k
+    qt = [1] + [1 + (k % 4) for k in range(1, 64)]
+    for q16 in (False, True):
+        payload = _jpeg(w, h, gray=gray, qtable=qt, q16=q16)
+        gw, gh, raster = _jpeg_decode(payload)
+        assert (gw, gh) == (w, h)
+        err = np.abs(
+            np.frombuffer(raster, np.uint8).astype(int)
+            - np.frombuffer(gray, np.uint8).astype(int)
+        )
+        # quantization steps <= 4: worst-case reconstruction error is a
+        # few units; a zigzag indexing mismatch between encoder and
+        # decoder would produce errors in the tens to hundreds
+        assert err.max() <= 8, f"q16={q16} max err {err.max()}"
