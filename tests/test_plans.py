@@ -85,6 +85,11 @@ PLAN_SHAPE = {
     # joins/exchanges by construction; the pin guards against the drain
     # path ever growing a shuffle.
     "streaming_sessionize": (0, 0, 0, 0),
+    # r5 wrap: the only bench delta above the ~1.2x ambient band this
+    # round (0.65 s -> 0.85 s, 1.31x; isolated steady-state re-runs
+    # converge to the same plateau). Identical shape across rounds =
+    # machine-state noise, same adjudication as cohort-retention.
+    "dedup_semantic_cells": (10, 3, 0, 2),
 }
 
 
