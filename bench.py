@@ -48,6 +48,7 @@ HEADLINE = [
     "corpus_boilerplate_ngrams",
     "dedup_semantic_cells",
     "corpus_curation_funnel",
+    "corpus_shuffle_shard",
     "multimodal_text_retrieval",
     "kmeans_fixed_assign",
 ]

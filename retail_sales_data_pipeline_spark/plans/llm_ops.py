@@ -1715,6 +1715,63 @@ FROM t GROUP BY split
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus_shuffle_shard — reproducible global shuffle + shard
+# assignment, the export step of a training-data build (after curation /
+# dedup / mixing, the corpus must be written as N shard files in a
+# pseudo-random order that is STABLE across reruns and independent of
+# input partitioning — the determinism contract tf.data/WebDataset-style
+# loaders and Dolma's shard writers rely on). Spark-first shape:
+#   * shuffle_key = md5 of the doc id — a pure column function, so the
+#     permutation is a property of the DATA, not of partition layout,
+#     task scheduling, or a seeded RNG whose state depends on row order;
+#   * shard = key-prefix mod N — one hash-partition shuffle co-locates
+#     each shard, which at write time is repartition(N, shard) +
+#     sortWithinPartitions(shuffle_key) → one sorted file per shard,
+#     no global total-order sort (a single-range sort of 100 TB) needed;
+#   * pos = row_number per shard — the window partitions by shard, so
+#     the sort parallelizes N-ways instead of collapsing to one
+#     partition (the classic global-row_number bottleneck).
+# Each shard holds |corpus|/N rows regardless of scale; skew is bounded
+# by md5 uniformity. The whole query is one shuffle + one per-shard
+# sort — exactly the physical work writing the shards costs anyway.
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n_shards = 16
+    df = load_table(spark, sf_dir, "documents", ["doc_id"])
+    key = F.md5(F.concat_ws(":", F.lit("shuf"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shuffle_key", "shard", "pos")
+    )
+
+
+_SHUFFLE_SHARD_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key,
+         CAST(CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % 16
+              AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shuffle_key, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY shuffle_key, doc_id) AS INT) AS pos
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus_mix_rebalance — down-sample every source to hit a TARGET
 # token mix without upsampling (the data-mixing step of Dolma / The
 # Pile / RedPajama dataset builds): given target weights w_s, the
@@ -1874,6 +1931,7 @@ QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "streaming_quality_filter": streaming_quality_filter,
     "corpus_split_assign": corpus_split_assign,
+    "corpus_shuffle_shard": corpus_shuffle_shard,
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "dedup_fuzzy_keys": dedup_fuzzy_keys,
 }
@@ -1916,6 +1974,7 @@ ORACLE_SQL = {
     "corpus_curation_funnel": _CURATION_FUNNEL_SQL,
     "streaming_quality_filter": _STREAM_QUALITY_SQL,
     "corpus_split_assign": _SPLIT_ASSIGN_SQL,
+    "corpus_shuffle_shard": _SHUFFLE_SHARD_SQL,
     "corpus_mix_rebalance": _MIX_REBALANCE_SQL,
     "dedup_fuzzy_keys": _FUZZY_KEYS_SQL,
 }

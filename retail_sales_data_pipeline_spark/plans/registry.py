@@ -31,7 +31,7 @@ _MODULES = [
 # rows are now the stalest. Queries not listed keep their module order after
 # these; the full surface stays covered by tools/drive_contract.py locally.
 #
-# VERIFICATION-COVERAGE POLICY (why 98 registered queries > a trimmed 50):
+# VERIFICATION-COVERAGE POLICY (why 100 registered queries > a trimmed 50):
 # trimming the registry to the 50-query driver window was considered and
 # rejected — the 24 reference-parity retail queries are non-negotiable
 # (SURVEY.md §2 maps to them line by line), which would leave 26 slots for
@@ -45,19 +45,17 @@ _MODULES = [
 # (``python tools/rotate_registry.py`` emits the list to paste here);
 # tests/test_registry_freshness.py enforces this mechanically.
 #
-# CAPACITY: with 99 registered queries and a 50-slot window, each round
-# refreshes one half of the surface, so the two-round guarantee has
-# room for AT MOST ONE new registered query per round (the new query
-# takes the window's one spare slot — round 5's went to ann_auto_topk).
-# A second addition would evict a round-stale query and break the
-# freshness test; park extra query ideas until the next round or grow
-# them as pytest-covered operators first.
+# CAPACITY: with 100 registered queries and a 50-slot window, each round
+# refreshes exactly one half of the surface — the two-round guarantee is
+# now TIGHT (round 5 added ann_auto_topk into the spare slot and
+# corpus_shuffle_shard in place of the dedup_clusters_star bonus
+# refresh; 48 stale-since-r3 + 2 never-checked = 50 exactly). At 100
+# there is NO slack left: any further addition evicts a round-stale
+# query and breaks tests/test_registry_freshness.py. Park extra query
+# ideas as pytest-covered operators until a query is retired.
 DRIVER_PRIORITY = [
-    # round-5 rotation (tools/rotate_registry.py): the one never-checked
-    # addition (ann_auto_topk) first, then the r3-era greens (whole
-    # events/vector/media/streaming surface plus the five retail-parity
-    # anchors), stalest first.
     "ann_auto_topk",  # never checked
+    "corpus_shuffle_shard",  # never checked
     "customer_monthly_mart",  # green r3
     "sales_team_mart",  # green r3
     "star_join_enrich",  # green r3
@@ -106,7 +104,6 @@ DRIVER_PRIORITY = [
     "multimodal_pointer_decode",  # green r3
     "multimodal_embed_texts",  # green r3
     "multimodal_text_retrieval",  # green r3
-    "dedup_clusters_star",  # green r4
 ]
 
 

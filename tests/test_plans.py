@@ -130,6 +130,18 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "l_orderkey" not in p.split("ReadSchema")[1][:200]
 
 
+def test_shuffle_shard_one_exchange_no_global_window(spark, sf_dir):
+    """The export shuffle must be ONE hash exchange on shard (the same
+    physical work writing N shard files costs) — never the classic
+    global-row_number collapse to a single partition, and the scan must
+    read only doc_id."""
+    p = _plan(all_queries()["corpus_shuffle_shard"](spark, sf_dir))
+    # formatted mode prints each node in the tree AND a detail section
+    assert p.count("Exchange") == 2, p
+    assert "SinglePartition" not in p
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
 def test_split_assign_is_projection_plus_one_agg(spark, sf_dir):
     """The split assignment itself must not shuffle — only the summary
     aggregation exchanges (2 = partial/final pair)."""

@@ -495,3 +495,34 @@ def test_blocked_levenshtein_key_used_verbatim(spark):
     assert pairs.get((2, 3)) == 1  # trailing space substituted by "h"
     assert pairs.get((3, 4)) == 1  # trailing space = one edit
     assert (1, 5) not in pairs  # case not folded → dist 7 > max_dist
+
+
+def test_corpus_shuffle_shard_is_a_permutation(spark):
+    """The shard+pos assignment must be a bijection onto the corpus:
+    every doc appears exactly once, each shard's positions are the
+    contiguous 1..len(shard), shards are md5-balanced, and the whole
+    assignment is reproducible (pure function of doc_id — independent
+    of input partitioning)."""
+    from retail_sales_data_pipeline_spark.plans.llm_ops import (
+        corpus_shuffle_shard,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = corpus_shuffle_shard(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == len({r.doc_id for r in rows})  # one row per doc
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(16))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # md5 balance: no shard more than ~3x the uniform share (50 docs /
+    # 16 shards is small — this bounds gross skew, not variance)
+    assert max(len(p) for p in by_shard.values()) <= 3 * max(1, n // 16)
+    # reproducibility: a second build with different input partitioning
+    # yields the identical assignment
+    again = sorted(
+        map(tuple, corpus_shuffle_shard(spark, sf_dir).repartition(7).collect())
+    )
+    assert again == sorted(map(tuple, rows))
