@@ -1,0 +1,125 @@
+"""Multi-dimensional data layout: Z-order (Morton-curve) clustering.
+
+The companion to the small-file compaction planner (`sinks.py`
+``compact_parquet`` / ``plans/retail_queries.maintenance_compaction_plan``):
+compaction fixes FILE COUNT, Z-ordering fixes FILE PRUNING on more than
+one predicate column at once. Sorting a dataset linearly on one column
+gives perfect min/max skipping on that column and none on any other;
+interleaving the bits of k quantized columns (the Morton code — Morton
+1966; the same layout Delta Lake's ``OPTIMIZE ... ZORDER BY`` and
+Iceberg's z-ordered rewrites apply) makes every file's bounding box
+small in ALL k dimensions, so a parquet reader's row-group/file min-max
+stats prune on any predicate column.
+
+Scale shape (the whole point at 100 TB):
+
+* the only driver-side work is one ``agg(min, max)`` per layout column
+  — metadata-sized, a single job over footer-prunable columns;
+* quantization and bit interleaving are pure JVM column algebra
+  (``floor``/``shiftleft``/``bitwiseOR`` — whole-stage codegen, no UDF);
+* the physical movement is exactly ONE range exchange on the z-value
+  (``repartitionByRange`` samples the z distribution, so output files
+  are balanced even when the value distribution is not) plus the
+  per-file sort the parquet writer needs anyway — identical cost to the
+  linear-sort compaction path, strictly better pruning.
+
+Numeric columns only by design: categorical keys should hash-bucket
+(`corpus_shuffle_shard` style) or dictionary-encode before layout.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def quantize_uniform(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Map ``col`` in [lo, hi] onto integer buckets [0, 2**bits), uniform
+    width, clamped at both ends (values at ``hi`` land in the top
+    bucket; a degenerate lo==hi column collapses to bucket 0)."""
+    n = 1 << bits
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    scaled = F.floor((col.cast("double") - F.lit(lo)) / F.lit(hi - lo) * n)
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), scaled)).cast("long")
+
+
+def z_value(bucket_cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of k bucket columns into one
+    Morton code: bit ``i`` of column ``j`` lands at position ``i*k + j``
+    (column 0 holds the least-significant interleaved bit). Requires
+    ``bits * k <= 63`` so the code fits a signed long. Built as a flat
+    bitwiseOR fold — ``bits*k`` shift/mask terms, all codegen'd."""
+    k = len(bucket_cols)
+    if k == 0:
+        raise ValueError("z_value needs at least one column")
+    if bits * k > 63:
+        raise ValueError(f"bits*k = {bits * k} exceeds a signed long")
+    terms = [
+        F.shiftleft(
+            F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j
+        )
+        for i in range(bits)
+        for j, c in enumerate(bucket_cols)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], n_files: int, bits: int | None = None
+) -> DataFrame:
+    """Return ``df`` re-laid-out on the Morton curve of ``cols``:
+    range-partitioned into ``n_files`` z-ranges and sorted by z within
+    each, ready for a one-file-per-partition write. The helper column
+    is dropped — output schema equals input schema."""
+    if bits is None:
+        bits = min(16, 63 // max(1, len(cols)))
+    # one metadata-sized job: global min/max per layout column
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    buckets = [
+        quantize_uniform(
+            F.col(c), float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"]), bits
+        )
+        for c in cols
+    ]
+    z = df.withColumn("_z", z_value(buckets, bits))
+    return (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+def zorder_compact(
+    spark: SparkSession, path: str, cols: list[str], target_files: int
+) -> int:
+    """OPTIMIZE-ZORDER analogue over a parquet dataset: rewrite ``path``
+    into ``target_files`` z-clustered files with the same staged-swap /
+    row-count-validation protocol as ``sinks.compact_parquet`` (same
+    non-atomicity caveat — use a manifest-committing table format on
+    object stores). Returns the resulting file count."""
+    import glob
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_src = df.count()
+    staging = path.rstrip("/") + "._zorder"
+    zorder_layout(df, cols, target_files).write.mode("overwrite").parquet(
+        staging
+    )
+    n_staged = spark.read.parquet(staging).count()
+    if n_staged != n_src:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"zorder row-count mismatch: staged {n_staged} != source {n_src}"
+        )
+    backup = path.rstrip("/") + "._old"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return len(glob.glob(f"{path}/part-*"))

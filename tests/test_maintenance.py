@@ -123,3 +123,109 @@ def test_mix_rebalance_binding_source_kept_whole(spark):
     assert out["src0"].rate == 1.0  # binding source kept whole
     # others down-sampled: target share 1/5 each vs ~half the raw corpus
     assert out["src1"].rate < 0.5 and out["src2"].rate < 0.5
+
+
+def _morton_ref(vals: list[int], bits: int) -> int:
+    out = 0
+    k = len(vals)
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            out |= ((v >> i) & 1) << (i * k + j)
+    return out
+
+
+def test_z_value_matches_python_reference(spark):
+    from retail_sales_data_pipeline_spark.operators.layout import z_value
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(1 << 10), rng.randrange(1 << 10))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id", z_value([F.col("a"), F.col("b")], 10).alias("z")
+        ).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == _morton_ref([a, b], 10), (i, a, b)
+
+
+def test_z_value_rejects_long_overflow():
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.layout import z_value
+
+    with _pytest.raises(ValueError):
+        z_value([F.col("a"), F.col("b")], 32)  # 64 bits > signed long
+
+
+def test_zorder_prunes_on_both_dimensions(spark):
+    """The reason z-order exists: after laying out on (x, y), a
+    predicate on EITHER column alone touches only a fraction of the
+    range partitions (their per-partition min/max boxes are small in
+    both dims), whereas a linear sort on x leaves a y-predicate
+    touching every partition."""
+    from pyspark.sql.functions import spark_partition_id
+
+    from retail_sales_data_pipeline_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (rng.uniform(0, 1), rng.uniform(0, 1)) for _ in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    n_parts = 16
+
+    def boxes(laid):
+        return (
+            laid.withColumn("pid", spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+
+    def touched(bs, col, lo, hi):
+        if col == "y":
+            return sum(1 for b in bs if b.y1 >= lo and b.y0 <= hi)
+        return sum(1 for b in bs if b.x1 >= lo and b.x0 <= hi)
+
+    z_boxes = boxes(zorder_layout(df, ["x", "y"], n_parts))
+    linear_boxes = boxes(
+        df.repartitionByRange(n_parts, "x").sortWithinPartitions("x")
+    )
+    assert len(z_boxes) == n_parts
+    # a narrow y-slice: linear-x layout cannot skip anything
+    assert touched(linear_boxes, "y", 0.4, 0.45) == n_parts
+    # z-order: the same slice touches at most half the partitions
+    assert touched(z_boxes, "y", 0.4, 0.45) <= n_parts // 2
+    # and x-pruning still works on the z layout (not as sharp as a
+    # pure x sort, but far from all-partitions)
+    assert touched(z_boxes, "x", 0.4, 0.45) <= n_parts // 2
+
+
+def test_zorder_compact_roundtrip(spark, tmp_path):
+    from retail_sales_data_pipeline_spark.operators.layout import (
+        zorder_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    df.repartition(40).write.parquet(path)  # 40 small files
+
+    n_files = zorder_compact(spark, path, ["a", "b"], target_files=8)
+    assert n_files == 8
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert sorted(r.id for r in back.select("id").collect()) == list(
+        range(5000)
+    )
