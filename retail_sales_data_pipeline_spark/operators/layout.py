@@ -81,6 +81,11 @@ def zorder_layout(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
+    bad = [c for c in cols if bounds[f"lo_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"cannot z-order on {bad}: empty input or all-null column(s)"
+        )
     buckets = [
         quantize_uniform(
             F.col(c), float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"]), bits

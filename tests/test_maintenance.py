@@ -229,3 +229,15 @@ def test_zorder_compact_roundtrip(spark, tmp_path):
     assert sorted(r.id for r in back.select("id").collect()) == list(
         range(5000)
     )
+
+
+def test_zorder_layout_rejects_empty_or_allnull(spark):
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    empty = spark.createDataFrame([], "x double, y double")
+    with _pytest.raises(ValueError, match="empty input or all-null"):
+        zorder_layout(empty, ["x", "y"], 4)
