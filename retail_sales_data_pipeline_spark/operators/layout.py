@@ -73,7 +73,13 @@ def zorder_layout(
     """Return ``df`` re-laid-out on the Morton curve of ``cols``:
     range-partitioned into ``n_files`` z-ranges and sorted by z within
     each, ready for a one-file-per-partition write. The helper column
-    is dropped — output schema equals input schema."""
+    is dropped — output schema equals input schema.
+
+    Column order matters at the margin: the LAST column in ``cols``
+    owns the higher bit of each interleaved pair, so curve-range
+    bounding boxes are tighter along it (measured 16 vs 25 of 64 files
+    read at 1M rows — tools/layout_headroom.py); put the most-filtered
+    column last."""
     if bits is None:
         bits = min(16, 63 // max(1, len(cols)))
     # one metadata-sized job: global min/max per layout column

@@ -1,0 +1,103 @@
+"""Measure the z-order layout at headroom scale: rewrite cost and
+file-pruning win vs a linear single-column sort, at 1M rows / 64 output
+files (tests pin the property at 20k rows / 16 partitions — this tool
+checks the SLOPE and the pruning fraction where range-sampling noise is
+negligible).
+
+Usage: python tools/layout_headroom.py [--rows 1000000] [--files 64]
+Prints one markdown table row per layout for docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.functions import spark_partition_id  # noqa: E402
+
+from retail_sales_data_pipeline_spark.operators.layout import (  # noqa: E402
+    zorder_layout,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def boxes(laid):
+    return (
+        laid.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("x").alias("x0"),
+            F.max("x").alias("x1"),
+            F.min("y").alias("y0"),
+            F.max("y").alias("y1"),
+        )
+        .collect()
+    )
+
+
+def touched(bs, col: str, lo: float, hi: float) -> int:
+    if col == "y":
+        return sum(1 for b in bs if b.y1 >= lo and b.y0 <= hi)
+    return sum(1 for b in bs if b.x1 >= lo and b.x0 <= hi)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--files", type=int, default=64)
+    args = ap.parse_args()
+
+    spark = get_spark("layout-headroom")
+    # deterministic pseudo-uniform 2-d points from the row index (same
+    # md5 primitive as the fixtures — no Python RNG, executor-parallel)
+    base = (
+        spark.range(args.rows)
+        .withColumn("h", F.md5(F.concat(F.lit("pt:"), F.col("id"))))
+        .withColumn(
+            "x",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("double")
+            / float(0xFFFFFFFF),
+        )
+        .withColumn(
+            "y",
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("double")
+            / float(0xFFFFFFFF),
+        )
+        .select("id", "x", "y")
+        .persist()
+    )
+    base.count()
+
+    # a 5%-wide slice on each dimension
+    lo, hi = 0.475, 0.525
+
+    t0 = time.time()
+    zb = boxes(zorder_layout(base, ["x", "y"], args.files))
+    t_z = time.time() - t0
+
+    t0 = time.time()
+    lb = boxes(
+        base.repartitionByRange(args.files, "x").sortWithinPartitions("x")
+    )
+    t_lin = time.time() - t0
+
+    n = args.files
+    print(
+        f"| linear sort x | {args.rows:,} rows, {n} files | {t_lin:.1f} s | "
+        f"x-slice {touched(lb, 'x', lo, hi)}/{n} | "
+        f"y-slice {touched(lb, 'y', lo, hi)}/{n} |"
+    )
+    print(
+        f"| z-order (x,y) | {args.rows:,} rows, {n} files | {t_z:.1f} s | "
+        f"x-slice {touched(zb, 'x', lo, hi)}/{n} | "
+        f"y-slice {touched(zb, 'y', lo, hi)}/{n} |"
+    )
+    base.unpersist()
+
+
+if __name__ == "__main__":
+    main()
