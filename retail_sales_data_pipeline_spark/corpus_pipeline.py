@@ -78,3 +78,56 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationRes
         out_path=out_dir,
         funnel=funnel,
     )
+
+
+@dataclass
+class ExportResult:
+    n_docs: int = 0
+    n_shards: int = 0
+    out_path: str = ""
+
+
+def export_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 16
+) -> ExportResult:
+    """The training-export step after curation: write the surviving
+    corpus as ``n_shards`` shard directories in the reproducible
+    pseudo-random order of the md5 permutation key (the oracle-checked
+    ``corpus_shuffle_shard`` assignment — job and query share the
+    ``shuffle_key_col``/``shard_col`` expressions, so the written
+    layout cannot drift from the verified one).
+
+    Physical shape: ONE hash exchange on the shard id (each shard lives
+    in exactly one task, so ``partitionBy("shard")`` emits exactly one
+    file per shard directory) + the per-task sort on the shuffle key
+    that gives each shard file its within-shard order. No global sort,
+    no driver collect; rerunning the job on the same corpus writes a
+    byte-identical assignment.
+    """
+    from .plans.llm_ops import curation_flags, shard_col, shuffle_key_col
+
+    flags = curation_flags(spark, sf_dir).persist()
+    try:
+        survivors = flags.where(F.col("c6")).select("doc_id")
+        docs = load_table(
+            spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"]
+        )
+        kept = (
+            docs.join(survivors, "doc_id")
+            .withColumn("shuffle_key", shuffle_key_col())
+            .withColumn("shard", shard_col(n_shards))
+        )
+        (
+            kept.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "shuffle_key")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{out_dir}/shards")
+        )
+        n_docs = spark.read.parquet(f"{out_dir}/shards").count()
+    finally:
+        flags.unpersist()
+        release_persisted()
+    return ExportResult(
+        n_docs=n_docs, n_shards=n_shards, out_path=f"{out_dir}/shards"
+    )

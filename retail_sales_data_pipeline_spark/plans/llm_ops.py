@@ -1734,20 +1734,28 @@ FROM t GROUP BY split
 # Each shard holds |corpus|/N rows regardless of scale; skew is bounded
 # by md5 uniformity. The whole query is one shuffle + one per-shard
 # sort — exactly the physical work writing the shards costs anyway.
+def shuffle_key_col(id_col: str = "doc_id"):
+    """The permutation key: md5('shuf:'||id) — shared by the oracle
+    query and the export write job (corpus_pipeline.export_shards)."""
+    return F.md5(F.concat_ws(":", F.lit("shuf"), F.col(id_col).cast("string")))
+
+
+def shard_col(n_shards: int, key_col: str = "shuffle_key"):
+    """Shard = key-prefix mod N over the hex shuffle key."""
+    return (
+        F.conv(F.substring(key_col, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+
+
 def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     n_shards = 16
     df = load_table(spark, sf_dir, "documents", ["doc_id"])
-    key = F.md5(F.concat_ws(":", F.lit("shuf"), F.col("doc_id").cast("string")))
-    shard = (
-        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
-        % n_shards
-    ).cast("int")
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return (
-        df.withColumn("shuffle_key", key)
-        .withColumn("shard", shard)
+        df.withColumn("shuffle_key", shuffle_key_col())
+        .withColumn("shard", shard_col(n_shards))
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "shuffle_key", "shard", "pos")
     )

@@ -258,6 +258,55 @@ def test_curate_corpus_writes_survivors(spark, tmp_path):
     assert any(d.startswith("lang=") for d in os.listdir(f"{res.out_path}/documents"))
 
 
+def test_export_shards_writes_reproducible_layout(spark, tmp_path):
+    """The export job must write exactly one file per shard directory,
+    cover exactly the curation survivors, order each shard by the
+    shuffle key, and be byte-reproducible (same assignment on rerun)."""
+    import os
+
+    from retail_sales_data_pipeline_spark.corpus_pipeline import (
+        curate_corpus,
+        export_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_shards = 8
+    res = export_shards(spark, sf, str(tmp_path / "exp"), n_shards=n_shards)
+    kept = curate_corpus(spark, sf, str(tmp_path / "curated")).kept_docs
+    assert res.n_docs == kept
+
+    shard_dirs = sorted(
+        d for d in os.listdir(res.out_path) if d.startswith("shard=")
+    )
+    assert len(shard_dirs) == n_shards
+    for d in shard_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(res.out_path, d))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 1, (d, files)  # one file per shard
+
+    back = spark.read.parquet(res.out_path)
+    assert back.count() == res.n_docs
+    # within-shard order: rows of each shard file are sorted by the
+    # permutation key (single parquet file read preserves row order)
+    one = spark.read.parquet(os.path.join(res.out_path, "shard=0"))
+    keys = [r.shuffle_key for r in one.select("shuffle_key").collect()]
+    assert keys == sorted(keys) and len(keys) > 0
+    # reproducibility: a second export writes the identical assignment
+    res2 = export_shards(spark, sf, str(tmp_path / "exp2"), n_shards=n_shards)
+    a = sorted(
+        map(tuple, spark.read.parquet(res.out_path).select(
+            "doc_id", "shard").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(res2.out_path).select(
+            "doc_id", "shard").collect())
+    )
+    assert a == b
+
+
 def test_single_header_probe_per_file(spark, dims, workdir, monkeypatch):
     """The exact-vs-wide routing in step 5 must reuse the headers probed
     during validation: exactly ONE driver-side header read per file
