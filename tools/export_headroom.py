@@ -1,0 +1,69 @@
+"""Slope check for the shuffle-shard export assignment: run the
+corpus_shuffle_shard shape (md5 key → shard → per-shard row_number)
+over synthetic ids at 1M and 10M docs and report wall time and shard
+balance. Linear wall growth + tight shard balance is the property that
+carries the export to a 100 TB corpus (one hash exchange, N-way
+parallel per-shard sort, no global ordering step).
+
+Usage: python tools/export_headroom.py [--sizes 1000000 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from retail_sales_data_pipeline_spark.plans.llm_ops import (  # noqa: E402
+    shard_col,
+    shuffle_key_col,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sizes", type=int, nargs="+", default=[1_000_000, 10_000_000]
+    )
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args()
+
+    spark = get_spark("export-headroom")
+    sizes = [100_000] + args.sizes  # first row is codegen/JIT warmup
+    for i, n in enumerate(sizes):
+        ids = spark.range(n).withColumnRenamed("id", "doc_id")
+        w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+        t0 = time.time()
+        stats = (
+            ids.withColumn("shuffle_key", shuffle_key_col())
+            .withColumn("shard", shard_col(args.shards))
+            .withColumn("pos", F.row_number().over(w))
+            .groupBy("shard")
+            .agg(F.max("pos").alias("rows"))
+            .agg(
+                F.count(F.lit(1)).alias("shards"),
+                F.min("rows").alias("min_rows"),
+                F.max("rows").alias("max_rows"),
+            )
+            .first()
+        )
+        wall = time.time() - t0
+        if i == 0:
+            continue  # warmup row — codegen/JIT, not the slope
+        skew = stats.max_rows / max(1, stats.min_rows)
+        rate = n / wall / 1e6
+        print(
+            f"| shuffle-shard assign | {n:,} docs, {args.shards} shards | "
+            f"{wall:.1f} s ({rate:.1f}M docs/s) | "
+            f"balance max/min = {skew:.3f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
