@@ -12,10 +12,12 @@ decode for self-describing formats:
   PPM/PGM images, 8-bit PNG (zlib inflate + all five scanline
   filters), baseline huffman JPEG (marker parse, entropy decode,
   dequant + IDCT, chroma upsampling, YCbCr→RGB — :func:`_jpeg_decode`),
-  RIFF/WAVE PCM audio, and PPM-stream video with stdlib+numpy parsing
-  (``tests/test_multimodal.py`` drives actual P6/PNG/JPEG/WAV bytes
-  through the Arrow path). Formats that require codec libraries absent
-  from this container (progressive JPEG/MP4/OGG) raise ``ValueError``
+  GIF87a/89a incl. animated frame counting (variable-width LZW —
+  :func:`_gif_decode`), RIFF/WAVE PCM audio, and PPM-stream video with
+  stdlib+numpy parsing (``tests/test_multimodal.py`` drives actual
+  P6/PNG/JPEG/GIF/WAV bytes through the Arrow path). Formats that
+  require codec libraries absent from this container (progressive
+  JPEG/interlaced GIF/MP4/OGG) raise ``ValueError``
   naming the library. ``fake=True`` (default) substitutes a
   *deterministic* md5-derived decode so the synthesized text-byte
   fixtures stay oracle-checkable.
@@ -714,13 +716,191 @@ def jpeg_encode_baseline(
     return payload
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW (variable-width codes, LSB-first bit packing,
+    CLEAR/END control codes, max 12-bit codes — GIF89a spec appendix F).
+    Returns exactly ``n_pixels`` palette indices."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    width, next_code, prev = min_code + 1, end + 1, None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code, prev = fresh(), min_code + 1, end + 1, None
+                continue
+            if code == end:
+                if len(out) != n_pixels:
+                    raise ValueError(
+                        f"GIF LZW ended at {len(out)} of {n_pixels} pixels"
+                    )
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = table[prev] + entry[:1]
+                next_code += 1
+            elif code == next_code:  # the KwKwK case
+                entry = table[prev] + table[prev][:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out += entry
+            prev = code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                # some encoders omit the explicit END code
+                return out[:n_pixels]
+    raise ValueError("truncated GIF LZW stream")
+
+
+def _gif_decode(payload: bytes) -> tuple[int, int, bytes, int]:
+    """Decode a (possibly animated) GIF, stdlib-only: returns
+    ``(width, height, first_frame_rgb, n_frames)``. Non-interlaced
+    frames only (interlaced GIFs raise ``ValueError`` — rare in corpus
+    data and deliberately unimplemented rather than silently wrong);
+    later frames are counted, not composited."""
+    import struct
+
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    w, h, packed = struct.unpack_from("<HHB", payload, 6)
+    i = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[i : i + n]
+        i += n
+    n_frames, first_rgb = 0, b""
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, i + 1)
+        i += 10
+        lct = gct
+        if fpacked & 0x80:
+            n = 3 * (2 << (fpacked & 0x07))
+            lct = payload[i : i + n]
+            i += n
+        if fpacked & 0x40:
+            raise ValueError("interlaced GIF unsupported here")
+        min_code = payload[i]
+        i += 1
+        chunks = []
+        while payload[i] != 0:
+            size = payload[i]
+            chunks.append(payload[i + 1 : i + 1 + size])
+            i += 1 + size
+        i += 1
+        n_frames += 1
+        if n_frames == 1:
+            if not lct:
+                raise ValueError("GIF frame has no color table")
+            import numpy as np
+
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), fw * fh)
+            pal = np.frombuffer(lct, np.uint8).reshape(-1, 3)
+            first_rgb = pal[np.frombuffer(bytes(idx), np.uint8)].tobytes()
+            w, h = fw, fh  # feature raster = first frame's own dims
+    if n_frames == 0:
+        raise ValueError("GIF payload contains no image data")
+    return w, h, first_rgb, n_frames
+
+
+def gif_encode(
+    w: int, h: int, indices: bytes, palette: list[tuple[int, int, int]],
+    n_frames: int = 1,
+) -> bytes:
+    """Minimal GIF89a encoder — the fixture-synthesis twin of
+    :func:`_gif_decode` (same role as :func:`jpeg_encode_baseline`).
+    Emits root codes only, with a CLEAR whenever the table would force
+    a width change — the classic "uncompressed GIF" stream, valid LZW
+    at a fixed ``min_code+1`` bit width. ``indices`` is one h*w frame
+    repeated ``n_frames`` times (enough to exercise frame counting)."""
+    import struct
+
+    if not 2 <= len(palette) <= 256:
+        raise ValueError("palette must hold 2..256 colors")
+    depth = max(2, (len(palette) - 1).bit_length())  # GIF min code size >= 2
+    clear, end = 1 << depth, (1 << depth) + 1
+    width = depth + 1
+
+    def lzw(idx: bytes) -> bytes:
+        bits, acc, nbits = bytearray(), 0, 0
+
+        def put(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        put(clear)
+        budget = (1 << width) - end - 2  # codes until width would grow
+        for k, v in enumerate(idx):
+            if k and k % max(1, budget) == 0:
+                put(clear)
+            put(v)
+        put(end)
+        if nbits:
+            bits.append(acc & 0xFF)
+        return bytes(bits)
+
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * (1 << depth) - len(pal))
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([depth])
+        stream = lzw(indices)
+        for off in range(0, len(stream), 255):
+            chunk = stream[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _real_decode(payload: bytes, media_type: str) -> dict:
     """Real decode path for self-describing formats, pure stdlib:
 
     - ``image``: binary PPM/PGM (P6/P5) — header dims, raster-sampled
       feature vector — 8-bit non-interlaced PNG (zlib inflate +
-      scanline de-filtering, :func:`_png_decode`) — or baseline
-      huffman JPEG (:func:`_jpeg_decode`);
+      scanline de-filtering, :func:`_png_decode`) — baseline huffman
+      JPEG (:func:`_jpeg_decode`) — or GIF with animated frame
+      counting (:func:`_gif_decode`);
     - ``audio``: RIFF/WAVE PCM — ``width``=sample rate, ``height``=
       channels, ``n_frames``=samples per channel, feature sampled from
       the PCM data chunk;
@@ -751,6 +931,14 @@ def _real_decode(payload: bytes, media_type: str) -> dict:
                 "width": w,
                 "height": h,
                 "n_frames": 1,
+                "feature": _sample_feature(raster, 255.0),
+            }
+        if payload[:6] in _GIF_SIGS:
+            w, h, raster, n_frames = _gif_decode(payload)
+            return {
+                "width": w,
+                "height": h,
+                "n_frames": n_frames,
                 "feature": _sample_feature(raster, 255.0),
             }
         magic, w, h, maxval, off = _ppm_header(payload)

@@ -432,3 +432,62 @@ def test_jpeg_nonuniform_and_16bit_quant_tables():
         # few units; a zigzag indexing mismatch between encoder and
         # decoder would produce errors in the tens to hundreds
         assert err.max() <= 8, f"q16={q16} max err {err.max()}"
+
+
+def test_real_decode_gif(spark):
+    """GIF87a/89a LZW decode (stdlib): exact round-trip through the
+    palette (LZW is lossless), animated frame counting, interlace
+    rejection, and the Arrow decode path end-to-end."""
+    import numpy as np
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _gif_decode,
+        decode_media,
+        gif_encode,
+    )
+
+    w, h = 13, 9
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    indices = bytes((x + y) % len(palette) for y in range(h) for x in range(w))
+    payload = gif_encode(w, h, indices, palette)
+
+    gw, gh, rgb, n_frames = _gif_decode(payload)
+    assert (gw, gh, n_frames) == (w, h, 1)
+    want = b"".join(bytes(palette[v]) for v in indices)
+    assert rgb == want  # lossless: byte-exact through LZW + palette
+
+    # a wide image exercises multi-chunk sub-block framing and the
+    # periodic CLEAR codes of the fixed-width encoder
+    w2, h2 = 200, 31
+    idx2 = bytes((x * 7 + y * 3) % len(palette) for y in range(h2) for x in range(w2))
+    gw, gh, rgb2, _ = _gif_decode(gif_encode(w2, h2, idx2, palette))
+    assert (gw, gh) == (w2, h2)
+    assert rgb2 == b"".join(bytes(palette[v]) for v in idx2)
+
+    # animated: frames counted, first frame decoded
+    _, _, rgb3, n3 = _gif_decode(gif_encode(w, h, indices, palette, n_frames=3))
+    assert n3 == 3 and rgb3 == want
+
+    # interlaced flag → loud rejection, not silent row garbage
+    inter = bytearray(gif_encode(w, h, indices, palette))
+    pos = inter.index(0x2C, 13)  # first image descriptor
+    inter[pos + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _gif_decode(bytes(inter))
+
+    # 256-color palette exercises 8-bit depth (min code size 8)
+    big_pal = [(i, 255 - i, i ^ 0x5A) for i in range(256)]
+    idx4 = bytes((x * 11 + y * 5) % 256 for y in range(h) for x in range(w))
+    _, _, rgb4, _ = _gif_decode(gif_encode(w, h, idx4, big_pal))
+    assert rgb4 == b"".join(bytes(big_pal[v]) for v in idx4)
+
+    # through the Arrow mapInPandas path
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "synth://gif")], MEDIA_SCHEMA
+    )
+    row = decode_media(df, fake=False).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (w, h, 1)
+    assert row.n_bytes == len(payload)
+    got = np.array(row.feature)
+    assert got.shape == (8,) and np.all((got >= 0) & (got <= 1))

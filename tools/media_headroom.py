@@ -13,7 +13,7 @@ return.
 Usage::
 
     python tools/media_headroom.py [--sizes 10000,50000,200000]
-        [--side 16] [--format ppm|jpeg]
+        [--side 16] [--format ppm|jpeg|gif]
 
 ``--format jpeg`` swaps the payload for a real baseline JPEG (encoded
 once driver-side by ``multimodal.jpeg_encode_baseline``, the decoder's
@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from retail_sales_data_pipeline_spark.operators.multimodal import (  # noqa: E402
     decode_media,
+    gif_encode,
     jpeg_encode_baseline,
 )
 from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -73,10 +74,17 @@ def _jpeg_payload(side: int) -> bytes:
     return jpeg_encode_baseline(side, side, gray=gray)
 
 
+def _gif_payload(side: int) -> bytes:
+    """One REAL GIF89a: 4-color gradient, encoded by the decoder's
+    in-package forward twin (fixed-width LZW with periodic CLEARs)."""
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 40, 40)]
+    idx = bytes((x + y) % 4 for y in range(side) for x in range(side))
+    return gif_encode(side, side, idx, palette)
+
+
 def synthetic_jpeg_media(spark, n: int, payload: bytes):
-    """(media_id, media_type, content, source): the same JPEG payload
-    per row; every row decodes through the full marker/huffman/IDCT
-    path."""
+    """(media_id, media_type, content, source): the same encoded payload
+    per row; every row decodes through the full real-codec path."""
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("media_type"),
@@ -89,14 +97,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="10000,50000,200000")
     ap.add_argument("--side", type=int, default=16)
-    ap.add_argument("--format", default="ppm", choices=["ppm", "jpeg"])
+    ap.add_argument("--format", default="ppm", choices=["ppm", "jpeg", "gif"])
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
     spark = get_spark(app_name="media-headroom")
 
-    if args.format == "jpeg":
-        payload = _jpeg_payload(args.side)
+    if args.format in ("jpeg", "gif"):
+        payload = (
+            _jpeg_payload(args.side)
+            if args.format == "jpeg"
+            else _gif_payload(args.side)
+        )
         bytes_per = len(payload)
 
         def build(n):
