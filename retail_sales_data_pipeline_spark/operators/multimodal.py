@@ -17,7 +17,7 @@ decode for self-describing formats:
   stdlib+numpy parsing (``tests/test_multimodal.py`` drives actual
   P6/PNG/JPEG/GIF/WAV bytes through the Arrow path). Formats that
   require codec libraries absent from this container (progressive
-  JPEG/interlaced GIF/MP4/OGG) raise ``ValueError``
+  JPEG/MP4/OGG) raise ``ValueError``
   naming the library. ``fake=True`` (default) substitutes a
   *deterministic* md5-derived decode so the synthesized text-byte
   fixtures stay oracle-checkable.
@@ -772,9 +772,8 @@ def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytearray:
 
 def _gif_decode(payload: bytes) -> tuple[int, int, bytes, int]:
     """Decode a (possibly animated) GIF, stdlib-only: returns
-    ``(width, height, first_frame_rgb, n_frames)``. Non-interlaced
-    frames only (interlaced GIFs raise ``ValueError`` — rare in corpus
-    data and deliberately unimplemented rather than silently wrong);
+    ``(width, height, first_frame_rgb, n_frames)``. Interlaced frames
+    are de-interlaced (four-pass row scatter, GIF89a appendix E);
     later frames are counted, not composited."""
     import struct
 
@@ -807,8 +806,7 @@ def _gif_decode(payload: bytes) -> tuple[int, int, bytes, int]:
             n = 3 * (2 << (fpacked & 0x07))
             lct = payload[i : i + n]
             i += n
-        if fpacked & 0x40:
-            raise ValueError("interlaced GIF unsupported here")
+        interlaced = bool(fpacked & 0x40)
         min_code = payload[i]
         i += 1
         chunks = []
@@ -823,9 +821,24 @@ def _gif_decode(payload: bytes) -> tuple[int, int, bytes, int]:
                 raise ValueError("GIF frame has no color table")
             import numpy as np
 
-            idx = _gif_lzw_decode(min_code, b"".join(chunks), fw * fh)
+            idx = np.frombuffer(
+                bytes(_gif_lzw_decode(min_code, b"".join(chunks), fw * fh)),
+                np.uint8,
+            ).reshape(fh, fw)
+            if interlaced:
+                # rows arrive in the four interlace passes (GIF89a
+                # appendix E): scatter them back to display order
+                order = (
+                    list(range(0, fh, 8))
+                    + list(range(4, fh, 8))
+                    + list(range(2, fh, 4))
+                    + list(range(1, fh, 2))
+                )
+                display = np.empty_like(idx)
+                display[order] = idx
+                idx = display
             pal = np.frombuffer(lct, np.uint8).reshape(-1, 3)
-            first_rgb = pal[np.frombuffer(bytes(idx), np.uint8)].tobytes()
+            first_rgb = pal[idx.reshape(-1)].tobytes()
             w, h = fw, fh  # feature raster = first frame's own dims
     if n_frames == 0:
         raise ValueError("GIF payload contains no image data")
@@ -834,7 +847,7 @@ def _gif_decode(payload: bytes) -> tuple[int, int, bytes, int]:
 
 def gif_encode(
     w: int, h: int, indices: bytes, palette: list[tuple[int, int, int]],
-    n_frames: int = 1,
+    n_frames: int = 1, interlaced: bool = False,
 ) -> bytes:
     """Minimal GIF89a encoder — the fixture-synthesis twin of
     :func:`_gif_decode` (same role as :func:`jpeg_encode_baseline`).
@@ -878,11 +891,24 @@ def gif_encode(
         pal += bytes([r, g, b])
     pal += b"\x00" * (3 * (1 << depth) - len(pal))
 
+    if interlaced:
+        # stream rows in the four-pass interlace order; the decoder's
+        # scatter is the inverse permutation
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        indices = b"".join(indices[r * w : (r + 1) * w] for r in order)
+
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
     out += pal
     for _ in range(n_frames):
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0
+        )
         out += bytes([depth])
         stream = lzw(indices)
         for off in range(0, len(stream), 255):

@@ -469,12 +469,13 @@ def test_real_decode_gif(spark):
     _, _, rgb3, n3 = _gif_decode(gif_encode(w, h, indices, palette, n_frames=3))
     assert n3 == 3 and rgb3 == want
 
-    # interlaced flag → loud rejection, not silent row garbage
-    inter = bytearray(gif_encode(w, h, indices, palette))
-    pos = inter.index(0x2C, 13)  # first image descriptor
-    inter[pos + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        _gif_decode(bytes(inter))
+    # interlaced: encoder streams rows in four-pass order, decoder
+    # scatters them back — display raster must equal the plain one
+    # (h=9 exercises all four passes: rows 0,8 | 4 | 2,6 | 1,3,5,7)
+    _, _, rgb_i, _ = _gif_decode(
+        gif_encode(w, h, indices, palette, interlaced=True)
+    )
+    assert rgb_i == want
 
     # 256-color palette exercises 8-bit depth (min code size 8)
     big_pal = [(i, 255 - i, i ^ 0x5A) for i in range(256)]
