@@ -1,0 +1,103 @@
+"""Mergeable frequency sketches: Misra-Gries heavy hitters.
+
+Why this exists at 100 TB: exact `groupBy(key).count()` shuffles the
+FULL distinct key space — for n-grams/URLs/user-agents that is billions
+of keys, most of them singletons, and the shuffle is the job. The
+Misra-Gries summary (Misra & Gries 1982; the mergeable-summaries
+analysis is Agarwal et al., PODS 2012) keeps at most ``capacity``
+counters per partition and merges by counter addition + uniform
+decrement, giving every item a LOWER bound on its true count with
+total underestimate ≤ n/capacity. Anything truly frequent
+(count > n/capacity) is guaranteed to survive; the shuffle moves at
+most ``capacity`` summary rows per partition instead of the raw keys.
+
+This is the same two-phase shape Spark uses internally for
+`approx_count_distinct` (HLL partials → merge): a per-partition Arrow
+stage builds the summaries, one metadata-sized groupBy merges them.
+Spark has no built-in heavy-hitters aggregate — this is the
+composition path (mapInPandas + groupBy) the brief prescribes for
+operators the engine lacks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("item", T.StringType(), False),
+        T.StructField("weight", T.LongType(), False),
+    ]
+)
+
+
+def _mg_reduce(counts: dict[str, int], capacity: int) -> None:
+    """In-place Misra-Gries reduction to ≤ capacity counters: subtract
+    the (capacity+1)-th largest weight from every counter and drop the
+    non-positive ones. Uniform subtraction preserves the lower-bound
+    invariant (each counter only ever shrinks)."""
+    if len(counts) <= capacity:
+        return
+    cut = sorted(counts.values(), reverse=True)[capacity]
+    for k in list(counts):
+        v = counts[k] - cut
+        if v > 0:
+            counts[k] = v
+        else:
+            del counts[k]
+
+
+def partition_summaries(
+    df: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Stage 1: one Misra-Gries summary per partition via mapInPandas.
+
+    Batches are pre-aggregated with pandas ``value_counts`` (vectorized
+    — the Python loop runs over DISTINCT items per batch, not rows),
+    then folded into the partition's counter dict with MG reduction.
+    Emits ≤ ``capacity`` (item, weight) rows per partition — the ONLY
+    rows that reach the merge shuffle.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for item, n in pdf[col].dropna().value_counts().items():
+                counts[item] = counts.get(item, 0) + int(n)
+            _mg_reduce(counts, capacity)
+        yield pd.DataFrame(
+            {"item": list(counts), "weight": list(counts.values())}
+        )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, schema=_SUMMARY_SCHEMA
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, capacity: int, top_k: int | None = None
+) -> DataFrame:
+    """Approximate heavy hitters over ``df[col]``.
+
+    Returns (item, est_count) where ``est_count`` is a LOWER bound on
+    the true count and ``true ≤ est_count + n/capacity`` (n = total
+    rows): every item with true count > n/capacity is guaranteed
+    present. Physical shape: per-partition Arrow summaries (≤ capacity
+    rows each) → ONE groupBy over the summary rows → optional top-k.
+    The raw relation is never shuffled.
+    """
+    merged = (
+        partition_summaries(df, col, capacity)
+        .groupBy("item")
+        .agg(F.sum("weight").alias("est_count"))
+    )
+    if top_k is not None:
+        merged = merged.orderBy(F.desc("est_count"), "item").limit(top_k)
+    return merged

@@ -1,0 +1,92 @@
+"""Misra-Gries heavy hitters: the guarantees, checked against exact
+counts on skewed synthetic data, plus the scale property (only summary
+rows reach the shuffle)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.operators.sketch import (
+    heavy_hitters,
+    partition_summaries,
+)
+
+
+def _skewed_df(spark, n=20_000, parts=8, seed=5):
+    """~zipf: item_i has weight ~ 1/(i+1); a few dominant heads, a
+    long singleton-ish tail."""
+    rng = random.Random(seed)
+    pop = [f"k{i}" for i in range(500)]
+    weights = [1.0 / (i + 1) for i in range(500)]
+    rows = [(rng.choices(pop, weights)[0],) for _ in range(n)]
+    return spark.createDataFrame(rows, "item string").repartition(parts), rows
+
+
+def test_heavy_hitters_bounds_vs_exact(spark):
+    df, rows = _skewed_df(spark)
+    n, capacity = len(rows), 64
+    exact: dict[str, int] = {}
+    for (it,) in rows:
+        exact[it] = exact.get(it, 0) + 1
+
+    got = {r.item: r.est_count for r in heavy_hitters(df, "item", capacity).collect()}
+
+    # every est is a lower bound within the n/capacity underestimate
+    for item, est in got.items():
+        assert est <= exact[item], (item, est, exact[item])
+        assert exact[item] - est <= n // capacity + 1, (item, est, exact[item])
+    # the frequency guarantee: anything with true count > n/capacity
+    # MUST be present
+    for item, cnt in exact.items():
+        if cnt > n / capacity:
+            assert item in got, (item, cnt)
+    # and the exact top-10 is identified in order by the estimates
+    top_exact = sorted(exact, key=lambda k: (-exact[k], k))[:10]
+    top_est = [r.item for r in heavy_hitters(df, "item", capacity, top_k=10).collect()]
+    assert top_est == top_exact
+
+
+def test_heavy_hitters_partitioning_invariant_guarantee(spark):
+    """The lower-bound/frequency guarantees must hold under ANY input
+    partitioning (summaries merge associatively)."""
+    df, rows = _skewed_df(spark, n=5_000, parts=3, seed=9)
+    exact: dict[str, int] = {}
+    for (it,) in rows:
+        exact[it] = exact.get(it, 0) + 1
+    n, capacity = len(rows), 32
+    for parts in (1, 7, 32):
+        got = {
+            r.item: r.est_count
+            for r in heavy_hitters(
+                df.repartition(parts), "item", capacity
+            ).collect()
+        }
+        for item, cnt in exact.items():
+            if cnt > n / capacity:
+                assert item in got, (parts, item, cnt)
+        for item, est in got.items():
+            assert est <= exact[item], (parts, item)
+
+
+def test_summary_rows_are_bounded(spark):
+    """The scale claim: at most `capacity` rows per partition reach the
+    merge shuffle, regardless of distinct-key count."""
+    df, _ = _skewed_df(spark, n=10_000, parts=8)
+    capacity = 16
+    per_part = (
+        partition_summaries(df, "item", capacity)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert per_part and all(r["count"] <= capacity for r in per_part)
+
+
+def test_capacity_validation(spark):
+    df, _ = _skewed_df(spark, n=100, parts=2)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "item", 0).collect()
