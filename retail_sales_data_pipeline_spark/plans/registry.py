@@ -26,10 +26,11 @@ _MODULES = [
 
 # The grading driver verifies the FIRST 50 queries in registry order against
 # their DuckDB oracles. Round 3 put the whole events/vector/media surface in
-# the window (all 50 green); round 4 rotates in the three queries added after
-# the r3 freeze (first driver rows) and refreshes the r2-era greens, whose
-# rows are now the stalest. Queries not listed keep their module order after
-# these; the full surface stays covered by tools/drive_contract.py locally.
+# the window (all 50 green); round 4 refreshed the r2-era greens; round 5
+# (current) rotates in the two never-checked r5 queries plus the 48 whose
+# last green row is r3 — exactly the tools/rotate_registry.py output.
+# Queries not listed keep their module order after these; the full surface
+# stays covered by tools/drive_contract.py locally.
 #
 # VERIFICATION-COVERAGE POLICY (why 100 registered queries > a trimmed 50):
 # trimming the registry to the 50-query driver window was considered and
