@@ -29,10 +29,10 @@ Numeric columns only by design: categorical keys should hash-bucket
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .scale import zorder_key
 
 
 def quantize_uniform(col: Column, lo: float, hi: float, bits: int) -> Column:
@@ -49,22 +49,13 @@ def quantize_uniform(col: Column, lo: float, hi: float, bits: int) -> Column:
 def z_value(bucket_cols: list[Column], bits: int) -> Column:
     """Interleave the low ``bits`` bits of k bucket columns into one
     Morton code: bit ``i`` of column ``j`` lands at position ``i*k + j``
-    (column 0 holds the least-significant interleaved bit). Requires
-    ``bits * k <= 63`` so the code fits a signed long. Built as a flat
-    bitwiseOR fold — ``bits*k`` shift/mask terms, all codegen'd."""
-    k = len(bucket_cols)
-    if k == 0:
+    (column 0 holds the least-significant interleaved bit). Delegates
+    to :func:`..scale.zorder_key` — the single Morton implementation in
+    the repo (that one is the raw sort-key lever; this module adds the
+    quantize → range-partition → rewrite pipeline around it)."""
+    if not bucket_cols:
         raise ValueError("z_value needs at least one column")
-    if bits * k > 63:
-        raise ValueError(f"bits*k = {bits * k} exceeds a signed long")
-    terms = [
-        F.shiftleft(
-            F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j
-        )
-        for i in range(bits)
-        for j, c in enumerate(bucket_cols)
-    ]
-    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+    return zorder_key(bucket_cols, bits)
 
 
 def zorder_layout(
