@@ -101,27 +101,14 @@ def zorder_compact(
     spark: SparkSession, path: str, cols: list[str], target_files: int
 ) -> int:
     """OPTIMIZE-ZORDER analogue over a parquet dataset: rewrite ``path``
-    into ``target_files`` z-clustered files with the same staged-swap /
-    row-count-validation protocol as ``sinks.compact_parquet`` (same
-    non-atomicity caveat — use a manifest-committing table format on
-    object stores). Returns the resulting file count."""
-    import glob
-    import shutil
+    into ``target_files`` z-clustered files via the shared staged-swap /
+    row-count-validation protocol (:func:`..sinks.staged_rewrite` — see
+    its non-atomicity caveat). Returns the resulting file count."""
+    from ..sinks import staged_rewrite
 
-    df = spark.read.parquet(path)
-    n_src = df.count()
-    staging = path.rstrip("/") + "._zorder"
-    zorder_layout(df, cols, target_files).write.mode("overwrite").parquet(
-        staging
+    return staged_rewrite(
+        spark,
+        path,
+        lambda df: zorder_layout(df, cols, target_files),
+        "._zorder",
     )
-    n_staged = spark.read.parquet(staging).count()
-    if n_staged != n_src:
-        shutil.rmtree(staging)
-        raise RuntimeError(
-            f"zorder row-count mismatch: staged {n_staged} != source {n_src}"
-        )
-    backup = path.rstrip("/") + "._old"
-    shutil.move(path, backup)
-    shutil.move(staging, path)
-    shutil.rmtree(backup)
-    return len(glob.glob(f"{path}/part-*"))

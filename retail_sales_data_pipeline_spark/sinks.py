@@ -51,6 +51,41 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> int:
+    """Shared rewrite protocol for the layout-maintenance passes
+    (`compact_parquet`, `operators/layout.zorder_compact`): read the
+    dataset, apply ``layout_fn(df) -> DataFrame``, write to a staging
+    dir, validate the staged row count against the source, then
+    rename-swap. The swap is crash-TOLERANT, not atomic: between the
+    two renames the dataset is briefly absent at ``path`` (recoverable
+    from ``._old`` / the staging dir), and directory rename is not
+    atomic on object stores at all — there, use a table format with an
+    atomic manifest commit (Delta/Iceberg) instead. The ``._old``
+    backup is removed only after the staged copy has been validated
+    and moved into place. Returns the resulting file count.
+    """
+    import glob
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_src = df.count()
+    staging = path.rstrip("/") + suffix
+    layout_fn(df).write.mode("overwrite").parquet(staging)
+    # validate before touching the live path (parquet count is
+    # footer-metadata-only — cheap even for large datasets)
+    n_staged = spark.read.parquet(staging).count()
+    if n_staged != n_src:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"rewrite row-count mismatch: staged {n_staged} != source {n_src}"
+        )
+    backup = path.rstrip("/") + "._old"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return len(glob.glob(f"{path}/part-*"))
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_files: int, sort_col: str | None = None
 ) -> int:
@@ -59,42 +94,18 @@ def compact_parquet(
     parquet row-group min/max stats enable data skipping on that
     column). Streaming appends and per-batch mart writes accumulate
     small files; compaction restores scan efficiency — at object-store
-    scale, file count is a first-order read-cost driver.
-
-    Writes to a staging dir, validates the staged row count against the
-    source, then rename-swaps. The swap is crash-TOLERANT, not atomic:
-    between the two renames the dataset is briefly absent at ``path``
-    (recoverable from ``._old`` / ``._compact``), and directory rename
-    is not atomic on object stores at all — there, use a table format
-    with an atomic manifest commit (Delta/Iceberg) instead. The
-    ``._old`` backup is removed only after the staged copy has been
-    validated and moved into place. Returns the resulting file count.
+    scale, file count is a first-order read-cost driver. Swap protocol
+    and caveats: :func:`staged_rewrite`.
     """
-    import glob
-    import shutil
 
-    df = spark.read.parquet(path)
-    n_src = df.count()
-    staging = path.rstrip("/") + "._compact"
-    if sort_col is not None:
-        df.repartitionByRange(target_files, sort_col).sortWithinPartitions(
-            sort_col
-        ).write.mode("overwrite").parquet(staging)
-    else:
-        df.repartition(target_files).write.mode("overwrite").parquet(staging)
-    # validate before touching the live path (parquet count is
-    # footer-metadata-only — cheap even for large datasets)
-    n_staged = spark.read.parquet(staging).count()
-    if n_staged != n_src:
-        shutil.rmtree(staging)
-        raise RuntimeError(
-            f"compaction row-count mismatch: staged {n_staged} != source {n_src}"
-        )
-    backup = path.rstrip("/") + "._old"
-    shutil.move(path, backup)
-    shutil.move(staging, path)
-    shutil.rmtree(backup)
-    return len(glob.glob(f"{path}/part-*"))
+    def layout(df):
+        if sort_col is not None:
+            return df.repartitionByRange(
+                target_files, sort_col
+            ).sortWithinPartitions(sort_col)
+        return df.repartition(target_files)
+
+    return staged_rewrite(spark, path, layout, "._compact")
 
 
 def run_scoped_path(base: str, run_id: str | int) -> str:
