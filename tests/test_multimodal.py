@@ -492,3 +492,48 @@ def test_real_decode_gif(spark):
     assert row.n_bytes == len(payload)
     got = np.array(row.feature)
     assert got.shape == (8,) and np.all((got >= 0) & (got <= 1))
+
+
+def test_gif_roundtrip_property():
+    """Property: ANY palette image (1..24 px sides, 2..256 colors,
+    arbitrary index raster, interlaced or not) survives encode->decode
+    byte-exactly — LZW is lossless, so equality is exact, making this a
+    sharper oracle than the JPEG tolerance check. Hypothesis hunts the
+    sub-block/bit-packing corners (1-px rows, code widths 3..9,
+    chunk-boundary splits)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        _gif_decode,
+        gif_encode,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        n_colors=st.integers(min_value=2, max_value=256),
+        interlaced=st.booleans(),
+        data=st.data(),
+    )
+    def prop(w, h, n_colors, interlaced, data):
+        palette = [
+            ((37 * i) % 256, (91 * i) % 256, (151 * i) % 256)
+            for i in range(n_colors)
+        ]
+        indices = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=n_colors - 1),
+                    min_size=w * h,
+                    max_size=w * h,
+                )
+            )
+        )
+        payload = gif_encode(w, h, indices, palette, interlaced=interlaced)
+        gw, gh, rgb, n_frames = _gif_decode(payload)
+        assert (gw, gh, n_frames) == (w, h, 1)
+        assert rgb == b"".join(bytes(palette[v]) for v in indices)
+
+    prop()
