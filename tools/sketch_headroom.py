@@ -1,0 +1,90 @@
+"""Measure Misra-Gries heavy hitters vs exact groupBy top-k at scale:
+synthetic stream where a few hot keys ride on a huge mostly-singleton
+tail (the n-gram/URL shape). The exact path must shuffle every distinct
+key; the sketch shuffles ≤ capacity rows per partition.
+
+Usage: python tools/sketch_headroom.py [--rows 20000000] [--capacity 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from retail_sales_data_pipeline_spark.operators.sketch import (  # noqa: E402
+    heavy_hitters,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HOT = 20  # hot keys with DISTINCT frequencies (key j gets j+1 shares
+# of the hot stream — ties would make any top-k comparison arbitrary)
+SHARES = HOT * (HOT + 1) // 2
+K = 10
+
+
+def build(spark, n: int):
+    """id-derived stream: 20% of rows hit one of HOT hot keys (key j
+    with weight j+1), the rest are md5-unique tail keys (distinct
+    count ~0.8n)."""
+    # map u in [0, SHARES) to the key j whose cumulative range holds u:
+    # j = floor((sqrt(8u+9)-3)/2) inverts the triangular numbers
+    u = (F.col("id") / F.lit(5)).cast("long") % SHARES
+    j = F.floor((F.sqrt(u * 8 + 9) - 3) / 2).cast("int")
+    return spark.range(n).select(
+        F.when(
+            F.col("id") % 5 == 0,
+            F.concat(F.lit("hot"), j.cast("string")),
+        )
+        .otherwise(F.md5(F.col("id").cast("string")))
+        .alias("item")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--capacity", type=int, default=1024)
+    args = ap.parse_args()
+
+    spark = get_spark("sketch-headroom")
+    df = build(spark, args.rows).persist()
+    df.count()
+
+    # warmup both paths at small n (codegen + Python worker spawn)
+    small = build(spark, 200_000)
+    small.groupBy("item").count().orderBy(F.desc("count")).limit(K).collect()
+    heavy_hitters(small, "item", args.capacity, top_k=K).collect()
+
+    t0 = time.time()
+    exact = (
+        df.groupBy("item")
+        .count()
+        .orderBy(F.desc("count"), "item")
+        .limit(K)
+        .collect()
+    )
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    approx = heavy_hitters(df, "item", args.capacity, top_k=K).collect()
+    t_mg = time.time() - t0
+
+    same = [r.item for r in exact] == [r.item for r in approx]
+    parts = df.rdd.getNumPartitions()
+    print(
+        f"| heavy hitters top-{K} | {args.rows:,} rows, ~{int(args.rows*0.8):,} "
+        f"distinct | exact groupBy {t_exact:.1f} s (shuffles every "
+        f"distinct key) | MG(capacity={args.capacity}) {t_mg:.1f} s "
+        f"(shuffles <= {args.capacity * parts:,} summary rows) | "
+        f"top-{K} identical: {same} |"
+    )
+    df.unpersist()
+
+
+if __name__ == "__main__":
+    main()
