@@ -367,3 +367,94 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").between(20, 400) & (F.col("quality_score") >= 0.32)
     )
     return _run_to_memory(gated, "append")
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = 8,
+    n_buckets: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """Streaming heavy hitters: the stateful twin of
+    ``operators.sketch.heavy_hitters`` (trending items over an
+    unbounded stream — top URLs/domains/users without materializing the
+    full running count table).
+
+    Scale shape: the key space is hash-sharded into ``n_buckets``
+    stateful groups, each holding one Misra-Gries summary of AT MOST
+    ``capacity`` counters — total state is capacity x n_buckets
+    counters regardless of how many distinct keys the stream has seen,
+    the property a running ``groupBy(item).count()`` (state per
+    distinct key) loses. Every key belongs to exactly one bucket, so
+    per-bucket MG bounds apply verbatim: estimates are lower bounds
+    within n_bucket/capacity and anything above that threshold is
+    guaranteed present. Raise ``n_buckets`` for parallelism, not for
+    the bound; raise ``capacity`` for the bound.
+
+    Each micro-batch folds its pre-aggregated ``value_counts`` into the
+    bucket's summary (same batch-fold as the batch operator) and emits
+    the updated summary stamped with a per-bucket version; the drained
+    result keeps each bucket's LATEST version and returns the global
+    top-k. No timestamps cross the output edge — timezone-safe by
+    construction.
+    """
+    from ..operators.sketch import _mg_reduce
+
+    events = _events_stream(spark, sf_dir)
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("item"),
+        F.pmod(
+            F.xxhash64(F.col("user_id").cast("string")), F.lit(n_buckets)
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def _mg_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.exists:
+            items, weights, version = state.get
+            counts = dict(zip(items, weights))
+        else:
+            counts, version = {}, 0
+        for pdf in pdfs:
+            for item, n in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(n)
+            _mg_reduce(counts, capacity)
+        version += 1
+        state.update(
+            (list(counts), [int(v) for v in counts.values()], version)
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": bucket,
+                "version": version,
+                "item": list(counts),
+                "weight": [int(v) for v in counts.values()],
+            }
+        )
+
+    summaries = keyed.groupBy("bucket").applyInPandasWithState(
+        _mg_fn,
+        outputStructType="bucket int, version int, item string, weight long",
+        stateStructType="items array<string>, weights array<long>, version int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(summaries, "update")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    latest = out.withColumn("_mx", F.max("version").over(w)).where(
+        F.col("version") == F.col("_mx")
+    )
+    return (
+        latest.groupBy("item")
+        .agg(F.sum("weight").alias("est_count"))
+        .orderBy(F.desc("est_count"), "item")
+        .limit(top_k)
+    )

@@ -268,3 +268,54 @@ def test_stream_quality_filter_equals_batch(spark):
     )
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_stream_heavy_hitters_exact_regime_equals_batch(spark):
+    """With capacity comfortably above per-bucket distinct keys, the
+    streaming MG summaries never decrement — the drained result must
+    EQUAL the exact batch per-user counts, in order."""
+    from retail_sales_data_pipeline_spark.streaming.jobs import (
+        stream_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_heavy_hitters(
+        spark, sf, capacity=32, n_buckets=4, top_k=50
+    ).collect()
+    exact = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .count()
+        .orderBy(F.desc("count"), "item")
+        .collect()
+    )
+    assert [(r.item, r.est_count) for r in got] == [
+        (r.item, r["count"]) for r in exact
+    ]
+    assert len(got) > 5
+
+
+def test_stream_heavy_hitters_small_capacity_lower_bounds(spark):
+    """Under real MG pressure (capacity 2) every estimate must stay a
+    lower bound on the exact count — decrements only ever shrink."""
+    from retail_sales_data_pipeline_spark.streaming.jobs import (
+        stream_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.item: r.est_count
+        for r in stream_heavy_hitters(
+            spark, sf, capacity=2, n_buckets=4, top_k=50
+        ).collect()
+    }
+    assert got, "no summaries emitted"
+    exact = {
+        r.item: r["count"]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .count()
+        .collect()
+    }
+    for item, est in got.items():
+        assert est <= exact[item], (item, est, exact[item])
