@@ -34,19 +34,34 @@ def persist_tracked(
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every tracked frame (LIFO); returns how many dropped.
+def persist_mark() -> int:
+    """Snapshot the tracker depth. A composite job that persists on its
+    own behalf (``corpus_pipeline.curate_corpus`` / ``export_shards``)
+    takes a mark on entry and releases back TO it on exit, so it drops
+    exactly the caches it created — draining the whole global LIFO
+    would also evict caches owned by the caller's other in-flight lazy
+    queries (the same unscoped-eviction hazard this module's docstring
+    criticizes ``clearCache()`` for)."""
+    return len(_TRACKED)
 
-    Call after the terminal action on a query's result — blocking=False
-    so the drop is async JVM-side and costs the caller nothing.
+
+def release_persisted(since: int = 0, blocking: bool = False) -> int:
+    """Unpersist tracked frames down to depth ``since`` (LIFO);
+    returns how many dropped.
+
+    Call after the terminal action on a query's result. Default
+    ``blocking=False`` — the drop is async JVM-side and costs the
+    caller nothing; pass ``blocking=True`` when the caller inspects
+    storage state right afterwards (the persist-lifecycle audits),
+    since an async drop can still show residual cached blocks.
     """
     import sys
 
     n = 0
-    while _TRACKED:
+    while len(_TRACKED) > max(0, since):
         df = _TRACKED.pop()
         try:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=blocking)
             n += 1
         except Exception as e:  # noqa: BLE001 — must not fail the runner
             # A stopped session has nothing to drop (expected at exit);

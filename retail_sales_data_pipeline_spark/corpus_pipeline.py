@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .caching import release_persisted
+from .caching import persist_mark, release_persisted
 from .plans.llm_ops import curation_flags, funnel_from_flags
 from .sources.tables import load_table
 
@@ -40,6 +40,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationRes
     Writes ``{out_dir}/documents`` (parquet, ``partitionBy(lang)``)
     and ``{out_dir}/funnel`` (the stage report), returns the counts.
     """
+    mark = persist_mark()
     flags = curation_flags(spark, sf_dir).persist()
     try:
         survivors = flags.where(F.col("c6")).select("doc_id", "n_tokens")
@@ -69,8 +70,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationRes
         # curation_flags' internal builders persist_tracked their shared
         # relations (the 5-gram shingle frame, the per-doc projection);
         # drop them too or repeated curate_corpus calls accumulate the
-        # largest cached relations in the repo for the session's life
-        release_persisted()
+        # largest cached relations in the repo for the session's life.
+        # Scoped to this call's mark: caches owned by the caller's
+        # other in-flight lazy queries stay cached.
+        release_persisted(since=mark)
     return CurationResult(
         raw_docs=agg.raw,
         kept_docs=agg.kept,
@@ -106,6 +109,7 @@ def export_shards(
     """
     from .plans.llm_ops import curation_flags, shard_col, shuffle_key_col
 
+    mark = persist_mark()
     flags = curation_flags(spark, sf_dir).persist()
     try:
         survivors = flags.where(F.col("c6")).select("doc_id")
@@ -127,7 +131,7 @@ def export_shards(
         n_docs = spark.read.parquet(f"{out_dir}/shards").count()
     finally:
         flags.unpersist()
-        release_persisted()
+        release_persisted(since=mark)  # scoped: only this call's caches
     return ExportResult(
         n_docs=n_docs, n_shards=n_shards, out_path=f"{out_dir}/shards"
     )

@@ -73,15 +73,41 @@ def zorder_layout(
     column last."""
     if bits is None:
         bits = min(16, 63 // max(1, len(cols)))
-    # one metadata-sized job: global min/max per layout column
+    # one metadata-sized job: global min/max + null count per layout
+    # column. Nulls must be rejected loudly BEFORE the rewrite:
+    # F.least/F.greatest skip nulls, so a null would silently quantize
+    # into the TOP bucket and scatter unrelated rows into the max-value
+    # curve region — degrading exactly the pruning this pass exists to
+    # provide. Callers coalesce/filter nulls first, explicitly.
     bounds = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}")
+            for c in cols
+        ],
+        *[
+            F.sum(F.isnan(F.col(c).cast("double")).cast("long")).alias(
+                f"nans_{c}"
+            )
+            for c in cols
+        ],
     ).first()
     bad = [c for c in cols if bounds[f"lo_{c}"] is None]
     if bad:
         raise ValueError(
             f"cannot z-order on {bad}: empty input or all-null column(s)"
+        )
+    nulled = {
+        c: bounds[f"nulls_{c}"] + (bounds[f"nans_{c}"] or 0)
+        for c in cols
+        if bounds[f"nulls_{c}"] or bounds[f"nans_{c}"]
+    }
+    if nulled:
+        raise ValueError(
+            f"cannot z-order on columns with nulls/NaNs {nulled}: they "
+            "would silently land in the top bucket — coalesce or filter "
+            "first"
         )
     buckets = [
         quantize_uniform(

@@ -390,6 +390,21 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _jpeg_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Corruption boundary: a truncated/corrupt payload in a 100k-image
+    decode batch must fail its row with a format-naming ValueError (the
+    documented contract), not kill the Spark task with a bare
+    IndexError/KeyError from deep in the bit reader."""
+    import struct as _struct
+
+    try:
+        return _jpeg_decode_impl(payload)
+    except (IndexError, KeyError, _struct.error) as e:
+        raise ValueError(
+            f"corrupt or truncated JPEG payload ({type(e).__name__})"
+        ) from e
+
+
+def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline (SOF0/SOF1) huffman JPEG: marker parse, DQT /
     DHT / DRI, MCU-interleaved entropy decode (DC prediction, AC
     run-length, restart intervals), dequantize, inverse zigzag, 2D
@@ -443,6 +458,14 @@ def _jpeg_decode(payload: bytes) -> tuple[int, int, bytes]:
                     i += 64
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline huffman
             h, w = struct.unpack(">HH", body[1:5])
+            if body[5] not in (1, 3):
+                # 4-component = Adobe CMYK/YCCK: indexing the first
+                # three planes and applying the YCbCr formula would
+                # return color garbage with no error — reject loudly
+                raise ValueError(
+                    f"{body[5]}-component JPEG (CMYK/YCCK) unsupported "
+                    "here; use PIL"
+                )
             comps = [
                 (body[6 + 3 * c], body[7 + 3 * c] >> 4,
                  body[7 + 3 * c] & 0xF, body[8 + 3 * c])
@@ -591,9 +614,16 @@ def jpeg_encode_baseline(
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
         if subsample == 2:
             def down(p):
-                ph = p[: h - h % 2 or h, : w - w % 2 or w]
-                return (ph[0::2, 0::2] + ph[1::2, 0::2]
-                        + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4
+                # pad odd dims by edge-replication, then 2x2 average —
+                # chroma dims become ceil(side/2) per the spec, and a
+                # 1-px side stays decodable (the old trim-to-even made
+                # an EMPTY chroma plane for side==1 and crashed)
+                if p.shape[0] % 2:
+                    p = np.vstack([p, p[-1:, :]])
+                if p.shape[1] % 2:
+                    p = np.hstack([p, p[:, -1:]])
+                return (p[0::2, 0::2] + p[1::2, 0::2]
+                        + p[0::2, 1::2] + p[1::2, 1::2]) / 4
             planes = [y, down(cb), down(cr)]
             samp = [(2, 2), (1, 1), (1, 1)]
         else:
@@ -771,6 +801,18 @@ def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytearray:
 
 
 def _gif_decode(payload: bytes) -> tuple[int, int, bytes, int]:
+    """Corruption boundary — same contract as :func:`_jpeg_decode`."""
+    import struct as _struct
+
+    try:
+        return _gif_decode_impl(payload)
+    except (IndexError, KeyError, _struct.error) as e:
+        raise ValueError(
+            f"corrupt or truncated GIF payload ({type(e).__name__})"
+        ) from e
+
+
+def _gif_decode_impl(payload: bytes) -> tuple[int, int, bytes, int]:
     """Decode a (possibly animated) GIF, stdlib-only: returns
     ``(width, height, first_frame_rgb, n_frames)``. Interlaced frames
     are de-interlaced (four-pass row scatter, GIF89a appendix E);

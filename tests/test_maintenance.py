@@ -246,3 +246,22 @@ def test_zorder_layout_rejects_empty_or_allnull(spark):
     empty = spark.createDataFrame([], "x double, y double")
     with _pytest.raises(ValueError, match="empty input or all-null"):
         zorder_layout(empty, ["x", "y"], 4)
+
+
+def test_zorder_layout_rejects_partial_nulls(spark):
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    rows = [(float(i), float(i) if i % 10 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    with _pytest.raises(ValueError, match="nulls"):
+        zorder_layout(df, ["x", "y"], 4)
+    # NaN is just as silent-top-bucket dangerous as NULL
+    rows = [(float(i), float("nan") if i == 3 else float(i)) for i in range(10)]
+    with _pytest.raises(ValueError, match="NaN"):
+        zorder_layout(
+            spark.createDataFrame(rows, "x double, y double"), ["x", "y"], 4
+        )

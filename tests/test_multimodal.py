@@ -537,3 +537,86 @@ def test_gif_roundtrip_property():
         assert rgb == b"".join(bytes(palette[v]) for v in indices)
 
     prop()
+
+
+def test_codec_corruption_boundaries():
+    """The documented contract: malformed payloads raise ValueError
+    naming the format — never a bare IndexError/KeyError from deep in
+    the bit readers (which would kill a Spark task with no context)."""
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        _gif_decode,
+        _jpeg_decode,
+        gif_encode,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0)]
+    gif = gif_encode(6, 4, bytes([0, 1] * 12), palette)
+    jpg = _jpeg(8, 8, gray=bytes(range(64)))
+
+    # truncations at every prefix length must yield ValueError (a cut
+    # that removes ONLY the trailing EOI/trailer marker leaves a
+    # complete scan and legitimately decodes — skip the last 2 bytes)
+    for payload, decode in ((jpg, _jpeg_decode), (gif, _gif_decode)):
+        for cut in range(2, len(payload) - 2, 7):
+            with _pytest.raises(ValueError):
+                decode(payload[:cut])
+
+    # JPEG ending in a dangling 0xFF fill byte (the marker-align loop
+    # used to read past the end)
+    with _pytest.raises(ValueError):
+        _jpeg_decode(jpg[: len(jpg) // 2] + b"\xff")
+
+    # GIF frame index beyond the palette (numpy fancy-index territory)
+    bad_idx = bytearray(gif_encode(2, 2, bytes([0, 1, 1, 0]), palette))
+    with _pytest.raises(ValueError):
+        # corrupt the LZW stream mid-data
+        _gif_decode(bytes(bad_idx[:-6]) + b"\xff\xff\xff" + bytes(bad_idx[-3:]))
+
+
+def test_jpeg_rejects_cmyk_component_count():
+    """4-component (Adobe CMYK/YCCK) SOF0 must be rejected loudly, not
+    silently decoded through the 3-component YCbCr formula."""
+    import struct
+
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    payload = bytearray(_jpeg(8, 8, gray=bytes(range(64))))
+    # find SOF0, rewrite Nf=1 -> 4 with four component specs
+    i = payload.index(bytes([0xFF, 0xC0]))
+    (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4))
+    new_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([4]) + comps
+    payload[i + 2 : i + 2 + seglen] = (
+        struct.pack(">H", len(new_body) + 2) + new_body
+    )
+    with _pytest.raises(ValueError, match="CMYK"):
+        _jpeg_decode(bytes(payload))
+
+
+def test_jpeg_subsampled_one_pixel_sides():
+    """subsample=2 with a 1-px dimension must encode/decode, not crash
+    on an empty chroma plane (the old trim-to-even bug)."""
+    import numpy as np
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    for w, h in ((4, 1), (1, 4), (1, 1), (5, 3)):
+        rgb = bytes((x * 31 + y * 17 + c * 11) % 256
+                    for y in range(h) for x in range(w) for c in range(3))
+        gw, gh, raster = _jpeg_decode(_jpeg(w, h, rgb=rgb, subsample=2))
+        assert (gw, gh) == (w, h)
+        err = np.abs(
+            np.frombuffer(raster, np.uint8).astype(int)
+            - np.frombuffer(rgb, np.uint8).astype(int)
+        )
+        # chroma is quartered; luma dominates — loose but crash-proof
+        assert err.mean() < 40

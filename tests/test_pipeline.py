@@ -360,3 +360,29 @@ def test_persist_tracked_release(spark):
     assert release_persisted() == 2
     assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
     assert release_persisted() == 0  # registry drained
+
+
+def test_release_persisted_is_scopable(spark):
+    """persist_mark/release_persisted(since=...) must drop exactly the
+    caches created after the mark — a composite job (export_shards)
+    releasing its own persists must not evict the caller's."""
+    from pyspark import StorageLevel as SL
+
+    from retail_sales_data_pipeline_spark.caching import (
+        persist_mark,
+        persist_tracked,
+        release_persisted,
+    )
+
+    callers = persist_tracked(spark.range(10).toDF("a"))
+    callers.count()
+    mark = persist_mark()
+    inner = persist_tracked(spark.range(20).toDF("b"))
+    inner.count()
+
+    dropped = release_persisted(since=mark, blocking=True)
+    assert dropped == 1
+    assert inner.storageLevel == SL.NONE  # inner released...
+    assert callers.storageLevel != SL.NONE  # ...caller's cache survives
+    assert release_persisted(blocking=True) == 1  # full drain gets the rest
+    assert callers.storageLevel == SL.NONE

@@ -150,11 +150,16 @@ def main() -> None:
     ivf_topk(wc, wq, args.k).count()
 
     results = []
+    # keep the header in lockstep with the per-size cells: --assert-auto
+    # adds an auto-banding column pair BEFORE the ivf columns
+    auto_cols = "| auto | recall auto " if args.assert_auto else ""
     print(
         "| corpus | brute (arrow) | lsh 4p | recall 4p | lsh 8p | recall 8p "
-        "| lsh 4x4 bands | recall 4x4 | arrow 8x8 | recall 8x8 | ivf | recall ivf |"
+        "| lsh 4x4 bands | recall 4x4 | arrow 8x8 | recall 8x8 "
+        + auto_cols
+        + "| ivf | recall ivf |"
     )
-    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+    print("|---" * (12 + (2 if args.assert_auto else 0)) + "|")
     for n in sizes:
         corpus = synthetic_embeddings(spark, n).cache()
         corpus.count()

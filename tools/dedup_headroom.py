@@ -124,7 +124,9 @@ def main() -> None:
         # relations (sh/sig/cand via persist_tracked) are still live,
         # then release and confirm the CacheManager actually drains
         peak = _storage_audit(spark)
-        released = release_persisted()
+        # blocking: the audit reads getRDDStorageInfo right after, and
+        # an async drop can still show residual cached blocks
+        released = release_persisted(blocking=True)
         corpus.unpersist(blocking=True)
         after = _storage_audit(spark)
         print(
