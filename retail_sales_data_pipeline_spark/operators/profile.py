@@ -1,0 +1,102 @@
+"""Table profiling: the ANALYZE pass a 100 TB job runs BEFORE the real
+job — per-column cardinality, null rates, ranges, and dominant values
+drive every scale decision this repo documents (broadcast vs shuffle,
+salting factor, partition column choice, z-order column order, skew
+insurance). docs/SCALE.md's "diagnostics before scale-up" family
+(`key_skew_profile`, `dq_violations`) profiles specific keys; this is
+the whole-table sweep.
+
+Physical shape, deliberately two passes and no more:
+
+* pass 1 — ONE aggregate over all columns at once (count / nulls /
+  `approx_count_distinct` HLL / min / max per column, all JVM-side);
+  a naive per-column loop would scan the table k times;
+* pass 2 — dominant values via the Misra-Gries sketch
+  (`operators/sketch.py`) over the UNPIVOTED (column, value) stream:
+  one melt projection + the sketch's bounded summary shuffle, instead
+  of k exact groupBys over k full key spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sketch import heavy_hitters
+
+
+def profile_table(
+    df: DataFrame, top_values: int = 3, capacity: int = 256
+) -> DataFrame:
+    """Profile every column of ``df``.
+
+    Returns one row per column: ``column, n_rows, n_nulls, null_frac,
+    approx_distinct, min_value, max_value, top_values`` (the dominant
+    values as ``value:est_count`` strings, Misra-Gries lower bounds —
+    exact whenever per-column cardinality ≤ capacity).
+    """
+    cols = df.columns
+    if not cols:
+        raise ValueError("cannot profile a zero-column DataFrame")
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.approx_count_distinct(c).alias(f"ad_{c}") for c in cols],
+        # aggregate in the NATIVE type, stringify the result — casting
+        # first would make numeric ranges lexicographic ("99" > "499")
+        *[F.min(c).cast("string").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("string").alias(f"mx_{c}") for c in cols],
+    ).first()
+
+    # melt to (column, value) and sketch the dominant values per column
+    # in ONE pass: items are namespaced "col\x00value" so one global
+    # summary serves every column, then split back
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "\x00", F.lit(c), F.col(c).cast("string")
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+        ).alias("item")
+    ).where(F.col("item").contains("\x00"))  # nulls melt to bare col name
+    hh = (
+        heavy_hitters(melted, "item", capacity=capacity * len(cols))
+        .select(
+            F.split_part("item", F.lit("\x00"), F.lit(1)).alias("column"),
+            F.split_part("item", F.lit("\x00"), F.lit(2)).alias("value"),
+            "est_count",
+        )
+        .collect()
+    )
+    tops: dict[str, list[tuple[str, int]]] = {}
+    for r in hh:
+        tops.setdefault(r.column, []).append((r.value, r.est_count))
+    for c in tops:
+        tops[c] = sorted(tops[c], key=lambda t: (-t[1], t[0]))[:top_values]
+
+    spark = df.sparkSession
+    n = stats["_n"]
+    rows = [
+        (
+            c,
+            n,
+            n - stats[f"nn_{c}"],
+            float(n - stats[f"nn_{c}"]) / n if n else 0.0,
+            stats[f"ad_{c}"],
+            stats[f"mn_{c}"],
+            stats[f"mx_{c}"],
+            [f"{v}:{cnt}" for v, cnt in tops.get(c, [])],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, null_frac double, "
+        "approx_distinct long, min_value string, max_value string, "
+        "top_values array<string>",
+    )

@@ -1,0 +1,64 @@
+"""profile_table: the two-pass whole-table ANALYZE sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_data_pipeline_spark.operators.profile import profile_table
+from retail_sales_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_profile_documents(spark):
+    docs = load_table(spark, SF, "documents")
+    prof = {r.column: r for r in profile_table(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+
+    for c, r in prof.items():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n and abs(r.null_frac - r.n_nulls / n) < 1e-9
+
+    # doc_id: unique key — HLL within its documented ~5% rsd
+    assert abs(prof["doc_id"].approx_distinct - n) <= max(3, 0.1 * n)
+    assert prof["doc_id"].n_nulls == 0
+    # min/max are stringified but must bracket the actual range
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert int(prof["doc_id"].min_value) == min(ids)
+    assert int(prof["doc_id"].max_value) == max(ids)
+
+    # top values, exact regime: capacity above the melted cardinality
+    # (~1.4k distinct (column, value) pairs at sf0.001) → the MG
+    # summary never decrements and must equal exact top-3 counts
+    sharp = {
+        r.column: r for r in profile_table(docs, capacity=1024).collect()
+    }
+    for c in ("lang", "source"):
+        exact = [
+            (str(r[c]), r["count"])
+            for r in docs.groupBy(c).count()
+            .orderBy(F.desc("count"), c).limit(3).collect()
+        ]
+        assert sharp[c].top_values == [f"{v}:{cnt}" for v, cnt in exact], c
+        # default capacity: still a sketch — same top VALUES in order,
+        # counts are lower bounds
+        default_vals = [t.split(":")[0] for t in prof[c].top_values]
+        assert default_vals == [v for v, _ in exact], c
+        for t, (_, cnt) in zip(prof[c].top_values, exact):
+            assert int(t.split(":")[1]) <= cnt, (c, t)
+
+
+def test_profile_handles_nulls_and_empty_guard(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "id long, v string"
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["v"].n_nulls == 2 and abs(prof["v"].null_frac - 0.5) < 1e-9
+    assert prof["v"].top_values[0] == "a:2"  # nulls excluded from tops
+    assert prof["id"].n_nulls == 0
+
+    with _pytest.raises(ValueError, match="zero-column"):
+        profile_table(df.select())
