@@ -62,3 +62,14 @@ def test_profile_handles_nulls_and_empty_guard(spark):
 
     with _pytest.raises(ValueError, match="zero-column"):
         profile_table(df.select())
+
+
+def test_profile_handles_array_columns(spark):
+    """Complex-typed columns (array<float> embeddings) must profile
+    without crashing — Spark orders arrays lexicographically, HLL works
+    on any type, and the melt stringifies."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    prof = {r.column: r for r in profile_table(emb).collect()}
+    assert set(prof) == {"vec_id", "embedding", "label"}
+    assert prof["label"].approx_distinct <= 12  # 10 labels ± HLL noise
+    assert prof["embedding"].min_value.startswith("[")
