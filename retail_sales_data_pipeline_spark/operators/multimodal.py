@@ -390,15 +390,15 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _jpeg_decode(payload: bytes) -> tuple[int, int, bytes]:
-    """Corruption boundary: a truncated/corrupt payload in a 100k-image
-    decode batch must fail its row with a format-naming ValueError (the
-    documented contract), not kill the Spark task with a bare
-    IndexError/KeyError from deep in the bit reader."""
+    """Corruption boundary: a truncated/corrupt payload must fail with
+    a format-naming ValueError — not a bare IndexError/KeyError/
+    ZeroDivisionError from deep in the bit reader. (Whether that error
+    fails the row or the task is decode_media's on_error policy.)"""
     import struct as _struct
 
     try:
         return _jpeg_decode_impl(payload)
-    except (IndexError, KeyError, _struct.error) as e:
+    except (IndexError, KeyError, ZeroDivisionError, _struct.error) as e:
         raise ValueError(
             f"corrupt or truncated JPEG payload ({type(e).__name__})"
         ) from e
@@ -806,7 +806,7 @@ def _gif_decode(payload: bytes) -> tuple[int, int, bytes, int]:
 
     try:
         return _gif_decode_impl(payload)
-    except (IndexError, KeyError, _struct.error) as e:
+    except (IndexError, KeyError, ZeroDivisionError, _struct.error) as e:
         raise ValueError(
             f"corrupt or truncated GIF payload ({type(e).__name__})"
         ) from e
@@ -1059,7 +1059,10 @@ def _real_decode(payload: bytes, media_type: str) -> dict:
 
 
 def decode_media(
-    media: DataFrame, fake: bool = True, pre_partitioned: bool = False
+    media: DataFrame,
+    fake: bool = True,
+    pre_partitioned: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode/feature-extract media payloads via ``mapInPandas``.
 
@@ -1068,8 +1071,20 @@ def decode_media(
     Pass ``pre_partitioned=True`` when the input already has a
     size-aware layout (e.g. straight out of :func:`fetch_media`) so the
     payload bytes don't cross a second exchange.
+
+    ``on_error``: ``"raise"`` (default) propagates a malformed
+    payload's ValueError and fails the task — right for curated inputs
+    where a bad byte stream means a broken upstream. ``"null"`` is the
+    web-corpus posture: the row survives with NULL decode fields (the
+    same shape a dead pointer produces), so one corrupt JPEG among
+    100k payloads can't kill the job; count the NULLs downstream to
+    monitor decode health. Codec bugs still raise either way — only
+    ValueError (the codecs' documented malformed-payload signal) is
+    mapped to NULL.
     """
     decode = _fake_decode if fake else _real_decode
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1080,7 +1095,15 @@ def decode_media(
                 if payload is None:
                     rows.append((mid, mtype, None, None, None, None, None))
                     continue
-                d = decode(bytes(payload), mtype)
+                try:
+                    d = decode(bytes(payload), mtype)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (mid, mtype, len(payload), None, None, None, None)
+                    )
+                    continue
                 rows.append(
                     (mid, mtype, len(payload), d["width"], d["height"],
                      d["n_frames"], d["feature"])

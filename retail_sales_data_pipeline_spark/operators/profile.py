@@ -32,8 +32,14 @@ def profile_table(
 
     Returns one row per column: ``column, n_rows, n_nulls, null_frac,
     approx_distinct, min_value, max_value, top_values`` (the dominant
-    values as ``value:est_count`` strings, Misra-Gries lower bounds —
-    exact whenever per-column cardinality ≤ capacity).
+    values as ``value:est_count`` strings). Counts are Misra-Gries
+    LOWER bounds; because all columns share one melted summary (per
+    partition: capacity x n_cols counters over the combined (column,
+    value) stream), they are exact only when the TOTAL melted
+    cardinality fits the summary — a single ultra-high-cardinality
+    column (a unique id) makes every column's counts conservative.
+    The top-value ORDER is what scale decisions use; for exact counts
+    of specific keys, follow up with a targeted groupBy.
     """
     cols = df.columns
     if not cols:
@@ -64,20 +70,34 @@ def profile_table(
             )
         ).alias("item")
     ).where(F.col("item").contains("\x00"))  # nulls melt to bare col name
-    hh = (
-        heavy_hitters(melted, "item", capacity=capacity * len(cols))
-        .select(
-            F.split_part("item", F.lit("\x00"), F.lit(1)).alias("column"),
-            F.split_part("item", F.lit("\x00"), F.lit(2)).alias("value"),
-            "est_count",
+    # split on the FIRST delimiter only (substring_index + substr) —
+    # split_part would truncate values that themselves contain \x00 —
+    # and rank per column IN SPARK before collecting: the merged
+    # summary is bounded by capacity*n_cols per PARTITION, so an
+    # unranked collect grows with partition count (driver hazard at
+    # wide-table x many-partition scale); top_values*n_cols rows is
+    # what actually comes back
+    from pyspark.sql import Window
+
+    named = heavy_hitters(
+        melted, "item", capacity=capacity * len(cols)
+    ).select(
+        F.substring_index("item", "\x00", 1).alias("column"),
+        F.col("item")
+        .substr(
+            F.length(F.substring_index("item", "\x00", 1)) + 2,
+            F.length("item"),
         )
-        .collect()
+        .alias("value"),
+        "est_count",
     )
+    rank = F.row_number().over(
+        Window.partitionBy("column").orderBy(F.desc("est_count"), "value")
+    )
+    hh = named.withColumn("_r", rank).where(F.col("_r") <= top_values).collect()
     tops: dict[str, list[tuple[str, int]]] = {}
-    for r in hh:
+    for r in sorted(hh, key=lambda r: r._r):
         tops.setdefault(r.column, []).append((r.value, r.est_count))
-    for c in tops:
-        tops[c] = sorted(tops[c], key=lambda t: (-t[1], t[0]))[:top_values]
 
     spark = df.sparkSession
     n = stats["_n"]

@@ -620,3 +620,54 @@ def test_jpeg_subsampled_one_pixel_sides():
         )
         # chroma is quartered; luma dominates — loose but crash-proof
         assert err.mean() < 40
+
+
+def test_jpeg_zero_sampling_factor_raises_valueerror():
+    """A corrupt SOF with a zero H/V sampling factor must hit the
+    corruption boundary (ZeroDivisionError class), not escape as a bare
+    arithmetic error."""
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    payload = bytearray(_jpeg(8, 8, gray=bytes(range(64))))
+    i = payload.index(bytes([0xFF, 0xC0]))
+    payload[i + 2 + 5 + 3] = 0x00  # component 1's H/V byte -> 0/0
+    with _pytest.raises(ValueError, match="JPEG"):
+        _jpeg_decode(bytes(payload))
+
+
+def test_decode_media_on_error_null_isolates_bad_rows(spark):
+    """on_error='null': one corrupt payload among good ones survives as
+    a NULL-decode row instead of failing the task; on_error='raise'
+    (default) still propagates."""
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        gif_encode,
+    )
+
+    good = gif_encode(4, 4, bytes(16), [(0, 0, 0), (255, 255, 255)])
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good), "s"),
+            (2, "image", bytearray(b"GIF89a\x00trunc"), "s"),
+            (3, "image", None, "s"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_media(df, fake=False, on_error="null").collect()}
+    assert rows[1].width == 4 and rows[1].feature is not None
+    assert rows[2].width is None and rows[2].feature is None
+    assert rows[2].n_bytes == 12  # payload length still reported
+    assert rows[3].n_bytes is None  # dead pointer keeps its shape
+
+    with _pytest.raises(Exception):  # Py4J wraps the task's ValueError
+        decode_media(df, fake=False).collect()
+
+    with _pytest.raises(ValueError, match="on_error"):
+        decode_media(df, on_error="bogus")

@@ -31,10 +31,12 @@ def build(spark, n: int):
     """id-derived stream: 20% of rows hit one of HOT hot keys (key j
     with weight j+1), the rest are md5-unique tail keys (distinct
     count ~0.8n)."""
-    # map u in [0, SHARES) to the key j whose cumulative range holds u:
-    # j = floor((sqrt(8u+9)-3)/2) inverts the triangular numbers
+    # map u in [0, SHARES) to the key j whose cumulative range
+    # [T_j, T_{j+1}) holds it, T_j = j(j+1)/2: the triangular inverse
+    # is j = floor((sqrt(8u+1)-1)/2) (the earlier +9/-3 variant was
+    # off by one — key j got j+2 shares and the last key got 1)
     u = (F.col("id") / F.lit(5)).cast("long") % SHARES
-    j = F.floor((F.sqrt(u * 8 + 9) - 3) / 2).cast("int")
+    j = F.floor((F.sqrt(u * 8 + 1) - 1) / 2).cast("int")
     return spark.range(n).select(
         F.when(
             F.col("id") % 5 == 0,
