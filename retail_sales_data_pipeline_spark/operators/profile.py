@@ -25,39 +25,12 @@ from pyspark.sql import functions as F
 from .sketch import heavy_hitters
 
 
-def profile_table(
-    df: DataFrame, top_values: int = 3, capacity: int = 256
-) -> DataFrame:
-    """Profile every column of ``df``.
-
-    Returns one row per column: ``column, n_rows, n_nulls, null_frac,
-    approx_distinct, min_value, max_value, top_values`` (the dominant
-    values as ``value:est_count`` strings). Counts are Misra-Gries
-    LOWER bounds; because all columns share one melted summary (per
-    partition: capacity x n_cols counters over the combined (column,
-    value) stream), they are exact only when the TOTAL melted
-    cardinality fits the summary — a single ultra-high-cardinality
-    column (a unique id) makes every column's counts conservative.
-    The top-value ORDER is what scale decisions use; for exact counts
-    of specific keys, follow up with a targeted groupBy.
-    """
-    cols = df.columns
-    if not cols:
-        raise ValueError("cannot profile a zero-column DataFrame")
-
-    stats = df.agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.count(c).alias(f"nn_{c}") for c in cols],
-        *[F.approx_count_distinct(c).alias(f"ad_{c}") for c in cols],
-        # aggregate in the NATIVE type, stringify the result — casting
-        # first would make numeric ranges lexicographic ("99" > "499")
-        *[F.min(c).cast("string").alias(f"mn_{c}") for c in cols],
-        *[F.max(c).cast("string").alias(f"mx_{c}") for c in cols],
-    ).first()
-
-    # melt to (column, value) and sketch the dominant values per column
-    # in ONE pass: items are namespaced "col\x00value" so one global
-    # summary serves every column, then split back
+def _top_values(
+    df: DataFrame, cols: list[str], top_values: int, capacity: int
+) -> dict[str, list[tuple[str, int]]]:
+    """Pass 2: dominant values per column via ONE melted MG sketch —
+    items are namespaced "col\\x00value" so a single summary serves
+    every column, then split back."""
     melted = df.select(
         F.explode(
             F.array(
@@ -98,6 +71,46 @@ def profile_table(
     tops: dict[str, list[tuple[str, int]]] = {}
     for r in sorted(hh, key=lambda r: r._r):
         tops.setdefault(r.column, []).append((r.value, r.est_count))
+    return tops
+
+
+def profile_table(
+    df: DataFrame, top_values: int = 3, capacity: int = 256
+) -> DataFrame:
+    """Profile every column of ``df``.
+
+    Returns one row per column: ``column, n_rows, n_nulls, null_frac,
+    approx_distinct, min_value, max_value, top_values`` (the dominant
+    values as ``value:est_count`` strings). Counts are Misra-Gries
+    LOWER bounds; because all columns share one melted summary (per
+    partition: capacity x n_cols counters over the combined (column,
+    value) stream), they are exact only when the TOTAL melted
+    cardinality fits the summary — a single ultra-high-cardinality
+    column (a unique id) makes every column's counts conservative.
+    The top-value ORDER is what scale decisions use; for exact counts
+    of specific keys, follow up with a targeted groupBy.
+
+    ``top_values=0`` skips the melt pass entirely — measured at 10M
+    rows x 4 cols it is ~7x the stats agg (tools/profile_headroom.py),
+    so skip it when only counts/cardinalities/ranges are needed.
+    """
+    cols = df.columns
+    if not cols:
+        raise ValueError("cannot profile a zero-column DataFrame")
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.approx_count_distinct(c).alias(f"ad_{c}") for c in cols],
+        # aggregate in the NATIVE type, stringify the result — casting
+        # first would make numeric ranges lexicographic ("99" > "499")
+        *[F.min(c).cast("string").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("string").alias(f"mx_{c}") for c in cols],
+    ).first()
+
+    tops: dict[str, list[tuple[str, int]]] = {}
+    if top_values > 0:
+        tops = _top_values(df, cols, top_values, capacity)
 
     spark = df.sparkSession
     n = stats["_n"]

@@ -73,3 +73,13 @@ def test_profile_handles_array_columns(spark):
     assert set(prof) == {"vec_id", "embedding", "label"}
     assert prof["label"].approx_distinct <= 12  # 10 labels ± HLL noise
     assert prof["embedding"].min_value.startswith("[")
+
+
+def test_profile_stats_only_mode(spark):
+    """top_values=0 skips the melted sketch pass (the expensive ~7x
+    part) but keeps all the stats columns populated."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prof = {r.column: r for r in profile_table(docs, top_values=0).collect()}
+    assert all(r.top_values == [] for r in prof.values())
+    assert prof["doc_id"].approx_distinct > 0
+    assert prof["lang"].min_value is not None

@@ -1,0 +1,82 @@
+"""Measure profile_table's fused-aggregate claim: profiling k columns
+must cost ~one scan, not k. Compares the fused single-agg stats pass
+against the naive per-column loop at 10M rows, plus the full two-pass
+profile (stats + melted top-values sketch).
+
+Usage: python tools/profile_headroom.py [--rows 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from retail_sales_data_pipeline_spark.operators.profile import (  # noqa: E402
+    profile_table,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def build(spark, n: int):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 97).alias("mod97"),
+            F.md5(F.col("id").cast("string")).alias("fp"),
+            (F.col("id") % 5 == 0).cast("int").alias("flag"),
+        )
+        .persist()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    args = ap.parse_args()
+
+    spark = get_spark("profile-headroom")
+    df = build(spark, args.rows)
+    df.count()
+    cols = df.columns
+
+    # warmup
+    profile_table(df.limit(100_000)).collect()
+
+    t0 = time.time()
+    df.agg(
+        F.count(F.lit(1)),
+        *[F.count(c) for c in cols],
+        *[F.approx_count_distinct(c) for c in cols],
+        *[F.min(c) for c in cols],
+        *[F.max(c) for c in cols],
+    ).collect()
+    t_fused = time.time() - t0
+
+    t0 = time.time()
+    for c in cols:  # the naive path profile_table exists to avoid
+        df.agg(
+            F.count(c), F.approx_count_distinct(c), F.min(c), F.max(c)
+        ).collect()
+    t_loop = time.time() - t0
+
+    t0 = time.time()
+    n_rows = profile_table(df).count()
+    t_full = time.time() - t0
+
+    print(
+        f"| profile {len(cols)} cols | {args.rows:,} rows | fused stats agg "
+        f"{t_fused:.1f} s | per-column loop {t_loop:.1f} s "
+        f"({t_loop / t_fused:.1f}x) | full profile (stats + MG melt) "
+        f"{t_full:.1f} s, {n_rows} rows |"
+    )
+    df.unpersist()
+
+
+if __name__ == "__main__":
+    main()
