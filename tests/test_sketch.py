@@ -90,3 +90,12 @@ def test_capacity_validation(spark):
     df, _ = _skewed_df(spark, n=100, parts=2)
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(df, "item", 0).collect()
+
+
+def test_heavy_hitters_empty_and_allnull_inputs(spark):
+    """Empty input and all-null columns yield empty results — the
+    empty pandas summary frame must survive the Arrow conversion."""
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, "item", 8).collect() == []
+    nulls = spark.createDataFrame([(None,), (None,)], "item string")
+    assert heavy_hitters(nulls, "item", 8).collect() == []
