@@ -258,3 +258,68 @@ def test_sessionize_partition_invariant(spark, seed):
     base = sorted(map(tuple, sessionize(df).collect()))
     shuffled = sorted(map(tuple, sessionize(df.repartition(7)).collect()))
     assert base == shuffled
+
+
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=30), max_size=300),
+    capacity=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_bounds_under_any_partitioning(items, capacity, data):
+    """The algebra behind operators/sketch.py, checked without Spark:
+    split the stream into arbitrary partitions and batches, fold each
+    partition exactly like partition_summaries (batch value_counts +
+    MG reduce), merge by summation (the groupBy stage) — then for ANY
+    split: every estimate is a lower bound, total underestimate per
+    item is <= n/capacity * ... (classic bound: true - est <=
+    (n - sum_est)/capacity... we assert the standard per-item bound
+    true - est <= n/(capacity+1) * k_parts-free form: each partition's
+    decrements total <= n_p/(capacity+1); summed <= n/(capacity+1)),
+    and any item with true count > n/(capacity+1) survives."""
+    from collections import Counter
+
+    from retail_sales_data_pipeline_spark.operators.sketch import _mg_reduce
+
+    exact = Counter(items)
+    n = len(items)
+
+    # arbitrary partitioning: cut points chosen by hypothesis
+    n_parts = data.draw(st.integers(min_value=1, max_value=5))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n),
+                min_size=n_parts - 1,
+                max_size=n_parts - 1,
+            )
+        )
+    )
+    parts = []
+    lo = 0
+    for c in cuts + [n]:
+        parts.append(items[lo:c])
+        lo = c
+
+    merged: Counter = Counter()
+    for part in parts:
+        counts: dict[int, int] = {}
+        # arbitrary batch splits within the partition
+        while part:
+            take = data.draw(
+                st.integers(min_value=1, max_value=len(part))
+            )
+            batch, part = part[:take], part[take:]
+            for item, cnt in Counter(batch).items():
+                counts[item] = counts.get(item, 0) + cnt
+            _mg_reduce(counts, capacity)
+        for item, cnt in counts.items():
+            merged[item] += cnt
+
+    bound = n / (capacity + 1)
+    for item, est in merged.items():
+        assert est <= exact[item], (item, est, exact[item])
+        assert exact[item] - est <= bound + 1e-9, (item, est, exact[item])
+    for item, cnt in exact.items():
+        if cnt > bound:
+            assert item in merged, (item, cnt, bound)
