@@ -85,17 +85,29 @@ def _events_stream(
 
 
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
-    """Drain a finite stream into a memory sink and return the table."""
+    """Drain a finite stream into a memory sink and return the table.
+
+    The checkpoint dir is removed after the drain completes — these are
+    one-shot bounded drains (memory sink, no restart story), and a
+    contract/bench session runs dozens of them, so leaked state-store
+    checkpoints otherwise accumulate in /tmp for the machine's life.
+    """
+    import shutil
+
     name = "t_" + uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result.sparkSession.table(name)
 
 
