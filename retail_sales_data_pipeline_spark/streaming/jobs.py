@@ -327,9 +327,10 @@ def stream_sessionize(
     ``drain_complete=True`` (a watermark-advancing sentinel closes all
     state — the bounded-drain/backfill mode).
     """
+    sentinel_dir = None
     if drain_complete:
-        sf_dir = _sentinel_source_dir(spark, sf_dir)
-        events = _events_stream(spark, sf_dir, glob="*.parquet")
+        sentinel_dir = _sentinel_source_dir(spark, sf_dir)
+        events = _events_stream(spark, sentinel_dir, glob="*.parquet")
     else:
         events = _events_stream(spark, sf_dir)
     # epoch seconds computed JVM-side: the pandas worker must never
@@ -346,7 +347,16 @@ def stream_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    out = _run_to_memory(sessions, "append")
+    try:
+        out = _run_to_memory(sessions, "append")
+    finally:
+        if sentinel_dir is not None:
+            # the memory sink holds the drained rows — the staged copy
+            # of the events file (fixture-sized here, fact-sized in a
+            # real backfill) has no further reader
+            import shutil
+
+            shutil.rmtree(sentinel_dir, ignore_errors=True)
     # the sentinel user's own (never-emitted) session is filtered
     # defensively; real users are non-negative in every fixture
     return out.where(F.col("user_id") >= 0) if drain_complete else out
