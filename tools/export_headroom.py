@@ -32,6 +32,12 @@ def main() -> None:
         "--sizes", type=int, nargs="+", default=[1_000_000, 10_000_000]
     )
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument(
+        "--pipeline",
+        metavar="SF_DIR",
+        help="also time the full curate->export write pipeline "
+        "(corpus_pipeline.curate_corpus + export_shards) at SF_DIR",
+    )
     args = ap.parse_args()
 
     spark = get_spark("export-headroom")
@@ -63,6 +69,32 @@ def main() -> None:
             f"{wall:.1f} s ({rate:.1f}M docs/s) | "
             f"balance max/min = {skew:.3f} |"
         )
+
+    if args.pipeline:
+        import shutil
+        import tempfile
+
+        from retail_sales_data_pipeline_spark.corpus_pipeline import (
+            curate_corpus,
+            export_shards,
+        )
+
+        out = tempfile.mkdtemp(prefix="export_pipe_")
+        try:
+            t0 = time.time()
+            cur = curate_corpus(spark, args.pipeline, f"{out}/curated")
+            t_curate = time.time() - t0
+            t0 = time.time()
+            exp = export_shards(spark, args.pipeline, f"{out}/exp", 16)
+            t_export = time.time() - t0
+            print(
+                f"| curate->export pipeline | {args.pipeline} "
+                f"({cur.raw_docs:,} raw -> {cur.kept_docs:,} kept, "
+                f"{exp.n_shards} shards) | curate+write {t_curate:.1f} s | "
+                f"export+write {t_export:.1f} s |"
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
 
 if __name__ == "__main__":
