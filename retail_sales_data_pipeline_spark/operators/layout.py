@@ -87,9 +87,12 @@ def zorder_layout(
             for c in cols
         ],
         *[
-            F.sum(F.isnan(F.col(c).cast("double")).cast("long")).alias(
-                f"nans_{c}"
-            )
+            F.sum(
+                (
+                    F.isnan(F.col(c).cast("double"))
+                    | (F.abs(F.col(c).cast("double")) == float("inf"))
+                ).cast("long")
+            ).alias(f"nans_{c}")
             for c in cols
         ],
     ).first()
@@ -105,9 +108,11 @@ def zorder_layout(
     }
     if nulled:
         raise ValueError(
-            f"cannot z-order on columns with nulls/NaNs {nulled}: they "
-            "would silently land in the top bucket — coalesce or filter "
-            "first"
+            f"cannot z-order on columns with nulls/NaNs/infinities "
+            f"{nulled}: a null or NaN silently lands in the top bucket "
+            "(least/greatest skip them), and an infinity poisons the "
+            "min/max bounds so every finite row collapses to bucket 0 "
+            "— coalesce or filter first"
         )
     buckets = [
         quantize_uniform(
@@ -137,4 +142,35 @@ def zorder_compact(
         path,
         lambda df: zorder_layout(df, cols, target_files),
         "._zorder",
+    )
+
+
+def partition_boxes(laid: DataFrame, cols: list[str]) -> list[dict]:
+    """Per-partition bounding boxes of ``cols`` — the measurement
+    behind every pruning claim (a stats-pruning reader must read
+    exactly the files whose box intersects the predicate range).
+    Shared by the pytest pruning property and tools/layout_headroom.py
+    so the CI-enforced invariant and the published numbers can't
+    drift apart."""
+    from pyspark.sql.functions import spark_partition_id
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_lo"), F.max(c).alias(f"{c}_hi")]
+    return [
+        r.asDict()
+        for r in laid.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(*aggs)
+        .collect()
+    ]
+
+
+def boxes_touched(
+    boxes: list[dict], col: str, lo: float, hi: float
+) -> int:
+    """How many partition boxes intersect ``[lo, hi]`` on ``col`` —
+    i.e. how many files a min/max-pruning scan must read."""
+    return sum(
+        1 for b in boxes if b[f"{col}_hi"] >= lo and b[f"{col}_lo"] <= hi
     )

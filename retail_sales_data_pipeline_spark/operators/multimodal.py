@@ -189,6 +189,22 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
     return {"width": width, "height": height, "n_frames": n_frames, "feature": feature}
 
 
+# Declared-dimension cap: a crafted ~200-byte header claiming
+# 65535x65535 would otherwise drive multi-GB allocations (JPEG plane
+# zeros, GIF palette expansion) BEFORE any pixel data is validated —
+# an OOM kill is not catchable, so on_error="null" can't contain it.
+# 2^26 px = an 8192x8192 frame, far above any feature-extraction need.
+_MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_pixels(w: int, h: int, fmt: str) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt} declares implausible dimensions {w}x{h} "
+            f"(cap {_MAX_DECODE_PIXELS} pixels)"
+        )
+
+
 def _ppm_header(payload: bytes) -> tuple[str, int, int, int, int]:
     """Parse a binary PPM/PGM (P6/P5) header: returns (magic, width,
     height, maxval, data_offset). Whitespace/comment handling per the
@@ -214,6 +230,7 @@ def _ppm_header(payload: bytes) -> tuple[str, int, int, int, int]:
         i = j
     i += 1  # single whitespace after maxval, then raster
     w, h, maxval = fields
+    _check_pixels(w, h, magic)
     return magic, w, h, maxval, i
 
 
@@ -260,15 +277,18 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
         i += 12 + length  # length + type + body + crc32
     if w is None:
         raise ValueError("PNG payload missing IHDR")
+    _check_pixels(w, h, "PNG")
     if bit_depth != 8 or interlace != 0:
         raise ValueError(
             f"only 8-bit non-interlaced PNG supported here (depth="
             f"{bit_depth}, interlace={interlace}); use PIL for the rest"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride, bpp = w * channels, channels
     expected = h * (stride + 1)
+    # bounded inflate: a small-dims decompression bomb must not
+    # materialize gigabytes before the raster-size check below
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
     if len(raw) < expected:
         raise ValueError("truncated PNG raster")
     out = bytearray()
@@ -457,7 +477,16 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, bytes]:
                     qt[tq] = list(body[i : i + 64])
                     i += 64
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline huffman
+            if body[0] != 8:
+                # SOF1 legitimately permits 12-bit samples; decoding
+                # them through the 8-bit level-shift/clip would return
+                # structurally-valid garbage with no error
+                raise ValueError(
+                    f"{body[0]}-bit JPEG sample precision unsupported "
+                    "here (8-bit baseline only); use PIL"
+                )
             h, w = struct.unpack(">HH", body[1:5])
+            _check_pixels(w, h, "JPEG")
             if body[5] not in (1, 3):
                 # 4-component = Adobe CMYK/YCCK: indexing the first
                 # three planes and applying the YCbCr formula would
@@ -842,6 +871,7 @@ def _gif_decode_impl(payload: bytes) -> tuple[int, int, bytes, int]:
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
         fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, i + 1)
+        _check_pixels(fw, fh, "GIF")
         i += 10
         lct = gct
         if fpacked & 0x80:
@@ -962,6 +992,31 @@ def gif_encode(
 
 
 def _real_decode(payload: bytes, media_type: str) -> dict:
+    """Corruption boundary for the WHOLE real-decode dispatch: every
+    codec path (PNG's zlib inflate, PPM/WAV struct parses, arithmetic
+    on header-derived values) must surface malformed payloads as a
+    format-naming ValueError — never a bare zlib.error / struct.error
+    / IndexError / ZeroDivisionError that decode_media's
+    ``on_error="null"`` row isolation can't recognize."""
+    import struct as _struct
+    import zlib as _zlib
+
+    try:
+        return _real_decode_impl(payload, media_type)
+    except (
+        IndexError,
+        KeyError,
+        ZeroDivisionError,
+        _struct.error,
+        _zlib.error,
+    ) as e:
+        raise ValueError(
+            f"corrupt or truncated {media_type} payload "
+            f"({type(e).__name__})"
+        ) from e
+
+
+def _real_decode_impl(payload: bytes, media_type: str) -> dict:
     """Real decode path for self-describing formats, pure stdlib:
 
     - ``image``: binary PPM/PGM (P6/P5) — header dims, raster-sampled

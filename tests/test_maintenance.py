@@ -168,9 +168,11 @@ def test_zorder_prunes_on_both_dimensions(spark):
     range partitions (their per-partition min/max boxes are small in
     both dims), whereas a linear sort on x leaves a y-predicate
     touching every partition."""
-    from pyspark.sql.functions import spark_partition_id
-
     from retail_sales_data_pipeline_spark.operators.layout import (
+        boxes_touched as touched,
+    )
+    from retail_sales_data_pipeline_spark.operators.layout import (
+        partition_boxes,
         zorder_layout,
     )
 
@@ -182,20 +184,7 @@ def test_zorder_prunes_on_both_dimensions(spark):
     n_parts = 16
 
     def boxes(laid):
-        return (
-            laid.withColumn("pid", spark_partition_id())
-            .groupBy("pid")
-            .agg(
-                F.min("x").alias("x0"), F.max("x").alias("x1"),
-                F.min("y").alias("y0"), F.max("y").alias("y1"),
-            )
-            .collect()
-        )
-
-    def touched(bs, col, lo, hi):
-        if col == "y":
-            return sum(1 for b in bs if b.y1 >= lo and b.y0 <= hi)
-        return sum(1 for b in bs if b.x1 >= lo and b.x0 <= hi)
+        return partition_boxes(laid, ["x", "y"])
 
     z_boxes = boxes(zorder_layout(df, ["x", "y"], n_parts))
     linear_boxes = boxes(
@@ -265,3 +254,13 @@ def test_zorder_layout_rejects_partial_nulls(spark):
         zorder_layout(
             spark.createDataFrame(rows, "x double, y double"), ["x", "y"], 4
         )
+    # an infinity poisons the min/max bounds: (x-lo)/(hi-lo) -> 0 for
+    # every finite row, silently collapsing the dimension to bucket 0
+    for bad in (float("inf"), float("-inf")):
+        rows = [(float(i), bad if i == 3 else float(i)) for i in range(10)]
+        with _pytest.raises(ValueError, match="infinit"):
+            zorder_layout(
+                spark.createDataFrame(rows, "x double, y double"),
+                ["x", "y"],
+                4,
+            )

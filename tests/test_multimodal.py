@@ -671,3 +671,100 @@ def test_decode_media_on_error_null_isolates_bad_rows(spark):
 
     with _pytest.raises(ValueError, match="on_error"):
         decode_media(df, on_error="bogus")
+
+
+def test_codec_dimension_and_precision_guards():
+    """Adversarial headers must be rejected BEFORE any big allocation:
+    implausible declared dimensions (a 200-byte payload claiming
+    65535x65535 would drive a multi-GB plane/palette allocation — an
+    OOM kill is not catchable, so on_error='null' could not contain
+    it), 12-bit sample precision (would silently decode to garbage
+    through the 8-bit level-shift), and a PNG whose inflate output is
+    bounded to the declared raster size."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        _gif_decode,
+        _jpeg_decode,
+        _png_decode,
+        gif_encode,
+    )
+
+    # JPEG: rewrite SOF dims to 65535x65535
+    jpg = bytearray(_jpeg(8, 8, gray=bytes(range(64))))
+    i = jpg.index(bytes([0xFF, 0xC0]))
+    jpg[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    with _pytest.raises(ValueError, match="implausible"):
+        _jpeg_decode(bytes(jpg))
+
+    # JPEG: 12-bit precision flag
+    jpg = bytearray(_jpeg(8, 8, gray=bytes(range(64))))
+    i = jpg.index(bytes([0xFF, 0xC0]))
+    jpg[i + 4] = 12
+    with _pytest.raises(ValueError, match="precision"):
+        _jpeg_decode(bytes(jpg))
+
+    # GIF: frame descriptor claiming 65535x65535
+    gif = bytearray(gif_encode(4, 4, bytes(16), [(0, 0, 0), (1, 1, 1)]))
+    i = gif.index(0x2C, 13)
+    gif[i + 5 : i + 9] = struct.pack("<HH", 65535, 65535)
+    with _pytest.raises(ValueError, match="implausible"):
+        _gif_decode(bytes(gif))
+
+    # PNG: IHDR claiming 1e9 pixels
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+    big = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 100000, 100000, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00"))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="implausible"):
+        _png_decode(big)
+
+    # PNG: decompression bomb with small declared dims — inflate is
+    # bounded to the declared raster, so the oversized stream just
+    # fails the truncation check instead of materializing gigabytes
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (50 * 1024 * 1024)))
+            + chunk(b"IEND", b""))
+    gw, gh, raster = _png_decode(bomb)  # first 2x2 of the zeros decode fine
+    assert (gw, gh) == (2, 2) and len(raster) == 4
+
+
+def test_real_decode_boundary_covers_all_formats(spark):
+    """on_error='null' must isolate malformed payloads of EVERY format
+    the dispatch reaches — corrupt PNG IDAT (zlib.error), truncated WAV
+    fmt chunk (struct.error), and a P5 header with maxval 0
+    (ZeroDivisionError in feature scaling) all become NULL-decode rows
+    now that the corruption boundary wraps the whole dispatch."""
+    import struct
+    import zlib
+
+    from retail_sales_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+    bad_png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", b"\x01\x02\x03not-zlib")
+               + chunk(b"IEND", b""))
+    bad_wav = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01"
+    bad_ppm = b"P5\n4 4\n0\n" + bytes(16)  # maxval 0 -> div by zero
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bad_png), "s"),
+         (2, "audio", bytearray(bad_wav), "s"),
+         (3, "image", bytearray(bad_ppm), "s")],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_media(df, fake=False, on_error="null").collect()}
+    assert all(rows[i].width is None and rows[i].feature is None for i in (1, 2, 3))

@@ -17,32 +17,21 @@ import time
 sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.functions import spark_partition_id  # noqa: E402
 
 from retail_sales_data_pipeline_spark.operators.layout import (  # noqa: E402
+    boxes_touched as touched,
+)
+from retail_sales_data_pipeline_spark.operators.layout import (  # noqa: E402
+    partition_boxes,
     zorder_layout,
 )
 from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def boxes(laid):
-    return (
-        laid.withColumn("pid", spark_partition_id())
-        .groupBy("pid")
-        .agg(
-            F.min("x").alias("x0"),
-            F.max("x").alias("x1"),
-            F.min("y").alias("y0"),
-            F.max("y").alias("y1"),
-        )
-        .collect()
-    )
-
-
-def touched(bs, col: str, lo: float, hi: float) -> int:
-    if col == "y":
-        return sum(1 for b in bs if b.y1 >= lo and b.y0 <= hi)
-    return sum(1 for b in bs if b.x1 >= lo and b.x0 <= hi)
+    # shared helpers (operators/layout.py) — same box/overlap logic as
+    # the pytest pruning property, so these numbers can't drift from it
+    return partition_boxes(laid, ["x", "y"])
 
 
 def main() -> None:
