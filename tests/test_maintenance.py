@@ -264,3 +264,18 @@ def test_zorder_layout_rejects_partial_nulls(spark):
                 ["x", "y"],
                 4,
             )
+
+
+def test_zorder_layout_degenerate_constant_column(spark):
+    """A constant layout column (lo == hi) collapses to bucket 0 and
+    the layout degrades gracefully to a linear sort on the other
+    column — no crash, no row loss."""
+    from retail_sales_data_pipeline_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    rows = [(float(i), 7.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = zorder_layout(df, ["x", "y"], 4)
+    assert out.count() == 1000
+    assert sorted(r.x for r in out.collect()) == [float(i) for i in range(1000)]
