@@ -115,3 +115,40 @@ def run_scoped_path(base: str, run_id: str | int) -> str:
     overwrites its own prefix, never a previous run's.
     """
     return os.path.join(base, str(run_id))
+
+
+_STAGING_SUFFIXES = ("._old", "._compact", "._zorder")
+
+
+def vacuum_staging(
+    base_dir: str, ttl_seconds: float = 24 * 3600, now: float | None = None
+) -> list[str]:
+    """Remove crash-orphaned staging/backup dirs left by
+    :func:`staged_rewrite` (the VACUUM step of the maintenance family:
+    compaction fixes file count, z-order fixes pruning, vacuum fixes
+    the leftovers the crash-tolerant swap documents as recoverable).
+
+    A rewrite that dies between its renames leaves ``<table>._old`` /
+    ``<table>._compact`` / ``<table>._zorder`` beside the table; they
+    are the RECOVERY material immediately after the crash, so only
+    dirs older than ``ttl_seconds`` (mtime-based, default 24h) are
+    removed. Pass ``now`` explicitly in tests. Returns the removed
+    paths. Driver-side metadata work only — one listdir + one stat per
+    candidate, never a data scan.
+    """
+    import os
+    import shutil
+    import time as _time
+
+    clock = _time.time() if now is None else now
+    removed = []
+    for name in sorted(os.listdir(base_dir)):
+        if not name.endswith(_STAGING_SUFFIXES):
+            continue
+        p = os.path.join(base_dir, name)
+        if not os.path.isdir(p):
+            continue
+        if clock - os.path.getmtime(p) >= ttl_seconds:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    return removed

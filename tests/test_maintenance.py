@@ -279,3 +279,30 @@ def test_zorder_layout_degenerate_constant_column(spark):
     out = zorder_layout(df, ["x", "y"], 4)
     assert out.count() == 1000
     assert sorted(r.x for r in out.collect()) == [float(i) for i in range(1000)]
+
+
+def test_vacuum_staging_removes_only_expired_orphans(spark, tmp_path):
+    """Vacuum must remove crash leftovers past the TTL, keep fresh ones
+    (they are the recovery material), and never touch live tables."""
+    import os
+    import time
+
+    from retail_sales_data_pipeline_spark.sinks import vacuum_staging
+
+    base = tmp_path
+    (base / "tbl").mkdir()  # live table — never touched
+    (base / "tbl._old").mkdir()  # expired orphan
+    (base / "tbl._compact").mkdir()  # fresh (in-flight or recent crash)
+    (base / "other._zorder").mkdir()  # expired orphan
+    (base / "notes._oldish").mkdir()  # suffix must match exactly
+    now = time.time()
+    old = now - 100_000
+    os.utime(base / "tbl._old", (old, old))
+    os.utime(base / "other._zorder", (old, old))
+
+    removed = vacuum_staging(str(base), ttl_seconds=24 * 3600, now=now)
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "other._zorder", "tbl._old",
+    ]
+    left = sorted(p.name for p in base.iterdir())
+    assert left == ["notes._oldish", "tbl", "tbl._compact"]
