@@ -27,8 +27,9 @@ _MODULES = [
 # The grading driver verifies the FIRST 50 queries in registry order against
 # their DuckDB oracles. Round 3 put the whole events/vector/media surface in
 # the window (all 50 green); round 4 refreshed the r2-era greens; round 5
-# (current) rotates in the two never-checked r5 queries plus the 48 whose
-# last green row is r3 — exactly the tools/rotate_registry.py output.
+# refreshed the r3-era greens plus the two never-checked additions; round 6
+# (current) rotates in the 50 queries whose last green row is r4 — exactly
+# the tools/rotate_registry.py output against the r5 history.
 # Queries not listed keep their module order after these; the full surface
 # stays covered by tools/drive_contract.py locally.
 #
@@ -55,56 +56,56 @@ _MODULES = [
 # query and breaks tests/test_registry_freshness.py. Park extra query
 # ideas as pytest-covered operators until a query is retired.
 DRIVER_PRIORITY = [
-    "ann_auto_topk",  # never checked
-    "corpus_shuffle_shard",  # never checked
-    "customer_monthly_mart",  # green r3
-    "sales_team_mart",  # green r3
-    "star_join_enrich",  # green r3
-    "conform_union",  # green r3
-    "ledger_filter",  # green r3
-    "dedup_exact",  # green r3
-    "dedup_minhash_lsh",  # green r3
-    "dedup_simhash",  # green r3
-    "corpus_report",  # green r3
-    "corpus_approx_distinct",  # green r3
-    "dedup_incremental",  # green r3
-    "corpus_curation_funnel",  # green r3
-    "streaming_quality_filter",  # green r3
-    "corpus_split_assign",  # green r3
-    "events_hourly_rollup",  # green r3
-    "events_sessionize",  # green r3
-    "events_sessionize_scalable",  # green r3
-    "events_json_props",  # green r3
-    "events_json_variant",  # green r3
-    "events_daily_stats",  # green r3
-    "events_asof_attribution",  # green r3
-    "events_range_pairs",  # green r3
-    "events_funnel",  # green r3
-    "events_cohort_retention",  # green r3
-    "streaming_hourly_rollup",  # green r3
-    "streaming_dedup_rollup",  # green r3
-    "streaming_sessionize",  # green r3
-    "events_approx_quantiles",  # green r3
-    "events_rolling_7day",  # green r3
-    "ann_cosine_topk",  # green r3
-    "ann_lsh_topk",  # green r3
-    "ann_ivf_topk",  # green r3
-    "dedup_embedding_cosine",  # green r3
-    "bench_ann_cosine_arrow",  # green r3
-    "ann_recall_at_5",  # green r3
-    "kmeans_embeddings",  # green r3
-    "ann_quantized_topk",  # green r3
-    "dedup_semantic_cells",  # green r3
-    "kmeans_fixed_assign",  # green r3
-    "dedup_semantic_keep",  # green r3
-    "cluster_balanced_sample",  # green r3
-    "ann_label_agreement",  # green r3
-    "multimodal_decode",  # green r3
-    "multimodal_frame_sample",  # green r3
-    "multimodal_resize",  # green r3
-    "multimodal_pointer_decode",  # green r3
-    "multimodal_embed_texts",  # green r3
-    "multimodal_text_retrieval",  # green r3
+    "distinct_dedup",  # green r4
+    "monthly_grouped_sum",  # green r4
+    "month_key_forms",  # green r4
+    "product_enrich",  # green r4
+    "sales_rollup",  # green r4
+    "sales_cube",  # green r4
+    "customers_churned",  # green r4
+    "suppliers_with_returns",  # green r4
+    "customer_upsert",  # green r4
+    "scd2_customer_segments",  # green r4
+    "key_skew_profile",  # green r4
+    "maintenance_compaction_plan",  # green r4
+    "dq_violations",  # green r4
+    "mart_reconcile",  # green r4
+    "top_customers_per_month",  # green r4
+    "sales_pivot_by_flag",  # green r4
+    "customer_running_total",  # green r4
+    "monthly_price_quantiles",  # green r4
+    "revenue_anomalies",  # green r4
+    "order_value_quartiles",  # green r4
+    "text_token_stats",  # green r4
+    "text_quality",  # green r4
+    "text_lang_id",  # green r4
+    "text_fingerprint",  # green r4
+    "dedup_ngram_jaccard",  # green r4
+    "dedup_clusters",  # green r4
+    "dedup_clusters_star",  # green r4
+    "dedup_rate_by_lang",  # green r4
+    "corpus_filter_pipeline",  # green r4
+    "corpus_sample",  # green r4
+    "corpus_stratified_sample",  # green r4
+    "corpus_tfidf_terms",  # green r4
+    "corpus_length_histogram",  # green r4
+    "text_redact_pii",  # green r4
+    "corpus_pack_sequences",  # green r4
+    "corpus_decontaminate",  # green r4
+    "text_repetition",  # green r4
+    "corpus_source_mix",  # green r4
+    "corpus_boilerplate_ngrams",  # green r4
+    "corpus_ngram_novelty",  # green r4
+    "dedup_keep_canonical",  # green r4
+    "text_langid_confusion",  # green r4
+    "corpus_unigram_logprob",  # green r4
+    "corpus_quality_sample",  # green r4
+    "corpus_mix_rebalance",  # green r4
+    "dedup_fuzzy_keys",  # green r4
+    "streaming_sessionize_complete",  # green r4
+    "ann_lsh_banded_topk",  # green r4
+    "bench_ann_banded_arrow",  # green r4
+    "decontaminate_semantic",  # green r4
 ]
 
 
