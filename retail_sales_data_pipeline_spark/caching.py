@@ -19,9 +19,22 @@ valid blunt fallback and the bench keeps it as belt-and-braces.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
+# Guarded by _LOCK: the tracker is a module-global LIFO, and long-lived
+# apps routinely run queries from multiple threads against one
+# SparkSession — without the lock, one thread's release_persisted(
+# since=mark) could pop and unpersist frames another in-flight query
+# tracked after the mark (ADVICE r5). The lock makes each operation
+# atomic; the mark/since PROTOCOL itself remains single-runner-scoped:
+# interleaved mark/release pairs from concurrent runners can still
+# release each other's frames (LIFO depth is global). Concurrent
+# runners should each use their own explicit handle list via
+# ``release_frames`` instead of depth marks.
+_LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
 
 
@@ -30,7 +43,8 @@ def persist_tracked(
 ) -> DataFrame:
     """``df.persist()`` that registers the frame for later release."""
     df = df.persist(level) if level is not None else df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
@@ -41,8 +55,37 @@ def persist_mark() -> int:
     exactly the caches it created — draining the whole global LIFO
     would also evict caches owned by the caller's other in-flight lazy
     queries (the same unscoped-eviction hazard this module's docstring
-    criticizes ``clearCache()`` for)."""
-    return len(_TRACKED)
+    criticizes ``clearCache()`` for). Depth marks assume a single
+    runner thread; concurrent runners must use ``release_frames``."""
+    with _LOCK:
+        return len(_TRACKED)
+
+
+def release_frames(frames: list[DataFrame], blocking: bool = False) -> int:
+    """Thread-safe scoped release by EXPLICIT handle list — the
+    concurrency-correct alternative to depth marks: unpersist exactly
+    ``frames``, removing them from the tracker wherever they sit (no
+    LIFO assumption, so another thread's interleaved persists are
+    untouched). Returns how many were dropped."""
+    import sys
+
+    n = 0
+    for df in frames:
+        with _LOCK:
+            try:
+                _TRACKED.remove(df)
+            except ValueError:
+                continue  # already released (or never tracked)
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception as e:  # noqa: BLE001 — must not fail the runner
+            print(
+                f"release_frames: unpersist failed "
+                f"({type(e).__name__}: {e})",
+                file=sys.stderr,
+            )
+    return n
 
 
 def release_persisted(since: int = 0, blocking: bool = False) -> int:
@@ -58,8 +101,11 @@ def release_persisted(since: int = 0, blocking: bool = False) -> int:
     import sys
 
     n = 0
-    while len(_TRACKED) > max(0, since):
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if len(_TRACKED) <= max(0, since):
+                break
+            df = _TRACKED.pop()
         try:
             df.unpersist(blocking=blocking)
             n += 1

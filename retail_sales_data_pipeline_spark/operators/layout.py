@@ -132,9 +132,10 @@ def zorder_compact(
     spark: SparkSession, path: str, cols: list[str], target_files: int
 ) -> int:
     """OPTIMIZE-ZORDER analogue over a parquet dataset: rewrite ``path``
-    into ``target_files`` z-clustered files via the shared staged-swap /
-    row-count-validation protocol (:func:`..sinks.staged_rewrite` — see
-    its non-atomicity caveat). Returns the resulting file count."""
+    into ``target_files`` z-clustered files via the shared
+    atomic-manifest-commit / row-count-validation protocol
+    (:func:`..sinks.staged_rewrite`; read back with
+    :func:`..sinks.read_table`). Returns the resulting file count."""
     from ..sinks import staged_rewrite
 
     return staged_rewrite(

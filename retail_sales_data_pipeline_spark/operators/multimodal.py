@@ -193,8 +193,12 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
 # 65535x65535 would otherwise drive multi-GB allocations (JPEG plane
 # zeros, GIF palette expansion) BEFORE any pixel data is validated —
 # an OOM kill is not catchable, so on_error="null" can't contain it.
-# 2^26 px = an 8192x8192 frame, far above any feature-extraction need.
-_MAX_DECODE_PIXELS = 1 << 26
+# 2^24 px = a 4096x4096 frame, far above any feature-extraction need.
+# Sized jointly with the float32 decode planes (ADVICE r5): at the cap
+# the JPEG path's transient footprint is ~64 MB/plane + ~192 MB RGB
+# stack, safe even with several rows decoding concurrently per
+# executor under mapInPandas.
+_MAX_DECODE_PIXELS = 1 << 24
 
 
 def _check_pixels(w: int, h: int, fmt: str) -> None:
@@ -542,14 +546,20 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, bytes]:
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # float32 throughout the decode path (ADVICE r5): precision is
+    # ample for 8-bit output (round-trip tolerances are whole units;
+    # float32 absolute error here is ~1e-3) and it halves the plane /
+    # RGB-stack transient footprint under concurrent mapInPandas rows.
     planes = [
-        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), dtype=np.float64)
+        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), dtype=np.float32)
         for c in comps
     ]
     # separable IDCT basis: block = C.T @ coef @ C (T.81 A.3.3)
     grid = np.arange(8)
-    cmat = np.cos((2 * grid[None, :] + 1) * grid[:, None] * np.pi / 16) * 0.5
-    cmat[0, :] *= 1 / np.sqrt(2)
+    cmat = (
+        np.cos((2 * grid[None, :] + 1) * grid[:, None] * np.pi / 16) * 0.5
+    ).astype(np.float32)
+    cmat[0, :] *= np.float32(1 / np.sqrt(2))
 
     bits = _JpegBits(payload, pos)
     pred = [0] * len(comps)
@@ -563,7 +573,7 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, bytes]:
             _cid, ch, cv, tq = comps[ci]
             for by in range(cv):
                 for bx in range(ch):
-                    coef = np.zeros(64)
+                    coef = np.zeros(64, dtype=np.float32)
                     s = _jpeg_decode_huff(bits, huff_dc[td])
                     pred[ci] += _jpeg_extend(bits.receive(s), s)
                     coef[0] = pred[ci] * qt[tq][0]

@@ -46,32 +46,128 @@ def append_table(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+_MANIFEST = "_manifest.json"
+
+
+def _load_manifest(path: str) -> dict | None:
+    """Parse ``<path>/_manifest.json`` if present, else None."""
+    import json
+
+    mpath = os.path.join(path, _MANIFEST)
+    if not os.path.isfile(mpath):
+        return None
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(path: str, manifest: dict) -> None:
+    """THE atomic commit point of the rewrite protocol: write the
+    manifest to a temp file and ``os.replace`` it into place. On POSIX
+    rename-over is atomic; on an object store the analogue is a single
+    manifest-object PUT — both are one indivisible step, so readers see
+    either the old generation or the new one, never a mix."""
+    import json
+
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def _top_level_part_files(path: str) -> list[str]:
+    """Basenames of loose data files at the table root (the original
+    un-managed layout, plus any ``append_table`` batches landed since
+    the last rewrite)."""
+    import glob
+
+    return sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))
+    )
+
+
+def live_files(path: str) -> list[str]:
+    """Absolute paths of the files a reader must scan for the table at
+    ``path``. Without a manifest: the plain parquet directory. With
+    one: the committed generation directory plus any top-level files
+    NOT superseded by that generation (i.e. appends landed after the
+    rewrite). Superseded files are excluded even if a crashed cleanup
+    left them on disk — that is what makes the commit atomic."""
+    man = _load_manifest(path)
+    if man is None:
+        return [path]
+    superseded = set(man.get("superseded", []))
+    loose = [
+        os.path.join(path, f)
+        for f in _top_level_part_files(path)
+        if f not in superseded
+    ]
+    return [os.path.join(path, man["generation"])] + loose
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read back an appended mart table (empty frame if never written)."""
-    return spark.read.parquet(path)
+    """Read back a mart table, resolving through ``_manifest.json``
+    when the table has been maintenance-rewritten (see
+    :func:`staged_rewrite`). Plain ``spark.read.parquet(path)``
+    remains correct only for never-rewritten tables."""
+    return spark.read.parquet(*live_files(path))
+
+
+def _retire(paths: list[str]) -> None:
+    """Best-effort removal of files/dirs superseded by a committed
+    manifest. Runs strictly AFTER the commit; a crash here leaves only
+    dead bytes that every reader already ignores (vacuum_staging
+    collects them past the TTL)."""
+    import shutil
+
+    for p in paths:
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
 
 
 def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> int:
     """Shared rewrite protocol for the layout-maintenance passes
-    (`compact_parquet`, `operators/layout.zorder_compact`): read the
-    dataset, apply ``layout_fn(df) -> DataFrame``, write to a staging
-    dir, validate the staged row count against the source, then
-    rename-swap. The swap is crash-TOLERANT, not atomic: between the
-    two renames the dataset is briefly absent at ``path`` (recoverable
-    from ``._old`` / the staging dir), and directory rename is not
-    atomic on object stores at all — there, use a table format with an
-    atomic manifest commit (Delta/Iceberg) instead. The ``._old``
-    backup is removed only after the staged copy has been validated
-    and moved into place. Returns the resulting file count.
+    (`compact_parquet`, `operators/layout.zorder_compact`), with an
+    ATOMIC manifest commit — the Delta/Iceberg-style answer to the
+    directory-rename swap this function used through round 5 (which
+    left the table briefly absent between two renames, and was not
+    atomic on object stores at all):
+
+    1. read the live file set (manifest-aware, so appends since the
+       last rewrite are folded in);
+    2. write ``layout_fn(df)`` to a NEW generation directory
+       ``<path>/gen-<n><suffix>/`` — the live table is untouched;
+    3. validate the staged row count against the source (footer
+       metadata only — cheap at any scale);
+    4. commit: atomically replace ``<path>/_manifest.json`` naming the
+       new generation and the top-level files it supersedes
+       (:func:`_commit_manifest` — one ``os.replace`` / one object
+       PUT);
+    5. retire the previous generation and superseded loose files.
+
+    A crash between ANY two steps leaves a readable table at ``path``:
+    before step 4 readers resolve the old manifest (or the plain
+    directory); after it they resolve the new generation, and step 5's
+    leftovers are invisible to :func:`live_files`. Orphaned staging
+    generations and retire leftovers are TTL-collected by
+    :func:`vacuum_staging`. Single-writer protocol: concurrent
+    rewrites of one table are not supported (generation ids would
+    race). Returns the resulting (generation) file count.
     """
     import glob
     import shutil
 
-    df = spark.read.parquet(path)
+    df = read_table(spark, path)
     n_src = df.count()
-    staging = path.rstrip("/") + suffix
+    man = _load_manifest(path)
+    prev_gen = man["generation"] if man else None
+    gen_no = (man.get("gen_no", 0) if man else 0) + 1
+    gen = f"gen-{gen_no:06d}{suffix}"
+    staging = os.path.join(path, gen)
+    superseded = _top_level_part_files(path)
     layout_fn(df).write.mode("overwrite").parquet(staging)
-    # validate before touching the live path (parquet count is
+    # validate before the commit point (parquet count is
     # footer-metadata-only — cheap even for large datasets)
     n_staged = spark.read.parquet(staging).count()
     if n_staged != n_src:
@@ -79,11 +175,20 @@ def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> in
         raise RuntimeError(
             f"rewrite row-count mismatch: staged {n_staged} != source {n_src}"
         )
-    backup = path.rstrip("/") + "._old"
-    shutil.move(path, backup)
-    shutil.move(staging, path)
-    shutil.rmtree(backup)
-    return len(glob.glob(f"{path}/part-*"))
+    _commit_manifest(
+        path,
+        {
+            "generation": gen,
+            "gen_no": gen_no,
+            "rows": n_staged,
+            "superseded": superseded,
+        },
+    )
+    retire = [os.path.join(path, f) for f in superseded]
+    if prev_gen:
+        retire.append(os.path.join(path, prev_gen))
+    _retire(retire)
+    return len(glob.glob(os.path.join(staging, "part-*")))
 
 
 def compact_parquet(
@@ -123,32 +228,78 @@ _STAGING_SUFFIXES = ("._old", "._compact", "._zorder")
 def vacuum_staging(
     base_dir: str, ttl_seconds: float = 24 * 3600, now: float | None = None
 ) -> list[str]:
-    """Remove crash-orphaned staging/backup dirs left by
-    :func:`staged_rewrite` (the VACUUM step of the maintenance family:
-    compaction fixes file count, z-order fixes pruning, vacuum fixes
-    the leftovers the crash-tolerant swap documents as recoverable).
+    """Remove crash-orphaned rewrite leftovers (the VACUUM step of the
+    maintenance family: compaction fixes file count, z-order fixes
+    pruning, vacuum fixes the dead bytes a crashed rewrite leaves
+    behind). Two kinds of leftovers, both TTL-gated (mtime-based,
+    default 24h — fresh leftovers may belong to an in-flight rewrite):
 
-    A rewrite that dies between its renames leaves ``<table>._old`` /
-    ``<table>._compact`` / ``<table>._zorder`` beside the table; they
-    are the RECOVERY material immediately after the crash, so only
-    dirs older than ``ttl_seconds`` (mtime-based, default 24h) are
-    removed. Pass ``now`` explicitly in tests. Returns the removed
-    paths. Driver-side metadata work only — one listdir + one stat per
-    candidate, never a data scan.
+    * **manifest tables** (current protocol): inside any table dir
+      carrying ``_manifest.json``, generation dirs other than the
+      committed one (an uncommitted staging write, or a previous
+      generation whose retire step crashed) and loose files the
+      manifest lists as superseded. The committed generation and
+      un-superseded appends are never candidates.
+    * **legacy sibling dirs** (pre-manifest protocol): ``<table>._old``
+      / ``<table>._compact`` / ``<table>._zorder`` beside the table —
+      but ONLY when the live table directory still exists. If it does
+      not (the old swap crashed between its two renames), those dirs
+      are the SOLE remaining copy of the data, not orphans: skip and
+      warn, never delete.
+
+    Pass ``now`` explicitly in tests. Returns the removed paths.
+    Driver-side metadata work only — listdir + stat per candidate,
+    never a data scan.
     """
     import os
     import shutil
     import time as _time
+    import warnings
 
     clock = _time.time() if now is None else now
-    removed = []
+    removed: list[str] = []
+
+    def expired(p: str) -> bool:
+        return clock - os.path.getmtime(p) >= ttl_seconds
+
     for name in sorted(os.listdir(base_dir)):
-        if not name.endswith(_STAGING_SUFFIXES):
-            continue
         p = os.path.join(base_dir, name)
         if not os.path.isdir(p):
             continue
-        if clock - os.path.getmtime(p) >= ttl_seconds:
+        man = _load_manifest(p)
+        if man is not None:
+            keep = man["generation"]
+            superseded = set(man.get("superseded", []))
+            for child in sorted(os.listdir(p)):
+                cp = os.path.join(p, child)
+                if (
+                    child != keep
+                    and child.startswith("gen-")
+                    and os.path.isdir(cp)
+                    and expired(cp)
+                ):
+                    shutil.rmtree(cp, ignore_errors=True)
+                    removed.append(cp)
+                elif (
+                    child in superseded
+                    and os.path.isfile(cp)
+                    and expired(cp)
+                ):
+                    os.remove(cp)
+                    removed.append(cp)
+            continue
+        if not name.endswith(_STAGING_SUFFIXES):
+            continue
+        live = p.rsplit("._", 1)[0]
+        if not os.path.isdir(live):
+            warnings.warn(
+                f"vacuum_staging: keeping {p} — live table {live} is "
+                "missing, so this dir is recovery material, not an "
+                "orphan (restore it manually: move it to the live path)",
+                stacklevel=2,
+            )
+            continue
+        if expired(p):
             shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
     return removed

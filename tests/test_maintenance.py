@@ -218,7 +218,9 @@ def test_zorder_compact_roundtrip(spark, tmp_path):
 
     n_files = zorder_compact(spark, path, ["a", "b"], target_files=8)
     assert n_files == 8
-    back = spark.read.parquet(path)
+    from retail_sales_data_pipeline_spark.sinks import read_table
+
+    back = read_table(spark, path)
     assert back.count() == 5000
     assert sorted(r.id for r in back.select("id").collect()) == list(
         range(5000)
@@ -283,26 +285,157 @@ def test_zorder_layout_degenerate_constant_column(spark):
 
 def test_vacuum_staging_removes_only_expired_orphans(spark, tmp_path):
     """Vacuum must remove crash leftovers past the TTL, keep fresh ones
-    (they are the recovery material), and never touch live tables."""
+    (they are the recovery material), never touch live tables, and —
+    critically — never delete a legacy backup dir whose live table is
+    MISSING: after a crash between the old protocol's two renames that
+    dir is the sole remaining copy of the data."""
     import os
     import time
+    import warnings
 
     from retail_sales_data_pipeline_spark.sinks import vacuum_staging
 
     base = tmp_path
     (base / "tbl").mkdir()  # live table — never touched
-    (base / "tbl._old").mkdir()  # expired orphan
+    (base / "tbl._old").mkdir()  # expired orphan (live table exists)
     (base / "tbl._compact").mkdir()  # fresh (in-flight or recent crash)
-    (base / "other._zorder").mkdir()  # expired orphan
+    (base / "other._zorder").mkdir()  # expired BUT no live `other` dir:
+    # sole copy of the data — must be kept, with a warning
     (base / "notes._oldish").mkdir()  # suffix must match exactly
     now = time.time()
     old = now - 100_000
     os.utime(base / "tbl._old", (old, old))
     os.utime(base / "other._zorder", (old, old))
 
-    removed = vacuum_staging(str(base), ttl_seconds=24 * 3600, now=now)
-    assert sorted(os.path.basename(p) for p in removed) == [
-        "other._zorder", "tbl._old",
-    ]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        removed = vacuum_staging(str(base), ttl_seconds=24 * 3600, now=now)
+    assert sorted(os.path.basename(p) for p in removed) == ["tbl._old"]
+    assert any("recovery material" in str(w.message) for w in caught)
     left = sorted(p.name for p in base.iterdir())
-    assert left == ["notes._oldish", "tbl", "tbl._compact"]
+    assert left == ["notes._oldish", "other._zorder", "tbl", "tbl._compact"]
+
+
+def _write_tbl(spark, path, n=4000, parts=20):
+    df = spark.range(n).selectExpr(
+        "id", "cast(id % 97 as double) as a", "cast(id % 89 as double) as b"
+    )
+    df.repartition(parts).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_manifest_commit_crash_at_every_step_boundary(spark, tmp_path, monkeypatch):
+    """The round-6 atomicity contract: kill the rewrite at each step
+    boundary of sinks.staged_rewrite and prove a readable, row-complete
+    table at `path` after every crash, plus a clean re-run."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _write_tbl(spark, path)
+
+    def rows_ok():
+        back = S.read_table(spark, path)
+        assert back.count() == 4000
+        assert back.groupBy().sum("id").first()[0] == 4000 * 3999 // 2
+
+    # crash A: staged generation written, commit never happened —
+    # readers must still resolve the ORIGINAL files
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(S, "_commit_manifest", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash before commit"):
+        S.compact_parquet(spark, path, target_files=4)
+    assert S._load_manifest(path) is None  # commit really didn't happen
+    rows_ok()
+    monkeypatch.undo()
+
+    # crash B: manifest committed, retire of superseded files crashed —
+    # readers must resolve the NEW generation and ignore the leftovers
+    monkeypatch.setattr(S, "_retire", boom)
+    with _pytest.raises(RuntimeError):
+        S.compact_parquet(spark, path, target_files=4)
+    man = S._load_manifest(path)
+    assert man is not None and man["rows"] == 4000
+    assert S._top_level_part_files(path)  # leftovers are still on disk
+    rows_ok()  # ...but invisible to readers
+    monkeypatch.undo()
+
+    # recovery: a clean rewrite over the crashed state succeeds and
+    # retires both the leftovers and the intermediate generation
+    n_files = S.compact_parquet(spark, path, target_files=4)
+    assert n_files <= 6
+    rows_ok()
+    assert S._top_level_part_files(path) == []
+
+
+def test_append_after_rewrite_is_visible(spark, tmp_path):
+    """Manifest resolution must include top-level batches appended
+    AFTER the committed generation (they are not superseded), and the
+    next rewrite must fold them into the new generation."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _write_tbl(spark, path, n=1000, parts=5)
+    S.compact_parquet(spark, path, target_files=2)
+    extra = spark.range(1000, 1500).selectExpr(
+        "id", "cast(0.0 as double) as a", "cast(0.0 as double) as b"
+    )
+    S.append_table(extra, path)
+    assert S.read_table(spark, path).count() == 1500
+    S.compact_parquet(spark, path, target_files=2)
+    assert S.read_table(spark, path).count() == 1500
+    assert S._top_level_part_files(path) == []  # folded in and retired
+
+
+def test_vacuum_collects_manifest_table_orphans(spark, tmp_path, monkeypatch):
+    """Expired non-committed generations and superseded loose files
+    inside a manifest table are vacuumed; the committed generation and
+    fresh appends never are."""
+    import os
+    import time
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    base = tmp_path
+    path = str(base / "tbl")
+    _write_tbl(spark, path, n=500, parts=3)
+    # crash mid-retire → superseded loose files + (on the second pass)
+    # an orphan previous generation stay on disk
+    def noop(paths):
+        return None
+
+    monkeypatch.setattr(S, "_retire", noop)
+    S.compact_parquet(spark, path, target_files=2)
+    S.compact_parquet(spark, path, target_files=2)
+    monkeypatch.undo()
+    man = S._load_manifest(path)
+    orphan_gens = [
+        c
+        for c in os.listdir(path)
+        if c.startswith("gen-") and c != man["generation"]
+    ]
+    loose = S._top_level_part_files(path)
+    assert orphan_gens and loose
+    # fresh append — must survive the vacuum
+    S.append_table(
+        spark.range(500, 510).selectExpr(
+            "id", "cast(0.0 as double) as a", "cast(0.0 as double) as b"
+        ),
+        path,
+    )
+    fresh = set(S._top_level_part_files(path)) - set(loose)
+    assert fresh
+    now = time.time() + 100_000  # everything written above is "old"...
+    for f in fresh:  # ...except the append we just made
+        p = os.path.join(path, f)
+        os.utime(p, (now, now))
+    removed = S.vacuum_staging(str(base), ttl_seconds=24 * 3600, now=now)
+    removed_names = sorted(os.path.basename(p) for p in removed)
+    assert sorted(orphan_gens + loose) == removed_names
+    left = sorted(os.listdir(path))
+    assert man["generation"] in left
+    assert all(f in left for f in fresh)
+    assert S.read_table(spark, path).count() == 510

@@ -362,6 +362,27 @@ def test_persist_tracked_release(spark):
     assert release_persisted() == 0  # registry drained
 
 
+def test_release_frames_by_handle_ignores_interleaved(spark):
+    """release_frames drops exactly the given handles regardless of
+    tracker position — the concurrency-correct scoped release (ADVICE
+    r5: depth marks assume one runner thread)."""
+    from retail_sales_data_pipeline_spark.caching import (
+        persist_tracked,
+        release_frames,
+        release_persisted,
+    )
+
+    release_persisted()  # drain anything earlier tests left behind
+    mine = persist_tracked(spark.range(10).toDF("n"))
+    theirs = persist_tracked(spark.range(5).toDF("n"))  # "another thread's"
+    mine.count(), theirs.count()
+    assert release_frames([mine]) == 1
+    assert not mine.storageLevel.useMemory
+    assert theirs.storageLevel.useMemory  # untouched, unlike a LIFO pop
+    assert release_frames([mine]) == 0  # idempotent
+    assert release_persisted() == 1  # only `theirs` remained tracked
+
+
 def test_release_persisted_is_scopable(spark):
     """persist_mark/release_persisted(since=...) must drop exactly the
     caches created after the mark — a composite job (export_shards)

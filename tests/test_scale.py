@@ -84,7 +84,9 @@ def test_compaction_preserves_data(spark, sf_dir, tmp_path):
 
     n_files = compact_parquet(spark, out, target_files=4, sort_col="l_orderkey")
     assert n_files <= 8  # range partitioner may emit fewer/empty splits
-    after = spark.read.parquet(out)
+    from retail_sales_data_pipeline_spark.sinks import read_table
+
+    after = read_table(spark, out)
     assert after.count() == before_rows
     assert after.agg(F.sum("l_quantity")).first()[0] == li.agg(
         F.sum("l_quantity")
