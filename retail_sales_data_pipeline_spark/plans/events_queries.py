@@ -551,10 +551,19 @@ FROM daily
 """
 
 
+# Retired from the driver registry (round 6, registry-slack buyback):
+# the two-level scalable sessionizer computes the SAME sessions as
+# events_sessionize (they shared _SESSIONIZE_SQL verbatim) — result
+# equivalence pinned by tests/test_twin_equivalence.py; it remains the
+# skew-insurance variant with its measured crossover
+# (tools/sessionize_crossover.py).
+TWIN_QUERIES = {
+    "events_sessionize_scalable": (events_sessionize_scalable, "events_sessionize"),
+}
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
-    "events_sessionize_scalable": events_sessionize_scalable,
     "events_json_props": events_json_props,
     "events_json_variant": events_json_variant,
     "events_daily_stats": events_daily_stats,
@@ -573,7 +582,6 @@ QUERIES = {
 ORACLE_SQL = {
     "events_hourly_rollup": _HOURLY_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
-    "events_sessionize_scalable": _SESSIONIZE_SQL,  # algorithm-equivalence pin
     "events_json_props": _JSON_SQL,
     "events_json_variant": _JSON_SQL,  # same values, variant-typed extraction
     "events_daily_stats": _DAILY_SQL,

@@ -1905,6 +1905,16 @@ FROM rates r LEFT JOIN kept k ON r.source = k.source
 """
 
 
+# Retired from the driver registry (round 6, registry-slack buyback):
+# the star-contraction connected-components pass clusters identically to
+# dedup_clusters' alternating-round pass (they shared
+# _DEDUP_CLUSTERS_SQL verbatim) — result equivalence pinned by
+# tests/test_twin_equivalence.py, cartesian-guard pin kept in
+# tests/test_plans.py; it remains the O(log n)-rounds scale variant.
+TWIN_QUERIES = {
+    "dedup_clusters_star": (dedup_clusters_star, "dedup_clusters"),
+}
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1915,7 +1925,6 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
-    "dedup_clusters_star": dedup_clusters_star,
     "dedup_rate_by_lang": dedup_rate_by_lang,
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "corpus_sample": corpus_sample,
@@ -1958,7 +1967,6 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
-    "dedup_clusters_star": _DEDUP_CLUSTERS_SQL,  # implementation-independent oracle
     "dedup_rate_by_lang": _DEDUP_RATE_SQL,
     "corpus_filter_pipeline": _CORPUS_FILTER_SQL,
     "corpus_sample": _CORPUS_SAMPLE_SQL,

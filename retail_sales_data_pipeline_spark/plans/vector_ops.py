@@ -837,15 +837,26 @@ WHERE rk = 1 AND cosine >= {DECONTAM_COS}
 """
 
 
+# Retired from the driver registry (round 6, registry-slack buyback):
+# the Arrow-kernel twins compute the SAME answer as their expression
+# twins (they shared one oracle SQL verbatim), so a registry slot each
+# was redundant hard signal. Their result equivalence to the registered
+# twin is pinned by tests/test_twin_equivalence.py and their plan
+# shapes stay pinned in tests/test_plans.py; they remain first-class
+# operators (bench_ann_* are the measured production-throughput
+# variants — tools/ann_headroom.py).
+TWIN_QUERIES = {
+    "bench_ann_banded_arrow": (bench_ann_banded_arrow, "ann_lsh_banded_topk"),
+    "bench_ann_cosine_arrow": (bench_ann_cosine_arrow, "ann_cosine_topk"),
+}
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_banded_topk": ann_lsh_banded_topk,
-    "bench_ann_banded_arrow": bench_ann_banded_arrow,
     "ann_auto_topk": ann_auto_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    "bench_ann_cosine_arrow": bench_ann_cosine_arrow,
     "ann_recall_at_5": ann_recall_at_5,
     "kmeans_embeddings": kmeans_embeddings,
     "ann_quantized_topk": ann_quantized_topk,
@@ -863,10 +874,8 @@ ORACLE_SQL = {
     "ann_lsh_topk": _LSH_SQL,
     "ann_ivf_topk": _IVF_SQL,
     "ann_lsh_banded_topk": _LSH_BANDED_SQL,
-    "bench_ann_banded_arrow": _LSH_BANDED_SQL,
     "ann_auto_topk": _LSH_BANDED_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
-    "bench_ann_cosine_arrow": _COSINE_SQL,
     "ann_recall_at_5": _RECALL_SQL,
     "ann_quantized_topk": _QUANTIZED_SQL,
     "dedup_semantic_cells": _SEMANTIC_CELLS_SQL,

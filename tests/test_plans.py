@@ -11,7 +11,19 @@ import io
 
 import pytest
 
-from retail_sales_data_pipeline_spark.plans.registry import all_queries
+from retail_sales_data_pipeline_spark.plans.registry import (
+    all_queries,
+    retired_twins,
+)
+
+
+def _query(name):
+    """Resolve a query fn from the registry OR the retired-twin set —
+    plan pins outlive a query's registry slot (round-6 buyback)."""
+    q = all_queries()
+    if name in q:
+        return q[name]
+    return retired_twins()[name][0]
 
 
 def _plan(df) -> str:
@@ -39,13 +51,13 @@ NO_CARTESIAN = [
 
 @pytest.mark.parametrize("name", NO_CARTESIAN)
 def test_no_cartesian_product(spark, sf_dir, name):
-    p = _plan(all_queries()[name](spark, sf_dir))
+    p = _plan(_query(name)(spark, sf_dir))
     assert "CartesianProduct" not in p, f"{name}: cartesian product in plan"
     assert "BroadcastNestedLoopJoin" not in p, f"{name}: BNLJ in plan"
 
 
 def test_star_join_is_all_broadcast_no_fact_shuffle(spark, sf_dir):
-    p = _plan(all_queries()["star_join_enrich"](spark, sf_dir))
+    p = _plan(_query("star_join_enrich")(spark, sf_dir))
     assert "SortMergeJoin" not in p
     # formatted mode renders exchange args on their own line — the old
     # literal "Exchange hashpartitioning" check was vacuously true
@@ -101,7 +113,7 @@ def test_bench_query_plan_shape_pinned(spark, sf_dir, name):
     # extra broadcast conversions) and the printed shape depends on test
     # ORDER. Pin the cold-cache plan — the one a fresh driver compiles.
     spark.catalog.clearCache()
-    p = _plan(all_queries()[name](spark, sf_dir))
+    p = _plan(_query(name)(spark, sf_dir))
     got = (
         p.count("Exchange"),
         p.count("BroadcastExchange"),
@@ -116,7 +128,7 @@ def test_bench_query_plan_shape_pinned(spark, sf_dir, name):
 
 
 def test_ledger_filter_pushdown_reaches_scan(spark, sf_dir):
-    p = _plan(all_queries()["ledger_filter"](spark, sf_dir))
+    p = _plan(_query("ledger_filter")(spark, sf_dir))
     assert "PushedFilters: [" in p
     assert "EqualTo(o_orderstatus" in p
     assert "In(o_orderpriority" in p
@@ -125,7 +137,7 @@ def test_ledger_filter_pushdown_reaches_scan(spark, sf_dir):
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """monthly_grouped_sum touches 3 of lineitem's 11 columns; the scan
     schema must show only those (pruning pushed to parquet)."""
-    p = _plan(all_queries()["monthly_grouped_sum"](spark, sf_dir))
+    p = _plan(_query("monthly_grouped_sum")(spark, sf_dir))
     assert "ReadSchema: struct<l_extendedprice:double,l_discount:double" in p
     assert "l_orderkey" not in p.split("ReadSchema")[1][:200]
 
@@ -135,7 +147,7 @@ def test_shuffle_shard_one_exchange_no_global_window(spark, sf_dir):
     physical work writing N shard files costs) — never the classic
     global-row_number collapse to a single partition, and the scan must
     read only doc_id."""
-    p = _plan(all_queries()["corpus_shuffle_shard"](spark, sf_dir))
+    p = _plan(_query("corpus_shuffle_shard")(spark, sf_dir))
     # formatted mode prints each node in the tree AND a detail section
     assert p.count("Exchange") == 2, p
     assert "SinglePartition" not in p
@@ -145,5 +157,5 @@ def test_shuffle_shard_one_exchange_no_global_window(spark, sf_dir):
 def test_split_assign_is_projection_plus_one_agg(spark, sf_dir):
     """The split assignment itself must not shuffle — only the summary
     aggregation exchanges (2 = partial/final pair)."""
-    p = _plan(all_queries()["corpus_split_assign"](spark, sf_dir))
+    p = _plan(_query("corpus_split_assign")(spark, sf_dir))
     assert p.count("Exchange") <= 2

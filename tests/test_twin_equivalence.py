@@ -1,0 +1,62 @@
+"""Round-6 registry-slack buyback: four queries that shared an oracle
+SQL verbatim with a registered twin were retired from the driver
+registry (plans/registry.py CAPACITY note). This file is the pin that
+makes the retirement safe — each retired implementation must keep
+producing EXACTLY the registered twin's rows, on the same fixtures the
+driver uses (sf0.01), with the driver's float normalization. If one of
+these fails, the retired variant has drifted from the semantics its
+old oracle row used to guarantee.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_sales_data_pipeline_spark.plans.registry import (
+    all_oracle_sql,
+    all_queries,
+    retired_twins,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _normalized(df) -> list[tuple]:
+    """Order-insensitive, column-order-insensitive row set with floats
+    normalized to 6 decimals — the driver's comparison, in miniature."""
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.select(*cols).collect():
+        rows.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v for v in r
+            )
+        )
+    return sorted(rows, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(retired_twins()))
+def test_retired_twin_matches_registered(spark, name):
+    fn, twin = retired_twins()[name]
+    registered = all_queries()[twin]
+    got = _normalized(fn(spark, SF))
+    want = _normalized(registered(spark, SF))
+    assert len(got) == len(want), (
+        f"{name}: {len(got)} rows vs twin {twin}'s {len(want)}"
+    )
+    assert got == want, f"{name} diverged from registered twin {twin}"
+
+
+def test_retired_twins_are_out_of_the_registry():
+    """The buyback only buys slack if the twins actually left: none of
+    the retired names may appear in QUERIES/ORACLE_SQL, and every
+    registered-twin pointer must resolve."""
+    q = all_queries()
+    o = all_oracle_sql()
+    twins = retired_twins()
+    assert len(twins) >= 4
+    for name, (_fn, registered) in twins.items():
+        assert name not in q, f"{name} still registered"
+        assert name not in o, f"{name} still has an oracle slot"
+        assert registered in q, f"{name}'s twin {registered} missing"
+        assert registered in o
