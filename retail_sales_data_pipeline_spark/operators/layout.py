@@ -59,7 +59,11 @@ def z_value(bucket_cols: list[Column], bits: int) -> Column:
 
 
 def zorder_layout(
-    df: DataFrame, cols: list[str], n_files: int, bits: int | None = None
+    df: DataFrame,
+    cols: list[str] | None,
+    n_files: int,
+    bits: int | None = None,
+    advice: dict | None = None,
 ) -> DataFrame:
     """Return ``df`` re-laid-out on the Morton curve of ``cols``:
     range-partitioned into ``n_files`` z-ranges and sorted by z within
@@ -70,7 +74,17 @@ def zorder_layout(
     owns the higher bit of each interleaved pair, so curve-range
     bounding boxes are tighter along it (measured 16 vs 25 of 64 files
     read at 1M rows — tools/layout_headroom.py); put the most-filtered
-    column last."""
+    column last. Pass ``cols=None`` with ``advice`` (an
+    :func:`..profile.advise` result) to take the advised layout
+    columns — numeric, null-free, ordered most-selective-last — from
+    the measured profile instead of hand-picking."""
+    if cols is None:
+        if advice is None or not advice.get("zorder"):
+            raise ValueError(
+                "zorder_layout: cols=None requires advice with a "
+                "non-empty 'zorder' recommendation"
+            )
+        cols = list(advice["zorder"])
     if bits is None:
         bits = min(16, 63 // max(1, len(cols)))
     # one metadata-sized job: global min/max + null count per layout

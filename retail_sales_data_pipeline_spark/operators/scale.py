@@ -67,9 +67,16 @@ def salted_skew_join(
     buckets: int = 8,
     how: str = "inner",
     salt_cols: list[str] | None = None,
+    advice: dict | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the large side, replicate the
     small side across all salt values, join on (key, salt).
+
+    Pass ``advice`` (an :func:`..profile.advise` result for the LARGE
+    side) to size ``buckets`` from measured skew instead of the
+    default: the advised per-column salt factor for the join key wins
+    when present (profile → advise → lever, end-to-end; see
+    tests/test_profile.py and tools/advise_demo.py).
 
     Pass ``salt_cols`` (high-cardinality columns of the large side) for
     a deterministic ``pmod(hash(salt_cols), buckets)`` salt; without
@@ -92,6 +99,8 @@ def salted_skew_join(
             "under right/full outer"
         )
     lk, sk = on
+    if advice is not None and lk in advice.get("salt", {}):
+        buckets = advice["salt"][lk]
     salt_src = (
         F.hash(*[F.col(c) for c in salt_cols])
         if salt_cols

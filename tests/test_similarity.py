@@ -287,3 +287,34 @@ def test_ann_topk_auto_matches_explicit_banded(spark, sf_dir):
         )
     )
     assert auto == explicit
+
+
+def test_ann_auto_topk_builds_without_actions(spark, sf_dir, monkeypatch):
+    """r6 pin (r5 verdict wrong #2): constructing the ann_auto_topk
+    query must launch ZERO Spark actions — the corpus size comes from
+    parquet footer metadata, not a per-call count()/first(). Patching
+    the action methods to raise makes any regression loud."""
+    import pyspark.sql.dataframe as D
+
+    from retail_sales_data_pipeline_spark.plans.vector_ops import (
+        ann_auto_topk,
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("Spark action during query construction")
+
+    monkeypatch.setattr(D.DataFrame, "count", boom)
+    monkeypatch.setattr(D.DataFrame, "first", boom)
+    monkeypatch.setattr(D.DataFrame, "collect", boom)
+    df = ann_auto_topk(spark, sf_dir)  # must not raise
+    monkeypatch.undo()
+    assert df.count() == 50  # 10 queries x top-5
+
+
+def test_parquet_row_count_matches_spark(spark, sf_dir):
+    from retail_sales_data_pipeline_spark.operators.profile import (
+        parquet_row_count,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    assert parquet_row_count(path) == spark.read.parquet(path).count()
