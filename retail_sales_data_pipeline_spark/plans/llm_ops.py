@@ -1915,8 +1915,79 @@ TWIN_QUERIES = {
     "dedup_clusters_star": (dedup_clusters_star, "dedup_clusters"),
 }
 
+# ---------------------------------------------------------------------------
+# Q: sketch_heavy_sources — driver-oracle row for the Misra-Gries
+# heavy-hitters sketch (r5 verdict listed the sketch as pytest-only;
+# the r6 slack buyback freed the slot). The documents fixture has 20
+# distinct sources, far under capacity=256, so every per-partition
+# summary is in the EXACT regime (no decrement ever fires) and the
+# merged est_count equals the true count — deterministically, at every
+# SF and any partitioning. The approximate regime (capacity < distinct)
+# stays property-tested against exact counts in tests/test_properties.py.
+# Scale shape: ≤ capacity summary rows per partition reach the shuffle;
+# the raw relation is never exchanged.
+# ---------------------------------------------------------------------------
+def sketch_heavy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents", ["source"])
+    return heavy_hitters(docs, "source", capacity=256).select(
+        F.col("item").alias("source"), "est_count"
+    )
+
+
+_SKETCH_HEAVY_SQL = """
+SELECT CAST(source AS VARCHAR) AS source,
+       COUNT(*) AS est_count
+FROM documents
+WHERE source IS NOT NULL
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: profile_documents_stats — driver-oracle row for the whole-table
+# ANALYZE profiler's pass-1 stats (r5 verdict listed the profiler as
+# pytest-only). Exposes the exactly-SQL-expressible stat columns:
+# count / nulls / null fraction / native-typed min·max (stringified
+# after aggregation — lexicographic-vs-numeric range bugs would hash-
+# mismatch) / average stringified width. approx_distinct (HLL — engine-
+# specific) and the MG top_values stay pytest-verified; dtype is
+# engine-vocabulary and excluded. One fused aggregate over all five
+# columns at once — the "one pass, not k passes" shape is exactly what
+# the oracle hash pins.
+# ---------------------------------------------------------------------------
+def profile_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, top_values=0).select(
+        "column", "n_rows", "n_nulls", "null_frac",
+        "min_value", "max_value", "avg_len",
+    )
+
+
+def _profile_stats_sql() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""
+SELECT '{c}' AS "column",
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*) AS null_frac,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value,
+       AVG(LENGTH(CAST({c} AS VARCHAR))) AS avg_len
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "sketch_heavy_sources": sketch_heavy_sources,
+    "profile_documents_stats": profile_documents_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -1993,4 +2064,6 @@ ORACLE_SQL = {
     "corpus_shuffle_shard": _SHUFFLE_SHARD_SQL,
     "corpus_mix_rebalance": _MIX_REBALANCE_SQL,
     "dedup_fuzzy_keys": _FUZZY_KEYS_SQL,
+    "sketch_heavy_sources": _SKETCH_HEAVY_SQL,
+    "profile_documents_stats": _profile_stats_sql(),
 }

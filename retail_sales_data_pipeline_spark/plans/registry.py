@@ -56,6 +56,8 @@ _MODULES = [
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
+    "sketch_heavy_sources",  # never checked
+    "profile_documents_stats",  # never checked
     "distinct_dedup",  # green r4
     "monthly_grouped_sum",  # green r4
     "month_key_forms",  # green r4
