@@ -8,15 +8,15 @@ The reference talks to S3 directly with boto3 (listing
 container, so the engine's control-plane file operations (validate/
 quarantine/archive/cleanup/delete, media pointer fetch) run against the
 local filesystem — but through THIS seam, so a real deployment plugs in
-an object store as a dependency injection instead of a code change:
+an object store as a dependency injection instead of a code change.
+A dependency-free S3 adapter ships in :mod:`.storage_s3` (stdlib
+``urllib`` + real SigV4 signing, pinned against AWS's published test
+vectors and an in-process S3-compatible server):
 
     from retail_sales_data_pipeline_spark import storage
+    from retail_sales_data_pipeline_spark.storage_s3 import S3Storage
 
-    class S3Storage:            # thin boto3/gcsfs/fsspec adapter
-        def read_bytes(self, path): ...
-        ...
-
-    storage.register("s3", S3Storage())
+    storage.register("s3", S3Storage(endpoint_url="http://minio:9000"))
 
 Paths carry their backend as a URI scheme (``s3://bucket/key``);
 scheme-less paths and ``file://`` resolve to :class:`LocalStorage`.

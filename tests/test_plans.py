@@ -154,6 +154,20 @@ def test_shuffle_shard_one_exchange_no_global_window(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint>" in p
 
 
+def test_sketch_summary_rows_only_shuffle(spark, sf_dir):
+    """sketch_heavy_sources: the raw relation must never be exchanged —
+    the ONLY shuffle merges the ≤capacity-per-partition Misra-Gries
+    summary rows (with a partial sum below it), and the parquet scan
+    reads only the sketched column."""
+    p = _plan(_query("sketch_heavy_sources")(spark, sf_dir))
+    assert p.count("Exchange") == 2, p  # one node: tree + detail section
+    assert "ReadSchema: struct<source:string>" in p
+    # exchange sits ABOVE the Arrow summary stage: its input is the
+    # (item, partial-sum) pair, not the raw source rows
+    detail = p.split(") Exchange")[1]
+    assert "Input [2]: [item#" in detail, detail[:300]
+
+
 def test_split_assign_is_projection_plus_one_agg(spark, sf_dir):
     """The split assignment itself must not shuffle — only the summary
     aggregation exchanges (2 = partial/final pair)."""
