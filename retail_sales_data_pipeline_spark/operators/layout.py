@@ -143,13 +143,19 @@ def zorder_layout(
 
 
 def zorder_compact(
-    spark: SparkSession, path: str, cols: list[str], target_files: int
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int,
+    retain_versions: int = 0,
 ) -> int:
     """OPTIMIZE-ZORDER analogue over a parquet dataset: rewrite ``path``
     into ``target_files`` z-clustered files via the shared
     atomic-manifest-commit / row-count-validation protocol
     (:func:`..sinks.staged_rewrite`; read back with
-    :func:`..sinks.read_table`). Returns the resulting file count."""
+    :func:`..sinks.read_table`, historical snapshots via its
+    ``version=`` when ``retain_versions > 0``). Returns the resulting
+    file count."""
     from ..sinks import staged_rewrite
 
     return staged_rewrite(
@@ -157,6 +163,7 @@ def zorder_compact(
         path,
         lambda df: zorder_layout(df, cols, target_files),
         "._zorder",
+        retain_versions=retain_versions,
     )
 
 

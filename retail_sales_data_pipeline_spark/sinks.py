@@ -104,12 +104,52 @@ def live_files(path: str) -> list[str]:
     return [os.path.join(path, man["generation"])] + loose
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read back a mart table, resolving through ``_manifest.json``
     when the table has been maintenance-rewritten (see
     :func:`staged_rewrite`). Plain ``spark.read.parquet(path)``
-    remains correct only for never-rewritten tables."""
-    return spark.read.parquet(*live_files(path))
+    remains correct only for never-rewritten tables.
+
+    ``version`` time-travels to a retained snapshot: every rewrite
+    folds the entire live table (previous generation + appends) into
+    one generation directory, so generation ``N``'s directory IS the
+    complete table as committed by rewrite ``N`` — a snapshot read is
+    just that directory, no log replay. Requires the rewrite to have
+    kept it (``staged_rewrite(..., retain_versions=k)``); the live view
+    (``version=None``) additionally folds in appends landed since the
+    last rewrite. Unknown versions raise with the retained set named —
+    a silently-empty time travel would read as data loss.
+    """
+    if version is None:
+        return spark.read.parquet(*live_files(path))
+    man = _load_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"no manifest at {path!r} — time travel needs at least one "
+            "staged_rewrite with retain_versions > 0"
+        )
+    by_no = {h["gen_no"]: h["generation"] for h in man.get("history", [])}
+    by_no[man["gen_no"]] = man["generation"]
+    if version not in by_no:
+        raise ValueError(
+            f"version {version} not retained for {path!r}; available: "
+            f"{sorted(by_no)} (raise retain_versions to keep more)"
+        )
+    return spark.read.parquet(os.path.join(path, by_no[version]))
+
+
+def table_versions(path: str) -> list[dict]:
+    """Retained snapshots for the table at ``path``, oldest first:
+    ``[{"gen_no": ..., "generation": ..., "rows": ...}, ...]`` — the
+    current generation is the last entry. Empty for never-rewritten
+    tables (metadata read only)."""
+    man = _load_manifest(path)
+    if man is None:
+        return []
+    current = {k: man[k] for k in ("gen_no", "generation", "rows")}
+    return list(man.get("history", [])) + [current]
 
 
 def _retire(paths: list[str]) -> None:
@@ -126,7 +166,13 @@ def _retire(paths: list[str]) -> None:
             os.remove(p)
 
 
-def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> int:
+def staged_rewrite(
+    spark: SparkSession,
+    path: str,
+    layout_fn,
+    suffix: str,
+    retain_versions: int = 0,
+) -> int:
     """Shared rewrite protocol for the layout-maintenance passes
     (`compact_parquet`, `operators/layout.zorder_compact`), with an
     ATOMIC manifest commit — the Delta/Iceberg-style answer to the
@@ -154,6 +200,17 @@ def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> in
     :func:`vacuum_staging`. Single-writer protocol: concurrent
     rewrites of one table are not supported (generation ids would
     race). Returns the resulting (generation) file count.
+
+    ``retain_versions=k`` keeps the last ``k`` superseded generations
+    on disk (listed in the manifest's ``history``) for time-travel
+    reads (:func:`read_table` ``version=``) and rollback-by-inspection
+    — generation directories are self-contained snapshots, so
+    retention is just "don't retire yet", no extra write
+    amplification. Generations falling off the history are retired on
+    the next commit; vacuum never touches retained ones. Loose append
+    files superseded by this rewrite are retired regardless — their
+    rows are folded into the new generation, and no retained
+    snapshot's file set references them.
     """
     import glob
     import shutil
@@ -161,7 +218,6 @@ def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> in
     df = read_table(spark, path)
     n_src = df.count()
     man = _load_manifest(path)
-    prev_gen = man["generation"] if man else None
     gen_no = (man.get("gen_no", 0) if man else 0) + 1
     gen = f"gen-{gen_no:06d}{suffix}"
     staging = os.path.join(path, gen)
@@ -175,6 +231,12 @@ def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> in
         raise RuntimeError(
             f"rewrite row-count mismatch: staged {n_staged} != source {n_src}"
         )
+    history = list(man.get("history", [])) if man else []
+    if man:
+        history.append(
+            {k: man[k] for k in ("gen_no", "generation", "rows")}
+        )
+    kept = history[len(history) - retain_versions:] if retain_versions else []
     _commit_manifest(
         path,
         {
@@ -182,17 +244,26 @@ def staged_rewrite(spark: SparkSession, path: str, layout_fn, suffix: str) -> in
             "gen_no": gen_no,
             "rows": n_staged,
             "superseded": superseded,
+            "history": kept,
         },
     )
+    retained = {h["generation"] for h in kept}
     retire = [os.path.join(path, f) for f in superseded]
-    if prev_gen:
-        retire.append(os.path.join(path, prev_gen))
+    retire += [
+        os.path.join(path, h["generation"])
+        for h in history
+        if h["generation"] not in retained
+    ]
     _retire(retire)
     return len(glob.glob(os.path.join(staging, "part-*")))
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_files: int, sort_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_col: str | None = None,
+    retain_versions: int = 0,
 ) -> int:
     """Small-file compaction: rewrite a parquet dataset into
     ``target_files`` files (optionally range-sorted on ``sort_col`` so
@@ -210,7 +281,9 @@ def compact_parquet(
             ).sortWithinPartitions(sort_col)
         return df.repartition(target_files)
 
-    return staged_rewrite(spark, path, layout, "._compact")
+    return staged_rewrite(
+        spark, path, layout, "._compact", retain_versions=retain_versions
+    )
 
 
 def run_scoped_path(base: str, run_id: str | int) -> str:
@@ -268,12 +341,14 @@ def vacuum_staging(
             continue
         man = _load_manifest(p)
         if man is not None:
-            keep = man["generation"]
+            keep = {man["generation"]} | {
+                h["generation"] for h in man.get("history", [])
+            }  # retained time-travel snapshots are live, not orphans
             superseded = set(man.get("superseded", []))
             for child in sorted(os.listdir(p)):
                 cp = os.path.join(p, child)
                 if (
-                    child != keep
+                    child not in keep
                     and child.startswith("gen-")
                     and os.path.isdir(cp)
                     and expired(cp)

@@ -439,3 +439,77 @@ def test_vacuum_collects_manifest_table_orphans(spark, tmp_path, monkeypatch):
     assert man["generation"] in left
     assert all(f in left for f in fresh)
     assert S.read_table(spark, path).count() == 510
+
+
+def test_time_travel_retained_snapshots(spark, tmp_path):
+    """retain_versions keeps superseded generations as readable
+    snapshots: each version reads the table exactly as committed, the
+    live view keeps folding appends, and generations falling off the
+    retention window are retired on the next commit."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _write_tbl(spark, path, n=1000, parts=5)
+
+    def append(lo, hi):
+        S.append_table(
+            spark.range(lo, hi).selectExpr(
+                "id", "cast(0.0 as double) as a", "cast(0.0 as double) as b"
+            ),
+            path,
+        )
+
+    S.compact_parquet(spark, path, target_files=2)          # v1: 1000
+    append(1000, 1300)
+    S.compact_parquet(spark, path, target_files=2,          # v2: 1300
+                      retain_versions=2)
+    append(1300, 1450)
+    S.compact_parquet(spark, path, target_files=2,          # v3: 1450
+                      retain_versions=2)
+    assert [v["gen_no"] for v in S.table_versions(path)] == [1, 2, 3]
+    assert S.read_table(spark, path, version=1).count() == 1000
+    assert S.read_table(spark, path, version=2).count() == 1300
+    assert S.read_table(spark, path, version=3).count() == 1450
+    # a snapshot is immutable: appends land only in the live view
+    append(1450, 1500)
+    assert S.read_table(spark, path).count() == 1500
+    assert S.read_table(spark, path, version=3).count() == 1450
+    S.compact_parquet(spark, path, target_files=2,          # v4: 1500
+                      retain_versions=2)
+    # v1 fell off the window and its generation dir is retired
+    assert [v["gen_no"] for v in S.table_versions(path)] == [2, 3, 4]
+    with _pytest.raises(ValueError, match=r"available: \[2, 3, 4\]"):
+        S.read_table(spark, path, version=1)
+    import os
+
+    gens = sorted(g for g in os.listdir(path) if g.startswith("gen-"))
+    assert gens == ["gen-000002._compact", "gen-000003._compact",
+                    "gen-000004._compact"]
+    # never-rewritten table: honest error, not an empty frame
+    plain = str(tmp_path / "plain")
+    _write_tbl(spark, plain, n=10, parts=1)
+    with _pytest.raises(ValueError, match="no manifest"):
+        S.read_table(spark, plain, version=1)
+    assert S.table_versions(plain) == []
+
+
+def test_vacuum_never_touches_retained_snapshots(spark, tmp_path):
+    """Retained time-travel generations are live data to the vacuum,
+    even when TTL-expired; dropped ones become ordinary orphans."""
+    import os
+    import time
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _write_tbl(spark, path, n=600, parts=3)
+    S.compact_parquet(spark, path, target_files=2, retain_versions=2)
+    S.compact_parquet(spark, path, target_files=2, retain_versions=2)
+    removed = S.vacuum_staging(
+        str(tmp_path), ttl_seconds=0, now=time.time() + 7 * 86400
+    )
+    assert removed == []  # both generations retained -> nothing to collect
+    assert S.read_table(spark, path, version=1).count() == 600
+    assert S.read_table(spark, path, version=2).count() == 600
