@@ -172,6 +172,7 @@ def staged_rewrite(
     layout_fn,
     suffix: str,
     retain_versions: int = 0,
+    expected_rows=None,
 ) -> int:
     """Shared rewrite protocol for the layout-maintenance passes
     (`compact_parquet`, `operators/layout.zorder_compact`), with an
@@ -184,8 +185,10 @@ def staged_rewrite(
        last rewrite are folded in);
     2. write ``layout_fn(df)`` to a NEW generation directory
        ``<path>/gen-<n><suffix>/`` — the live table is untouched;
-    3. validate the staged row count against the source (footer
-       metadata only — cheap at any scale);
+    3. validate the staged row count against the source — or against
+       ``expected_rows`` for row-mutating passes like
+       :func:`delete_where` (footer metadata only — cheap at any
+       scale);
     4. commit: atomically replace ``<path>/_manifest.json`` naming the
        new generation and the top-level files it supersedes
        (:func:`_commit_manifest` — one ``os.replace`` / one object
@@ -216,7 +219,9 @@ def staged_rewrite(
     import shutil
 
     df = read_table(spark, path)
-    n_src = df.count()
+    # layout passes must preserve every row; row-mutating passes
+    # (delete_where) declare what the staged count must be instead
+    n_want = df.count() if expected_rows is None else expected_rows
     man = _load_manifest(path)
     gen_no = (man.get("gen_no", 0) if man else 0) + 1
     gen = f"gen-{gen_no:06d}{suffix}"
@@ -226,10 +231,10 @@ def staged_rewrite(
     # validate before the commit point (parquet count is
     # footer-metadata-only — cheap even for large datasets)
     n_staged = spark.read.parquet(staging).count()
-    if n_staged != n_src:
+    if n_staged != n_want:
         shutil.rmtree(staging)
         raise RuntimeError(
-            f"rewrite row-count mismatch: staged {n_staged} != source {n_src}"
+            f"rewrite row-count mismatch: staged {n_staged} != expected {n_want}"
         )
     history = list(man.get("history", [])) if man else []
     if man:
@@ -284,6 +289,57 @@ def compact_parquet(
     return staged_rewrite(
         spark, path, layout, "._compact", retain_versions=retain_versions
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    retain_versions: int = 0,
+) -> int:
+    """Row-level DELETE on a parquet table — the takedown/right-to-be-
+    forgotten operation an LLM corpus store needs as a first-class
+    maintenance pass (retract documents by id list, license filter,
+    contaminated-source purge). ``DELETE FROM t WHERE predicate``
+    semantics: rows where the predicate is TRUE are removed; rows where
+    it is FALSE **or NULL** are kept (ANSI DELETE null handling — a
+    bare ``filter(~p)`` would silently drop the NULL rows too).
+
+    Implemented as a :func:`staged_rewrite` whose layout filters the
+    table, with the row-count validation flipped to the DECLARED
+    expectation: both counts come from one aggregate pass, and the
+    staged generation must hold exactly ``n_src - n_deleted`` rows or
+    the commit is aborted. Same atomicity: readers see the pre-delete
+    table until the single manifest commit, and crash leftovers are
+    invisible.
+
+    ERASURE CAVEAT, loudly: with ``retain_versions > 0`` the retained
+    snapshot generations still contain the deleted rows (that is what
+    time travel means). For actual erasure run with
+    ``retain_versions=0`` (deleted bytes are retired at commit) and
+    rely on no earlier retention being in place. Returns the number of
+    rows deleted.
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate)
+    df = read_table(spark, path)
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.coalesce(pred, F.lit(False))).alias("n_del"),
+    ).first()
+    n_src, n_del = counts["n"], counts["n_del"]
+    if n_del == 0:
+        return 0  # no-op: don't burn a generation rewriting everything
+    staged_rewrite(
+        spark,
+        path,
+        lambda d: d.where(~F.coalesce(F.expr(predicate), F.lit(False))),
+        "._delete",
+        retain_versions=retain_versions,
+        expected_rows=n_src - n_del,
+    )
+    return n_del
 
 
 def run_scoped_path(base: str, run_id: str | int) -> str:

@@ -513,3 +513,51 @@ def test_vacuum_never_touches_retained_snapshots(spark, tmp_path):
     assert removed == []  # both generations retained -> nothing to collect
     assert S.read_table(spark, path, version=1).count() == 600
     assert S.read_table(spark, path, version=2).count() == 600
+
+
+def test_delete_where_semantics_and_atomicity(spark, tmp_path):
+    """DELETE WHERE p removes exactly the p-IS-TRUE rows: FALSE and
+    NULL rows survive (ANSI null handling — the classic filter(~p) bug
+    drops NULLs), the staged count is validated against the declared
+    expectation, and the op composes with appends + time travel."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "keep"), (2, "purge"), (3, None), (4, "purge"), (5, "keep")],
+        "doc_id long, tag string",
+    ).repartition(3).write.parquet(path)
+
+    n = S.delete_where(spark, path, "tag = 'purge'")
+    assert n == 2
+    left = {r.doc_id for r in S.read_table(spark, path).collect()}
+    assert left == {1, 3, 5}  # NULL-tag row 3 survives
+
+    # no-op delete: nothing matches -> no new generation is burned
+    man_before = S._load_manifest(path)
+    assert S.delete_where(spark, path, "tag = 'absent'") == 0
+    assert S._load_manifest(path) == man_before
+
+    # takedown-by-id-list with snapshot retention: the pre-delete
+    # snapshot is still readable (and still CONTAINS the deleted row —
+    # the documented erasure caveat), the live view does not
+    assert S.delete_where(
+        spark, path, "doc_id IN (5)", retain_versions=1
+    ) == 1
+    assert {r.doc_id for r in S.read_table(spark, path).collect()} == {1, 3}
+    v_prev = S.table_versions(path)[0]["gen_no"]
+    assert {
+        r.doc_id
+        for r in S.read_table(spark, path, version=v_prev).collect()
+    } == {1, 3, 5}
+
+    # a lying layout (row mutation outside the declared expectation)
+    # must abort before the commit point
+    with _pytest.raises(RuntimeError, match="row-count mismatch"):
+        S.staged_rewrite(
+            spark, path, lambda d: d.limit(1), "._compact",
+            expected_rows=999,
+        )
+    assert {r.doc_id for r in S.read_table(spark, path).collect()} == {1, 3}
