@@ -342,6 +342,85 @@ def delete_where(
     return n_del
 
 
+def _merge_frames(old, updates, keys: list[str], broadcast_updates: bool):
+    """The MERGE plan: old rows not matched on ``keys``, plus every
+    update row. With ``broadcast_updates`` the anti-join broadcasts the
+    update batch, so the big side is never shuffled — the right plan
+    when merging a metadata-sized patch into a 100 TB table."""
+    from pyspark.sql import functions as F
+
+    right = F.broadcast(updates) if broadcast_updates else updates
+    return old.join(right, keys, "left_anti").unionByName(updates)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    retain_versions: int = 0,
+    broadcast_updates: bool = False,
+) -> dict:
+    """MERGE (upsert) into a parquet table: rows matching ``updates``
+    on ``keys`` are replaced, the rest inserted — ``WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` semantics, completing
+    the manifest-table DML triad (compact/z-order layout,
+    :func:`delete_where`, merge). The query-shaped twin is the
+    ``customer_upsert`` registry row; this is the TABLE-level op with
+    the same atomic manifest commit: readers see the pre-merge table
+    until one manifest replace, and the staged generation must land
+    exactly ``n_src - n_matched + n_updates`` rows or the commit
+    aborts.
+
+    Guards (both fail loudly before any write): ``updates`` must be
+    key-unique (two source rows matching one target row is the
+    ambiguous-merge error lakehouse engines reject) and must carry
+    exactly the table's columns (positional drift would corrupt
+    silently under a blind union). NULL-keyed update rows can never
+    match (SQL join semantics) and are inserted as-is.
+
+    Set ``broadcast_updates=True`` when the patch batch is
+    metadata-sized: the anti-join then broadcasts it and the table side
+    is never shuffled — at 100 TB that is the difference between a
+    metadata pass and a full-table exchange. Returns
+    ``{"updated": ..., "inserted": ...}``.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_table(spark, path)
+    if set(updates.columns) != set(old.columns):
+        raise ValueError(
+            f"merge schema mismatch: table has {sorted(old.columns)}, "
+            f"updates have {sorted(updates.columns)}"
+        )
+    updates = updates.persist()
+    try:
+        n_upd = updates.count()
+        if updates.select(*keys).distinct().count() != n_upd:
+            raise ValueError(
+                f"updates are not unique on {keys} — one target row "
+                "would match several source rows (ambiguous MERGE)"
+            )
+        key_batch = updates.select(*keys)
+        if broadcast_updates:
+            key_batch = F.broadcast(key_batch)
+        n_matched = old.join(key_batch, keys, "left_semi").count()
+        n_src = old.count()
+        if n_upd == 0:
+            return {"updated": 0, "inserted": 0}
+        staged_rewrite(
+            spark,
+            path,
+            lambda d: _merge_frames(d, updates, keys, broadcast_updates),
+            "._merge",
+            retain_versions=retain_versions,
+            expected_rows=n_src - n_matched + n_upd,
+        )
+        return {"updated": n_matched, "inserted": n_upd - n_matched}
+    finally:
+        updates.unpersist()
+
+
 def run_scoped_path(base: str, run_id: str | int) -> str:
     """K4/K5: the reference uploads every run under
     ``{prefix}/{epoch_ms}/`` (reference upload_to_s3.py:10-24,

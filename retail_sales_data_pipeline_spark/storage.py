@@ -73,6 +73,15 @@ class LocalStorage:
         with open(self._strip(path), "rb") as f:
             return f.read()
 
+    def put_bytes(self, path: str, data: bytes) -> None:
+        """Write one object (upload parity with ``storage_s3`` — kept
+        off the :class:`Storage` protocol: the engine's data path
+        writes through Spark, this is control-plane only)."""
+        p = self._strip(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
     def list(self, dir_path: str) -> list[str]:
         d = self._strip(dir_path)
         return sorted(os.path.join(d, n) for n in os.listdir(d))

@@ -561,3 +561,84 @@ def test_delete_where_semantics_and_atomicity(spark, tmp_path):
             expected_rows=999,
         )
     assert {r.doc_id for r in S.read_table(spark, path).collect()} == {1, 3}
+
+
+def test_merge_into_upsert_semantics(spark, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, NULL-keyed
+    update rows inserted (never matched), dup-key and schema-drift
+    batches rejected before any write, snapshot composition intact."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "cust")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, seg string, ltv double",
+    ).write.parquet(path)
+    # the plain pre-manifest layout is not a snapshot — establish v1
+    S.compact_parquet(spark, path, target_files=1)
+
+    res = S.merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "b2", 25.0), (4, "d", 40.0), (None, "x", 0.0)],
+            "id long, seg string, ltv double",
+        ),
+        keys=["id"],
+        retain_versions=1,
+        broadcast_updates=True,
+    )
+    assert res == {"updated": 1, "inserted": 2}
+    rows = {
+        r.id: (r.seg, r.ltv) for r in S.read_table(spark, path).collect()
+    }
+    assert rows[2] == ("b2", 25.0) and rows[4] == ("d", 40.0)
+    assert rows[1] == ("a", 10.0) and rows[None] == ("x", 0.0)
+    # pre-merge snapshot retained
+    v_prev = S.table_versions(path)[0]["gen_no"]
+    assert S.read_table(spark, path, version=v_prev).count() == 3
+
+    with _pytest.raises(ValueError, match="not unique"):
+        S.merge_into(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(9, "x", 1.0), (9, "y", 2.0)],
+                "id long, seg string, ltv double",
+            ),
+            keys=["id"],
+        )
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        S.merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(9, "x")], "id long, seg string"),
+            keys=["id"],
+        )
+    # empty batch is a no-op
+    empty = spark.createDataFrame([], "id long, seg string, ltv double")
+    assert S.merge_into(spark, path, empty, keys=["id"]) == {
+        "updated": 0,
+        "inserted": 0,
+    }
+
+
+def test_merge_broadcast_keeps_table_unshuffled(spark, tmp_path):
+    """With broadcast_updates the MERGE plan must contain no
+    hashpartitioning of the table side — the patch broadcasts."""
+    import contextlib
+    import io
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    old = spark.range(1000).selectExpr("id", "cast(id as double) as v")
+    upd = spark.range(5).selectExpr("id", "cast(99.0 as double) as v")
+    merged = S._merge_frames(old, upd, ["id"], broadcast_updates=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning" not in p, p
