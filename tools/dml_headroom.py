@@ -1,0 +1,112 @@
+"""Measure the manifest-table DML ops (delete_where / merge_into /
+time-travel retention) at headroom scale: per-op wall time and write
+amplification at millions of rows, where the pytest fixtures (5-5000
+rows) only pin semantics. The question each number answers at 100 TB:
+
+* delete_where — is a takedown pass bounded by ONE table scan + one
+  filtered rewrite (counts are a single fused aggregate)?
+* merge_into(broadcast_updates=True) — does a metadata-sized patch
+  merge avoid shuffling the table side entirely (anti-join broadcasts,
+  rewrite is scan + union + write)?
+* retention — is keeping k snapshots really zero write amplification
+  (retire-skip only, no extra bytes written)?
+
+Usage: python tools/dml_headroom.py [--rows 5000000] [--files 16]
+Prints one markdown table row per op for docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import retail_sales_data_pipeline_spark.sinks as S  # noqa: E402
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def du(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=5_000_000)
+    ap.add_argument("--files", type=int, default=16)
+    args = ap.parse_args()
+
+    spark = get_spark("dml-headroom")
+    work = tempfile.mkdtemp(prefix="dml_headroom_")
+    path = os.path.join(work, "tbl")
+    try:
+        # deterministic table: ~1% of rows carry the takedown tag
+        (
+            spark.range(args.rows)
+            .withColumn("h", F.md5(F.concat(F.lit("d:"), F.col("id"))))
+            .selectExpr(
+                "id",
+                "substring(h, 1, 8) as payload",
+                "if(conv(substring(h, 1, 4), 16, 10) % 100 = 0, "
+                "'purge', 'keep') as tag",
+            )
+            .repartition(args.files)
+            .write.parquet(path)
+        )
+        base_bytes = du(path)
+        print(f"# {args.rows:,} rows, {args.files} files, "
+              f"{base_bytes/1e6:.0f} MB base")
+        print("| op | wall s | rows touched | bytes written (MB) |")
+        print("|---|---|---|---|")
+
+        t0 = time.time()
+        n_del = S.delete_where(spark, path, "tag = 'purge'",
+                               retain_versions=1)
+        t_del = time.time() - t0
+        print(f"| delete_where (~1% rows, retain 1 snapshot) | "
+              f"{t_del:.1f} | {n_del:,} deleted | "
+              f"{du(path)/1e6:.0f} total |")
+
+        # metadata-sized patch: 1k rows against the full table
+        patch = (
+            spark.range(1000)
+            .selectExpr(
+                "id * 997 as id",
+                "'patched' as payload",
+                "'keep' as tag",
+            )
+        )
+        t0 = time.time()
+        res = S.merge_into(spark, path, patch, keys=["id"],
+                           broadcast_updates=True)
+        t_merge = time.time() - t0
+        print(f"| merge_into (1k-row broadcast patch) | {t_merge:.1f} | "
+              f"{res['updated']:,} upd / {res['inserted']:,} ins | "
+              f"{du(path)/1e6:.0f} total |")
+
+        # retention is retire-skip only: committing with retain k vs 0
+        # must write the same generation bytes
+        t0 = time.time()
+        S.compact_parquet(spark, path, target_files=args.files,
+                          retain_versions=2)
+        t_keep = time.time() - t0
+        versions = [v["gen_no"] for v in S.table_versions(path)]
+        print(f"| compact with retain_versions=2 | {t_keep:.1f} | "
+              f"versions kept: {versions} | {du(path)/1e6:.0f} total |")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
