@@ -342,6 +342,79 @@ def delete_where(
     return n_del
 
 
+def rollback(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE the table to a retained snapshot — metadata-only: the
+    new manifest simply points at the retained generation directory,
+    no data is copied or rewritten. The rolled-back-FROM generation
+    moves into the history (still readable by version until it falls
+    off the retention window), so a rollback is itself reversible.
+    Loose appends landed since the last rewrite are superseded and
+    retired — restore means "the table equals snapshot N", and those
+    rows are in no snapshot; merge them back explicitly first if they
+    must survive. Returns the new current ``gen_no``.
+    """
+    man = _load_manifest(path)
+    if man is None:
+        raise ValueError(f"no manifest at {path!r} — nothing to roll back")
+    if version == man["gen_no"]:
+        return version  # already there
+    targets = {h["gen_no"]: h for h in man.get("history", [])}
+    if version not in targets:
+        raise ValueError(
+            f"version {version} not retained for {path!r}; available: "
+            f"{sorted(targets) + [man['gen_no']]}"
+        )
+    target = targets[version]
+    gen_no = man["gen_no"] + 1
+    superseded = _top_level_part_files(path)
+    # previous current becomes history; the restored generation is
+    # removed from it (it IS the current generation now)
+    history = [
+        h for h in man.get("history", []) if h["gen_no"] != version
+    ] + [{k: man[k] for k in ("gen_no", "generation", "rows")}]
+    _commit_manifest(
+        path,
+        {
+            "generation": target["generation"],
+            "gen_no": gen_no,
+            "rows": target["rows"],
+            "superseded": superseded,
+            "history": history,
+        },
+    )
+    _retire([os.path.join(path, f) for f in superseded])
+    return gen_no
+
+
+def table_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Row-level diff between two retained snapshots (``v_to=None`` =
+    the live view): the change-data-feed a downstream incremental
+    consumer replays instead of re-reading the whole table. Multiset
+    semantics via ``exceptAll`` (duplicate-row counts respected);
+    output is the table schema plus ``_change_type`` ∈
+    {'insert', 'delete'} — an update appears as delete+insert, the
+    classic CDF encoding when rows carry no identity column.
+
+    Scale shape: two scans + one shuffle pair per direction (exceptAll
+    hash-partitions both sides on all columns) — bounded by table
+    size, never by history length, because snapshots are
+    self-contained generations rather than logs to replay.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_table(spark, path, version=v_from)
+    new = (
+        read_table(spark, path)
+        if v_to is None
+        else read_table(spark, path, version=v_to)
+    )
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def _merge_frames(old, updates, keys: list[str], broadcast_updates: bool):
     """The MERGE plan: old rows not matched on ``keys``, plus every
     update row. With ``broadcast_updates`` the anti-join broadcasts the

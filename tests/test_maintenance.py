@@ -642,3 +642,58 @@ def test_merge_broadcast_keeps_table_unshuffled(spark, tmp_path):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "hashpartitioning" not in p, p
+
+
+def test_rollback_and_table_changes(spark, tmp_path):
+    """RESTORE is metadata-only (manifest re-point, no rewrite), is
+    itself reversible, supersedes post-snapshot appends, and
+    table_changes replays the row-level diff between snapshots."""
+    import os
+
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)            # v1
+    S.delete_where(spark, path, "id = 2", retain_versions=2)  # v2
+    S.merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        keys=["id"],
+        retain_versions=2,
+    )                                                         # v3
+
+    # CDF between snapshots: v1 -> v3 is one delete + one insert
+    changes = {
+        (r.id, r._change_type)
+        for r in S.table_changes(spark, path, 1, 3).collect()
+    }
+    assert changes == {(2, "delete"), (4, "insert")}
+    # v_to=None diffs against the live view (== v3 here)
+    assert S.table_changes(spark, path, 3).count() == 0
+
+    # restore v1; a post-snapshot append is superseded by the restore
+    S.append_table(
+        spark.createDataFrame([(9, "z")], "id long, v string"), path
+    )
+    before = {f for f in os.listdir(path) if f.startswith("gen-")}
+    new_no = S.rollback(spark, path, 1)
+    assert new_no == 4
+    assert {f for f in os.listdir(path) if f.startswith("gen-")} == before
+    assert {r.id for r in S.read_table(spark, path).collect()} == {1, 2, 3}
+    # the rolled-back-FROM state is still reachable -> roll forward
+    assert 3 in {v["gen_no"] for v in S.table_versions(path)}
+    S.rollback(spark, path, 3)
+    assert {r.id for r in S.read_table(spark, path).collect()} == {1, 3, 4}
+
+    with _pytest.raises(ValueError, match="not retained"):
+        S.rollback(spark, path, 99)
+    plain = str(tmp_path / "plain")
+    spark.range(3).write.parquet(plain)
+    with _pytest.raises(ValueError, match="nothing to roll back"):
+        S.rollback(spark, plain, 1)
