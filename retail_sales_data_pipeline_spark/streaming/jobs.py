@@ -480,3 +480,69 @@ def stream_heavy_hitters(
         .orderBy(F.desc("est_count"), "item")
         .limit(top_k)
     )
+
+
+def stream_cdc_apply(
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+    broadcast_updates: bool = True,
+):
+    """Apply a CDC/update stream to a manifest table: each microbatch
+    is collapsed to ONE row per key (latest by ``order_col`` when
+    given — without it the batch must already be key-unique, and
+    ``merge_into`` rejects ambiguity loudly) and upserted through the
+    atomic manifest commit. The streaming half of the DML family:
+    batch callers use ``sinks.merge_into`` directly; a stream gets the
+    same semantics per microbatch via ``foreachBatch``.
+
+    Delivery contract: foreachBatch is at-least-once across crashes,
+    and this sink is safe under replay because re-merging an identical
+    batch maps the same keys to the same values (requires the stream
+    transformation upstream to be deterministic, the standard
+    foreachBatch idempotency argument). Within one batch the manifest
+    commit makes the upsert all-or-nothing; ``order_col`` resolves
+    multi-event keys deterministically (ties broken by all remaining
+    columns, so replays collapse identically).
+
+    100 TB note: keep ``broadcast_updates=True`` whenever microbatches
+    are metadata-sized relative to the table — the per-batch merge then
+    never shuffles the table side. Returns the started StreamingQuery
+    (caller drains/awaits; ``trigger(availableNow=True)`` for bounded
+    catch-up runs).
+    """
+    from ..sinks import merge_into
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            others = [
+                c for c in batch.columns if c not in keys and c != order_col
+            ]
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(order_col), *[F.desc(c) for c in others]
+            )
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if batch.isEmpty():
+            return
+        merge_into(
+            batch.sparkSession,
+            path,
+            batch,
+            keys=keys,
+            broadcast_updates=broadcast_updates,
+        )
+
+    return (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

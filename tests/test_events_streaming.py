@@ -319,3 +319,57 @@ def test_stream_heavy_hitters_small_capacity_lower_bounds(spark):
     }
     for item, est in got.items():
         assert est <= exact[item], (item, est, exact[item])
+
+
+def test_stream_cdc_apply_upserts_and_resumes(spark, tmp_path):
+    """CDC stream -> manifest table: microbatch upserts through the
+    atomic merge, in-batch multi-event keys collapsed latest-wins by
+    order_col, and a second availableNow run on the SAME checkpoint
+    processes only files it has not seen (no double-apply)."""
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.streaming.jobs import (
+        stream_cdc_apply,
+    )
+
+    table = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "id long, v string, seq long"
+    ).write.parquet(table)
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string, seq long"
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(src) + "/*"
+        )
+        q = stream_cdc_apply(
+            stream, table, keys=["id"], checkpoint=ckpt, order_col="seq"
+        )
+        q.awaitTermination()
+
+    # batch 1: update id=2 twice (seq 1 then 2 — latest wins), insert 3
+    emit("b1", [(2, "stale", 1), (2, "fresh", 2), (3, "c", 1)])
+    drain()
+    rows = {r.id: (r.v, r.seq) for r in S.read_table(spark, table).collect()}
+    assert rows == {1: ("a", 0), 2: ("fresh", 2), 3: ("c", 1)}
+    gen_after_b1 = S._load_manifest(table)["gen_no"]
+
+    # restart on the same checkpoint with one NEW file: the old files
+    # must not re-apply (gen advances exactly once more)
+    emit("b2", [(1, "a2", 5)])
+    drain()
+    rows = {r.id: (r.v, r.seq) for r in S.read_table(spark, table).collect()}
+    assert rows == {1: ("a2", 5), 2: ("fresh", 2), 3: ("c", 1)}
+    assert S._load_manifest(table)["gen_no"] == gen_after_b1 + 1
+
+    # empty catch-up run: no new files -> no new generation
+    drain()
+    assert S._load_manifest(table)["gen_no"] == gen_after_b1 + 1
