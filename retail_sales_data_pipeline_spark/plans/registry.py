@@ -28,8 +28,9 @@ _MODULES = [
 # their DuckDB oracles. Round 3 put the whole events/vector/media surface in
 # the window (all 50 green); round 4 refreshed the r2-era greens; round 5
 # refreshed the r3-era greens plus the two never-checked additions; round 6
-# (current) rotates in the 50 queries whose last green row is r4 — exactly
-# the tools/rotate_registry.py output against the r5 history.
+# rotated in the 50 queries whose last green row was r4; round 7 (current)
+# rotates back onto the 48 r5-stale queries plus the two r6 additions —
+# exactly the tools/rotate_registry.py output against the r6 history.
 # Queries not listed keep their module order after these; the full surface
 # stays covered by tools/drive_contract.py locally.
 #
@@ -56,56 +57,56 @@ _MODULES = [
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
-    "sketch_heavy_sources",  # never checked
-    "profile_documents_stats",  # never checked
-    "distinct_dedup",  # green r4
-    "monthly_grouped_sum",  # green r4
-    "month_key_forms",  # green r4
-    "product_enrich",  # green r4
-    "sales_rollup",  # green r4
-    "sales_cube",  # green r4
-    "customers_churned",  # green r4
-    "suppliers_with_returns",  # green r4
-    "customer_upsert",  # green r4
-    "scd2_customer_segments",  # green r4
-    "key_skew_profile",  # green r4
-    "maintenance_compaction_plan",  # green r4
-    "dq_violations",  # green r4
-    "mart_reconcile",  # green r4
-    "top_customers_per_month",  # green r4
-    "sales_pivot_by_flag",  # green r4
-    "customer_running_total",  # green r4
-    "monthly_price_quantiles",  # green r4
-    "revenue_anomalies",  # green r4
-    "order_value_quartiles",  # green r4
-    "text_token_stats",  # green r4
-    "text_quality",  # green r4
-    "text_lang_id",  # green r4
-    "text_fingerprint",  # green r4
-    "dedup_ngram_jaccard",  # green r4
-    "dedup_clusters",  # green r4
-    "dedup_rate_by_lang",  # green r4
-    "corpus_filter_pipeline",  # green r4
-    "corpus_sample",  # green r4
-    "corpus_stratified_sample",  # green r4
-    "corpus_tfidf_terms",  # green r4
-    "corpus_length_histogram",  # green r4
-    "text_redact_pii",  # green r4
-    "corpus_pack_sequences",  # green r4
-    "corpus_decontaminate",  # green r4
-    "text_repetition",  # green r4
-    "corpus_source_mix",  # green r4
-    "corpus_boilerplate_ngrams",  # green r4
-    "corpus_ngram_novelty",  # green r4
-    "dedup_keep_canonical",  # green r4
-    "text_langid_confusion",  # green r4
-    "corpus_unigram_logprob",  # green r4
-    "corpus_quality_sample",  # green r4
-    "corpus_mix_rebalance",  # green r4
-    "dedup_fuzzy_keys",  # green r4
-    "streaming_sessionize_complete",  # green r4
-    "ann_lsh_banded_topk",  # green r4
-    "decontaminate_semantic",  # green r4
+    "customer_monthly_mart",  # green r5
+    "sales_team_mart",  # green r5
+    "star_join_enrich",  # green r5
+    "conform_union",  # green r5
+    "ledger_filter",  # green r5
+    "dedup_exact",  # green r5
+    "dedup_minhash_lsh",  # green r5
+    "dedup_simhash",  # green r5
+    "corpus_report",  # green r5
+    "corpus_approx_distinct",  # green r5
+    "dedup_incremental",  # green r5
+    "corpus_curation_funnel",  # green r5
+    "streaming_quality_filter",  # green r5
+    "corpus_split_assign",  # green r5
+    "corpus_shuffle_shard",  # green r5
+    "events_hourly_rollup",  # green r5
+    "events_sessionize",  # green r5
+    "events_json_props",  # green r5
+    "events_json_variant",  # green r5
+    "events_daily_stats",  # green r5
+    "events_asof_attribution",  # green r5
+    "events_range_pairs",  # green r5
+    "events_funnel",  # green r5
+    "events_cohort_retention",  # green r5
+    "streaming_hourly_rollup",  # green r5
+    "streaming_dedup_rollup",  # green r5
+    "streaming_sessionize",  # green r5
+    "events_approx_quantiles",  # green r5
+    "events_rolling_7day",  # green r5
+    "ann_cosine_topk",  # green r5
+    "ann_lsh_topk",  # green r5
+    "ann_ivf_topk",  # green r5
+    "ann_auto_topk",  # green r5
+    "dedup_embedding_cosine",  # green r5
+    "ann_recall_at_5",  # green r5
+    "kmeans_embeddings",  # green r5
+    "ann_quantized_topk",  # green r5
+    "dedup_semantic_cells",  # green r5
+    "kmeans_fixed_assign",  # green r5
+    "dedup_semantic_keep",  # green r5
+    "cluster_balanced_sample",  # green r5
+    "ann_label_agreement",  # green r5
+    "multimodal_decode",  # green r5
+    "multimodal_frame_sample",  # green r5
+    "multimodal_resize",  # green r5
+    "multimodal_pointer_decode",  # green r5
+    "multimodal_embed_texts",  # green r5
+    "multimodal_text_retrieval",  # green r5
+    "sketch_heavy_sources",  # green r6
+    "profile_documents_stats",  # green r6
 ]
 
 
