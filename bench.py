@@ -108,7 +108,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    _regression_check(timings, calibration)
+    vs_prior = _regression_check(timings, calibration)
 
     result = {
         "metric": "headline_queries_total_sec",
@@ -118,6 +118,10 @@ def main() -> None:
         "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if vs_prior:
+        # both raw and machine-normalized deltas vs the last recorded
+        # round, so drift vs regression is settled by data in the file
+        result["vs_prior"] = vs_prior
     print(json.dumps(result))
     spark.stop()
 
@@ -154,7 +158,7 @@ def _regression_check(
     timings: dict[str, float],
     calibration: float,
     factor: float = 1.5,
-) -> None:
+) -> dict | None:
     """Warn (stderr only) for any query slower than ``factor``× its
     MACHINE-NORMALIZED time in the most recent recorded BENCH_r*.json:
     when both rounds carry a ``calibration_sec``, the prior time is
@@ -173,14 +177,14 @@ def _regression_check(
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
     if not rounds:
-        return
+        return None
     try:
         with open(rounds[-1]) as f:
             parsed = json.load(f).get("parsed", {})
         prior = parsed.get("queries", {})
         prior_cal = parsed.get("calibration_sec")
     except (OSError, json.JSONDecodeError):
-        return
+        return None
     scale = (
         calibration / prior_cal
         if prior_cal and calibration and prior_cal > 0
@@ -192,14 +196,28 @@ def _regression_check(
             f"{scale:.3f} (calibration {calibration}s vs {prior_cal}s)",
             file=sys.stderr,
         )
+    regressions = []
     for name, t in timings.items():
         if name in prior and prior[name] > 0 and t > factor * prior[name] * scale:
+            regressions.append(name)
             print(
                 f"# REGRESSION {name}: {t}s vs {prior[name]}s in "
                 f"{os.path.basename(rounds[-1])} "
                 f"(>{factor}x machine-normalized, scale {scale:.3f})",
                 file=sys.stderr,
             )
+    common = [n for n in timings if n in prior and prior[n] > 0]
+    if not common:
+        return None
+    raw = sum(timings[n] for n in common) / sum(prior[n] for n in common)
+    return {
+        "prior_file": os.path.basename(rounds[-1]),
+        "n_common_queries": len(common),
+        "calibration_scale": round(scale, 4),
+        "raw_ratio": round(raw, 4),
+        "normalized_ratio": round(raw / scale, 4) if scale > 0 else None,
+        "regressions": regressions,
+    }
 
 
 if __name__ == "__main__":

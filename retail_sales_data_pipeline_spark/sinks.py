@@ -1,5 +1,6 @@
 """Sinks (SURVEY.md §2.2 K1-K5): parquet overwrite, partitioned parquet,
-append-mode mart table, run-scoped output layout.
+append-mode mart table, run-scoped output layout — plus the manifest
+table protocol (atomic commits, file-granular DML, time travel, CDF).
 
 The reference fans each mart out to local parquet, an epoch-stamped S3
 prefix, a partitioned parquet copy, and a MySQL append
@@ -12,6 +13,24 @@ whatever URI the cluster mounts; the epoch prefix survives as
 ``append_table`` deliberately RAISES on failure — the reference's
 ``DatabaseWriter.write_dataframe`` swallows exceptions
 (database_write.py:16-17), a bug SURVEY.md §7.4 flags as must-not-copy.
+
+MANIFEST PROTOCOL (format 2, round 7 — file-granular copy-on-write):
+``<table>/_manifest.json`` names the table's live DATA FILES
+individually — ``{"name": "gen-000003._merge/part-...", "rows": n,
+"stats": {col: [min, max]}}`` — instead of one generation directory.
+A version is a file LIST, so a commit can carry untouched files forward
+BY REFERENCE: ``delete_where``/``merge_into`` rewrite only the files
+that actually contain matched rows (identified by footer min/max
+pruning plus one key/predicate-column scan) and the bytes written per
+patch are proportional to the touched files, not the table — the
+Delta/Iceberg-class property a 100 TB table needs (a 1k-row upsert must
+not rewrite 100 TB). Commits stay atomic (one manifest replace / object
+PUT) and are WRITER-FENCED: a lock file plus a generation-number check
+turn a concurrent-rewrite race into a loud :class:`ConcurrentWriteError`
+instead of silently orphaned rows. DML commits also record their
+insert/delete row sets as CDC sidecar files, making adjacent-version
+``table_changes`` a metadata-priced read instead of two full-table
+``exceptAll`` shuffles.
 """
 
 from __future__ import annotations
@@ -47,6 +66,14 @@ def append_table(df: DataFrame, path: str) -> None:
 
 
 _MANIFEST = "_manifest.json"
+# a commit lock is held only for a metadata write (milliseconds); a lock
+# older than this belongs to a crashed writer and is safe to break
+_LOCK_TTL_SECONDS = 60.0
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced a manifest commit; exactly one wins, the loser
+    gets this instead of silently orphaning the winner's rows."""
 
 
 def _load_manifest(path: str) -> dict | None:
@@ -60,18 +87,67 @@ def _load_manifest(path: str) -> dict | None:
         return json.load(fh)
 
 
-def _commit_manifest(path: str, manifest: dict) -> None:
+def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -> None:
     """THE atomic commit point of the rewrite protocol: write the
     manifest to a temp file and ``os.replace`` it into place. On POSIX
     rename-over is atomic; on an object store the analogue is a single
     manifest-object PUT — both are one indivisible step, so readers see
-    either the old generation or the new one, never a mix."""
-    import json
+    either the old generation or the new one, never a mix.
 
-    tmp = os.path.join(path, _MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(path, _MANIFEST))
+    Writer fencing: the replace happens under an ``O_CREAT|O_EXCL``
+    lock file, and with ``expect_gen`` the committed generation number
+    is re-read inside the lock — if another writer moved it since this
+    rewrite began, the commit aborts with :class:`ConcurrentWriteError`
+    (the table stays exactly as the winner left it). A lock older than
+    ``_LOCK_TTL_SECONDS`` belongs to a crashed writer and is broken.
+    """
+    import json
+    import time
+
+    lock = os.path.join(path, _MANIFEST + ".lock")
+    acquired = False
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # lock vanished between attempts — retry
+            if age >= _LOCK_TTL_SECONDS and attempt == 0:
+                try:
+                    os.remove(lock)  # crashed holder — break the lock
+                except OSError:
+                    pass
+                continue
+            raise ConcurrentWriteError(
+                f"another writer holds the commit lock for {path!r} "
+                f"(lock age {age:.0f}s)"
+            )
+    if not acquired:
+        raise ConcurrentWriteError(f"could not acquire commit lock for {path!r}")
+    try:
+        if expect_gen is not None:
+            cur = _load_manifest(path)
+            cur_no = cur["gen_no"] if cur else 0
+            if cur_no != expect_gen:
+                raise ConcurrentWriteError(
+                    f"concurrent rewrite of {path!r}: generation moved "
+                    f"{expect_gen} -> {cur_no} since this rewrite began; "
+                    "retry against the new state"
+                )
+        tmp = os.path.join(path, _MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(path, _MANIFEST))
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def _top_level_part_files(path: str) -> list[str]:
@@ -85,23 +161,127 @@ def _top_level_part_files(path: str) -> list[str]:
     )
 
 
+def _json_scalar(v):
+    """A footer statistic value that can round-trip JSON and be compared
+    against patch keys, else None (dates/decimals/undecodable bytes are
+    dropped — a missing stat only costs pruning, never correctness)."""
+    import math
+
+    if isinstance(v, bool | int):
+        return v
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _parquet_footer(abs_path: str) -> tuple[int, dict]:
+    """Row count and per-column [min, max] of one parquet file, from the
+    FOOTER only — no data pages are read, so this is metadata-priced at
+    any file size. Columns with missing/unusable stats in any row group
+    are omitted (conservative: no stats -> file is always a candidate).
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    agg: dict[str, list | None] = {}
+    for rg in range(md.num_row_groups):
+        for i in range(md.num_columns):
+            col = md.row_group(rg).column(i)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves can't prune top-level predicates
+            if agg.get(name, ()) is None:
+                continue  # already poisoned by an earlier row group
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                agg[name] = None
+                continue
+            lo, hi = _json_scalar(st.min), _json_scalar(st.max)
+            if lo is None or hi is None:
+                agg[name] = None
+                continue
+            prev = agg.get(name)
+            if prev is None and name in agg:
+                continue
+            if prev is None:
+                agg[name] = [lo, hi]
+            else:
+                agg[name] = [min(prev[0], lo), max(prev[1], hi)]
+    stats = {k: v for k, v in agg.items() if v is not None}
+    return md.num_rows, stats
+
+
+def _file_entry(table_path: str, rel_name: str) -> dict:
+    """Manifest entry for one data file: relative name + footer-derived
+    row count and column min/max stats (the pruning index)."""
+    rows, stats = _parquet_footer(os.path.join(table_path, rel_name))
+    return {"name": rel_name, "rows": rows, "stats": stats}
+
+
+def _version_files(version: dict, table_path: str) -> list[dict]:
+    """The file entries of one committed version. Format-2 versions
+    carry them inline; format-1 versions (a bare generation directory)
+    are normalized by listing the directory — names only, rows/stats
+    filled lazily by :func:`_entry_rows` when a DML pass needs them."""
+    if "files" in version:
+        return version["files"]
+    import glob
+
+    gen = version["generation"]
+    return [
+        {"name": f"{gen}/{os.path.basename(p)}", "rows": None, "stats": None}
+        for p in sorted(glob.glob(os.path.join(table_path, gen, "part-*")))
+    ]
+
+
+def _entry_rows(table_path: str, entry: dict) -> int:
+    """Entry row count, footer-read (and cached) for normalized
+    format-1 entries that don't carry it."""
+    if entry.get("rows") is None:
+        entry["rows"], entry["stats"] = _parquet_footer(
+            os.path.join(table_path, entry["name"])
+        )
+    return entry["rows"]
+
+
+def _live_state(path: str) -> tuple[dict | None, list[dict], list[str], list[str]]:
+    """ONE directory snapshot resolving the live table: ``(manifest,
+    referenced file entries, loose append basenames, stale superseded
+    basenames still on disk)``. Everything a rewrite reads AND the
+    superseded list it commits derive from this single listing, so an
+    append racing the rewrite either lands fully in the fold or stays a
+    visible loose file — never marked superseded without its rows."""
+    man = _load_manifest(path)
+    top = _top_level_part_files(path)
+    if man is None:
+        return None, [], top, []
+    sup = set(man.get("superseded", []))
+    entries = _version_files(man, path)
+    loose = [f for f in top if f not in sup]
+    stale = sorted(sup & set(top))
+    return man, entries, loose, stale
+
+
 def live_files(path: str) -> list[str]:
     """Absolute paths of the files a reader must scan for the table at
     ``path``. Without a manifest: the plain parquet directory. With
-    one: the committed generation directory plus any top-level files
-    NOT superseded by that generation (i.e. appends landed after the
-    rewrite). Superseded files are excluded even if a crashed cleanup
-    left them on disk — that is what makes the commit atomic."""
-    man = _load_manifest(path)
+    one: the committed file list plus any top-level files NOT
+    superseded by that commit (i.e. appends landed after it).
+    Superseded files are excluded even if a crashed cleanup left them
+    on disk — that is what makes the commit atomic."""
+    man, entries, loose, _ = _live_state(path)
     if man is None:
         return [path]
-    superseded = set(man.get("superseded", []))
-    loose = [
-        os.path.join(path, f)
-        for f in _top_level_part_files(path)
-        if f not in superseded
+    return [os.path.join(path, e["name"]) for e in entries] + [
+        os.path.join(path, f) for f in loose
     ]
-    return [os.path.join(path, man["generation"])] + loose
 
 
 def read_table(
@@ -112,14 +292,13 @@ def read_table(
     :func:`staged_rewrite`). Plain ``spark.read.parquet(path)``
     remains correct only for never-rewritten tables.
 
-    ``version`` time-travels to a retained snapshot: every rewrite
-    folds the entire live table (previous generation + appends) into
-    one generation directory, so generation ``N``'s directory IS the
-    complete table as committed by rewrite ``N`` — a snapshot read is
-    just that directory, no log replay. Requires the rewrite to have
-    kept it (``staged_rewrite(..., retain_versions=k)``); the live view
+    ``version`` time-travels to a retained snapshot: every commit
+    records the complete live FILE LIST, so a snapshot read is just
+    that list — no log replay, and (format 2) untouched files are
+    shared between versions rather than copied. Requires the commit to
+    have kept it (``retain_versions=k``); the live view
     (``version=None``) additionally folds in appends landed since the
-    last rewrite. Unknown versions raise with the retained set named —
+    last commit. Unknown versions raise with the retained set named —
     a silently-empty time travel would read as data loss.
     """
     if version is None:
@@ -130,14 +309,18 @@ def read_table(
             f"no manifest at {path!r} — time travel needs at least one "
             "staged_rewrite with retain_versions > 0"
         )
-    by_no = {h["gen_no"]: h["generation"] for h in man.get("history", [])}
-    by_no[man["gen_no"]] = man["generation"]
+    by_no = {h["gen_no"]: h for h in man.get("history", [])}
+    by_no[man["gen_no"]] = man
     if version not in by_no:
         raise ValueError(
             f"version {version} not retained for {path!r}; available: "
             f"{sorted(by_no)} (raise retain_versions to keep more)"
         )
-    return spark.read.parquet(os.path.join(path, by_no[version]))
+    paths = [
+        os.path.join(path, e["name"])
+        for e in _version_files(by_no[version], path)
+    ]
+    return spark.read.parquet(*paths)
 
 
 def table_versions(path: str) -> list[dict]:
@@ -148,8 +331,10 @@ def table_versions(path: str) -> list[dict]:
     man = _load_manifest(path)
     if man is None:
         return []
-    current = {k: man[k] for k in ("gen_no", "generation", "rows")}
-    return list(man.get("history", [])) + [current]
+    keys = ("gen_no", "generation", "rows")
+    out = [{k: h.get(k) for k in keys} for h in man.get("history", [])]
+    out.append({k: man.get(k) for k in keys})
+    return out
 
 
 def _retire(paths: list[str]) -> None:
@@ -166,6 +351,173 @@ def _retire(paths: list[str]) -> None:
             os.remove(p)
 
 
+def _cdc_names(version: dict) -> set[str]:
+    """Relative paths of a version's CDC sidecar files/dirs."""
+    cdc = version.get("cdc") or {}
+    return {name for lst in cdc.values() for name in lst}
+
+
+def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
+    """Remove generation directories fully drained by a retire: no
+    live-referenced files AND no data files left on disk. A dir that
+    still holds data files but no live references is a crashed staging
+    write — recovery material for ``vacuum_staging``'s TTL, not ours."""
+    import glob
+    import shutil
+
+    live_dirs = {n.split("/", 1)[0] for n in live_names if "/" in n}
+    for child in os.listdir(path):
+        cp = os.path.join(path, child)
+        if (
+            child.startswith("gen-")
+            and os.path.isdir(cp)
+            and child not in live_dirs
+            and not glob.glob(os.path.join(cp, "part-*"))
+            and not glob.glob(os.path.join(cp, "adopted-*"))
+            and not glob.glob(os.path.join(cp, "cdc-*"))
+        ):
+            shutil.rmtree(cp, ignore_errors=True)
+
+
+def _commit_generation(
+    spark: SparkSession,
+    path: str,
+    *,
+    man: dict | None,
+    loose: list[str],
+    stale: list[str],
+    keep_entries: list[dict],
+    new_df: DataFrame,
+    suffix: str,
+    expected_new_rows: int,
+    retain_versions: int = 0,
+    adopt: list[tuple[str, dict]] | None = None,
+    cdc: dict | None = None,
+) -> tuple[int, dict, int]:
+    """Shared commit core of the manifest protocol. Writes ``new_df``
+    into a fresh generation directory, byte-copies the ``adopt`` loose
+    append files in beside it (adoption: an untouched append becomes a
+    tracked file for the cost of its own bytes, never a Spark job), and
+    atomically commits a manifest whose file list is ``keep_entries``
+    — carried BY REFERENCE, zero bytes rewritten — plus the new files.
+
+    Steps (a crash between any two leaves a readable table):
+
+    1. write ``new_df`` to ``<path>/gen-<n><suffix>/`` — live table
+       untouched;
+    2. validate the staged row count against ``expected_new_rows``
+       (parquet FOOTER metadata only — no job, cheap at any scale);
+    3. copy adopted appends in; write CDC sidecar files (the
+       insert/delete row sets of a DML pass) under the new generation;
+    4. commit: atomically replace ``_manifest.json`` (writer-fenced,
+       see :func:`_commit_manifest`);
+    5. retire files referenced by neither the new manifest nor a
+       retained history version.
+
+    ``cdc`` maps {"insert": df|None, "delete": df|None}; passing a dict
+    (even of Nones) RECORDS the commit's change-data-feed so
+    adjacent-version :func:`table_changes` skips the exceptAll scan;
+    None means "changes unknown" (e.g. rollback) and forces the
+    fallback. Returns ``(gen_no, manifest, n_new_files)``.
+    """
+    import glob as _glob
+    import shutil
+    import uuid
+
+    prev_no = man["gen_no"] if man else 0
+    gen_no = prev_no + 1
+    # per-writer uniquifier: two racing writers must never share a
+    # staging directory — the fence rejects the loser's COMMIT, but only
+    # if its staged bytes didn't overwrite the winner's first
+    gen = f"gen-{gen_no:06d}{suffix}-{uuid.uuid4().hex[:8]}"
+    staging = os.path.join(path, gen)
+    new_df.write.mode("overwrite").parquet(staging)
+    staged = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(staging, "part-*"))
+    )
+    new_entries = [_file_entry(path, f"{gen}/{b}") for b in staged]
+    n_staged = sum(e["rows"] for e in new_entries)
+    if n_staged != expected_new_rows:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"rewrite row-count mismatch: staged {n_staged} != expected "
+            f"{expected_new_rows}"
+        )
+    for name, entry in adopt or []:
+        dst = f"adopted-{name}"
+        shutil.copy2(os.path.join(path, name), os.path.join(staging, dst))
+        new_entries.append({**entry, "name": f"{gen}/{dst}"})
+    cdc_rec = None
+    if cdc is not None:
+        cdc_rec = {}
+        for kind, frame in cdc.items():
+            if frame is None:
+                cdc_rec[kind] = []
+                continue
+            # no leading underscore: Spark treats _-prefixed paths as
+            # hidden metadata and refuses to read them back
+            sub = f"{gen}/cdc-{kind}"
+            frame.write.mode("overwrite").parquet(os.path.join(path, sub))
+            cdc_rec[kind] = [sub]
+
+    files = keep_entries + new_entries
+    rows = sum(_entry_rows(path, e) for e in files)
+    history = list(man.get("history", [])) if man else []
+    if man:
+        prev = {k: man[k] for k in ("gen_no", "generation", "rows")}
+        prev["files"] = _version_files(man, path)
+        if man.get("cdc") is not None:
+            prev["cdc"] = man["cdc"]
+        history.append(prev)
+    kept = (
+        history[max(0, len(history) - retain_versions):]
+        if retain_versions
+        else []
+    )
+    manifest = {
+        "format": 2,
+        "generation": gen,
+        "gen_no": gen_no,
+        "rows": rows,
+        "files": files,
+        "superseded": sorted(set(stale) | set(loose)),
+        "history": kept,
+    }
+    if cdc_rec is not None:
+        manifest["cdc"] = cdc_rec
+    _commit_manifest(path, manifest, expect_gen=prev_no)
+
+    # retire: previously-referenced files and superseded loose files not
+    # referenced by the new manifest or a retained history version
+    live = {e["name"] for e in files}
+    for h in kept:
+        live |= {e["name"] for e in _version_files(h, path)}
+        live |= _cdc_names(h)
+    live |= _cdc_names(manifest)
+    old_names: set[str] = set()
+    if man:
+        old_names |= {e["name"] for e in _version_files(man, path)}
+        old_names |= _cdc_names(man)
+    for h in history:
+        old_names |= {e["name"] for e in _version_files(h, path)}
+        old_names |= _cdc_names(h)
+    dead = [os.path.join(path, n) for n in old_names - live]
+    dead += [os.path.join(path, f) for f in set(stale) | set(loose)]
+    _retire(dead)
+    _cleanup_empty_gen_dirs(path, live)
+    return gen_no, manifest, len(staged)
+
+
+def _meta_row_count(path: str, entries: list[dict], loose: list[str]) -> int:
+    """Live row count from manifest entries + loose-file footers —
+    driver-side metadata only, zero Spark jobs."""
+    n = sum(_entry_rows(path, e) for e in entries)
+    for f in loose:
+        n += _parquet_footer(os.path.join(path, f))[0]
+    return n
+
+
 def staged_rewrite(
     spark: SparkSession,
     path: str,
@@ -174,93 +526,50 @@ def staged_rewrite(
     retain_versions: int = 0,
     expected_rows=None,
 ) -> int:
-    """Shared rewrite protocol for the layout-maintenance passes
-    (`compact_parquet`, `operators/layout.zorder_compact`), with an
-    ATOMIC manifest commit — the Delta/Iceberg-style answer to the
-    directory-rename swap this function used through round 5 (which
-    left the table briefly absent between two renames, and was not
-    atomic on object stores at all):
+    """Full-table rewrite protocol for the layout-maintenance passes
+    (`compact_parquet`, `operators/layout.zorder_compact`): read the
+    live file set (one frozen directory snapshot — appends racing the
+    rewrite stay visible loose files), write ``layout_fn(df)`` to a new
+    generation, validate the staged row count (against the MANIFEST
+    metadata count, no source scan; or against ``expected_rows`` for a
+    caller that mutates rows), and commit atomically via
+    :func:`_commit_generation`. Layout passes rewrite everything by
+    design — that is their job; the file-granular paths are
+    :func:`delete_where` / :func:`merge_into`.
 
-    1. read the live file set (manifest-aware, so appends since the
-       last rewrite are folded in);
-    2. write ``layout_fn(df)`` to a NEW generation directory
-       ``<path>/gen-<n><suffix>/`` — the live table is untouched;
-    3. validate the staged row count against the source — or against
-       ``expected_rows`` for row-mutating passes like
-       :func:`delete_where` (footer metadata only — cheap at any
-       scale);
-    4. commit: atomically replace ``<path>/_manifest.json`` naming the
-       new generation and the top-level files it supersedes
-       (:func:`_commit_manifest` — one ``os.replace`` / one object
-       PUT);
-    5. retire the previous generation and superseded loose files.
-
-    A crash between ANY two steps leaves a readable table at ``path``:
-    before step 4 readers resolve the old manifest (or the plain
-    directory); after it they resolve the new generation, and step 5's
-    leftovers are invisible to :func:`live_files`. Orphaned staging
-    generations and retire leftovers are TTL-collected by
-    :func:`vacuum_staging`. Single-writer protocol: concurrent
-    rewrites of one table are not supported (generation ids would
-    race). Returns the resulting (generation) file count.
-
-    ``retain_versions=k`` keeps the last ``k`` superseded generations
-    on disk (listed in the manifest's ``history``) for time-travel
-    reads (:func:`read_table` ``version=``) and rollback-by-inspection
-    — generation directories are self-contained snapshots, so
-    retention is just "don't retire yet", no extra write
-    amplification. Generations falling off the history are retired on
-    the next commit; vacuum never touches retained ones. Loose append
-    files superseded by this rewrite are retired regardless — their
-    rows are folded into the new generation, and no retained
-    snapshot's file set references them.
+    ``retain_versions=k`` keeps the last ``k`` superseded versions
+    readable (:func:`read_table` ``version=``); format 2 versions are
+    file lists, so retention shares untouched files between versions —
+    still zero extra write amplification. Concurrent rewrites are
+    fenced: the loser raises :class:`ConcurrentWriteError` at its
+    commit point. Returns the new generation's file count.
     """
-    import glob
-    import shutil
-
-    df = read_table(spark, path)
-    # layout passes must preserve every row; row-mutating passes
-    # (delete_where) declare what the staged count must be instead
-    n_want = df.count() if expected_rows is None else expected_rows
-    man = _load_manifest(path)
-    gen_no = (man.get("gen_no", 0) if man else 0) + 1
-    gen = f"gen-{gen_no:06d}{suffix}"
-    staging = os.path.join(path, gen)
-    superseded = _top_level_part_files(path)
-    layout_fn(df).write.mode("overwrite").parquet(staging)
-    # validate before the commit point (parquet count is
-    # footer-metadata-only — cheap even for large datasets)
-    n_staged = spark.read.parquet(staging).count()
-    if n_staged != n_want:
-        shutil.rmtree(staging)
-        raise RuntimeError(
-            f"rewrite row-count mismatch: staged {n_staged} != expected {n_want}"
-        )
-    history = list(man.get("history", [])) if man else []
-    if man:
-        history.append(
-            {k: man[k] for k in ("gen_no", "generation", "rows")}
-        )
-    kept = history[len(history) - retain_versions:] if retain_versions else []
-    _commit_manifest(
-        path,
-        {
-            "generation": gen,
-            "gen_no": gen_no,
-            "rows": n_staged,
-            "superseded": superseded,
-            "history": kept,
-        },
-    )
-    retained = {h["generation"] for h in kept}
-    retire = [os.path.join(path, f) for f in superseded]
-    retire += [
-        os.path.join(path, h["generation"])
-        for h in history
-        if h["generation"] not in retained
+    man, entries, loose, stale = _live_state(path)
+    src = [os.path.join(path, e["name"]) for e in entries] + [
+        os.path.join(path, f) for f in loose
     ]
-    _retire(retire)
-    return len(glob.glob(os.path.join(staging, "part-*")))
+    df = spark.read.parquet(*src) if src else spark.read.parquet(path)
+    n_want = (
+        _meta_row_count(path, entries, loose)
+        if expected_rows is None
+        else expected_rows
+    )
+    _, _, n_files = _commit_generation(
+        spark,
+        path,
+        man=man,
+        loose=loose,
+        stale=stale,
+        keep_entries=[],
+        new_df=layout_fn(df),
+        suffix=suffix,
+        expected_new_rows=n_want,
+        retain_versions=retain_versions,
+        # a layout pass changes no rows: record an EMPTY change-data-feed
+        # so adjacent-version table_changes is metadata-priced
+        cdc={"insert": None, "delete": None},
+    )
+    return n_files
 
 
 def compact_parquet(
@@ -291,6 +600,27 @@ def compact_parquet(
     )
 
 
+# cap on rows per rewrite-output file, used to size partial-rewrite
+# writes: a DML rewrite of k touched files should emit ~k files again
+# (plus enough for a huge bulk insert), not one file per upstream
+# partition of the patch
+_ROWS_PER_REWRITE_FILE = 4_000_000
+
+
+def _rewrite_partitions(n_rows: int, n_touched: int) -> int:
+    return max(1, n_touched, -(-n_rows // _ROWS_PER_REWRITE_FILE))
+
+
+def _rel_file(uri: str, table_path: str) -> str:
+    """``input_file_name()`` URI -> manifest-relative file name."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri).path or uri
+    return os.path.relpath(
+        os.path.realpath(unquote(p)), os.path.realpath(table_path)
+    )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -305,53 +635,93 @@ def delete_where(
     it is FALSE **or NULL** are kept (ANSI DELETE null handling — a
     bare ``filter(~p)`` would silently drop the NULL rows too).
 
-    Implemented as a :func:`staged_rewrite` whose layout filters the
-    table, with the row-count validation flipped to the DECLARED
-    expectation: both counts come from one aggregate pass, and the
-    staged generation must hold exactly ``n_src - n_deleted`` rows or
-    the commit is aborted. Same atomicity: readers see the pre-delete
-    table until the single manifest commit, and crash leftovers are
-    invisible.
+    FILE-GRANULAR (format 2): one identification scan — predicate
+    columns only, with parquet footer stats skipping row groups — maps
+    matched rows to their files; only files that actually contain a
+    match are rewritten, every other file is carried into the new
+    manifest BY REFERENCE. Bytes written per delete are proportional to
+    the touched files plus the CDC sidecar (the deleted rows
+    themselves), never the table — at 100 TB a targeted takedown
+    rewrites megabytes, not the corpus. Atomicity unchanged: readers
+    see the pre-delete table until the single fenced manifest commit.
 
     ERASURE CAVEAT, loudly: with ``retain_versions > 0`` the retained
-    snapshot generations still contain the deleted rows (that is what
-    time travel means). For actual erasure run with
-    ``retain_versions=0`` (deleted bytes are retired at commit) and
-    rely on no earlier retention being in place. Returns the number of
-    rows deleted.
+    snapshots still reference the deleted rows (that is what time
+    travel means), and the commit's CDC sidecar ALSO holds a copy of
+    the deleted rows for change-feed consumers. For actual erasure run
+    with ``retain_versions=0`` and vacuum past the TTL; the sidecar
+    dies with its version. Returns the number of rows deleted.
     """
     from pyspark.sql import functions as F
 
-    pred = F.expr(predicate)
-    df = read_table(spark, path)
-    counts = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(F.coalesce(pred, F.lit(False))).alias("n_del"),
-    ).first()
-    n_src, n_del = counts["n"], counts["n_del"]
-    if n_del == 0:
-        return 0  # no-op: don't burn a generation rewriting everything
-    staged_rewrite(
+    man, entries, loose, stale = _live_state(path)
+    loose_entries = [(f, _file_entry(path, f)) for f in loose]
+    cand = entries + [e for _, e in loose_entries]
+    if not cand:
+        return 0
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    paths = [os.path.join(path, e["name"]) for e in cand]
+    hits = (
+        spark.read.parquet(*paths)
+        .where(pred)
+        .groupBy(F.input_file_name().alias("_file"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return 0  # no-op: don't burn a generation rewriting anything
+    touched_rel = {_rel_file(r["_file"], path) for r in hits}
+    n_del = sum(r["n"] for r in hits)
+    keep_entries = [e for e in entries if e["name"] not in touched_rel]
+    adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
+    touched = [e for e in cand if e["name"] in touched_rel]
+    tdf = spark.read.parquet(
+        *[os.path.join(path, e["name"]) for e in touched]
+    )
+    n_touched = sum(_entry_rows(path, e) for e in touched)
+    _commit_generation(
         spark,
         path,
-        lambda d: d.where(~F.coalesce(F.expr(predicate), F.lit(False))),
-        "._delete",
+        man=man,
+        loose=loose,
+        stale=stale,
+        keep_entries=keep_entries,
+        new_df=tdf.where(~pred),
+        suffix="._delete",
+        expected_new_rows=n_touched - n_del,
         retain_versions=retain_versions,
-        expected_rows=n_src - n_del,
+        adopt=adopt,
+        cdc={
+            "insert": None,
+            "delete": tdf.where(pred).coalesce(
+                _rewrite_partitions(n_del, 0)
+            ),
+        },
     )
     return n_del
 
 
-def rollback(spark: SparkSession, path: str, version: int) -> int:
+def rollback(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    retain_versions: int | None = None,
+) -> int:
     """RESTORE the table to a retained snapshot — metadata-only: the
-    new manifest simply points at the retained generation directory,
-    no data is copied or rewritten. The rolled-back-FROM generation
-    moves into the history (still readable by version until it falls
-    off the retention window), so a rollback is itself reversible.
-    Loose appends landed since the last rewrite are superseded and
-    retired — restore means "the table equals snapshot N", and those
-    rows are in no snapshot; merge them back explicitly first if they
-    must survive. Returns the new current ``gen_no``.
+    new manifest simply points at the retained version's file list, no
+    data is copied or rewritten. The rolled-back-FROM version moves
+    into the history (still readable by version until it falls off the
+    retention window), so a rollback is itself reversible. Loose
+    appends landed since the last commit are superseded — restore means
+    "the table equals snapshot N", and those rows are in no snapshot —
+    but their files are left for ``vacuum_staging``'s TTL rather than
+    retired immediately (a mistaken restore stays recoverable for the
+    grace period; merge them back explicitly if they must survive).
+
+    ``retain_versions`` trims the history to the last ``k`` entries at
+    this commit (files of dropped versions are retired); ``None`` (the
+    default) keeps the existing history plus the rolled-from version.
+    Returns the new current ``gen_no``.
     """
     man = _load_manifest(path)
     if man is None:
@@ -365,24 +735,46 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
             f"{sorted(targets) + [man['gen_no']]}"
         )
     target = targets[version]
+    target_files = _version_files(target, path)
     gen_no = man["gen_no"] + 1
-    superseded = _top_level_part_files(path)
-    # previous current becomes history; the restored generation is
-    # removed from it (it IS the current generation now)
-    history = [
-        h for h in man.get("history", []) if h["gen_no"] != version
-    ] + [{k: man[k] for k in ("gen_no", "generation", "rows")}]
-    _commit_manifest(
-        path,
-        {
-            "generation": target["generation"],
-            "gen_no": gen_no,
-            "rows": target["rows"],
-            "superseded": superseded,
-            "history": history,
-        },
-    )
-    _retire([os.path.join(path, f) for f in superseded])
+    top = _top_level_part_files(path)
+    sup_old = set(man.get("superseded", []))
+    loose = [f for f in top if f not in sup_old]
+    # previous current becomes history; the restored version is removed
+    # from it (it IS the current version now)
+    cur = {k: man[k] for k in ("gen_no", "generation", "rows")}
+    cur["files"] = _version_files(man, path)
+    if man.get("cdc") is not None:
+        cur["cdc"] = man["cdc"]
+    history = [h for h in man.get("history", []) if h["gen_no"] != version]
+    history.append(cur)
+    dropped: list[dict] = []
+    if retain_versions is not None:
+        cut = max(0, len(history) - retain_versions)
+        dropped, history = history[:cut], history[cut:]
+    manifest = {
+        "format": 2,
+        "generation": target.get("generation"),
+        "gen_no": gen_no,
+        "rows": target["rows"],
+        "files": target_files,
+        "superseded": sorted((sup_old & set(top)) | set(loose)),
+        "history": history,
+        # no "cdc" key: the row-level diff of a restore is not tracked,
+        # so table_changes falls back to the snapshot diff
+    }
+    _commit_manifest(path, manifest, expect_gen=man["gen_no"])
+    if dropped:
+        live = {e["name"] for e in target_files}
+        for h in history:
+            live |= {e["name"] for e in _version_files(h, path)}
+            live |= _cdc_names(h)
+        dead: set[str] = set()
+        for h in dropped:
+            dead |= {e["name"] for e in _version_files(h, path)}
+            dead |= _cdc_names(h)
+        _retire([os.path.join(path, n) for n in dead - live])
+        _cleanup_empty_gen_dirs(path, live)
     return gen_no
 
 
@@ -391,19 +783,54 @@ def table_changes(
 ) -> DataFrame:
     """Row-level diff between two retained snapshots (``v_to=None`` =
     the live view): the change-data-feed a downstream incremental
-    consumer replays instead of re-reading the whole table. Multiset
-    semantics via ``exceptAll`` (duplicate-row counts respected);
-    output is the table schema plus ``_change_type`` ∈
-    {'insert', 'delete'} — an update appears as delete+insert, the
-    classic CDF encoding when rows carry no identity column.
+    consumer replays instead of re-reading the whole table. Output is
+    the table schema plus ``_change_type`` ∈ {'insert', 'delete'} — an
+    update appears as delete+insert, the classic CDF encoding when rows
+    carry no identity column.
 
-    Scale shape: two scans + one shuffle pair per direction (exceptAll
-    hash-partitions both sides on all columns) — bounded by table
-    size, never by history length, because snapshots are
-    self-contained generations rather than logs to replay.
+    ADJACENT versions (``v_to == v_from + 1``) whose commit recorded a
+    CDC sidecar are metadata-priced: the answer is a plain read of the
+    sidecar files the DML pass already wrote — zero shuffles, zero
+    table scans, and the plan contains no exceptAll. Version gaps,
+    live-view diffs with pending appends, and commits without CDC
+    (e.g. a rollback) fall back to the snapshot diff: multiset
+    ``exceptAll`` per direction (two scans + one shuffle pair each),
+    bounded by table size, never history length. Semantics note: the
+    sidecar path reports the OPERATION log (a matched-key update whose
+    new row equals the old one still appears as delete+insert); the
+    snapshot diff reports the net row difference — they agree whenever
+    updates actually change rows.
     """
     from pyspark.sql import functions as F
 
+    man = _load_manifest(path)
+    v_to_resolved = v_to
+    if v_to is None and man is not None:
+        _, _, loose, _ = _live_state(path)
+        if not loose:  # live view IS the current version
+            v_to_resolved = man["gen_no"]
+    if man is not None and v_to_resolved == v_from + 1:
+        by_no = {h["gen_no"]: h for h in man.get("history", [])}
+        by_no[man["gen_no"]] = man
+        ver = by_no.get(v_to_resolved)
+        if ver is not None and ver.get("cdc") is not None:
+            schema = read_table(spark, path, version=v_to_resolved).schema
+            frames = []
+            for kind in ("insert", "delete"):
+                rel = ver["cdc"].get(kind, [])
+                if rel:
+                    frames.append(
+                        spark.read.parquet(
+                            *[os.path.join(path, r) for r in rel]
+                        ).withColumn("_change_type", F.lit(kind))
+                    )
+            if not frames:
+                empty = spark.createDataFrame([], schema)
+                return empty.withColumn("_change_type", F.lit(""))
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
     old = read_table(spark, path, version=v_from)
     new = (
         read_table(spark, path)
@@ -426,6 +853,29 @@ def _merge_frames(old, updates, keys: list[str], broadcast_updates: bool):
     return old.join(right, keys, "left_anti").unionByName(updates)
 
 
+def _admits_keys(
+    stats: dict | None, key_col: str, k_lo, k_hi, keys_sorted
+) -> bool:
+    """Can this file's footer [min, max] on ``key_col`` contain any
+    patch key? False ONLY when provably disjoint — missing stats or
+    incomparable types always admit (pruning is an optimization, never
+    a correctness gate)."""
+    span = (stats or {}).get(key_col)
+    if span is None:
+        return True
+    try:
+        if keys_sorted:
+            import bisect
+
+            i = bisect.bisect_left(keys_sorted, span[0])
+            return i < len(keys_sorted) and keys_sorted[i] <= span[1]
+        if k_lo is None:
+            return True
+        return not (span[1] < k_lo or span[0] > k_hi)
+    except TypeError:
+        return True
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -440,56 +890,175 @@ def merge_into(
     the manifest-table DML triad (compact/z-order layout,
     :func:`delete_where`, merge). The query-shaped twin is the
     ``customer_upsert`` registry row; this is the TABLE-level op with
-    the same atomic manifest commit: readers see the pre-merge table
-    until one manifest replace, and the staged generation must land
-    exactly ``n_src - n_matched + n_updates`` rows or the commit
-    aborts.
+    the same fenced atomic manifest commit.
 
-    Guards (both fail loudly before any write): ``updates`` must be
-    key-unique (two source rows matching one target row is the
-    ambiguous-merge error lakehouse engines reject) and must carry
-    exactly the table's columns (positional drift would corrupt
-    silently under a blind union). NULL-keyed update rows can never
-    match (SQL join semantics) and are inserted as-is.
+    FILE-GRANULAR (format 2) and exactly TWO Spark actions before the
+    staged write:
 
-    Set ``broadcast_updates=True`` when the patch batch is
-    metadata-sized: the anti-join then broadcasts it and the table side
-    is never shuffled — at 100 TB that is the difference between a
-    metadata pass and a full-table exchange. Returns
-    ``{"updated": ..., "inserted": ...}``.
+    1. one aggregate over the (persisted) update batch — count,
+       key-uniqueness over non-NULL-keyed rows, key min/max, and (for
+       broadcast batches) the sorted key set used for footer pruning;
+    2. one key-column identification scan: candidate files whose footer
+       [min, max] admits a patch key, semi-joined (broadcast) against
+       the patch keys, ``rollup``-aggregated to per-file matched counts
+       plus the global matched-rows/matched-keys in a single job.
+
+    Only files containing a matched key are rewritten (anti-join +
+    union, table side never shuffled when ``broadcast_updates``); all
+    other files carry into the new manifest BY REFERENCE, so a
+    metadata-sized patch writes patch-proportional bytes into a 100 TB
+    table. A pure-insert batch (no matches) rewrites NOTHING — the new
+    generation is just the inserted rows.
+
+    Guards: ``updates`` must be key-unique over rows whose keys are all
+    non-NULL (two source rows matching one target row is the
+    ambiguous-merge error lakehouse engines reject; NULL-keyed rows can
+    never match and are inserted as-is, so they cannot make a MERGE
+    ambiguous) and must carry exactly the table's columns. If the
+    TARGET holds several rows with one key, MERGE collapses them to
+    the single update row — reported via ``matched_rows`` vs
+    ``updated`` and a warning, the documented replacement semantics.
+    Returns ``{"updated": <distinct keys matched>, "inserted": ...,
+    "matched_rows": <target rows replaced>}``.
     """
+    import warnings
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
-    old = read_table(spark, path)
+    man, entries, loose, stale = _live_state(path)
+    src = [os.path.join(path, e["name"]) for e in entries] + [
+        os.path.join(path, f) for f in loose
+    ]
+    old = spark.read.parquet(*src) if src else spark.read.parquet(path)
     if set(updates.columns) != set(old.columns):
         raise ValueError(
             f"merge schema mismatch: table has {sorted(old.columns)}, "
             f"updates have {sorted(updates.columns)}"
         )
+    nn = reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+    )
+    k0 = keys[0]
+    aggs = [
+        F.count(F.lit(1)).alias("n_upd"),
+        F.count_if(nn).alias("n_matchable"),
+        F.count_distinct(F.when(nn, F.struct(*keys))).alias("n_keys"),
+        F.min(F.when(nn, F.col(k0))).alias("k_lo"),
+        F.max(F.when(nn, F.col(k0))).alias("k_hi"),
+    ]
+    if broadcast_updates:
+        # the patch is declared metadata-sized: fold the sorted key set
+        # into the SAME aggregate for exact footer pruning — no extra job
+        aggs.append(
+            F.sort_array(F.collect_set(F.when(nn, F.col(k0)))).alias("ks")
+        )
     updates = updates.persist()
     try:
-        n_upd = updates.count()
-        if updates.select(*keys).distinct().count() != n_upd:
+        pre = updates.agg(*aggs).first()  # pre-write action 1 of 2
+        n_upd = pre["n_upd"]
+        if n_upd == 0:
+            return {"updated": 0, "inserted": 0, "matched_rows": 0}
+        if pre["n_keys"] != pre["n_matchable"]:
             raise ValueError(
                 f"updates are not unique on {keys} — one target row "
                 "would match several source rows (ambiguous MERGE)"
             )
-        key_batch = updates.select(*keys)
-        if broadcast_updates:
-            key_batch = F.broadcast(key_batch)
-        n_matched = old.join(key_batch, keys, "left_semi").count()
-        n_src = old.count()
-        if n_upd == 0:
-            return {"updated": 0, "inserted": 0}
-        staged_rewrite(
+        loose_entries = [(f, _file_entry(path, f)) for f in loose]
+        cand = entries + [e for _, e in loose_entries]
+        keys_sorted = list(pre["ks"]) if broadcast_updates else None
+        scan = (
+            [
+                e
+                for e in cand
+                if _admits_keys(
+                    e.get("stats"), k0, pre["k_lo"], pre["k_hi"], keys_sorted
+                )
+            ]
+            if pre["n_matchable"] > 0
+            else []
+        )
+        per_file: dict[str, int] = {}
+        matched_rows = matched_keys = 0
+        if scan:
+            ukeys = updates.where(nn).select(*keys)
+            m = (
+                spark.read.parquet(
+                    *[os.path.join(path, e["name"]) for e in scan]
+                )
+                .select(F.input_file_name().alias("_file"), *keys)
+                .join(F.broadcast(ukeys), keys, "left_semi")
+            )
+            # pre-write action 2 of 2: ROLLUP gives per-file matched
+            # counts AND the global matched-rows/keys totals in one job
+            roll = m.rollup("_file").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.struct(*keys)).alias("n_keys"),
+            ).collect()
+            for r in roll:
+                if r["_file"] is None:
+                    matched_rows, matched_keys = r["n_rows"], r["n_keys"]
+                else:
+                    per_file[_rel_file(r["_file"], path)] = r["n_rows"]
+        if matched_rows > matched_keys:
+            warnings.warn(
+                f"merge_into: target holds duplicate keys — "
+                f"{matched_rows} rows matched {matched_keys} distinct "
+                "keys; MERGE collapses each matched key to the single "
+                "update row",
+                stacklevel=2,
+            )
+        touched_rel = set(per_file)
+        keep_entries = [e for e in entries if e["name"] not in touched_rel]
+        adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
+        touched = [e for e in cand if e["name"] in touched_rel]
+        deleted = None
+        if touched:
+            tdf = spark.read.parquet(
+                *[os.path.join(path, e["name"]) for e in touched]
+            )
+            new_df = _merge_frames(tdf, updates, keys, broadcast_updates)
+            ukeys_b = updates.select(*keys)
+            if broadcast_updates:
+                ukeys_b = F.broadcast(ukeys_b)
+            deleted = tdf.join(ukeys_b, keys, "left_semi").coalesce(
+                _rewrite_partitions(matched_rows, 0)
+            )
+            n_touched = sum(_entry_rows(path, e) for e in touched)
+        else:
+            new_df = updates  # pure insert: rewrite NOTHING
+            n_touched = 0
+        # size the rewrite output to the touched-file count, not the
+        # patch's upstream partitioning (a 1k-row patch union would
+        # otherwise emit one near-empty file per shuffle partition);
+        # coalesce, not repartition — no exchange, the table side stays
+        # unshuffled and per-touched-file parallelism is preserved
+        new_df = new_df.coalesce(
+            _rewrite_partitions(n_touched - matched_rows + n_upd,
+                                len(touched))
+        )
+        _commit_generation(
             spark,
             path,
-            lambda d: _merge_frames(d, updates, keys, broadcast_updates),
-            "._merge",
+            man=man,
+            loose=loose,
+            stale=stale,
+            keep_entries=keep_entries,
+            new_df=new_df,
+            suffix="._merge",
+            expected_new_rows=n_touched - matched_rows + n_upd,
             retain_versions=retain_versions,
-            expected_rows=n_src - n_matched + n_upd,
+            adopt=adopt,
+            cdc={
+                "insert": updates.coalesce(_rewrite_partitions(n_upd, 0)),
+                "delete": deleted,
+            },
         )
-        return {"updated": n_matched, "inserted": n_upd - n_matched}
+        return {
+            "updated": matched_keys,
+            "inserted": n_upd - matched_keys,
+            "matched_rows": matched_rows,
+        }
     finally:
         updates.unpersist()
 
@@ -512,15 +1081,16 @@ def vacuum_staging(
     """Remove crash-orphaned rewrite leftovers (the VACUUM step of the
     maintenance family: compaction fixes file count, z-order fixes
     pruning, vacuum fixes the dead bytes a crashed rewrite leaves
-    behind). Two kinds of leftovers, both TTL-gated (mtime-based,
+    behind). Three kinds of leftovers, all TTL-gated (mtime-based,
     default 24h — fresh leftovers may belong to an in-flight rewrite):
 
-    * **manifest tables** (current protocol): inside any table dir
-      carrying ``_manifest.json``, generation dirs other than the
-      committed one (an uncommitted staging write, or a previous
-      generation whose retire step crashed) and loose files the
-      manifest lists as superseded. The committed generation and
-      un-superseded appends are never candidates.
+    * **manifest tables**: generation directories sharing NO file with
+      any live version (an uncommitted staging write, or a retired
+      version whose cleanup crashed) are removed whole; inside LIVE
+      generation directories, individual data files referenced by no
+      version (format-2 partial rewrites leave per-file deads) are
+      removed file-by-file. Loose files the manifest lists as
+      superseded are collected; un-superseded appends never are.
     * **legacy sibling dirs** (pre-manifest protocol): ``<table>._old``
       / ``<table>._compact`` / ``<table>._zorder`` beside the table —
       but ONLY when the live table directory still exists. If it does
@@ -532,7 +1102,7 @@ def vacuum_staging(
     Driver-side metadata work only — listdir + stat per candidate,
     never a data scan.
     """
-    import os
+    import glob as _glob
     import shutil
     import time as _time
     import warnings
@@ -549,20 +1119,35 @@ def vacuum_staging(
             continue
         man = _load_manifest(p)
         if man is not None:
-            keep = {man["generation"]} | {
-                h["generation"] for h in man.get("history", [])
-            }  # retained time-travel snapshots are live, not orphans
+            live: set[str] = set()
+            for ver in [man] + list(man.get("history", [])):
+                live |= {e["name"] for e in _version_files(ver, p)}
+                live |= _cdc_names(ver)
+            live_dirs = {n.split("/", 1)[0] for n in live if "/" in n}
             superseded = set(man.get("superseded", []))
             for child in sorted(os.listdir(p)):
                 cp = os.path.join(p, child)
-                if (
-                    child not in keep
-                    and child.startswith("gen-")
-                    and os.path.isdir(cp)
-                    and expired(cp)
-                ):
-                    shutil.rmtree(cp, ignore_errors=True)
-                    removed.append(cp)
+                if child.startswith("gen-") and os.path.isdir(cp):
+                    if child not in live_dirs and expired(cp):
+                        shutil.rmtree(cp, ignore_errors=True)
+                        removed.append(cp)
+                    elif child in live_dirs:
+                        # live dir: collect its per-file deads only
+                        for sub in sorted(
+                            _glob.glob(os.path.join(cp, "part-*"))
+                            + _glob.glob(os.path.join(cp, "adopted-*"))
+                        ):
+                            rel = f"{child}/{os.path.basename(sub)}"
+                            if rel not in live and expired(sub):
+                                os.remove(sub)
+                                removed.append(sub)
+                        for sub in sorted(
+                            _glob.glob(os.path.join(cp, "cdc-*"))
+                        ):
+                            rel = f"{child}/{os.path.basename(sub)}"
+                            if rel not in live and expired(sub):
+                                shutil.rmtree(sub, ignore_errors=True)
+                                removed.append(sub)
                 elif (
                     child in superseded
                     and os.path.isfile(cp)
@@ -573,10 +1158,10 @@ def vacuum_staging(
             continue
         if not name.endswith(_STAGING_SUFFIXES):
             continue
-        live = p.rsplit("._", 1)[0]
-        if not os.path.isdir(live):
+        live_tbl = p.rsplit("._", 1)[0]
+        if not os.path.isdir(live_tbl):
             warnings.warn(
-                f"vacuum_staging: keeping {p} — live table {live} is "
+                f"vacuum_staging: keeping {p} — live table {live_tbl} is "
                 "missing, so this dir is recovery material, not an "
                 "orphan (restore it manually: move it to the live path)",
                 stacklevel=2,

@@ -335,7 +335,12 @@ class S3Storage:
         if not key:
             return True
         prefix = key if key.endswith("/") else key + "/"
-        keys, prefixes, _ = self._list_page(bucket, prefix, "", None)
+        try:
+            keys, prefixes, _ = self._list_page(bucket, prefix, "", None)
+        except FileNotFoundError:
+            # a 404 here means the BUCKET is missing (ListObjectsV2 on
+            # an empty prefix is a 200): not a directory, not an error
+            return False
         return bool(keys or prefixes)
 
     def makedirs(self, dir_path: str) -> None:

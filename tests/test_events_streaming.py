@@ -373,3 +373,56 @@ def test_stream_cdc_apply_upserts_and_resumes(spark, tmp_path):
     # empty catch-up run: no new files -> no new generation
     drain()
     assert S._load_manifest(table)["gen_no"] == gen_after_b1 + 1
+
+
+def test_stream_cdc_apply_is_file_granular(spark, tmp_path):
+    """Per-microbatch write amplification at a realistic batch:table
+    ratio: each CDC batch upserts through the file-granular merge, so
+    the batch rewrites ONLY the files holding its matched keys — the
+    rest of the table carries into each new manifest by reference
+    (round-7 fix for whole-table copy-on-write per microbatch)."""
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.streaming.jobs import (
+        stream_cdc_apply,
+    )
+
+    table = str(tmp_path / "state")
+    spark.range(6000).selectExpr(
+        "id", "cast(id as double) as v", "cast(0 as long) as seq"
+    ).write.parquet(table)
+    S.compact_parquet(spark, table, target_files=6, sort_col="id")
+    n_files = len(S._load_manifest(table)["files"])
+    assert n_files == 6
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v double, seq long"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_cdc_apply(
+            stream, table, keys=["id"], checkpoint=ckpt, order_col="seq"
+        )
+        q.awaitTermination()
+
+    for i, ids in enumerate([(100, 101), (3000, 3001), (5500, 9999)]):
+        before = {e["name"] for e in S._load_manifest(table)["files"]}
+        spark.createDataFrame(
+            [(k, -1.0, i + 1) for k in ids], schema
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        drain()
+        man = S._load_manifest(table)
+        after = {e["name"] for e in man["files"]}
+        # ≥ 4 of the 6 original-scale files carried BY REFERENCE, and
+        # everything rewritten/inserted lives in the batch's generation
+        assert len(before & after) >= len(before) - 2, (i, before, after)
+        assert all(
+            n.startswith(man["generation"]) for n in after - before
+        ), (i, after - before)
+
+    rows = {r.id: r.v for r in S.read_table(spark, table)
+            .where("v < 0 OR id = 9999").collect()}
+    assert rows == {100: -1.0, 101: -1.0, 3000: -1.0, 3001: -1.0,
+                    5500: -1.0, 9999: -1.0}
+    assert S.read_table(spark, table).count() == 6001

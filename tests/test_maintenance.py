@@ -485,8 +485,10 @@ def test_time_travel_retained_snapshots(spark, tmp_path):
     import os
 
     gens = sorted(g for g in os.listdir(path) if g.startswith("gen-"))
-    assert gens == ["gen-000002._compact", "gen-000003._compact",
-                    "gen-000004._compact"]
+    # staging dir names carry a per-writer uniquifier after the suffix
+    assert [g.rsplit("-", 1)[0] for g in gens] == [
+        "gen-000002._compact", "gen-000003._compact", "gen-000004._compact"
+    ]
     # never-rewritten table: honest error, not an empty frame
     plain = str(tmp_path / "plain")
     _write_tbl(spark, plain, n=10, parts=1)
@@ -590,7 +592,7 @@ def test_merge_into_upsert_semantics(spark, tmp_path):
         retain_versions=1,
         broadcast_updates=True,
     )
-    assert res == {"updated": 1, "inserted": 2}
+    assert res == {"updated": 1, "inserted": 2, "matched_rows": 1}
     rows = {
         r.id: (r.seg, r.ltv) for r in S.read_table(spark, path).collect()
     }
@@ -622,6 +624,7 @@ def test_merge_into_upsert_semantics(spark, tmp_path):
     assert S.merge_into(spark, path, empty, keys=["id"]) == {
         "updated": 0,
         "inserted": 0,
+        "matched_rows": 0,
     }
 
 
@@ -697,3 +700,390 @@ def test_rollback_and_table_changes(spark, tmp_path):
     spark.range(3).write.parquet(plain)
     with _pytest.raises(ValueError, match="nothing to roll back"):
         S.rollback(spark, plain, 1)
+
+
+# ---------------------------------------------------------------- round 7:
+# file-granular copy-on-write, writer fencing, CDC sidecars
+
+
+def _sorted_table(spark, path, n=6000, files=6):
+    """A manifest table of `files` id-sorted files with disjoint id
+    ranges, so footer min/max stats can prune key lookups to one file."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    spark.range(n).selectExpr(
+        "id", "cast(id as double) as v", "concat('r', id) as tag"
+    ).write.mode("overwrite").parquet(path)
+    S.compact_parquet(spark, path, target_files=files, sort_col="id")
+    return S._load_manifest(path)
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """The 100 TB property: a metadata-sized patch must carry every
+    unmatched file into the new manifest BY REFERENCE and rewrite only
+    the files whose key range actually holds a matched key."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    man = _sorted_table(spark, path, n=6000, files=6)
+    before = {e["name"] for e in man["files"]}
+    assert len(before) == 6
+
+    # patch hits ids 10..12 — all inside ONE of the six sorted files
+    patch = spark.createDataFrame(
+        [(10, 0.0, "p"), (11, 0.0, "p"), (12, 0.0, "p")],
+        "id long, v double, tag string",
+    )
+    res = S.merge_into(spark, path, patch, keys=["id"],
+                       broadcast_updates=True)
+    assert res == {"updated": 3, "inserted": 0, "matched_rows": 3}
+    man2 = S._load_manifest(path)
+    after = {e["name"] for e in man2["files"]}
+    carried = before & after
+    # ids 10..12 sit inside one sorted file (two if a sampled range
+    # boundary splits them): at least 4 of 6 files carry BY REFERENCE
+    assert len(carried) >= 4, (before, after)
+    new = after - before
+    assert all(n.startswith(man2["generation"]) for n in new)
+    rows = {r.id: r.tag for r in S.read_table(spark, path).collect()}
+    assert rows[10] == rows[11] == rows[12] == "p"
+    assert rows[9] == "r9" and rows[13] == "r13"
+    assert len(rows) == 6000
+
+    # pure insert (no key matches): rewrite NOTHING — every previous
+    # file carries, the new generation is just the inserted rows
+    ins = spark.createDataFrame(
+        [(99990, 1.0, "new")], "id long, v double, tag string"
+    )
+    res = S.merge_into(spark, path, ins, keys=["id"],
+                       broadcast_updates=True)
+    assert res == {"updated": 0, "inserted": 1, "matched_rows": 0}
+    man3 = S._load_manifest(path)
+    assert after <= {e["name"] for e in man3["files"]}
+    assert S.read_table(spark, path).count() == 6001
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """delete_where identifies matched files with one predicate-column
+    scan and rewrites only those; the rest carry by reference."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    man = _sorted_table(spark, path, n=6000, files=6)
+    before = {e["name"] for e in man["files"]}
+
+    n = S.delete_where(spark, path, "id IN (5000, 5001)")
+    assert n == 2
+    man2 = S._load_manifest(path)
+    after = {e["name"] for e in man2["files"]}
+    # the two deleted ids touch one file (two across a sampled range
+    # boundary): at least 4 of 6 carry by reference
+    assert len(before & after) >= 4, (before, after)
+    assert S.read_table(spark, path).count() == 5998
+    got = {r.id for r in
+           S.read_table(spark, path).where("id >= 4998").collect()}
+    assert 5000 not in got and 5001 not in got and 4999 in got
+
+
+def test_merge_folds_appends_file_granularly(spark, tmp_path):
+    """Loose append batches are folded at DML time: touched appends are
+    rewritten, untouched ones are ADOPTED (byte copy, no Spark job) —
+    and after the commit no loose files remain unaccounted."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=1000, files=2)
+    S.append_table(
+        spark.createDataFrame([(7000, 0.0, "a1")],
+                              "id long, v double, tag string").coalesce(1),
+        path)
+    S.append_table(
+        spark.createDataFrame([(8000, 0.0, "a2")],
+                              "id long, v double, tag string").coalesce(1),
+        path)
+    patch = spark.createDataFrame([(8000, 1.0, "upd")],
+                                  "id long, v double, tag string")
+    res = S.merge_into(spark, path, patch, keys=["id"],
+                       broadcast_updates=True)
+    assert res["updated"] == 1 and res["matched_rows"] == 1
+    man = S._load_manifest(path)
+    names = [e["name"] for e in man["files"]]
+    # untouched append adopted by copy, touched one rewritten
+    assert sum("adopted-" in n for n in names) == 1
+    rows = {r.id: r.tag for r in
+            S.read_table(spark, path).where("id >= 7000").collect()}
+    assert rows == {7000: "a1", 8000: "upd"}
+    # both loose files superseded; live view reads them through the
+    # manifest only
+    assert set(man["superseded"]) >= set(S._top_level_part_files(path))
+    assert S.read_table(spark, path).count() == 1002
+
+
+def test_merge_pre_write_actions_pinned(spark, tmp_path):
+    """The merge pre-phase is exactly TWO Spark actions (one update-
+    batch aggregate, one rollup identification scan) — the four
+    counting passes of the round-6 shape are retired."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=2000, files=4)
+    patch = spark.createDataFrame(
+        [(5, 0.0, "p"), (4999, 0.0, "q")], "id long, v double, tag string"
+    )
+    calls = {"n": 0, "depth": 0}
+    # patch the CONCRETE DataFrame class (Spark 4 splits classic/connect
+    # subclasses off the pyspark.sql.DataFrame base); count only
+    # TOP-LEVEL actions (first() delegates to collect() internally)
+    DataFrame = type(patch)
+    orig_first, orig_collect = DataFrame.first, DataFrame.collect
+
+    def counting_first(self):
+        if calls["depth"] == 0:
+            calls["n"] += 1
+        calls["depth"] += 1
+        try:
+            return orig_first(self)
+        finally:
+            calls["depth"] -= 1
+
+    def counting_collect(self):
+        if calls["depth"] == 0:
+            calls["n"] += 1
+        calls["depth"] += 1
+        try:
+            return orig_collect(self)
+        finally:
+            calls["depth"] -= 1
+
+    DataFrame.first, DataFrame.collect = counting_first, counting_collect
+    try:
+        res = S.merge_into(spark, path, patch, keys=["id"],
+                           broadcast_updates=True)
+    finally:
+        DataFrame.first, DataFrame.collect = orig_first, orig_collect
+    assert res["updated"] == 1 and res["inserted"] == 1
+    assert calls["n"] == 2, f"merge ran {calls['n']} driver actions, want 2"
+
+
+def test_merge_duplicate_key_target_reported(spark, tmp_path):
+    """A target holding N rows for one key collapses to the single
+    update row — reported via matched_rows > updated plus a warning,
+    and 'inserted' is computed from distinct keys (never negative)."""
+    import warnings
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (1, "a-dup"), (2, "b")], "id long, v string"
+    ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)
+    patch = spark.createDataFrame([(1, "upd")], "id long, v string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = S.merge_into(spark, path, patch, keys=["id"])
+    assert res == {"updated": 1, "inserted": 0, "matched_rows": 2}
+    assert any("duplicate keys" in str(w.message) for w in caught)
+    rows = sorted((r.id, r.v) for r in S.read_table(spark, path).collect())
+    assert rows == [(1, "upd"), (2, "b")]
+
+
+def test_merge_null_keyed_updates_never_ambiguous(spark, tmp_path):
+    """Two NULL-keyed update rows are pure inserts (SQL join semantics)
+    and must NOT trip the ambiguous-merge uniqueness guard."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)
+    patch = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (1, "upd")], "id long, v string"
+    )
+    res = S.merge_into(spark, path, patch, keys=["id"])
+    assert res == {"updated": 1, "inserted": 2, "matched_rows": 1}
+    assert S.read_table(spark, path).count() == 3
+
+
+def test_writer_fencing_concurrent_rewrite(spark, tmp_path):
+    """Two interleaved rewrites: exactly one commits; the loser raises
+    ConcurrentWriteError at its commit point (instead of silently
+    orphaning the winner's rows) and the table stays readable as the
+    winner's state."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _write_tbl(spark, path, n=2000, parts=8)
+    S.compact_parquet(spark, path, target_files=4)  # gen 1
+
+    def layout(df):
+        # writer B runs to completion AFTER A froze its read set and
+        # generation number but BEFORE A stages/commits
+        S.compact_parquet(spark, path, target_files=2, retain_versions=2)
+        return df.repartition(3)
+
+    with _pytest.raises(S.ConcurrentWriteError, match="generation moved"):
+        S.staged_rewrite(spark, path, layout, "._compact")
+    man = S._load_manifest(path)
+    assert man["gen_no"] == 2  # B's commit is the table
+    assert S.read_table(spark, path).count() == 2000
+    assert S.read_table(spark, path).groupBy().sum("id").first()[0] \
+        == 2000 * 1999 // 2
+
+
+def test_commit_lock_blocks_second_writer(tmp_path):
+    """A held (fresh) commit lock rejects a second committer loudly; a
+    stale lock from a crashed writer is broken after the TTL."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    lock = os.path.join(path, S._MANIFEST + ".lock")
+    with open(lock, "w"):
+        pass
+    with _pytest.raises(S.ConcurrentWriteError, match="commit lock"):
+        S._commit_manifest(path, {"gen_no": 1}, expect_gen=0)
+    # stale lock (crashed holder): broken, commit proceeds
+    old = time.time() - 2 * S._LOCK_TTL_SECONDS
+    os.utime(lock, (old, old))
+    S._commit_manifest(path, {"gen_no": 1, "files": [],
+                              "superseded": [], "history": []},
+                       expect_gen=0)
+    assert S._load_manifest(path)["gen_no"] == 1
+    assert not os.path.exists(lock)
+
+
+def test_dml_crash_before_commit_leaves_table_intact(spark, tmp_path):
+    """File-granular DML keeps the crash contract: a merge dying before
+    its manifest commit leaves the pre-merge table byte-identical to
+    readers, and a clean retry succeeds."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    man = _sorted_table(spark, path, n=1000, files=4)
+    patch = spark.createDataFrame([(5, 0.0, "p")],
+                                  "id long, v double, tag string")
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    orig = S._commit_manifest
+    S._commit_manifest = boom
+    try:
+        with _pytest.raises(RuntimeError, match="crash before commit"):
+            S.merge_into(spark, path, patch, keys=["id"],
+                         broadcast_updates=True)
+    finally:
+        S._commit_manifest = orig
+    assert S._load_manifest(path) == man  # commit really didn't happen
+    assert {r.tag for r in
+            S.read_table(spark, path).where("id = 5").collect()} == {"r5"}
+    res = S.merge_into(spark, path, patch, keys=["id"],
+                       broadcast_updates=True)
+    assert res["updated"] == 1
+    assert {r.tag for r in
+            S.read_table(spark, path).where("id = 5").collect()} == {"p"}
+
+
+def test_table_changes_adjacent_reads_cdc_sidecar(spark, tmp_path):
+    """Adjacent-version CDF is a metadata-priced sidecar read: correct
+    values, and a plan with NO exceptAll and NO exchange. Gaps and
+    rollbacks fall back to the snapshot diff."""
+    import contextlib
+    import io
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)            # v1
+    S.delete_where(spark, path, "id = 2", retain_versions=3)  # v2
+    S.merge_into(
+        spark, path,
+        spark.createDataFrame([(3, "c2"), (4, "d")], "id long, v string"),
+        keys=["id"], retain_versions=3,
+    )                                                         # v3
+
+    adj = S.table_changes(spark, path, 1, 2)
+    assert {(r.id, r._change_type) for r in adj.collect()} == {(2, "delete")}
+    adj2 = S.table_changes(spark, path, 2, 3)
+    assert {(r.id, r._change_type) for r in adj2.collect()} == {
+        (3, "delete"), (3, "insert"), (4, "insert")
+    }
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        adj2.explain("formatted")
+    plan = buf.getvalue()
+    assert "Except" not in plan and "Exchange" not in plan, plan
+
+    # layout passes record an EMPTY feed — still no exceptAll
+    S.compact_parquet(spark, path, target_files=1, retain_versions=3)  # v4
+    adj3 = S.table_changes(spark, path, 3, 4)
+    assert adj3.count() == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        adj3.explain("formatted")
+    assert "Except" not in buf.getvalue()
+
+    # version gap: falls back to the snapshot diff, same answer shape
+    gap = S.table_changes(spark, path, 1, 3)
+    assert {(r.id, r.v, r._change_type) for r in gap.collect()} == {
+        (2, "b", "delete"), (3, "c", "delete"),
+        (3, "c2", "insert"), (4, "d", "insert"),
+    }
+    # exceptAll compiles to union+aggregate: the fallback's signature
+    # in the physical plan is the shuffle it needs (absent on the
+    # sidecar path)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gap.explain("formatted")
+    assert "Exchange" in buf.getvalue()
+
+
+def test_rollback_retention_and_vacuum_ttl(spark, tmp_path):
+    """rollback accepts retain_versions (history stops growing across
+    repeated rollbacks) and leaves superseded appends to the vacuum TTL
+    instead of retiring them instantly — a mistaken restore stays
+    recoverable for the grace period."""
+    import os
+    import time
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)                 # v1
+    S.merge_into(spark, path,
+                 spark.createDataFrame([(2, "b")], "id long, v string"),
+                 keys=["id"], retain_versions=3)                   # v2
+    S.append_table(
+        spark.createDataFrame([(9, "z")], "id long, v string"), path)
+    append_files = set(S._top_level_part_files(path))
+    assert append_files
+
+    S.rollback(spark, path, 1, retain_versions=2)                  # v3
+    # superseded append still on disk (vacuum's TTL owns it) but
+    # invisible to readers
+    assert set(S._top_level_part_files(path)) == append_files
+    assert {r.id for r in S.read_table(spark, path).collect()} == {1}
+    # history holds exactly the rolled-from version (v1 is now current)
+    assert [h["gen_no"] for h in S._load_manifest(path)["history"]] == [2]
+    S.rollback(spark, path, 2, retain_versions=2)                  # v4
+    assert [h["gen_no"] for h in S._load_manifest(path)["history"]] == [3]
+    assert {r.id for r in S.read_table(spark, path).collect()} == {1, 2}
+
+    # the TTL-expired superseded append is vacuumed, nothing live is
+    now = time.time() + 100_000
+    removed = S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600, now=now)
+    assert append_files <= {os.path.basename(p) for p in removed}
+    assert {r.id for r in S.read_table(spark, path).collect()} == {1, 2}

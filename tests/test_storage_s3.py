@@ -186,6 +186,13 @@ class _FakeS3Handler(BaseHTTPRequestHandler):
         self._send(204)
 
     def _list(self, bucket: str, q):
+        # real S3: listing a nonexistent bucket is a 404 NoSuchBucket
+        # (an empty EXISTING bucket is a 200 — the fake equates "bucket
+        # exists" with "has ever held an object", close enough here)
+        if bucket not in {b for (b, _) in self.store}:
+            return self._send(
+                404, b"<Error><Code>NoSuchBucket</Code></Error>"
+            )
         prefix = q.get("prefix", [""])[0]
         delim = q.get("delimiter", [""])[0]
         max_keys = int(q.get("max-keys", ["1000"])[0])
@@ -389,3 +396,12 @@ def test_fetch_media_through_s3_backend(spark, s3, fake_s3):
     assert out[99] is None  # dead pointer -> NULL, job survives
     for i, blob in payloads.items():
         assert bytes(out[i]) == blob
+
+
+def test_exists_on_missing_bucket_is_false(s3, fake_s3):
+    """exists()/is_dir() against a bucket that does not exist must
+    return False, not leak the list-request 404 as FileNotFoundError
+    (the object-HEAD 404 falls through to is_dir, whose ListObjectsV2
+    also 404s on a missing bucket)."""
+    assert not s3.exists("s3://no-such-bucket/some/key")
+    assert not s3.is_dir("s3://no-such-bucket/some/dir")
