@@ -1,0 +1,262 @@
+"""Stats-based data skipping over manifest tables (round 7).
+
+Format-2 manifests (:mod:`.sinks`) carry per-file footer [min, max]
+stats. This module turns them into a FILE-SKIPPING read path: a
+predicate like ``event_date >= '2024-01-01' AND source = 'web'`` prunes
+the file list on the driver — metadata only, zero Spark jobs — before
+the scan is even planned, the same trick Delta/Iceberg data skipping
+plays on top of parquet's own row-group pushdown. At 100 TB / 100k
+files, a selective query reads the dozen files whose ranges admit the
+predicate instead of opening every footer.
+
+Soundness rule: pruning may only REMOVE files that provably contain no
+matching row. The predicate grammar understood here is deliberately
+small (AND-conjunctions of ``col op literal``, ``col IN (...)``,
+``col BETWEEN a AND b``); any clause outside it prunes nothing, and the
+full predicate is ALWAYS applied to the scan afterwards — parsing
+failures cost speed, never correctness. Parquet footer min/max are
+bounds (writers may truncate, but truncation keeps them valid bounds),
+so interval tests against them stay sound.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sinks import _live_state
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^']|'')*')            # 'string literal'
+      | (?P<num>-?\d+(?:\.\d+)?)           # numeric literal
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)  # bare identifier / keyword
+      | (?P<op><=|>=|<>|!=|=|<|>)          # comparison
+      | (?P<punc>[(),])                    # punctuation
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(predicate: str) -> list[tuple[str, object]] | None:
+    """Tokenize or give up (None) — an unlexable predicate prunes
+    nothing."""
+    out: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(predicate):
+        m = _TOKEN.match(predicate, pos)
+        if m is None:
+            return None if predicate[pos:].strip() else out
+        pos = m.end()
+        if m.lastgroup == "str":
+            out.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "num":
+            raw = m.group("num")
+            out.append(("lit", float(raw) if "." in raw else int(raw)))
+        elif m.lastgroup == "ident":
+            word = m.group("ident")
+            kw = word.upper()
+            if kw in ("AND", "OR", "NOT", "IN", "BETWEEN", "IS", "NULL",
+                      "TRUE", "FALSE", "LIKE"):
+                out.append(("kw", kw))
+            else:
+                out.append(("col", word))
+        elif m.lastgroup == "op":
+            out.append(("op", m.group("op")))
+        else:
+            out.append(("punc", m.group("punc")))
+    return out
+
+
+def _split_conjuncts(tokens: list) -> list[list] | None:
+    """Split a token stream on top-level ANDs (respecting parens and the
+    AND that belongs to BETWEEN). A top-level OR/NOT defeats pruning of
+    the whole predicate — conservative, correct."""
+    parts: list[list] = [[]]
+    depth = 0
+    between_pending = 0
+    for tok in tokens:
+        kind, val = tok
+        if kind == "punc" and val == "(":
+            depth += 1
+        elif kind == "punc" and val == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        if depth == 0 and kind == "kw":
+            if val in ("OR", "NOT"):
+                return None
+            if val == "BETWEEN":
+                between_pending += 1
+            elif val == "AND":
+                if between_pending:
+                    between_pending -= 1
+                else:
+                    parts.append([])
+                    continue
+        parts[-1].append(tok)
+    return parts if depth == 0 else None
+
+
+def _parse_clause(tokens: list) -> tuple | None:
+    """One conjunct -> a pruning atom, or None (clause prunes nothing).
+
+    Recognized: ``col op lit``, ``lit op col``, ``col IN (lits)``,
+    ``col BETWEEN lit AND lit``.
+    """
+    while (
+        len(tokens) >= 2
+        and tokens[0] == ("punc", "(")
+        and tokens[-1] == ("punc", ")")
+    ):
+        inner = _split_conjuncts(tokens[1:-1])
+        if inner is None or len(inner) != 1:
+            return None
+        tokens = inner[0]
+    kinds = [t[0] for t in tokens]
+    if kinds == ["col", "op", "lit"]:
+        return ("cmp", tokens[0][1], tokens[1][1], tokens[2][1])
+    if kinds == ["lit", "op", "col"]:
+        flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+        op = tokens[1][1]
+        return ("cmp", tokens[2][1], flip.get(op, op), tokens[0][1])
+    if (
+        len(tokens) >= 4
+        and kinds[0] == "col"
+        and tokens[1] == ("kw", "IN")
+        and tokens[2] == ("punc", "(")
+        and tokens[-1] == ("punc", ")")
+    ):
+        vals = []
+        for t in tokens[3:-1]:
+            if t[0] == "lit":
+                vals.append(t[1])
+            elif t != ("punc", ","):
+                return None
+        return ("in", tokens[0][1], vals) if vals else None
+    if (
+        len(tokens) == 5
+        and kinds == ["col", "kw", "lit", "kw", "lit"]
+        and tokens[1] == ("kw", "BETWEEN")
+        and tokens[3] == ("kw", "AND")
+    ):
+        return ("between", tokens[0][1], tokens[2][1], tokens[4][1])
+    return None
+
+
+def pruning_atoms(predicate: str) -> list[tuple]:
+    """The provable file-skipping atoms of ``predicate`` (possibly
+    empty). Only atoms are returned — residual clauses are simply not
+    represented, which is the conservative direction."""
+    tokens = _lex(predicate)
+    if not tokens:
+        return []
+    conjuncts = _split_conjuncts(tokens)
+    if conjuncts is None:
+        return []
+    atoms = []
+    for c in conjuncts:
+        atom = _parse_clause(c)
+        if atom is not None:
+            atoms.append(atom)
+    return atoms
+
+
+def _span_admits(span: list | None, atom: tuple) -> bool:
+    """Can a file with column range ``span`` contain a row satisfying
+    ``atom``? Missing stats or incomparable types admit."""
+    if span is None:
+        return True
+    lo, hi = span
+    try:
+        if atom[0] == "cmp":
+            _, _, op, v = atom
+            if op == "=":
+                return lo <= v <= hi
+            if op == "<":
+                return lo < v
+            if op == "<=":
+                return lo <= v
+            if op == ">":
+                return hi > v
+            if op == ">=":
+                return hi >= v
+            return True  # <> / != : a range can't disprove inequality
+        if atom[0] == "in":
+            return any(lo <= v <= hi for v in atom[2])
+        if atom[0] == "between":
+            _, _, a, b = atom
+            return not (hi < a or lo > b)
+    except TypeError:
+        return True
+    return True
+
+
+def prune_entries(entries: list[dict], predicate: str) -> list[dict]:
+    """Drop manifest file entries whose footer stats PROVE the predicate
+    matches no row in the file. Driver-side, metadata only."""
+    atoms = pruning_atoms(predicate)
+    if not atoms:
+        return entries
+    kept = []
+    for e in entries:
+        stats = e.get("stats") or {}
+        if all(
+            _span_admits(stats.get(a[1]), a)
+            for a in atoms
+            if a[1] in stats  # columns without stats admit everything
+        ):
+            kept.append(e)
+    return kept
+
+
+def scan_table(
+    spark: SparkSession,
+    path: str,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read a manifest table with FILE-LEVEL data skipping: files whose
+    footer stats disprove ``predicate`` never enter the scan (on top of
+    Spark's own row-group pushdown inside the files that do). The
+    predicate is still applied to the result, so an unparseable or
+    partially-parseable predicate costs pruning, never rows. Loose
+    append files (no stats yet) are always scanned. Falls back to the
+    plain resolved read for never-rewritten tables."""
+    man, entries, loose, _ = _live_state(path)
+    if man is None:
+        df = spark.read.parquet(path)
+    else:
+        if predicate:
+            entries = prune_entries(entries, predicate)
+        paths = [os.path.join(path, e["name"]) for e in entries] + [
+            os.path.join(path, f) for f in loose
+        ]
+        if not paths:
+            # everything pruned: an empty frame with the table schema
+            all_paths = [
+                os.path.join(path, e["name"])
+                for e in _live_state(path)[1]
+            ]
+            df = spark.read.parquet(*all_paths).limit(0)
+        else:
+            df = spark.read.parquet(*paths)
+    if predicate:
+        df = df.where(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def files_scanned(path: str, predicate: str | None = None) -> int:
+    """How many manifest files ``scan_table`` would read for
+    ``predicate`` — the observable for pruning tests and capacity
+    planning (metadata only)."""
+    man, entries, loose, _ = _live_state(path)
+    if man is None:
+        return -1  # unmanaged table: directory scan, count unknown
+    if predicate:
+        entries = prune_entries(entries, predicate)
+    return len(entries) + len(loose)

@@ -611,6 +611,76 @@ def _rewrite_partitions(n_rows: int, n_touched: int) -> int:
     return max(1, n_touched, -(-n_rows // _ROWS_PER_REWRITE_FILE))
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_file_bytes: int | None = None,
+    retain_versions: int = 0,
+) -> dict:
+    """Incremental OPTIMIZE (the file-granular sibling of
+    :func:`compact_parquet`): fold only the files SMALLER than
+    ``min_file_bytes`` (default ``target_bytes // 2``) into
+    ~``target_bytes`` outputs, carrying every right-sized file into the
+    new manifest BY REFERENCE. Streaming appends and per-batch DML
+    leave a long tail of small files; at 100 TB the full rewrite that
+    :func:`compact_parquet` performs is a non-starter as routine
+    maintenance, while this pass writes bytes proportional to the small
+    tail only — the Delta ``OPTIMIZE`` contract. Right-sized LOOSE
+    append files are left loose (still visible; a later pass adopts
+    them when they gain siblings to fold with). Returns
+    ``{"rewritten", "carried", "files_written"}``; no-op (no commit
+    burned) when fewer than two small files exist.
+    """
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    man, entries, loose, stale = _live_state(path)
+    loose_entries = [(f, _file_entry(path, f)) for f in loose]
+
+    def _size(e: dict) -> int:
+        return os.path.getsize(os.path.join(path, e["name"]))
+
+    small_ref = [e for e in entries if _size(e) < min_file_bytes]
+    big_ref = [e for e in entries if _size(e) >= min_file_bytes]
+    small_loose = [
+        (f, e) for f, e in loose_entries if _size(e) < min_file_bytes
+    ]
+    big_loose = [
+        (f, e) for f, e in loose_entries if _size(e) >= min_file_bytes
+    ]
+    fold = small_ref + [e for _, e in small_loose]
+    if len(fold) < 2:
+        return {
+            "rewritten": 0,
+            "carried": len(big_ref) + len(big_loose),
+            "files_written": 0,
+        }
+    total_bytes = sum(_size(e) for e in fold)
+    n_out = max(1, -(-total_bytes // target_bytes))
+    new_df = spark.read.parquet(
+        *[os.path.join(path, e["name"]) for e in fold]
+    ).coalesce(n_out)
+    expected = sum(_entry_rows(path, e) for e in fold)
+    _, _, n_written = _commit_generation(
+        spark,
+        path,
+        man=man,
+        loose=[f for f, _ in small_loose],  # big loose files stay loose
+        stale=stale,
+        keep_entries=big_ref,
+        new_df=new_df,
+        suffix="._compact",
+        expected_new_rows=expected,
+        retain_versions=retain_versions,
+        cdc={"insert": None, "delete": None},  # layout pass: empty feed
+    )
+    return {
+        "rewritten": len(fold),
+        "carried": len(big_ref) + len(big_loose),
+        "files_written": n_written,
+    }
+
+
 def _rel_file(uri: str, table_path: str) -> str:
     """``input_file_name()`` URI -> manifest-relative file name."""
     from urllib.parse import unquote, urlparse
@@ -654,13 +724,20 @@ def delete_where(
     """
     from pyspark.sql import functions as F
 
+    from .data_skipping import prune_entries  # lazy: avoids module cycle
+
     man, entries, loose, stale = _live_state(path)
     loose_entries = [(f, _file_entry(path, f)) for f in loose]
     cand = entries + [e for _, e in loose_entries]
     if not cand:
         return 0
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    paths = [os.path.join(path, e["name"]) for e in cand]
+    # footer-stat pruning bounds even the identification scan: a file
+    # whose [min, max] disproves the predicate can't contain a match
+    scan = prune_entries(cand, predicate)
+    if not scan:
+        return 0
+    paths = [os.path.join(path, e["name"]) for e in scan]
     hits = (
         spark.read.parquet(*paths)
         .where(pred)
@@ -740,13 +817,15 @@ def rollback(
     top = _top_level_part_files(path)
     sup_old = set(man.get("superseded", []))
     loose = [f for f in top if f not in sup_old]
-    # previous current becomes history; the restored version is removed
-    # from it (it IS the current version now)
+    # previous current becomes history; the restored version STAYS in
+    # history under its own number (format 2 shares files between
+    # versions, so this costs nothing) — dropping it would break time
+    # travel to that number and punch a hole in the CDC feed chain
     cur = {k: man[k] for k in ("gen_no", "generation", "rows")}
     cur["files"] = _version_files(man, path)
     if man.get("cdc") is not None:
         cur["cdc"] = man["cdc"]
-    history = [h for h in man.get("history", []) if h["gen_no"] != version]
+    history = list(man.get("history", []))
     history.append(cur)
     dropped: list[dict] = []
     if retain_versions is not None:
@@ -840,6 +919,65 @@ def table_changes(
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)
+
+
+def table_changes_feed(
+    spark: SparkSession, path: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Multi-hop CDC REPLAY from the recorded sidecars: the union of
+    every commit's insert/delete row sets for versions
+    ``v_from+1 .. v_to``, tagged with ``_change_type`` and
+    ``_commit_version`` — the Delta CDF shape a downstream incremental
+    consumer applies in version order. Unlike :func:`table_changes`
+    (net row diff between two snapshots), the feed preserves
+    intermediate operations: a row inserted in v2 and deleted in v3
+    appears twice, and consumers replaying in ``_commit_version`` order
+    land on the v_to state. Metadata-priced: plain parquet reads of the
+    sidecar files, no table scan, no shuffle, regardless of the hop
+    count. Raises naming the versions whose commit recorded no feed
+    (rollbacks, pre-format-2 history) — fall back to
+    :func:`table_changes` for those."""
+    from pyspark.sql import functions as F
+
+    man = _load_manifest(path)
+    if man is None:
+        raise ValueError(f"no manifest at {path!r} — no change feed")
+    know = {h["gen_no"]: h for h in man.get("history", [])}
+    know[man["gen_no"]] = man
+    if v_to is None:
+        v_to = man["gen_no"]
+    missing = [
+        v
+        for v in range(v_from + 1, v_to + 1)
+        if v not in know or know[v].get("cdc") is None
+    ]
+    if missing:
+        raise ValueError(
+            f"no change feed recorded for versions {missing} of {path!r} "
+            "(rollback or pre-format-2 commit) — use table_changes for "
+            "a snapshot diff instead"
+        )
+    frames = []
+    for v in range(v_from + 1, v_to + 1):
+        for kind in ("insert", "delete"):
+            rel = know[v]["cdc"].get(kind, [])
+            if rel:
+                frames.append(
+                    spark.read.parquet(*[os.path.join(path, r) for r in rel])
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+    if not frames:
+        schema = read_table(spark, path, version=v_to).schema
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _merge_frames(old, updates, keys: list[str], broadcast_updates: bool):

@@ -1,0 +1,220 @@
+"""Stats-based data skipping + incremental OPTIMIZE + CDC feed
+(round 7): the driver-side file pruning must be provably conservative
+— it may only drop files whose footer ranges disprove the predicate —
+and every read path must return exactly the rows of the unpruned
+plan."""
+
+from __future__ import annotations
+
+import pytest
+
+import retail_sales_data_pipeline_spark.sinks as S
+from retail_sales_data_pipeline_spark.data_skipping import (
+    _span_admits,
+    files_scanned,
+    prune_entries,
+    pruning_atoms,
+    scan_table,
+)
+
+
+def test_pruning_atoms_grammar():
+    assert pruning_atoms("id = 5") == [("cmp", "id", "=", 5)]
+    assert pruning_atoms("5 < id") == [("cmp", "id", ">", 5)]
+    assert pruning_atoms("a >= 1 AND b = 'x'") == [
+        ("cmp", "a", ">=", 1), ("cmp", "b", "=", "x"),
+    ]
+    assert pruning_atoms("id IN (1, 2, 3)") == [("in", "id", [1, 2, 3])]
+    assert pruning_atoms("id BETWEEN 10 AND 20") == [
+        ("between", "id", 10, 20)
+    ]
+    # BETWEEN's AND must not split the conjunction
+    assert pruning_atoms("id BETWEEN 10 AND 20 AND tag = 'k'") == [
+        ("between", "id", 10, 20), ("cmp", "tag", "=", "k"),
+    ]
+    assert pruning_atoms("(id = 5) AND (v > 1.5)") == [
+        ("cmp", "id", "=", 5), ("cmp", "v", ">", 1.5),
+    ]
+    # escaped quote in string literal
+    assert pruning_atoms("name = 'o''brien'") == [
+        ("cmp", "name", "=", "o'brien")
+    ]
+    # anything non-provable prunes NOTHING (conservative direction)
+    assert pruning_atoms("id = 5 OR id = 6") == []
+    assert pruning_atoms("NOT (id = 5)") == []
+    assert pruning_atoms("lower(tag) = 'x'") == []
+    assert pruning_atoms("id IS NULL") == []
+    # a residual clause drops out of a conjunction, the provable stays
+    assert pruning_atoms("id = 5 AND lower(tag) = 'x'") == [
+        ("cmp", "id", "=", 5)
+    ]
+
+
+def test_span_admits_interval_logic():
+    assert _span_admits([10, 20], ("cmp", "id", "=", 15))
+    assert not _span_admits([10, 20], ("cmp", "id", "=", 25))
+    assert _span_admits([10, 20], ("cmp", "id", "<", 11))
+    assert not _span_admits([10, 20], ("cmp", "id", "<", 10))
+    assert _span_admits([10, 20], ("cmp", "id", "<=", 10))
+    assert _span_admits([10, 20], ("cmp", "id", ">", 19))
+    assert not _span_admits([10, 20], ("cmp", "id", ">", 20))
+    assert _span_admits([10, 20], ("cmp", "id", ">=", 20))
+    assert _span_admits([10, 20], ("in", "id", [1, 15, 99]))
+    assert not _span_admits([10, 20], ("in", "id", [1, 99]))
+    assert _span_admits([10, 20], ("between", "id", 20, 30))
+    assert not _span_admits([10, 20], ("between", "id", 21, 30))
+    # inequality can never be disproved by a range; missing stats admit
+    assert _span_admits([10, 10], ("cmp", "id", "!=", 10))
+    assert _span_admits(None, ("cmp", "id", "=", 999))
+    # incomparable types admit (TypeError -> True)
+    assert _span_admits(["a", "z"], ("cmp", "id", "=", 5))
+
+
+def _table(spark, path, n=6000, files=6):
+    spark.range(n).selectExpr(
+        "id", "cast(id as double) as v", "concat('r', id % 7) as tag"
+    ).write.mode("overwrite").parquet(path)
+    S.compact_parquet(spark, path, target_files=files, sort_col="id")
+
+
+def test_scan_table_prunes_and_matches_full_read(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _table(spark, path)
+    total = files_scanned(path)
+    assert total == 6
+
+    pred = "id BETWEEN 100 AND 120"
+    assert files_scanned(path, pred) < total
+    got = sorted(r.id for r in scan_table(spark, path, pred).collect())
+    want = sorted(
+        r.id for r in S.read_table(spark, path).where(pred).collect()
+    )
+    assert got == want and len(got) == 21
+
+    # an unprunable predicate still answers correctly (no pruning)
+    pred_or = "id = 5 OR id = 5990"
+    assert files_scanned(path, pred_or) == total
+    assert scan_table(spark, path, pred_or).count() == 2
+
+    # residual clause applies even though only the atom pruned
+    pred_mixed = "id < 1000 AND tag = concat('r', '3')"
+    rows = scan_table(spark, path, pred_mixed).collect()
+    assert rows and all(r.id < 1000 and r.tag == "r3" for r in rows)
+    assert files_scanned(path, pred_mixed) < total
+
+    # fully-pruned predicate: empty result, schema intact
+    empty = scan_table(spark, path, "id > 999999")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v", "tag"}
+
+    # column projection on top
+    two = scan_table(spark, path, "id = 17", columns=["id", "tag"])
+    assert two.columns == ["id", "tag"]
+    assert two.count() == 1
+
+
+def test_scan_table_includes_loose_appends(spark, tmp_path):
+    """Appends have no stats yet — they must ALWAYS be scanned, or a
+    pruned read would silently lose fresh rows."""
+    path = str(tmp_path / "tbl")
+    _table(spark, path, n=1000, files=2)
+    S.append_table(
+        spark.createDataFrame(
+            [(50_000, 0.0, "rX")], "id long, v double, tag string"
+        ).coalesce(1),
+        path,
+    )
+    got = scan_table(spark, path, "id = 50000").collect()
+    assert len(got) == 1 and got[0].tag == "rX"
+
+
+def test_delete_where_skips_scan_when_stats_disprove(spark, tmp_path):
+    """A takedown whose predicate no file's range admits must return 0
+    WITHOUT launching a single Spark job."""
+    path = str(tmp_path / "tbl")
+    _table(spark, path, n=1000, files=2)
+    probe = spark.range(1)
+    DataFrame = type(probe)
+    orig_first, orig_collect = DataFrame.first, DataFrame.collect
+    calls = {"n": 0}
+
+    def cf(self):
+        calls["n"] += 1
+        return orig_first(self)
+
+    def cc(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    DataFrame.first, DataFrame.collect = cf, cc
+    try:
+        assert S.delete_where(spark, path, "id = 999999") == 0
+    finally:
+        DataFrame.first, DataFrame.collect = orig_first, orig_collect
+    assert calls["n"] == 0
+    assert S.read_table(spark, path).count() == 1000
+
+
+def test_compact_small_files_carries_right_sized(spark, tmp_path):
+    """Incremental OPTIMIZE folds only the small-file tail; right-sized
+    files carry by reference and right-sized loose appends stay loose."""
+    path = str(tmp_path / "tbl")
+    _table(spark, path, n=50_000, files=2)  # two 'big' files
+    man = S._load_manifest(path)
+    big = {e["name"] for e in man["files"]}
+    for i in range(4):  # small append tail
+        S.append_table(
+            spark.createDataFrame(
+                [(100_000 + i, 0.0, "a")], "id long, v double, tag string"
+            ).coalesce(1),
+            path,
+        )
+    big_sizes = min(
+        __import__("os").path.getsize(f"{path}/{n}") for n in big
+    )
+    res = S.compact_small_files(
+        spark, path, target_bytes=1 << 20, min_file_bytes=big_sizes
+    )
+    assert res["rewritten"] == 4 and res["carried"] == 2
+    assert res["files_written"] == 1
+    man2 = S._load_manifest(path)
+    assert big <= {e["name"] for e in man2["files"]}  # carried by name
+    assert S.read_table(spark, path).count() == 50_004
+
+    # second run: nothing small enough to fold twice -> no-op
+    res2 = S.compact_small_files(
+        spark, path, target_bytes=1 << 20, min_file_bytes=1
+    )
+    assert res2["rewritten"] == 0 and res2["files_written"] == 0
+    assert S._load_manifest(path)["gen_no"] == man2["gen_no"]
+
+
+def test_table_changes_feed_multi_hop(spark, tmp_path):
+    """The sidecar replay across several versions preserves the
+    intermediate operations (insert-then-delete appears twice) with
+    _commit_version ordering, and refuses loudly across a commit that
+    recorded no feed."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)                  # v1
+    S.merge_into(spark, path,
+                 spark.createDataFrame([(3, "c")], "id long, v string"),
+                 keys=["id"], retain_versions=4)                    # v2
+    S.delete_where(spark, path, "id = 3", retain_versions=4)        # v3
+    feed = S.table_changes_feed(spark, path, 1)
+    got = {(r.id, r._change_type, r._commit_version)
+           for r in feed.collect()}
+    assert got == {(3, "insert", 2), (3, "delete", 3)}
+    # net diff over the same span is EMPTY — the feed kept the history
+    assert S.table_changes(spark, path, 1, 3).count() == 0
+
+    # a rollback records no feed: the replay refuses, names the version
+    S.rollback(spark, path, 2)                                      # v4
+    with pytest.raises(ValueError, match=r"versions \[4\]"):
+        S.table_changes_feed(spark, path, 1)
+    # empty span: well-formed empty frame
+    empty = S.table_changes_feed(spark, path, 3, 3)
+    assert empty.count() == 0
+    assert "_commit_version" in empty.columns

@@ -1076,10 +1076,11 @@ def test_rollback_retention_and_vacuum_ttl(spark, tmp_path):
     # invisible to readers
     assert set(S._top_level_part_files(path)) == append_files
     assert {r.id for r in S.read_table(spark, path).collect()} == {1}
-    # history holds exactly the rolled-from version (v1 is now current)
-    assert [h["gen_no"] for h in S._load_manifest(path)["history"]] == [2]
+    # history keeps BOTH the restored version (still addressable) and
+    # the rolled-from version, trimmed to retain_versions
+    assert [h["gen_no"] for h in S._load_manifest(path)["history"]] == [1, 2]
     S.rollback(spark, path, 2, retain_versions=2)                  # v4
-    assert [h["gen_no"] for h in S._load_manifest(path)["history"]] == [3]
+    assert [h["gen_no"] for h in S._load_manifest(path)["history"]] == [2, 3]
     assert {r.id for r in S.read_table(spark, path).collect()} == {1, 2}
 
     # the TTL-expired superseded append is vacuumed, nothing live is
