@@ -161,10 +161,21 @@ def _top_level_part_files(path: str) -> list[str]:
     )
 
 
-def _json_scalar(v):
+def _json_scalar(v, widen: bool = False):
     """A footer statistic value that can round-trip JSON and be compared
-    against patch keys, else None (dates/decimals/undecodable bytes are
-    dropped — a missing stat only costs pruning, never correctness)."""
+    against predicate literals, else None (timestamps/decimals/
+    undecodable bytes are dropped — a missing stat only costs pruning,
+    never correctness).
+
+    DATE values become ISO strings — Spark compares date columns to
+    string literals, and ISO dates order identically as strings. With
+    ``widen`` (the MAX side of a range) a ``"~"`` sentinel is appended:
+    ``"~"`` (0x7E) sorts after every character a date/time literal can
+    contain, so a literal carrying a time suffix (``>= '2024-01-01
+    10:00'``, which Spark CASTs down to the date) still falls inside
+    the widened range — widening only ever ADMITS more files, keeping
+    pruning sound for sloppy literals."""
+    import datetime
     import math
 
     if isinstance(v, bool | int):
@@ -178,6 +189,8 @@ def _json_scalar(v):
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return None
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return v.isoformat() + ("~" if widen else "")
     return None
 
 
@@ -203,7 +216,7 @@ def _parquet_footer(abs_path: str) -> tuple[int, dict]:
             if st is None or not st.has_min_max:
                 agg[name] = None
                 continue
-            lo, hi = _json_scalar(st.min), _json_scalar(st.max)
+            lo, hi = _json_scalar(st.min), _json_scalar(st.max, widen=True)
             if lo is None or hi is None:
                 agg[name] = None
                 continue

@@ -218,3 +218,31 @@ def test_table_changes_feed_multi_hop(spark, tmp_path):
     empty = S.table_changes_feed(spark, path, 3, 3)
     assert empty.count() == 0
     assert "_commit_version" in empty.columns
+
+
+def test_scan_table_prunes_date_columns(spark, tmp_path):
+    """DATE stats become ISO strings with a widened max sentinel, so
+    the time-partitioned-table predicate — THE 100 TB skipping case —
+    prunes files while staying sound for literals carrying a time
+    suffix that Spark casts down to the date."""
+    path = str(tmp_path / "tbl")
+    spark.range(365).selectExpr(
+        "id", "date_add(date'2024-01-01', cast(id as int)) as d"
+    ).write.mode("overwrite").parquet(path)
+    S.compact_parquet(spark, path, target_files=6, sort_col="d")
+    total = files_scanned(path)
+
+    pred = "d BETWEEN '2024-06-01' AND '2024-06-15'"
+    assert files_scanned(path, pred) < total
+    got = {str(r.d) for r in scan_table(spark, path, pred).collect()}
+    assert len(got) == 15 and "2024-06-01" in got and "2024-06-15" in got
+
+    # sloppy literal with a time suffix: Spark promotes the comparison
+    # to timestamp (midnight dates), which agrees with lexicographic
+    # ISO ordering; the "~"-widened max keeps the boundary file
+    # admitted so pruned and unpruned reads agree exactly
+    sloppy = "d >= '2024-12-30 10:00:00'"
+    rows = scan_table(spark, path, sloppy).count()
+    want = S.read_table(spark, path).where(sloppy).count()
+    assert rows == want == 1
+    assert files_scanned(path, sloppy) < total
