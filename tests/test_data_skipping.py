@@ -246,3 +246,50 @@ def test_scan_table_prunes_date_columns(spark, tmp_path):
     want = S.read_table(spark, path).where(sloppy).count()
     assert rows == want == 1
     assert files_scanned(path, sloppy) < total
+
+
+# -- property: pruning is conservative for EVERY interval/atom pair ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.integers(min_value=-50, max_value=50)
+
+
+@st.composite
+def _atoms(draw):
+    kind = draw(st.sampled_from(["cmp", "in", "between"]))
+    if kind == "cmp":
+        op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "!="]))
+        return ("cmp", "c", op, draw(_vals))
+    if kind == "in":
+        return ("in", "c", draw(st.lists(_vals, min_size=1, max_size=5)))
+    a, b = draw(_vals), draw(_vals)
+    return ("between", "c", min(a, b), max(a, b))
+
+
+def _matches(v, atom):
+    if atom[0] == "cmp":
+        op, lit = atom[2], atom[3]
+        return {
+            "=": v == lit, "<": v < lit, "<=": v <= lit,
+            ">": v > lit, ">=": v >= lit, "!=": v != lit,
+        }[op]
+    if atom[0] == "in":
+        return v in atom[2]
+    return atom[2] <= v <= atom[3]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lo=_vals,
+    width=st.integers(min_value=0, max_value=30),
+    atom=_atoms(),
+)
+def test_span_admits_never_drops_a_matching_value(lo, width, atom):
+    """Soundness property: if ANY value inside [lo, hi] satisfies the
+    atom, the span must be admitted. (The converse — admitting a span
+    with no matching value — is allowed: that is only lost pruning.)"""
+    hi = lo + width
+    if any(_matches(v, atom) for v in range(lo, hi + 1)):
+        assert _span_admits([lo, hi], atom), (lo, hi, atom)
