@@ -26,7 +26,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .sinks import _live_state
+from .sinks import _live_state, _read_files
 
 _TOKEN = re.compile(
     r"""\s*(?:
@@ -240,9 +240,9 @@ def scan_table(
                 os.path.join(path, e["name"])
                 for e in _live_state(path)[1]
             ]
-            df = spark.read.parquet(*all_paths).limit(0)
+            df = _read_files(spark, man, all_paths).limit(0)
         else:
-            df = spark.read.parquet(*paths)
+            df = _read_files(spark, man, paths)
     if predicate:
         df = df.where(predicate)
     if columns:

@@ -297,6 +297,21 @@ def live_files(path: str) -> list[str]:
     ]
 
 
+def _read_files(
+    spark: SparkSession, man: dict | None, paths: list[str]
+) -> DataFrame:
+    """Parquet read of an explicit manifest file list. Tables that have
+    taken a schema-evolving commit (``mixed_schema`` in the manifest)
+    read with parquet schema merging, so files carried BY REFERENCE
+    with the pre-evolution physical schema reconcile against the new
+    one (missing columns -> NULL) — the reason evolution costs zero
+    rewrites. Uniform tables skip the extra footer reconciliation."""
+    reader = spark.read
+    if man is not None and man.get("mixed_schema"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -315,7 +330,8 @@ def read_table(
     a silently-empty time travel would read as data loss.
     """
     if version is None:
-        return spark.read.parquet(*live_files(path))
+        man = _load_manifest(path)
+        return _read_files(spark, man, live_files(path))
     man = _load_manifest(path)
     if man is None:
         raise ValueError(
@@ -333,7 +349,7 @@ def read_table(
         os.path.join(path, e["name"])
         for e in _version_files(by_no[version], path)
     ]
-    return spark.read.parquet(*paths)
+    return _read_files(spark, man, paths)
 
 
 def table_versions(path: str) -> list[dict]:
@@ -406,6 +422,7 @@ def _commit_generation(
     retain_versions: int = 0,
     adopt: list[tuple[str, dict]] | None = None,
     cdc: dict | None = None,
+    mixed_schema: bool | None = None,
 ) -> tuple[int, dict, int]:
     """Shared commit core of the manifest protocol. Writes ``new_df``
     into a fresh generation directory, byte-copies the ``adopt`` loose
@@ -431,7 +448,10 @@ def _commit_generation(
     (even of Nones) RECORDS the commit's change-data-feed so
     adjacent-version :func:`table_changes` skips the exceptAll scan;
     None means "changes unknown" (e.g. rollback) and forces the
-    fallback. Returns ``(gen_no, manifest, n_new_files)``.
+    fallback. ``mixed_schema``: True marks the table as holding files
+    of differing physical schemas (reads merge footers), False clears
+    the mark (a full rewrite unified them), None inherits. Returns
+    ``(gen_no, manifest, n_new_files)``.
     """
     import glob as _glob
     import shutil
@@ -499,6 +519,13 @@ def _commit_generation(
     }
     if cdc_rec is not None:
         manifest["cdc"] = cdc_rec
+    mixed = (
+        bool(man and man.get("mixed_schema"))
+        if mixed_schema is None
+        else mixed_schema
+    )
+    if mixed:
+        manifest["mixed_schema"] = True
     _commit_manifest(path, manifest, expect_gen=prev_no)
 
     # retire: previously-referenced files and superseded loose files not
@@ -561,7 +588,7 @@ def staged_rewrite(
     src = [os.path.join(path, e["name"]) for e in entries] + [
         os.path.join(path, f) for f in loose
     ]
-    df = spark.read.parquet(*src) if src else spark.read.parquet(path)
+    df = _read_files(spark, man, src) if src else spark.read.parquet(path)
     n_want = (
         _meta_row_count(path, entries, loose)
         if expected_rows is None
@@ -581,6 +608,8 @@ def staged_rewrite(
         # a layout pass changes no rows: record an EMPTY change-data-feed
         # so adjacent-version table_changes is metadata-priced
         cdc={"insert": None, "delete": None},
+        # a full rewrite lands every row in one schema again
+        mixed_schema=False,
     )
     return n_files
 
@@ -670,8 +699,8 @@ def compact_small_files(
         }
     total_bytes = sum(_size(e) for e in fold)
     n_out = max(1, -(-total_bytes // target_bytes))
-    new_df = spark.read.parquet(
-        *[os.path.join(path, e["name"]) for e in fold]
+    new_df = _read_files(
+        spark, man, [os.path.join(path, e["name"]) for e in fold]
     ).coalesce(n_out)
     expected = sum(_entry_rows(path, e) for e in fold)
     _, _, n_written = _commit_generation(
@@ -752,7 +781,7 @@ def delete_where(
         return 0
     paths = [os.path.join(path, e["name"]) for e in scan]
     hits = (
-        spark.read.parquet(*paths)
+        _read_files(spark, man, paths)
         .where(pred)
         .groupBy(F.input_file_name().alias("_file"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -765,8 +794,8 @@ def delete_where(
     keep_entries = [e for e in entries if e["name"] not in touched_rel]
     adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
     touched = [e for e in cand if e["name"] in touched_rel]
-    tdf = spark.read.parquet(
-        *[os.path.join(path, e["name"]) for e in touched]
+    tdf = _read_files(
+        spark, man, [os.path.join(path, e["name"]) for e in touched]
     )
     n_touched = sum(_entry_rows(path, e) for e in touched)
     _commit_generation(
@@ -855,6 +884,8 @@ def rollback(
         # no "cdc" key: the row-level diff of a restore is not tracked,
         # so table_changes falls back to the snapshot diff
     }
+    if man.get("mixed_schema"):
+        manifest["mixed_schema"] = True
     _commit_manifest(path, manifest, expect_gen=man["gen_no"])
     if dropped:
         live = {e["name"] for e in target_files}
@@ -921,7 +952,7 @@ def table_changes(
                 return empty.withColumn("_change_type", F.lit(""))
             out = frames[0]
             for f in frames[1:]:
-                out = out.unionByName(f)
+                out = out.unionByName(f, allowMissingColumns=True)
             return out
     old = read_table(spark, path, version=v_from)
     new = (
@@ -929,6 +960,12 @@ def table_changes(
         if v_to is None
         else read_table(spark, path, version=v_to)
     )
+    if set(old.columns) != set(new.columns):
+        # schema evolved between the versions: NULL-extend both sides
+        # to the union schema so the multiset diff is well-defined
+        old = old.unionByName(new.limit(0), allowMissingColumns=True)
+        new = new.unionByName(old.limit(0), allowMissingColumns=True)
+        new = new.select(*old.columns)
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)
@@ -989,19 +1026,30 @@ def table_changes_feed(
         )
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        # sidecars of evolving commits differ in schema: NULL-extend
+        out = out.unionByName(f, allowMissingColumns=True)
     return out
 
 
-def _merge_frames(old, updates, keys: list[str], broadcast_updates: bool):
+def _merge_frames(
+    old,
+    updates,
+    keys: list[str],
+    broadcast_updates: bool,
+    allow_missing: bool = False,
+):
     """The MERGE plan: old rows not matched on ``keys``, plus every
     update row. With ``broadcast_updates`` the anti-join broadcasts the
     update batch, so the big side is never shuffled — the right plan
-    when merging a metadata-sized patch into a 100 TB table."""
+    when merging a metadata-sized patch into a 100 TB table.
+    ``allow_missing`` is the schema-evolution union: columns present on
+    only one side come through as NULL on the other."""
     from pyspark.sql import functions as F
 
     right = F.broadcast(updates) if broadcast_updates else updates
-    return old.join(right, keys, "left_anti").unionByName(updates)
+    return old.join(right, keys, "left_anti").unionByName(
+        updates, allowMissingColumns=allow_missing
+    )
 
 
 def _admits_keys(
@@ -1034,6 +1082,7 @@ def merge_into(
     keys: list[str],
     retain_versions: int = 0,
     broadcast_updates: bool = False,
+    evolve_schema: bool = False,
 ) -> dict:
     """MERGE (upsert) into a parquet table: rows matching ``updates``
     on ``keys`` are replaced, the rest inserted — ``WHEN MATCHED THEN
@@ -1069,6 +1118,14 @@ def merge_into(
     TARGET holds several rows with one key, MERGE collapses them to
     the single update row — reported via ``matched_rows`` vs
     ``updated`` and a warning, the documented replacement semantics.
+
+    ``evolve_schema=True`` is the Delta ``autoMerge`` analogue: the
+    update batch may ADD columns (carried files keep their old physical
+    schema and cost zero rewrite — reads reconcile via parquet schema
+    merging, old rows surface NULL) or OMIT columns (inserted rows get
+    NULL). The manifest marks the table ``mixed_schema`` so every read
+    path merges footers; the next full rewrite unifies the physical
+    schema and clears the mark. Key columns must exist in both schemas.
     Returns ``{"updated": <distinct keys matched>, "inserted": ...,
     "matched_rows": <target rows replaced>}``.
     """
@@ -1081,12 +1138,20 @@ def merge_into(
     src = [os.path.join(path, e["name"]) for e in entries] + [
         os.path.join(path, f) for f in loose
     ]
-    old = spark.read.parquet(*src) if src else spark.read.parquet(path)
-    if set(updates.columns) != set(old.columns):
+    old = _read_files(spark, man, src) if src else spark.read.parquet(path)
+    if not evolve_schema and set(updates.columns) != set(old.columns):
         raise ValueError(
             f"merge schema mismatch: table has {sorted(old.columns)}, "
-            f"updates have {sorted(updates.columns)}"
+            f"updates have {sorted(updates.columns)} "
+            "(pass evolve_schema=True to add/omit columns)"
         )
+    missing_keys = [k for k in keys if k not in updates.columns
+                    or k not in old.columns]
+    if missing_keys:
+        raise ValueError(
+            f"merge keys {missing_keys} must exist on both sides"
+        )
+    evolving = evolve_schema and set(updates.columns) != set(old.columns)
     nn = reduce(
         lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
     )
@@ -1134,8 +1199,9 @@ def merge_into(
         if scan:
             ukeys = updates.where(nn).select(*keys)
             m = (
-                spark.read.parquet(
-                    *[os.path.join(path, e["name"]) for e in scan]
+                _read_files(
+                    spark, man,
+                    [os.path.join(path, e["name"]) for e in scan],
                 )
                 .select(F.input_file_name().alias("_file"), *keys)
                 .join(F.broadcast(ukeys), keys, "left_semi")
@@ -1165,10 +1231,14 @@ def merge_into(
         touched = [e for e in cand if e["name"] in touched_rel]
         deleted = None
         if touched:
-            tdf = spark.read.parquet(
-                *[os.path.join(path, e["name"]) for e in touched]
+            tdf = _read_files(
+                spark, man,
+                [os.path.join(path, e["name"]) for e in touched],
             )
-            new_df = _merge_frames(tdf, updates, keys, broadcast_updates)
+            new_df = _merge_frames(
+                tdf, updates, keys, broadcast_updates,
+                allow_missing=evolve_schema,
+            )
             ukeys_b = updates.select(*keys)
             if broadcast_updates:
                 ukeys_b = F.broadcast(ukeys_b)
@@ -1204,6 +1274,7 @@ def merge_into(
                 "insert": updates.coalesce(_rewrite_partitions(n_upd, 0)),
                 "delete": deleted,
             },
+            mixed_schema=True if evolving else None,
         )
         return {
             "updated": matched_keys,

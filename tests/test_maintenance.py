@@ -1088,3 +1088,77 @@ def test_rollback_retention_and_vacuum_ttl(spark, tmp_path):
     removed = S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600, now=now)
     assert append_files <= {os.path.basename(p) for p in removed}
     assert {r.id for r in S.read_table(spark, path).collect()} == {1, 2}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: the update batch may add or omit columns;
+    carried files keep the old physical schema at zero rewrite cost and
+    every read path NULL-extends them; the mark clears on the next full
+    rewrite."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).selectExpr(
+        "id", "cast(id as double) as v"
+    ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=4, sort_col="id")  # v1
+    before = {e["name"] for e in S._load_manifest(path)["files"]}
+
+    widened = spark.createDataFrame(
+        [(5, -1.0, "gold"), (5000, -2.0, "new")],
+        "id long, v double, seg string",
+    )
+    # without opt-in the widened batch is rejected, loudly and helpfully
+    with _pytest.raises(ValueError, match="evolve_schema=True"):
+        S.merge_into(spark, path, widened, keys=["id"])
+    res = S.merge_into(spark, path, widened, keys=["id"],
+                       broadcast_updates=True, evolve_schema=True,
+                       retain_versions=2)                          # v2
+    assert res["updated"] == 1 and res["inserted"] == 1
+    man = S._load_manifest(path)
+    assert man.get("mixed_schema") is True
+    # untouched files carried by reference despite the schema change
+    assert len(before & {e["name"] for e in man["files"]}) >= 3
+
+    live = S.read_table(spark, path)
+    assert set(live.columns) == {"id", "v", "seg"}
+    rows = {r.id: r.seg for r in
+            live.where("id IN (4, 5, 5000)").collect()}
+    assert rows == {4: None, 5: "gold", 5000: "new"}
+    assert live.count() == 1001
+
+    # narrower batch after evolution: omitted column -> NULL insert
+    narrow = spark.createDataFrame([(7000,)], "id long")
+    res = S.merge_into(spark, path, narrow, keys=["id"],
+                       broadcast_updates=True, evolve_schema=True,
+                       retain_versions=2)                          # v3
+    assert res["inserted"] == 1
+    got = S.read_table(spark, path).where("id = 7000").first()
+    assert got.v is None and got.seg is None
+
+    # the new column is a first-class predicate target everywhere
+    from retail_sales_data_pipeline_spark.data_skipping import scan_table
+    assert scan_table(spark, path, "seg = 'gold'").count() == 1
+    assert S.delete_where(spark, path, "seg = 'new'",
+                          retain_versions=3) == 1                 # v4
+
+    # time travel to the pre-evolution snapshot still answers
+    assert S.read_table(spark, path, version=2).count() == 1001
+
+    # CDC feed across the evolving commits NULL-extends sidecars
+    feed = S.table_changes_feed(spark, path, 2, 4)
+    assert {"id", "v", "seg", "_change_type", "_commit_version"} <= set(
+        feed.columns
+    )
+    assert {(r.id, r._change_type) for r in feed.collect()} == {
+        (7000, "insert"), (5000, "delete"),
+    }
+
+    # a full rewrite unifies the physical schema and clears the mark
+    S.compact_parquet(spark, path, target_files=2)                 # v5
+    man = S._load_manifest(path)
+    assert "mixed_schema" not in man
+    assert set(S.read_table(spark, path).columns) == {"id", "v", "seg"}
+    assert S.read_table(spark, path).count() == 1001
