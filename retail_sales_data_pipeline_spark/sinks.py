@@ -1285,6 +1285,24 @@ def merge_into(
         updates.unpersist()
 
 
+def retry_on_conflict(fn, attempts: int = 3):
+    """Optimistic-concurrency wrapper for manifest commits: run ``fn``
+    (a zero-arg closure over delete_where/merge_into/staged_rewrite),
+    and when it loses a writer race (:class:`ConcurrentWriteError`),
+    re-run it against the table's NEW state — the Delta-style retry
+    loop. Safe because every DML op here re-reads the live manifest at
+    entry, so a retry computes against the winner's table rather than
+    replaying a stale plan. The last failure propagates after
+    ``attempts`` tries."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return fn()
+        except ConcurrentWriteError as exc:
+            last = exc
+    raise last
+
+
 def run_scoped_path(base: str, run_id: str | int) -> str:
     """K4/K5: the reference uploads every run under
     ``{prefix}/{epoch_ms}/`` (reference upload_to_s3.py:10-24,

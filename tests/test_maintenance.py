@@ -1162,3 +1162,68 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert "mixed_schema" not in man
     assert set(S.read_table(spark, path).columns) == {"id", "v", "seg"}
     assert S.read_table(spark, path).count() == 1001
+
+
+def test_append_racing_rewrite_stays_visible(spark, tmp_path):
+    """The ADVICE r6 race: an append_table batch landing AFTER the
+    rewrite froze its directory snapshot must NOT be marked superseded
+    — its rows stay visible as a loose file and fold into the NEXT
+    rewrite."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _write_tbl(spark, path, n=1000, parts=4)
+    S.compact_parquet(spark, path, target_files=2)
+
+    def layout(df):
+        # the racing append: lands after the rewrite read its snapshot
+        S.append_table(
+            spark.range(1000, 1010).selectExpr(
+                "id", "cast(0.0 as double) as a", "cast(0.0 as double) as b"
+            ).coalesce(1),
+            path,
+        )
+        return df.repartition(2)
+
+    S.staged_rewrite(spark, path, layout, "._compact")
+    man = S._load_manifest(path)
+    racer = S._top_level_part_files(path)
+    assert racer, "the racing append should still be a loose file"
+    assert not set(racer) & set(man["superseded"])
+    assert S.read_table(spark, path).count() == 1010  # nothing lost
+    S.compact_parquet(spark, path, target_files=2)  # next rewrite folds it
+    assert S.read_table(spark, path).count() == 1010
+    assert S._top_level_part_files(path) == []
+
+
+def test_retry_on_conflict_wins_second_attempt(spark, tmp_path):
+    """A fenced loser re-run by retry_on_conflict recomputes against
+    the winner's state and lands cleanly."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _write_tbl(spark, path, n=1000, parts=4)
+    S.compact_parquet(spark, path, target_files=2)
+
+    fired = {"n": 0}
+
+    def layout(df):
+        if fired["n"] == 0:
+            fired["n"] = 1  # interfere exactly once
+            S.compact_parquet(spark, path, target_files=4,
+                              retain_versions=2)
+        return df.repartition(3)
+
+    n_files = S.retry_on_conflict(
+        lambda: S.staged_rewrite(spark, path, layout, "._compact")
+    )
+    assert n_files == 3
+    assert S.read_table(spark, path).count() == 1000
+    # attempts exhausted -> the conflict propagates
+    def always_lose():
+        raise S.ConcurrentWriteError("synthetic")
+
+    with _pytest.raises(S.ConcurrentWriteError):
+        S.retry_on_conflict(always_lose, attempts=2)
