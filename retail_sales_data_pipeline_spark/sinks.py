@@ -1198,13 +1198,18 @@ def merge_into(
         matched_rows = matched_keys = 0
         if scan:
             ukeys = updates.where(nn).select(*keys)
+            if broadcast_updates:
+                # metadata-sized patch: the identification semi-join
+                # broadcasts it; a bulk patch shuffles instead of
+                # betting the driver on a broadcast
+                ukeys = F.broadcast(ukeys)
             m = (
                 _read_files(
                     spark, man,
                     [os.path.join(path, e["name"]) for e in scan],
                 )
                 .select(F.input_file_name().alias("_file"), *keys)
-                .join(F.broadcast(ukeys), keys, "left_semi")
+                .join(ukeys, keys, "left_semi")
             )
             # pre-write action 2 of 2: ROLLUP gives per-file matched
             # counts AND the global matched-rows/keys totals in one job
