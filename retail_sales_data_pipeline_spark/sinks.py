@@ -366,6 +366,30 @@ def table_versions(path: str) -> list[dict]:
     return out
 
 
+def describe_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY analogue: the retained commit log, oldest
+    first — ``[{"gen_no", "op", "rows", "committed_at", "n_files"},
+    ...]`` ending at the current version. Metadata read only. ``op`` is
+    the committing operation (compact / zorder / delete / merge /
+    update / restore(N)); pre-round-7 commits lack op/committed_at and
+    surface None."""
+    man = _load_manifest(path)
+    if man is None:
+        return []
+    out = []
+    for ver in list(man.get("history", [])) + [man]:
+        out.append(
+            {
+                "gen_no": ver.get("gen_no"),
+                "op": ver.get("op"),
+                "rows": ver.get("rows"),
+                "committed_at": ver.get("committed_at"),
+                "n_files": len(_version_files(ver, path)),
+            }
+        )
+    return out
+
+
 def _retire(paths: list[str]) -> None:
     """Best-effort removal of files/dirs superseded by a committed
     manifest. Runs strictly AFTER the commit; a crash here leaves only
@@ -498,7 +522,11 @@ def _commit_generation(
     rows = sum(_entry_rows(path, e) for e in files)
     history = list(man.get("history", [])) if man else []
     if man:
-        prev = {k: man[k] for k in ("gen_no", "generation", "rows")}
+        prev = {
+            k: man[k]
+            for k in ("gen_no", "generation", "rows", "op", "committed_at")
+            if k in man
+        }
         prev["files"] = _version_files(man, path)
         if man.get("cdc") is not None:
             prev["cdc"] = man["cdc"]
@@ -508,12 +536,16 @@ def _commit_generation(
         if retain_versions
         else []
     )
+    import time as _time
+
     manifest = {
         "format": 2,
         "generation": gen,
         "gen_no": gen_no,
         "rows": rows,
         "files": files,
+        "op": suffix.strip("._"),
+        "committed_at": round(_time.time(), 3),
         "superseded": sorted(set(stale) | set(loose)),
         "history": kept,
     }
@@ -733,6 +765,42 @@ def _rel_file(uri: str, table_path: str) -> str:
     )
 
 
+def _matched_files(
+    spark: SparkSession,
+    man: dict | None,
+    path: str,
+    cand: list[dict],
+    predicate: str,
+) -> tuple[set[str], int]:
+    """The shared DML identification scan: which files contain a row
+    matching ``predicate``, and how many rows match in total. Footer
+    stats prune the candidate list first (a file whose [min, max]
+    disproves the predicate can't contain a match — possibly to an
+    empty scan, i.e. ZERO Spark jobs); the scan itself reads predicate
+    columns only, with parquet row-group pushdown inside each file."""
+    from pyspark.sql import functions as F
+
+    from .data_skipping import prune_entries  # lazy: avoids module cycle
+
+    scan = prune_entries(cand, predicate)
+    if not scan:
+        return set(), 0
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    hits = (
+        _read_files(
+            spark, man, [os.path.join(path, e["name"]) for e in scan]
+        )
+        .where(pred)
+        .groupBy(F.input_file_name().alias("_file"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return (
+        {_rel_file(r["_file"], path) for r in hits},
+        sum(r["n"] for r in hits),
+    )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -766,31 +834,15 @@ def delete_where(
     """
     from pyspark.sql import functions as F
 
-    from .data_skipping import prune_entries  # lazy: avoids module cycle
-
     man, entries, loose, stale = _live_state(path)
     loose_entries = [(f, _file_entry(path, f)) for f in loose]
     cand = entries + [e for _, e in loose_entries]
     if not cand:
         return 0
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    # footer-stat pruning bounds even the identification scan: a file
-    # whose [min, max] disproves the predicate can't contain a match
-    scan = prune_entries(cand, predicate)
-    if not scan:
-        return 0
-    paths = [os.path.join(path, e["name"]) for e in scan]
-    hits = (
-        _read_files(spark, man, paths)
-        .where(pred)
-        .groupBy(F.input_file_name().alias("_file"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    if not hits:
+    touched_rel, n_del = _matched_files(spark, man, path, cand, predicate)
+    if not touched_rel:
         return 0  # no-op: don't burn a generation rewriting anything
-    touched_rel = {_rel_file(r["_file"], path) for r in hits}
-    n_del = sum(r["n"] for r in hits)
     keep_entries = [e for e in entries if e["name"] not in touched_rel]
     adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
     touched = [e for e in cand if e["name"] in touched_rel]
@@ -818,6 +870,94 @@ def delete_where(
         },
     )
     return n_del
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, str],
+    predicate: str,
+    retain_versions: int = 0,
+) -> int:
+    """Row-level UPDATE on a manifest table — ``UPDATE t SET col =
+    expr, ... WHERE predicate`` — completing the DML quad (layout,
+    DELETE, MERGE, UPDATE). Rows where the predicate is TRUE get every
+    assignment applied (expressions may reference any column, evaluated
+    against the PRE-update row, SQL UPDATE semantics); FALSE-or-NULL
+    rows are untouched. Row count is always preserved and validated.
+
+    FILE-GRANULAR like its siblings: the shared identification scan
+    (footer-stat pruning + one predicate-column pass) maps matched rows
+    to files; only those files are rewritten with the assignments
+    applied conditionally, everything else carries BY REFERENCE. The
+    commit records a CDC feed of preimages (delete) and postimages
+    (insert), so incremental consumers see the update as the standard
+    delete+insert pair. Returns the number of rows updated.
+    """
+    from pyspark.sql import functions as F
+
+    man, entries, loose, stale = _live_state(path)
+    loose_entries = [(f, _file_entry(path, f)) for f in loose]
+    cand = entries + [e for _, e in loose_entries]
+    if not cand:
+        return 0
+    cols = _read_files(
+        spark, man, [os.path.join(path, e["name"]) for e in cand]
+    ).columns
+    missing = [c for c in assignments if c not in cols]
+    if missing:
+        raise ValueError(
+            f"UPDATE assigns to unknown columns {missing}; table has "
+            f"{sorted(cols)}"
+        )
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    touched_rel, n_upd = _matched_files(spark, man, path, cand, predicate)
+    if not touched_rel:
+        return 0
+    keep_entries = [e for e in entries if e["name"] not in touched_rel]
+    adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
+    touched = [e for e in cand if e["name"] in touched_rel]
+    tdf = _read_files(
+        spark, man, [os.path.join(path, e["name"]) for e in touched]
+    )
+    n_touched = sum(_entry_rows(path, e) for e in touched)
+    # all assignments evaluate against the PRE-update row: build every
+    # new value in ONE select so `SET a = b, b = a` swaps correctly
+    updated_cols = [
+        F.when(pred, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+        if c in assignments
+        else F.col(c)
+        for c in tdf.columns
+    ]
+    _commit_generation(
+        spark,
+        path,
+        man=man,
+        loose=loose,
+        stale=stale,
+        keep_entries=keep_entries,
+        new_df=tdf.select(*updated_cols),
+        suffix="._update",
+        expected_new_rows=n_touched,  # UPDATE preserves row count
+        retain_versions=retain_versions,
+        adopt=adopt,
+        cdc={
+            "insert": tdf.where(pred)
+            .select(
+                *[
+                    F.expr(assignments[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in tdf.columns
+                ]
+            )
+            .coalesce(_rewrite_partitions(n_upd, 0)),
+            "delete": tdf.where(pred).coalesce(
+                _rewrite_partitions(n_upd, 0)
+            ),
+        },
+    )
+    return n_upd
 
 
 def rollback(
@@ -863,7 +1003,11 @@ def rollback(
     # history under its own number (format 2 shares files between
     # versions, so this costs nothing) — dropping it would break time
     # travel to that number and punch a hole in the CDC feed chain
-    cur = {k: man[k] for k in ("gen_no", "generation", "rows")}
+    cur = {
+        k: man[k]
+        for k in ("gen_no", "generation", "rows", "op", "committed_at")
+        if k in man
+    }
     cur["files"] = _version_files(man, path)
     if man.get("cdc") is not None:
         cur["cdc"] = man["cdc"]
@@ -873,12 +1017,16 @@ def rollback(
     if retain_versions is not None:
         cut = max(0, len(history) - retain_versions)
         dropped, history = history[:cut], history[cut:]
+    import time as _time
+
     manifest = {
         "format": 2,
         "generation": target.get("generation"),
         "gen_no": gen_no,
         "rows": target["rows"],
         "files": target_files,
+        "op": f"restore({version})",
+        "committed_at": round(_time.time(), 3),
         "superseded": sorted((sup_old & set(top)) | set(loose)),
         "history": history,
         # no "cdc" key: the row-level diff of a restore is not tracked,

@@ -1227,3 +1227,99 @@ def test_retry_on_conflict_wins_second_attempt(spark, tmp_path):
 
     with _pytest.raises(S.ConcurrentWriteError):
         S.retry_on_conflict(always_lose, attempts=2)
+
+
+def test_update_where_semantics_and_granularity(spark, tmp_path):
+    """UPDATE: assignments apply to predicate-TRUE rows only (evaluated
+    against the PRE-update row, so swaps work), row count is preserved,
+    only matched files rewrite, and the CDC feed carries
+    preimage/postimage pairs."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=6000, files=6)
+    before = {e["name"] for e in S._load_manifest(path)["files"]}
+
+    n = S.update_where(
+        spark, path,
+        {"tag": "'upd'", "v": "v + 1000"},
+        "id BETWEEN 10 AND 12",
+        retain_versions=2,
+    )
+    assert n == 3
+    man = S._load_manifest(path)
+    assert len(before & {e["name"] for e in man["files"]}) >= 4
+    live = S.read_table(spark, path)
+    assert live.count() == 6000
+    rows = {r.id: (r.tag, r.v) for r in
+            live.where("id BETWEEN 9 AND 13").collect()}
+    assert rows[10] == ("upd", 1010.0) and rows[12] == ("upd", 1012.0)
+    assert rows[9] == ("r9", 9.0) and rows[13] == ("r13", 13.0)
+
+    # CDC: update = preimage delete + postimage insert
+    v = man["gen_no"]
+    changes = {(r.id, r.tag, r._change_type) for r in
+               S.table_changes(spark, path, v - 1, v).collect()}
+    assert changes == {
+        (10, "r10", "delete"), (11, "r11", "delete"), (12, "r12", "delete"),
+        (10, "upd", "insert"), (11, "upd", "insert"), (12, "upd", "insert"),
+    }
+
+    # swap: both assignments see the PRE-update row
+    p2 = str(tmp_path / "swap")
+    spark.createDataFrame([(1, 2.0, 3.0)], "id long, a double, b double"
+                          ).write.parquet(p2)
+    S.compact_parquet(spark, p2, target_files=1)
+    S.update_where(spark, p2, {"a": "b", "b": "a"}, "id = 1")
+    got = S.read_table(spark, p2).first()
+    assert (got.a, got.b) == (3.0, 2.0)
+
+    # NULL-predicate rows are untouched (ANSI semantics)
+    p3 = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, "x"), (2, None)], "id long, t string"
+    ).write.parquet(p3)
+    S.compact_parquet(spark, p3, target_files=1)
+    assert S.update_where(spark, p3, {"id": "id + 10"}, "t = 'x'") == 1
+    assert {r.id for r in S.read_table(spark, p3).collect()} == {11, 2}
+
+    # guards: unknown column, provably-no-match no-op
+    with _pytest.raises(ValueError, match="unknown columns"):
+        S.update_where(spark, path, {"nope": "1"}, "id = 1")
+    man_before = S._load_manifest(path)
+    assert S.update_where(spark, path, {"tag": "'z'"}, "id = 999999") == 0
+    assert S._load_manifest(path) == man_before
+
+
+def test_describe_history_commit_log(spark, tmp_path):
+    """DESCRIBE HISTORY: per-commit operation names, row counts, and
+    monotone commit timestamps, ending at the current version."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"
+                          ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)                  # v1
+    S.merge_into(spark, path,
+                 spark.createDataFrame([(3, "c")], "id long, v string"),
+                 keys=["id"], retain_versions=5)                    # v2
+    S.update_where(spark, path, {"v": "'x'"}, "id = 1",
+                   retain_versions=5)                               # v3
+    S.delete_where(spark, path, "id = 2", retain_versions=5)        # v4
+    S.rollback(spark, path, 3, retain_versions=5)                   # v5
+
+    hist = S.describe_history(path)
+    assert [h["gen_no"] for h in hist] == [1, 2, 3, 4, 5]
+    assert [h["op"] for h in hist] == [
+        "compact", "merge", "update", "delete", "restore(3)"
+    ]
+    assert [h["rows"] for h in hist] == [2, 3, 3, 2, 3]
+    stamps = [h["committed_at"] for h in hist]
+    assert all(a <= b for a, b in zip(stamps, stamps[1:]))
+    assert all(h["n_files"] >= 1 for h in hist)
+    # unmanaged table: empty log
+    plain = str(tmp_path / "plain")
+    spark.range(3).write.parquet(plain)
+    assert S.describe_history(plain) == []
