@@ -1323,3 +1323,52 @@ def test_describe_history_commit_log(spark, tmp_path):
     plain = str(tmp_path / "plain")
     spark.range(3).write.parquet(plain)
     assert S.describe_history(plain) == []
+
+
+def test_cdc_sidecars_retire_with_their_versions(spark, tmp_path):
+    """Sidecar lifecycle: a version's CDC files live exactly as long as
+    the version is known (current or retained); an unretained DML chain
+    leaves no sidecar litter, and retained versions keep theirs."""
+    import glob as _glob
+    import os
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"
+                          ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)
+
+    def cdc_dirs():
+        return sorted(
+            p for p in _glob.glob(os.path.join(path, "gen-*", "cdc-*"))
+        )
+
+    # unretained chain: each commit retires the previous version AND
+    # its sidecars — only the current version's feed remains
+    for i in range(3):
+        S.merge_into(
+            spark, path,
+            spark.createDataFrame([(10 + i, "x")], "id long, v string"),
+            keys=["id"],
+        )
+        dirs = cdc_dirs()
+        man = S._load_manifest(path)
+        assert all(man["generation"] in d for d in dirs), (i, dirs)
+
+    # retained chain: history versions keep their sidecars on disk
+    S.delete_where(spark, path, "id = 10", retain_versions=2)
+    S.update_where(spark, path, {"v": "'y'"}, "id = 11",
+                   retain_versions=2)
+    known = {man_v.get("generation")
+             for man_v in [S._load_manifest(path)]
+             } | {h.get("generation")
+                  for h in S._load_manifest(path)["history"]}
+    for d in cdc_dirs():
+        assert any(g and g in d for g in known), d
+    # and the feed over the retained span still replays
+    feed = S.table_changes_feed(
+        spark, path, S._load_manifest(path)["gen_no"] - 2
+    )
+    # delete(10) + update(11) as preimage-delete + postimage-insert
+    assert feed.count() == 3
