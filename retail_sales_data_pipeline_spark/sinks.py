@@ -270,14 +270,22 @@ def _live_state(path: str) -> tuple[dict | None, list[dict], list[str], list[str
     basenames still on disk)``. Everything a rewrite reads AND the
     superseded list it commits derive from this single listing, so an
     append racing the rewrite either lands fully in the fold or stays a
-    visible loose file — never marked superseded without its rows."""
+    visible loose file — never marked superseded without its rows.
+
+    Top-level files REFERENCED by the current manifest or a retained
+    history version are not loose: :func:`convert_to_manifest` adopts a
+    plain directory's files in place (zero rewrite), so referenced
+    names can live at the table root."""
     man = _load_manifest(path)
     top = _top_level_part_files(path)
     if man is None:
         return None, [], top, []
     sup = set(man.get("superseded", []))
     entries = _version_files(man, path)
-    loose = [f for f in top if f not in sup]
+    referenced = {e["name"] for e in entries}
+    for h in man.get("history", []):
+        referenced |= {e["name"] for e in _version_files(h, path)}
+    loose = [f for f in top if f not in sup and f not in referenced]
     stale = sorted(sup & set(top))
     return man, entries, loose, stale
 
@@ -505,6 +513,38 @@ def _commit_generation(
         dst = f"adopted-{name}"
         shutil.copy2(os.path.join(path, name), os.path.join(staging, dst))
         new_entries.append({**entry, "name": f"{gen}/{dst}"})
+    constraints = dict(man.get("constraints", {})) if man else {}
+    if constraints and new_entries:
+        # CHECK enforcement is commit-time and staged-sized: carried
+        # files hold by induction (validated when their constraint was
+        # added or when they were last written), so only this commit's
+        # new files — including adopted appends, which bypassed every
+        # earlier gate — need the scan. SQL CHECK semantics: only a row
+        # where the expression is FALSE violates; NULL/UNKNOWN passes.
+        from pyspark.sql import functions as F
+
+        # mergeSchema: staged files and adopted appends may differ
+        # during schema evolution; the set is patch-sized either way
+        check = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, e["name"]) for e in new_entries]
+        ).agg(
+            *[
+                F.count_if(
+                    ~F.coalesce(F.expr(expr), F.lit(True))
+                ).alias(cname)
+                for cname, expr in constraints.items()
+            ]
+        ).first()
+        bad = {c: check[c] for c in constraints if check[c]}
+        if bad:
+            shutil.rmtree(staging)
+            raise ValueError(
+                f"CHECK constraint violated by this commit: "
+                + ", ".join(
+                    f"{c} ({constraints[c]!r}): {n} rows"
+                    for c, n in bad.items()
+                )
+            )
     cdc_rec = None
     if cdc is not None:
         cdc_rec = {}
@@ -538,6 +578,24 @@ def _commit_generation(
     )
     import time as _time
 
+    # liveness/dead sets BEFORE the manifest: top-level files adopted by
+    # convert_to_manifest that THIS commit drops must enter superseded,
+    # or a crashed retire would resurrect them as loose appends
+    live = {e["name"] for e in files}
+    for h in kept:
+        live |= {e["name"] for e in _version_files(h, path)}
+        live |= _cdc_names(h)
+    if cdc_rec is not None:
+        live |= {n for lst in cdc_rec.values() for n in lst}
+    old_names: set[str] = set()
+    if man:
+        old_names |= {e["name"] for e in _version_files(man, path)}
+        old_names |= _cdc_names(man)
+    for h in history:
+        old_names |= {e["name"] for e in _version_files(h, path)}
+        old_names |= _cdc_names(h)
+    dropped_top = {n for n in old_names - live if "/" not in n}
+
     manifest = {
         "format": 2,
         "generation": gen,
@@ -546,11 +604,13 @@ def _commit_generation(
         "files": files,
         "op": suffix.strip("._"),
         "committed_at": round(_time.time(), 3),
-        "superseded": sorted(set(stale) | set(loose)),
+        "superseded": sorted(set(stale) | set(loose) | dropped_top),
         "history": kept,
     }
     if cdc_rec is not None:
         manifest["cdc"] = cdc_rec
+    if constraints:
+        manifest["constraints"] = constraints
     mixed = (
         bool(man and man.get("mixed_schema"))
         if mixed_schema is None
@@ -562,18 +622,6 @@ def _commit_generation(
 
     # retire: previously-referenced files and superseded loose files not
     # referenced by the new manifest or a retained history version
-    live = {e["name"] for e in files}
-    for h in kept:
-        live |= {e["name"] for e in _version_files(h, path)}
-        live |= _cdc_names(h)
-    live |= _cdc_names(manifest)
-    old_names: set[str] = set()
-    if man:
-        old_names |= {e["name"] for e in _version_files(man, path)}
-        old_names |= _cdc_names(man)
-    for h in history:
-        old_names |= {e["name"] for e in _version_files(h, path)}
-        old_names |= _cdc_names(h)
     dead = [os.path.join(path, n) for n in old_names - live]
     dead += [os.path.join(path, f) for f in set(stale) | set(loose)]
     _retire(dead)
@@ -753,6 +801,103 @@ def compact_small_files(
         "carried": len(big_ref) + len(big_loose),
         "files_written": n_written,
     }
+
+
+def convert_to_manifest(spark: SparkSession, path: str) -> int:
+    """Adopt a plain parquet directory into the manifest protocol with
+    ZERO rewrite — the CONVERT TO DELTA analogue: every existing part
+    file is footer-read into a stats-carrying manifest entry IN PLACE
+    (at 100 TB, rewriting a table just to start managing it is a
+    non-starter; this is a pure metadata commit). After conversion the
+    full protocol applies: file-granular DML touches only matched
+    files and leaves untouched ORIGINALS where they are, appends land
+    loose as before, and the first full rewrite migrates the data into
+    generation directories naturally. No-op (returns the current
+    gen_no) if the table already has a manifest. ``spark`` is unused —
+    kept for call-shape symmetry with the other table ops."""
+    import time as _time
+
+    man = _load_manifest(path)
+    if man is not None:
+        return man["gen_no"]
+    top = _top_level_part_files(path)
+    if not top:
+        raise ValueError(f"no part files to convert at {path!r}")
+    entries = [_file_entry(path, f) for f in top]
+    manifest = {
+        "format": 2,
+        "generation": None,  # adopted in place, no directory written
+        "gen_no": 1,
+        "rows": sum(e["rows"] for e in entries),
+        "files": entries,
+        "op": "convert",
+        "committed_at": round(_time.time(), 3),
+        "superseded": [],
+        "history": [],
+    }
+    _commit_manifest(path, manifest, expect_gen=0)
+    return 1
+
+
+def set_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK analogue: validate the FULL
+    live table once, now (one aggregate scan — the only full-table cost
+    this feature ever pays), then record the constraint in the
+    manifest. Every later commit validates only ITS OWN new files
+    (staged rewrite output + adopted appends) against all recorded
+    constraints and aborts before the commit point on violation —
+    carried files hold by induction, so enforcement stays
+    patch-priced. SQL CHECK semantics: a row violates only when the
+    expression is FALSE; NULL passes. Requires a manifest
+    (:func:`convert_to_manifest` a plain directory first)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    man = _load_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"no manifest at {path!r} — convert_to_manifest first"
+        )
+    n_bad = (
+        read_table(spark, path)
+        .agg(
+            F.count_if(~F.coalesce(F.expr(expr), F.lit(True))).alias("n")
+        )
+        .first()["n"]
+    )
+    if n_bad:
+        raise ValueError(
+            f"cannot add CHECK {name!r} ({expr!r}): {n_bad} existing "
+            "rows violate it"
+        )
+    new_man = dict(man)
+    new_man["constraints"] = {**man.get("constraints", {}), name: expr}
+    new_man["gen_no"] = man["gen_no"] + 1
+    new_man["op"] = f"add_constraint({name})"
+    new_man["committed_at"] = round(_time.time(), 3)
+    _commit_manifest(path, new_man, expect_gen=man["gen_no"])
+
+
+def drop_check_constraint(spark: SparkSession, path: str, name: str) -> None:
+    """Remove a recorded CHECK constraint (metadata-only commit)."""
+    import time as _time
+
+    man = _load_manifest(path)
+    if man is None or name not in man.get("constraints", {}):
+        raise ValueError(f"no CHECK constraint {name!r} on {path!r}")
+    new_man = dict(man)
+    new_man["constraints"] = {
+        k: v for k, v in man["constraints"].items() if k != name
+    }
+    if not new_man["constraints"]:
+        del new_man["constraints"]
+    new_man["gen_no"] = man["gen_no"] + 1
+    new_man["op"] = f"drop_constraint({name})"
+    new_man["committed_at"] = round(_time.time(), 3)
+    _commit_manifest(path, new_man, expect_gen=man["gen_no"])
 
 
 def _rel_file(uri: str, table_path: str) -> str:

@@ -1372,3 +1372,119 @@ def test_cdc_sidecars_retire_with_their_versions(spark, tmp_path):
     )
     # delete(10) + update(11) as preimage-delete + postimage-insert
     assert feed.count() == 3
+
+
+def test_convert_to_manifest_zero_rewrite(spark, tmp_path):
+    """CONVERT TO DELTA analogue: adopting a plain directory writes NO
+    data bytes — existing files become stats-carrying manifest entries
+    in place, and subsequent DML is file-granular over the ORIGINALS."""
+    import os
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        files_scanned,
+        scan_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(4000).selectExpr(
+        "id", "cast(id as double) as v"
+    ).repartitionByRange(4, "id").sortWithinPartitions("id"
+                                                      ).write.parquet(path)
+    originals = set(S._top_level_part_files(path))
+    mtimes = {f: os.path.getmtime(f"{path}/{f}") for f in originals}
+
+    assert S.convert_to_manifest(spark, path) == 1
+    assert S.convert_to_manifest(spark, path) == 1  # idempotent no-op
+    man = S._load_manifest(path)
+    assert {e["name"] for e in man["files"]} == originals
+    assert man["op"] == "convert" and man["rows"] == 4000
+    # no data file was touched, let alone rewritten
+    assert all(
+        os.path.getmtime(f"{path}/{f}") == mtimes[f] for f in originals
+    )
+    assert S.read_table(spark, path).count() == 4000
+    # adopted files prune like any other (footer stats were captured)
+    assert files_scanned(path, "id BETWEEN 10 AND 20") < 4
+    assert scan_table(spark, path, "id = 17").count() == 1
+
+    # appends stay loose (not confused with adopted referenced files)
+    S.append_table(
+        spark.createDataFrame([(9999, 0.0)], "id long, v double"
+                              ).coalesce(1), path)
+    assert S.read_table(spark, path).count() == 4001
+
+    # file-granular DML over the adopted layout: one original touched,
+    # the rest stay in place untouched
+    n = S.delete_where(spark, path, "id IN (100, 101)")
+    assert n == 2
+    man2 = S._load_manifest(path)
+    carried = originals & {e["name"] for e in man2["files"]}
+    assert len(carried) == 3
+    # the dropped original is superseded (crash-safe even if its
+    # physical delete had failed) and actually gone
+    dropped = originals - carried
+    assert dropped <= set(man2["superseded"])
+    assert not any(os.path.exists(f"{path}/{f}") for f in dropped)
+    assert S.read_table(spark, path).count() == 3999
+    # untouched originals still physically identical
+    assert all(
+        os.path.getmtime(f"{path}/{f}") == mtimes[f] for f in carried
+    )
+
+
+def test_check_constraints_commit_time_enforcement(spark, tmp_path):
+    """CHECK constraints: full-table validation once at ADD (rejecting
+    a constraint existing rows violate), then every commit validates
+    only its own new files and aborts BEFORE the commit point —
+    including adopted appends, which bypassed every earlier gate."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, amount double"
+    ).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+
+    # a constraint the table already violates is rejected outright
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        S.set_check_constraint(spark, path, "big", "amount > 15")
+    assert "constraints" not in S._load_manifest(path)
+
+    S.set_check_constraint(spark, path, "pos", "amount > 0")
+    assert S._load_manifest(path)["constraints"] == {"pos": "amount > 0"}
+
+    # violating merge aborts before commit; the table is untouched
+    man_before = S._load_manifest(path)
+    bad = spark.createDataFrame([(3, -5.0)], "id long, amount double")
+    with _pytest.raises(ValueError, match=r"pos.*1 rows"):
+        S.merge_into(spark, path, bad, keys=["id"])
+    assert S._load_manifest(path) == man_before
+    assert S.read_table(spark, path).count() == 2
+
+    # valid commits pass; NULL passes (SQL CHECK semantics)
+    ok = spark.createDataFrame(
+        [(3, 5.0), (4, None)], "id long, amount double"
+    )
+    assert S.merge_into(spark, path, ok, keys=["id"])["inserted"] == 2
+    assert S.read_table(spark, path).count() == 4
+
+    # a violating UPDATE aborts too
+    with _pytest.raises(ValueError, match="pos"):
+        S.update_where(spark, path, {"amount": "-amount"}, "id = 1")
+
+    # an append sneaks past (plain write), but the fold that would make
+    # it durable is where it gets caught
+    S.append_table(
+        spark.createDataFrame([(9, -1.0)], "id long, amount double"
+                              ).coalesce(1), path)
+    with _pytest.raises(ValueError, match="pos"):
+        S.compact_parquet(spark, path, target_files=1)
+    # drop the constraint -> the fold passes
+    S.drop_check_constraint(spark, path, "pos")
+    S.compact_parquet(spark, path, target_files=1)
+    assert S.read_table(spark, path).count() == 5
+    with _pytest.raises(ValueError, match="no CHECK"):
+        S.drop_check_constraint(spark, path, "pos")
