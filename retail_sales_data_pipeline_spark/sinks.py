@@ -839,6 +839,32 @@ def convert_to_manifest(spark: SparkSession, path: str) -> int:
     return 1
 
 
+def _roll_metadata_commit(man: dict, path: str, op: str) -> dict:
+    """Base for a metadata-only commit (constraints etc.): bump the
+    generation, record the op, RETAIN the previous version in history —
+    its file list is identical to the new one, so retention is free,
+    and dropping it would punch holes in version addressability and the
+    CDC feed chain — and record an EMPTY feed (no rows changed; the
+    dict copy must not inherit the previous commit's sidecars)."""
+    import time as _time
+
+    prev = {
+        k: man[k]
+        for k in ("gen_no", "generation", "rows", "op", "committed_at")
+        if k in man
+    }
+    prev["files"] = _version_files(man, path)
+    if man.get("cdc") is not None:
+        prev["cdc"] = man["cdc"]
+    new_man = dict(man)
+    new_man["history"] = list(man.get("history", [])) + [prev]
+    new_man["gen_no"] = man["gen_no"] + 1
+    new_man["op"] = op
+    new_man["committed_at"] = round(_time.time(), 3)
+    new_man["cdc"] = {"insert": [], "delete": []}
+    return new_man
+
+
 def set_check_constraint(
     spark: SparkSession, path: str, name: str, expr: str
 ) -> None:
@@ -852,8 +878,6 @@ def set_check_constraint(
     patch-priced. SQL CHECK semantics: a row violates only when the
     expression is FALSE; NULL passes. Requires a manifest
     (:func:`convert_to_manifest` a plain directory first)."""
-    import time as _time
-
     from pyspark.sql import functions as F
 
     man = _load_manifest(path)
@@ -873,30 +897,22 @@ def set_check_constraint(
             f"cannot add CHECK {name!r} ({expr!r}): {n_bad} existing "
             "rows violate it"
         )
-    new_man = dict(man)
+    new_man = _roll_metadata_commit(man, path, f"add_constraint({name})")
     new_man["constraints"] = {**man.get("constraints", {}), name: expr}
-    new_man["gen_no"] = man["gen_no"] + 1
-    new_man["op"] = f"add_constraint({name})"
-    new_man["committed_at"] = round(_time.time(), 3)
     _commit_manifest(path, new_man, expect_gen=man["gen_no"])
 
 
 def drop_check_constraint(spark: SparkSession, path: str, name: str) -> None:
     """Remove a recorded CHECK constraint (metadata-only commit)."""
-    import time as _time
-
     man = _load_manifest(path)
     if man is None or name not in man.get("constraints", {}):
         raise ValueError(f"no CHECK constraint {name!r} on {path!r}")
-    new_man = dict(man)
+    new_man = _roll_metadata_commit(man, path, f"drop_constraint({name})")
     new_man["constraints"] = {
         k: v for k, v in man["constraints"].items() if k != name
     }
     if not new_man["constraints"]:
         del new_man["constraints"]
-    new_man["gen_no"] = man["gen_no"] + 1
-    new_man["op"] = f"drop_constraint({name})"
-    new_man["committed_at"] = round(_time.time(), 3)
     _commit_manifest(path, new_man, expect_gen=man["gen_no"])
 
 

@@ -1488,3 +1488,28 @@ def test_check_constraints_commit_time_enforcement(spark, tmp_path):
     assert S.read_table(spark, path).count() == 5
     with _pytest.raises(ValueError, match="no CHECK"):
         S.drop_check_constraint(spark, path, "pos")
+
+
+def test_metadata_commits_record_empty_feed(spark, tmp_path):
+    """add/drop-constraint commits change no rows: their own CDC feed
+    must be EMPTY, never inherited from the previous commit's sidecars
+    (the dict-copy trap)."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 1.0)], "id long, amount double"
+                          ).write.parquet(path)
+    S.convert_to_manifest(spark, path)                              # v1
+    S.merge_into(spark, path,
+                 spark.createDataFrame([(2, 2.0)],
+                                       "id long, amount double"),
+                 keys=["id"], retain_versions=4)                    # v2
+    S.set_check_constraint(spark, path, "pos", "amount > 0")        # v3
+    S.drop_check_constraint(spark, path, "pos")                     # v4
+    # adjacent diffs across the metadata commits are empty and
+    # metadata-priced; the merge's feed stays attributed to v2 only
+    assert S.table_changes(spark, path, 2, 3).count() == 0
+    assert S.table_changes(spark, path, 3, 4).count() == 0
+    feed = S.table_changes_feed(spark, path, 1, 4)
+    assert {(r.id, r._change_type, r._commit_version)
+            for r in feed.collect()} == {(2, "insert", 2)}
