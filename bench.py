@@ -210,6 +210,15 @@ def _regression_check(
     if not common:
         return None
     raw = sum(timings[n] for n in common) / sum(prior[n] for n in common)
+    # queries whose verdict FLIPS under machine normalization: raw says
+    # slower but the calibration probe attributes it to the host (or
+    # vice versa) — the per-query answer to the drift-vs-regression
+    # question
+    diverging = sorted(
+        n
+        for n in common
+        if (timings[n] > prior[n]) != (timings[n] > prior[n] * scale)
+    )
     return {
         "prior_file": os.path.basename(rounds[-1]),
         "n_common_queries": len(common),
@@ -217,6 +226,7 @@ def _regression_check(
         "raw_ratio": round(raw, 4),
         "normalized_ratio": round(raw / scale, 4) if scale > 0 else None,
         "regressions": regressions,
+        "diverging": diverging,
     }
 
 
