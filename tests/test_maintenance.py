@@ -1513,3 +1513,123 @@ def test_metadata_commits_record_empty_feed(spark, tmp_path):
     feed = S.table_changes_feed(spark, path, 1, 4)
     assert {(r.id, r._change_type, r._commit_version)
             for r in feed.collect()} == {(2, "insert", 2)}
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("seed", [20260814, 7])
+def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
+    """Model-based fuzz of the whole manifest protocol: a seeded random
+    sequence of merge/delete/update/append/compact/convert ops executed
+    against both the table and a pure-Python dict model, with the live
+    view checked after EVERY commit, retained snapshots checked against
+    model checkpoints, and a final rollback replaying one. Catches the
+    protocol-interaction bugs no single-op test shapes."""
+    import random
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "tbl")
+    model = {i: float(i) for i in range(500)}
+
+    def to_rows(d):
+        return [(k, v) for k, v in sorted(d.items())]
+
+    spark.createDataFrame(
+        to_rows(model), "id long, v double"
+    ).repartition(4).write.parquet(path)
+    S.convert_to_manifest(spark, path)  # exercise zero-rewrite adoption
+    next_id = 10_000
+    saved: dict[int, dict] = {}
+
+    def check_live():
+        got = {r.id: r.v for r in S.read_table(spark, path).collect()}
+        assert got == model, (
+            f"live divergence: extra={set(got) - set(model)} "
+            f"missing={set(model) - set(got)}"
+        )
+
+    for step in range(24):
+        op = rng.choice(
+            ["merge", "delete", "update", "append", "compact", "small"]
+        )
+        retain = rng.choice([0, 0, 2])
+        if op == "merge":
+            nonlocal_ids = rng.sample(sorted(model), k=min(3, len(model)))
+            fresh = [next_id + i for i in range(2)]
+            next_id += 2
+            batch = {i: rng.uniform(0, 1e6) for i in nonlocal_ids + fresh}
+            S.merge_into(
+                spark, path,
+                spark.createDataFrame(to_rows(batch), "id long, v double"),
+                keys=["id"], broadcast_updates=bool(rng.getrandbits(1)),
+                retain_versions=retain,
+            )
+            model.update(batch)
+        elif op == "delete":
+            if rng.getrandbits(1):
+                victims = rng.sample(sorted(model), k=min(4, len(model)))
+                pred = f"id IN ({', '.join(map(str, victims))})"
+                gone = set(victims) & set(model)
+            else:
+                cut = rng.uniform(0, 1e6)
+                pred = f"v < {cut}"
+                gone = {k for k, v in model.items() if v < cut}
+            S.delete_where(spark, path, pred, retain_versions=retain)
+            for k in gone:
+                del model[k]
+        elif op == "update":
+            lo = rng.randrange(0, 500)
+            bump = rng.randrange(1, 100)
+            S.update_where(
+                spark, path, {"v": f"v + {bump}"},
+                f"id BETWEEN {lo} AND {lo + 50}", retain_versions=retain,
+            )
+            for k in list(model):
+                if lo <= k <= lo + 50:
+                    model[k] = model[k] + bump
+        elif op == "append":
+            fresh = {next_id + i: float(i) for i in range(3)}
+            next_id += 3
+            S.append_table(
+                spark.createDataFrame(
+                    to_rows(fresh), "id long, v double"
+                ).coalesce(1),
+                path,
+            )
+            model.update(fresh)
+        elif op == "compact":
+            S.compact_parquet(spark, path, target_files=3,
+                              retain_versions=retain)
+        else:
+            S.compact_small_files(spark, path, target_bytes=1 << 20,
+                                  retain_versions=retain)
+        check_live()
+        man = S._load_manifest(path)
+        if man and retain:
+            saved[man["gen_no"]] = dict(model)
+
+    # retained snapshots equal their model checkpoints
+    available = {v["gen_no"] for v in S.table_versions(path)}
+    checked = 0
+    for gen_no, snap in saved.items():
+        if gen_no in available and checked < 3:
+            got = {
+                r.id: r.v
+                for r in S.read_table(spark, path, version=gen_no).collect()
+            }
+            assert got == snap, f"snapshot {gen_no} diverged"
+            checked += 1
+
+    # replay one retained checkpoint via rollback (loose appends are
+    # superseded by the restore, matching the checkpointed model)
+    candidates = sorted(
+        (set(saved) & available) - {S._load_manifest(path)["gen_no"]}
+    )
+    if candidates:
+        target = candidates[-1]
+        S.rollback(spark, path, target)
+        model = saved[target]
+        check_live()
