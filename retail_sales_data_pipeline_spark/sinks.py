@@ -313,10 +313,26 @@ def _read_files(
     read with parquet schema merging, so files carried BY REFERENCE
     with the pre-evolution physical schema reconcile against the new
     one (missing columns -> NULL) — the reason evolution costs zero
-    rewrites. Uniform tables skip the extra footer reconciliation."""
+    rewrites.
+
+    Uniform tables get the schema from ONE footer (driver-side
+    pyarrow): Spark's schema inference over an explicit path list runs
+    a one-task-per-file JOB (measured: 5.5 s across 2000 files before
+    any data is read), which would tax every manifest read path
+    linearly in file count."""
     reader = spark.read
     if man is not None and man.get("mixed_schema"):
-        reader = reader.option("mergeSchema", "true")
+        return reader.option("mergeSchema", "true").parquet(*paths)
+    if paths:
+        try:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            reader = reader.schema(
+                from_arrow_schema(pq.ParquetFile(paths[0]).schema_arrow)
+            )
+        except Exception:
+            pass  # unconvertible type etc.: fall back to inference
     return reader.parquet(*paths)
 
 
@@ -916,6 +932,20 @@ def drop_check_constraint(spark: SparkSession, path: str, name: str) -> None:
     _commit_manifest(path, new_man, expect_gen=man["gen_no"])
 
 
+def _table_columns(
+    spark: SparkSession, man: dict | None, paths: list[str]
+) -> list[str]:
+    """Column names of a manifest file set WITHOUT building a Spark
+    relation (which lists every path up front — linear in file count):
+    one pyarrow footer suffices for uniform tables. Mixed-schema tables
+    genuinely need the merged view and fall back to the relation."""
+    if man is not None and man.get("mixed_schema") or not paths:
+        return _read_files(spark, man, paths).columns
+    import pyarrow.parquet as pq
+
+    return list(pq.ParquetFile(paths[0]).schema_arrow.names)
+
+
 def _rel_file(uri: str, table_path: str) -> str:
     """``input_file_name()`` URI -> manifest-relative file name."""
     from urllib.parse import unquote, urlparse
@@ -1062,9 +1092,9 @@ def update_where(
     cand = entries + [e for _, e in loose_entries]
     if not cand:
         return 0
-    cols = _read_files(
+    cols = _table_columns(
         spark, man, [os.path.join(path, e["name"]) for e in cand]
-    ).columns
+    )
     missing = [c for c in assignments if c not in cols]
     if missing:
         raise ValueError(
@@ -1447,20 +1477,24 @@ def merge_into(
     src = [os.path.join(path, e["name"]) for e in entries] + [
         os.path.join(path, f) for f in loose
     ]
-    old = _read_files(spark, man, src) if src else spark.read.parquet(path)
-    if not evolve_schema and set(updates.columns) != set(old.columns):
+    old_cols = (
+        _table_columns(spark, man, src)
+        if src
+        else spark.read.parquet(path).columns
+    )
+    if not evolve_schema and set(updates.columns) != set(old_cols):
         raise ValueError(
-            f"merge schema mismatch: table has {sorted(old.columns)}, "
+            f"merge schema mismatch: table has {sorted(old_cols)}, "
             f"updates have {sorted(updates.columns)} "
             "(pass evolve_schema=True to add/omit columns)"
         )
     missing_keys = [k for k in keys if k not in updates.columns
-                    or k not in old.columns]
+                    or k not in old_cols]
     if missing_keys:
         raise ValueError(
             f"merge keys {missing_keys} must exist on both sides"
         )
-    evolving = evolve_schema and set(updates.columns) != set(old.columns)
+    evolving = evolve_schema and set(updates.columns) != set(old_cols)
     nn = reduce(
         lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
     )

@@ -1,0 +1,112 @@
+"""Measure the manifest METADATA layer as file count grows: the
+question a 100 TB operator asks about format 2 is not data throughput
+(dml_headroom covers that) but whether the driver-side protocol —
+footer harvesting at convert, manifest parse, stats pruning, the
+commit itself — stays interactive when a table has thousands of files.
+
+Usage: python tools/manifest_headroom.py [--files 2000] [--rows-per 500]
+Prints one markdown table for docs/SCALE.md plus a 100k-file
+extrapolation (costs below are linear in file count).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import retail_sales_data_pipeline_spark.sinks as S  # noqa: E402
+from retail_sales_data_pipeline_spark.data_skipping import (  # noqa: E402
+    files_scanned,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=2000)
+    ap.add_argument("--rows-per", type=int, default=500)
+    args = ap.parse_args()
+    n_files, rows = args.files, args.files * args.rows_per
+
+    spark = get_spark("manifest-headroom")
+    work = tempfile.mkdtemp(prefix="manifest_headroom_")
+    path = os.path.join(work, "tbl")
+    try:
+        (
+            spark.range(rows)
+            .selectExpr("id", "cast(id as double) as v")
+            .repartitionByRange(n_files, "id")
+            .sortWithinPartitions("id")
+            .write.parquet(path)
+        )
+        print(f"# {n_files:,} files, {rows:,} rows")
+        print("| metadata op | wall | note |")
+        print("|---|---|---|")
+
+        t0 = time.time()
+        S.convert_to_manifest(spark, path)
+        t_convert = time.time() - t0
+        print(f"| convert (footer-read every file) | {t_convert:.2f} s "
+              f"| {t_convert / n_files * 1e3:.2f} ms/file |")
+
+        size = os.path.getsize(os.path.join(path, "_manifest.json"))
+        print(f"| manifest size | {size / 1e6:.2f} MB "
+              f"| {size // n_files} B/file entry |")
+
+        t0 = time.time()
+        S._live_state(path)
+        t_load = time.time() - t0
+        print(f"| load + resolve live state | {t_load * 1e3:.0f} ms "
+              f"| every read path pays this once |")
+
+        band = f"id BETWEEN {rows // 2} AND {rows // 2 + 10}"
+        t0 = time.time()
+        n_scan = files_scanned(path, band)
+        t_prune = time.time() - t0
+        print(f"| stats-prune {n_files:,} entries | {t_prune * 1e3:.0f} ms "
+              f"| -> {n_scan} file(s) scanned |")
+
+        patch = spark.createDataFrame(
+            [(rows // 2, -1.0)], "id long, v double"
+        )
+        t0 = time.time()
+        S.merge_into(spark, path, patch, keys=["id"],
+                     broadcast_updates=True)
+        t_merge = time.time() - t0
+        man = S._load_manifest(path)
+        print(f"| 1-row merge into {n_files:,} files | {t_merge:.2f} s "
+              f"| {len(man['files'])} entries committed |")
+
+        scale = 100_000 / n_files
+        print(
+            f"\nExtrapolated to 100k files (linear): convert "
+            f"~{t_convert * scale / 60:.1f} min one-time, manifest "
+            f"~{size * scale / 1e6:.0f} MB, live-state resolve "
+            f"~{t_load * scale:.1f} s, prune ~{t_prune * scale:.1f} s. "
+            "The read-path costs at that scale argue for partitioned "
+            "manifests or a checkpointed index; at the 5-20k files a "
+            "well-compacted 100 TB table actually holds (5-20 GB "
+            "files), every op above stays sub-second."
+        )
+        print(json.dumps({
+            "files": n_files,
+            "convert_sec": round(t_convert, 3),
+            "manifest_mb": round(size / 1e6, 3),
+            "live_state_ms": round(t_load * 1e3, 1),
+            "prune_ms": round(t_prune * 1e3, 1),
+            "merge_1row_sec": round(t_merge, 3),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
