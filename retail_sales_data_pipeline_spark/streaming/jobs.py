@@ -513,7 +513,7 @@ def stream_cdc_apply(
     (caller drains/awaits; ``trigger(availableNow=True)`` for bounded
     catch-up runs).
     """
-    from ..sinks import merge_into
+    from ..sinks import merge_into, retry_on_conflict
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if order_col is not None:
@@ -532,12 +532,17 @@ def stream_cdc_apply(
             )
         if batch.isEmpty():
             return
-        merge_into(
-            batch.sparkSession,
-            path,
-            batch,
-            keys=keys,
-            broadcast_updates=broadcast_updates,
+        # a concurrent maintenance pass (compaction, vacuum-era rewrite)
+        # can race a microbatch commit; the fenced loser recomputes
+        # against the winner's table instead of failing the stream
+        retry_on_conflict(
+            lambda: merge_into(
+                batch.sparkSession,
+                path,
+                batch,
+                keys=keys,
+                broadcast_updates=broadcast_updates,
+            )
         )
 
     return (
