@@ -1633,3 +1633,49 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
         S.rollback(spark, path, target)
         model = saved[target]
         check_live()
+
+
+def test_dml_crash_after_commit_before_retire(spark, tmp_path, monkeypatch):
+    """File-granular crash contract, other side: the manifest commits,
+    then the retire of the replaced file crashes — readers must resolve
+    the new file list (the dead file is invisible even though present),
+    and the TTL vacuum collects it later without touching live files."""
+    import os
+    import time
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=2000, files=4)
+    before = {e["name"] for e in S._load_manifest(path)["files"]}
+
+    def boom(paths):
+        raise RuntimeError("retire crashed")
+
+    monkeypatch.setattr(S, "_retire", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="retire crashed"):
+        S.merge_into(
+            spark, path,
+            spark.createDataFrame([(7, -1.0, "p")],
+                                  "id long, v double, tag string"),
+            keys=["id"], broadcast_updates=True,
+        )
+    monkeypatch.undo()
+    man = S._load_manifest(path)
+    after = {e["name"] for e in man["files"]}
+    dead = before - after
+    assert dead  # the replaced file...
+    assert all(os.path.exists(f"{path}/{n}") for n in dead)  # ...on disk
+    live = S.read_table(spark, path)
+    assert live.count() == 2000  # but invisible: no double rows
+    assert {r.tag for r in live.where("id = 7").collect()} == {"p"}
+
+    # TTL vacuum collects exactly the dead file's bytes
+    now = time.time() + 100_000
+    removed = S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600,
+                               now=now)
+    removed_rel = {os.path.relpath(p, path) for p in removed}
+    assert dead <= removed_rel
+    assert S.read_table(spark, path).count() == 2000
