@@ -19,18 +19,25 @@ MANIFEST PROTOCOL (format 2, round 7 — file-granular copy-on-write):
 individually — ``{"name": "gen-000003._merge/part-...", "rows": n,
 "stats": {col: [min, max]}}`` — instead of one generation directory.
 A version is a file LIST, so a commit can carry untouched files forward
-BY REFERENCE: ``delete_where``/``merge_into`` rewrite only the files
-that actually contain matched rows (identified by footer min/max
-pruning plus one key/predicate-column scan) and the bytes written per
-patch are proportional to the touched files, not the table — the
-Delta/Iceberg-class property a 100 TB table needs (a 1k-row upsert must
-not rewrite 100 TB). Commits stay atomic (one manifest replace / object
-PUT) and are WRITER-FENCED: a lock file plus a generation-number check
-turn a concurrent-rewrite race into a loud :class:`ConcurrentWriteError`
-instead of silently orphaned rows. DML commits also record their
-insert/delete row sets as CDC sidecar files, making adjacent-version
-``table_changes`` a metadata-priced read instead of two full-table
-``exceptAll`` shuffles.
+BY REFERENCE: ``delete_where`` / ``merge_into`` / ``update_where``
+rewrite only the files that actually contain matched rows (identified
+by footer min/max pruning plus one key/predicate-column scan) and the
+bytes written per patch are proportional to the touched files, not the
+table — the Delta/Iceberg-class property a 100 TB table needs (a
+1k-row upsert must not rewrite 100 TB). Commits stay atomic (one
+manifest replace / object PUT) and are WRITER-FENCED: a lock file plus
+a generation-number check turn a concurrent-rewrite race into a loud
+:class:`ConcurrentWriteError` (``retry_on_conflict`` is the optimistic
+retry), and DML commits record their insert/delete row sets as CDC
+sidecar files — adjacent-version ``table_changes`` and the multi-hop
+``table_changes_feed`` become metadata-priced reads, and
+``sources/cdc_source.py`` streams them. The rest of the family:
+``convert_to_manifest`` (zero-rewrite adoption of a plain directory),
+``compact_small_files`` (incremental OPTIMIZE), ``scan_table`` in
+:mod:`.data_skipping` (footer-stat file skipping), schema evolution
+(``merge_into(evolve_schema=True)``), CHECK constraints
+(``set_check_constraint``), time travel / ``rollback`` /
+``describe_history``, and TTL ``vacuum_staging``.
 """
 
 from __future__ import annotations
@@ -374,6 +381,18 @@ def read_table(
         for e in _version_files(by_no[version], path)
     ]
     return _read_files(spark, man, paths)
+
+
+def register_table(
+    spark: SparkSession, name: str, path: str, version: int | None = None
+) -> DataFrame:
+    """Expose a manifest table (or a retained snapshot) to Spark SQL as
+    a temp view, so ``spark.sql(f"SELECT ... FROM {name}")`` reads
+    through the manifest resolution like every other path. Returns the
+    underlying DataFrame."""
+    df = read_table(spark, path, version=version)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def table_versions(path: str) -> list[dict]:

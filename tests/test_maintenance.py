@@ -1679,3 +1679,22 @@ def test_dml_crash_after_commit_before_retire(spark, tmp_path, monkeypatch):
     removed_rel = {os.path.relpath(p, path) for p in removed}
     assert dead <= removed_rel
     assert S.read_table(spark, path).count() == 2000
+
+
+def test_register_table_sql_view(spark, tmp_path):
+    """Manifest tables are plain SQL citizens via register_table,
+    including snapshot views."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"
+                          ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)
+    S.delete_where(spark, path, "id = 2", retain_versions=1)
+    S.register_table(spark, "t_live", path)
+    S.register_table(spark, "t_v1", path, version=1)
+    assert spark.sql("SELECT count(*) c FROM t_live").first().c == 1
+    assert spark.sql("SELECT count(*) c FROM t_v1").first().c == 2
+    assert spark.sql(
+        "SELECT v FROM t_live WHERE id = 1"
+    ).first().v == "a"
