@@ -1556,6 +1556,7 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
             ["merge", "delete", "update", "append", "compact", "small"]
         )
         retain = rng.choice([0, 0, 2])
+        prev_gen = (S._load_manifest(path) or {}).get("gen_no", 0)
         if op == "merge":
             nonlocal_ids = rng.sample(sorted(model), k=min(3, len(model)))
             fresh = [next_id + i for i in range(2)]
@@ -1607,8 +1608,17 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
             S.compact_small_files(spark, path, target_bytes=1 << 20,
                                   retain_versions=retain)
         check_live()
+        # checkpoint the model ONLY when this op actually committed a
+        # version that folds every pending loose append (a snapshot is
+        # a file list; appends live only in the live view, and a no-op
+        # delete/update commits nothing)
         man = S._load_manifest(path)
-        if man and retain:
+        if (
+            man
+            and retain
+            and man["gen_no"] != prev_gen
+            and op in ("merge", "delete", "update", "compact")
+        ):
             saved[man["gen_no"]] = dict(model)
 
     # retained snapshots equal their model checkpoints
