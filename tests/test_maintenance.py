@@ -1559,6 +1559,7 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
         prev_gen = (S._load_manifest(path) or {}).get("gen_no", 0)
         if op == "merge":
             nonlocal_ids = rng.sample(sorted(model), k=min(3, len(model)))
+            # (k=0 on an emptied table: the merge becomes pure insert)
             fresh = [next_id + i for i in range(2)]
             next_id += 2
             batch = {i: rng.uniform(0, 1e6) for i in nonlocal_ids + fresh}
@@ -1571,7 +1572,9 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
             model.update(batch)
         elif op == "delete":
             if rng.getrandbits(1):
-                victims = rng.sample(sorted(model), k=min(4, len(model)))
+                victims = rng.sample(
+                    sorted(model), k=min(4, len(model))
+                ) or [-1]  # empty table: a matches-nothing takedown
                 pred = f"id IN ({', '.join(map(str, victims))})"
                 gone = set(victims) & set(model)
             else:
