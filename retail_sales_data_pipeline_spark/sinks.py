@@ -343,8 +343,37 @@ def _read_files(
     return reader.parquet(*paths)
 
 
+def version_as_of(path: str, timestamp: float) -> int:
+    """TIMESTAMP AS OF resolution: the latest retained version whose
+    ``committed_at`` is <= ``timestamp`` (unix seconds). Raises when
+    every known version is newer (the table did not exist then, or
+    retention dropped the era) or when the candidates predate commit
+    timestamps (pre-round-7 manifests). Metadata read only."""
+    man = _load_manifest(path)
+    if man is None:
+        raise ValueError(f"no manifest at {path!r} — no version history")
+    versions = list(man.get("history", [])) + [man]
+    eligible = [
+        v
+        for v in versions
+        if v.get("committed_at") is not None
+        and v["committed_at"] <= timestamp
+    ]
+    if not eligible:
+        known = [
+            (v["gen_no"], v.get("committed_at")) for v in versions
+        ]
+        raise ValueError(
+            f"no retained version of {path!r} at or before "
+            f"timestamp {timestamp}; known (version, committed_at): "
+            f"{known}"
+        )
+    return max(eligible, key=lambda v: v["gen_no"])["gen_no"]
+
+
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read back a mart table, resolving through ``_manifest.json``
     when the table has been maintenance-rewritten (see
@@ -359,7 +388,15 @@ def read_table(
     (``version=None``) additionally folds in appends landed since the
     last commit. Unknown versions raise with the retained set named —
     a silently-empty time travel would read as data loss.
+
+    ``as_of`` (unix seconds) is TIMESTAMP AS OF: the latest retained
+    version committed at or before that instant
+    (:func:`version_as_of`). Mutually exclusive with ``version``.
     """
+    if version is not None and as_of is not None:
+        raise ValueError("pass either version= or as_of=, not both")
+    if as_of is not None:
+        version = version_as_of(path, as_of)
     if version is None:
         man = _load_manifest(path)
         return _read_files(spark, man, live_files(path))
@@ -1683,7 +1720,10 @@ _STAGING_SUFFIXES = ("._old", "._compact", "._zorder")
 
 
 def vacuum_staging(
-    base_dir: str, ttl_seconds: float = 24 * 3600, now: float | None = None
+    base_dir: str,
+    ttl_seconds: float = 24 * 3600,
+    now: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Remove crash-orphaned rewrite leftovers (the VACUUM step of the
     maintenance family: compaction fixes file count, z-order fixes
@@ -1705,9 +1745,10 @@ def vacuum_staging(
       are the SOLE remaining copy of the data, not orphans: skip and
       warn, never delete.
 
-    Pass ``now`` explicitly in tests. Returns the removed paths.
-    Driver-side metadata work only — listdir + stat per candidate,
-    never a data scan.
+    Pass ``now`` explicitly in tests. Returns the removed paths;
+    ``dry_run=True`` returns what WOULD be removed without deleting
+    anything (the operator's pre-flight). Driver-side metadata work
+    only — listdir + stat per candidate, never a data scan.
     """
     import glob as _glob
     import shutil
@@ -1736,7 +1777,8 @@ def vacuum_staging(
                 cp = os.path.join(p, child)
                 if child.startswith("gen-") and os.path.isdir(cp):
                     if child not in live_dirs and expired(cp):
-                        shutil.rmtree(cp, ignore_errors=True)
+                        if not dry_run:
+                            shutil.rmtree(cp, ignore_errors=True)
                         removed.append(cp)
                     elif child in live_dirs:
                         # live dir: collect its per-file deads only
@@ -1746,21 +1788,24 @@ def vacuum_staging(
                         ):
                             rel = f"{child}/{os.path.basename(sub)}"
                             if rel not in live and expired(sub):
-                                os.remove(sub)
+                                if not dry_run:
+                                    os.remove(sub)
                                 removed.append(sub)
                         for sub in sorted(
                             _glob.glob(os.path.join(cp, "cdc-*"))
                         ):
                             rel = f"{child}/{os.path.basename(sub)}"
                             if rel not in live and expired(sub):
-                                shutil.rmtree(sub, ignore_errors=True)
+                                if not dry_run:
+                                    shutil.rmtree(sub, ignore_errors=True)
                                 removed.append(sub)
                 elif (
                     child in superseded
                     and os.path.isfile(cp)
                     and expired(cp)
                 ):
-                    os.remove(cp)
+                    if not dry_run:
+                        os.remove(cp)
                     removed.append(cp)
             continue
         if not name.endswith(_STAGING_SUFFIXES):
@@ -1775,6 +1820,7 @@ def vacuum_staging(
             )
             continue
         if expired(p):
-            shutil.rmtree(p, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
     return removed

@@ -1711,3 +1711,50 @@ def test_register_table_sql_view(spark, tmp_path):
     assert spark.sql(
         "SELECT v FROM t_live WHERE id = 1"
     ).first().v == "a"
+
+
+def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
+    """TIMESTAMP AS OF resolves the latest retained version committed
+    at or before the instant; vacuum's dry_run reports without
+    deleting."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)                  # v1
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    S.merge_into(spark, path,
+                 spark.createDataFrame([(2, "b")], "id long, v string"),
+                 keys=["id"], retain_versions=3)                    # v2
+    time.sleep(0.05)
+    S.delete_where(spark, path, "id = 1", retain_versions=3)        # v3
+
+    assert S.version_as_of(path, t_after_v1) == 1
+    assert S.version_as_of(path, time.time()) == 3
+    assert S.read_table(spark, path, as_of=t_after_v1).count() == 1
+    t_mid = S._load_manifest(path)["history"][-1]["committed_at"]
+    assert S.read_table(spark, path, as_of=t_mid).count() == 2
+    with _pytest.raises(ValueError, match="at or before"):
+        S.version_as_of(path, t_after_v1 - 3600)
+    with _pytest.raises(ValueError, match="not both"):
+        S.read_table(spark, path, version=1, as_of=t_mid)
+
+    # dry-run vacuum: reports the same set a real one removes, touches
+    # nothing
+    def file_count():
+        return sum(len(fs) for _, _, fs in os.walk(path))
+
+    now = time.time() + 100_000
+    before = file_count()
+    would = S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600,
+                             now=now, dry_run=True)
+    assert file_count() == before  # nothing deleted
+    did = S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600, now=now)
+    assert sorted(would) == sorted(did)
+    assert S.read_table(spark, path).count() == 1
