@@ -26,7 +26,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .sinks import _live_state, _read_files
+from .sinks import _live_state, _read_files, _read_version
 
 _TOKEN = re.compile(
     r"""\s*(?:
@@ -231,10 +231,8 @@ def scan_table(
     else:
         if predicate:
             entries = prune_entries(entries, predicate)
-        paths = [os.path.join(path, e["name"]) for e in entries] + [
-            os.path.join(path, f) for f in loose
-        ]
-        if not paths:
+        rels = [e["name"] for e in entries] + list(loose)
+        if not rels:
             # everything pruned: an empty frame with the table schema
             all_paths = [
                 os.path.join(path, e["name"])
@@ -242,7 +240,8 @@ def scan_table(
             ]
             df = _read_files(spark, man, all_paths).limit(0)
         else:
-            df = _read_files(spark, man, paths)
+            # DV-aware: deletion-vector-deleted rows never surface
+            df = _read_version(spark, man, path, rels, man.get("dv"))
     if predicate:
         df = df.where(predicate)
     if columns:

@@ -24,7 +24,14 @@ rewrite only the files that actually contain matched rows (identified
 by footer min/max pruning plus one key/predicate-column scan) and the
 bytes written per patch are proportional to the touched files, not the
 table — the Delta/Iceberg-class property a 100 TB table needs (a
-1k-row upsert must not rewrite 100 TB). Commits stay atomic (one
+1k-row upsert must not rewrite 100 TB). DELETION VECTORS take the next
+step (``deletion_vectors=True`` on ``delete_where``/``merge_into``):
+matched rows' positions go to a patch-sized sidecar and reads filter
+them via a broadcast anti-join on parquet's ``_metadata`` file/row
+index — bytes written drop from touched-FILE-size to deleted-ROW-size
+(merge-on-read), with a hybrid threshold that rewrites files whose
+deleted fraction rots past it and materialization on any later
+rewrite. Commits stay atomic (one
 manifest replace / object PUT) and are WRITER-FENCED: a lock file plus
 a generation-number check turn a concurrent-rewrite race into a loud
 :class:`ConcurrentWriteError` (``retry_on_conflict`` is the optimistic
@@ -398,8 +405,11 @@ def read_table(
     if as_of is not None:
         version = version_as_of(path, as_of)
     if version is None:
-        man = _load_manifest(path)
-        return _read_files(spark, man, live_files(path))
+        man, entries, loose, _ = _live_state(path)
+        if man is None:
+            return _read_files(spark, None, [path])
+        rels = [e["name"] for e in entries] + list(loose)
+        return _read_version(spark, man, path, rels, man.get("dv"))
     man = _load_manifest(path)
     if man is None:
         raise ValueError(
@@ -413,11 +423,9 @@ def read_table(
             f"version {version} not retained for {path!r}; available: "
             f"{sorted(by_no)} (raise retain_versions to keep more)"
         )
-    paths = [
-        os.path.join(path, e["name"])
-        for e in _version_files(by_no[version], path)
-    ]
-    return _read_files(spark, man, paths)
+    ver = by_no[version]
+    rels = [e["name"] for e in _version_files(ver, path)]
+    return _read_version(spark, man, path, rels, ver.get("dv"))
 
 
 def register_table(
@@ -465,6 +473,7 @@ def describe_history(path: str) -> list[dict]:
                 "rows": ver.get("rows"),
                 "committed_at": ver.get("committed_at"),
                 "n_files": len(_version_files(ver, path)),
+                "dv_rows": sum(_dv_map(ver).values()),
             }
         )
     return out
@@ -490,6 +499,116 @@ def _cdc_names(version: dict) -> set[str]:
     return {name for lst in cdc.values() for name in lst}
 
 
+def _dv_map(version: dict | None) -> dict[str, int]:
+    """Per-file deleted-row counts of a version's DELETION VECTORS,
+    keyed by manifest-relative data-file name ({} when none). A file
+    with a DV entry is physically intact on disk; ``n`` of its rows are
+    logically deleted and filtered out at read time (merge-on-read)."""
+    if not version:
+        return {}
+    return (version.get("dv") or {}).get("n", {})
+
+
+def _dv_names(version: dict) -> set[str]:
+    """Relative paths of a version's deletion-vector sidecar dirs."""
+    return set((version.get("dv") or {}).get("data", []))
+
+
+def _read_dv(spark: SparkSession, path: str, version: dict) -> DataFrame:
+    """The version's deletion-vector row set: ``(_file, _pos)`` —
+    data-file BASENAME plus physical row index. Patch-sized by
+    protocol: any rewrite of a file materializes (drops) its DV, and
+    the hybrid threshold in the DV-writing ops rewrites files whose
+    deleted fraction grows past it."""
+    rels = sorted(_dv_names(version))
+    return spark.read.parquet(*[os.path.join(path, r) for r in rels])
+
+
+def _assert_unique_basenames(files: list[dict]) -> None:
+    """DV rows key on data-file BASENAME (``_metadata.file_name`` —
+    robust across URI schemes, unlike path-prefix stripping): a version
+    that carries DVs must have basename-unique data files. Spark write
+    UUIDs make collisions unreachable in practice; this guard turns
+    'in practice' into a protocol invariant."""
+    bases = [os.path.basename(e["name"]) for e in files]
+    if len(bases) != len(set(bases)):
+        dup = sorted({b for b in bases if bases.count(b) > 1})
+        raise RuntimeError(
+            f"deletion vectors need basename-unique data files; "
+            f"duplicates: {dup[:5]}"
+        )
+
+
+def _read_version_keyed(
+    spark: SparkSession,
+    man: dict | None,
+    path: str,
+    rel_names: list[str],
+    dv: dict | None,
+) -> DataFrame:
+    """DV-aware read of manifest-relative data files that RETAINS the
+    position key: columns ``_file`` (basename), ``_pos`` (physical row
+    index from parquet's ``_metadata``), then the data columns. Files
+    carrying a DV entry are broadcast-anti-joined against the DV
+    position set (DVs are patch-sized by protocol); files without one
+    skip the join entirely. The DML identification/DV-write read."""
+    from pyspark.sql import functions as F
+
+    dv_n = (dv or {}).get("n", {})
+    plain = [r for r in rel_names if r not in dv_n]
+    dved = [r for r in rel_names if r in dv_n]
+
+    def keyed(rels: list[str]) -> DataFrame:
+        df = _read_files(spark, man, [os.path.join(path, r) for r in rels])
+        clash = {"_file", "_pos"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"deletion vectors reserve column names {sorted(clash)}; "
+                "rename the table columns or use copy-on-write DML"
+            )
+        return df.select(
+            F.col("_metadata.file_name").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *df.columns,
+        )
+
+    frames = []
+    if plain:
+        frames.append(keyed(plain))
+    if dved:
+        dvdf = spark.read.parquet(
+            *[os.path.join(path, r) for r in sorted(_dv_names({"dv": dv}))]
+        ).select("_file", "_pos")
+        frames.append(
+            keyed(dved).join(
+                F.broadcast(dvdf), ["_file", "_pos"], "left_anti"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def _read_version(
+    spark: SparkSession,
+    man: dict | None,
+    path: str,
+    rel_names: list[str],
+    dv: dict | None,
+) -> DataFrame:
+    """DV-aware read of manifest-relative data files (data columns
+    only). Without DVs this is exactly the plain :func:`_read_files`
+    fast path — zero overhead for copy-on-write-only tables."""
+    if not (dv or {}).get("n"):
+        return _read_files(
+            spark, man, [os.path.join(path, r) for r in rel_names]
+        )
+    return _read_version_keyed(spark, man, path, rel_names, dv).drop(
+        "_file", "_pos"
+    )
+
+
 def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
     """Remove generation directories fully drained by a retire: no
     live-referenced files AND no data files left on disk. A dir that
@@ -508,6 +627,7 @@ def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
             and not glob.glob(os.path.join(cp, "part-*"))
             and not glob.glob(os.path.join(cp, "adopted-*"))
             and not glob.glob(os.path.join(cp, "cdc-*"))
+            and not glob.glob(os.path.join(cp, "dv-*"))
         ):
             shutil.rmtree(cp, ignore_errors=True)
 
@@ -520,13 +640,16 @@ def _commit_generation(
     loose: list[str],
     stale: list[str],
     keep_entries: list[dict],
-    new_df: DataFrame,
+    new_df: DataFrame | None,
     suffix: str,
     expected_new_rows: int,
     retain_versions: int = 0,
     adopt: list[tuple[str, dict]] | None = None,
     cdc: dict | None = None,
     mixed_schema: bool | None = None,
+    dv_df: DataFrame | None = None,
+    dv_n: dict[str, int] | None = None,
+    dv_carry: list[str] | None = None,
 ) -> tuple[int, dict, int]:
     """Shared commit core of the manifest protocol. Writes ``new_df``
     into a fresh generation directory, byte-copies the ``adopt`` loose
@@ -556,6 +679,16 @@ def _commit_generation(
     of differing physical schemas (reads merge footers), False clears
     the mark (a full rewrite unified them), None inherits. Returns
     ``(gen_no, manifest, n_new_files)``.
+
+    DELETION VECTORS: ``dv_n`` (per-file deleted-row counts, keyed by
+    manifest-relative name) records the NEW version's merge-on-read
+    state; ``dv_df`` is its combined ``(_file, _pos)`` position set,
+    written as a sidecar under the new generation — or None with
+    ``dv_carry`` naming the previous version's sidecars to share BY
+    REFERENCE when the position set is unchanged. ``new_df=None``
+    skips the data write entirely (a pure DV commit rewrites zero data
+    bytes). Omitting all three (the default) clears DVs — any full
+    rewrite materializes them.
     """
     import glob as _glob
     import shutil
@@ -568,11 +701,13 @@ def _commit_generation(
     # if its staged bytes didn't overwrite the winner's first
     gen = f"gen-{gen_no:06d}{suffix}-{uuid.uuid4().hex[:8]}"
     staging = os.path.join(path, gen)
-    new_df.write.mode("overwrite").parquet(staging)
-    staged = sorted(
-        os.path.basename(p)
-        for p in _glob.glob(os.path.join(staging, "part-*"))
-    )
+    staged: list[str] = []
+    if new_df is not None:
+        new_df.write.mode("overwrite").parquet(staging)
+        staged = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(staging, "part-*"))
+        )
     new_entries = [_file_entry(path, f"{gen}/{b}") for b in staged]
     n_staged = sum(e["rows"] for e in new_entries)
     if n_staged != expected_new_rows:
@@ -581,6 +716,10 @@ def _commit_generation(
             f"rewrite row-count mismatch: staged {n_staged} != expected "
             f"{expected_new_rows}"
         )
+    if adopt:
+        # a pure-DV commit writes no data files, so the staging dir may
+        # not exist yet — adoption still needs it
+        os.makedirs(staging, exist_ok=True)
     for name, entry in adopt or []:
         dst = f"adopted-{name}"
         shutil.copy2(os.path.join(path, name), os.path.join(staging, dst))
@@ -631,7 +770,25 @@ def _commit_generation(
             cdc_rec[kind] = [sub]
 
     files = keep_entries + new_entries
-    rows = sum(_entry_rows(path, e) for e in files)
+    dv_rec = None
+    if dv_n:
+        _assert_unique_basenames(files)
+        missing_dv = set(dv_n) - {e["name"] for e in files}
+        if missing_dv:
+            raise RuntimeError(
+                f"DV entries for files not in the version: {missing_dv}"
+            )
+        if dv_df is not None:
+            sub = f"{gen}/dv-deletes"
+            dv_df.write.mode("overwrite").parquet(os.path.join(path, sub))
+            dv_rec = {"data": [sub], "n": dict(dv_n)}
+        else:
+            if not dv_carry:
+                raise RuntimeError("dv_n without dv_df or dv_carry")
+            dv_rec = {"data": list(dv_carry), "n": dict(dv_n)}
+    rows = sum(_entry_rows(path, e) for e in files) - sum(
+        (dv_n or {}).values()
+    )
     history = list(man.get("history", [])) if man else []
     if man:
         prev = {
@@ -642,6 +799,8 @@ def _commit_generation(
         prev["files"] = _version_files(man, path)
         if man.get("cdc") is not None:
             prev["cdc"] = man["cdc"]
+        if man.get("dv") is not None:
+            prev["dv"] = man["dv"]
         history.append(prev)
     kept = (
         history[max(0, len(history) - retain_versions):]
@@ -657,15 +816,20 @@ def _commit_generation(
     for h in kept:
         live |= {e["name"] for e in _version_files(h, path)}
         live |= _cdc_names(h)
+        live |= _dv_names(h)
     if cdc_rec is not None:
         live |= {n for lst in cdc_rec.values() for n in lst}
+    if dv_rec is not None:
+        live |= set(dv_rec["data"])
     old_names: set[str] = set()
     if man:
         old_names |= {e["name"] for e in _version_files(man, path)}
         old_names |= _cdc_names(man)
+        old_names |= _dv_names(man)
     for h in history:
         old_names |= {e["name"] for e in _version_files(h, path)}
         old_names |= _cdc_names(h)
+        old_names |= _dv_names(h)
     dropped_top = {n for n in old_names - live if "/" not in n}
 
     manifest = {
@@ -681,6 +845,8 @@ def _commit_generation(
     }
     if cdc_rec is not None:
         manifest["cdc"] = cdc_rec
+    if dv_rec is not None:
+        manifest["dv"] = dv_rec
     if constraints:
         manifest["constraints"] = constraints
     mixed = (
@@ -701,13 +867,45 @@ def _commit_generation(
     return gen_no, manifest, len(staged)
 
 
-def _meta_row_count(path: str, entries: list[dict], loose: list[str]) -> int:
-    """Live row count from manifest entries + loose-file footers —
-    driver-side metadata only, zero Spark jobs."""
+def _meta_row_count(
+    path: str,
+    entries: list[dict],
+    loose: list[str],
+    dv_n: dict[str, int] | None = None,
+) -> int:
+    """Live row count from manifest entries + loose-file footers, minus
+    deletion-vector counts — driver-side metadata only, zero Spark
+    jobs."""
     n = sum(_entry_rows(path, e) for e in entries)
     for f in loose:
         n += _parquet_footer(os.path.join(path, f))[0]
-    return n
+    return n - sum((dv_n or {}).values())
+
+
+def _dv_after_drop(
+    spark: SparkSession, path: str, man: dict | None, dropped_rel: set[str]
+) -> tuple[DataFrame | None, dict[str, int] | None, list[str] | None]:
+    """DV bookkeeping for a commit that rewrites ``dropped_rel`` (their
+    deletions materialize into the rewrite) and carries every other
+    file: ``(dv_df, dv_n, dv_carry)`` for :func:`_commit_generation`.
+    Unchanged position sets are shared BY REFERENCE (zero bytes); a
+    shrunken set is rewritten filtered (DV sidecars are patch-sized by
+    protocol, so this is metadata-priced)."""
+    old = _dv_map(man)
+    new_n = {f: n for f, n in old.items() if f not in dropped_rel}
+    if not new_n:
+        return None, None, None
+    if set(new_n) == set(old):
+        return None, new_n, sorted(_dv_names(man))
+    from pyspark.sql import functions as F
+
+    keep = [os.path.basename(f) for f in new_n]
+    dv_df = (
+        _read_dv(spark, path, man)
+        .where(F.col("_file").isin(keep))
+        .coalesce(1)
+    )
+    return dv_df, new_n, None
 
 
 def staged_rewrite(
@@ -737,12 +935,14 @@ def staged_rewrite(
     commit point. Returns the new generation's file count.
     """
     man, entries, loose, stale = _live_state(path)
-    src = [os.path.join(path, e["name"]) for e in entries] + [
-        os.path.join(path, f) for f in loose
-    ]
-    df = _read_files(spark, man, src) if src else spark.read.parquet(path)
+    rels = [e["name"] for e in entries] + list(loose)
+    df = (
+        _read_version(spark, man, path, rels, (man or {}).get("dv"))
+        if rels
+        else spark.read.parquet(path)
+    )
     n_want = (
-        _meta_row_count(path, entries, loose)
+        _meta_row_count(path, entries, loose, _dv_map(man))
         if expected_rows is None
         else expected_rows
     )
@@ -851,10 +1051,15 @@ def compact_small_files(
         }
     total_bytes = sum(_size(e) for e in fold)
     n_out = max(1, -(-total_bytes // target_bytes))
-    new_df = _read_files(
-        spark, man, [os.path.join(path, e["name"]) for e in fold]
-    ).coalesce(n_out)
-    expected = sum(_entry_rows(path, e) for e in fold)
+    fold_rel = [e["name"] for e in fold]
+    dv = (man or {}).get("dv")
+    new_df = _read_version(spark, man, path, fold_rel, dv).coalesce(n_out)
+    old_dv_n = _dv_map(man)
+    expected = sum(
+        _entry_rows(path, e) - old_dv_n.get(e["name"], 0) for e in fold
+    )
+    # folded files' deletions materialize; carried files keep their DVs
+    dv_df, dv_n, dv_carry = _dv_after_drop(spark, path, man, set(fold_rel))
     _, _, n_written = _commit_generation(
         spark,
         path,
@@ -867,6 +1072,9 @@ def compact_small_files(
         expected_new_rows=expected,
         retain_versions=retain_versions,
         cdc={"insert": None, "delete": None},  # layout pass: empty feed
+        dv_df=dv_df,
+        dv_n=dv_n,
+        dv_carry=dv_carry,
     )
     return {
         "rewritten": len(fold),
@@ -928,6 +1136,8 @@ def _roll_metadata_commit(man: dict, path: str, op: str) -> dict:
     prev["files"] = _version_files(man, path)
     if man.get("cdc") is not None:
         prev["cdc"] = man["cdc"]
+    if man.get("dv") is not None:
+        prev["dv"] = man["dv"]
     new_man = dict(man)
     new_man["history"] = list(man.get("history", [])) + [prev]
     new_man["gen_no"] = man["gen_no"] + 1
@@ -1018,34 +1228,49 @@ def _matched_files(
     path: str,
     cand: list[dict],
     predicate: str,
-) -> tuple[set[str], int]:
-    """The shared DML identification scan: which files contain a row
-    matching ``predicate``, and how many rows match in total. Footer
-    stats prune the candidate list first (a file whose [min, max]
-    disproves the predicate can't contain a match — possibly to an
-    empty scan, i.e. ZERO Spark jobs); the scan itself reads predicate
-    columns only, with parquet row-group pushdown inside each file."""
+    dv: dict | None = None,
+) -> tuple[dict[str, int], int]:
+    """The shared DML identification scan: per-file matched-row counts
+    ``{rel_name: n}`` for files containing a row matching ``predicate``,
+    plus the total. Footer stats prune the candidate list first (a file
+    whose [min, max] disproves the predicate can't contain a match —
+    possibly to an empty scan, i.e. ZERO Spark jobs); the scan itself
+    reads predicate columns only, with parquet row-group pushdown
+    inside each file. DV-aware: rows already deletion-vector-deleted
+    never count as matches."""
     from pyspark.sql import functions as F
 
     from .data_skipping import prune_entries  # lazy: avoids module cycle
 
     scan = prune_entries(cand, predicate)
     if not scan:
-        return set(), 0
+        return {}, 0
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    hits = (
-        _read_files(
-            spark, man, [os.path.join(path, e["name"]) for e in scan]
+    dv_n = (dv or {}).get("n", {})
+    if any(e["name"] in dv_n for e in scan):
+        base_to_rel = {os.path.basename(e["name"]): e["name"] for e in scan}
+        hits = (
+            _read_version_keyed(
+                spark, man, path, [e["name"] for e in scan], dv
+            )
+            .where(pred)
+            .groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        .where(pred)
-        .groupBy(F.input_file_name().alias("_file"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    return (
-        {_rel_file(r["_file"], path) for r in hits},
-        sum(r["n"] for r in hits),
-    )
+        per = {base_to_rel[r["_file"]]: r["n"] for r in hits}
+    else:
+        hits = (
+            _read_files(
+                spark, man, [os.path.join(path, e["name"]) for e in scan]
+            )
+            .where(pred)
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per = {_rel_file(r["_file"], path): r["n"] for r in hits}
+    return per, sum(per.values())
 
 
 def delete_where(
@@ -1053,6 +1278,8 @@ def delete_where(
     path: str,
     predicate: str,
     retain_versions: int = 0,
+    deletion_vectors: bool = False,
+    dv_rewrite_threshold: float = 0.5,
 ) -> int:
     """Row-level DELETE on a parquet table — the takedown/right-to-be-
     forgotten operation an LLM corpus store needs as a first-class
@@ -1077,7 +1304,22 @@ def delete_where(
     travel means), and the commit's CDC sidecar ALSO holds a copy of
     the deleted rows for change-feed consumers. For actual erasure run
     with ``retain_versions=0`` and vacuum past the TTL; the sidecar
-    dies with its version. Returns the number of rows deleted.
+    dies with its version. Note DV erasure semantics: a deletion-vector
+    delete leaves the row BYTES in the data file (only unreadable) —
+    for physical erasure use ``deletion_vectors=False`` or compact
+    afterward. Returns the number of rows deleted.
+
+    DELETION VECTORS (``deletion_vectors=True``): instead of rewriting
+    a touched file, record the matched rows' positions in a sidecar
+    and filter them at read time (merge-on-read) — bytes written drop
+    from touched-FILE-size to deleted-ROW-positions, the Delta DV
+    write path. Hybrid: a file whose cumulative deleted fraction would
+    exceed ``dv_rewrite_threshold`` is rewritten anyway (reads pay the
+    anti-join; letting a file rot to mostly-deleted makes every scan
+    of it wasted I/O), and touched LOOSE appends always take the
+    rewrite path (they join the manifest at this commit). Any later
+    rewrite of a DV'd file (compact/update/merge/z-order) materializes
+    its deletions.
     """
     from pyspark.sql import functions as F
 
@@ -1087,35 +1329,98 @@ def delete_where(
     if not cand:
         return 0
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    touched_rel, n_del = _matched_files(spark, man, path, cand, predicate)
-    if not touched_rel:
+    dv = (man or {}).get("dv")
+    old_dv_n = _dv_map(man)
+    per_file, n_del = _matched_files(spark, man, path, cand, predicate, dv)
+    if not per_file:
         return 0  # no-op: don't burn a generation rewriting anything
-    keep_entries = [e for e in entries if e["name"] not in touched_rel]
-    adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
-    touched = [e for e in cand if e["name"] in touched_rel]
-    tdf = _read_files(
-        spark, man, [os.path.join(path, e["name"]) for e in touched]
-    )
-    n_touched = sum(_entry_rows(path, e) for e in touched)
-    _commit_generation(
-        spark,
-        path,
-        man=man,
-        loose=loose,
-        stale=stale,
-        keep_entries=keep_entries,
-        new_df=tdf.where(~pred),
-        suffix="._delete",
-        expected_new_rows=n_touched - n_del,
-        retain_versions=retain_versions,
-        adopt=adopt,
-        cdc={
-            "insert": None,
-            "delete": tdf.where(pred).coalesce(
-                _rewrite_partitions(n_del, 0)
-            ),
-        },
-    )
+    touched_rel = set(per_file)
+    dv_mark: set[str] = set()
+    if deletion_vectors:
+        by_name = {e["name"]: e for e in entries}
+        for rel in touched_rel & set(by_name):
+            e = by_name[rel]
+            frac = (old_dv_n.get(rel, 0) + per_file[rel]) / max(
+                1, _entry_rows(path, e)
+            )
+            if frac <= dv_rewrite_threshold:
+                dv_mark.add(rel)
+    rewrite_rel = touched_rel - dv_mark
+    keep_entries = [e for e in entries if e["name"] not in rewrite_rel]
+    adopt = [(f, e) for f, e in loose_entries if f not in rewrite_rel]
+    rw = [e for e in cand if e["name"] in rewrite_rel]
+
+    del_frames = []
+    new_df = None
+    expected = 0
+    if rw:
+        tdf = _read_version(
+            spark, man, path, [e["name"] for e in rw], dv
+        )
+        new_df = tdf.where(~pred)
+        n_rw_live = sum(
+            _entry_rows(path, e) - old_dv_n.get(e["name"], 0) for e in rw
+        )
+        expected = n_rw_live - sum(per_file[e["name"]] for e in rw)
+        del_frames.append(tdf.where(pred))
+    hits = None
+    try:
+        if dv_mark:
+            keyed = _read_version_keyed(
+                spark, man, path, sorted(dv_mark), dv
+            )
+            hits = keyed.where(pred).persist()
+            del_frames.append(hits.drop("_file", "_pos"))
+            surv_old = {
+                f: n for f, n in old_dv_n.items() if f not in rewrite_rel
+            }
+            pos_frames = [hits.select("_file", "_pos")]
+            if surv_old:
+                pos_frames.append(
+                    _read_dv(spark, path, man).where(
+                        F.col("_file").isin(
+                            [os.path.basename(f) for f in surv_old]
+                        )
+                    )
+                )
+            dv_df = pos_frames[0]
+            for f in pos_frames[1:]:
+                dv_df = dv_df.unionByName(f)
+            dv_df = dv_df.coalesce(1)
+            dv_n = dict(surv_old)
+            for rel in dv_mark:
+                dv_n[rel] = dv_n.get(rel, 0) + per_file[rel]
+            dv_carry = None
+        else:
+            dv_df, dv_n, dv_carry = _dv_after_drop(
+                spark, path, man, rewrite_rel
+            )
+        cdc_del = del_frames[0]
+        for f in del_frames[1:]:
+            cdc_del = cdc_del.unionByName(f, allowMissingColumns=True)
+        _commit_generation(
+            spark,
+            path,
+            man=man,
+            loose=loose,
+            stale=stale,
+            keep_entries=keep_entries,
+            new_df=new_df,
+            suffix="._delete",
+            expected_new_rows=expected,
+            retain_versions=retain_versions,
+            adopt=adopt,
+            cdc={
+                "insert": None,
+                "delete": cdc_del.coalesce(_rewrite_partitions(n_del, 0)),
+            },
+            dv_df=dv_df,
+            dv_n=dv_n,
+            dv_carry=dv_carry,
+        )
+    finally:
+        if hits is not None:
+            hits.unpersist()
     return n_del
 
 
@@ -1158,16 +1463,23 @@ def update_where(
             f"{sorted(cols)}"
         )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    touched_rel, n_upd = _matched_files(spark, man, path, cand, predicate)
+    dv = (man or {}).get("dv")
+    old_dv_n = _dv_map(man)
+    per_file, n_upd = _matched_files(spark, man, path, cand, predicate, dv)
+    touched_rel = set(per_file)
     if not touched_rel:
         return 0
     keep_entries = [e for e in entries if e["name"] not in touched_rel]
     adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
     touched = [e for e in cand if e["name"] in touched_rel]
-    tdf = _read_files(
-        spark, man, [os.path.join(path, e["name"]) for e in touched]
+    tdf = _read_version(
+        spark, man, path, [e["name"] for e in touched], dv
     )
-    n_touched = sum(_entry_rows(path, e) for e in touched)
+    n_touched = sum(
+        _entry_rows(path, e) - old_dv_n.get(e["name"], 0) for e in touched
+    )
+    # rewritten files' deletions materialize; carried files keep DVs
+    dv_df, dv_n, dv_carry = _dv_after_drop(spark, path, man, touched_rel)
     # all assignments evaluate against the PRE-update row: build every
     # new value in ONE select so `SET a = b, b = a` swaps correctly
     updated_cols = [
@@ -1203,6 +1515,9 @@ def update_where(
                 _rewrite_partitions(n_upd, 0)
             ),
         },
+        dv_df=dv_df,
+        dv_n=dv_n,
+        dv_carry=dv_carry,
     )
     return n_upd
 
@@ -1258,6 +1573,8 @@ def rollback(
     cur["files"] = _version_files(man, path)
     if man.get("cdc") is not None:
         cur["cdc"] = man["cdc"]
+    if man.get("dv") is not None:
+        cur["dv"] = man["dv"]
     history = list(man.get("history", []))
     history.append(cur)
     dropped: list[dict] = []
@@ -1281,16 +1598,21 @@ def rollback(
     }
     if man.get("mixed_schema"):
         manifest["mixed_schema"] = True
+    if target.get("dv") is not None:
+        # restore means the snapshot's merge-on-read state too
+        manifest["dv"] = target["dv"]
     _commit_manifest(path, manifest, expect_gen=man["gen_no"])
     if dropped:
-        live = {e["name"] for e in target_files}
+        live = {e["name"] for e in target_files} | _dv_names(manifest)
         for h in history:
             live |= {e["name"] for e in _version_files(h, path)}
             live |= _cdc_names(h)
+            live |= _dv_names(h)
         dead: set[str] = set()
         for h in dropped:
             dead |= {e["name"] for e in _version_files(h, path)}
             dead |= _cdc_names(h)
+            dead |= _dv_names(h)
         _retire([os.path.join(path, n) for n in dead - live])
         _cleanup_empty_gen_dirs(path, live)
     return gen_no
@@ -1478,6 +1800,8 @@ def merge_into(
     retain_versions: int = 0,
     broadcast_updates: bool = False,
     evolve_schema: bool = False,
+    deletion_vectors: bool = False,
+    dv_rewrite_threshold: float = 0.5,
 ) -> dict:
     """MERGE (upsert) into a parquet table: rows matching ``updates``
     on ``keys`` are replaced, the rest inserted — ``WHEN MATCHED THEN
@@ -1521,6 +1845,16 @@ def merge_into(
     NULL). The manifest marks the table ``mixed_schema`` so every read
     path merges footers; the next full rewrite unifies the physical
     schema and clears the mark. Key columns must exist in both schemas.
+
+    ``deletion_vectors=True`` is the merge-on-read MERGE: matched
+    target rows are deletion-vector-marked (their positions go to a
+    sidecar; the data file's bytes are untouched) and the update batch
+    lands as the commit's only new data files — bytes written become
+    patch-proportional even when the matched rows live in huge files.
+    The same ``dv_rewrite_threshold`` hybrid as :func:`delete_where`
+    rewrites files whose cumulative deleted fraction would grow past
+    it, and touched LOOSE appends always rewrite.
+
     Returns ``{"updated": <distinct keys matched>, "inserted": ...,
     "matched_rows": <target rows replaced>}``.
     """
@@ -1581,6 +1915,8 @@ def merge_into(
             )
         loose_entries = [(f, _file_entry(path, f)) for f in loose]
         cand = entries + [e for _, e in loose_entries]
+        dv = (man or {}).get("dv")
+        old_dv_n = _dv_map(man)
         keys_sorted = list(pre["ks"]) if broadcast_updates else None
         scan = (
             [
@@ -1602,14 +1938,22 @@ def merge_into(
                 # broadcasts it; a bulk patch shuffles instead of
                 # betting the driver on a broadcast
                 ukeys = F.broadcast(ukeys)
-            m = (
-                _read_files(
+            dv_overlap = any(e["name"] in old_dv_n for e in scan)
+            if dv_overlap:
+                # DV'd candidates: the keyed read filters out rows
+                # already deleted, so they can't count as matches
+                base_to_rel = {
+                    os.path.basename(e["name"]): e["name"] for e in scan
+                }
+                src_df = _read_version_keyed(
+                    spark, man, path, [e["name"] for e in scan], dv
+                ).select("_file", *keys)
+            else:
+                src_df = _read_files(
                     spark, man,
                     [os.path.join(path, e["name"]) for e in scan],
-                )
-                .select(F.input_file_name().alias("_file"), *keys)
-                .join(ukeys, keys, "left_semi")
-            )
+                ).select(F.input_file_name().alias("_file"), *keys)
+            m = src_df.join(ukeys, keys, "left_semi")
             # pre-write action 2 of 2: ROLLUP gives per-file matched
             # counts AND the global matched-rows/keys totals in one job
             roll = m.rollup("_file").agg(
@@ -1619,6 +1963,8 @@ def merge_into(
             for r in roll:
                 if r["_file"] is None:
                     matched_rows, matched_keys = r["n_rows"], r["n_keys"]
+                elif dv_overlap:
+                    per_file[base_to_rel[r["_file"]]] = r["n_rows"]
                 else:
                     per_file[_rel_file(r["_file"], path)] = r["n_rows"]
         if matched_rows > matched_keys:
@@ -1630,56 +1976,119 @@ def merge_into(
                 stacklevel=2,
             )
         touched_rel = set(per_file)
-        keep_entries = [e for e in entries if e["name"] not in touched_rel]
-        adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
-        touched = [e for e in cand if e["name"] in touched_rel]
-        deleted = None
-        if touched:
-            tdf = _read_files(
-                spark, man,
-                [os.path.join(path, e["name"]) for e in touched],
+        dv_mark: set[str] = set()
+        if deletion_vectors and touched_rel:
+            by_name = {e["name"]: e for e in entries}
+            for rel in touched_rel & set(by_name):
+                frac = (old_dv_n.get(rel, 0) + per_file[rel]) / max(
+                    1, _entry_rows(path, by_name[rel])
+                )
+                if frac <= dv_rewrite_threshold:
+                    dv_mark.add(rel)
+        rewrite_rel = touched_rel - dv_mark
+        keep_entries = [e for e in entries if e["name"] not in rewrite_rel]
+        adopt = [(f, e) for f, e in loose_entries if f not in rewrite_rel]
+        rw = [e for e in cand if e["name"] in rewrite_rel]
+        ukeys_b = updates.select(*keys)
+        if broadcast_updates:
+            ukeys_b = F.broadcast(ukeys_b)
+        del_frames = []
+        n_rw = 0
+        if rw:
+            tdf = _read_version(
+                spark, man, path, [e["name"] for e in rw], dv
             )
             new_df = _merge_frames(
                 tdf, updates, keys, broadcast_updates,
                 allow_missing=evolve_schema,
             )
-            ukeys_b = updates.select(*keys)
-            if broadcast_updates:
-                ukeys_b = F.broadcast(ukeys_b)
-            deleted = tdf.join(ukeys_b, keys, "left_semi").coalesce(
-                _rewrite_partitions(matched_rows, 0)
+            del_frames.append(tdf.join(ukeys_b, keys, "left_semi"))
+            n_rw_live = sum(
+                _entry_rows(path, e) - old_dv_n.get(e["name"], 0)
+                for e in rw
             )
-            n_touched = sum(_entry_rows(path, e) for e in touched)
+            n_rw = n_rw_live - sum(per_file[e["name"]] for e in rw)
         else:
-            new_df = updates  # pure insert: rewrite NOTHING
-            n_touched = 0
-        # size the rewrite output to the touched-file count, not the
-        # patch's upstream partitioning (a 1k-row patch union would
-        # otherwise emit one near-empty file per shuffle partition);
-        # coalesce, not repartition — no exchange, the table side stays
-        # unshuffled and per-touched-file parallelism is preserved
-        new_df = new_df.coalesce(
-            _rewrite_partitions(n_touched - matched_rows + n_upd,
-                                len(touched))
-        )
-        _commit_generation(
-            spark,
-            path,
-            man=man,
-            loose=loose,
-            stale=stale,
-            keep_entries=keep_entries,
-            new_df=new_df,
-            suffix="._merge",
-            expected_new_rows=n_touched - matched_rows + n_upd,
-            retain_versions=retain_versions,
-            adopt=adopt,
-            cdc={
-                "insert": updates.coalesce(_rewrite_partitions(n_upd, 0)),
-                "delete": deleted,
-            },
-            mixed_schema=True if evolving else None,
-        )
+            new_df = updates  # pure insert / pure DV-mark: rewrite NOTHING
+        marked = None
+        try:
+            if dv_mark:
+                # matched rows in DV-marked files: positions go to the
+                # sidecar, preimages to the CDC feed — file bytes untouched
+                keyed = _read_version_keyed(
+                    spark, man, path, sorted(dv_mark), dv
+                )
+                marked = keyed.join(ukeys_b, keys, "left_semi").persist()
+                del_frames.append(marked.drop("_file", "_pos"))
+                surv_old = {
+                    f: n for f, n in old_dv_n.items()
+                    if f not in rewrite_rel
+                }
+                pos_frames = [marked.select("_file", "_pos")]
+                if surv_old:
+                    pos_frames.append(
+                        _read_dv(spark, path, man).where(
+                            F.col("_file").isin(
+                                [os.path.basename(f) for f in surv_old]
+                            )
+                        )
+                    )
+                dv_df = pos_frames[0]
+                for f in pos_frames[1:]:
+                    dv_df = dv_df.unionByName(f)
+                dv_df = dv_df.coalesce(1)
+                dv_n = dict(surv_old)
+                for rel in dv_mark:
+                    dv_n[rel] = dv_n.get(rel, 0) + per_file[rel]
+                dv_carry = None
+            else:
+                dv_df, dv_n, dv_carry = _dv_after_drop(
+                    spark, path, man, rewrite_rel
+                )
+            deleted = None
+            if del_frames:
+                deleted = del_frames[0]
+                for f in del_frames[1:]:
+                    deleted = deleted.unionByName(
+                        f, allowMissingColumns=True
+                    )
+                deleted = deleted.coalesce(
+                    _rewrite_partitions(matched_rows, 0)
+                )
+            # size the rewrite output to the touched-file count, not the
+            # patch's upstream partitioning (a 1k-row patch union would
+            # otherwise emit one near-empty file per shuffle partition);
+            # coalesce, not repartition — no exchange, the table side
+            # stays unshuffled and per-touched-file parallelism is kept
+            new_df = new_df.coalesce(
+                _rewrite_partitions(n_rw + n_upd, len(rw))
+            )
+            _commit_generation(
+                spark,
+                path,
+                man=man,
+                loose=loose,
+                stale=stale,
+                keep_entries=keep_entries,
+                new_df=new_df,
+                suffix="._merge",
+                expected_new_rows=n_rw + n_upd,
+                retain_versions=retain_versions,
+                adopt=adopt,
+                cdc={
+                    "insert": updates.coalesce(
+                        _rewrite_partitions(n_upd, 0)
+                    ),
+                    "delete": deleted,
+                },
+                mixed_schema=True if evolving else None,
+                dv_df=dv_df,
+                dv_n=dv_n,
+                dv_carry=dv_carry,
+            )
+        finally:
+            if marked is not None:
+                marked.unpersist()
         return {
             "updated": matched_keys,
             "inserted": n_upd - matched_keys,
@@ -1771,6 +2180,7 @@ def vacuum_staging(
             for ver in [man] + list(man.get("history", [])):
                 live |= {e["name"] for e in _version_files(ver, p)}
                 live |= _cdc_names(ver)
+                live |= _dv_names(ver)
             live_dirs = {n.split("/", 1)[0] for n in live if "/" in n}
             superseded = set(man.get("superseded", []))
             for child in sorted(os.listdir(p)):
@@ -1793,6 +2203,7 @@ def vacuum_staging(
                                 removed.append(sub)
                         for sub in sorted(
                             _glob.glob(os.path.join(cp, "cdc-*"))
+                            + _glob.glob(os.path.join(cp, "dv-*"))
                         ):
                             rel = f"{child}/{os.path.basename(sub)}"
                             if rel not in live and expired(sub):

@@ -1568,6 +1568,7 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
                 spark.createDataFrame(to_rows(batch), "id long, v double"),
                 keys=["id"], broadcast_updates=bool(rng.getrandbits(1)),
                 retain_versions=retain,
+                deletion_vectors=bool(rng.getrandbits(1)),
             )
             model.update(batch)
         elif op == "delete":
@@ -1581,7 +1582,8 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
                 cut = rng.uniform(0, 1e6)
                 pred = f"v < {cut}"
                 gone = {k for k, v in model.items() if v < cut}
-            S.delete_where(spark, path, pred, retain_versions=retain)
+            S.delete_where(spark, path, pred, retain_versions=retain,
+                           deletion_vectors=bool(rng.getrandbits(1)))
             for k in gone:
                 del model[k]
         elif op == "update":
