@@ -42,10 +42,13 @@ def du(path: str) -> int:
     return total
 
 
-def commit_stats(path: str, before: set[str]) -> tuple[int, int, int]:
+def commit_stats(
+    path: str, before: set[str], before_dv: frozenset[str] = frozenset()
+) -> tuple[int, int, int]:
     """(files carried by reference, files written, bytes written) for
-    the last commit — bytes = new data files + the commit's CDC
-    sidecars, i.e. the actual write amplification of the operation."""
+    the last commit — bytes = new data files + the commit's CDC and
+    NEW deletion-vector sidecars, i.e. the actual write amplification
+    of the operation."""
     man = S._load_manifest(path)
     after = {e["name"] for e in man["files"]}
     new = after - before
@@ -55,6 +58,9 @@ def commit_stats(path: str, before: set[str]) -> tuple[int, int, int]:
     )
     for rel in (n for lst in (man.get("cdc") or {}).values() for n in lst):
         wrote += du(os.path.join(path, rel))
+    for rel in (man.get("dv") or {}).get("data", []):
+        if rel not in before_dv:  # carried sidecars cost zero
+            wrote += du(os.path.join(path, rel))
     return len(before & after), len(new), wrote
 
 
@@ -115,6 +121,39 @@ def main() -> None:
               f"| {n_del:,} deleted | {carried}/{written} "
               f"| {wrote/1e6:.1f} |")
 
+        # same worst case, merge-on-read: a deletion-vector delete of
+        # ~1% scattered rows writes the position sidecar + CDC only —
+        # ZERO data files rewritten even though every file is touched
+        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        t0 = time.time()
+        n_del = S.delete_where(spark, path, "id % 97 = 13",
+                               deletion_vectors=True)
+        t_del = time.time() - t0
+        carried, written, wrote = commit_stats(path, before)
+        print(f"| delete_where (~1% scattered, DELETION VECTORS) | "
+              f"{t_del:.1f} | {n_del:,} deleted | {carried}/{written} "
+              f"| {wrote/1e6:.1f} |")
+
+        # merge-on-read MERGE: matched rows DV-marked, patch appended
+        lo_dv = args.rows // 4
+        patch_dv = (
+            spark.range(lo_dv, lo_dv + 1000)
+            .selectExpr("id", "'dvpatch' as payload", "'keep' as tag")
+        )
+        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before_dv = frozenset(
+            (S._load_manifest(path).get("dv") or {}).get("data", [])
+        )
+        t0 = time.time()
+        res = S.merge_into(spark, path, patch_dv, keys=["id"],
+                           broadcast_updates=True, deletion_vectors=True)
+        t_mdv = time.time() - t0
+        carried, written, wrote = commit_stats(path, before, before_dv)
+        print(f"| merge_into (1k-row patch, DELETION VECTORS) | "
+              f"{t_mdv:.1f} | {res['updated']:,} upd / "
+              f"{res['inserted']:,} ins | {carried}/{written} "
+              f"| {wrote/1e6:.1f} |")
+
         # metadata-sized patch: 1k keys inside one narrow id band —
         # the judge criterion: rewrites ≤ a couple of files, not 70 MB
         lo = args.rows // 2
@@ -123,11 +162,14 @@ def main() -> None:
             .selectExpr("id", "'patched' as payload", "'keep' as tag")
         )
         before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before_dv = frozenset(
+            (S._load_manifest(path).get("dv") or {}).get("data", [])
+        )
         t0 = time.time()
         res = S.merge_into(spark, path, patch, keys=["id"],
                            broadcast_updates=True)
         t_merge = time.time() - t0
-        carried, written, wrote = commit_stats(path, before)
+        carried, written, wrote = commit_stats(path, before, before_dv)
         print(f"| merge_into (1k-row banded broadcast patch) | "
               f"{t_merge:.1f} | {res['updated']:,} upd / "
               f"{res['inserted']:,} ins | {carried}/{written} "
@@ -139,11 +181,14 @@ def main() -> None:
             .selectExpr("id", "'new' as payload", "'keep' as tag")
         )
         before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before_dv = frozenset(
+            (S._load_manifest(path).get("dv") or {}).get("data", [])
+        )
         t0 = time.time()
         res = S.merge_into(spark, path, ins, keys=["id"],
                            broadcast_updates=True)
         t_ins = time.time() - t0
-        carried, written, wrote = commit_stats(path, before)
+        carried, written, wrote = commit_stats(path, before, before_dv)
         print(f"| merge_into (1k-row pure insert) | {t_ins:.1f} | "
               f"{res['inserted']:,} ins | {carried}/{written} "
               f"| {wrote/1e6:.1f} |")
