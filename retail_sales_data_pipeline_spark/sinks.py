@@ -1430,6 +1430,8 @@ def update_where(
     assignments: dict[str, str],
     predicate: str,
     retain_versions: int = 0,
+    deletion_vectors: bool = False,
+    dv_rewrite_threshold: float = 0.5,
 ) -> int:
     """Row-level UPDATE on a manifest table — ``UPDATE t SET col =
     expr, ... WHERE predicate`` — completing the DML quad (layout,
@@ -1444,7 +1446,14 @@ def update_where(
     applied conditionally, everything else carries BY REFERENCE. The
     commit records a CDC feed of preimages (delete) and postimages
     (insert), so incremental consumers see the update as the standard
-    delete+insert pair. Returns the number of rows updated.
+    delete+insert pair.
+
+    ``deletion_vectors=True`` is the merge-on-read UPDATE: matched
+    rows' PREIMAGES are deletion-vector-marked in place and their
+    POSTIMAGES land as the commit's new data files — bytes written are
+    proportional to the updated rows, not the touched files, the same
+    contract as the DV delete/merge (same hybrid threshold; touched
+    LOOSE appends always rewrite). Returns the number of rows updated.
     """
     from pyspark.sql import functions as F
 
@@ -1469,56 +1478,124 @@ def update_where(
     touched_rel = set(per_file)
     if not touched_rel:
         return 0
-    keep_entries = [e for e in entries if e["name"] not in touched_rel]
-    adopt = [(f, e) for f, e in loose_entries if f not in touched_rel]
-    touched = [e for e in cand if e["name"] in touched_rel]
-    tdf = _read_version(
-        spark, man, path, [e["name"] for e in touched], dv
-    )
-    n_touched = sum(
-        _entry_rows(path, e) - old_dv_n.get(e["name"], 0) for e in touched
-    )
-    # rewritten files' deletions materialize; carried files keep DVs
-    dv_df, dv_n, dv_carry = _dv_after_drop(spark, path, man, touched_rel)
-    # all assignments evaluate against the PRE-update row: build every
-    # new value in ONE select so `SET a = b, b = a` swaps correctly
-    updated_cols = [
-        F.when(pred, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
-        if c in assignments
-        else F.col(c)
-        for c in tdf.columns
-    ]
-    _commit_generation(
-        spark,
-        path,
-        man=man,
-        loose=loose,
-        stale=stale,
-        keep_entries=keep_entries,
-        new_df=tdf.select(*updated_cols),
-        suffix="._update",
-        expected_new_rows=n_touched,  # UPDATE preserves row count
-        retain_versions=retain_versions,
-        adopt=adopt,
-        cdc={
-            "insert": tdf.where(pred)
-            .select(
-                *[
-                    F.expr(assignments[c]).alias(c)
-                    if c in assignments
-                    else F.col(c)
-                    for c in tdf.columns
-                ]
+    dv_mark: set[str] = set()
+    if deletion_vectors:
+        by_name = {e["name"]: e for e in entries}
+        for rel in touched_rel & set(by_name):
+            frac = (old_dv_n.get(rel, 0) + per_file[rel]) / max(
+                1, _entry_rows(path, by_name[rel])
             )
-            .coalesce(_rewrite_partitions(n_upd, 0)),
-            "delete": tdf.where(pred).coalesce(
-                _rewrite_partitions(n_upd, 0)
+            if frac <= dv_rewrite_threshold:
+                dv_mark.add(rel)
+    rewrite_rel = touched_rel - dv_mark
+    keep_entries = [e for e in entries if e["name"] not in rewrite_rel]
+    adopt = [(f, e) for f, e in loose_entries if f not in rewrite_rel]
+    rw = [e for e in cand if e["name"] in rewrite_rel]
+
+    def post_cols(df):
+        # all assignments evaluate against the PRE-update row: build
+        # every new value in ONE projection so `SET a = b, b = a`
+        # swaps correctly
+        return [
+            F.expr(assignments[c]).alias(c) if c in assignments
+            else F.col(c)
+            for c in df.columns
+        ]
+
+    new_frames = []
+    pre_frames = []
+    post_cdc_frames = []
+    expected = 0
+    if rw:
+        tdf = _read_version(
+            spark, man, path, [e["name"] for e in rw], dv
+        )
+        updated_cols = [
+            F.when(pred, F.expr(assignments[c])).otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in tdf.columns
+        ]
+        new_frames.append(tdf.select(*updated_cols))
+        pre_frames.append(tdf.where(pred))
+        post_cdc_frames.append(tdf.where(pred).select(*post_cols(tdf)))
+        expected += sum(
+            _entry_rows(path, e) - old_dv_n.get(e["name"], 0) for e in rw
+        )
+    marked = None
+    try:
+        if dv_mark:
+            keyed = _read_version_keyed(
+                spark, man, path, sorted(dv_mark), dv
+            )
+            marked = keyed.where(pred).persist()
+            pre = marked.drop("_file", "_pos")
+            pre_frames.append(pre)
+            post = pre.select(*post_cols(pre))
+            new_frames.append(post)  # postimages are the new data files
+            post_cdc_frames.append(post)
+            n_marked = sum(per_file[rel] for rel in dv_mark)
+            expected += n_marked
+            surv_old = {
+                f: n for f, n in old_dv_n.items() if f not in rewrite_rel
+            }
+            pos_frames = [marked.select("_file", "_pos")]
+            if surv_old:
+                pos_frames.append(
+                    _read_dv(spark, path, man).where(
+                        F.col("_file").isin(
+                            [os.path.basename(f) for f in surv_old]
+                        )
+                    )
+                )
+            dv_df = pos_frames[0]
+            for f in pos_frames[1:]:
+                dv_df = dv_df.unionByName(f)
+            dv_df = dv_df.coalesce(1)
+            dv_n = dict(surv_old)
+            for rel in dv_mark:
+                dv_n[rel] = dv_n.get(rel, 0) + per_file[rel]
+            dv_carry = None
+        else:
+            # rewritten files' deletions materialize; carried keep DVs
+            dv_df, dv_n, dv_carry = _dv_after_drop(
+                spark, path, man, rewrite_rel
+            )
+        new_df = new_frames[0]
+        for f in new_frames[1:]:
+            new_df = new_df.unionByName(f)
+        pre_cdc = pre_frames[0]
+        for f in pre_frames[1:]:
+            pre_cdc = pre_cdc.unionByName(f)
+        post_cdc = post_cdc_frames[0]
+        for f in post_cdc_frames[1:]:
+            post_cdc = post_cdc.unionByName(f)
+        _commit_generation(
+            spark,
+            path,
+            man=man,
+            loose=loose,
+            stale=stale,
+            keep_entries=keep_entries,
+            new_df=new_df.coalesce(
+                _rewrite_partitions(expected, len(rw))
             ),
-        },
-        dv_df=dv_df,
-        dv_n=dv_n,
-        dv_carry=dv_carry,
-    )
+            suffix="._update",
+            expected_new_rows=expected,
+            retain_versions=retain_versions,
+            adopt=adopt,
+            cdc={
+                "insert": post_cdc.coalesce(_rewrite_partitions(n_upd, 0)),
+                "delete": pre_cdc.coalesce(_rewrite_partitions(n_upd, 0)),
+            },
+            dv_df=dv_df,
+            dv_n=dv_n,
+            dv_carry=dv_carry,
+        )
+    finally:
+        if marked is not None:
+            marked.unpersist()
     return n_upd
 
 

@@ -489,6 +489,7 @@ def stream_cdc_apply(
     checkpoint: str,
     order_col: str | None = None,
     broadcast_updates: bool = True,
+    deletion_vectors: bool = False,
 ):
     """Apply a CDC/update stream to a manifest table: each microbatch
     is collapsed to ONE row per key (latest by ``order_col`` when
@@ -509,9 +510,14 @@ def stream_cdc_apply(
 
     100 TB note: keep ``broadcast_updates=True`` whenever microbatches
     are metadata-sized relative to the table — the per-batch merge then
-    never shuffles the table side. Returns the started StreamingQuery
-    (caller drains/awaits; ``trigger(availableNow=True)`` for bounded
-    catch-up runs).
+    never shuffles the table side — and turn on ``deletion_vectors``
+    for high-frequency CDC: each microbatch then writes the patch plus
+    a position sidecar instead of rewriting every touched file (a
+    1-minute-trigger stream touches hot files EVERY batch; merge-on-
+    read makes that bytes-per-batch ∝ batch, and the hybrid threshold
+    plus routine OPTIMIZE materialize the accumulated positions).
+    Returns the started StreamingQuery (caller drains/awaits;
+    ``trigger(availableNow=True)`` for bounded catch-up runs).
     """
     from ..sinks import merge_into, retry_on_conflict
 
@@ -542,6 +548,7 @@ def stream_cdc_apply(
                 batch,
                 keys=keys,
                 broadcast_updates=broadcast_updates,
+                deletion_vectors=deletion_vectors,
             )
         )
 

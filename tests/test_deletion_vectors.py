@@ -210,6 +210,40 @@ def test_dv_update_after_dv_delete_counts_live_rows_only(spark, tmp_path):
     assert live.where("tag = 'x'").count() == 50
 
 
+def test_dv_update_merge_on_read(spark, tmp_path):
+    """DV UPDATE: preimages marked in place, postimages appended —
+    data files carried byte-identical, global row count preserved,
+    CDC records the delete+insert pair."""
+    path = str(tmp_path / "tbl")
+    man0 = _sorted_table(spark, path, n=6000, files=6)
+    files0 = {e["name"] for e in man0["files"]}
+    n = S.update_where(
+        spark, path, {"v": "v + 1000000", "tag": "'bumped'"},
+        "id IN (42, 3042)", deletion_vectors=True, retain_versions=2,
+    )
+    assert n == 2
+    man = S._load_manifest(path)
+    names = {e["name"] for e in man["files"]}
+    assert files0 < names  # originals carried, postimage file added
+    assert sum(man["dv"]["n"].values()) == 2
+    live = S.read_table(spark, path)
+    assert live.count() == 6000  # UPDATE preserves row count
+    got = {r.id: (r.v, r.tag) for r in live.where("id IN (42, 3042)").collect()}
+    assert got == {42: (1000042.0, "bumped"), 3042: (1003042.0, "bumped")}
+    ch = S.table_changes(spark, path, man["gen_no"] - 1, man["gen_no"])
+    assert {(r.id, r._change_type, r.tag) for r in ch.collect()} == {
+        (42, "delete", "r42"), (3042, "delete", "r3042"),
+        (42, "insert", "bumped"), (3042, "insert", "bumped"),
+    }
+    # a second DV update over an already-updated key hits the POSTIMAGE
+    n = S.update_where(
+        spark, path, {"v": "v + 1"}, "id = 42", deletion_vectors=True,
+    )
+    assert n == 1
+    assert S.read_table(spark, path).where("id = 42").first().v == 1000043.0
+    assert S.read_table(spark, path).count() == 6000
+
+
 def test_dv_time_travel_rollback_and_cdc(spark, tmp_path):
     """Snapshots capture the DV state of their commit; rollback
     restores it; the CDC sidecar holds the deleted ROWS (not

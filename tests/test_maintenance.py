@@ -1592,6 +1592,7 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
             S.update_where(
                 spark, path, {"v": f"v + {bump}"},
                 f"id BETWEEN {lo} AND {lo + 50}", retain_versions=retain,
+                deletion_vectors=bool(rng.getrandbits(1)),
             )
             for k in list(model):
                 if lo <= k <= lo + 50:
