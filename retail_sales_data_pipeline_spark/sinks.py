@@ -1599,6 +1599,50 @@ def update_where(
     return n_upd
 
 
+def materialize_deletion_vectors(
+    spark: SparkSession, path: str, retain_versions: int = 0
+) -> int:
+    """Rewrite ONLY the files carrying deletion vectors, folding their
+    logical deletes into physical bytes and clearing the table's
+    merge-on-read state — the REORG TABLE ... APPLY (PURGE) analogue.
+    Two reasons to run it: PHYSICAL ERASURE (a DV delete leaves row
+    bytes in the file; after this pass + vacuum TTL they are gone) and
+    read-path reset (scans of the rewritten files drop the anti-join).
+    Bytes written are proportional to the DV'd files only — every
+    clean file carries BY REFERENCE, so this is cheaper than a full
+    compaction by exactly the clean fraction of the table. No-op
+    (returns 0, no commit burned) when the table has no DVs. Returns
+    the number of files rewritten."""
+    man, entries, loose, stale = _live_state(path)
+    old_dv_n = _dv_map(man)
+    if not old_dv_n:
+        return 0
+    touched = [e for e in entries if e["name"] in old_dv_n]
+    keep_entries = [e for e in entries if e["name"] not in old_dv_n]
+    loose_entries = [(f, _file_entry(path, f)) for f in loose]
+    tdf = _read_version(
+        spark, man, path, [e["name"] for e in touched], man["dv"]
+    )
+    expected = sum(
+        _entry_rows(path, e) - old_dv_n[e["name"]] for e in touched
+    )
+    _commit_generation(
+        spark,
+        path,
+        man=man,
+        loose=loose,
+        stale=stale,
+        keep_entries=keep_entries,
+        new_df=tdf.coalesce(_rewrite_partitions(expected, len(touched))),
+        suffix="._materialize",
+        expected_new_rows=expected,
+        retain_versions=retain_versions,
+        adopt=loose_entries,  # loose appends never carry DVs
+        cdc={"insert": None, "delete": None},  # no logical row change
+    )
+    return len(touched)
+
+
 def rollback(
     spark: SparkSession,
     path: str,

@@ -335,6 +335,50 @@ def test_dv_compact_small_files_carries_dvs(spark, tmp_path):
     assert S.read_table(spark, path).count() == 50_000 + 9 - 2
 
 
+def test_dv_materialize_rewrites_only_dvd_files(spark, tmp_path):
+    """REORG/PURGE analogue: materialization rewrites exactly the
+    DV'd files, carries clean files by reference, clears the DV state,
+    and (with vacuum) physically erases the deleted bytes."""
+    import time
+
+    path = str(tmp_path / "tbl")
+    man0 = _sorted_table(spark, path, n=4000, files=4)
+    files0 = {e["name"] for e in man0["files"]}
+    S.delete_where(spark, path, "id IN (5, 7)", deletion_vectors=True)
+    dvd = set(S._load_manifest(path)["dv"]["n"])  # the one touched file
+    assert len(dvd) == 1
+    n = S.materialize_deletion_vectors(spark, path)
+    assert n == 1
+    man = S._load_manifest(path)
+    assert man.get("dv") is None
+    names = {e["name"] for e in man["files"]}
+    assert (files0 - dvd) < names  # clean files carried
+    assert not (dvd & names)  # the DV'd file replaced
+    live = S.read_table(spark, path)
+    assert live.count() == 3998
+    assert live.where("id IN (5, 7)").count() == 0
+    # physical erasure: after vacuum the old file + sidecar are gone
+    now = time.time() + 100_000
+    S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600, now=now)
+    for rel in dvd:
+        assert not os.path.exists(os.path.join(path, rel))
+    assert S.materialize_deletion_vectors(spark, path) == 0  # no-op
+
+
+def test_dv_read_plan_broadcasts_position_set(spark, tmp_path):
+    """Plan pin: a DV-table read anti-joins the (patch-sized) position
+    set via BROADCAST — the table side is never shuffled — and a
+    CoW-only table's read plan contains no join at all."""
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=4000, files=4)
+    plan_clean = S.read_table(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_clean
+    S.delete_where(spark, path, "id = 3", deletion_vectors=True)
+    plan_dv = S.read_table(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_dv and "LeftAnti" in plan_dv
+    assert "hashpartitioning" not in plan_dv  # no table-side exchange
+
+
 def test_dv_reserved_columns_fail_loudly_before_commit(spark, tmp_path):
     """A table whose schema uses the reserved ``_pos`` name can't take
     DV DML — the guard raises BEFORE any commit, table unchanged."""

@@ -1553,7 +1553,8 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
 
     for step in range(24):
         op = rng.choice(
-            ["merge", "delete", "update", "append", "compact", "small"]
+            ["merge", "delete", "update", "append", "compact", "small",
+             "materialize"]
         )
         retain = rng.choice([0, 0, 2])
         prev_gen = (S._load_manifest(path) or {}).get("gen_no", 0)
@@ -1610,6 +1611,9 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
         elif op == "compact":
             S.compact_parquet(spark, path, target_files=3,
                               retain_versions=retain)
+        elif op == "materialize":
+            S.materialize_deletion_vectors(spark, path,
+                                           retain_versions=retain)
         else:
             S.compact_small_files(spark, path, target_bytes=1 << 20,
                                   retain_versions=retain)
@@ -1623,7 +1627,8 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
             man
             and retain
             and man["gen_no"] != prev_gen
-            and op in ("merge", "delete", "update", "compact")
+            and op in ("merge", "delete", "update", "compact",
+                       "materialize")
         ):
             saved[man["gen_no"]] = dict(model)
 
