@@ -778,14 +778,18 @@ def _commit_generation(
             raise RuntimeError(
                 f"DV entries for files not in the version: {missing_dv}"
             )
+        data = list(dv_carry or [])
         if dv_df is not None:
+            # with dv_carry this is a DELTA append: previous sidecars
+            # are shared by reference, only the new positions are
+            # written — DV add cost is O(new positions), never
+            # O(total accumulated positions)
             sub = f"{gen}/dv-deletes"
             dv_df.write.mode("overwrite").parquet(os.path.join(path, sub))
-            dv_rec = {"data": [sub], "n": dict(dv_n)}
-        else:
-            if not dv_carry:
-                raise RuntimeError("dv_n without dv_df or dv_carry")
-            dv_rec = {"data": list(dv_carry), "n": dict(dv_n)}
+            data.append(sub)
+        if not data:
+            raise RuntimeError("dv_n without dv_df or dv_carry")
+        dv_rec = {"data": data, "n": dict(dv_n)}
     rows = sum(_entry_rows(path, e) for e in files) - sum(
         (dv_n or {}).values()
     )
@@ -880,6 +884,57 @@ def _meta_row_count(
     for f in loose:
         n += _parquet_footer(os.path.join(path, f))[0]
     return n - sum((dv_n or {}).values())
+
+
+# fan-in bound on deletion-vector delta sidecars: pure DV adds append a
+# delta (O(patch) bytes) until this many sidecars accumulate, then one
+# compacting rewrite folds them — amortized O(patch) per commit with a
+# bounded number of sidecar reads per scan
+_DV_MAX_SIDECARS = 16
+
+
+def _dv_add(
+    spark: SparkSession,
+    path: str,
+    man: dict | None,
+    rewrite_rel: set[str],
+    new_pos: DataFrame,
+    add_n: dict[str, int],
+) -> tuple[DataFrame, dict[str, int], list[str] | None]:
+    """DV bookkeeping for a commit ADDING deleted positions (``new_pos``
+    = the new ``(_file, _pos)`` rows, ``add_n`` = per-file added
+    counts) while rewriting ``rewrite_rel``: ``(dv_df, dv_n,
+    dv_carry)`` for :func:`_commit_generation`. A pure add appends a
+    DELTA sidecar and shares every previous one by reference — the
+    per-commit DV cost is O(new positions), NOT O(total accumulated
+    positions), which is what keeps a high-frequency CDC stream from
+    rewriting its whole position set every microbatch. Dropping a DV'd
+    file, or exceeding the :data:`_DV_MAX_SIDECARS` fan-in bound,
+    triggers one compacting filtered rewrite instead (this is also
+    what keeps stale positions of dropped files out of the sidecars —
+    the invariant that every sidecar row references a file in
+    ``dv_n``)."""
+    from pyspark.sql import functions as F
+
+    old = _dv_map(man)
+    surv = {f: n for f, n in old.items() if f not in rewrite_rel}
+    dv_n = dict(surv)
+    for rel, n in add_n.items():
+        dv_n[rel] = dv_n.get(rel, 0) + n
+    prev = sorted(_dv_names(man)) if man else []
+    if set(surv) == set(old) and len(prev) < _DV_MAX_SIDECARS:
+        return new_pos.coalesce(1), dv_n, prev
+    frames = [new_pos]
+    if surv:
+        frames.append(
+            _read_dv(spark, path, man).where(
+                F.col("_file").isin([os.path.basename(f) for f in surv])
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.coalesce(1), dv_n, None
 
 
 def _dv_after_drop(
@@ -1371,26 +1426,11 @@ def delete_where(
             )
             hits = keyed.where(pred).persist()
             del_frames.append(hits.drop("_file", "_pos"))
-            surv_old = {
-                f: n for f, n in old_dv_n.items() if f not in rewrite_rel
-            }
-            pos_frames = [hits.select("_file", "_pos")]
-            if surv_old:
-                pos_frames.append(
-                    _read_dv(spark, path, man).where(
-                        F.col("_file").isin(
-                            [os.path.basename(f) for f in surv_old]
-                        )
-                    )
-                )
-            dv_df = pos_frames[0]
-            for f in pos_frames[1:]:
-                dv_df = dv_df.unionByName(f)
-            dv_df = dv_df.coalesce(1)
-            dv_n = dict(surv_old)
-            for rel in dv_mark:
-                dv_n[rel] = dv_n.get(rel, 0) + per_file[rel]
-            dv_carry = None
+            dv_df, dv_n, dv_carry = _dv_add(
+                spark, path, man, rewrite_rel,
+                hits.select("_file", "_pos"),
+                {rel: per_file[rel] for rel in dv_mark},
+            )
         else:
             dv_df, dv_n, dv_carry = _dv_after_drop(
                 spark, path, man, rewrite_rel
@@ -1537,26 +1577,11 @@ def update_where(
             post_cdc_frames.append(post)
             n_marked = sum(per_file[rel] for rel in dv_mark)
             expected += n_marked
-            surv_old = {
-                f: n for f, n in old_dv_n.items() if f not in rewrite_rel
-            }
-            pos_frames = [marked.select("_file", "_pos")]
-            if surv_old:
-                pos_frames.append(
-                    _read_dv(spark, path, man).where(
-                        F.col("_file").isin(
-                            [os.path.basename(f) for f in surv_old]
-                        )
-                    )
-                )
-            dv_df = pos_frames[0]
-            for f in pos_frames[1:]:
-                dv_df = dv_df.unionByName(f)
-            dv_df = dv_df.coalesce(1)
-            dv_n = dict(surv_old)
-            for rel in dv_mark:
-                dv_n[rel] = dv_n.get(rel, 0) + per_file[rel]
-            dv_carry = None
+            dv_df, dv_n, dv_carry = _dv_add(
+                spark, path, man, rewrite_rel,
+                marked.select("_file", "_pos"),
+                {rel: per_file[rel] for rel in dv_mark},
+            )
         else:
             # rewritten files' deletions materialize; carried keep DVs
             dv_df, dv_n, dv_carry = _dv_after_drop(
@@ -2141,27 +2166,11 @@ def merge_into(
                 )
                 marked = keyed.join(ukeys_b, keys, "left_semi").persist()
                 del_frames.append(marked.drop("_file", "_pos"))
-                surv_old = {
-                    f: n for f, n in old_dv_n.items()
-                    if f not in rewrite_rel
-                }
-                pos_frames = [marked.select("_file", "_pos")]
-                if surv_old:
-                    pos_frames.append(
-                        _read_dv(spark, path, man).where(
-                            F.col("_file").isin(
-                                [os.path.basename(f) for f in surv_old]
-                            )
-                        )
-                    )
-                dv_df = pos_frames[0]
-                for f in pos_frames[1:]:
-                    dv_df = dv_df.unionByName(f)
-                dv_df = dv_df.coalesce(1)
-                dv_n = dict(surv_old)
-                for rel in dv_mark:
-                    dv_n[rel] = dv_n.get(rel, 0) + per_file[rel]
-                dv_carry = None
+                dv_df, dv_n, dv_carry = _dv_add(
+                    spark, path, man, rewrite_rel,
+                    marked.select("_file", "_pos"),
+                    {rel: per_file[rel] for rel in dv_mark},
+                )
             else:
                 dv_df, dv_n, dv_carry = _dv_after_drop(
                     spark, path, man, rewrite_rel

@@ -277,34 +277,35 @@ def test_dv_time_travel_rollback_and_cdc(spark, tmp_path):
 
 
 def test_dv_sidecar_lifecycle_vacuum(spark, tmp_path):
-    """Superseded DV sidecars of unretained versions are retired at
-    commit; a retained version keeps its sidecar until it falls off;
-    vacuum never touches a live sidecar."""
-    import time
-
+    """Delta sidecars stay live while any retained version references
+    them (time travel into the DV history works); once materialization
+    commits with zero retention they are retired, and the table reads
+    clean."""
     path = str(tmp_path / "tbl")
-    _sorted_table(spark, path, n=2000, files=2)
+    _sorted_table(spark, path, n=2000, files=2)                  # v1
     S.delete_where(spark, path, "id = 1", deletion_vectors=True,
-                   retain_versions=2)
+                   retain_versions=2)                            # v2
     man1 = S._load_manifest(path)
     dv1 = man1["dv"]["data"][0]
     S.delete_where(spark, path, "id = 2", deletion_vectors=True,
-                   retain_versions=2)
+                   retain_versions=2)                            # v3
     man2 = S._load_manifest(path)
-    dv2 = man2["dv"]["data"][0]
-    assert dv1 != dv2
-    # v2's sidecar still referenced by the retained history version
+    assert man2["dv"]["data"][0] == dv1  # delta append carries dv1
+    assert len(man2["dv"]["data"]) == 2
     assert os.path.exists(os.path.join(path, dv1))
-    # drop retention: old sidecars become dead and vacuum collects them
-    S.delete_where(spark, path, "id = 3", deletion_vectors=True)
-    now = time.time() + 100_000
-    S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600, now=now)
-    man3 = S._load_manifest(path)
-    dv3 = man3["dv"]["data"][0]
-    assert os.path.exists(os.path.join(path, dv3))
-    assert not os.path.exists(os.path.join(path, dv1))
-    assert not os.path.exists(os.path.join(path, dv2))
-    assert S.read_table(spark, path).count() == 1997
+    # time travel into the DV history: v2 sees only the first delete
+    v2 = S.read_table(spark, path, version=2)
+    assert v2.count() == 1999
+    assert v2.where("id = 1").count() == 0
+    assert v2.where("id = 2").count() == 1
+    # materialize with zero retention: sidecars + history retire NOW
+    S.materialize_deletion_vectors(spark, path)                  # v4
+    man4 = S._load_manifest(path)
+    assert man4.get("dv") is None
+    for rel in man2["dv"]["data"]:
+        assert not os.path.exists(os.path.join(path, rel))
+    assert S.read_table(spark, path).count() == 1998
+    assert S.read_table(spark, path).where("id IN (1, 2)").count() == 0
 
 
 def test_dv_compact_small_files_carries_dvs(spark, tmp_path):
@@ -333,6 +334,42 @@ def test_dv_compact_small_files_carries_dvs(spark, tmp_path):
     assert sum(man2["dv"]["n"].values()) == 2
     assert man2["dv"]["data"] == man["dv"]["data"]
     assert S.read_table(spark, path).count() == 50_000 + 9 - 2
+
+
+def test_dv_delta_sidecars_append_not_rewrite(spark, tmp_path, monkeypatch):
+    """Pure DV adds append a DELTA sidecar — previous sidecars are
+    shared byte-identical, so per-commit DV cost is O(new positions)
+    not O(accumulated positions); past the fan-in bound one compacting
+    rewrite folds them back to a single sidecar."""
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=4000, files=4)
+    S.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    d1 = S._load_manifest(path)["dv"]["data"]
+    assert len(d1) == 1
+    snap1 = {
+        f: os.path.getmtime(os.path.join(path, d1[0], f))
+        for f in os.listdir(os.path.join(path, d1[0]))
+    }
+    S.delete_where(spark, path, "id = 2", deletion_vectors=True)
+    man2 = S._load_manifest(path)
+    assert man2["dv"]["data"][0] == d1[0]  # first sidecar carried
+    assert len(man2["dv"]["data"]) == 2  # delta appended
+    snap1b = {
+        f: os.path.getmtime(os.path.join(path, d1[0], f))
+        for f in os.listdir(os.path.join(path, d1[0]))
+    }
+    assert snap1b == snap1  # byte-identical share, never rewritten
+    assert S.read_table(spark, path).where("id IN (1, 2)").count() == 0
+
+    # fan-in bound: the next add compacts to ONE filtered sidecar
+    monkeypatch.setattr(S, "_DV_MAX_SIDECARS", 2)
+    S.delete_where(spark, path, "id = 3", deletion_vectors=True)
+    man3 = S._load_manifest(path)
+    assert len(man3["dv"]["data"]) == 1
+    assert sum(man3["dv"]["n"].values()) == 3
+    live = S.read_table(spark, path)
+    assert live.count() == 3997
+    assert live.where("id IN (1, 2, 3)").count() == 0
 
 
 def test_dv_materialize_rewrites_only_dvd_files(spark, tmp_path):
@@ -401,21 +438,26 @@ def test_dv_crash_after_commit_before_retire(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "tbl")
     _sorted_table(spark, path, n=2000, files=2)
     S.delete_where(spark, path, "id = 1", deletion_vectors=True)
-    dv1 = S._load_manifest(path)["dv"]["data"][0]
+    S.delete_where(spark, path, "id = 2", deletion_vectors=True)
+    sidecars = S._load_manifest(path)["dv"]["data"]
+    assert len(sidecars) == 2  # delta append
 
     def boom(paths):
         raise RuntimeError("retire crashed")
 
     monkeypatch.setattr(S, "_retire", boom)
     with pytest.raises(RuntimeError, match="retire crashed"):
-        S.delete_where(spark, path, "id = 2", deletion_vectors=True)
+        S.materialize_deletion_vectors(spark, path)
     monkeypatch.undo()
-    # the commit itself landed: both deletes visible, old sidecar dead
+    # the commit itself landed: DVs cleared, sidecars dead-but-on-disk
+    assert S._load_manifest(path).get("dv") is None
     live = S.read_table(spark, path)
     assert live.count() == 1998
     assert live.where("id IN (1, 2)").count() == 0
-    assert os.path.exists(os.path.join(path, dv1))  # dead, on disk
+    for rel in sidecars:
+        assert os.path.exists(os.path.join(path, rel))  # dead, on disk
     now = time.time() + 100_000
     S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600, now=now)
-    assert not os.path.exists(os.path.join(path, dv1))
+    for rel in sidecars:
+        assert not os.path.exists(os.path.join(path, rel))
     assert S.read_table(spark, path).count() == 1998
