@@ -1984,6 +1984,88 @@ FROM documents"""
     return "\nUNION ALL\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Q: dv_takedown_counts — the deletion-vector DML round trip as a
+# driver-checked query: build a manifest table from `documents`,
+# DV-delete a language takedown + a scattered id purge, DV-merge a
+# redaction patch plus one synthetic insert, and return per-source
+# survivor stats read back THROUGH the DV-filtered read path. The
+# oracle replays the same algebra over the base table (ANSI DELETE
+# null semantics via IS NOT TRUE; MERGE as NOT-EXISTS UNION ALL).
+# Table state is built in a fresh temp dir per call, so the query is
+# deterministic and rerunnable; every write is merge-on-read — the
+# data files from the initial compaction are never rewritten.
+# ---------------------------------------------------------------------------
+def dv_takedown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .. import sinks as S
+
+    docs = load_table(
+        spark, sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dv_takedown_"), "docs")
+    docs.write.parquet(path)
+    S.compact_parquet(spark, path, target_files=4, sort_col="doc_id")
+    S.delete_where(spark, path, "lang = 'de'", deletion_vectors=True)
+    S.delete_where(spark, path, "doc_id % 97 = 13", deletion_vectors=True)
+    survivors = (
+        "(lang = 'de') IS NOT TRUE AND (doc_id % 97 = 13) IS NOT TRUE"
+    )
+    updates = (
+        docs.where(survivors)
+        .where("doc_id % 31 = 5")
+        .select(
+            "doc_id",
+            F.lit("redacted").alias("lang"),
+            "source",
+            F.lit(-1).cast("long").alias("n_chars"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(9999991).cast("long").alias("doc_id"),
+                F.lit("xx").alias("lang"),
+                F.lit("synthetic").alias("source"),
+                F.lit(0).cast("long").alias("n_chars"),
+            )
+        )
+    )
+    S.merge_into(
+        spark, path, updates, keys=["doc_id"],
+        broadcast_updates=True, deletion_vectors=True,
+    )
+    return (
+        S.read_table(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_DV_TAKEDOWN_SQL = """
+WITH survivors AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE (lang = 'de') IS NOT TRUE AND (doc_id % 97 = 13) IS NOT TRUE
+), updates AS (
+  SELECT doc_id, 'redacted' AS lang, source, CAST(-1 AS BIGINT) AS n_chars
+  FROM survivors WHERE doc_id % 31 = 5
+  UNION ALL
+  SELECT CAST(9999991 AS BIGINT), 'xx', 'synthetic', CAST(0 AS BIGINT)
+), merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT s.doc_id, s.lang, s.source, s.n_chars FROM survivors s
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = s.doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM merged GROUP BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "sketch_heavy_sources": sketch_heavy_sources,
@@ -2022,6 +2104,7 @@ QUERIES = {
     "corpus_shuffle_shard": corpus_shuffle_shard,
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "dedup_fuzzy_keys": dedup_fuzzy_keys,
+    "dv_takedown_counts": dv_takedown_counts,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -2066,4 +2149,5 @@ ORACLE_SQL = {
     "dedup_fuzzy_keys": _FUZZY_KEYS_SQL,
     "sketch_heavy_sources": _SKETCH_HEAVY_SQL,
     "profile_documents_stats": _profile_stats_sql(),
+    "dv_takedown_counts": _DV_TAKEDOWN_SQL,
 }

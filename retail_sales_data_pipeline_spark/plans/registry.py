@@ -57,6 +57,7 @@ _MODULES = [
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
+    "dv_takedown_counts",  # never checked
     "customer_monthly_mart",  # green r5
     "sales_team_mart",  # green r5
     "star_join_enrich",  # green r5
@@ -106,7 +107,6 @@ DRIVER_PRIORITY = [
     "multimodal_embed_texts",  # green r5
     "multimodal_text_retrieval",  # green r5
     "sketch_heavy_sources",  # green r6
-    "profile_documents_stats",  # green r6
 ]
 
 
