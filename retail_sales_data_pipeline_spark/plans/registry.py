@@ -51,9 +51,10 @@ _MODULES = [
 # CAPACITY: round 5 hit the hard ceiling (100 registered / 50-slot
 # window = zero slack). Round 6 bought back headroom by retiring four
 # oracle-twin duplicates into ``retired_twins()`` (their semantics stay
-# pinned by tests/test_twin_equivalence.py): 96 registered means each
-# rotation half is <= 48, leaving 2+ free slots per round for new
-# queries before the two-round staleness guarantee tightens again.
+# pinned by tests/test_twin_equivalence.py); round 7 spent one slot on
+# ``dv_takedown_counts`` (deletion-vector DML round trip) — 99
+# registered, one free slot before the two-round staleness guarantee
+# tightens again.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
