@@ -1304,6 +1304,11 @@ def _matched_files(
     dv_n = (dv or {}).get("n", {})
     if any(e["name"] in dv_n for e in scan):
         base_to_rel = {os.path.basename(e["name"]): e["name"] for e in scan}
+        if len(base_to_rel) != len(scan):
+            raise RuntimeError(
+                "basename collision in DV identification scan — "
+                "compact the table to restore unique data-file names"
+            )
         hits = (
             _read_version_keyed(
                 spark, man, path, [e["name"] for e in scan], dv
@@ -2091,6 +2096,11 @@ def merge_into(
                 base_to_rel = {
                     os.path.basename(e["name"]): e["name"] for e in scan
                 }
+                if len(base_to_rel) != len(scan):
+                    raise RuntimeError(
+                        "basename collision in DV identification scan — "
+                        "compact the table to restore unique names"
+                    )
                 src_df = _read_version_keyed(
                     spark, man, path, [e["name"] for e in scan], dv
                 ).select("_file", *keys)

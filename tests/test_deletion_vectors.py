@@ -416,6 +416,37 @@ def test_dv_read_plan_broadcasts_position_set(spark, tmp_path):
     assert "hashpartitioning" not in plan_dv  # no table-side exchange
 
 
+def test_dv_merge_with_schema_evolution(spark, tmp_path):
+    """DV MERGE composes with evolve_schema: carried DV'd files keep
+    the old physical schema (zero rewrite), the patch lands with the
+    new column, and the DV-filtered merged read reconciles NULLs."""
+    path = str(tmp_path / "tbl")
+    man0 = _sorted_table(spark, path, n=2000, files=2)
+    files0 = {e["name"] for e in man0["files"]}
+    updates = spark.createDataFrame(
+        [(10, -1.0, "upd", "extra-10"), (77777, -2.0, "new", "extra-new")],
+        "id long, v double, tag string, note string",
+    )
+    stats = S.merge_into(
+        spark, path, updates, keys=["id"], broadcast_updates=True,
+        deletion_vectors=True, evolve_schema=True,
+    )
+    assert stats == {"updated": 1, "inserted": 1, "matched_rows": 1}
+    man = S._load_manifest(path)
+    assert files0 < {e["name"] for e in man["files"]}  # zero rewrite
+    assert man["mixed_schema"] is True
+    assert sum(man["dv"]["n"].values()) == 1
+    live = S.read_table(spark, path)
+    assert live.count() == 2001
+    assert live.where("id = 10").first().note == "extra-10"
+    assert live.where("id = 11").first().note is None  # NULL-extended
+    # a later DV delete on the evolved table still works end to end
+    assert S.delete_where(
+        spark, path, "note = 'extra-new'", deletion_vectors=True
+    ) == 1
+    assert S.read_table(spark, path).count() == 2000
+
+
 def test_dv_reserved_columns_fail_loudly_before_commit(spark, tmp_path):
     """A table whose schema uses the reserved ``_pos`` name can't take
     DV DML — the guard raises BEFORE any commit, table unchanged."""
