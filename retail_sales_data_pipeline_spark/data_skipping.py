@@ -229,16 +229,15 @@ def scan_table(
     if man is None:
         df = spark.read.parquet(path)
     else:
+        all_entries = entries  # pre-prune list: schema source below
         if predicate:
             entries = prune_entries(entries, predicate)
         rels = [e["name"] for e in entries] + list(loose)
         if not rels:
             # everything pruned: an empty frame with the table schema
-            all_paths = [
-                os.path.join(path, e["name"])
-                for e in _live_state(path)[1]
-            ]
-            df = _read_files(spark, man, all_paths).limit(0)
+            # (no second _live_state — one directory snapshot per scan)
+            src = [os.path.join(path, e["name"]) for e in all_entries]
+            df = _read_files(spark, man, src).limit(0)
         else:
             # DV-aware: deletion-vector-deleted rows never surface
             df = _read_version(spark, man, path, rels, man.get("dv"))

@@ -109,21 +109,32 @@ def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -
     either the old generation or the new one, never a mix.
 
     Writer fencing: the replace happens under an ``O_CREAT|O_EXCL``
-    lock file, and with ``expect_gen`` the committed generation number
-    is re-read inside the lock — if another writer moved it since this
-    rewrite began, the commit aborts with :class:`ConcurrentWriteError`
-    (the table stays exactly as the winner left it). A lock older than
-    ``_LOCK_TTL_SECONDS`` belongs to a crashed writer and is broken.
+    lock file carrying THIS writer's token, and with ``expect_gen`` the
+    committed generation number is re-read inside the lock — if another
+    writer moved it since this rewrite began, the commit aborts with
+    :class:`ConcurrentWriteError` (the table stays exactly as the
+    winner left it). A lock older than ``_LOCK_TTL_SECONDS`` belongs to
+    a crashed writer and is broken; because two breakers could race the
+    break itself (the second ``remove`` can delete the first breaker's
+    FRESH lock), the token is re-read immediately before the manifest
+    replace — a writer whose lock was stolen aborts loudly instead of
+    double-committing. The residual window is the microseconds between
+    that check and the replace, down from the full commit body.
     """
     import json
     import time
+    import uuid as _uuid
 
     lock = os.path.join(path, _MANIFEST + ".lock")
+    token = _uuid.uuid4().hex
     acquired = False
     for attempt in (0, 1):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
             acquired = True
             break
         except FileExistsError:
@@ -143,6 +154,7 @@ def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -
             )
     if not acquired:
         raise ConcurrentWriteError(f"could not acquire commit lock for {path!r}")
+    stolen = False
     try:
         if expect_gen is not None:
             cur = _load_manifest(path)
@@ -156,12 +168,24 @@ def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -
         tmp = os.path.join(path, _MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        try:
+            with open(lock) as fh:
+                holder = fh.read()
+        except OSError:
+            holder = ""
+        if holder != token:
+            stolen = True
+            raise ConcurrentWriteError(
+                f"commit lock for {path!r} was broken by another writer "
+                "mid-commit (stale-lock TTL race); aborting this commit"
+            )
         os.replace(tmp, os.path.join(path, _MANIFEST))
     finally:
-        try:
-            os.remove(lock)
-        except OSError:
-            pass
+        if not stolen:  # never remove a lock that is no longer ours
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
 
 def _top_level_part_files(path: str) -> list[str]:
@@ -613,7 +637,12 @@ def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
     """Remove generation directories fully drained by a retire: no
     live-referenced files AND no data files left on disk. A dir that
     still holds data files but no live references is a crashed staging
-    write — recovery material for ``vacuum_staging``'s TTL, not ours."""
+    write — recovery material for ``vacuum_staging``'s TTL, not ours.
+    A dir holding a ``_temporary`` marker is a CONCURRENT writer's
+    in-flight Spark write (its part files don't exist until task
+    commit): skip it — the writer's own commit or the TTL vacuum owns
+    its fate, and deleting it here would kill the racing job with a
+    FileNotFoundError instead of the fence's ConcurrentWriteError."""
     import glob
     import shutil
 
@@ -624,6 +653,7 @@ def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
             child.startswith("gen-")
             and os.path.isdir(cp)
             and child not in live_dirs
+            and not os.path.exists(os.path.join(cp, "_temporary"))
             and not glob.glob(os.path.join(cp, "part-*"))
             and not glob.glob(os.path.join(cp, "adopted-*"))
             and not glob.glob(os.path.join(cp, "cdc-*"))
@@ -795,17 +825,7 @@ def _commit_generation(
     )
     history = list(man.get("history", [])) if man else []
     if man:
-        prev = {
-            k: man[k]
-            for k in ("gen_no", "generation", "rows", "op", "committed_at")
-            if k in man
-        }
-        prev["files"] = _version_files(man, path)
-        if man.get("cdc") is not None:
-            prev["cdc"] = man["cdc"]
-        if man.get("dv") is not None:
-            prev["dv"] = man["dv"]
-        history.append(prev)
+        history.append(_prev_version_snapshot(man, path))
     kept = (
         history[max(0, len(history) - retain_versions):]
         if retain_versions
@@ -884,6 +904,48 @@ def _meta_row_count(
     for f in loose:
         n += _parquet_footer(os.path.join(path, f))[0]
     return n - sum((dv_n or {}).values())
+
+
+def _prev_version_snapshot(man: dict, path: str) -> dict:
+    """The history entry for the version being superseded: identity
+    keys, the resolved file list, and its CDC/DV records (shared, not
+    copied). One audited implementation for every commit path."""
+    prev = {
+        k: man[k]
+        for k in ("gen_no", "generation", "rows", "op", "committed_at")
+        if k in man
+    }
+    prev["files"] = _version_files(man, path)
+    if man.get("cdc") is not None:
+        prev["cdc"] = man["cdc"]
+    if man.get("dv") is not None:
+        prev["dv"] = man["dv"]
+    return prev
+
+
+def _dv_mark_split(
+    path: str,
+    entries: list[dict],
+    touched_rel: set[str],
+    per_file: dict[str, int],
+    old_dv_n: dict[str, int],
+    threshold: float,
+) -> set[str]:
+    """The hybrid DV/rewrite decision, shared by the three DV-writing
+    DML ops: a touched REFERENCED file is DV-marked while its
+    cumulative deleted fraction stays within ``threshold``, else
+    rewritten (materialized). Touched LOOSE files never DV-mark — they
+    join the manifest at this commit under a new (adopted) name, which
+    would orphan position keys recorded against the loose name."""
+    by_name = {e["name"]: e for e in entries}
+    dv_mark: set[str] = set()
+    for rel in touched_rel & set(by_name):
+        frac = (old_dv_n.get(rel, 0) + per_file[rel]) / max(
+            1, _entry_rows(path, by_name[rel])
+        )
+        if frac <= threshold:
+            dv_mark.add(rel)
+    return dv_mark
 
 
 # fan-in bound on deletion-vector delta sidecars: pure DV adds append a
@@ -1183,16 +1245,7 @@ def _roll_metadata_commit(man: dict, path: str, op: str) -> dict:
     dict copy must not inherit the previous commit's sidecars)."""
     import time as _time
 
-    prev = {
-        k: man[k]
-        for k in ("gen_no", "generation", "rows", "op", "committed_at")
-        if k in man
-    }
-    prev["files"] = _version_files(man, path)
-    if man.get("cdc") is not None:
-        prev["cdc"] = man["cdc"]
-    if man.get("dv") is not None:
-        prev["dv"] = man["dv"]
+    prev = _prev_version_snapshot(man, path)
     new_man = dict(man)
     new_man["history"] = list(man.get("history", [])) + [prev]
     new_man["gen_no"] = man["gen_no"] + 1
@@ -1397,14 +1450,10 @@ def delete_where(
     touched_rel = set(per_file)
     dv_mark: set[str] = set()
     if deletion_vectors:
-        by_name = {e["name"]: e for e in entries}
-        for rel in touched_rel & set(by_name):
-            e = by_name[rel]
-            frac = (old_dv_n.get(rel, 0) + per_file[rel]) / max(
-                1, _entry_rows(path, e)
-            )
-            if frac <= dv_rewrite_threshold:
-                dv_mark.add(rel)
+        dv_mark = _dv_mark_split(
+            path, entries, touched_rel, per_file, old_dv_n,
+            dv_rewrite_threshold,
+        )
     rewrite_rel = touched_rel - dv_mark
     keep_entries = [e for e in entries if e["name"] not in rewrite_rel]
     adopt = [(f, e) for f, e in loose_entries if f not in rewrite_rel]
@@ -1525,13 +1574,10 @@ def update_where(
         return 0
     dv_mark: set[str] = set()
     if deletion_vectors:
-        by_name = {e["name"]: e for e in entries}
-        for rel in touched_rel & set(by_name):
-            frac = (old_dv_n.get(rel, 0) + per_file[rel]) / max(
-                1, _entry_rows(path, by_name[rel])
-            )
-            if frac <= dv_rewrite_threshold:
-                dv_mark.add(rel)
+        dv_mark = _dv_mark_split(
+            path, entries, touched_rel, per_file, old_dv_n,
+            dv_rewrite_threshold,
+        )
     rewrite_rel = touched_rel - dv_mark
     keep_entries = [e for e in entries if e["name"] not in rewrite_rel]
     adopt = [(f, e) for f, e in loose_entries if f not in rewrite_rel]
@@ -1709,25 +1755,18 @@ def rollback(
     target = targets[version]
     target_files = _version_files(target, path)
     gen_no = man["gen_no"] + 1
-    top = _top_level_part_files(path)
-    sup_old = set(man.get("superseded", []))
-    loose = [f for f in top if f not in sup_old]
+    # the one directory snapshot, with _live_state's referenced-name
+    # exclusion: top-level files REFERENCED by any version (tables
+    # adopted in place by convert_to_manifest) are LIVE DATA, not loose
+    # appends — superseding them here would let a later retire/vacuum
+    # delete the restored version's own files
+    _, _, loose, stale = _live_state(path)
     # previous current becomes history; the restored version STAYS in
     # history under its own number (format 2 shares files between
     # versions, so this costs nothing) — dropping it would break time
     # travel to that number and punch a hole in the CDC feed chain
-    cur = {
-        k: man[k]
-        for k in ("gen_no", "generation", "rows", "op", "committed_at")
-        if k in man
-    }
-    cur["files"] = _version_files(man, path)
-    if man.get("cdc") is not None:
-        cur["cdc"] = man["cdc"]
-    if man.get("dv") is not None:
-        cur["dv"] = man["dv"]
     history = list(man.get("history", []))
-    history.append(cur)
+    history.append(_prev_version_snapshot(man, path))
     dropped: list[dict] = []
     if retain_versions is not None:
         cut = max(0, len(history) - retain_versions)
@@ -1742,7 +1781,7 @@ def rollback(
         "files": target_files,
         "op": f"restore({version})",
         "committed_at": round(_time.time(), 3),
-        "superseded": sorted((sup_old & set(top)) | set(loose)),
+        "superseded": sorted(set(stale) | set(loose)),
         "history": history,
         # no "cdc" key: the row-level diff of a restore is not tracked,
         # so table_changes falls back to the snapshot diff
@@ -2053,7 +2092,12 @@ def merge_into(
         aggs.append(
             F.sort_array(F.collect_set(F.when(nn, F.col(k0)))).alias("ks")
         )
-    updates = updates.persist()
+    # persist only if the caller hasn't: Spark caching is not
+    # refcounted, and unpersisting a caller-owned cache would silently
+    # deoptimize their later reuse of the same patch
+    we_persisted = not updates.is_cached
+    if we_persisted:
+        updates = updates.persist()
     try:
         pre = updates.agg(*aggs).first()  # pre-write action 1 of 2
         n_upd = pre["n_upd"]
@@ -2068,6 +2112,15 @@ def merge_into(
         cand = entries + [e for _, e in loose_entries]
         dv = (man or {}).get("dv")
         old_dv_n = _dv_map(man)
+        clash = {"_file", "_pos"} & set(updates.columns)
+        if clash and (old_dv_n or deletion_vectors):
+            # commit-time guard: evolving these names INTO a DV table
+            # would make every later (keyed) read raise — brick the
+            # table. The read-time guard can't catch it; this can.
+            raise ValueError(
+                f"deletion vectors reserve column names {sorted(clash)}; "
+                "rename the update columns or merge without DVs"
+            )
         keys_sorted = list(pre["ks"]) if broadcast_updates else None
         scan = (
             [
@@ -2134,13 +2187,10 @@ def merge_into(
         touched_rel = set(per_file)
         dv_mark: set[str] = set()
         if deletion_vectors and touched_rel:
-            by_name = {e["name"]: e for e in entries}
-            for rel in touched_rel & set(by_name):
-                frac = (old_dv_n.get(rel, 0) + per_file[rel]) / max(
-                    1, _entry_rows(path, by_name[rel])
-                )
-                if frac <= dv_rewrite_threshold:
-                    dv_mark.add(rel)
+            dv_mark = _dv_mark_split(
+                path, entries, touched_rel, per_file, old_dv_n,
+                dv_rewrite_threshold,
+            )
         rewrite_rel = touched_rel - dv_mark
         keep_entries = [e for e in entries if e["name"] not in rewrite_rel]
         adopt = [(f, e) for f, e in loose_entries if f not in rewrite_rel]
@@ -2235,7 +2285,8 @@ def merge_into(
             "matched_rows": matched_rows,
         }
     finally:
-        updates.unpersist()
+        if we_persisted:
+            updates.unpersist()
 
 
 def retry_on_conflict(fn, attempts: int = 3):

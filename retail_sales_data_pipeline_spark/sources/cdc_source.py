@@ -62,6 +62,16 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
             if "starting_version" in options
             else None
         )
+        # the last two fields must be the metadata columns; a
+        # user-supplied .schema(...) without them would silently shift
+        # the change-kind/version into the last two DATA columns
+        tail = [f.name for f in schema.fields[-2:]]
+        if tail != ["_change_type", "_commit_version"]:
+            raise ValueError(
+                "manifest_cdc schema must end with _change_type string, "
+                f"_commit_version long (got trailing fields {tail}); "
+                "omit .schema(...) to use the table's own schema"
+            )
         self.fields = [f.name for f in schema.fields[:-2]]  # data columns
 
     def _manifest(self) -> dict | None:

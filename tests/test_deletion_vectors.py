@@ -460,6 +460,26 @@ def test_dv_reserved_columns_fail_loudly_before_commit(spark, tmp_path):
     assert S.read_table(spark, path).count() == 100
 
 
+def test_dv_reserved_column_cannot_evolve_into_dv_table(spark, tmp_path):
+    """Commit-time guard: merging a ``_file``/``_pos`` data column into
+    a DV-carrying table (evolve_schema) would make every later keyed
+    read raise — the merge must reject it BEFORE committing, leaving
+    the table readable."""
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=2000, files=2)
+    S.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    gen0 = S._load_manifest(path)["gen_no"]
+    bad = spark.createDataFrame(
+        [(9, -1.0, "t", "oops")],
+        "id long, v double, tag string, _file string",
+    )
+    with pytest.raises(ValueError, match="reserve"):
+        S.merge_into(spark, path, bad, keys=["id"],
+                     evolve_schema=True, broadcast_updates=True)
+    assert S._load_manifest(path)["gen_no"] == gen0
+    assert S.read_table(spark, path).count() == 1999
+
+
 def test_dv_crash_after_commit_before_retire(spark, tmp_path, monkeypatch):
     """Crash contract with DVs: after the fenced manifest commit the
     retire crashes — readers still resolve the new DV state, and the

@@ -1702,6 +1702,76 @@ def test_dml_crash_after_commit_before_retire(spark, tmp_path, monkeypatch):
     assert S.read_table(spark, path).count() == 2000
 
 
+def test_commit_aborts_when_lock_stolen_mid_commit(spark, tmp_path,
+                                                   monkeypatch):
+    """Stale-lock TTL breaking can race: a second breaker may delete
+    the first breaker's FRESH lock. The commit re-reads its owner token
+    immediately before the manifest replace and aborts loudly instead
+    of double-committing — and must NOT remove the thief's lock."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    man = S._load_manifest(path)
+    lock = os.path.join(path, S._MANIFEST + ".lock")
+    real_dump = _json.dump
+
+    def steal_then_dump(obj, fh, *a, **kw):
+        with open(lock, "w") as lf:  # the racing breaker's fresh lock
+            lf.write("intruder-token")
+        return real_dump(obj, fh, *a, **kw)
+
+    monkeypatch.setattr(_json, "dump", steal_then_dump)
+    new_man = dict(man)
+    new_man["gen_no"] = man["gen_no"] + 1
+    with _pytest.raises(S.ConcurrentWriteError, match="broken by another"):
+        S._commit_manifest(path, new_man, expect_gen=man["gen_no"])
+    monkeypatch.undo()
+    # manifest untouched; the thief's lock is left in place
+    assert S._load_manifest(path)["gen_no"] == man["gen_no"]
+    with open(lock) as fh:
+        assert fh.read() == "intruder-token"
+    os.remove(lock)
+    assert S.read_table(spark, path).count() == 10
+
+
+def test_rollback_on_converted_table_keeps_adopted_files(spark, tmp_path):
+    """Regression: a table adopted IN PLACE by convert_to_manifest has
+    its live data files at the table root. rollback must not classify
+    them as loose appends and supersede them — that would let the next
+    commit's retire (or the TTL vacuum) delete the restored version's
+    own files."""
+    import time
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "cast(id as double) as v"
+                                ).repartition(2).write.parquet(path)
+    S.convert_to_manifest(spark, path)                            # v1
+    S.delete_where(spark, path, "id = 5", retain_versions=2,
+                   deletion_vectors=True)                         # v2
+    S.rollback(spark, path, 1)                                    # v3
+    man = S._load_manifest(path)
+    referenced = {e["name"] for e in man["files"]}
+    assert not (set(man["superseded"]) & referenced), (
+        "rollback superseded files the restored version references"
+    )
+    assert S.read_table(spark, path).count() == 100
+    # neither a later commit's retire nor the TTL vacuum may touch them
+    S.delete_where(spark, path, "id = 7", retain_versions=1)      # v4
+    S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600,
+                     now=time.time() + 100_000)
+    assert S.read_table(spark, path).count() == 99
+    assert S.read_table(spark, path).where("id = 5").count() == 1
+
+
 def test_register_table_sql_view(spark, tmp_path):
     """Manifest tables are plain SQL citizens via register_table,
     including snapshot views."""

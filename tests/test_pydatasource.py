@@ -278,3 +278,45 @@ def test_manifest_cdc_stream_source(spark, tmp_path):
     }
     applied -= {(i, v) for (i, v, t, _) in replay if t == "delete"}
     assert applied == live
+
+
+def test_manifest_cdc_rejects_schema_without_metadata_tail(spark, tmp_path):
+    """A user-supplied .schema(...) missing the trailing _change_type/
+    _commit_version columns would silently shift the change kind and
+    version into the last two DATA columns — the reader rejects it."""
+    import pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.sources.cdc_source import (
+        ManifestCDCStreamReader,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    bad = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("n", LongType()),  # no metadata tail
+        ]
+    )
+    with pytest.raises(ValueError, match="_change_type"):
+        ManifestCDCStreamReader({"path": path}, bad)
+    good = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+        ]
+    )
+    rdr = ManifestCDCStreamReader({"path": path}, good)
+    assert rdr.fields == ["id", "v"]
