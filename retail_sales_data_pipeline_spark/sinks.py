@@ -83,6 +83,12 @@ _MANIFEST = "_manifest.json"
 # a commit lock is held only for a metadata write (milliseconds); a lock
 # older than this belongs to a crashed writer and is safe to break
 _LOCK_TTL_SECONDS = 60.0
+# how long a committer polls a HELD (young) lock before giving up: locks
+# are held for a metadata write, so near-simultaneous committers resolve
+# in milliseconds — raising instantly would force retry_on_conflict to
+# re-run an entire DML pass (identification scan + staged write) for a
+# contention that a 50 ms sleep absorbs
+_LOCK_WAIT_SECONDS = 2.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -127,34 +133,44 @@ def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -
 
     lock = os.path.join(path, _MANIFEST + ".lock")
     token = _uuid.uuid4().hex
-    acquired = False
-    for attempt in (0, 1):
+    deadline = time.monotonic() + _LOCK_WAIT_SECONDS
+    broke = False
+    while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
                 os.write(fd, token.encode())
             finally:
                 os.close(fd)
-            acquired = True
-            break
+            break  # acquired
         except FileExistsError:
             try:
                 age = time.time() - os.path.getmtime(lock)
             except OSError:
-                continue  # lock vanished between attempts — retry
-            if age >= _LOCK_TTL_SECONDS and attempt == 0:
+                continue  # lock vanished between attempts — retry now
+            if age >= _LOCK_TTL_SECONDS and not broke:
+                broke = True
                 try:
                     os.remove(lock)  # crashed holder — break the lock
                 except OSError:
                     pass
                 continue
-            raise ConcurrentWriteError(
-                f"another writer holds the commit lock for {path!r} "
-                f"(lock age {age:.0f}s)"
-            )
-    if not acquired:
-        raise ConcurrentWriteError(f"could not acquire commit lock for {path!r}")
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"another writer holds the commit lock for {path!r} "
+                    f"(lock age {age:.1f}s; waited "
+                    f"{_LOCK_WAIT_SECONDS:.0f}s)"
+                )
+            # young held lock: metadata writes clear in milliseconds —
+            # absorb the contention instead of failing the whole pass
+            time.sleep(0.05)
     stolen = False
+    # tmp is TOKEN-SUFFIXED: with a shared tmp name, a stalled writer
+    # that loses the stale-lock race could overwrite the winner's
+    # staged manifest bytes between the winner's dump and replace —
+    # the fence would then install the LOSER's manifest under the
+    # winner's commit. Per-writer tmp names make that impossible.
+    tmp = os.path.join(path, f"{_MANIFEST}.tmp.{token}")
     try:
         if expect_gen is not None:
             cur = _load_manifest(path)
@@ -165,7 +181,6 @@ def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -
                     f"{expect_gen} -> {cur_no} since this rewrite began; "
                     "retry against the new state"
                 )
-        tmp = os.path.join(path, _MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         try:
@@ -181,6 +196,10 @@ def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -
             )
         os.replace(tmp, os.path.join(path, _MANIFEST))
     finally:
+        try:
+            os.remove(tmp)  # aborted commit: don't leak staged bytes
+        except OSError:
+            pass
         if not stolen:  # never remove a lock that is no longer ours
             try:
                 os.remove(lock)
@@ -449,7 +468,11 @@ def read_table(
         )
     ver = by_no[version]
     rels = [e["name"] for e in _version_files(ver, path)]
-    return _read_version(spark, man, path, rels, ver.get("dv"))
+    # pass the VERSION dict, not the live manifest: only its
+    # mixed_schema flag is consulted by the read path, and the flag is
+    # per version (a later full rewrite clears the live one while this
+    # snapshot still holds files of differing physical schemas)
+    return _read_version(spark, ver, path, rels, ver.get("dv"))
 
 
 def register_table(
@@ -920,6 +943,10 @@ def _prev_version_snapshot(man: dict, path: str) -> dict:
         prev["cdc"] = man["cdc"]
     if man.get("dv") is not None:
         prev["dv"] = man["dv"]
+    if man.get("mixed_schema"):
+        # per VERSION, not table-global: a later full rewrite clears
+        # the live flag while this snapshot still needs merged reads
+        prev["mixed_schema"] = True
     return prev
 
 
@@ -1146,27 +1173,26 @@ def compact_small_files(
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
     man, entries, loose, stale = _live_state(path)
-    loose_entries = [(f, _file_entry(path, f)) for f in loose]
 
-    def _size(e: dict) -> int:
-        return os.path.getsize(os.path.join(path, e["name"]))
+    def _size(name: str) -> int:
+        return os.path.getsize(os.path.join(path, name))
 
-    small_ref = [e for e in entries if _size(e) < min_file_bytes]
-    big_ref = [e for e in entries if _size(e) >= min_file_bytes]
-    small_loose = [
-        (f, e) for f, e in loose_entries if _size(e) < min_file_bytes
-    ]
-    big_loose = [
-        (f, e) for f, e in loose_entries if _size(e) >= min_file_bytes
-    ]
+    # size classification needs only a stat; parquet footers are read
+    # ONLY for the small loose files that actually fold — the steady
+    # state (many right-sized loose appends) pays zero footer I/O here
+    small_ref = [e for e in entries if _size(e["name"]) < min_file_bytes]
+    big_ref = [e for e in entries if _size(e["name"]) >= min_file_bytes]
+    small_loose_names = [f for f in loose if _size(f) < min_file_bytes]
+    n_big_loose = len(loose) - len(small_loose_names)
+    small_loose = [(f, _file_entry(path, f)) for f in small_loose_names]
     fold = small_ref + [e for _, e in small_loose]
     if len(fold) < 2:
         return {
             "rewritten": 0,
-            "carried": len(big_ref) + len(big_loose),
+            "carried": len(big_ref) + n_big_loose,
             "files_written": 0,
         }
-    total_bytes = sum(_size(e) for e in fold)
+    total_bytes = sum(_size(e["name"]) for e in fold)
     n_out = max(1, -(-total_bytes // target_bytes))
     fold_rel = [e["name"] for e in fold]
     dv = (man or {}).get("dv")
@@ -1195,7 +1221,7 @@ def compact_small_files(
     )
     return {
         "rewritten": len(fold),
-        "carried": len(big_ref) + len(big_loose),
+        "carried": len(big_ref) + n_big_loose,
         "files_written": n_written,
     }
 
@@ -1739,6 +1765,10 @@ def rollback(
     ``retain_versions`` trims the history to the last ``k`` entries at
     this commit (files of dropped versions are retired); ``None`` (the
     default) keeps the existing history plus the rolled-from version.
+    CHECK constraints are table policy and survive the restore — but a
+    restore is metadata-only, so rows of the restored snapshot are NOT
+    re-validated against constraints added after it; run
+    ``set_check_constraint`` again to force a full revalidation.
     Returns the new current ``gen_no``.
     """
     man = _load_manifest(path)
@@ -1786,11 +1816,18 @@ def rollback(
         # no "cdc" key: the row-level diff of a restore is not tracked,
         # so table_changes falls back to the snapshot diff
     }
-    if man.get("mixed_schema"):
+    if target.get("mixed_schema"):
+        # the TARGET's flag, not the live one: restore means the
+        # snapshot's physical-schema state (a later rewrite may have
+        # cleared the live flag; the snapshot's files still differ)
         manifest["mixed_schema"] = True
     if target.get("dv") is not None:
         # restore means the snapshot's merge-on-read state too
         manifest["dv"] = target["dv"]
+    if man.get("constraints"):
+        # CHECK constraints are table policy, not version state: a
+        # restore of old DATA must not silently disarm them
+        manifest["constraints"] = man["constraints"]
     _commit_manifest(path, manifest, expect_gen=man["gen_no"])
     if dropped:
         live = {e["name"] for e in target_files} | _dv_names(manifest)
@@ -1844,7 +1881,6 @@ def table_changes(
         by_no[man["gen_no"]] = man
         ver = by_no.get(v_to_resolved)
         if ver is not None and ver.get("cdc") is not None:
-            schema = read_table(spark, path, version=v_to_resolved).schema
             frames = []
             for kind in ("insert", "delete"):
                 rel = ver["cdc"].get(kind, [])
@@ -1855,6 +1891,11 @@ def table_changes(
                         ).withColumn("_change_type", F.lit(kind))
                     )
             if not frames:
+                # schema resolve only on this cold path — the hot
+                # incremental-consumer path never pays it
+                schema = read_table(
+                    spark, path, version=v_to_resolved
+                ).schema
                 empty = spark.createDataFrame([], schema)
                 return empty.withColumn("_change_type", F.lit(""))
             out = frames[0]
@@ -2377,7 +2418,17 @@ def vacuum_staging(
             for child in sorted(os.listdir(p)):
                 cp = os.path.join(p, child)
                 if child.startswith("gen-") and os.path.isdir(cp):
-                    if child not in live_dirs and expired(cp):
+                    if (
+                        child not in live_dirs
+                        and expired(cp)
+                        # _temporary = a Spark job writing RIGHT NOW; a
+                        # long-running staging job can outlive any TTL
+                        # (the dir mtime is its creation time), and
+                        # killing it here would bypass the fence
+                        and not os.path.exists(
+                            os.path.join(cp, "_temporary")
+                        )
+                    ):
                         if not dry_run:
                             shutil.rmtree(cp, ignore_errors=True)
                         removed.append(cp)
@@ -2406,6 +2457,15 @@ def vacuum_staging(
                     and os.path.isfile(cp)
                     and expired(cp)
                 ):
+                    if not dry_run:
+                        os.remove(cp)
+                    removed.append(cp)
+                elif (
+                    child.startswith(_MANIFEST + ".tmp")
+                    and os.path.isfile(cp)
+                    and expired(cp)
+                ):
+                    # staged manifest bytes leaked by an aborted commit
                     if not dry_run:
                         os.remove(cp)
                     removed.append(cp)

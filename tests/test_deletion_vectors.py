@@ -460,6 +460,58 @@ def test_dv_reserved_columns_fail_loudly_before_commit(spark, tmp_path):
     assert S.read_table(spark, path).count() == 100
 
 
+def test_mixed_schema_is_per_version_for_time_travel(spark, tmp_path):
+    """Regression: a full rewrite clears the LIVE mixed_schema flag; a
+    retained mixed-schema snapshot must still read with schema merging
+    (or time travel silently drops the evolved column), and a rollback
+    to it must restore the flag."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"
+                          ).coalesce(1).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)                  # v1
+    S.merge_into(
+        spark, path,
+        spark.createDataFrame([(3, "c", "x3")],
+                              "id long, v string, extra string"),
+        keys=["id"], evolve_schema=True, retain_versions=4,
+    )                                                               # v2
+    S.compact_parquet(spark, path, target_files=1,
+                      retain_versions=4)                            # v3
+    assert not S._load_manifest(path).get("mixed_schema")  # cleared
+    v2 = S.read_table(spark, path, version=2)
+    assert "extra" in v2.columns, "time travel lost the evolved column"
+    assert {r.extra for r in v2.collect()} == {None, "x3"}
+    S.rollback(spark, path, 2)
+    live = S.read_table(spark, path)
+    assert "extra" in live.columns
+    assert live.where("extra = 'x3'").count() == 1
+    assert S._load_manifest(path)["mixed_schema"] is True
+
+
+def test_rollback_keeps_check_constraints(spark, tmp_path):
+    """Regression: CHECK constraints are table policy — a RESTORE must
+    not silently disarm them."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 5.0)], "id long, amount double"
+                          ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1,
+                      retain_versions=4)                            # v1
+    S.merge_into(spark, path,
+                 spark.createDataFrame([(2, 7.0)],
+                                       "id long, amount double"),
+                 keys=["id"], retain_versions=4)                    # v2
+    S.set_check_constraint(spark, path, "pos", "amount > 0")        # v3
+    S.rollback(spark, path, 2)                                      # v4
+    assert S._load_manifest(path).get("constraints") == {
+        "pos": "amount > 0"
+    }
+    S.append_table(
+        spark.createDataFrame([(9, -1.0)], "id long, amount double"
+                              ).coalesce(1), path)
+    with pytest.raises(ValueError, match="pos"):
+        S.compact_parquet(spark, path, target_files=1)
+
+
 def test_dv_reserved_column_cannot_evolve_into_dv_table(spark, tmp_path):
     """Commit-time guard: merging a ``_file``/``_pos`` data column into
     a DV-carrying table (evolve_schema) would make every later keyed
