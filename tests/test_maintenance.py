@@ -1554,7 +1554,7 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
     for step in range(24):
         op = rng.choice(
             ["merge", "delete", "update", "append", "compact", "small",
-             "materialize"]
+             "materialize", "rollback", "vacuum"]
         )
         retain = rng.choice([0, 0, 2])
         prev_gen = (S._load_manifest(path) or {}).get("gen_no", 0)
@@ -1614,6 +1614,26 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
         elif op == "materialize":
             S.materialize_deletion_vectors(spark, path,
                                            retain_versions=retain)
+        elif op == "rollback":
+            # mid-sequence RESTORE to a random retained checkpoint:
+            # the model jumps back with it (restore supersedes any
+            # pending loose appends — they are in no snapshot)
+            avail = {v["gen_no"] for v in S.table_versions(path)}
+            cur_gen = (S._load_manifest(path) or {}).get("gen_no", 0)
+            cands = sorted((set(saved) & avail) - {cur_gen})
+            if cands:
+                tgt = rng.choice(cands)
+                S.rollback(spark, path, tgt)
+                model = dict(saved[tgt])
+                saved[S._load_manifest(path)["gen_no"]] = dict(model)
+        elif op == "vacuum":
+            # TTL fully elapsed: everything dead is collected, nothing
+            # live may go with it (this op + a later read is exactly
+            # the shape of the rollback-superseded-live-files bug)
+            import time as _t
+
+            S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600,
+                             now=_t.time() + 1_000_000)
         else:
             S.compact_small_files(spark, path, target_bytes=1 << 20,
                                   retain_versions=retain)
