@@ -529,8 +529,19 @@ def describe_history(path: str) -> list[dict]:
 def _retire(paths: list[str]) -> None:
     """Best-effort removal of files/dirs superseded by a committed
     manifest. Runs strictly AFTER the commit; a crash here leaves only
-    dead bytes that every reader already ignores (vacuum_staging
-    collects them past the TTL)."""
+    dead bytes that every NEW reader already ignores (vacuum_staging
+    collects them past the TTL).
+
+    READER-CONCURRENCY CONTRACT: a reader that resolved the PREVIOUS
+    manifest may still be scanning files this retire deletes — with
+    ``retain_versions=0`` the files die at commit and that reader can
+    fail mid-query with FileNotFoundError. Tables with concurrent
+    readers should commit with ``retain_versions >= 1``: retained
+    versions keep their files alive (shared by reference, zero write
+    cost) and the TTL vacuum becomes the only deleter — the same
+    reader-protection model as Delta/Iceberg's VACUUM grace, expressed
+    through the retention knob. ``retain_versions=0`` is the ERASURE
+    posture (takedowns must not outlive the commit)."""
     import shutil
 
     for p in paths:
