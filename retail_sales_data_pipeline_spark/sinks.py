@@ -347,13 +347,37 @@ def _live_state(path: str) -> tuple[dict | None, list[dict], list[str], list[str
     return man, entries, loose, stale
 
 
-def live_files(path: str) -> list[str]:
+def live_files(path: str, version: int | None = None) -> list[str]:
     """Absolute paths of the files a reader must scan for the table at
     ``path``. Without a manifest: the plain parquet directory. With
     one: the committed file list plus any top-level files NOT
     superseded by that commit (i.e. appends landed after it).
     Superseded files are excluded even if a crashed cleanup left them
-    on disk — that is what makes the commit atomic."""
+    on disk — that is what makes the commit atomic.
+
+    ``version`` resolves a RETAINED snapshot's file list instead — the
+    external-engine interop hook: any parquet reader (DuckDB, pyarrow,
+    Trino) can scan a consistent snapshot by path list without
+    understanding the manifest. CAVEAT: the list is the PHYSICAL
+    files — if the version carries deletion vectors
+    (``describe_history`` shows ``dv_rows > 0``), logically-deleted
+    rows are visible to such a reader; materialize first (or use
+    :func:`read_table`, which applies them)."""
+    if version is not None:
+        man = _load_manifest(path)
+        if man is None:
+            raise ValueError(f"no manifest at {path!r} — no versions")
+        by_no = {h["gen_no"]: h for h in man.get("history", [])}
+        by_no[man["gen_no"]] = man
+        if version not in by_no:
+            raise ValueError(
+                f"version {version} not retained for {path!r}; "
+                f"available: {sorted(by_no)}"
+            )
+        return [
+            os.path.join(path, e["name"])
+            for e in _version_files(by_no[version], path)
+        ]
     man, entries, loose, _ = _live_state(path)
     if man is None:
         return [path]

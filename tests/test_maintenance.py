@@ -1792,6 +1792,34 @@ def test_rollback_on_converted_table_keeps_adopted_files(spark, tmp_path):
     assert S.read_table(spark, path).where("id = 5").count() == 1
 
 
+def test_live_files_snapshot_readable_by_duckdb(spark, tmp_path):
+    """live_files(version=) is the external-engine interop hook: a
+    plain parquet reader (DuckDB here) scans a consistent retained
+    snapshot by path list, no manifest understanding needed."""
+    import duckdb
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id * 2 as v").write.parquet(path)
+    S.compact_parquet(spark, path, target_files=2)                  # v1
+    S.delete_where(spark, path, "id < 50", retain_versions=2)       # v2
+    files_v1 = S.live_files(path, version=1)
+    files_v2 = S.live_files(path, version=2)
+    con = duckdb.connect()
+    n1 = con.execute(
+        "SELECT count(*) FROM read_parquet(?)", [files_v1]
+    ).fetchone()[0]
+    n2 = con.execute(
+        "SELECT count(*) FROM read_parquet(?)", [files_v2]
+    ).fetchone()[0]
+    assert (n1, n2) == (100, 50)
+    assert S.live_files(path) == files_v2  # live == current version
+    with _pytest.raises(ValueError, match="not retained"):
+        S.live_files(path, version=99)
+
+
 def test_register_table_sql_view(spark, tmp_path):
     """Manifest tables are plain SQL citizens via register_table,
     including snapshot views."""
