@@ -33,21 +33,60 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 def _table_schema(path: str) -> StructType:
-    """The table's Spark schema from one live parquet footer (driver
-    metadata read; no Spark job)."""
+    """The table's Spark schema from parquet footers (driver metadata
+    read; no Spark job). Mixed-schema tables (after an evolving merge)
+    UNIFY the footers of every live file — one footer would
+    nondeterministically drop the evolved columns from the stream. An
+    EMPTIED table (files=[] after a delete-all) falls back to retained
+    history files, then to the latest CDC sidecar: the sidecar history
+    is exactly what a restarting consumer needs to replay."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    from ..sinks import live_files
+    from ..sinks import _cdc_names, _load_manifest, _version_files, live_files
 
     files = live_files(path)
     if files == [path]:
         import glob
 
         files = sorted(glob.glob(os.path.join(path, "part-*")))
-    if not files or not os.path.exists(files[0]):
+    man = _load_manifest(path)
+    if not files and man is not None:
+        # emptied table: any retained version's files, else a sidecar
+        for ver in [man] + list(man.get("history", [])):
+            cand = [
+                os.path.join(path, e["name"])
+                for e in _version_files(ver, path)
+            ] + sorted(os.path.join(path, n) for n in _cdc_names(ver))
+            files = [p for p in cand if os.path.exists(p)]
+            if files:
+                break
+    files = [p for p in files if os.path.exists(p)]
+    if not files:
         raise ValueError(f"no readable table at {path!r}")
-    return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+    if man is not None and man.get("mixed_schema"):
+        schemas = []
+        for p in files:
+            target = p
+            if os.path.isdir(p):  # cdc sidecar dirs hold part files
+                import glob
+
+                parts = sorted(glob.glob(os.path.join(p, "part-*")))
+                if not parts:
+                    continue
+                target = parts[0]
+            schemas.append(pq.ParquetFile(target).schema_arrow)
+        return from_arrow_schema(pa.unify_schemas(schemas))
+    first = files[0]
+    if os.path.isdir(first):
+        import glob
+
+        parts = sorted(glob.glob(os.path.join(first, "part-*")))
+        if not parts:
+            raise ValueError(f"no readable table at {path!r}")
+        first = parts[0]
+    return from_arrow_schema(pq.ParquetFile(first).schema_arrow)
 
 
 class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
@@ -85,14 +124,29 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
         man = self._manifest()
         return {"version": man["gen_no"] if man else 0}
 
-    def _rows_between(self, lo: int, hi: int) -> Iterator[tuple]:
+    def _rows_between(
+        self, lo: int, hi: int, man: dict | None = None
+    ) -> Iterator[tuple]:
         """Rows of versions (lo, hi] from their sidecar files — driver
-        pyarrow reads, no Spark session on this side of the API."""
+        pyarrow reads, no Spark session on this side of the API. Within
+        a version DELETES are yielded before INSERTS, so an in-order
+        keyed consumer (delete-by-key, then upsert) replays an update
+        commit correctly — insert-first would delete the freshly
+        upserted row. A missing manifest over a non-empty range raises
+        (the fail-loudly contract): returning zero rows would commit
+        the checkpoint past changes that were never delivered."""
         import pyarrow.parquet as pq
 
-        man = self._manifest()
-        if man is None:
+        if hi <= lo:
             return
+        if man is None:
+            man = self._manifest()
+        if man is None:
+            raise ValueError(
+                f"manifest_cdc: manifest missing at {self.path!r} while "
+                f"versions ({lo}, {hi}] are owed — refusing to silently "
+                "skip the range"
+            )
         know = {h["gen_no"]: h for h in man.get("history", [])}
         know[man["gen_no"]] = man
         missing = [
@@ -107,7 +161,7 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
                 "dropped them) — restart with starting_version past them"
             )
         for v in range(lo + 1, hi + 1):
-            for kind in ("insert", "delete"):
+            for kind in ("delete", "insert"):
                 for rel in know[v]["cdc"].get(kind, []):
                     sub = os.path.join(self.path, rel)
                     for batch in pq.ParquetDataset(sub).read().to_pylist():
@@ -116,13 +170,15 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
                         )
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        # ONE manifest load per micro-batch: the offset and the rows
+        # come from the same snapshot (no TOCTOU with retention trims)
         man = self._manifest()
         cur = man["gen_no"] if man else start["version"]
         if cur <= start["version"]:
             return iter(()), start
         # materialized, not a generator: Spark's prefetch cache copies
         # the iterator, and batches are patch-sized by the DML design
-        rows = list(self._rows_between(start["version"], cur))
+        rows = list(self._rows_between(start["version"], cur, man))
         return iter(rows), {"version": cur}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -137,6 +193,10 @@ class ManifestCDCDataSource(DataSource):
         return "manifest_cdc"
 
     def schema(self) -> StructType:
+        if "path" not in self.options:
+            raise ValueError(
+                "manifest_cdc needs the table path: .load('/table/dir')"
+            )
         base = _table_schema(self.options["path"])
         return StructType(
             list(base.fields)

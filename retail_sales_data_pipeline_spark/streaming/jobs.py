@@ -53,6 +53,16 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.events import SESSION_GAP_SEC
 
+# the sessionizer's watermark delay — ONE constant shared by the
+# withWatermark clause and the drain sentinel's placement (a silent
+# mismatch would break the drain-complete equality with no error)
+WATERMARK_DELAY_SEC = 2 * 3600
+# after a session flushes, the per-user session COUNTER is retained
+# this long past the flush so later sessions keep cumulative numbering
+# (the batch twin's 1..k); past it the counter is GC'd and numbering
+# restarts — the bounded-state tradeoff, stated here
+SEQ_RETENTION_SEC = 30 * 24 * 3600
+
 
 def _events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
@@ -220,16 +230,29 @@ def _make_session_fn():
 
         if state.hasTimedOut:
             seq, start, last, n, sv = state.get
-            closed.append(
-                (user_id, seq, start, last, n, last - start, round(sv, 2))
-            )
-            state.remove()
+            if start is not None:
+                closed.append(
+                    (user_id, seq, start, last, n, last - start,
+                     round(sv, 2))
+                )
+                # keep the COUNTER (start=None marks "no open session")
+                # so the user's next session numbers seq+1, matching the
+                # batch twin's cumulative 1..k; a retention timeout GC's
+                # the counter after long inactivity (bounded state)
+                state.update((seq, None, last, 0, 0.0))
+                state.setTimeoutTimestamp(
+                    (last + SESSION_GAP_SEC + SEQ_RETENTION_SEC) * 1000
+                )
+            else:
+                state.remove()  # retention elapsed: forget the counter
         else:
             rows = pd.concat(list(pdfs)).sort_values("_sec")
             secs = rows["_sec"].tolist()
             vals = rows["value"].tolist()
             if state.exists:
                 seq, start, last, n, sv = state.get
+                if start is None:
+                    last = None  # closed marker: no open interval
             else:
                 seq, start, last, n, sv = 0, None, None, 0, 0.0
             for s, v in zip(secs, vals):
@@ -241,7 +264,15 @@ def _make_session_fn():
                     )
                     seq, start, last, n, sv = seq + 1, s, s, 1, float(v)
                 else:
-                    last, n, sv = s, n + 1, sv + float(v)
+                    # min/max merge: a watermark-valid late event may
+                    # precede the open session's interval — extend it
+                    # instead of regressing last below start (negative
+                    # durations); an event more than gap BELOW start
+                    # folds in conservatively (the batch twin would
+                    # split it — out-of-order beyond the gap is the
+                    # documented divergence cost of bounded state)
+                    start, last = min(start, s), max(last, s)
+                    n, sv = n + 1, sv + float(v)
             state.update((seq, start, last, n, sv))
             # close the open session once event time passes last + gap
             state.setTimeoutTimestamp((last + SESSION_GAP_SEC) * 1000)
@@ -293,10 +324,10 @@ def _sentinel_source_dir(spark: SparkSession, sf_dir: str) -> str:
     if pa.types.is_timestamp(ts_type):
         max_us = pa.compute.max(tbl["ts"]).cast(pa.int64()).as_py()
         unit = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
-        sentinel = max_us + (SESSION_GAP_SEC + 2 * 3600 + 1) * unit
+        sentinel = max_us + (SESSION_GAP_SEC + WATERMARK_DELAY_SEC + 1) * unit
     else:  # INT64 nanos-as-long
         max_ns = pa.compute.max(tbl["ts"]).as_py()
-        sentinel = max_ns + (SESSION_GAP_SEC + 2 * 3600 + 1) * 10**9
+        sentinel = max_ns + (SESSION_GAP_SEC + WATERMARK_DELAY_SEC + 1) * 10**9
     arrays = []
     for field in schema:
         if field.name == "ts":
@@ -337,7 +368,7 @@ def stream_sessionize(
     # reconstruct epochs from the session-zone wall clock (DST folds)
     sessions = (
         events.withColumn("_sec", F.expr("unix_micros(ts) div 1000000"))
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", f"{WATERMARK_DELAY_SEC} seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_session_fn(),
@@ -506,7 +537,12 @@ def stream_cdc_apply(
     foreachBatch idempotency argument). Within one batch the manifest
     commit makes the upsert all-or-nothing; ``order_col`` resolves
     multi-event keys deterministically (ties broken by all remaining
-    columns, so replays collapse identically).
+    columns, so replays collapse identically) AND enforces cross-batch
+    monotonicity: a late-arriving batch carrying an older ``order_col``
+    value for an already-newer key is filtered against the table's
+    current value instead of regressing the row (one key+order-column
+    table scan per batch). Without ``order_col`` the last-written batch
+    wins — source order is trusted.
 
     100 TB note: keep ``broadcast_updates=True`` whenever microbatches
     are metadata-sized relative to the table — the per-batch merge then
@@ -535,6 +571,28 @@ def stream_cdc_apply(
                 batch.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
+            )
+            # CROSS-batch ordering: a late microbatch can carry an OLDER
+            # order_col value for a key the table already upserted at a
+            # newer one — merging it unconditionally would regress the
+            # row. Keep only batch rows at-or-above the table's current
+            # value for their key (>= keeps replays idempotent). One
+            # key+order-column scan of the table per batch, the same
+            # price class as the merge's own identification scan.
+            from ..sinks import read_table
+
+            cur = (
+                read_table(batch.sparkSession, path)
+                .groupBy(*keys)
+                .agg(F.max(order_col).alias("_cur_ord"))
+            )
+            batch = (
+                batch.join(cur, keys, "left")
+                .where(
+                    F.col("_cur_ord").isNull()
+                    | (F.col(order_col) >= F.col("_cur_ord"))
+                )
+                .drop("_cur_ord")
             )
         if batch.isEmpty():
             return

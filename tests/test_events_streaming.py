@@ -426,3 +426,126 @@ def test_stream_cdc_apply_is_file_granular(spark, tmp_path):
     assert rows == {100: -1.0, 101: -1.0, 3000: -1.0, 3001: -1.0,
                     5500: -1.0, 9999: -1.0}
     assert S.read_table(spark, table).count() == 6001
+
+
+class _FakeGroupState:
+    """Duck-typed GroupState for driver-side unit tests of the
+    sessionizer's state machine (the Spark integration path is covered
+    by the drain-equality tests; these pin the cross-batch semantics a
+    bounded drain cannot reach)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = tuple(value) if value is not None else None
+        self.hasTimedOut = timed_out
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _run_session_fn(state, rows_sec):
+    import pandas as pd
+
+    from retail_sales_data_pipeline_spark.streaming.jobs import (
+        _make_session_fn,
+    )
+
+    fn = _make_session_fn()
+    pdfs = iter(
+        [pd.DataFrame({"_sec": rows_sec, "value": [1.0] * len(rows_sec)})]
+    ) if rows_sec else iter([])
+    return list(fn((7,), pdfs, state))
+
+
+def test_sessionize_seq_survives_timeout_flush():
+    """Regression: after an event-time timeout flushes session k, the
+    user's NEXT session must number k+1 (the batch twin's cumulative
+    numbering), not restart at 1."""
+    from retail_sales_data_pipeline_spark.operators.events import (
+        SESSION_GAP_SEC,
+    )
+
+    st = _FakeGroupState()
+    _run_session_fn(st, [0, 10])  # open session 1
+    assert st.get[0] == 1 and st.get[1] == 0
+    st.hasTimedOut = True
+    out = _run_session_fn(st, [])  # watermark passed last+gap: flush
+    assert len(out) == 1 and out[0].iloc[0]["session_seq"] == 1
+    assert st.exists and st.get[0] == 1 and st.get[1] is None  # counter kept
+    st.hasTimedOut = False
+    later = 10 + 10 * SESSION_GAP_SEC
+    _run_session_fn(st, [later])
+    assert st.get[0] == 2  # cumulative, not reset to 1
+    # retention timeout with no open session: counter GC'd, no emit
+    st.hasTimedOut = True
+    st._v = (2, None, later, 0, 0.0)
+    out = _run_session_fn(st, [])
+    assert out == [] and not st.exists
+
+
+def test_sessionize_out_of_order_event_extends_not_regresses():
+    """Regression: a watermark-valid late event BELOW the open
+    session's start must extend the interval (min/max), never move
+    last backwards into a negative duration."""
+    st = _FakeGroupState(value=(1, 1000, 2000, 3, 3.0))
+    _run_session_fn(st, [500])  # late, within gap of the interval
+    seq, start, last, n, sv = st.get
+    assert (seq, start, last, n) == (1, 500, 2000, 4)
+    assert last - start > 0  # duration stays positive
+
+
+def test_stream_cdc_apply_late_batch_does_not_regress(spark, tmp_path):
+    """Cross-batch ordering: a LATER microbatch carrying an OLDER
+    order_col value for an already-upserted key must not regress the
+    row (and an equal value stays idempotent under replay)."""
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.streaming.jobs import (
+        stream_cdc_apply,
+    )
+
+    table = str(tmp_path / "state")
+    spark.createDataFrame([(1, "a", 0)], "id long, v string, seq long"
+                          ).write.parquet(table)
+    src = tmp_path / "cdc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string, seq long"
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def drain():
+        q = stream_cdc_apply(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            table, keys=["id"], checkpoint=ckpt, order_col="seq",
+        )
+        q.awaitTermination()
+
+    emit("b1", [(1, "fresh", 5)])
+    drain()
+    # a late-landing file with an OLDER seq for the same key
+    emit("b2", [(1, "stale", 3), (2, "new", 1)])
+    drain()
+    rows = {r.id: (r.v, r.seq) for r in S.read_table(spark, table).collect()}
+    assert rows == {1: ("fresh", 5), 2: ("new", 1)}  # no regression
+    # equal-seq replay stays idempotent (>= keeps the row applied)
+    emit("b3", [(1, "fresh", 5)])
+    drain()
+    rows = {r.id: (r.v, r.seq) for r in S.read_table(spark, table).collect()}
+    assert rows == {1: ("fresh", 5), 2: ("new", 1)}

@@ -320,3 +320,64 @@ def test_manifest_cdc_rejects_schema_without_metadata_tail(spark, tmp_path):
     )
     rdr = ManifestCDCStreamReader({"path": path}, good)
     assert rdr.fields == ["id", "v"]
+
+
+def test_manifest_cdc_yields_deletes_before_inserts_within_version(
+    spark, tmp_path
+):
+    """An in-order keyed consumer (delete-by-key, then upsert) must be
+    able to replay an UPDATE commit: within one version the stream
+    yields the delete preimages before the insert postimages."""
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.sources.cdc_source import (
+        ManifestCDCStreamReader,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    S.convert_to_manifest(spark, path)                              # v1
+    S.update_where(spark, path, {"v": "'x'"}, "id = 1",
+                   retain_versions=3)                               # v2
+    rdr = ManifestCDCStreamReader({"path": path, "starting_version": "1"},
+                                  __import__("pyspark").sql.types._parse_datatype_string(
+                                      "id long, v string, _change_type string,"
+                                      " _commit_version long"))
+    rows = list(rdr._rows_between(1, 2))
+    kinds = [r[2] for r in rows]
+    assert kinds == ["delete", "insert"]
+    # keyed replay lands on the live state
+    state = {}
+    for (rid, v, kind, _ver) in rows:
+        if kind == "delete":
+            state.pop(rid, None)
+        else:
+            state[rid] = v
+    assert state == {1: "x"}
+
+
+def test_manifest_cdc_missing_manifest_fails_loudly(spark, tmp_path):
+    """readBetweenOffsets over a vanished manifest must raise, not
+    silently replay an empty batch (the checkpoint would skip the
+    range forever)."""
+    import os
+
+    import pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from pyspark.sql.types import _parse_datatype_string
+
+    from retail_sales_data_pipeline_spark.sources.cdc_source import (
+        ManifestCDCStreamReader,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    S.update_where(spark, path, {"v": "'x'"}, "id = 1", retain_versions=3)
+    schema = _parse_datatype_string(
+        "id long, v string, _change_type string, _commit_version long"
+    )
+    rdr = ManifestCDCStreamReader({"path": path}, schema)
+    os.remove(os.path.join(path, S._MANIFEST))
+    with pytest.raises(ValueError, match="refusing to silently skip"):
+        list(rdr.readBetweenOffsets({"version": 1}, {"version": 2}))
