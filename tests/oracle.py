@@ -41,7 +41,13 @@ def _norm_cell(v):
 def _normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple("" if x is None else str(x) for x in t))
+    # None sorts via a (is-None, text) pair: mapping None to "" would
+    # collide with genuine empty-string cells and zip multiset-equal
+    # results in different orders (false mismatch)
+    return sorted(
+        out,
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
 
 
 def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> None:

@@ -33,26 +33,34 @@ assert rows >= 0
 
 # --- correctness vs duckdb oracle at sf0.01 --------------------------------
 import os as _os
+
+from retail_sales_data_pipeline_spark.sources.tables import TABLE_NAMES
+
 SF = _os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = list(TABLE_NAMES)  # ONE catalog — a new table gets its view free
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 
 def norm_cell(v):
+    # repr-wrapped so the string 'NULL' and a None cell, or a cell
+    # containing the delimiter, can never collide in the joined line
     if v is None:
-        return "NULL"
+        return "\x00NULL"
     if isinstance(v, float):
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
-    return str(v)
+    return repr(v) if isinstance(v, str) else str(v)
 
 
 def value_hash(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    # \x1f (unit separator) can't appear in norm_cell's repr'd strings
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -75,17 +83,26 @@ for name, fn in qs.items():
         sdf = fn(spark, SF)
         s_rows = [tuple(r) for r in sdf.collect()]
         s_cols = sdf.columns
-        release_persisted()  # drop this query's tracked caches (ADVICE r4)
     except Exception as ex:  # keep going — one broken query must not hide the rest
         print(f"ERROR {name}: {type(ex).__name__}: {str(ex).splitlines()[0][:200]}")
         fails.append(name)
         continue
+    finally:
+        # ALWAYS drop this query's tracked caches (ADVICE r4) — a
+        # failing collect must not leak its persists into later queries
+        release_persisted()
     if name not in oracles:
         print(f"ROWS-ONLY {name}: {len(s_rows)} rows (no oracle)")
         continue
-    o = con.execute(oracles[name])
-    o_cols = [d[0] for d in o.description]
-    o_rows = o.fetchall()
+    try:
+        o = con.execute(oracles[name])
+        o_cols = [d[0] for d in o.description]
+        o_rows = o.fetchall()
+    except Exception as ex:  # a broken ORACLE must not kill the harness
+        print(f"ERROR {name} (oracle): {type(ex).__name__}: "
+              f"{str(ex).splitlines()[0][:200]}")
+        fails.append(name)
+        continue
     ok_n = len(s_rows) == len(o_rows)
     ok_c = sorted(s_cols) == sorted(o_cols)
     ok_h = ok_n and ok_c and value_hash(s_rows, s_cols) == value_hash(o_rows, o_cols)
