@@ -76,8 +76,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> CurationRes
         release_persisted(since=mark)
     return CurationResult(
         raw_docs=agg.raw,
-        kept_docs=agg.kept,
-        kept_tokens=agg.toks,
+        # empty corpus: SUM aggregates surface NULL, not 0 — coalesce so
+        # the int-typed result fields stay ints for caller arithmetic
+        kept_docs=agg.kept or 0,
+        kept_tokens=agg.toks or 0,
         out_path=out_dir,
         funnel=funnel,
     )

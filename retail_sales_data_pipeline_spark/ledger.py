@@ -64,10 +64,15 @@ class Ledger:
         ).parquet(self.path)
 
     def _events(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-        except Exception:
-            return None  # ledger not created yet
+        import os
+
+        # missing-path means "ledger not created yet" — checked
+        # explicitly so a REAL read failure (corrupt footer,
+        # permissions, store throttle) raises instead of silently
+        # reading as an empty ledger and disabling crash detection
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 
     def mark_active(self, spark: SparkSession, files: dict[str, str], seq: int = 0) -> None:
         """K6: record accepted files as in-flight (reference main.py:184-213)."""
@@ -105,3 +110,24 @@ class Ledger:
         if among is not None:
             snap = snap.filter(F.col("file_name").isin(among))
         return [r.file_name for r in snap.select("file_name").collect()]
+
+    def reconcile(self, spark: SparkSession, processed_dir: str) -> list[str]:
+        """Operator recovery for the archive/mark-done crash window: a
+        run that died AFTER moving its files to ``processed_dir`` but
+        BEFORE flipping the ledger leaves them 'A' forever (the source
+        file is gone, so no later run can complete them). This pass
+        flips every active file that demonstrably made it to the
+        processed prefix — presence there IS proof the run finished its
+        data work. Returns the file names reconciled. Driver-side
+        metadata only; safe to run any time (idempotent)."""
+        import os
+
+        stuck = self.active_files(spark)
+        done = {
+            name: os.path.join(processed_dir, name)
+            for name in stuck
+            if os.path.exists(os.path.join(processed_dir, name))
+        }
+        if done:
+            self.mark_done(spark, done, seq=2)  # seq 2: after the crash
+        return sorted(done)

@@ -134,6 +134,12 @@ def zorder_layout(
         )
         for c in cols
     ]
+    if "_z" in df.columns:
+        # withColumn would clobber it and the final drop would remove
+        # the caller's column — refuse instead of losing data silently
+        raise ValueError(
+            "z-order layout reserves the column name '_z'; rename it"
+        )
     z = df.withColumn("_z", z_value(buckets, bits))
     return (
         z.repartitionByRange(n_files, "_z")

@@ -99,6 +99,12 @@ def salted_skew_join(
             "under right/full outer"
         )
     lk, sk = on
+    if "_salt" in large.columns or "_salt" in small.columns:
+        # withColumn would silently clobber it and the post-join drops
+        # would silently remove it — refuse instead of losing data
+        raise ValueError(
+            "salted_skew_join reserves the column name '_salt'; rename it"
+        )
     if advice is not None and lk in advice.get("salt", {}):
         buckets = advice["salt"][lk]
     salt_src = (

@@ -38,7 +38,12 @@ from .ledger import Ledger
 from .operators.marts import rank_incentive, window_sum_distinct
 from .operators.star_join import Dim, star_join
 from .schema import MANDATORY_COLUMNS, SALES_SCHEMA, conform, union_conformed
-from .sinks import append_table, run_scoped_path, write_parquet, write_partitioned_parquet
+from .sinks import (
+    append_table_run_scoped,
+    run_scoped_path,
+    write_parquet,
+    write_partitioned_parquet,
+)
 from .sources.files import discover_csv_files, read_csv_full
 from .validate import archive_files, quarantine_files, validate_files
 
@@ -197,43 +202,71 @@ def run_pipeline(
             [f for f in SALES_SCHEMA.fields if f.name != "additional_column"]
         )
         frames.append(conform(read_csv_full(spark, exact, schema=base_schema), canonical_8))
+    types_8 = {
+        f.name: f.dataType
+        for f in SALES_SCHEMA.fields
+        if f.name != "additional_column"
+    }
     for p in wide:
-        frames.append(conform(read_csv_full(spark, p, infer=True), canonical_8))
+        df = read_csv_full(spark, p, infer=True)
+        # a caller-narrowed `mandatory` admits files missing canonical
+        # columns: NULL-extend them (typed) so conform's projection —
+        # and the whole batch with it — can't blow up on one such file
+        for c in canonical_8:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types_8[c]))
+        frames.append(conform(df, canonical_8))
     fact = union_conformed(frames)
 
     # 6-7. star join + cache (fixes recomputation, SURVEY.md §3.1)
     enriched = enrich_with_dims(
         fact, dims["customer"], dims["store"], dims["sales_team"]
     ).cache()
+    try:
+        # 8. marts — cached too: each is fanned out to 2-3 sinks plus a
+        # count, and the window+distinct (+rank) must not recompute per
+        # action (the exact recomputation disease the reference has)
+        customer_mart = derive_customer_mart(enriched).cache()
+        sales_mart = derive_sales_mart(enriched).cache()
+        try:
+            # 9. fan-out sinks (reference main.py:313-380, K1/K2/K3).
+            # The table sinks are run-scoped appends: a retried run
+            # OVERWRITES its own run=<id> partition instead of
+            # double-appending (module docstring's idempotency claim
+            # now holds for the tables too, not just the run dir).
+            out = run_scoped_path(output_dir, run_id)
+            result.outputs = {
+                "customer_mart": f"{out}/customer_data_mart",
+                "sales_mart": f"{out}/sales_team_data_mart",
+                "sales_mart_partitioned": f"{out}/sales_partitioned_data_mart",
+                "customer_mart_table": f"{output_dir}/tables/customers_data_mart",
+                "sales_mart_table": f"{output_dir}/tables/sales_team_data_mart",
+            }
+            write_parquet(customer_mart, result.outputs["customer_mart"])
+            write_parquet(sales_mart, result.outputs["sales_mart"])
+            write_partitioned_parquet(
+                sales_mart,
+                result.outputs["sales_mart_partitioned"],
+                ["sales_month", "store_id"],
+            )
+            append_table_run_scoped(
+                customer_mart, result.outputs["customer_mart_table"], run_id
+            )
+            append_table_run_scoped(
+                sales_mart, result.outputs["sales_mart_table"], run_id
+            )
+            result.customer_mart_rows = customer_mart.count()
+            result.sales_mart_rows = sales_mart.count()
 
-    # 8. marts
-    customer_mart = derive_customer_mart(enriched)
-    sales_mart = derive_sales_mart(enriched)
-
-    # 9. fan-out sinks (reference main.py:313-380, K1/K2/K3 semantics)
-    out = run_scoped_path(output_dir, run_id)
-    result.outputs = {
-        "customer_mart": f"{out}/customer_data_mart",
-        "sales_mart": f"{out}/sales_team_data_mart",
-        "sales_mart_partitioned": f"{out}/sales_partitioned_data_mart",
-        "customer_mart_table": f"{output_dir}/tables/customers_data_mart",
-        "sales_mart_table": f"{output_dir}/tables/sales_team_data_mart",
-    }
-    write_parquet(customer_mart, result.outputs["customer_mart"])
-    write_parquet(sales_mart, result.outputs["sales_mart"])
-    write_partitioned_parquet(
-        sales_mart,
-        result.outputs["sales_mart_partitioned"],
-        ["sales_month", "store_id"],
-    )
-    append_table(customer_mart, result.outputs["customer_mart_table"])
-    append_table(sales_mart, result.outputs["sales_mart_table"])
-    result.customer_mart_rows = customer_mart.count()
-    result.sales_mart_rows = sales_mart.count()
-
-    # 10. finalize (reference main.py:394-447)
-    archive_files(report.accepted, processed_dir)
-    if ledger is not None:
-        ledger.mark_done(spark, accepted_named, seq=1)
-    enriched.unpersist()
+            # 10. finalize (reference main.py:394-447)
+            archive_files(report.accepted, processed_dir)
+            if ledger is not None:
+                ledger.mark_done(spark, accepted_named, seq=1)
+        finally:
+            customer_mart.unpersist()
+            sales_mart.unpersist()
+    finally:
+        # sink failures raise by design — the fact-scale cache must not
+        # outlive the run when they do
+        enriched.unpersist()
     return result

@@ -75,8 +75,23 @@ def append_table(df: DataFrame, path: str) -> None:
     parquet so tests need no MySQL; on a real deployment swap for
     ``df.write.jdbc(url, table, mode="append", properties=...)``).
     Errors propagate (fixes reference database_write.py:16-17).
+    NOT retry-idempotent — a replayed caller double-appends; batch/
+    stream orchestration should use :func:`append_table_run_scoped`.
     """
     df.write.mode("append").parquet(path)
+
+
+def append_table_run_scoped(df: DataFrame, path: str, run_id) -> None:
+    """K3 with RETRY IDEMPOTENCY: each run appends by OVERWRITING its
+    own ``run=<id>`` partition directory under the table root, so a
+    retried run (or a replayed foreachBatch micro-batch, keyed by batch
+    id) replaces its own rows instead of double-appending — the
+    reference's MySQL append has exactly that double-apply hole, which
+    its ledger can only detect, not prevent. Readers scan the table
+    root as before and gain a ``run`` provenance partition column."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(path, f"run={run_id}")
+    )
 
 
 _MANIFEST = "_manifest.json"

@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from ..pipeline import derive_customer_mart, derive_sales_mart, enrich_with_dims
 from ..schema import SALES_SCHEMA
-from ..sinks import append_table
+from ..sinks import append_table_run_scoped
 
 STREAM_INPUT_SCHEMA = T.StructType(
     [f for f in SALES_SCHEMA.fields if f.name != "additional_column"]
@@ -64,14 +64,27 @@ def stream_retail_pipeline(
         enriched = enrich_with_dims(
             batch_df, dims["customer"], dims["store"], dims["sales_team"]
         ).cache()
-        customer_mart = derive_customer_mart(enriched)
-        sales_mart = derive_sales_mart(enriched)
-        append_table(customer_mart, f"{output_dir}/tables/customers_data_mart")
-        append_table(sales_mart, f"{output_dir}/tables/sales_team_data_mart")
-        counts["customer_mart_rows"] += customer_mart.count()
-        counts["sales_mart_rows"] += sales_mart.count()
-        counts["batches"] += 1
-        enriched.unpersist()
+        try:
+            customer_mart = derive_customer_mart(enriched)
+            sales_mart = derive_sales_mart(enriched)
+            # run-scoped by BATCH id: foreachBatch is at-least-once, and
+            # a replayed batch must overwrite its own partition rather
+            # than double-append the marts
+            append_table_run_scoped(
+                customer_mart,
+                f"{output_dir}/tables/customers_data_mart",
+                f"b{batch_id}",
+            )
+            append_table_run_scoped(
+                sales_mart,
+                f"{output_dir}/tables/sales_team_data_mart",
+                f"b{batch_id}",
+            )
+            counts["customer_mart_rows"] += customer_mart.count()
+            counts["sales_mart_rows"] += sales_mart.count()
+            counts["batches"] += 1
+        finally:
+            enriched.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -53,7 +53,15 @@ def validate_files(
     mandatory = mandatory if mandatory is not None else MANDATORY_COLUMNS
     report = ValidationReport()
     for path in paths:
-        cols = read_csv_header(spark, path)
+        try:
+            cols = read_csv_header(spark, path)
+        except Exception as ex:
+            # the gate's own job: an unreadable file (zero-byte,
+            # whitespace-only, corrupt — Spark can't infer a header)
+            # is quarantine material, not a batch-killer; one bad file
+            # must not abort validation of the rest
+            report.rejected[path] = {f"<unreadable: {type(ex).__name__}>"}
+            continue
         missing = missing_mandatory(cols, mandatory)
         if missing:
             report.rejected[path] = missing
@@ -141,9 +149,16 @@ def dq_rule_report(rules):
     with the row-level constraint checks a warehouse runs after load;
     each rule stays an independent scan so Spark can schedule them in
     parallel and a hot rule can't starve the rest.
+
+    NULL semantics, stated: a predicate that evaluates NULL on a row
+    counts as NON-violation (SQL CHECK convention — only a provable
+    TRUE violates). Write ``isNull``/``coalesce`` into the predicate
+    when NULL itself is the defect being hunted.
     """
     from pyspark.sql import functions as F
 
+    if not rules:
+        raise ValueError("dq_rule_report needs at least one rule")
     parts = [
         df.agg(
             F.lit(name).alias("rule"),

@@ -407,3 +407,77 @@ def test_release_persisted_is_scopable(spark):
     assert callers.storageLevel != SL.NONE  # ...caller's cache survives
     assert release_persisted(blocking=True) == 1  # full drain gets the rest
     assert callers.storageLevel == SL.NONE
+
+
+def test_rerun_same_run_id_table_sinks_not_doubled(spark, dims, workdir):
+    """Regression: the TABLE sinks (append path) must be retry-
+    idempotent too — a retried run overwrites its own run=<id>
+    partition instead of double-appending the marts."""
+    _write_csv(f"{workdir['source']}/a.csv", HAPPY_HEADER, _happy_rows())
+    res1 = run_pipeline(
+        spark, workdir["source"], workdir["error"], workdir["processed"],
+        workdir["out"], dims, run_id="rX",
+    )
+    _write_csv(f"{workdir['source']}/a.csv", HAPPY_HEADER, _happy_rows())
+    run_pipeline(
+        spark, workdir["source"], workdir["error"], workdir["processed"],
+        workdir["out"], dims, run_id="rX",
+    )
+    tbl = spark.read.parquet(res1.outputs["customer_mart_table"])
+    assert tbl.count() == res1.customer_mart_rows  # replaced, not doubled
+    # a DIFFERENT run id appends (cross-run append semantics preserved)
+    _write_csv(f"{workdir['source']}/a.csv", HAPPY_HEADER, _happy_rows())
+    run_pipeline(
+        spark, workdir["source"], workdir["error"], workdir["processed"],
+        workdir["out"], dims, run_id="rY",
+    )
+    tbl = spark.read.parquet(res1.outputs["customer_mart_table"])
+    assert tbl.count() == 2 * res1.customer_mart_rows
+
+
+def test_unreadable_csv_is_quarantined_not_fatal(spark, dims, workdir):
+    """Regression: a zero-byte CSV must be routed to error_dir like any
+    other invalid file — not crash the whole batch at header probe."""
+    _write_csv(f"{workdir['source']}/good.csv", HAPPY_HEADER, _happy_rows())
+    open(f"{workdir['source']}/empty.csv", "w").close()  # zero bytes
+    res = run_pipeline(
+        spark, workdir["source"], workdir["error"], workdir["processed"],
+        workdir["out"], dims, run_id="rZ",
+    )
+    assert res.customer_mart_rows > 0  # good file still processed
+    assert any(q.endswith("empty.csv") for q in res.quarantined)
+    assert os.path.exists(f"{workdir['error']}/empty.csv")
+
+
+def test_narrowed_mandatory_null_extends_missing_canonical(
+    spark, dims, workdir
+):
+    """Regression: with a caller-narrowed mandatory subset, an accepted
+    file missing a canonical column must flow through conform with the
+    column NULL-extended, not abort the batch."""
+    hdr = [c for c in HAPPY_HEADER if c != "total_cost"]
+    rows = [r[:-1] for r in _happy_rows()]
+    _write_csv(f"{workdir['source']}/nt.csv", hdr, rows)
+    res = run_pipeline(
+        spark, workdir["source"], workdir["error"], workdir["processed"],
+        workdir["out"], dims, run_id="rN",
+        mandatory=[c for c in HAPPY_HEADER if c != "total_cost"],
+    )
+    assert res.accepted and not res.quarantined
+    cm = spark.read.parquet(res.outputs["customer_mart"])
+    assert cm.count() > 0
+
+
+def test_ledger_reconcile_flips_archived_actives(spark, workdir):
+    """Recovery for the archive/mark-done crash window: a file left 'A'
+    whose bytes reached processed/ is flipped to done."""
+    ledger = Ledger(f"{workdir['out']}/ledger")
+    ledger.mark_active(spark, {"x.csv": "/src/x.csv"}, seq=0)
+    ledger.mark_active(spark, {"y.csv": "/src/y.csv"}, seq=0)
+    # x.csv made it to processed/ before the crash; y.csv did not
+    os.makedirs(workdir["processed"], exist_ok=True)
+    open(f"{workdir['processed']}/x.csv", "w").write("data")
+    fixed = ledger.reconcile(spark, workdir["processed"])
+    assert fixed == ["x.csv"]
+    assert ledger.active_files(spark) == ["y.csv"]
+    assert ledger.reconcile(spark, workdir["processed"]) == []  # idempotent
