@@ -279,6 +279,15 @@ def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
         (c for c in signatures.columns if c.startswith("mh_")),
         key=lambda c: int(c.split("_")[1]),
     )
+    if len(mh_cols) % rows_per_band:
+        # a narrower trailing band would be much looser (P ~ s^rows),
+        # silently skewing the LSH S-curve — reject like the arrow twin
+        # (lsh_band_buckets_arrow) instead of diverging from it
+        raise ValueError(
+            f"{len(mh_cols)} minhashes do not divide into bands of "
+            f"{rows_per_band}; choose num_hashes divisible by "
+            "rows_per_band"
+        )
     bands = [mh_cols[i : i + rows_per_band] for i in range(0, len(mh_cols), rows_per_band)]
     band_structs = F.array(
         *[
@@ -404,6 +413,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    changed = -1  # bound for the for-else warning when max_iter <= 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -614,10 +624,13 @@ def simhash_signatures(df: DataFrame, bits: int = 32, text_col: str = "text", id
     explode to (doc, token, bit) and one groupBy — linear in corpus size.
     Output: ``(id, simhash)`` as a long.
     """
+    # no post-explode .distinct(): array_distinct already dedups tokens
+    # within each document and ids are unique, so the global distinct
+    # was a semantic no-op costing a full shuffle of the token relation
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("token"),
-    ).distinct()
+    )
     h32 = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     per_bit = (

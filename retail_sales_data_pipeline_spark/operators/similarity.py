@@ -58,6 +58,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    # zero-norm convention, repo-wide: Spark's Divide yields NULL on a
+    # zero divisor, and NULL ranks LAST under desc — degenerate vectors
+    # can never displace a real candidate. Oracle twins must mirror it
+    # with NULLIF wherever zero norms are reachable (DuckDB's IEEE 0/0
+    # is NaN, which ranks FIRST under desc).
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -281,9 +286,28 @@ def cosine_topk_arrow(
     from pyspark.sql import types as T
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # empty query set: the expression twin returns an empty frame;
+        # np.linalg.norm on a 0-d matrix would AxisError at plan build
+        from pyspark.sql import types as T
+
+        return corpus.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rk", T.LongType()),
+                ]
+            ),
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # zero-norm queries yield NaN cosines, filtered to NULL below —
+        # matching the expression twin's NULL (null-divide) semantics
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
     out_schema = T.StructType(
         [
@@ -299,7 +323,13 @@ def cosine_topk_arrow(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # zero-norm rows -> NaN cosine; np.lexsort on -cos puts
+                # NaN last, so they never displace a real candidate,
+                # and surviving NaNs become NULL (ranked last by the
+                # global window) — exactly the expression twin's
+                # null-divide behavior instead of NaN-ranks-first
+                cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             # round BEFORE the per-batch top-k so batch selection uses
             # the same (rounded desc, id asc) order as the final global
             # window — otherwise >k batch candidates rounding to the
@@ -312,12 +342,18 @@ def cosine_topk_arrow(
             order = np.empty((top, cos.shape[1]), dtype=np.int64)
             for j in range(cos.shape[1]):
                 order[:, j] = np.lexsort((ids, -cos[:, j]))[:top]
-            out = {
-                "query_id": np.repeat(qids, top),
-                "neighbor_id": ids[order].T.ravel(),
-                "cosine": np.take_along_axis(cos, order, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(out)
+            cosv = np.take_along_axis(cos, order, axis=0).T.ravel()
+            # NaN would cross Arrow as NaN and rank FIRST in the global
+            # window (Spark sorts NaN above all doubles); mask to NULL
+            cos_col = pd.array(cosv, dtype="Float64")
+            cos_col[np.isnan(cosv)] = pd.NA
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, top),
+                    "neighbor_id": ids[order].T.ravel(),
+                    "cosine": cos_col,
+                }
+            )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(

@@ -479,8 +479,12 @@ WITH vecs AS (
   SELECT vec_id AS neighbor_id, e AS ce, qz AS cq FROM vq WHERE vec_id >= 10
 ), pairs AS (
   SELECT query_id, neighbor_id,
+    -- NULLIF: a vector quantizing to all-zero int8 (max|x| < scale/254)
+    -- must yield NULL like Spark's null-divide, not IEEE NaN (which
+    -- DuckDB would rank ABOVE every real cosine under DESC)
     round(list_dot_product(qq, cq)
-          / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(cq, cq))),
+          / NULLIF(sqrt(list_dot_product(qq, qq))
+                   * sqrt(list_dot_product(cq, cq)), 0),
           6) AS cosine_q,
     round(list_dot_product(qe, ce)
           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
@@ -808,21 +812,38 @@ DECONTAM_COS = 0.9
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted-variant corpus: every 25th vector gets a +0.01 near-copy,
     # so the variant of eval vector 0 IS a semantic contamination of the
-    # eval set (cosine ≈ 1) — the positive case the gate must flag
+    # eval set (cosine ≈ 1) — the positive case the gate must flag.
+    #
+    # The gate is keyed by CORPUS vector: every corpus vector whose
+    # nearest EVAL vector clears the threshold is flagged (reported
+    # with that eval id). Ranking per eval vector instead would cap the
+    # flags at |eval set| and let second-nearest contaminations ship —
+    # the inversion a round-7 review caught in the previous version.
+    # Scale shape: the EVAL set is the small side — broadcast it, scan
+    # the corpus once, one per-corpus-key window (at 100 TB the corpus
+    # must never be the broadcast side of anything).
+    from pyspark.sql import Window
+
     emb = _emb(spark, sf_dir)
     corpus = _neardup_corpus(spark, sf_dir).where(F.col("vec_id") >= 10)
-    top1 = S.cosine_topk(
-        corpus=corpus,
-        queries=emb.where(F.col("vec_id") < 10),
-        k=1,
+    evalv = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = corpus.crossJoin(F.broadcast(evalv)).select(
+        "vec_id",
+        "eval_id",
+        F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("eval_id")
     )
     return (
-        top1.where(F.col("cosine") >= DECONTAM_COS)
-        .select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("query_id").alias("eval_id"),
-            "cosine",
-        )
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("cosine") >= DECONTAM_COS))
+        .select("vec_id", "eval_id", "cosine")
     )
 
 
@@ -841,8 +862,8 @@ q AS (
   FROM q, c
 ), ranked AS (
   SELECT eval_id, vec_id, cosine,
-    row_number() OVER (PARTITION BY eval_id
-                       ORDER BY cosine DESC, vec_id) AS rk
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, eval_id) AS rk
   FROM pairs
 )
 SELECT vec_id, eval_id, cosine FROM ranked
