@@ -66,6 +66,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_by_cosine(
+    pairs: DataFrame,
+    k: int,
+    cosine_col: str = "cosine",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """The shared rerank tail of every top-k path: rank per query by
+    (rounded cosine DESC, neighbor_id ASC — the cross-engine
+    determinism tie-break every oracle twin mirrors), keep ``rk <= k``.
+    ONE implementation so a tie-break or rounding change can never
+    drift between the expression, banded, arrow, and quantized twins
+    (they share one oracle contract)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(cosine_col).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col,
+            *extra_cols,
+            F.col("rk").cast("long"),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,7 +110,6 @@ def cosine_topk(
     ``query_id, neighbor_id, cosine, rk`` with ``rk`` = row_number over
     (rounded cosine desc, neighbor_id asc).
     """
-    from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_q")
@@ -93,14 +122,7 @@ def cosine_topk(
         "neighbor_id",
         F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
-    )
+    return _topk_by_cosine(pairs, k)
 
 
 def hyperplanes(spark, num_planes: int, dim: int) -> DataFrame:
@@ -177,7 +199,6 @@ def lsh_ann_topk(
     the tradeoff that makes 100 TB ANN feasible (candidates per query
     ≈ corpus / 2^P instead of corpus).
     """
-    from pyspark.sql import Window
 
     qb = lsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed("id", "query_id")
     cb = lsh_buckets(corpus, planes, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
@@ -193,14 +214,7 @@ def lsh_ann_topk(
             F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
-    )
+    return _topk_by_cosine(pairs, k)
 
 
 def lsh_ann_topk_banded(
@@ -228,7 +242,6 @@ def lsh_ann_topk_banded(
     (band, bucket) — bounded and uniform, the same scale shape as the
     near-dup variant.
     """
-    from pyspark.sql import Window
 
     qb = lsh_band_buckets(queries, planes, planes_per_band, id_col, vec_col)
     cb = lsh_band_buckets(corpus, planes, planes_per_band, id_col, vec_col)
@@ -252,14 +265,7 @@ def lsh_ann_topk_banded(
             F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
-    )
+    return _topk_by_cosine(pairs, k)
 
 
 def cosine_topk_arrow(
@@ -282,7 +288,6 @@ def cosine_topk_arrow(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     q_rows = queries.select(id_col, vec_col).collect()
@@ -356,19 +361,10 @@ def cosine_topk_arrow(
             )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    rounded = partial.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
-    return (
-        partial.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rk").cast("long"),
-        )
-    )
+    return _topk_by_cosine(rounded, k)
 
 
 def lsh_band_buckets_arrow(
@@ -479,7 +475,6 @@ def lsh_ann_topk_banded_arrow(
     matmul path — the production-throughput variant; the candidate join
     and exact-cosine rerank are identical, so the output contract (and
     oracle) is the same."""
-    from pyspark.sql import Window
 
     qb = lsh_band_buckets_arrow(queries, planes, planes_per_band, id_col, vec_col)
     cb = lsh_band_buckets_arrow(corpus, planes, planes_per_band, id_col, vec_col)
@@ -503,14 +498,7 @@ def lsh_ann_topk_banded_arrow(
             F.round(cosine(F.col("_q"), F.col("_c")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long"))
-    )
+    return _topk_by_cosine(pairs, k)
 
 
 def recommended_banding(n_corpus: int) -> tuple[int, int]:
@@ -740,7 +728,6 @@ def quantized_topk(
     broadcast queries, single corpus scan, per-query row_number window
     ranked by (quantized cosine desc, neighbor_id asc).
     """
-    from pyspark.sql import Window
 
     both = queries.unionByName(corpus).select(as_double(vec_col).alias("_e"))
     scale = both.agg(
@@ -762,16 +749,8 @@ def quantized_topk(
         F.round(cosine(F.col("_qq"), F.col("_cq")), 6).alias("cosine_q"),
         F.round(cosine(F.col("_qe"), F.col("_ce")), 6).alias("cosine_exact"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(
-            "query_id", "neighbor_id", "cosine_q", "cosine_exact",
-            F.col("rk").cast("long"),
-        )
+    return _topk_by_cosine(
+        pairs, k, cosine_col="cosine_q", extra_cols=("cosine_exact",)
     )
 
 
