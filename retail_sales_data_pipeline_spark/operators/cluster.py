@@ -64,7 +64,13 @@ def assign_clusters(
         ds = [F.round(d, round_dp) for d in ds]
     dists = F.array(*ds)
     best = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.select(
+    return df.where(
+        # a NULL element anywhere in the vector NULLs every distance ->
+        # cluster NULL -> update_centroids would TypeError on the
+        # driver; such vectors are un-assignable — drop them here with
+        # the contract stated instead of crashing the whole job
+        ~F.exists(v, lambda x: x.isNull())
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         best.alias("cluster"),

@@ -124,7 +124,6 @@ def sessionize_scalable(
             f"bucket_sec ({bucket_sec}) must exceed gap_sec ({gap_sec}): "
             "the stitch relies on an empty bucket implying a closed gap"
         )
-    from pyspark.sql import functions as F
 
     from .dedup import connected_components_star
 

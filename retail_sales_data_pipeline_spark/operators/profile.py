@@ -125,11 +125,11 @@ def profile_table(
 
     n = stats["_n"]
     tops: dict[str, list[tuple[str, int]]] = {}
-    if top_values > 0:
+    # n > 0: an EMPTY table has nothing to melt — launching the heavy-
+    # hitters job over zero rows returns {} the expensive way
+    if top_values > 0 and n > 0:
         melt_cols = [
-            c
-            for c in cols
-            if n == 0 or stats[f"ad_{c}"] < near_unique_frac * n
+            c for c in cols if stats[f"ad_{c}"] < near_unique_frac * n
         ]
         if melt_cols:
             tops = _top_values(df, melt_cols, top_values, capacity)

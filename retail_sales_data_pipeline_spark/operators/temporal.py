@@ -48,9 +48,17 @@ def asof_join(
 
     ``how='inner'`` drops left rows with no prior right row (DuckDB
     ``ASOF JOIN`` default); ``'left'`` keeps them with NULL payload.
+    NULL keys never match (equi-join semantics, same as DuckDB ASOF —
+    the window trick would otherwise group NULL with NULL); ties among
+    right rows sharing (key, ts) resolve deterministically by payload.
     """
+    reserved = {"_side", "_payload", "_match"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; rename"
+        )
     payload = F.struct(F.col(ts).alias("_ts"), *[F.col(c) for c in right_payload])
-    r = right.select(
+    r = right.where(F.col(key).isNotNull()).select(
         F.col(key), F.col(ts), F.lit(0).alias("_side"), payload.alias("_payload")
     )
     l = left.withColumn("_side", F.lit(1)).withColumn(
@@ -70,7 +78,11 @@ def asof_join(
     )
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        # tertiary _payload sort pins WHICH right row wins when several
+        # share (key, ts): last() then picks the payload-max one, run-
+        # and partitioning-independent (DuckDB ASOF makes an arbitrary
+        # pick on such ties — pinning our side keeps reruns identical)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_payload").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     attached = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
@@ -101,6 +113,17 @@ def banded_range_join(
     Output: the key, ``{l,r}_`` prefixed remaining columns, and
     ``delta_sec = l.ts - r.ts`` (seconds, signed).
     """
+    if band_sec <= 0:
+        # a zero band would DIVIDE_BY_ZERO deep inside the bucket expr
+        # under ANSI mode (or silently return nothing without it)
+        raise ValueError(f"band_sec must be positive, got {band_sec}")
+    reserved = {"_b", "_probe"} & set(left.columns) | (
+        {"_rb", "_rkey"} & set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"banded_range_join reserves column names {sorted(reserved)}"
+        )
     lb = left.withColumn("_b", F.floor(epoch_sec(ts) / band_sec))
     rb = right.withColumn("_rb", F.floor(epoch_sec(ts) / band_sec))
     shifted = lb.withColumn("_probe", F.explode(F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)))

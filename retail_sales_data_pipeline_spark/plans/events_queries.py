@@ -93,7 +93,10 @@ FROM events GROUP BY event_type
 def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events", ["event_type", "props"])
     v = F.try_parse_json("props")
-    k = F.variant_get(v, "$.k", "long")
+    # try_variant_get: a mistyped value ({"k": "abc"}) degrades to NULL
+    # like the twin's get_json_object(...).cast('long') — variant_get
+    # would raise INVALID_VARIANT_CAST at action time instead
+    k = F.try_variant_get(v, "$.k", "long")
     return (
         ev.select("event_type", k.alias("_v"))
         .groupBy("event_type")
@@ -123,7 +126,6 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase attached to the user's most
     recent prior view (as-of join; oracle = DuckDB's native ASOF JOIN).
     """
-    from pyspark.sql import functions as F
 
     from ..operators.temporal import asof_join
 
@@ -164,7 +166,6 @@ def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Errors within ±5 minutes of a purchase by the same user (banded
     range join; oracle = plain inequality join).
     """
-    from pyspark.sql import functions as F
 
     from ..operators.temporal import banded_range_join
 
@@ -199,15 +200,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → view → purchase: per-stage
     user counts where each stage must happen strictly after the prior
     stage's first occurrence."""
-    from pyspark.sql import functions as F
-
     ev = _events(spark, sf_dir)
-    s = (
+    # s feeds v AND its own count; v feeds p AND its own count —
+    # Catalyst does not dedupe common subplans, so without persisting
+    # the stage relations one action scans the events table ~6x
+    # (the same reason events_cohort_retention persists its base)
+    s = persist_tracked(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
     )
-    v = (
+    v = persist_tracked(
         ev.where(F.col("event_type") == "view")
         .join(s, "user_id")
         .where(F.col("ts") > F.col("t_signup"))
