@@ -600,6 +600,16 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, bytes]:
 
     full = []
     for (_cid, ch, cv, _tq), plane in zip(comps, planes):
+        if vmax % cv or hmax % ch:
+            # T.81 allows non-divisor factor mixes (e.g. 3:2); integer
+            # upsampling can't express them — raise the contract's
+            # NAMED error instead of a shape mismatch deep in np.stack
+            # (which on_error='null' would misreport as corrupt data)
+            raise ValueError(
+                "JPEG: unsupported sampling-factor combination "
+                f"(component {ch}x{cv} vs max {hmax}x{vmax}); only "
+                "integer-ratio subsampling is implemented"
+            )
         up = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
         full.append(up[:h, :w])
     if len(full) == 1:
@@ -1075,6 +1085,14 @@ def _real_decode_impl(payload: bytes, media_type: str) -> dict:
                 "feature": _sample_feature(raster, 255.0),
             }
         magic, w, h, maxval, off = _ppm_header(payload)
+        if maxval > 255:
+            # netpbm maxval > 255 means TWO bytes per sample — the
+            # 1-byte raster walk below would read half-samples; raise
+            # the named error instead of emitting near-zero features
+            raise ValueError(
+                f"netpbm: 16-bit maxval {maxval} unsupported (1-byte "
+                "samples only); rescale or use a full imaging library"
+            )
         return {
             "width": w,
             "height": h,
@@ -1109,6 +1127,13 @@ def _real_decode_impl(payload: bytes, media_type: str) -> dict:
         }
     if media_type == "video":
         magic, w, h, maxval, off = _ppm_header(payload)
+        if maxval > 255:
+            # 2-byte samples would halve frame_len and silently
+            # miscount frames — same named contract as the image path
+            raise ValueError(
+                f"netpbm stream: 16-bit maxval {maxval} unsupported "
+                "(1-byte samples only)"
+            )
         frame_len = off + w * h * (3 if magic == "P6" else 1)
         n_frames, pos = 0, 0
         while pos + 2 <= len(payload) and payload[pos : pos + 2] in (b"P6", b"P5"):
@@ -1196,7 +1221,12 @@ def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     frame index (pure relational explode — the actual frame extraction
     would join this plan back to the decode stage).
     """
-    video = decoded.where(F.col("media_type") == "video")
+    # n_frames NULL = the decode failed (on_error='null' / dead
+    # pointer): greatest() skips NULLs, so without the filter such rows
+    # would emit a phantom frame_idx=0 against undecodable media
+    video = decoded.where(
+        (F.col("media_type") == "video") & F.col("n_frames").isNotNull()
+    )
     return video.select(
         "media_id",
         "n_frames",
@@ -1216,8 +1246,11 @@ def resize_plan(decoded: DataFrame, target: int = 224) -> DataFrame:
     """
     w, h = F.col("width"), F.col("height")
     scale = F.least(F.lit(float(target)) / w, F.lit(float(target)) / h)
-    out_w = F.floor(w * scale).cast("long")
-    out_h = F.floor(h * scale).cast("long")
+    # round, not floor: target/m*m floats to 223.999... for ~9% of
+    # dimensions, and flooring would leave the long side 1px short of
+    # the canvas (plan inconsistency a real resizer letterboxes wrong)
+    out_w = F.round(w * scale, 0).cast("long")
+    out_h = F.round(h * scale, 0).cast("long")
     return decoded.where(F.col("media_type") == "image").select(
         "media_id",
         w.cast("long").alias("width"),

@@ -45,10 +45,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(text_col: str | Column = "text") -> Column:
-    """Whitespace tokens of ``text`` (empty string → single empty token
-    is avoided by trimming first)."""
+    """Whitespace tokens of ``text``. An empty or whitespace-only
+    document yields an EMPTY array — ``split('')`` returns ``['']``
+    (one phantom token), which would give empty docs n_tokens=1,
+    distinct_ratio=1.0 and let them outscore real low-diversity text
+    in the quality gates."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT_RE)
+    )
 
 
 def _toks(text_col: str | Column, toks: Column | None) -> Column:
@@ -151,7 +157,13 @@ def lang_predict() -> Column:
 def bigrams(text_col: str | Column = "text", toks: Column | None = None) -> Column:
     """Adjacent-token bigram strings ("tok_i tok_i+1"). Built row-locally
     with an indexed ``transform`` over the token array — no explode, no
-    shuffle; the whole expression stays in whole-stage codegen."""
+    shuffle; the whole expression stays in whole-stage codegen.
+
+    ``toks`` (a pre-projected split column) is effectively REQUIRED on
+    the hot path: the token source appears inside the lambda body, and
+    an inline split there re-evaluates per element — quadratic in
+    document length (see :func:`_toks`). The default exists for
+    one-off/interactive use only."""
     toks = _toks(text_col, toks)
     return F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),

@@ -31,8 +31,10 @@ def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(synth_media_from_documents(docs), fake=True)
 
 
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _decoded(spark, sf_dir)
+def _feature_projection(out: DataFrame) -> DataFrame:
+    """The shared decode-output projection (dims cast long, feature
+    vector formatted to the cross-engine 6dp string) — ONE copy so a
+    formatting change can't desynchronize the decode/pointer twins."""
     return out.select(
         "media_id",
         "media_type",
@@ -46,9 +48,23 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# digest byte k (1-indexed pair of hex chars) as integer
-def _byte(k: int) -> str:
-    return f"CAST(('0x' || substr(md5(text), {2 * k - 1}, 2)) AS INT)"
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feature_projection(_decoded(spark, sf_dir))
+
+
+# digest byte k (1-indexed pair of hex chars) of md5(col) as integer
+def _byte(k: int, col: str = "text") -> str:
+    return f"CAST(('0x' || substr(md5({col}), {2 * k - 1}, 2)) AS INT)"
+
+
+def _feature_str_sql(col: str = "text") -> str:
+    """The 8-byte fake-feature string in DuckDB form — shared by the
+    decode and pointer oracles (they differ only in the digest source)."""
+    parts = ",\n     ".join(
+        f"printf('%.6f', round({_byte(k, col)} / 255.0, 6))"
+        for k in range(1, 9)
+    )
+    return f"array_to_string(\n    [{parts}], ',')"
 
 
 _DECODE_SQL = f"""
@@ -59,15 +75,7 @@ SELECT doc_id AS media_id,
   CAST(16 + {_byte(2)} % 480 AS BIGINT) AS height,
   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + {_byte(3)} % 300 END AS BIGINT)
     AS n_frames,
-  array_to_string(
-    [printf('%.6f', round({_byte(1)} / 255.0, 6)),
-     printf('%.6f', round({_byte(2)} / 255.0, 6)),
-     printf('%.6f', round({_byte(3)} / 255.0, 6)),
-     printf('%.6f', round({_byte(4)} / 255.0, 6)),
-     printf('%.6f', round({_byte(5)} / 255.0, 6)),
-     printf('%.6f', round({_byte(6)} / 255.0, 6)),
-     printf('%.6f', round({_byte(7)} / 255.0, 6)),
-     printf('%.6f', round({_byte(8)} / 255.0, 6))], ',') AS feature_str
+  {_feature_str_sql('text')} AS feature_str
 FROM documents
 """
 
@@ -109,10 +117,10 @@ SELECT media_id,
   CAST(width AS BIGINT) AS width,
   CAST(height AS BIGINT) AS height,
   round(s, 6) AS scale,
-  CAST(floor(width * s) AS BIGINT) AS out_w,
-  CAST(floor(height * s) AS BIGINT) AS out_h,
-  CAST(floor((224 - floor(width * s)) / 2) AS BIGINT) AS pad_x,
-  CAST(floor((224 - floor(height * s)) / 2) AS BIGINT) AS pad_y
+  CAST(round(width * s) AS BIGINT) AS out_w,
+  CAST(round(height * s) AS BIGINT) AS out_h,
+  CAST(floor((224 - round(width * s)) / 2) AS BIGINT) AS pad_x,
+  CAST(floor((224 - round(height * s)) / 2) AS BIGINT) AS pad_y
 FROM scaled
 """
 
@@ -128,21 +136,7 @@ def multimodal_pointer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
     fetched = fetch_media(synth_media_pointers(docs), fake=True)
     out = decode_media(fetched, fake=True, pre_partitioned=True)
-    return out.select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        F.col("width").cast("long"),
-        F.col("height").cast("long"),
-        F.col("n_frames").cast("long"),
-        F.concat_ws(
-            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
-        ).alias("feature_str"),
-    )
-
-
-def _ubyte(k: int) -> str:
-    return f"CAST(('0x' || substr(md5(uri), {2 * k - 1}, 2)) AS INT)"
+    return _feature_projection(out)
 
 
 _POINTER_SQL = f"""
@@ -154,19 +148,11 @@ WITH p AS (
 )
 SELECT media_id, media_type,
   strlen(uri) AS n_bytes,
-  CAST(16 + {_ubyte(1)} % 640 AS BIGINT) AS width,
-  CAST(16 + {_ubyte(2)} % 480 AS BIGINT) AS height,
-  CAST(CASE WHEN media_id % 3 = 0 THEN 1 ELSE 1 + {_ubyte(3)} % 300 END AS BIGINT)
+  CAST(16 + {_byte(1, 'uri')} % 640 AS BIGINT) AS width,
+  CAST(16 + {_byte(2, 'uri')} % 480 AS BIGINT) AS height,
+  CAST(CASE WHEN media_id % 3 = 0 THEN 1 ELSE 1 + {_byte(3, 'uri')} % 300 END AS BIGINT)
     AS n_frames,
-  array_to_string(
-    [printf('%.6f', round({_ubyte(1)} / 255.0, 6)),
-     printf('%.6f', round({_ubyte(2)} / 255.0, 6)),
-     printf('%.6f', round({_ubyte(3)} / 255.0, 6)),
-     printf('%.6f', round({_ubyte(4)} / 255.0, 6)),
-     printf('%.6f', round({_ubyte(5)} / 255.0, 6)),
-     printf('%.6f', round({_ubyte(6)} / 255.0, 6)),
-     printf('%.6f', round({_ubyte(7)} / 255.0, 6)),
-     printf('%.6f', round({_ubyte(8)} / 255.0, 6))], ',') AS feature_str
+  {_feature_str_sql('uri')} AS feature_str
 FROM p
 """
 
