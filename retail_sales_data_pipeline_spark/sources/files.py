@@ -92,9 +92,23 @@ def read_csv_permissive(
         f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
     )
     expected = F.array(*[F.lit(f.name.lower()) for f in schema.fields])
+    n_exp = len(schema.fields)
     tokens = F.transform(
         F.split(F.col("value"), ","),
         lambda x: F.lower(F.trim(F.regexp_replace(F.trim(x), '^"|"$', ""))),
+    )
+    # a TRAILING delimiter on the header ("...,total_cost,", the classic
+    # Excel-export artifact) adds empty tail tokens; the schema'd read
+    # still skips that line positionally, so requiring an exact token
+    # match here would phantom-reject it — accept the header when the
+    # first n tokens match and everything after them is empty
+    is_header = (F.slice(tokens, 1, n_exp) == expected) & F.forall(
+        F.slice(
+            tokens,
+            n_exp + 1,
+            F.greatest(F.size(tokens) - n_exp, F.lit(0)),
+        ),
+        lambda x: x == "",
     )
     parsed = spark.read.text(path).select(
         F.col("value"),
@@ -106,7 +120,7 @@ def read_csv_permissive(
     )
     rejects = (
         parsed.where(
-            F.col("_p._corrupt_record").isNotNull() & (tokens != expected)
+            F.col("_p._corrupt_record").isNotNull() & ~is_header
         )
         .select(F.col("value").alias("_corrupt_record"))
     )
@@ -131,12 +145,19 @@ def read_json_permissive(
     full = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
     )
-    df = (
+    # persist_tracked, not a bare cache(): Spark requires caching to
+    # filter on the corrupt column, but a 10 GB JSON input pinned in
+    # executor memory for the session's life is exactly the leak the
+    # CSV sibling's two-pass rewrite avoids — tracked caches are
+    # released by the caller/harness via caching.release_persisted
+    from ..caching import persist_tracked
+
+    df = persist_tracked(
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(full)
         .json(path)
-    ).cache()  # same corrupt-column filter restriction as CSV
+    )
     good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     rejects = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, rejects

@@ -97,9 +97,15 @@ def sign_v4(
         [
             method,
             _uri_encode(path, keep_slash=True),
+            # SigV4 sorts the canonical query by the URI-ENCODED key
+            # (then encoded value) — raw order can differ, e.g. 'a.' <
+            # 'a:' raw but 'a%3A' < 'a.' encoded; sorting raw pairs
+            # would SignatureDoesNotMatch on such keys
             "&".join(
-                f"{_uri_encode(k)}={_uri_encode(v)}"
-                for k, v in sorted(query)
+                f"{ek}={ev}"
+                for ek, ev in sorted(
+                    (_uri_encode(k), _uri_encode(v)) for k, v in query
+                )
             ),
             "".join(f"{k}:{v}\n" for k, v in canon_headers),
             signed_names,
@@ -311,19 +317,31 @@ class S3Storage:
 
     def list(self, dir_path: str) -> list[str]:
         """One level, like ``LocalStorage.list``: objects and child
-        "directories" (common prefixes) directly under ``dir_path``."""
+        "directories" (common prefixes) directly under ``dir_path``.
+        Raises FileNotFoundError for an empty/nonexistent prefix like
+        the local backend does — a silent [] on a misconfigured prefix
+        would read as 'cleanup succeeded' (object stores have no empty
+        directories, so empty ≡ nonexistent here)."""
         bucket, key = self._split(dir_path)
         prefix = key if not key or key.endswith("/") else key + "/"
         keys, prefixes, = self._iter_keys(bucket, prefix, delimiter="/")
         entries = [f"s3://{bucket}/{k}" for k in keys if k != prefix] + [
             f"s3://{bucket}/{p.rstrip('/')}" for p in prefixes
         ]
+        if not entries and prefix:
+            raise FileNotFoundError(dir_path)
         return sorted(entries)
 
     def exists(self, path: str) -> bool:
         bucket, key = self._split(path)
         if not key:
-            return True  # bucket root
+            # bucket root: probe the bucket itself (a typo'd bucket
+            # must not read as existing)
+            try:
+                self._list_page(bucket, "", "", None)
+                return True
+            except FileNotFoundError:
+                return False
         try:
             self._request("HEAD", bucket, key)
             return True
