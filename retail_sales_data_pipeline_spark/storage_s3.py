@@ -318,18 +318,23 @@ class S3Storage:
     def list(self, dir_path: str) -> list[str]:
         """One level, like ``LocalStorage.list``: objects and child
         "directories" (common prefixes) directly under ``dir_path``.
-        Raises FileNotFoundError for an empty/nonexistent prefix like
-        the local backend does — a silent [] on a misconfigured prefix
-        would read as 'cleanup succeeded' (object stores have no empty
-        directories, so empty ≡ nonexistent here)."""
+
+        Contract parity with the local backend: an existing-but-empty
+        location returns ``[]``, a missing one raises. Object stores
+        have no empty directories, so "existing" is defined at the
+        bucket level — a successful ListObjectsV2 (HTTP 200, even with
+        zero results) proves the bucket exists and yields ``[]``; a
+        typo'd/missing bucket 404s inside ``_iter_keys`` and surfaces
+        as FileNotFoundError. This matters to the quarantine/archive
+        flow (``validate.py``), which legitimately EMPTIES the landing
+        prefix and then re-lists it — that must be a no-op, not a
+        crash, on both backends."""
         bucket, key = self._split(dir_path)
         prefix = key if not key or key.endswith("/") else key + "/"
         keys, prefixes, = self._iter_keys(bucket, prefix, delimiter="/")
         entries = [f"s3://{bucket}/{k}" for k in keys if k != prefix] + [
             f"s3://{bucket}/{p.rstrip('/')}" for p in prefixes
         ]
-        if not entries and prefix:
-            raise FileNotFoundError(dir_path)
         return sorted(entries)
 
     def exists(self, path: str) -> bool:

@@ -267,6 +267,17 @@ def test_put_read_exists_delete(s3, fake_s3):
     assert not fake_s3.auth_failures
 
 
+def test_list_empty_prefix_vs_missing_bucket(s3):
+    """Contract pin (LocalStorage parity): an existing bucket's empty
+    prefix lists as [] (the archive flow legitimately empties the
+    landing prefix and re-lists it), while a missing bucket raises —
+    a typo'd bucket must not read as 'cleanup succeeded'."""
+    s3.put_bytes("s3://bkt/seed.txt", b"x")
+    assert s3.list("s3://bkt/nothing-here") == []
+    with pytest.raises(FileNotFoundError):
+        s3.list("s3://no-such-bucket/any")
+
+
 def test_list_one_level_with_pagination(s3):
     for k in ["raw/a.csv", "raw/b.csv", "raw/c.csv", "raw/sub/d.csv",
               "raw/sub/e.csv", "other/f.csv"]:
