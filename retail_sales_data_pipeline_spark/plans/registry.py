@@ -58,56 +58,56 @@ _MODULES = [
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
-    "dv_takedown_counts",  # never checked
-    "customer_monthly_mart",  # green r5
-    "sales_team_mart",  # green r5
-    "star_join_enrich",  # green r5
-    "conform_union",  # green r5
-    "ledger_filter",  # green r5
-    "dedup_exact",  # green r5
-    "dedup_minhash_lsh",  # green r5
-    "dedup_simhash",  # green r5
-    "corpus_report",  # green r5
-    "corpus_approx_distinct",  # green r5
-    "dedup_incremental",  # green r5
-    "corpus_curation_funnel",  # green r5
-    "streaming_quality_filter",  # green r5
-    "corpus_split_assign",  # green r5
-    "corpus_shuffle_shard",  # green r5
-    "events_hourly_rollup",  # green r5
-    "events_sessionize",  # green r5
-    "events_json_props",  # green r5
-    "events_json_variant",  # green r5
-    "events_daily_stats",  # green r5
-    "events_asof_attribution",  # green r5
-    "events_range_pairs",  # green r5
-    "events_funnel",  # green r5
-    "events_cohort_retention",  # green r5
-    "streaming_hourly_rollup",  # green r5
-    "streaming_dedup_rollup",  # green r5
-    "streaming_sessionize",  # green r5
-    "events_approx_quantiles",  # green r5
-    "events_rolling_7day",  # green r5
-    "ann_cosine_topk",  # green r5
-    "ann_lsh_topk",  # green r5
-    "ann_ivf_topk",  # green r5
-    "ann_auto_topk",  # green r5
-    "dedup_embedding_cosine",  # green r5
-    "ann_recall_at_5",  # green r5
-    "kmeans_embeddings",  # green r5
-    "ann_quantized_topk",  # green r5
-    "dedup_semantic_cells",  # green r5
-    "kmeans_fixed_assign",  # green r5
-    "dedup_semantic_keep",  # green r5
-    "cluster_balanced_sample",  # green r5
-    "ann_label_agreement",  # green r5
-    "multimodal_decode",  # green r5
-    "multimodal_frame_sample",  # green r5
-    "multimodal_resize",  # green r5
-    "multimodal_pointer_decode",  # green r5
-    "multimodal_embed_texts",  # green r5
-    "multimodal_text_retrieval",  # green r5
-    "sketch_heavy_sources",  # green r6
+    "distinct_dedup",  # green r6
+    "monthly_grouped_sum",  # green r6
+    "month_key_forms",  # green r6
+    "product_enrich",  # green r6
+    "sales_rollup",  # green r6
+    "sales_cube",  # green r6
+    "customers_churned",  # green r6
+    "suppliers_with_returns",  # green r6
+    "customer_upsert",  # green r6
+    "scd2_customer_segments",  # green r6
+    "key_skew_profile",  # green r6
+    "maintenance_compaction_plan",  # green r6
+    "dq_violations",  # green r6
+    "mart_reconcile",  # green r6
+    "top_customers_per_month",  # green r6
+    "sales_pivot_by_flag",  # green r6
+    "customer_running_total",  # green r6
+    "monthly_price_quantiles",  # green r6
+    "revenue_anomalies",  # green r6
+    "order_value_quartiles",  # green r6
+    "text_token_stats",  # green r6
+    "profile_documents_stats",  # green r6
+    "text_quality",  # green r6
+    "text_lang_id",  # green r6
+    "text_fingerprint",  # green r6
+    "dedup_ngram_jaccard",  # green r6
+    "dedup_clusters",  # green r6
+    "dedup_rate_by_lang",  # green r6
+    "corpus_filter_pipeline",  # green r6
+    "corpus_sample",  # green r6
+    "corpus_stratified_sample",  # green r6
+    "corpus_tfidf_terms",  # green r6
+    "corpus_length_histogram",  # green r6
+    "text_redact_pii",  # green r6
+    "corpus_pack_sequences",  # green r6
+    "corpus_decontaminate",  # green r6
+    "text_repetition",  # green r6
+    "corpus_source_mix",  # green r6
+    "corpus_boilerplate_ngrams",  # green r6
+    "corpus_ngram_novelty",  # green r6
+    "dedup_keep_canonical",  # green r6
+    "text_langid_confusion",  # green r6
+    "corpus_unigram_logprob",  # green r6
+    "corpus_quality_sample",  # green r6
+    "corpus_mix_rebalance",  # green r6
+    "dedup_fuzzy_keys",  # green r6
+    "streaming_sessionize_complete",  # green r6
+    "ann_lsh_banded_topk",  # green r6
+    "decontaminate_semantic",  # green r6
+    "dv_takedown_counts",  # green r7
 ]
 
 
