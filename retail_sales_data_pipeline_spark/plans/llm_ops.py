@@ -1984,6 +1984,11 @@ FROM documents"""
     return "\nUNION ALL\n".join(parts)
 
 
+# per-process DML work dirs, keyed by (query, sf_dir) — see
+# dv_takedown_counts for the lifecycle
+_DV_WORKDIRS: dict = {}
+
+
 # ---------------------------------------------------------------------------
 # Q: dv_takedown_counts — the deletion-vector DML round trip as a
 # driver-checked query: build a manifest table from `documents`,
@@ -1997,7 +2002,9 @@ FROM documents"""
 # data files from the initial compaction are never rewritten.
 # ---------------------------------------------------------------------------
 def dv_takedown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from .. import sinks as S
@@ -2005,7 +2012,18 @@ def dv_takedown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(
         spark, sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="dv_takedown_"), "docs")
+    # ONE work dir per (process, sf_dir), wiped and rebuilt per call and
+    # removed at interpreter exit — repeated bench/driver invocations
+    # must not accumulate table-sized directories in /tmp (the returned
+    # DataFrame reads lazily, so the dir must outlive this function)
+    key = ("dv_takedown", sf_dir)
+    base = _DV_WORKDIRS.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="dv_takedown_")
+        _DV_WORKDIRS[key] = base
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "docs")
+    shutil.rmtree(path, ignore_errors=True)
     docs.write.parquet(path)
     S.compact_parquet(spark, path, target_files=4, sort_col="doc_id")
     S.delete_where(spark, path, "lang = 'de'", deletion_vectors=True)

@@ -53,10 +53,15 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import table_io as _table_io
+
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """K1: plain parquet write (reference parquet_writer.py:8-14)."""
-    df.write.mode(mode).parquet(path)
+    """K1: plain parquet write (reference parquet_writer.py:8-14).
+    Object-store URIs are mapped to the cluster's data-plane scheme
+    (``s3://`` -> ``s3a://`` by default; ``storage.register_spark_path``
+    overrides)."""
+    df.write.mode(mode).parquet(_spark_path(path))
 
 
 def write_partitioned_parquet(
@@ -67,7 +72,9 @@ def write_partitioned_parquet(
     is the layout that lets month/store queries prune: each partition
     directory is skipped entirely unless the predicate selects it.
     """
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(
+        _spark_path(path)
+    )
 
 
 def append_table(df: DataFrame, path: str) -> None:
@@ -78,7 +85,7 @@ def append_table(df: DataFrame, path: str) -> None:
     NOT retry-idempotent — a replayed caller double-appends; batch/
     stream orchestration should use :func:`append_table_run_scoped`.
     """
-    df.write.mode("append").parquet(path)
+    df.write.mode("append").parquet(_spark_path(path))
 
 
 def append_table_run_scoped(df: DataFrame, path: str, run_id) -> None:
@@ -90,147 +97,64 @@ def append_table_run_scoped(df: DataFrame, path: str, run_id) -> None:
     its ledger can only detect, not prevent. Readers scan the table
     root as before and gain a ``run`` provenance partition column."""
     df.write.mode("overwrite").parquet(
-        os.path.join(path, f"run={run_id}")
+        _spark_path(os.path.join(path, f"run={run_id}"))
     )
 
 
 _MANIFEST = "_manifest.json"
-# a commit lock is held only for a metadata write (milliseconds); a lock
-# older than this belongs to a crashed writer and is safe to break
-_LOCK_TTL_SECONDS = 60.0
-# how long a committer polls a HELD (young) lock before giving up: locks
-# are held for a metadata write, so near-simultaneous committers resolve
-# in milliseconds — raising instantly would force retry_on_conflict to
-# re-run an entire DML pass (identification scan + staged write) for a
-# contention that a 50 ms sleep absorbs
-_LOCK_WAIT_SECONDS = 2.0
+# lock timing re-exported from the IO seam (tests pin the TTL)
+_LOCK_TTL_SECONDS = _table_io._LOCK_TTL_SECONDS
+_LOCK_WAIT_SECONDS = _table_io._LOCK_WAIT_SECONDS
+
+# re-export: the protocol's writer-race error lives with the IO seam
+# (both the POSIX lock fence and the object-store ETag CAS raise it)
+ConcurrentWriteError = _table_io.ConcurrentWriteError
 
 
-class ConcurrentWriteError(RuntimeError):
-    """Two writers raced a manifest commit; exactly one wins, the loser
-    gets this instead of silently orphaning the winner's rows."""
+def _io(path: str):
+    """The table's control-plane IO, resolved by URI scheme — POSIX for
+    local paths, the registered :mod:`.storage` backend (ETag-CAS
+    commits) for object-store URIs. See :mod:`.table_io`."""
+    return _table_io.for_path(path)
+
+
+def _spark_path(path: str) -> str:
+    """The Spark-visible (data-plane) path for a control-plane URI —
+    identity for local paths, the per-scheme mapping for object stores
+    (default ``s3://`` -> ``s3a://``; see ``storage.register_spark_path``)."""
+    return _table_io.for_path(path).spark_path(path)
 
 
 def _load_manifest(path: str) -> dict | None:
     """Parse ``<path>/_manifest.json`` if present, else None."""
-    import json
-
-    mpath = os.path.join(path, _MANIFEST)
-    if not os.path.isfile(mpath):
-        return None
-    with open(mpath) as fh:
-        return json.load(fh)
+    return _io(path).load_json(os.path.join(path, _MANIFEST))
 
 
 def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -> None:
-    """THE atomic commit point of the rewrite protocol: write the
-    manifest to a temp file and ``os.replace`` it into place. On POSIX
-    rename-over is atomic; on an object store the analogue is a single
-    manifest-object PUT — both are one indivisible step, so readers see
-    either the old generation or the new one, never a mix.
+    """THE atomic commit point of the rewrite protocol, per backend:
 
-    Writer fencing: the replace happens under an ``O_CREAT|O_EXCL``
-    lock file carrying THIS writer's token, and with ``expect_gen`` the
-    committed generation number is re-read inside the lock — if another
-    writer moved it since this rewrite began, the commit aborts with
-    :class:`ConcurrentWriteError` (the table stays exactly as the
-    winner left it). A lock older than ``_LOCK_TTL_SECONDS`` belongs to
-    a crashed writer and is broken; because two breakers could race the
-    break itself (the second ``remove`` can delete the first breaker's
-    FRESH lock), the token is re-read immediately before the manifest
-    replace — a writer whose lock was stolen aborts loudly instead of
-    double-committing. The residual window is the microseconds between
-    that check and the replace, down from the full commit body.
-    """
-    import json
-    import time
-    import uuid as _uuid
+    * local paths — write the manifest to a temp file and ``os.replace``
+      it into place under an ``O_CREAT|O_EXCL`` lock file with a
+      generation re-check inside the lock
+      (:meth:`.table_io.LocalTableIO.commit_manifest`);
+    * object stores — ETag compare-and-swap: read the current manifest
+      object with its ETag, verify ``expect_gen``, conditional-PUT the
+      new one (``If-Match`` / ``If-None-Match: *``) — a lost race 412s
+      (:meth:`.table_io.StorageTableIO.commit_manifest`).
 
-    lock = os.path.join(path, _MANIFEST + ".lock")
-    token = _uuid.uuid4().hex
-    deadline = time.monotonic() + _LOCK_WAIT_SECONDS
-    broke = False
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                os.write(fd, token.encode())
-            finally:
-                os.close(fd)
-            break  # acquired
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:
-                continue  # lock vanished between attempts — retry now
-            if age >= _LOCK_TTL_SECONDS and not broke:
-                broke = True
-                try:
-                    os.remove(lock)  # crashed holder — break the lock
-                except OSError:
-                    pass
-                continue
-            if time.monotonic() >= deadline:
-                raise ConcurrentWriteError(
-                    f"another writer holds the commit lock for {path!r} "
-                    f"(lock age {age:.1f}s; waited "
-                    f"{_LOCK_WAIT_SECONDS:.0f}s)"
-                )
-            # young held lock: metadata writes clear in milliseconds —
-            # absorb the contention instead of failing the whole pass
-            time.sleep(0.05)
-    stolen = False
-    # tmp is TOKEN-SUFFIXED: with a shared tmp name, a stalled writer
-    # that loses the stale-lock race could overwrite the winner's
-    # staged manifest bytes between the winner's dump and replace —
-    # the fence would then install the LOSER's manifest under the
-    # winner's commit. Per-writer tmp names make that impossible.
-    tmp = os.path.join(path, f"{_MANIFEST}.tmp.{token}")
-    try:
-        if expect_gen is not None:
-            cur = _load_manifest(path)
-            cur_no = cur["gen_no"] if cur else 0
-            if cur_no != expect_gen:
-                raise ConcurrentWriteError(
-                    f"concurrent rewrite of {path!r}: generation moved "
-                    f"{expect_gen} -> {cur_no} since this rewrite began; "
-                    "retry against the new state"
-                )
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            with open(lock) as fh:
-                holder = fh.read()
-        except OSError:
-            holder = ""
-        if holder != token:
-            stolen = True
-            raise ConcurrentWriteError(
-                f"commit lock for {path!r} was broken by another writer "
-                "mid-commit (stale-lock TTL race); aborting this commit"
-            )
-        os.replace(tmp, os.path.join(path, _MANIFEST))
-    finally:
-        try:
-            os.remove(tmp)  # aborted commit: don't leak staged bytes
-        except OSError:
-            pass
-        if not stolen:  # never remove a lock that is no longer ours
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+    Both are one indivisible step, so readers see either the old
+    generation or the new one, never a mix; both turn a concurrent
+    writer into a loud :class:`ConcurrentWriteError` (the table stays
+    exactly as the winner left it — ``retry_on_conflict`` is the
+    optimistic retry loop)."""
+    _io(path).commit_manifest(path, manifest, expect_gen=expect_gen)
 
 
 def _top_level_part_files(path: str) -> list[str]:
     """Basenames of loose data files at the table root (the original
     un-managed layout, plus any ``append_table`` batches landed since
     the last rewrite)."""
-    import glob
-
-    return sorted(
-        os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))
-    )
+    return _io(path).list_basenames(path, "part-")
 
 
 def _json_scalar(v, widen: bool = False):
@@ -272,9 +196,7 @@ def _parquet_footer(abs_path: str) -> tuple[int, dict]:
     any file size. Columns with missing/unusable stats in any row group
     are omitted (conservative: no stats -> file is always a candidate).
     """
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(abs_path).metadata
+    md = _io(abs_path).open_parquet(abs_path).metadata
     agg: dict[str, list | None] = {}
     for rg in range(md.num_row_groups):
         for i in range(md.num_columns):
@@ -317,12 +239,12 @@ def _version_files(version: dict, table_path: str) -> list[dict]:
     filled lazily by :func:`_entry_rows` when a DML pass needs them."""
     if "files" in version:
         return version["files"]
-    import glob
-
     gen = version["generation"]
     return [
-        {"name": f"{gen}/{os.path.basename(p)}", "rows": None, "stats": None}
-        for p in sorted(glob.glob(os.path.join(table_path, gen, "part-*")))
+        {"name": f"{gen}/{b}", "rows": None, "stats": None}
+        for b in _io(table_path).list_basenames(
+            os.path.join(table_path, gen), "part-"
+        )
     ]
 
 
@@ -417,19 +339,21 @@ def _read_files(
     any data is read), which would tax every manifest read path
     linearly in file count."""
     reader = spark.read
+    spark_paths = [_io(p).spark_path(p) for p in paths]
     if man is not None and man.get("mixed_schema"):
-        return reader.option("mergeSchema", "true").parquet(*paths)
+        return reader.option("mergeSchema", "true").parquet(*spark_paths)
     if paths:
         try:
-            import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
             reader = reader.schema(
-                from_arrow_schema(pq.ParquetFile(paths[0]).schema_arrow)
+                from_arrow_schema(
+                    _io(paths[0]).open_parquet(paths[0]).schema_arrow
+                )
             )
         except Exception:
             pass  # unconvertible type etc.: fall back to inference
-    return reader.parquet(*paths)
+    return reader.parquet(*spark_paths)
 
 
 def version_as_of(path: str, timestamp: float) -> int:
@@ -581,13 +505,8 @@ def _retire(paths: list[str]) -> None:
     reader-protection model as Delta/Iceberg's VACUUM grace, expressed
     through the retention knob. ``retain_versions=0`` is the ERASURE
     posture (takedowns must not outlive the commit)."""
-    import shutil
-
     for p in paths:
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-        elif os.path.exists(p):
-            os.remove(p)
+        _io(p).delete_quiet(p)
 
 
 def _cdc_names(version: dict) -> set[str]:
@@ -618,7 +537,9 @@ def _read_dv(spark: SparkSession, path: str, version: dict) -> DataFrame:
     the hybrid threshold in the DV-writing ops rewrites files whose
     deleted fraction grows past it."""
     rels = sorted(_dv_names(version))
-    return spark.read.parquet(*[os.path.join(path, r) for r in rels])
+    return spark.read.parquet(
+        *[_spark_path(os.path.join(path, r)) for r in rels]
+    )
 
 
 def _assert_unique_basenames(files: list[dict]) -> None:
@@ -674,7 +595,10 @@ def _read_version_keyed(
         frames.append(keyed(plain))
     if dved:
         dvdf = spark.read.parquet(
-            *[os.path.join(path, r) for r in sorted(_dv_names({"dv": dv}))]
+            *[
+                _spark_path(os.path.join(path, r))
+                for r in sorted(_dv_names({"dv": dv}))
+            ]
         ).select("_file", "_pos")
         frames.append(
             keyed(dved).join(
@@ -716,23 +640,21 @@ def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
     commit): skip it — the writer's own commit or the TTL vacuum owns
     its fate, and deleting it here would kill the racing job with a
     FileNotFoundError instead of the fence's ConcurrentWriteError."""
-    import glob
-    import shutil
-
+    io = _io(path)
     live_dirs = {n.split("/", 1)[0] for n in live_names if "/" in n}
-    for child in os.listdir(path):
+    for child in io.listdir(path):
         cp = os.path.join(path, child)
         if (
             child.startswith("gen-")
-            and os.path.isdir(cp)
+            and io.isdir(cp)
             and child not in live_dirs
-            and not os.path.exists(os.path.join(cp, "_temporary"))
-            and not glob.glob(os.path.join(cp, "part-*"))
-            and not glob.glob(os.path.join(cp, "adopted-*"))
-            and not glob.glob(os.path.join(cp, "cdc-*"))
-            and not glob.glob(os.path.join(cp, "dv-*"))
+            and not io.exists(os.path.join(cp, "_temporary"))
+            and not io.list_basenames(cp, "part-")
+            and not io.list_basenames(cp, "adopted-")
+            and not io.list_basenames(cp, "cdc-")
+            and not io.list_basenames(cp, "dv-")
         ):
-            shutil.rmtree(cp, ignore_errors=True)
+            io.rmtree_quiet(cp)
 
 
 def _commit_generation(
@@ -778,7 +700,11 @@ def _commit_generation(
     (even of Nones) RECORDS the commit's change-data-feed so
     adjacent-version :func:`table_changes` skips the exceptAll scan;
     None means "changes unknown" (e.g. rollback) and forces the
-    fallback. ``mixed_schema``: True marks the table as holding files
+    fallback. Loose appends are reconciled automatically: adopted files
+    join the recorded insert list by reference, and a commit that FOLDS
+    loose rows into rewrites downgrades its feed to unknown (their row
+    set was never captured — reporting "no change" would silently lose
+    the appended rows for incremental consumers). ``mixed_schema``: True marks the table as holding files
     of differing physical schemas (reads merge footers), False clears
     the mark (a full rewrite unified them), None inherits. Returns
     ``(gen_no, manifest, n_new_files)``.
@@ -793,10 +719,9 @@ def _commit_generation(
     bytes). Omitting all three (the default) clears DVs — any full
     rewrite materializes them.
     """
-    import glob as _glob
-    import shutil
     import uuid
 
+    io = _io(path)
     prev_no = man["gen_no"] if man else 0
     gen_no = prev_no + 1
     # per-writer uniquifier: two racing writers must never share a
@@ -806,15 +731,12 @@ def _commit_generation(
     staging = os.path.join(path, gen)
     staged: list[str] = []
     if new_df is not None:
-        new_df.write.mode("overwrite").parquet(staging)
-        staged = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(staging, "part-*"))
-        )
+        new_df.write.mode("overwrite").parquet(_spark_path(staging))
+        staged = io.list_basenames(staging, "part-")
     new_entries = [_file_entry(path, f"{gen}/{b}") for b in staged]
     n_staged = sum(e["rows"] for e in new_entries)
     if n_staged != expected_new_rows:
-        shutil.rmtree(staging)
+        io.rmtree_quiet(staging)
         raise RuntimeError(
             f"rewrite row-count mismatch: staged {n_staged} != expected "
             f"{expected_new_rows}"
@@ -822,10 +744,10 @@ def _commit_generation(
     if adopt:
         # a pure-DV commit writes no data files, so the staging dir may
         # not exist yet — adoption still needs it
-        os.makedirs(staging, exist_ok=True)
+        io.makedirs(staging)
     for name, entry in adopt or []:
         dst = f"adopted-{name}"
-        shutil.copy2(os.path.join(path, name), os.path.join(staging, dst))
+        io.copy_file(os.path.join(path, name), os.path.join(staging, dst))
         new_entries.append({**entry, "name": f"{gen}/{dst}"})
     constraints = dict(man.get("constraints", {})) if man else {}
     if constraints and new_entries:
@@ -837,21 +759,43 @@ def _commit_generation(
         # where the expression is FALSE violates; NULL/UNKNOWN passes.
         from pyspark.sql import functions as F
 
-        # mergeSchema: staged files and adopted appends may differ
-        # during schema evolution; the set is patch-sized either way
-        check = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, e["name"]) for e in new_entries]
-        ).agg(
-            *[
-                F.count_if(
-                    ~F.coalesce(F.expr(expr), F.lit(True))
-                ).alias(cname)
-                for cname, expr in constraints.items()
-            ]
-        ).first()
+        try:
+            # mergeSchema: staged files and adopted appends may differ
+            # during schema evolution; the set is patch-sized either way
+            check_df = spark.read.option("mergeSchema", "true").parquet(
+                *[
+                    _spark_path(os.path.join(path, e["name"]))
+                    for e in new_entries
+                ]
+            )
+            if keep_entries:
+                # an evolving commit may OMIT a constrained column from
+                # every new file — NULL-extend to the carried schema so
+                # the CHECK evaluates to its documented NULL-passes
+                # semantics instead of an unresolved-column error
+                carried = _table_columns(
+                    spark, man,
+                    [os.path.join(path, keep_entries[0]["name"])],
+                )
+                for c in carried:
+                    if c not in check_df.columns:
+                        check_df = check_df.withColumn(c, F.lit(None))
+            check = check_df.agg(
+                *[
+                    F.count_if(
+                        ~F.coalesce(F.expr(expr), F.lit(True))
+                    ).alias(cname)
+                    for cname, expr in constraints.items()
+                ]
+            ).first()
+        except Exception:
+            # any pre-commit failure (analysis error, lost executor)
+            # must not leak the staged generation until vacuum's TTL
+            io.rmtree_quiet(staging)
+            raise
         bad = {c: check[c] for c in constraints if check[c]}
         if bad:
-            shutil.rmtree(staging)
+            io.rmtree_quiet(staging)
             raise ValueError(
                 f"CHECK constraint violated by this commit: "
                 + ", ".join(
@@ -869,8 +813,32 @@ def _commit_generation(
             # no leading underscore: Spark treats _-prefixed paths as
             # hidden metadata and refuses to read them back
             sub = f"{gen}/cdc-{kind}"
-            frame.write.mode("overwrite").parquet(os.path.join(path, sub))
+            frame.write.mode("overwrite").parquet(
+                _spark_path(os.path.join(path, sub))
+            )
             cdc_rec[kind] = [sub]
+    if cdc_rec is not None:
+        # loose appends were never part of ANY version, so the rows of a
+        # loose file this commit brings in are INSERTS of the v->v+1 hop:
+        # adopted files join the insert list BY REFERENCE (they are plain
+        # parquet — zero extra bytes written), while a commit that FOLDS
+        # loose rows into rewritten files has no recorded row set for
+        # them — its feed is marked unknown (cdc=None) so table_changes /
+        # the feed fall back to the snapshot diff instead of silently
+        # reporting "no change" and losing the appended rows downstream.
+        folded_loose = set(loose) - {name for name, _ in (adopt or [])}
+        if folded_loose:
+            cdc_rec = None
+        else:
+            adopted_rels = [
+                f"{gen}/adopted-{name}" for name, _ in (adopt or [])
+            ]
+            if adopted_rels:
+                cdc_rec = {
+                    **cdc_rec,
+                    "insert": list(cdc_rec.get("insert", []))
+                    + adopted_rels,
+                }
 
     files = keep_entries + new_entries
     dv_rec = None
@@ -888,7 +856,9 @@ def _commit_generation(
             # written — DV add cost is O(new positions), never
             # O(total accumulated positions)
             sub = f"{gen}/dv-deletes"
-            dv_df.write.mode("overwrite").parquet(os.path.join(path, sub))
+            dv_df.write.mode("overwrite").parquet(
+                _spark_path(os.path.join(path, sub))
+            )
             data.append(sub)
         if not data:
             raise RuntimeError("dv_n without dv_df or dv_carry")
@@ -1133,13 +1103,18 @@ def staged_rewrite(
     df = (
         _read_version(spark, man, path, rels, (man or {}).get("dv"))
         if rels
-        else spark.read.parquet(path)
+        else spark.read.parquet(_spark_path(path))
     )
-    n_want = (
-        _meta_row_count(path, entries, loose, _dv_map(man))
-        if expected_rows is None
-        else expected_rows
-    )
+    if expected_rows is not None:
+        n_want = expected_rows
+    elif rels:
+        n_want = _meta_row_count(path, entries, loose, _dv_map(man))
+    else:
+        # no manifest and no top-level part files (e.g. a hive-
+        # partitioned directory read by the fallback): the metadata
+        # count would be 0 and spuriously abort the rewrite — count the
+        # DataFrame instead (one columnless scan, this cold path only)
+        n_want = df.count()
     _, _, n_files = _commit_generation(
         spark,
         path,
@@ -1225,7 +1200,7 @@ def compact_small_files(
     man, entries, loose, stale = _live_state(path)
 
     def _size(name: str) -> int:
-        return os.path.getsize(os.path.join(path, name))
+        return _io(path).getsize(os.path.join(path, name))
 
     # size classification needs only a stat; parquet footers are read
     # ONLY for the small loose files that actually fold — the steady
@@ -1391,19 +1366,14 @@ def _table_columns(
     genuinely need the merged view and fall back to the relation."""
     if man is not None and man.get("mixed_schema") or not paths:
         return _read_files(spark, man, paths).columns
-    import pyarrow.parquet as pq
-
-    return list(pq.ParquetFile(paths[0]).schema_arrow.names)
+    return list(_io(paths[0]).open_parquet(paths[0]).schema_arrow.names)
 
 
 def _rel_file(uri: str, table_path: str) -> str:
-    """``input_file_name()`` URI -> manifest-relative file name."""
-    from urllib.parse import unquote, urlparse
-
-    p = urlparse(uri).path or uri
-    return os.path.relpath(
-        os.path.realpath(unquote(p)), os.path.realpath(table_path)
-    )
+    """Spark-reported file URI (``input_file_name()``) -> manifest-
+    relative file name, via the table's IO seam (the Spark data plane
+    may address the table under a mapped scheme/root)."""
+    return _io(table_path).rel_file(uri, table_path)
 
 
 def _matched_files(
@@ -1937,7 +1907,10 @@ def table_changes(
                 if rel:
                     frames.append(
                         spark.read.parquet(
-                            *[os.path.join(path, r) for r in rel]
+                            *[
+                                _spark_path(os.path.join(path, r))
+                                for r in rel
+                            ]
                         ).withColumn("_change_type", F.lit(kind))
                     )
             if not frames:
@@ -1983,8 +1956,8 @@ def table_changes_feed(
     land on the v_to state. Metadata-priced: plain parquet reads of the
     sidecar files, no table scan, no shuffle, regardless of the hop
     count. Raises naming the versions whose commit recorded no feed
-    (rollbacks, pre-format-2 history) — fall back to
-    :func:`table_changes` for those."""
+    (rollbacks, pre-format-2 history, commits that folded loose appends
+    into rewrites) — fall back to :func:`table_changes` for those."""
     from pyspark.sql import functions as F
 
     man = _load_manifest(path)
@@ -2011,7 +1984,9 @@ def table_changes_feed(
             rel = know[v]["cdc"].get(kind, [])
             if rel:
                 frames.append(
-                    spark.read.parquet(*[os.path.join(path, r) for r in rel])
+                    spark.read.parquet(
+                        *[_spark_path(os.path.join(path, r)) for r in rel]
+                    )
                     .withColumn("_change_type", F.lit(kind))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
@@ -2151,7 +2126,7 @@ def merge_into(
     old_cols = (
         _table_columns(spark, man, src)
         if src
-        else spark.read.parquet(path).columns
+        else spark.read.parquet(_spark_path(path)).columns
     )
     if not evolve_schema and set(updates.columns) != set(old_cols):
         raise ValueError(
@@ -2441,20 +2416,19 @@ def vacuum_staging(
     anything (the operator's pre-flight). Driver-side metadata work
     only — listdir + stat per candidate, never a data scan.
     """
-    import glob as _glob
-    import shutil
     import time as _time
     import warnings
 
+    io = _io(base_dir)
     clock = _time.time() if now is None else now
     removed: list[str] = []
 
     def expired(p: str) -> bool:
-        return clock - os.path.getmtime(p) >= ttl_seconds
+        return clock - io.getmtime(p) >= ttl_seconds
 
-    for name in sorted(os.listdir(base_dir)):
+    for name in io.listdir(base_dir):
         p = os.path.join(base_dir, name)
-        if not os.path.isdir(p):
+        if not io.isdir(p):
             continue
         man = _load_manifest(p)
         if man is not None:
@@ -2465,9 +2439,9 @@ def vacuum_staging(
                 live |= _dv_names(ver)
             live_dirs = {n.split("/", 1)[0] for n in live if "/" in n}
             superseded = set(man.get("superseded", []))
-            for child in sorted(os.listdir(p)):
+            for child in io.listdir(p):
                 cp = os.path.join(p, child)
-                if child.startswith("gen-") and os.path.isdir(cp):
+                if child.startswith("gen-") and io.isdir(cp):
                     if (
                         child not in live_dirs
                         and expired(cp)
@@ -2475,55 +2449,55 @@ def vacuum_staging(
                         # long-running staging job can outlive any TTL
                         # (the dir mtime is its creation time), and
                         # killing it here would bypass the fence
-                        and not os.path.exists(
-                            os.path.join(cp, "_temporary")
-                        )
+                        and not io.exists(os.path.join(cp, "_temporary"))
                     ):
                         if not dry_run:
-                            shutil.rmtree(cp, ignore_errors=True)
+                            io.rmtree_quiet(cp)
                         removed.append(cp)
                     elif child in live_dirs:
                         # live dir: collect its per-file deads only
-                        for sub in sorted(
-                            _glob.glob(os.path.join(cp, "part-*"))
-                            + _glob.glob(os.path.join(cp, "adopted-*"))
+                        for base in sorted(
+                            io.list_basenames(cp, "part-")
+                            + io.list_basenames(cp, "adopted-")
                         ):
-                            rel = f"{child}/{os.path.basename(sub)}"
+                            sub = os.path.join(cp, base)
+                            rel = f"{child}/{base}"
                             if rel not in live and expired(sub):
                                 if not dry_run:
-                                    os.remove(sub)
+                                    io.remove_file(sub)
                                 removed.append(sub)
-                        for sub in sorted(
-                            _glob.glob(os.path.join(cp, "cdc-*"))
-                            + _glob.glob(os.path.join(cp, "dv-*"))
+                        for base in sorted(
+                            io.list_basenames(cp, "cdc-")
+                            + io.list_basenames(cp, "dv-")
                         ):
-                            rel = f"{child}/{os.path.basename(sub)}"
+                            sub = os.path.join(cp, base)
+                            rel = f"{child}/{base}"
                             if rel not in live and expired(sub):
                                 if not dry_run:
-                                    shutil.rmtree(sub, ignore_errors=True)
+                                    io.rmtree_quiet(sub)
                                 removed.append(sub)
                 elif (
                     child in superseded
-                    and os.path.isfile(cp)
+                    and io.isfile(cp)
                     and expired(cp)
                 ):
                     if not dry_run:
-                        os.remove(cp)
+                        io.remove_file(cp)
                     removed.append(cp)
                 elif (
                     child.startswith(_MANIFEST + ".tmp")
-                    and os.path.isfile(cp)
+                    and io.isfile(cp)
                     and expired(cp)
                 ):
                     # staged manifest bytes leaked by an aborted commit
                     if not dry_run:
-                        os.remove(cp)
+                        io.remove_file(cp)
                     removed.append(cp)
             continue
         if not name.endswith(_STAGING_SUFFIXES):
             continue
         live_tbl = p.rsplit("._", 1)[0]
-        if not os.path.isdir(live_tbl):
+        if not io.isdir(live_tbl):
             warnings.warn(
                 f"vacuum_staging: keeping {p} — live table {live_tbl} is "
                 "missing, so this dir is recovery material, not an "
@@ -2533,6 +2507,6 @@ def vacuum_staging(
             continue
         if expired(p):
             if not dry_run:
-                shutil.rmtree(p, ignore_errors=True)
+                io.rmtree_quiet(p)
             removed.append(p)
     return removed

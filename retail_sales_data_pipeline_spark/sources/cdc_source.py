@@ -16,11 +16,14 @@ retention kept it.
 Scale posture, stated honestly: ``SimpleDataSourceStreamReader`` pulls
 batch rows through the DRIVER, which is exactly right for
 metadata-sized DML patches (the design point of file-granular DML) and
-wrong for bulk backfills — for those, run the batch
-:func:`..sinks.table_changes_feed`, which is a distributed parquet
-read. A commit without a recorded feed in range (a rollback,
-pre-format-2 history) fails the stream loudly rather than silently
-skipping changes; restart with ``starting_version`` past it.
+wrong for bulk backfills — and that contract is SELF-ENFORCING: a
+commit whose sidecars exceed ``max_batch_rows`` (default 1M; footer
+counts, no data read) fails the stream loudly, naming the distributed
+:func:`..sinks.table_changes_feed` as the bulk path and the
+``starting_version`` restart that skips past it. Likewise a commit
+without a recorded feed in range (a rollback, pre-format-2 history, a
+commit that folded loose appends) fails loudly rather than silently
+skipping changes.
 """
 
 from __future__ import annotations
@@ -101,6 +104,9 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
             if "starting_version" in options
             else None
         )
+        # driver-path safety valve: a single commit's feed larger than
+        # this refuses to stream (footer-counted before any data read)
+        self.max_batch_rows = int(options.get("max_batch_rows", 1_000_000))
         # the last two fields must be the metadata columns; a
         # user-supplied .schema(...) without them would silently shift
         # the change-kind/version into the last two DATA columns
@@ -117,6 +123,22 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
         from ..sinks import _load_manifest
 
         return _load_manifest(self.path)
+
+    def _sidecar_rows(self, rel: str) -> int:
+        """Row count of one CDC sidecar (dir of part files, or an
+        adopted parquet file referenced directly) from parquet FOOTERS
+        — no data pages are read."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        sub = os.path.join(self.path, rel)
+        parts = (
+            sorted(glob.glob(os.path.join(sub, "part-*")))
+            if os.path.isdir(sub)
+            else [sub]
+        )
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
 
     def initialOffset(self) -> dict:
         if self.start_version is not None:
@@ -160,6 +182,23 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
                 f"{missing} of {self.path!r} (rollback, or retention "
                 "dropped them) — restart with starting_version past them"
             )
+        for v in range(lo + 1, hi + 1):
+            # bulk-commit guard: footer row counts only — refuse to pull
+            # a rewrite-sized feed through the driver
+            n = sum(
+                self._sidecar_rows(rel)
+                for kind in ("delete", "insert")
+                for rel in know[v]["cdc"].get(kind, [])
+            )
+            if n > self.max_batch_rows:
+                raise ValueError(
+                    f"manifest_cdc: version {v} of {self.path!r} recorded "
+                    f"{n} change rows (> max_batch_rows="
+                    f"{self.max_batch_rows}) — a bulk commit must not "
+                    "stream through the driver; consume it with the "
+                    "distributed sinks.table_changes_feed and restart "
+                    f"this stream with starting_version={v}"
+                )
         for v in range(lo + 1, hi + 1):
             for kind in ("delete", "insert"):
                 for rel in know[v]["cdc"].get(kind, []):

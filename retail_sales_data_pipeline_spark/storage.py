@@ -42,6 +42,14 @@ import shutil
 from typing import Protocol, runtime_checkable
 
 
+class PreconditionFailed(Exception):
+    """A conditional write (``If-Match`` / ``If-None-Match``) was
+    rejected by the store — the object changed under the writer. The
+    manifest commit protocol (:mod:`.table_io`) turns this into
+    ``ConcurrentWriteError``; it is the object-store-native writer
+    fence (HTTP 412)."""
+
+
 @runtime_checkable
 class Storage(Protocol):
     """Minimal object-store surface the engine's control plane needs."""
@@ -134,3 +142,37 @@ def for_path(path: str) -> Storage:
             "storage.register(scheme, backend)"
         )
     return backend
+
+
+# -- Spark data-plane path mapping -------------------------------------
+#
+# The engine's CONTROL plane (manifest commits, sidecar IO, listings)
+# talks to an object store through this seam; the DATA plane is always a
+# distributed spark.read/write, which addresses the same bytes through
+# the CLUSTER's Hadoop filesystem. These two views of one table root are
+# related by a per-scheme path mapping: by default ``s3://bucket/key``
+# maps to ``s3a://bucket/key`` (the hadoop-aws connector's scheme — the
+# standard production pairing). Tests register a mapping onto the
+# disk-backed fake object store's root, which stands in for S3A over the
+# same bytes.
+
+def _default_spark_map(uri: str) -> str:
+    scheme = scheme_of(uri)
+    if scheme == "s3":
+        return "s3a://" + uri.partition("://")[2]
+    return uri
+
+
+_SPARK_MAPS: dict[str, object] = {}
+
+
+def register_spark_path(scheme: str, mapper) -> None:
+    """Install ``mapper(control_uri) -> spark_path`` for a scheme —
+    how Spark executors address the bytes this seam's control plane
+    manages (e.g. an alluxio/FUSE mount, a non-default hadoop scheme,
+    or a test double)."""
+    _SPARK_MAPS[scheme.lower()] = mapper
+
+
+def spark_path_mapper(scheme: str):
+    return _SPARK_MAPS.get(scheme.lower(), _default_spark_map)

@@ -251,6 +251,13 @@ class S3Storage:
                 return status, data, dict(e.headers)
             if status == 404:
                 raise FileNotFoundError(f"s3://{bucket}/{key}") from None
+            if status == 412:
+                from .storage import PreconditionFailed
+
+                raise PreconditionFailed(
+                    f"s3://{bucket}/{key}: conditional {method} rejected "
+                    "(object changed under this writer)"
+                ) from None
             raise S3ResponseError(status, method, url, data) from None
 
     # -- ListObjectsV2 (paginated) ------------------------------------
@@ -310,10 +317,80 @@ class S3Storage:
         _, data, _ = self._request("GET", bucket, key)
         return data
 
-    def put_bytes(self, path: str, data: bytes) -> None:
-        """Upload one object (reference ``upload_to_s3.py`` parity)."""
+    def put_bytes(
+        self,
+        path: str,
+        data: bytes,
+        *,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> str:
+        """Upload one object (reference ``upload_to_s3.py`` parity).
+        Returns the new object's ETag.
+
+        CONDITIONAL WRITES (the public S3 conditional-write protocol,
+        honored by AWS S3, GCS-interop, MinIO, R2): ``if_none_match``
+        sends ``If-None-Match: *`` — the PUT succeeds only if no object
+        exists at the key; ``if_match`` sends ``If-Match: <etag>`` — it
+        succeeds only if the current object's ETag still matches. A
+        rejected precondition raises
+        :class:`..storage.PreconditionFailed` (HTTP 412). This is the
+        atomic compare-and-swap the manifest commit fence builds on
+        (:mod:`..table_io`)."""
         bucket, key = self._split(path)
-        self._request("PUT", bucket, key, body=data)
+        extra: dict[str, str] = {}
+        if if_none_match:
+            extra["If-None-Match"] = "*"
+        if if_match is not None:
+            # S3 ETags are quoted strings on the wire; accept either form
+            extra["If-Match"] = (
+                if_match if if_match.startswith('"') else f'"{if_match}"'
+            )
+        _, _, headers = self._request(
+            "PUT", bucket, key, body=data, extra_headers=extra or None
+        )
+        return self._etag_of(headers)
+
+    @staticmethod
+    def _etag_of(headers: dict[str, str]) -> str:
+        etag = {k.lower(): v for k, v in headers.items()}.get("etag", "")
+        return etag.strip('"')
+
+    def read_bytes_meta(self, path: str) -> tuple[bytes, str]:
+        """One GET returning ``(body, etag)`` — the read half of the
+        ETag compare-and-swap commit."""
+        bucket, key = self._split(path)
+        _, data, headers = self._request("GET", bucket, key)
+        return data, self._etag_of(headers)
+
+    def head(self, path: str) -> dict:
+        """Object metadata without the body: ``{"size", "mtime",
+        "etag"}`` (one HEAD request)."""
+        from email.utils import parsedate_to_datetime
+
+        bucket, key = self._split(path)
+        _, _, headers = self._request("HEAD", bucket, key)
+        h = {k.lower(): v for k, v in headers.items()}
+        lm = h.get("last-modified")
+        return {
+            "size": int(h.get("content-length", 0)),
+            "mtime": parsedate_to_datetime(lm).timestamp() if lm else 0.0,
+            "etag": self._etag_of(headers),
+        }
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        """Ranged GET of ``length`` bytes at ``start`` — what keeps a
+        parquet FOOTER read footer-priced at any object size (used by
+        the table-IO seam's ``open_parquet``)."""
+        bucket, key = self._split(path)
+        _, data, _ = self._request(
+            "GET",
+            bucket,
+            key,
+            extra_headers={"Range": f"bytes={start}-{start + length - 1}"},
+            ok_status=(200, 206),
+        )
+        return data
 
     def list(self, dir_path: str) -> list[str]:
         """One level, like ``LocalStorage.list``: objects and child
@@ -381,6 +458,13 @@ class S3Storage:
                 )
             },
         )
+
+    def copy(self, src: str, dst: str) -> None:
+        """Server-side single-object copy (``x-amz-copy-source``) — the
+        byte-copy primitive the manifest protocol's append ADOPTION
+        uses: the object never flows through the driver."""
+        sbucket, skey = self._split(src)
+        self._copy(sbucket, skey, dst)
 
     def move(self, src: str, dst: str) -> None:
         """Server-side copy + delete — the object-store "move" (and the

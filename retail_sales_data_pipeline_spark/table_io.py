@@ -1,0 +1,468 @@
+"""Table-IO seam: the manifest protocol's control-plane IO, pluggable
+per URI scheme.
+
+Round 7 shipped file-granular DML / deletion vectors / time travel /
+CDC, but every manifest read, fenced commit, sidecar write, and retire
+went through ``os.path`` — local-filesystem-only. At the 100 TB design
+point the table lives in object storage by definition, so this module
+splits the protocol's IO into two implementations behind one duck-typed
+surface:
+
+* :class:`LocalTableIO` — the original POSIX behavior, byte-for-byte:
+  ``os.replace`` atomic manifest swap under an ``O_CREAT|O_EXCL`` lock
+  file with TTL breaking (rename-over cannot express "replace only if
+  unchanged", so POSIX needs the lock).
+* :class:`StorageTableIO` — object stores, routed through the
+  :mod:`.storage` seam. The fence is simpler AND stronger there:
+  **ETag compare-and-swap** — read the current manifest object with its
+  ETag, verify the expected generation, PUT the new manifest with
+  ``If-Match: <etag>`` (``If-None-Match: *`` for the creating commit).
+  A concurrent committer moved the ETag, the PUT 412s, and the loser
+  raises :class:`ConcurrentWriteError` — no lock object, no TTL
+  heuristic, no break-the-breaker race. This is the public S3
+  conditional-write protocol (supported by AWS S3, GCS, MinIO, R2).
+
+DATA-PLANE NOTE: Spark itself addresses the table through the cluster's
+Hadoop filesystem (``s3a://`` + hadoop-aws on a real deployment), not
+through this seam — bulk bytes never flow driver-side. Each scheme maps
+its control-plane URI to the Spark-visible path via
+:func:`..storage.spark_path` (default: ``s3://`` -> ``s3a://``); tests
+map onto a disk-backed fake S3 whose object tree doubles as the
+Spark-readable directory, standing in for S3A over the same bytes.
+
+Everything here is metadata-priced: manifest JSON, parquet FOOTERS
+(ranged reads when the backend supports them), one-level listings,
+single-object copies/deletes. See ``sinks.py`` for the protocol that
+drives it.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import json
+import os
+from typing import Any
+
+from . import storage as _storage
+
+_MANIFEST = "_manifest.json"
+
+# how long a POSIX commit lock may be held before a new committer breaks
+# it (a lock is held for one metadata write — an older one belongs to a
+# crashed writer); and how long a committer polls a young HELD lock
+# before giving up (near-simultaneous committers resolve in
+# milliseconds — raising instantly would force retry_on_conflict to
+# re-run an entire DML pass for a contention a 50 ms sleep absorbs)
+_LOCK_TTL_SECONDS = 60.0
+_LOCK_WAIT_SECONDS = 2.0
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced a manifest commit; exactly one wins, the loser
+    gets this instead of silently orphaning the winner's rows."""
+
+
+class LocalTableIO:
+    """POSIX implementation — the manifest protocol's original IO,
+    unchanged semantics (see module docstring for the fence design)."""
+
+    def spark_path(self, uri: str) -> str:
+        return uri
+
+    def rel_file(self, spark_uri: str, table_path: str) -> str:
+        """``input_file_name()`` URI -> manifest-relative file name."""
+        from urllib.parse import unquote, urlparse
+
+        p = urlparse(spark_uri).path or spark_uri
+        return os.path.relpath(
+            os.path.realpath(unquote(p)), os.path.realpath(table_path)
+        )
+
+    # -- manifest ------------------------------------------------------
+
+    def load_json(self, uri: str) -> dict | None:
+        if not os.path.isfile(uri):
+            return None
+        with open(uri) as fh:
+            return json.load(fh)
+
+    def commit_manifest(
+        self, path: str, manifest: dict, expect_gen: int | None = None
+    ) -> None:
+        """THE atomic commit point of the rewrite protocol: write the
+        manifest to a temp file and ``os.replace`` it into place — on
+        POSIX rename-over is atomic, so readers see either the old
+        generation or the new one, never a mix.
+
+        Writer fencing: the replace happens under an ``O_CREAT|O_EXCL``
+        lock file carrying THIS writer's token, and with ``expect_gen``
+        the committed generation number is re-read inside the lock — if
+        another writer moved it since this rewrite began, the commit
+        aborts with :class:`ConcurrentWriteError` (the table stays
+        exactly as the winner left it). A lock older than
+        ``_LOCK_TTL_SECONDS`` belongs to a crashed writer and is broken;
+        because two breakers could race the break itself (the second
+        ``remove`` can delete the first breaker's FRESH lock), the token
+        is re-read immediately before the manifest replace — a writer
+        whose lock was stolen aborts loudly instead of double-
+        committing. The residual window is the microseconds between that
+        check and the replace, down from the full commit body.
+        """
+        import time
+        import uuid as _uuid
+
+        lock = os.path.join(path, _MANIFEST + ".lock")
+        token = _uuid.uuid4().hex
+        deadline = time.monotonic() + _LOCK_WAIT_SECONDS
+        broke = False
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
+                break  # acquired
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # lock vanished between attempts — retry now
+                if age >= _LOCK_TTL_SECONDS and not broke:
+                    broke = True
+                    try:
+                        os.remove(lock)  # crashed holder — break the lock
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriteError(
+                        f"another writer holds the commit lock for "
+                        f"{path!r} (lock age {age:.1f}s; waited "
+                        f"{_LOCK_WAIT_SECONDS:.0f}s)"
+                    )
+                # young held lock: metadata writes clear in milliseconds
+                time.sleep(0.05)
+        stolen = False
+        # tmp is TOKEN-SUFFIXED: with a shared tmp name, a stalled writer
+        # that loses the stale-lock race could overwrite the winner's
+        # staged manifest bytes between the winner's dump and replace —
+        # the fence would then install the LOSER's manifest under the
+        # winner's commit. Per-writer tmp names make that impossible.
+        tmp = os.path.join(path, f"{_MANIFEST}.tmp.{token}")
+        try:
+            if expect_gen is not None:
+                cur = self.load_json(os.path.join(path, _MANIFEST))
+                cur_no = cur["gen_no"] if cur else 0
+                if cur_no != expect_gen:
+                    raise ConcurrentWriteError(
+                        f"concurrent rewrite of {path!r}: generation "
+                        f"moved {expect_gen} -> {cur_no} since this "
+                        "rewrite began; retry against the new state"
+                    )
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                with open(lock) as fh:
+                    holder = fh.read()
+            except OSError:
+                holder = ""
+            if holder != token:
+                stolen = True
+                raise ConcurrentWriteError(
+                    f"commit lock for {path!r} was broken by another "
+                    "writer mid-commit (stale-lock TTL race); aborting "
+                    "this commit"
+                )
+            os.replace(tmp, os.path.join(path, _MANIFEST))
+        finally:
+            try:
+                os.remove(tmp)  # aborted commit: don't leak staged bytes
+            except OSError:
+                pass
+            if not stolen:  # never remove a lock that is no longer ours
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+
+    # -- listing -------------------------------------------------------
+
+    def list_basenames(self, dir_uri: str, prefix: str) -> list[str]:
+        import glob
+
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(dir_uri, prefix + "*"))
+        )
+
+    def listdir(self, dir_uri: str) -> list[str]:
+        return sorted(os.listdir(dir_uri))
+
+    # -- predicates / metadata ------------------------------------------
+
+    def exists(self, uri: str) -> bool:
+        return os.path.exists(uri)
+
+    def isfile(self, uri: str) -> bool:
+        return os.path.isfile(uri)
+
+    def isdir(self, uri: str) -> bool:
+        return os.path.isdir(uri)
+
+    def getsize(self, uri: str) -> int:
+        return os.path.getsize(uri)
+
+    def getmtime(self, uri: str) -> float:
+        return os.path.getmtime(uri)
+
+    # -- mutation -------------------------------------------------------
+
+    def makedirs(self, dir_uri: str) -> None:
+        os.makedirs(dir_uri, exist_ok=True)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        import shutil
+
+        shutil.copy2(src, dst)
+
+    def remove_file(self, uri: str) -> None:
+        os.remove(uri)
+
+    def rmtree_quiet(self, uri: str) -> None:
+        import shutil
+
+        shutil.rmtree(uri, ignore_errors=True)
+
+    def delete_quiet(self, uri: str) -> None:
+        """Best-effort retire of a file OR directory (post-commit
+        cleanup — a crash here leaves only dead bytes that every new
+        reader already ignores)."""
+        if os.path.isdir(uri):
+            self.rmtree_quiet(uri)
+        elif os.path.exists(uri):
+            try:
+                os.remove(uri)
+            except OSError:
+                pass
+
+    # -- parquet metadata ------------------------------------------------
+
+    def open_parquet(self, uri: str):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(uri)
+
+
+class _StorageFile(_io.RawIOBase):
+    """Seekable read-only file over a storage object, for pyarrow footer
+    reads. Backends exposing ``read_range`` serve each read as one
+    ranged GET (a parquet footer read costs ~3 small GETs at any file
+    size); otherwise the object is fetched once and buffered."""
+
+    def __init__(self, backend, uri: str, size: int):
+        self._backend = backend
+        self._uri = uri
+        self._size = size
+        self._pos = 0
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        data = self._backend.read_range(self._uri, self._pos, n)
+        self._pos += len(data)
+        return data
+
+    def size(self) -> int:  # pyarrow probes this when present
+        return self._size
+
+
+class StorageTableIO:
+    """Object-store implementation over a :mod:`..storage` backend.
+
+    Required backend surface (duck-typed; :class:`..storage_s3.S3Storage`
+    provides all of it): ``read_bytes``, ``put_bytes(path, data, *,
+    if_match=None, if_none_match=False)``, ``read_bytes_meta`` (returns
+    ``(bytes, etag)``), ``head`` (returns ``{"size", "mtime", "etag"}``),
+    ``list``, ``exists``, ``is_dir``, ``delete``, ``copy``,
+    ``makedirs``, and optionally ``read_range`` for footer-priced
+    parquet metadata reads."""
+
+    def __init__(self, backend, spark_mapper):
+        self._b = backend
+        self._map = spark_mapper
+
+    def spark_path(self, uri: str) -> str:
+        return self._map(uri)
+
+    def rel_file(self, spark_uri: str, table_path: str) -> str:
+        """Spark-reported file URI -> manifest-relative name: both the
+        report and the table root are normalized to scheme-less paths
+        (the mapping preserves the key tree under the mapped root, so
+        relative names agree between the control and data planes)."""
+        from urllib.parse import unquote, urlparse
+
+        def norm(u: str) -> str:
+            parsed = urlparse(u)
+            path = unquote(parsed.path or u)
+            # s3a://bucket/key and file:/root/bucket/key both reduce to
+            # their path component; prepend netloc so bucket stays part
+            # of the key space when the scheme carries one
+            return (parsed.netloc + "/" + path.lstrip("/")).rstrip("/") \
+                if parsed.netloc else path
+        return os.path.relpath(norm(spark_uri), norm(self.spark_path(table_path)))
+
+    # -- manifest ------------------------------------------------------
+
+    def load_json(self, uri: str) -> dict | None:
+        try:
+            return json.loads(self._b.read_bytes(uri))
+        except FileNotFoundError:
+            return None
+
+    def commit_manifest(
+        self, path: str, manifest: dict, expect_gen: int | None = None
+    ) -> None:
+        """ETag compare-and-swap commit (see module docstring): one GET
+        (current manifest + ETag), one conditional PUT. A 412 from the
+        store IS the fence — no lock object exists to leak, break, or
+        race."""
+        uri = os.path.join(path, _MANIFEST)
+        try:
+            cur_bytes, etag = self._b.read_bytes_meta(uri)
+            cur = json.loads(cur_bytes)
+        except FileNotFoundError:
+            cur, etag = None, None
+        cur_no = cur["gen_no"] if cur else 0
+        if expect_gen is not None and cur_no != expect_gen:
+            raise ConcurrentWriteError(
+                f"concurrent rewrite of {path!r}: generation moved "
+                f"{expect_gen} -> {cur_no} since this rewrite began; "
+                "retry against the new state"
+            )
+        body = json.dumps(manifest).encode()
+        try:
+            if etag is None:
+                self._b.put_bytes(uri, body, if_none_match=True)
+            else:
+                self._b.put_bytes(uri, body, if_match=etag)
+        except _storage.PreconditionFailed:
+            raise ConcurrentWriteError(
+                f"concurrent rewrite of {path!r}: the manifest object "
+                "changed between this writer's read and its conditional "
+                "PUT (ETag CAS lost); retry against the new state"
+            ) from None
+
+    # -- listing -------------------------------------------------------
+
+    def list_basenames(self, dir_uri: str, prefix: str) -> list[str]:
+        try:
+            entries = self._b.list(dir_uri)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            os.path.basename(e)
+            for e in entries
+            if os.path.basename(e).startswith(prefix)
+        )
+
+    def listdir(self, dir_uri: str) -> list[str]:
+        return sorted(os.path.basename(e) for e in self._b.list(dir_uri))
+
+    # -- predicates / metadata ------------------------------------------
+
+    def exists(self, uri: str) -> bool:
+        return self._b.exists(uri)
+
+    def isfile(self, uri: str) -> bool:
+        return self._b.exists(uri) and not self._b.is_dir(uri)
+
+    def isdir(self, uri: str) -> bool:
+        return self._b.is_dir(uri)
+
+    def getsize(self, uri: str) -> int:
+        return self._b.head(uri)["size"]
+
+    def getmtime(self, uri: str) -> float:
+        """Object mtime; for a "directory" (common prefix — no object of
+        its own on a store), the newest contained object, recursively.
+        Used only by TTL vacuum decisions, where newest-child is the
+        CONSERVATIVE reading of a prefix's age (a dir is only as stale
+        as its most recent write)."""
+        try:
+            return self._b.head(uri)["mtime"]
+        except FileNotFoundError:
+            children = self._b.list(uri)
+            if not children:
+                raise FileNotFoundError(uri) from None
+            return max(self.getmtime(c) for c in children)
+
+    # -- mutation -------------------------------------------------------
+
+    def makedirs(self, dir_uri: str) -> None:
+        self._b.makedirs(dir_uri)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        self._b.copy(src, dst)
+
+    def remove_file(self, uri: str) -> None:
+        self._b.delete(uri)
+
+    def rmtree_quiet(self, uri: str) -> None:
+        try:
+            self._b.delete(uri)
+        except FileNotFoundError:
+            pass
+
+    def delete_quiet(self, uri: str) -> None:
+        try:
+            self._b.delete(uri)
+        except FileNotFoundError:
+            pass
+
+    # -- parquet metadata ------------------------------------------------
+
+    def open_parquet(self, uri: str):
+        import pyarrow.parquet as pq
+
+        size = self.getsize(uri)
+        if hasattr(self._b, "read_range"):
+            return pq.ParquetFile(_StorageFile(self._b, uri, size))
+        return pq.ParquetFile(_io.BytesIO(self._b.read_bytes(uri)))
+
+
+_LOCAL = LocalTableIO()
+
+
+def for_path(path: str) -> Any:
+    """Resolve the table-IO implementation for a table path by URI
+    scheme: scheme-less / ``file://`` paths get the POSIX protocol,
+    everything else routes through the registered storage backend with
+    the ETag-CAS commit fence."""
+    scheme = _storage.scheme_of(path)
+    if scheme in ("", "file"):
+        return _LOCAL
+    return StorageTableIO(
+        _storage.for_path(path), _storage.spark_path_mapper(scheme)
+    )

@@ -1,0 +1,279 @@
+"""Disk-backed in-process S3-compatible server for end-to-end manifest
+tests.
+
+The in-memory fake in ``test_storage_s3.py`` exercises the SigV4
+adapter's wire protocol; THIS one adds what the manifest-on-object-store
+protocol needs:
+
+* **disk-backed objects** — ``(bucket, key)`` lives at
+  ``<root>/<bucket>/<key>``, so the SAME bytes are visible both through
+  the S3 HTTP API (the engine's control plane) and through a plain
+  directory path (Spark's data plane, standing in for the hadoop-aws
+  ``s3a://`` connector a real cluster mounts over the same store);
+* **conditional writes** — ``If-None-Match: *`` (PUT succeeds only if
+  the key is absent) and ``If-Match: <etag>`` (PUT succeeds only if the
+  current ETag matches), each rejected with HTTP 412: the public S3
+  conditional-write protocol the ETag-CAS commit fence builds on;
+* **ETag / Last-Modified / Content-Length** metadata on GET/HEAD/PUT
+  (ETag = quoted MD5 of the body, real S3's simple-PUT definition);
+* **ranged GET** (``Range: bytes=a-b`` -> 206) — what keeps parquet
+  footer reads footer-priced through the seam.
+
+Auth is shape-checked like the in-memory fake: every request must carry
+a well-formed SigV4 Authorization header signing host /
+x-amz-content-sha256 / x-amz-date.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import threading
+from email.utils import formatdate
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+_XMLNS = "http://s3.amazonaws.com/doc/2006-03-01/"
+_AUTH_RE = re.compile(
+    r"AWS4-HMAC-SHA256 Credential=[^/]+/\d{8}/[a-z0-9-]+/s3/aws4_request, "
+    r"SignedHeaders=(?=[\w;-]*\bhost\b)(?=[\w;-]*\bx-amz-content-sha256\b)"
+    r"(?=[\w;-]*\bx-amz-date\b)[\w;-]+, Signature=[0-9a-f]{64}"
+)
+
+
+def _etag(data: bytes) -> str:
+    return '"' + hashlib.md5(data).hexdigest() + '"'
+
+
+class DiskS3Handler(BaseHTTPRequestHandler):
+    server_version = "FakeS3Disk/1.0"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    # -- path helpers ----------------------------------------------------
+
+    @property
+    def root(self) -> str:
+        return self.server.root
+
+    def _parts(self):
+        parsed = urlparse(self.path)
+        bucket, _, key = unquote(parsed.path).lstrip("/").partition("/")
+        return bucket, key, parse_qs(parsed.query, keep_blank_values=True)
+
+    def _fs(self, bucket: str, key: str = "") -> str:
+        return os.path.join(self.root, bucket, *key.split("/")) if key \
+            else os.path.join(self.root, bucket)
+
+    def _bucket_exists(self, bucket: str) -> bool:
+        return os.path.isdir(self._fs(bucket))
+
+    def _keys(self, bucket: str) -> list[str]:
+        broot = self._fs(bucket)
+        out = []
+        for dirpath, _, files in os.walk(broot):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                out.append(os.path.relpath(full, broot).replace(os.sep, "/"))
+        return sorted(out)
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _check_auth(self) -> bool:
+        auth = self.headers.get("Authorization", "")
+        if not _AUTH_RE.match(auth):
+            self.server.auth_failures.append(auth)
+            self._send(403)
+            return False
+        return True
+
+    def _send(self, status: int, body: bytes = b"", extra: dict | None = None):
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
+    def _obj_headers(self, path: str, data: bytes) -> dict:
+        return {
+            "ETag": _etag(data),
+            "Last-Modified": formatdate(os.path.getmtime(path), usegmt=True),
+        }
+
+    # -- verbs -------------------------------------------------------------
+
+    def do_GET(self):
+        if not self._check_auth():
+            return
+        bucket, key, q = self._parts()
+        if "list-type" in q:
+            return self._list(bucket, q)
+        path = self._fs(bucket, key)
+        if not os.path.isfile(path):
+            return self._send(404, b"<Error><Code>NoSuchKey</Code></Error>")
+        with open(path, "rb") as fh:
+            data = fh.read()
+        headers = self._obj_headers(path, data)
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            lo_s, _, hi_s = rng[len("bytes="):].partition("-")
+            lo = int(lo_s)
+            hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
+            headers["Content-Range"] = f"bytes {lo}-{hi}/{len(data)}"
+            return self._send(206, data[lo:hi + 1], headers)
+        self._send(200, data, headers)
+
+    def do_HEAD(self):
+        if not self._check_auth():
+            return
+        bucket, key, _ = self._parts()
+        path = self._fs(bucket, key)
+        if not os.path.isfile(path):
+            return self._send(404)
+        with open(path, "rb") as fh:
+            data = fh.read()
+        self._send(200, data, self._obj_headers(path, data))
+
+    def do_PUT(self):
+        if not self._check_auth():
+            return
+        bucket, key, _ = self._parts()
+        if not self._bucket_exists(bucket):
+            return self._send(404, b"<Error><Code>NoSuchBucket</Code></Error>")
+        path = self._fs(bucket, key)
+        # conditional-write preconditions (public S3 semantics): checked
+        # under the server lock so two racing conditional PUTs serialize
+        # — exactly one wins, the loser 412s
+        with self.server.mutation_lock:
+            if self.headers.get("If-None-Match") == "*" and os.path.isfile(
+                path
+            ):
+                return self._send(
+                    412, b"<Error><Code>PreconditionFailed</Code></Error>"
+                )
+            want = self.headers.get("If-Match")
+            if want is not None:
+                if not os.path.isfile(path):
+                    return self._send(
+                        412,
+                        b"<Error><Code>PreconditionFailed</Code></Error>",
+                    )
+                with open(path, "rb") as fh:
+                    cur = fh.read()
+                if want.strip('"') != _etag(cur).strip('"'):
+                    return self._send(
+                        412,
+                        b"<Error><Code>PreconditionFailed</Code></Error>",
+                    )
+            src = self.headers.get("x-amz-copy-source")
+            if src:
+                sbucket, _, skey = unquote(src).lstrip("/").partition("/")
+                spath = self._fs(sbucket, skey)
+                if not os.path.isfile(spath):
+                    return self._send(404)
+                with open(spath, "rb") as fh:
+                    data = fh.read()
+            else:
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as fh:
+                fh.write(data)
+        if src:
+            return self._send(
+                200,
+                f'<CopyObjectResult xmlns="{_XMLNS}"><ETag>{_etag(data)}'
+                f"</ETag></CopyObjectResult>".encode(),
+                {"ETag": _etag(data)},
+            )
+        self._send(200, b"", {"ETag": _etag(data)})
+
+    def do_DELETE(self):
+        if not self._check_auth():
+            return
+        bucket, key, _ = self._parts()
+        path = self._fs(bucket, key)
+        with self.server.mutation_lock:
+            if os.path.isfile(path):
+                os.remove(path)
+                # object stores have no empty directories: collapse any
+                # now-empty parents so prefix listings agree with S3
+                d = os.path.dirname(path)
+                broot = self._fs(bucket)
+                while d != broot and os.path.isdir(d) and not os.listdir(d):
+                    os.rmdir(d)
+                    d = os.path.dirname(d)
+        self._send(204)  # S3 DELETE is idempotent
+
+    def _list(self, bucket: str, q):
+        if not self._bucket_exists(bucket):
+            return self._send(404, b"<Error><Code>NoSuchBucket</Code></Error>")
+        prefix = q.get("prefix", [""])[0]
+        delim = q.get("delimiter", [""])[0]
+        max_keys = int(q.get("max-keys", ["1000"])[0])
+        token = q.get("continuation-token", [""])[0]
+        entries: list[tuple[str, bool]] = []  # (name, is_prefix)
+        seen = set()
+        for k in self._keys(bucket):
+            if not k.startswith(prefix):
+                continue
+            rest = k[len(prefix):]
+            if delim and delim in rest:
+                p = prefix + rest.split(delim)[0] + delim
+                if p not in seen:
+                    seen.add(p)
+                    entries.append((p, True))
+            else:
+                entries.append((k, False))
+        entries.sort()
+        if token:
+            entries = [e for e in entries if e[0] > token]
+        page, rest = entries[:max_keys], entries[max_keys:]
+        parts = [f'<ListBucketResult xmlns="{_XMLNS}">']
+        for name, is_prefix in page:
+            if is_prefix:
+                parts.append(
+                    f"<CommonPrefixes><Prefix>{name}</Prefix></CommonPrefixes>"
+                )
+            else:
+                parts.append(f"<Contents><Key>{name}</Key></Contents>")
+        if rest:
+            parts.append(
+                "<IsTruncated>true</IsTruncated>"
+                f"<NextContinuationToken>{page[-1][0]}"
+                "</NextContinuationToken>"
+            )
+        else:
+            parts.append("<IsTruncated>false</IsTruncated>")
+        parts.append("</ListBucketResult>")
+        self._send(200, "".join(parts).encode())
+
+
+class DiskS3Server(ThreadingHTTPServer):
+    """``DiskS3Server(root)`` — serve ``root/<bucket>/<key>`` over the
+    S3 REST API. Create a bucket by creating its directory."""
+
+    daemon_threads = True
+
+    def __init__(self, root: str):
+        self.root = root
+        self.auth_failures: list[str] = []
+        self.mutation_lock = threading.Lock()
+        super().__init__(("127.0.0.1", 0), DiskS3Handler)
+
+    def make_bucket(self, name: str) -> str:
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        return os.path.join(self.root, name)
+
+    def start(self) -> "DiskS3Server":
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+        return self
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://127.0.0.1:{self.server_address[1]}"

@@ -1050,6 +1050,54 @@ def test_table_changes_adjacent_reads_cdc_sidecar(spark, tmp_path):
     assert "Exchange" in buf.getvalue()
 
 
+def test_cdc_covers_adopted_and_folded_appends(spark, tmp_path):
+    """Loose appends entering a version must never vanish from the
+    change feed: an ADOPTED append joins the commit's CDC insert list by
+    reference (exact, zero extra bytes), while a commit that FOLDS loose
+    rows into rewritten files records an UNKNOWN feed (cdc=None) so
+    table_changes falls back to the snapshot diff and the feed raises
+    instead of silently reporting no change."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(path)
+    S.compact_parquet(spark, path, target_files=1)            # v1
+    # loose append, UNTOUCHED by the delete -> adopted by reference
+    S.append_table(
+        spark.createDataFrame([(10, "x")], "id long, v string"), path
+    )
+    S.delete_where(spark, path, "id = 2", retain_versions=3)  # v2
+    adj = S.table_changes(spark, path, 1, 2)
+    assert {(r.id, r._change_type) for r in adj.collect()} == {
+        (2, "delete"), (10, "insert")
+    }
+    feed = S.table_changes_feed(spark, path, 1, 2)
+    assert {(r.id, r._change_type) for r in feed.collect()} == {
+        (2, "delete"), (10, "insert")
+    }
+
+    # loose append TOUCHED by the delete -> folded into the rewrite:
+    # the hop's exact row set is unknowable from sidecars
+    S.append_table(
+        spark.createDataFrame(
+            [(20, "y"), (21, "z")], "id long, v string"
+        ),
+        path,
+    )
+    S.delete_where(spark, path, "id = 21", retain_versions=3)  # v3
+    assert S._load_manifest(path).get("cdc") is None
+    adj2 = S.table_changes(spark, path, 2, 3)  # snapshot-diff fallback
+    assert {(r.id, r._change_type) for r in adj2.collect()} == {
+        (20, "insert")
+    }
+    with _pytest.raises(ValueError, match="no change feed"):
+        S.table_changes_feed(spark, path, 2, 3)
+
+
 def test_rollback_retention_and_vacuum_ttl(spark, tmp_path):
     """rollback accepts retain_versions (history stops growing across
     repeated rollbacks) and leaves superseded appends to the vacuum TTL

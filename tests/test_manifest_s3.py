@@ -1,0 +1,374 @@
+"""The manifest protocol END-TO-END on an object store.
+
+Round 7's DML/DV/time-travel/CDC stack committed through ``os.path``
+only; round 8 routes every control-plane operation through the
+:mod:`..table_io` seam. These tests run the WHOLE protocol —
+convert / delete / update / merge (copy-on-write AND deletion-vector
+modes) / rollback / time travel / CDC feed / compaction / vacuum —
+against ``s3://`` URIs served by the disk-backed SigV4 fake
+(``fake_s3.py``), with the commit fence exercised as real conditional
+writes: the lock-free **ETag compare-and-swap** (``If-Match`` /
+``If-None-Match: *`` PUTs, HTTP 412 on a lost race).
+
+Spark's data plane reads/writes the same bytes through the mapped
+directory (``storage.register_spark_path``), standing in for the
+hadoop-aws ``s3a://`` connector a production cluster mounts over the
+same store — the split the module docstrings document.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.fake_s3 import DiskS3Server
+from retail_sales_data_pipeline_spark import sinks as S
+from retail_sales_data_pipeline_spark import storage, table_io
+from retail_sales_data_pipeline_spark.storage import PreconditionFailed
+from retail_sales_data_pipeline_spark.storage_s3 import S3Storage
+
+
+@pytest.fixture()
+def s3env(tmp_path, monkeypatch):
+    """A running disk-backed fake S3 with bucket ``lake``, the adapter
+    registered for ``s3://``, and the Spark data plane mapped onto the
+    store's backing directory."""
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test-key")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test-secret")
+    root = str(tmp_path / "objstore")
+    os.makedirs(root)
+    server = DiskS3Server(root).start()
+    server.make_bucket("lake")
+    s3 = S3Storage(endpoint_url=server.endpoint, page_size=3)
+
+    def mapper(uri: str) -> str:
+        assert uri.startswith("s3://")
+        return os.path.join(root, uri[len("s3://"):])
+
+    monkeypatch.setitem(storage._REGISTRY, "s3", s3)
+    monkeypatch.setitem(storage._SPARK_MAPS, "s3", mapper)
+    yield {"server": server, "s3": s3, "root": root}
+    server.shutdown()
+
+
+def _seed_table(spark, uri: str, n: int = 100, files: int = 4) -> None:
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            (F.col("id") % 10).alias("grp"),
+            F.concat(F.lit("doc-"), F.col("id")).alias("payload"),
+        )
+        .repartition(files, "id")
+    )
+    S.write_parquet(df, uri)
+
+
+# ---------------------------------------------------------------------------
+# storage-level conditional-write primitives
+# ---------------------------------------------------------------------------
+
+def test_conditional_puts_and_ranged_reads(s3env):
+    s3 = s3env["s3"]
+    uri = "s3://lake/obj.bin"
+    etag = s3.put_bytes(uri, b"0123456789")
+    assert etag  # ETag surfaces from the PUT
+    # If-None-Match: * on an existing key -> 412
+    with pytest.raises(PreconditionFailed):
+        s3.put_bytes(uri, b"x", if_none_match=True)
+    # If-Match with a stale etag -> 412; with the live etag -> accepted
+    with pytest.raises(PreconditionFailed):
+        s3.put_bytes(uri, b"x", if_match="deadbeef")
+    etag2 = s3.put_bytes(uri, b"abcdefghij", if_match=etag)
+    assert etag2 != etag
+    body, etag3 = s3.read_bytes_meta(uri)
+    assert body == b"abcdefghij" and etag3 == etag2
+    assert s3.read_range(uri, 2, 3) == b"cde"
+    meta = s3.head(uri)
+    assert meta["size"] == 10 and meta["etag"] == etag2
+    # If-Match on a missing key -> precondition failure, not success
+    with pytest.raises(PreconditionFailed):
+        s3.put_bytes("s3://lake/absent.bin", b"x", if_match=etag2)
+
+
+def test_footer_reads_are_ranged(s3env, spark):
+    """StorageTableIO.open_parquet reads footers via ranged GETs — a
+    whole-object download would be table-sized at 100 TB."""
+    uri = "s3://lake/tbl_footer"
+    # big enough that a footer read cannot be the whole object (pyarrow
+    # buffers up to 64 KiB of tail for the footer)
+    _seed_table(spark, uri, n=100_000, files=1)
+    io = table_io.for_path(uri)
+    name = io.list_basenames(uri, "part-")[0]
+    furi = f"{uri}/{name}"
+    pf = io.open_parquet(furi)
+    assert pf.metadata.num_rows == 100_000
+    # the seekable reader must never have fetched the whole object in
+    # one read: largest single ranged read << object size is the
+    # contract; assert via a counting wrapper
+    calls = []
+    orig = s3env["s3"].read_range
+
+    def counting(path, start, length):
+        calls.append(length)
+        return orig(path, start, length)
+
+    s3env["s3"].read_range = counting
+    try:
+        pf2 = io.open_parquet(furi)
+        assert pf2.metadata.num_rows == 100_000
+    finally:
+        s3env["s3"].read_range = orig
+    assert calls and max(calls) < io.getsize(furi)
+
+
+# ---------------------------------------------------------------------------
+# the full DML protocol over s3://
+# ---------------------------------------------------------------------------
+
+def test_dml_lifecycle_copy_on_write_on_s3(s3env, spark):
+    uri = "s3://lake/tables/events"
+    _seed_table(spark, uri, n=100, files=4)
+    assert S.convert_to_manifest(spark, uri) == 1
+    # the manifest is a real OBJECT, served over HTTP with an ETag
+    man_bytes, etag = s3env["s3"].read_bytes_meta(f"{uri}/_manifest.json")
+    man = json.loads(man_bytes)
+    assert man["gen_no"] == 1 and len(man["files"]) == 4 and etag
+
+    # DELETE: file-granular, readable over the same URI
+    n = S.delete_where(spark, uri, "grp = 3", retain_versions=2)
+    assert n == 10
+    assert S.read_table(spark, uri).count() == 90
+    assert S.read_table(spark, uri).where("grp = 3").count() == 0
+
+    # UPDATE
+    n = S.update_where(
+        spark, uri, {"payload": "concat(payload, '!')"}, "grp = 4",
+        retain_versions=2,
+    )
+    assert n == 10
+    got = S.read_table(spark, uri).where("grp = 4").select("payload")
+    assert all(r.payload.endswith("!") for r in got.collect())
+
+    # MERGE (upsert): 5 updates + 5 inserts
+    from pyspark.sql import functions as F
+
+    patch = spark.range(95, 105).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 10).alias("grp"),
+        F.lit("merged").alias("payload"),
+    )
+    res = S.merge_into(
+        spark, uri, patch, ["id"], retain_versions=2, broadcast_updates=True
+    )
+    assert res == {"updated": 5, "inserted": 5, "matched_rows": 5}
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 95
+    assert tbl.where("payload = 'merged'").count() == 10
+
+    # time travel + CDC feed + rollback, all metadata over HTTP
+    # (retain_versions=2 trims convert out of the retained history)
+    hist = S.describe_history(uri)
+    assert [h["op"] for h in hist] == ["delete", "update", "merge"]
+    v2 = S.read_table(spark, uri, version=2)
+    assert v2.count() == 90
+    feed = S.table_changes_feed(spark, uri, 2, 4)
+    assert feed.where("_change_type = 'insert'").count() == 20  # 10 upd + 10 merge
+    gen = S.rollback(spark, uri, 2)
+    assert gen == 5
+    assert S.read_table(spark, uri).count() == 90
+
+    # the dead generations' data files were retired from the STORE
+    live = {e["name"] for e in S._load_manifest(uri)["files"]}
+    for h in S._load_manifest(uri)["history"]:
+        live |= {e["name"] for e in h.get("files", [])}
+    assert all(s3env["s3"].exists(f"{uri}/{n}") for n in sorted(live))
+
+
+def test_dml_lifecycle_deletion_vectors_on_s3(s3env, spark):
+    uri = "s3://lake/tables/docs"
+    _seed_table(spark, uri, n=100, files=4)
+    S.convert_to_manifest(spark, uri)
+    before = {e["name"] for e in S._load_manifest(uri)["files"]}
+
+    n = S.delete_where(
+        spark, uri, "grp = 7", deletion_vectors=True,
+        dv_rewrite_threshold=0.5,
+    )
+    assert n == 10
+    man = S._load_manifest(uri)
+    # merge-on-read: every original data file is still live (untouched
+    # bytes), the delete lives in a DV sidecar object
+    assert before <= {e["name"] for e in man["files"]}
+    assert sum(man["dv"]["n"].values()) == 10
+    assert S.read_table(spark, uri).count() == 90
+    assert S.read_table(spark, uri).where("grp = 7").count() == 0
+
+    # DV MERGE over the same table
+    from pyspark.sql import functions as F
+
+    patch = spark.range(0, 5).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 10).alias("grp"),
+        F.lit("v2").alias("payload"),
+    )
+    res = S.merge_into(
+        spark, uri, patch, ["id"], deletion_vectors=True,
+        broadcast_updates=True,
+    )
+    assert res["updated"] == 5 and res["inserted"] == 0
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 90
+    assert tbl.where("payload = 'v2'").count() == 5
+
+    # REORG: materialize folds DVs into physical bytes
+    rewritten = S.materialize_deletion_vectors(spark, uri)
+    assert rewritten > 0
+    man = S._load_manifest(uri)
+    assert not (man.get("dv") or {}).get("n")
+    assert S.read_table(spark, uri).count() == 90
+
+
+def test_compaction_and_vacuum_on_s3(s3env, spark):
+    uri = "s3://lake/tables/tiny"
+    _seed_table(spark, uri, n=60, files=6)
+    S.convert_to_manifest(spark, uri)
+    out = S.compact_small_files(spark, uri, target_bytes=1 << 30)
+    assert out["rewritten"] == 6 and out["files_written"] >= 1
+    assert S.read_table(spark, uri).count() == 60
+    # vacuum the retired generation leftovers past the TTL (mtimes are
+    # 'now' on the store, so age them with an explicit clock)
+    removed = S.vacuum_staging(
+        "s3://lake/tables", ttl_seconds=0.0, now=4e9, dry_run=True
+    )
+    assert removed == []  # retire already cleaned; nothing orphaned
+    # orphan a fake staging dir via the data plane and vacuum it out
+    _seed_table(spark, f"{uri}/gen-000099._crash-deadbeef", n=5, files=1)
+    removed = S.vacuum_staging("s3://lake/tables", ttl_seconds=0.0, now=4e9)
+    assert [os.path.basename(p) for p in removed] == [
+        "gen-000099._crash-deadbeef"
+    ]
+    assert not s3env["s3"].is_dir(f"{uri}/gen-000099._crash-deadbeef")
+
+
+# ---------------------------------------------------------------------------
+# the fence: ETag CAS under a writer race
+# ---------------------------------------------------------------------------
+
+def test_etag_cas_fences_interleaved_writer(s3env, spark, monkeypatch):
+    """Deterministic two-writer race: writer B commits BETWEEN writer
+    A's manifest read and A's conditional PUT. The store's If-Match
+    rejects A with 412 -> ConcurrentWriteError; B's commit stands."""
+    uri = "s3://lake/tables/raced"
+    _seed_table(spark, uri, n=40, files=2)
+    S.convert_to_manifest(spark, uri)
+    s3 = s3env["s3"]
+    muri = f"{uri}/_manifest.json"
+    orig = s3.read_bytes_meta
+    fired = {"done": False}
+
+    def interpose(path):
+        data, etag = orig(path)
+        if path == muri and not fired["done"]:
+            fired["done"] = True
+            # writer B: a real commit through the SAME protocol
+            b_man = json.loads(orig(muri)[0])
+            b_man["gen_no"] += 1
+            b_man["op"] = "writer-b"
+            table_io.for_path(uri).commit_manifest(
+                uri, b_man, expect_gen=json.loads(data)["gen_no"]
+            )
+        return data, etag
+
+    monkeypatch.setattr(s3, "read_bytes_meta", interpose)
+    a_man = json.loads(orig(muri)[0])
+    a_man["gen_no"] += 1
+    a_man["op"] = "writer-a"
+    with pytest.raises(S.ConcurrentWriteError, match="ETag CAS lost"):
+        S._commit_manifest(uri, a_man, expect_gen=1)
+    monkeypatch.setattr(s3, "read_bytes_meta", orig)
+    # exactly one commit landed: B's
+    final = json.loads(orig(muri)[0])
+    assert final["gen_no"] == 2 and final["op"] == "writer-b"
+
+
+def test_expect_gen_stale_rejected_on_s3(s3env, spark):
+    """The generation re-check (read half of the CAS) catches a writer
+    whose plan is stale before any PUT happens."""
+    uri = "s3://lake/tables/stale"
+    _seed_table(spark, uri, n=20, files=1)
+    S.convert_to_manifest(spark, uri)
+    man = S._load_manifest(uri)
+    man["gen_no"] += 1
+    with pytest.raises(S.ConcurrentWriteError, match="generation moved"):
+        S._commit_manifest(uri, man, expect_gen=99)
+
+
+def test_creating_commit_is_conditional_on_s3(s3env, spark, monkeypatch):
+    """Two CREATING writers (no manifest yet): the loser's
+    ``If-None-Match: *`` PUT must 412, not overwrite — forced
+    deterministically by blinding the loser's read half so it takes the
+    create path against an object the winner just installed."""
+    uri = "s3://lake/tables/fresh"
+    _seed_table(spark, uri, n=20, files=1)
+    io = table_io.for_path(uri)
+    m1 = {"gen_no": 1, "op": "a", "files": [], "history": []}
+    io.commit_manifest(uri, m1, expect_gen=0)
+    s3 = s3env["s3"]
+    orig = s3.read_bytes_meta
+
+    def blind(path):
+        raise FileNotFoundError(path)
+
+    s3.read_bytes_meta = blind
+    try:
+        with pytest.raises(S.ConcurrentWriteError, match="ETag CAS lost"):
+            io.commit_manifest(
+                uri, {"gen_no": 1, "op": "b", "files": [], "history": []},
+                expect_gen=0,
+            )
+    finally:
+        s3.read_bytes_meta = orig
+    assert json.loads(s3env["s3"].read_bytes(f"{uri}/_manifest.json"))[
+        "op"
+    ] == "a"
+
+
+def test_retry_on_conflict_wins_second_try_on_s3(s3env, spark, monkeypatch):
+    """The optimistic retry loop composes with the CAS fence: a DML op
+    that loses its first race re-reads the new state and lands."""
+    uri = "s3://lake/tables/retry"
+    _seed_table(spark, uri, n=50, files=2)
+    S.convert_to_manifest(spark, uri)
+    s3 = s3env["s3"]
+    muri = f"{uri}/_manifest.json"
+    orig = s3.read_bytes_meta
+    fired = {"done": False}
+
+    def interpose(path):
+        data, etag = orig(path)
+        if path == muri and not fired["done"]:
+            fired["done"] = True
+            b_man = json.loads(data)
+            b_man = dict(
+                b_man, gen_no=b_man["gen_no"] + 1, op="metadata-b",
+                history=list(b_man.get("history", []))
+                + [{k: b_man[k] for k in ("gen_no", "generation", "rows",
+                                          "files", "op") if k in b_man}],
+            )
+            orig_put = s3.put_bytes
+            orig_put(muri, json.dumps(b_man).encode(), if_match=etag)
+        return data, etag
+
+    monkeypatch.setattr(s3, "read_bytes_meta", interpose)
+    n = S.retry_on_conflict(
+        lambda: S.delete_where(spark, uri, "grp = 1"), attempts=3
+    )
+    assert n == 5
+    monkeypatch.setattr(s3, "read_bytes_meta", orig)
+    assert S.read_table(spark, uri).where("grp = 1").count() == 0
+    assert S._load_manifest(uri)["op"] == "delete"

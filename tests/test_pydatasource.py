@@ -381,3 +381,40 @@ def test_manifest_cdc_missing_manifest_fails_loudly(spark, tmp_path):
     os.remove(os.path.join(path, S._MANIFEST))
     with pytest.raises(ValueError, match="refusing to silently skip"):
         list(rdr.readBetweenOffsets({"version": 1}, {"version": 2}))
+
+
+def test_manifest_cdc_bulk_commit_guard(spark, tmp_path):
+    """A commit whose recorded feed exceeds max_batch_rows must refuse
+    to stream through the driver (naming table_changes_feed and the
+    starting_version restart) — and the stream stays consumable after
+    skipping past the bulk version."""
+    import pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from pyspark.sql.types import _parse_datatype_string
+
+    from retail_sales_data_pipeline_spark.sources.cdc_source import (
+        ManifestCDCStreamReader,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "cast(id % 7 as string) v").write.parquet(
+        path
+    )
+    S.convert_to_manifest(spark, path)                        # v1
+    S.delete_where(spark, path, "id % 2 = 0", retain_versions=5)  # v2: 50 rows
+    S.update_where(spark, path, {"v": "'z'"}, "id = 1",
+                   retain_versions=5)                          # v3: 2 rows
+    schema = _parse_datatype_string(
+        "id long, v string, _change_type string, _commit_version long"
+    )
+    rdr = ManifestCDCStreamReader({"path": path, "max_batch_rows": "10"},
+                                  schema)
+    with pytest.raises(ValueError, match="table_changes_feed"):
+        list(rdr._rows_between(1, 3))
+    # the guard names the version to skip; a restart past it streams
+    rows = list(rdr._rows_between(2, 3))
+    assert {(r[0], r[2]) for r in rows} == {(1, "delete"), (1, "insert")}
+    # the batch feed handles the bulk hop distributed-side
+    bulk = S.table_changes_feed(spark, path, 1, 2)
+    assert bulk.count() == 50
