@@ -1180,6 +1180,7 @@ def compact_small_files(
     target_bytes: int = 128 << 20,
     min_file_bytes: int | None = None,
     retain_versions: int = 0,
+    dv_rot_threshold: float | None = 0.5,
 ) -> dict:
     """Incremental OPTIMIZE (the file-granular sibling of
     :func:`compact_parquet`): fold only the files SMALLER than
@@ -1191,9 +1192,17 @@ def compact_small_files(
     maintenance, while this pass writes bytes proportional to the small
     tail only — the Delta ``OPTIMIZE`` contract. Right-sized LOOSE
     append files are left loose (still visible; a later pass adopts
-    them when they gain siblings to fold with). Returns
-    ``{"rewritten", "carried", "files_written"}``; no-op (no commit
-    burned) when fewer than two small files exist.
+    them when they gain siblings to fold with).
+
+    DELETION-VECTOR ROT is retired here too: a right-sized file whose
+    DV'd deleted fraction exceeds ``dv_rot_threshold`` (default 0.5 —
+    the same knob the DV-writing DML ops use) joins the rewrite, so its
+    logical deletes materialize and its readers drop the anti-join
+    during ROUTINE maintenance instead of waiting for an explicit
+    :func:`materialize_deletion_vectors` pass; ``None`` disables.
+    Returns ``{"rewritten", "carried", "files_written",
+    "dv_materialized"}``; no-op (no commit burned) when fewer than two
+    small files exist and nothing is rotten.
     """
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
@@ -1211,18 +1220,36 @@ def compact_small_files(
     n_big_loose = len(loose) - len(small_loose_names)
     small_loose = [(f, _file_entry(path, f)) for f in small_loose_names]
     fold = small_ref + [e for _, e in small_loose]
-    if len(fold) < 2:
+    # DV-rot retirement folded into routine maintenance: a RIGHT-SIZED
+    # file whose deleted fraction grew past the threshold joins the
+    # rewrite (its DV materializes), so merge-on-read tables don't need
+    # a separate REORG pass to stop paying the anti-join on rotten
+    # files. Metadata-priced decision: manifest row counts vs dv counts.
+    old_dv_n = _dv_map(man)
+    rotten: list[dict] = []
+    if dv_rot_threshold is not None and old_dv_n:
+        folded_names = {e["name"] for e in fold}
+        rotten = [
+            e
+            for e in big_ref
+            if e["name"] not in folded_names
+            and old_dv_n.get(e["name"], 0)
+            > dv_rot_threshold * max(1, _entry_rows(path, e))
+        ]
+        big_ref = [e for e in big_ref if e not in rotten]
+        fold = fold + rotten
+    if len(fold) < 2 and not rotten:
         return {
             "rewritten": 0,
             "carried": len(big_ref) + n_big_loose,
             "files_written": 0,
+            "dv_materialized": 0,
         }
     total_bytes = sum(_size(e["name"]) for e in fold)
     n_out = max(1, -(-total_bytes // target_bytes))
     fold_rel = [e["name"] for e in fold]
     dv = (man or {}).get("dv")
     new_df = _read_version(spark, man, path, fold_rel, dv).coalesce(n_out)
-    old_dv_n = _dv_map(man)
     expected = sum(
         _entry_rows(path, e) - old_dv_n.get(e["name"], 0) for e in fold
     )
@@ -1248,6 +1275,7 @@ def compact_small_files(
         "rewritten": len(fold),
         "carried": len(big_ref) + n_big_loose,
         "files_written": n_written,
+        "dv_materialized": len(rotten),
     }
 
 

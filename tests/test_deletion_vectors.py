@@ -564,3 +564,62 @@ def test_dv_crash_after_commit_before_retire(spark, tmp_path, monkeypatch):
     for rel in sidecars:
         assert not os.path.exists(os.path.join(path, rel))
     assert S.read_table(spark, path).count() == 1998
+
+
+def test_dv_rot_retired_by_routine_compaction(spark, tmp_path):
+    """VERDICT r7 #7: maintenance folds DV rot without a dedicated
+    REORG — a right-sized file whose deleted fraction exceeds
+    dv_rot_threshold is rewritten by compact_small_files (its deletes
+    materialize, its readers drop the anti-join); files under the
+    threshold keep their DVs by reference."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "tbl")
+    _sorted_table(spark, path, n=4000, files=4)  # 1000 ids per file
+    # rot file 0 (ids 0..999): delete 60% of it; nick file 3 with 1 row
+    S.delete_where(spark, path, "id < 600", deletion_vectors=True,
+                   dv_rewrite_threshold=0.9)
+    S.delete_where(spark, path, "id = 3500", deletion_vectors=True,
+                   dv_rewrite_threshold=0.9)
+    man = S._load_manifest(path)
+    assert sum(man["dv"]["n"].values()) == 601
+    rotten = [r for r, n in man["dv"]["n"].items() if n == 600]
+    assert len(rotten) == 1
+
+    res = S.compact_small_files(
+        spark, path, target_bytes=1 << 30, min_file_bytes=1,
+        dv_rot_threshold=0.5,
+    )
+    # nothing is 'small' (min_file_bytes=1): only the rotten file folds
+    assert res["dv_materialized"] == 1 and res["rewritten"] == 1
+    man2 = S._load_manifest(path)
+    assert rotten[0] not in {e["name"] for e in man2["files"]}
+    assert rotten[0] not in man2["dv"]["n"]
+    # the under-threshold DV survives by reference
+    assert sum(man2["dv"]["n"].values()) == 1
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 4000 - 601
+    assert tbl.where("id < 600 OR id = 3500").count() == 0
+
+    # after a second pass materializes the remaining DV'd file, the
+    # read plan is back to plain scans — no anti-join left
+    S.delete_where(spark, path, "id = 3501", deletion_vectors=True)
+    S.delete_where(spark, path, "id = 3502", deletion_vectors=True)
+    man3 = S._load_manifest(path)
+    [rel] = [r for r in man3["dv"]["n"]]
+    n_rows = next(
+        e["rows"] for e in man3["files"] if e["name"] == rel
+    )
+    res2 = S.compact_small_files(
+        spark, path, target_bytes=1 << 30, min_file_bytes=1,
+        dv_rot_threshold=2.5 / n_rows,
+    )
+    assert res2["dv_materialized"] == 1
+    assert not (S._load_manifest(path).get("dv") or {}).get("n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        S.read_table(spark, path).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    assert S.read_table(spark, path).count() == 4000 - 603
