@@ -42,11 +42,13 @@ def test_driver_window_matches_rotation_policy():
 
     Pin that ``registry.DRIVER_PRIORITY`` is exactly the window the
     rotation policy (tools/rotate_registry.py) computes from the
-    CORRECTNESS history available when round 7 started (rounds <= 6 —
-    capped so the driver writing CORRECTNESS_r07.json later doesn't
-    invalidate the pin). A query registered mid-round counts as
-    never-checked and must be rotated into the window: re-run
-    ``python tools/rotate_registry.py`` and re-paste when this fails.
+    CORRECTNESS history available when round 8 started (rounds <= 7 —
+    capped so the driver writing CORRECTNESS_r08.json later doesn't
+    invalidate the pin; bump alongside ROTATION_BASIS_ROUND in
+    test_registry_freshness.py each rotation). A query registered
+    mid-round counts as never-checked and must be rotated into the
+    window: re-run ``python tools/rotate_registry.py`` and re-paste
+    when this fails.
     """
     import importlib.util
     import os
@@ -63,7 +65,9 @@ def test_driver_window_matches_rotation_policy():
     names = list(all_queries().keys())
     assert len(registry.DRIVER_PRIORITY) == 50
     assert names[: len(registry.DRIVER_PRIORITY)] == registry.DRIVER_PRIORITY
-    expected = rotate.compute_window(max_round=6)
+    from tests.test_registry_freshness import ROTATION_BASIS_ROUND
+
+    expected = rotate.compute_window(max_round=ROTATION_BASIS_ROUND)
     assert registry.DRIVER_PRIORITY == expected, (
         "DRIVER_PRIORITY is stale vs the rotation policy — run "
         "`python tools/rotate_registry.py` and paste the output"
