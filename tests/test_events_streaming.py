@@ -133,6 +133,45 @@ def test_streaming_rollup_equals_batch(spark):
     assert b == s and len(b) > 0
 
 
+def test_streaming_rollup_drains_in_one_microbatch(spark):
+    """Behavior pin (r7 verdict #5): the availableNow drain of the
+    hourly rollup processes the finite parquet input in exactly ONE
+    microbatch — the only plausible structural creep for this query is
+    the drain splitting into per-file batches (each paying state-store
+    commit overhead), and this pin turns that into a loud failure
+    instead of a silent slowdown."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from retail_sales_data_pipeline_spark.streaming import jobs as J
+
+    ev = J._events_stream(spark, SF)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "probe_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pin_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == 1, [
+        (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+    ]
+    assert spark.table(name).count() > 0
+
+
 def test_streaming_sessionize_matches_batch(spark):
     """Closed sessions from the stateful streaming sessionizer must match
     the batch sessionizer at second resolution (the stream keys state by
