@@ -227,7 +227,9 @@ def scan_table(
     plain resolved read for never-rewritten tables."""
     man, entries, loose, _ = _live_state(path)
     if man is None:
-        df = spark.read.parquet(path)
+        from .sinks import _spark_path
+
+        df = spark.read.parquet(_spark_path(path))
     else:
         all_entries = entries  # pre-prune list: schema source below
         if predicate:

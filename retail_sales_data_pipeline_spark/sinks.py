@@ -31,11 +31,17 @@ them via a broadcast anti-join on parquet's ``_metadata`` file/row
 index — bytes written drop from touched-FILE-size to deleted-ROW-size
 (merge-on-read), with a hybrid threshold that rewrites files whose
 deleted fraction rots past it and materialization on any later
-rewrite. Commits stay atomic (one
-manifest replace / object PUT) and are WRITER-FENCED: a lock file plus
-a generation-number check turn a concurrent-rewrite race into a loud
-:class:`ConcurrentWriteError` (``retry_on_conflict`` is the optimistic
-retry), and DML commits record their insert/delete row sets as CDC
+rewrite (:func:`compact_small_files` also retires DV rot during
+routine maintenance). Commits stay atomic and WRITER-FENCED per
+backend through the :mod:`.table_io` seam: local tables take one
+``os.replace`` under an ``O_CREAT|O_EXCL`` lock with a generation
+re-check; object-store tables (``s3://`` via :mod:`.storage_s3`) take
+an **ETag compare-and-swap** conditional PUT — either way a
+concurrent-rewrite race becomes a loud :class:`ConcurrentWriteError`
+(``retry_on_conflict`` is the optimistic retry). The Spark data plane
+addresses the same bytes through the cluster filesystem (``s3://`` ->
+``s3a://`` by default; ``storage.register_spark_path`` overrides).
+DML commits record their insert/delete row sets as CDC
 sidecar files — adjacent-version ``table_changes`` and the multi-hop
 ``table_changes_feed`` become metadata-priced reads, and
 ``sources/cdc_source.py`` streams them. The rest of the family:

@@ -37,23 +37,31 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 def _table_schema(path: str) -> StructType:
     """The table's Spark schema from parquet footers (driver metadata
-    read; no Spark job). Mixed-schema tables (after an evolving merge)
-    UNIFY the footers of every live file — one footer would
-    nondeterministically drop the evolved columns from the stream. An
-    EMPTIED table (files=[] after a delete-all) falls back to retained
-    history files, then to the latest CDC sidecar: the sidecar history
-    is exactly what a restarting consumer needs to replay."""
+    read; no Spark job), routed through the table-IO seam so the source
+    works against object-store tables too. Mixed-schema tables (after
+    an evolving merge) UNIFY the footers of every live file — one
+    footer would nondeterministically drop the evolved columns from the
+    stream. An EMPTIED table (files=[] after a delete-all) falls back
+    to retained history files, then to the latest CDC sidecar: the
+    sidecar history is exactly what a restarting consumer needs to
+    replay."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    from ..sinks import _cdc_names, _load_manifest, _version_files, live_files
+    from ..sinks import (
+        _cdc_names,
+        _io,
+        _load_manifest,
+        _version_files,
+        live_files,
+    )
 
+    io = _io(path)
     files = live_files(path)
     if files == [path]:
-        import glob
-
-        files = sorted(glob.glob(os.path.join(path, "part-*")))
+        files = [
+            os.path.join(path, b) for b in io.list_basenames(path, "part-")
+        ]
     man = _load_manifest(path)
     if not files and man is not None:
         # emptied table: any retained version's files, else a sidecar
@@ -62,34 +70,30 @@ def _table_schema(path: str) -> StructType:
                 os.path.join(path, e["name"])
                 for e in _version_files(ver, path)
             ] + sorted(os.path.join(path, n) for n in _cdc_names(ver))
-            files = [p for p in cand if os.path.exists(p)]
+            files = [p for p in cand if io.exists(p)]
             if files:
                 break
-    files = [p for p in files if os.path.exists(p)]
+    files = [p for p in files if io.exists(p)]
     if not files:
         raise ValueError(f"no readable table at {path!r}")
+
+    def _first_part(p: str) -> str | None:
+        if not io.isdir(p):
+            return p
+        parts = io.list_basenames(p, "part-")  # sidecar dirs hold parts
+        return os.path.join(p, parts[0]) if parts else None
+
     if man is not None and man.get("mixed_schema"):
         schemas = []
         for p in files:
-            target = p
-            if os.path.isdir(p):  # cdc sidecar dirs hold part files
-                import glob
-
-                parts = sorted(glob.glob(os.path.join(p, "part-*")))
-                if not parts:
-                    continue
-                target = parts[0]
-            schemas.append(pq.ParquetFile(target).schema_arrow)
+            target = _first_part(p)
+            if target is not None:
+                schemas.append(io.open_parquet(target).schema_arrow)
         return from_arrow_schema(pa.unify_schemas(schemas))
-    first = files[0]
-    if os.path.isdir(first):
-        import glob
-
-        parts = sorted(glob.glob(os.path.join(first, "part-*")))
-        if not parts:
-            raise ValueError(f"no readable table at {path!r}")
-        first = parts[0]
-    return from_arrow_schema(pq.ParquetFile(first).schema_arrow)
+    first = _first_part(files[0])
+    if first is None:
+        raise ValueError(f"no readable table at {path!r}")
+    return from_arrow_schema(io.open_parquet(first).schema_arrow)
 
 
 class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
@@ -124,21 +128,29 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
 
         return _load_manifest(self.path)
 
-    def _sidecar_rows(self, rel: str) -> int:
-        """Row count of one CDC sidecar (dir of part files, or an
-        adopted parquet file referenced directly) from parquet FOOTERS
-        — no data pages are read."""
-        import glob
+    def _sidecar_parts(self, rel: str) -> list[str]:
+        """The parquet file(s) of one CDC sidecar: a dir of part files,
+        or an adopted parquet file referenced directly."""
+        from ..sinks import _io
 
-        import pyarrow.parquet as pq
-
+        io = _io(self.path)
         sub = os.path.join(self.path, rel)
-        parts = (
-            sorted(glob.glob(os.path.join(sub, "part-*")))
-            if os.path.isdir(sub)
-            else [sub]
+        if io.isdir(sub):
+            return [
+                os.path.join(sub, b) for b in io.list_basenames(sub, "part-")
+            ]
+        return [sub]
+
+    def _sidecar_rows(self, rel: str) -> int:
+        """Row count of one CDC sidecar from parquet FOOTERS — no data
+        pages are read."""
+        from ..sinks import _io
+
+        io = _io(self.path)
+        return sum(
+            io.open_parquet(p).metadata.num_rows
+            for p in self._sidecar_parts(rel)
         )
-        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
 
     def initialOffset(self) -> dict:
         if self.start_version is not None:
@@ -157,8 +169,6 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
         upserted row. A missing manifest over a non-empty range raises
         (the fail-loudly contract): returning zero rows would commit
         the checkpoint past changes that were never delivered."""
-        import pyarrow.parquet as pq
-
         if hi <= lo:
             return
         if man is None:
@@ -199,14 +209,19 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
                     "distributed sinks.table_changes_feed and restart "
                     f"this stream with starting_version={v}"
                 )
+        from ..sinks import _io
+
+        io = _io(self.path)
         for v in range(lo + 1, hi + 1):
             for kind in ("delete", "insert"):
                 for rel in know[v]["cdc"].get(kind, []):
-                    sub = os.path.join(self.path, rel)
-                    for batch in pq.ParquetDataset(sub).read().to_pylist():
-                        yield tuple(
-                            [batch.get(c) for c in self.fields] + [kind, v]
-                        )
+                    for part in self._sidecar_parts(rel):
+                        rows = io.open_parquet(part).read().to_pylist()
+                        for batch in rows:
+                            yield tuple(
+                                [batch.get(c) for c in self.fields]
+                                + [kind, v]
+                            )
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         # ONE manifest load per micro-batch: the offset and the rows

@@ -1932,3 +1932,46 @@ def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
     did = S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600, now=now)
     assert sorted(would) == sorted(did)
     assert S.read_table(spark, path).count() == 1
+
+
+def test_check_constraint_evolving_merge_omits_constrained_column(
+    spark, tmp_path
+):
+    """ADVICE r7 #3: an evolve_schema merge whose update batch OMITS a
+    constrained column must take the documented NULL-passes CHECK
+    semantics (the new files' missing column is NULL-extended), not die
+    on an unresolved-column AnalysisException — and a genuinely failing
+    pre-commit CHECK scan must clean its staged generation instead of
+    leaking it until vacuum."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 10.0, "a")], "id long, amount double, tag string"
+    ).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    S.set_check_constraint(spark, path, "pos", "amount > 0")
+
+    # the update batch omits `amount` entirely: inserted rows get NULL
+    # there, and NULL passes CHECK — this used to raise unresolved-column
+    patch = spark.createDataFrame([(2, "b")], "id long, tag string")
+    res = S.merge_into(spark, path, patch, keys=["id"], evolve_schema=True)
+    assert res["inserted"] == 1
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 2
+    assert tbl.where("amount IS NULL").count() == 1
+
+    # a failing CHECK still cleans its staging (no gen-* leak)
+    import os
+
+    bad = spark.createDataFrame([(3, -1.0, "c")],
+                                "id long, amount double, tag string")
+    gens_before = {
+        d for d in os.listdir(path) if d.startswith("gen-")
+    }
+    with _pytest.raises(ValueError, match="pos"):
+        S.merge_into(spark, path, bad, keys=["id"])
+    gens_after = {d for d in os.listdir(path) if d.startswith("gen-")}
+    assert gens_after == gens_before

@@ -372,3 +372,80 @@ def test_retry_on_conflict_wins_second_try_on_s3(s3env, spark, monkeypatch):
     monkeypatch.setattr(s3, "read_bytes_meta", orig)
     assert S.read_table(spark, uri).where("grp = 1").count() == 0
     assert S._load_manifest(uri)["op"] == "delete"
+
+
+def test_constraints_and_evolution_on_s3(s3env, spark):
+    """CHECK constraints (metadata commits + commit-time scans) and
+    schema-evolving MERGE work over s3:// — including the staging
+    cleanup on a failed pre-commit CHECK (no gen-* prefix leaked to the
+    store)."""
+    uri = "s3://lake/tables/checked"
+    _seed_table(spark, uri, n=20, files=1)
+    S.convert_to_manifest(spark, uri)
+    S.set_check_constraint(spark, uri, "grp_ok", "grp BETWEEN 0 AND 9")
+    assert S._load_manifest(uri)["constraints"] == {
+        "grp_ok": "grp BETWEEN 0 AND 9"
+    }
+
+    from pyspark.sql import functions as F
+
+    bad = spark.range(1).select(
+        F.lit(999).cast("long").alias("id"),
+        F.lit(42).cast("long").alias("grp"),
+        F.lit("bad").alias("payload"),
+    )
+    gens_before = {
+        e for e in s3env["s3"].list(uri) if "/gen-" in e
+    }
+    with pytest.raises(ValueError, match="grp_ok"):
+        S.merge_into(spark, uri, bad, ["id"])
+    assert {e for e in s3env["s3"].list(uri) if "/gen-" in e} == gens_before
+
+    # evolving merge adds a column without rewriting carried files
+    patch = spark.range(1).select(
+        F.lit(1000).cast("long").alias("id"),
+        F.lit(5).cast("long").alias("grp"),
+        F.lit("new").alias("payload"),
+        F.lit("extra").alias("note"),
+    )
+    res = S.merge_into(spark, uri, patch, ["id"], evolve_schema=True)
+    assert res["inserted"] == 1
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 21
+    assert tbl.where("note IS NOT NULL").count() == 1
+    assert S._load_manifest(uri).get("mixed_schema") is True
+
+
+def test_manifest_cdc_reader_on_s3(s3env, spark):
+    """The manifest_cdc streaming source's driver-side reader resolves
+    schema, offsets, and sidecar rows through the table-IO seam — a
+    readChangeFeed over an object-store table."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from retail_sales_data_pipeline_spark.sources.cdc_source import (
+        ManifestCDCStreamReader,
+        _table_schema,
+    )
+
+    uri = "s3://lake/tables/cdcstream"
+    _seed_table(spark, uri, n=30, files=1)
+    S.convert_to_manifest(spark, uri)                       # v1
+    S.delete_where(spark, uri, "id = 7", retain_versions=4)  # v2
+    S.update_where(spark, uri, {"payload": "'upd'"}, "id = 8",
+                   retain_versions=4)                        # v3
+
+    assert [f.name for f in _table_schema(uri).fields] == [
+        "id", "grp", "payload"
+    ]
+    schema = _parse_datatype_string(
+        "id long, grp long, payload string, "
+        "_change_type string, _commit_version long"
+    )
+    rdr = ManifestCDCStreamReader({"path": uri}, schema)
+    assert rdr.initialOffset() == {"version": 3}
+    rows = list(rdr._rows_between(1, 3))
+    assert {(r[0], r[3], r[4]) for r in rows} == {
+        (7, "delete", 2), (8, "delete", 3), (8, "insert", 3)
+    }
+    # replay is exact over the same immutable sidecars
+    assert list(rdr.readBetweenOffsets({"version": 1}, {"version": 3})) == rows
