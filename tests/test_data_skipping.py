@@ -293,3 +293,41 @@ def test_span_admits_never_drops_a_matching_value(lo, width, atom):
     hi = lo + width
     if any(_matches(v, atom) for v in range(lo, hi + 1)):
         assert _span_admits([lo, hi], atom), (lo, hi, atom)
+
+
+def test_hive_layout_migrates_to_stats_pruned_manifest(spark, tmp_path):
+    """The supported migration for hive-partitioned layouts: ONE
+    compact_parquet (range-sorted on the former partition key) adopts
+    the table into the manifest protocol with the partition column as a
+    stats-carrying DATA column — footer-stat file skipping then does
+    the job the directory tree did (Iceberg's hidden-partitioning
+    argument). Also pins the ADVICE r7 fix: staged_rewrite of a
+    manifest-less hive directory must count the DataFrame instead of
+    aborting on the empty metadata count."""
+    path = str(tmp_path / "tbl")
+    # partition values round-trip through directory names, so Spark
+    # infers the partition column back as INT — the rewrite adopts that
+    spark.range(400).selectExpr(
+        "id", "id % 4 AS bucket", "id * 2 AS v"
+    ).write.partitionBy("bucket").parquet(path)
+
+    # pre-fix this aborted: no manifest, no top-level part files
+    n_files = S.compact_parquet(spark, path, target_files=4,
+                                sort_col="bucket")
+    assert n_files == 4
+    man = S._load_manifest(path)
+    assert man["rows"] == 400
+    # the former partition column is now a data column with [min,max]
+    # stats on every file
+    assert all("bucket" in (e.get("stats") or {}) for e in man["files"])
+
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        files_scanned,
+        scan_table,
+    )
+
+    # pruning on the former partition key: 1 of 4 files, same answer
+    assert files_scanned(path, "bucket = 2") == 1
+    got = scan_table(spark, path, "bucket = 2")
+    assert got.count() == 100
+    assert got.where("bucket <> 2").count() == 0
