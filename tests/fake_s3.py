@@ -88,7 +88,27 @@ class DiskS3Handler(BaseHTTPRequestHandler):
             self.server.auth_failures.append(auth)
             self._send(403)
             return False
+        self._count()
         return True
+
+    def _count(self) -> None:
+        """Classify and tally the request — the per-operation request
+        count is the scale-relevant metric of an object-store control
+        plane (requests, not bytes, dominate latency and cost), and
+        tests pin budgets against these tallies."""
+        _, _, q = self._parts()
+        if self.command == "GET" and "list-type" in q:
+            kind = "LIST"
+        elif self.command == "GET" and self.headers.get("Range"):
+            kind = "GET_RANGE"
+        elif self.command == "PUT" and self.headers.get("x-amz-copy-source"):
+            kind = "COPY"
+        else:
+            kind = self.command
+        with self.server.mutation_lock:
+            self.server.request_counts[kind] = (
+                self.server.request_counts.get(kind, 0) + 1
+            )
 
     def _send(self, status: int, body: bytes = b"", extra: dict | None = None):
         self.send_response(status)
@@ -264,7 +284,16 @@ class DiskS3Server(ThreadingHTTPServer):
         self.root = root
         self.auth_failures: list[str] = []
         self.mutation_lock = threading.Lock()
+        self.request_counts: dict[str, int] = {}
         super().__init__(("127.0.0.1", 0), DiskS3Handler)
+
+    def reset_counts(self) -> dict[str, int]:
+        """Return-and-clear the request tallies (budget tests bracket
+        one operation between two calls)."""
+        with self.mutation_lock:
+            out = dict(self.request_counts)
+            self.request_counts.clear()
+        return out
 
     def make_bucket(self, name: str) -> str:
         os.makedirs(os.path.join(self.root, name), exist_ok=True)

@@ -449,3 +449,66 @@ def test_manifest_cdc_reader_on_s3(s3env, spark):
     }
     # replay is exact over the same immutable sidecars
     assert list(rdr.readBetweenOffsets({"version": 1}, {"version": 3})) == rows
+
+
+def test_control_plane_request_budgets(s3env, spark):
+    """Requests — not bytes — dominate object-store latency and cost,
+    so the control plane's per-operation REQUEST COUNT is the scale
+    invariant worth pinning: O(touched files + sidecars) per DML op,
+    never O(table rows), and exactly ONE manifest PUT per commit (the
+    atomicity unit). Data-plane bytes move through the cluster
+    filesystem (S3A in production) and never through this seam."""
+    from pyspark.sql import functions as F
+
+    server = s3env["server"]
+    # the fixture's tiny page_size exercises pagination elsewhere; the
+    # budget pin wants the real-S3 page size (1000) so LIST counts mean
+    # "listings issued", not "pages of a 3-key toy page"
+    s3env["s3"].page_size = 1000
+    uri = "s3://lake/tables/budget"
+    df = spark.range(100_000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("grp"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    S.write_parquet(df.repartition(16, "id"), uri)
+
+    server.reset_counts()
+    S.convert_to_manifest(spark, uri)
+    c = server.reset_counts()
+    # zero-rewrite adoption: one listing, one footer read per file
+    # (ranged — the seekable reader costs ~1 range GET per footer),
+    # one manifest PUT
+    assert c["PUT"] == 1
+    assert c["LIST"] <= 2
+    assert c.get("GET_RANGE", 0) <= 2 * 16
+
+    server.reset_counts()
+    n = S.delete_where(spark, uri, "id = 12345", deletion_vectors=True)
+    assert n == 1
+    c = server.reset_counts()
+    # a single-row DV delete in a 100k-row table: ~10 control-plane
+    # requests, INDEPENDENT of table rows; one atomic manifest PUT
+    assert c["PUT"] == 1
+    assert sum(c.values()) <= 16, c
+
+    server.reset_counts()
+    patch = spark.range(50).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"),
+        F.lit("u").alias("payload"),
+    )
+    res = S.merge_into(
+        spark, uri, patch, ["id"], broadcast_updates=True,
+        deletion_vectors=True,
+    )
+    assert res["updated"] == 50
+    c = server.reset_counts()
+    assert c["PUT"] == 1
+    assert sum(c.values()) <= 40, c
+
+    server.reset_counts()
+    assert S.read_table(spark, uri).count() == 99_999  # one DV-deleted
+    c = server.reset_counts()
+    # read-path RESOLUTION (manifest + schema footer): a handful of
+    # requests regardless of table size
+    assert c.get("PUT", 0) == 0 and sum(c.values()) <= 10, c
