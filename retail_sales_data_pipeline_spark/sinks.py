@@ -2389,20 +2389,41 @@ def merge_into(
             updates.unpersist()
 
 
+def _is_stale_snapshot_error(exc: Exception) -> bool:
+    """Did a Spark job die reading files a CONCURRENT commit retired?
+    With ``retain_versions=0`` a winner's post-commit retire deletes
+    the exact files a racing DML pass is scanning (the documented
+    reader-concurrency hazard of zero retention) — the loser surfaces
+    Spark's FAILED_READ_FILE instead of ever reaching the commit
+    fence. Semantically that IS a lost writer race (the Delta analogue
+    is ConcurrentDeleteReadException), so the retry loop classifies it
+    as retryable."""
+    msg = str(exc)
+    return "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg
+
+
 def retry_on_conflict(fn, attempts: int = 3):
     """Optimistic-concurrency wrapper for manifest commits: run ``fn``
     (a zero-arg closure over delete_where/merge_into/staged_rewrite),
-    and when it loses a writer race (:class:`ConcurrentWriteError`),
-    re-run it against the table's NEW state — the Delta-style retry
-    loop. Safe because every DML op here re-reads the live manifest at
-    entry, so a retry computes against the winner's table rather than
-    replaying a stale plan. The last failure propagates after
-    ``attempts`` tries."""
-    last: ConcurrentWriteError | None = None
+    and when it loses a writer race, re-run it against the table's NEW
+    state — the Delta-style retry loop. Two conflict shapes retry: the
+    fence's :class:`ConcurrentWriteError` (lost the commit CAS/lock),
+    and a stale-snapshot read failure (the winner's retire deleted
+    files this pass was scanning — only reachable with
+    ``retain_versions=0``; see :func:`_retire`'s reader-concurrency
+    contract). Safe because every DML op here re-reads the live
+    manifest at entry, so a retry computes against the winner's table
+    rather than replaying a stale plan. The last failure propagates
+    after ``attempts`` tries."""
+    last: Exception | None = None
     for _ in range(max(1, attempts)):
         try:
             return fn()
         except ConcurrentWriteError as exc:
+            last = exc
+        except Exception as exc:
+            if not _is_stale_snapshot_error(exc):
+                raise
             last = exc
     raise last
 

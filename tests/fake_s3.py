@@ -76,6 +76,8 @@ class DiskS3Handler(BaseHTTPRequestHandler):
         out = []
         for dirpath, _, files in os.walk(broot):
             for f in files:
+                if ".put-tmp-" in f:
+                    continue  # in-flight atomic PUT, not an object yet
                 full = os.path.join(dirpath, f)
                 out.append(os.path.relpath(full, broot).replace(os.sep, "/"))
         return sorted(out)
@@ -202,8 +204,15 @@ class DiskS3Handler(BaseHTTPRequestHandler):
                 n = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(n)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "wb") as fh:
+            # ATOMIC install (tmp + rename): real S3 never exposes a
+            # torn object — a GET concurrent with a PUT sees the old
+            # bytes or the new bytes, never a truncated file. Mutations
+            # serialize on the server lock but GETs do not take it, so
+            # the rename is what gives readers S3's atomicity.
+            tmp = path + f".put-tmp-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "wb") as fh:
                 fh.write(data)
+            os.replace(tmp, path)
         if src:
             return self._send(
                 200,

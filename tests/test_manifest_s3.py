@@ -512,3 +512,35 @@ def test_control_plane_request_budgets(s3env, spark):
     # read-path RESOLUTION (manifest + schema footer): a handful of
     # requests regardless of table size
     assert c.get("PUT", 0) == 0 and sum(c.values()) <= 10, c
+
+
+def test_concurrent_writers_converge_with_retry_on_s3(s3env, spark):
+    """Two REAL threads race DML commits against one s3:// table; the
+    ETag-CAS fence serializes them and retry_on_conflict replays the
+    loser against the winner's state — both deletions land, no rows
+    lost, generation advanced exactly twice."""
+    import threading
+
+    uri = "s3://lake/tables/race2"
+    _seed_table(spark, uri, n=100, files=4)
+    S.convert_to_manifest(spark, uri)
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def worker(pred: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            S.retry_on_conflict(
+                lambda: S.delete_where(spark, uri, pred), attempts=8
+            )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=worker, args=("grp = 1",))
+    t2 = threading.Thread(target=worker, args=("grp = 2",))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert not errs, errs
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 80
+    assert tbl.where("grp IN (1, 2)").count() == 0
+    assert S._load_manifest(uri)["gen_no"] == 3
