@@ -9,10 +9,18 @@ plays on top of parquet's own row-group pushdown. At 100 TB / 100k
 files, a selective query reads the dozen files whose ranges admit the
 predicate instead of opening every footer.
 
+Round 8 adds NULL-COUNT skipping on top of the ranges: manifests
+record per-file, per-column null counts (footer-derived, recorded only
+when every row group reports one), so ``col IS NULL`` prunes files with
+zero nulls, ``col IS NOT NULL`` prunes all-NULL files, and every
+comparison prunes all-NULL files too — the one file shape [min, max]
+can never speak to, since all-NULL columns carry no min/max at all.
+
 Soundness rule: pruning may only REMOVE files that provably contain no
 matching row. The predicate grammar understood here is deliberately
 small (AND-conjunctions of ``col op literal``, ``col IN (...)``,
-``col BETWEEN a AND b``); any clause outside it prunes nothing, and the
+``col BETWEEN a AND b``, ``col IS [NOT] NULL``); any clause outside it
+prunes nothing, and the
 full predicate is ALWAYS applied to the scan afterwards — parsing
 failures cost speed, never correctness. Parquet footer min/max are
 bounds (writers may truncate, but truncation keeps them valid bounds),
@@ -86,8 +94,12 @@ def _split_conjuncts(tokens: list) -> list[list] | None:
             if depth < 0:
                 return None
         if depth == 0 and kind == "kw":
-            if val in ("OR", "NOT"):
+            if val == "OR":
                 return None
+            if val == "NOT":
+                # NOT is pruning-defeating EXCEPT inside IS NOT NULL
+                if not (parts[-1] and parts[-1][-1] == ("kw", "IS")):
+                    return None
             if val == "BETWEEN":
                 between_pending += 1
             elif val == "AND":
@@ -104,7 +116,7 @@ def _parse_clause(tokens: list) -> tuple | None:
     """One conjunct -> a pruning atom, or None (clause prunes nothing).
 
     Recognized: ``col op lit``, ``lit op col``, ``col IN (lits)``,
-    ``col BETWEEN lit AND lit``.
+    ``col BETWEEN lit AND lit``, ``col IS [NOT] NULL``.
     """
     while (
         len(tokens) >= 2
@@ -143,6 +155,21 @@ def _parse_clause(tokens: list) -> tuple | None:
         and tokens[3] == ("kw", "AND")
     ):
         return ("between", tokens[0][1], tokens[2][1], tokens[4][1])
+    if (
+        len(tokens) == 3
+        and kinds == ["col", "kw", "kw"]
+        and tokens[1] == ("kw", "IS")
+        and tokens[2] == ("kw", "NULL")
+    ):
+        return ("isnull", tokens[0][1])
+    if (
+        len(tokens) == 4
+        and kinds == ["col", "kw", "kw", "kw"]
+        and tokens[1] == ("kw", "IS")
+        and tokens[2] == ("kw", "NOT")
+        and tokens[3] == ("kw", "NULL")
+    ):
+        return ("notnull", tokens[0][1])
     return None
 
 
@@ -194,22 +221,41 @@ def _span_admits(span: list | None, atom: tuple) -> bool:
     return True
 
 
+def _entry_admits(entry: dict, atom: tuple) -> bool:
+    """Can this file contain a row satisfying ``atom``, given its
+    footer [min, max] spans AND null counts? Missing evidence admits.
+
+    Null-count facts (round 8): ``IS NULL`` is disproved by
+    ``nulls[col] == 0``; ``IS NOT NULL`` by ``nulls[col] == rows``
+    (all-NULL column); and EVERY comparison/IN/BETWEEN is disproved by
+    an all-NULL column too (SQL comparisons with NULL are never TRUE) —
+    which is exactly the file shape [min, max] can't speak to, since
+    all-NULL columns carry no min/max."""
+    col = atom[1]
+    nulls = entry.get("nulls") or {}
+    rows = entry.get("rows")
+    n = nulls.get(col)
+    if atom[0] == "isnull":
+        return n is None or n > 0
+    if atom[0] == "notnull":
+        return n is None or rows is None or n < rows
+    if n is not None and rows is not None and 0 < rows <= n:
+        return False  # all-NULL column: no comparison can be TRUE
+    stats = entry.get("stats") or {}
+    if col not in stats:
+        return True  # no span recorded: always a candidate
+    return _span_admits(stats[col], atom)
+
+
 def prune_entries(entries: list[dict], predicate: str) -> list[dict]:
     """Drop manifest file entries whose footer stats PROVE the predicate
     matches no row in the file. Driver-side, metadata only."""
     atoms = pruning_atoms(predicate)
     if not atoms:
         return entries
-    kept = []
-    for e in entries:
-        stats = e.get("stats") or {}
-        if all(
-            _span_admits(stats.get(a[1]), a)
-            for a in atoms
-            if a[1] in stats  # columns without stats admit everything
-        ):
-            kept.append(e)
-    return kept
+    return [
+        e for e in entries if all(_entry_admits(e, a) for a in atoms)
+    ]
 
 
 def scan_table(

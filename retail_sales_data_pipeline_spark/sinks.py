@@ -17,7 +17,8 @@ whatever URI the cluster mounts; the epoch prefix survives as
 MANIFEST PROTOCOL (format 2, round 7 — file-granular copy-on-write):
 ``<table>/_manifest.json`` names the table's live DATA FILES
 individually — ``{"name": "gen-000003._merge/part-...", "rows": n,
-"stats": {col: [min, max]}}`` — instead of one generation directory.
+"stats": {col: [min, max]}, "nulls": {col: n}}`` — instead of one
+generation directory.
 A version is a file LIST, so a commit can carry untouched files forward
 BY REFERENCE: ``delete_where`` / ``merge_into`` / ``update_where``
 rewrite only the files that actually contain matched rows (identified
@@ -196,23 +197,37 @@ def _json_scalar(v, widen: bool = False):
     return None
 
 
-def _parquet_footer(abs_path: str) -> tuple[int, dict]:
-    """Row count and per-column [min, max] of one parquet file, from the
-    FOOTER only — no data pages are read, so this is metadata-priced at
-    any file size. Columns with missing/unusable stats in any row group
-    are omitted (conservative: no stats -> file is always a candidate).
+def _parquet_footer(abs_path: str) -> tuple[int, dict, dict]:
+    """Row count, per-column [min, max], and per-column NULL counts of
+    one parquet file, from the FOOTER only — no data pages are read, so
+    this is metadata-priced at any file size. Columns with
+    missing/unusable stats in any row group are omitted from the
+    respective index (conservative: no stats -> file is always a
+    candidate). Null counts are recorded only when EVERY row group
+    reports one (an unknown row group poisons the column — an
+    undercounted total would unsoundly prune ``IS NULL``).
+
+    All-NULL columns deliberately keep a null-count entry even though
+    they have no [min, max]: ``nulls[col] == rows`` is itself a pruning
+    fact (every comparison predicate on that column is FALSE for the
+    whole file).
     """
     md = _io(abs_path).open_parquet(abs_path).metadata
     agg: dict[str, list | None] = {}
+    nulls: dict[str, int | None] = {}
     for rg in range(md.num_row_groups):
         for i in range(md.num_columns):
             col = md.row_group(rg).column(i)
             name = col.path_in_schema
             if "." in name:
                 continue  # nested leaves can't prune top-level predicates
+            st = col.statistics
+            if st is None or st.null_count is None:
+                nulls[name] = None  # unknown anywhere -> unknown overall
+            elif nulls.get(name, 0) is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if agg.get(name, ()) is None:
                 continue  # already poisoned by an earlier row group
-            st = col.statistics
             if st is None or not st.has_min_max:
                 agg[name] = None
                 continue
@@ -228,14 +243,19 @@ def _parquet_footer(abs_path: str) -> tuple[int, dict]:
             else:
                 agg[name] = [min(prev[0], lo), max(prev[1], hi)]
     stats = {k: v for k, v in agg.items() if v is not None}
-    return md.num_rows, stats
+    return (
+        md.num_rows,
+        stats,
+        {k: v for k, v in nulls.items() if v is not None},
+    )
 
 
 def _file_entry(table_path: str, rel_name: str) -> dict:
     """Manifest entry for one data file: relative name + footer-derived
-    row count and column min/max stats (the pruning index)."""
-    rows, stats = _parquet_footer(os.path.join(table_path, rel_name))
-    return {"name": rel_name, "rows": rows, "stats": stats}
+    row count, column min/max stats, and null counts (the pruning
+    index)."""
+    rows, stats, nulls = _parquet_footer(os.path.join(table_path, rel_name))
+    return {"name": rel_name, "rows": rows, "stats": stats, "nulls": nulls}
 
 
 def _version_files(version: dict, table_path: str) -> list[dict]:
@@ -258,7 +278,7 @@ def _entry_rows(table_path: str, entry: dict) -> int:
     """Entry row count, footer-read (and cached) for normalized
     format-1 entries that don't carry it."""
     if entry.get("rows") is None:
-        entry["rows"], entry["stats"] = _parquet_footer(
+        entry["rows"], entry["stats"], entry["nulls"] = _parquet_footer(
             os.path.join(table_path, entry["name"])
         )
     return entry["rows"]

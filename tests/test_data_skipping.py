@@ -39,11 +39,16 @@ def test_pruning_atoms_grammar():
     assert pruning_atoms("name = 'o''brien'") == [
         ("cmp", "name", "=", "o'brien")
     ]
+    # null predicates are provable from footer null counts (round 8)
+    assert pruning_atoms("id IS NULL") == [("isnull", "id")]
+    assert pruning_atoms("id IS NOT NULL") == [("notnull", "id")]
+    assert pruning_atoms("id IS NOT NULL AND v > 2") == [
+        ("notnull", "id"), ("cmp", "v", ">", 2),
+    ]
     # anything non-provable prunes NOTHING (conservative direction)
     assert pruning_atoms("id = 5 OR id = 6") == []
     assert pruning_atoms("NOT (id = 5)") == []
     assert pruning_atoms("lower(tag) = 'x'") == []
-    assert pruning_atoms("id IS NULL") == []
     # a residual clause drops out of a conjunction, the provable stays
     assert pruning_atoms("id = 5 AND lower(tag) = 'x'") == [
         ("cmp", "id", "=", 5)
@@ -331,3 +336,89 @@ def test_hive_layout_migrates_to_stats_pruned_manifest(spark, tmp_path):
     got = scan_table(spark, path, "bucket = 2")
     assert got.count() == 100
     assert got.where("bucket <> 2").count() == 0
+
+
+def test_null_count_pruning_end_to_end(spark, tmp_path):
+    """Round-8 null-count skipping: IS NULL prunes files with zero
+    nulls, IS NOT NULL prunes all-NULL files, and an all-NULL column
+    disproves every comparison (the shape [min,max] can't speak to).
+    Results always match the unpruned read."""
+    path = str(tmp_path / "tbl")
+    spark.sql("""
+        SELECT * FROM VALUES
+          (1, 10, 'a'), (2, 20, 'b')  AS t(id, v, tag)
+    """).coalesce(1).write.parquet(path)           # file A: no nulls
+    S.append_table(
+        spark.sql("""
+            SELECT * FROM VALUES
+              (3, CAST(NULL AS INT), 'c'),
+              (4, CAST(NULL AS INT), 'd') AS t(id, v, tag)
+        """).coalesce(1),
+        path,
+    )                                                # file B: v all-NULL
+    S.append_table(
+        spark.sql("""
+            SELECT * FROM VALUES
+              (5, 50, 'e'), (6, CAST(NULL AS INT), 'f') AS t(id, v, tag)
+        """).coalesce(1),
+        path,
+    )                                                # file C: mixed
+    S.convert_to_manifest(spark, path)
+    man = S._load_manifest(path)
+    assert sorted(e["nulls"]["v"] for e in man["files"]) == [0, 1, 2]
+
+    assert files_scanned(path, "v IS NULL") == 2       # B, C
+    assert files_scanned(path, "v IS NOT NULL") == 2   # A, C
+    assert files_scanned(path, "v > 5") == 2           # all-NULL B pruned
+    assert files_scanned(path, "v IS NULL AND v IS NOT NULL") == 1  # C only
+
+    for pred, ids in [
+        ("v IS NULL", {3, 4, 6}),
+        ("v IS NOT NULL", {1, 2, 5}),
+        ("v > 15", {2, 5}),
+    ]:
+        got = {r.id for r in scan_table(spark, path, pred).collect()}
+        assert got == ids, (pred, got)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    rows=st.integers(min_value=0, max_value=6),
+    nulls=st.integers(min_value=0, max_value=6),
+    lo=_vals,
+    width=st.integers(min_value=0, max_value=10),
+    atom=_atoms(),
+    isnull=st.sampled_from(["isnull", "notnull", None]),
+)
+def test_entry_admits_never_drops_a_matching_row(
+    rows, nulls, lo, width, atom, isnull
+):
+    """Soundness with null counts: model a file of `rows` rows of which
+    `nulls` are NULL in column c and the rest take every value in
+    [lo, hi]; if ANY row (NULL or valued) satisfies the atom, the entry
+    must be admitted."""
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        _entry_admits,
+    )
+
+    nulls = min(nulls, rows)
+    hi = lo + width
+    entry = {
+        "name": "f", "rows": rows,
+        "stats": {"c": [lo, hi]} if rows > nulls else {},
+        "nulls": {"c": nulls},
+    }
+    if isnull == "isnull":
+        a = ("isnull", "c")
+        some_match = nulls > 0
+    elif isnull == "notnull":
+        a = ("notnull", "c")
+        some_match = rows > nulls
+    else:
+        a = atom
+        # NULL never satisfies a comparison; valued rows span [lo, hi]
+        some_match = rows > nulls and any(
+            _matches(v, a) for v in range(lo, hi + 1)
+        )
+    if some_match:
+        assert _entry_admits(entry, a), (entry, a)
