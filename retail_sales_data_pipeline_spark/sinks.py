@@ -2080,13 +2080,20 @@ def _merge_frames(
 
 
 def _admits_keys(
-    stats: dict | None, key_col: str, k_lo, k_hi, keys_sorted
+    entry: dict, key_col: str, k_lo, k_hi, keys_sorted
 ) -> bool:
-    """Can this file's footer [min, max] on ``key_col`` contain any
-    patch key? False ONLY when provably disjoint — missing stats or
-    incomparable types always admit (pruning is an optimization, never
-    a correctness gate)."""
-    span = (stats or {}).get(key_col)
+    """Can this file's footer stats on ``key_col`` admit any patch key?
+    False ONLY when provably disjoint — missing stats or incomparable
+    types always admit (pruning is an optimization, never a correctness
+    gate). Null counts participate: an all-NULL key column can match no
+    (non-NULL) patch key, and such files carry no [min, max] at all, so
+    the range test alone would always admit them."""
+    nulls = entry.get("nulls") or {}
+    rows = entry.get("rows")
+    n = nulls.get(key_col)
+    if n is not None and rows is not None and 0 < rows <= n:
+        return False  # all-NULL key column: no patch key can match
+    span = (entry.get("stats") or {}).get(key_col)
     if span is None:
         return True
     try:
@@ -2247,7 +2254,7 @@ def merge_into(
                 e
                 for e in cand
                 if _admits_keys(
-                    e.get("stats"), k0, pre["k_lo"], pre["k_hi"], keys_sorted
+                    e, k0, pre["k_lo"], pre["k_hi"], keys_sorted
                 )
             ]
             if pre["n_matchable"] > 0

@@ -1574,20 +1574,28 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
     view checked after EVERY commit, retained snapshots checked against
     model checkpoints, and a final rollback replaying one. Catches the
     protocol-interaction bugs no single-op test shapes."""
+    run_dml_model_fuzz(spark, str(tmp_path / "tbl"), str(tmp_path), seed)
+
+
+def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24):
+    """The fuzz body, path-parameterized so the object-store suite
+    (tests/test_manifest_s3.py) replays the same model over s3://."""
     import random
 
     import retail_sales_data_pipeline_spark.sinks as S
 
     rng = random.Random(seed)
-    path = str(tmp_path / "tbl")
     model = {i: float(i) for i in range(500)}
 
     def to_rows(d):
         return [(k, v) for k, v in sorted(d.items())]
 
-    spark.createDataFrame(
-        to_rows(model), "id long, v double"
-    ).repartition(4).write.parquet(path)
+    S.write_parquet(
+        spark.createDataFrame(
+            to_rows(model), "id long, v double"
+        ).repartition(4),
+        path,
+    )
     S.convert_to_manifest(spark, path)  # exercise zero-rewrite adoption
     next_id = 10_000
     saved: dict[int, dict] = {}
@@ -1599,7 +1607,7 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
             f"missing={set(model) - set(got)}"
         )
 
-    for step in range(24):
+    for step in range(steps):
         op = rng.choice(
             ["merge", "delete", "update", "append", "compact", "small",
              "materialize", "rollback", "vacuum"]
@@ -1680,7 +1688,7 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
             # the shape of the rollback-superseded-live-files bug)
             import time as _t
 
-            S.vacuum_staging(str(tmp_path), ttl_seconds=24 * 3600,
+            S.vacuum_staging(base_dir, ttl_seconds=24 * 3600,
                              now=_t.time() + 1_000_000)
         else:
             S.compact_small_files(spark, path, target_bytes=1 << 20,

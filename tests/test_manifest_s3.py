@@ -544,3 +544,19 @@ def test_concurrent_writers_converge_with_retry_on_s3(s3env, spark):
     assert tbl.count() == 80
     assert tbl.where("grp IN (1, 2)").count() == 0
     assert S._load_manifest(uri)["gen_no"] == 3
+
+
+def test_dml_model_fuzz_on_s3(s3env, spark):
+    """The SAME model-based protocol fuzz the local suite runs
+    (tests/test_maintenance.py), replayed over s3:// — a seeded random
+    merge/delete/update/append/compact/materialize/rollback/vacuum
+    sequence with the live view model-checked after every commit and
+    retained snapshots checked against model checkpoints. One seed,
+    trimmed step count (every control-plane call is a signed HTTP
+    round trip here)."""
+    from tests.test_maintenance import run_dml_model_fuzz
+
+    run_dml_model_fuzz(
+        spark, "s3://lake/tables/fuzz", "s3://lake/tables", 20260815,
+        steps=14,
+    )
