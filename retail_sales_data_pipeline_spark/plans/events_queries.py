@@ -562,12 +562,15 @@ FROM daily
 # (tools/sessionize_crossover.py).
 TWIN_QUERIES = {
     "events_sessionize_scalable": (events_sessionize_scalable, "events_sessionize"),
+    # round 8: the JSON-string extraction path shares _JSON_SQL verbatim
+    # with the VARIANT path — retired to fund the corpus_scan_pruned
+    # slot; equality stays pinned by test_twin_equivalence
+    "events_json_props": (events_json_props, "events_json_variant"),
 }
 
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
-    "events_json_props": events_json_props,
     "events_json_variant": events_json_variant,
     "events_daily_stats": events_daily_stats,
     "events_asof_attribution": events_asof_attribution,
@@ -585,8 +588,7 @@ QUERIES = {
 ORACLE_SQL = {
     "events_hourly_rollup": _HOURLY_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
-    "events_json_props": _JSON_SQL,
-    "events_json_variant": _JSON_SQL,  # same values, variant-typed extraction
+    "events_json_variant": _JSON_SQL,
     "events_daily_stats": _DAILY_SQL,
     "events_asof_attribution": _ASOF_SQL,
     "events_range_pairs": _RANGE_SQL,

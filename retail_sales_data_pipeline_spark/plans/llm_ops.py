@@ -2084,10 +2084,76 @@ FROM merged GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus_scan_pruned — the stats-skipped read path as a driver-checked
+# query: build a manifest table from `documents` with a NULLABLE column
+# (lang nullified for one language) range-sorted on n_chars, then answer
+# a filtered aggregate THROUGH data_skipping.scan_table — the IS NOT
+# NULL atom prunes via footer null counts and the BETWEEN atom via
+# [min, max] spans, with the same rebuilt-per-call work dir lifecycle as
+# dv_takedown_counts. The oracle replays the identical algebra over the
+# base table.
+# ---------------------------------------------------------------------------
+def corpus_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .. import sinks as S
+    from ..data_skipping import scan_table
+
+    docs = load_table(
+        spark, sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+    )
+    key = ("scan_pruned", sf_dir)
+    base = _DV_WORKDIRS.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="scan_pruned_")
+        _DV_WORKDIRS[key] = base
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "docs")
+    shutil.rmtree(path, ignore_errors=True)
+    S.write_parquet(
+        docs.select(
+            "doc_id",
+            F.expr("nullif(lang, 'de')").alias("lang_opt"),
+            "source",
+            "n_chars",
+        ),
+        path,
+    )
+    S.compact_parquet(spark, path, target_files=6, sort_col="n_chars")
+    return (
+        scan_table(
+            spark, path,
+            "lang_opt IS NOT NULL AND n_chars BETWEEN 100 AND 300",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_SCAN_PRUNED_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT doc_id, nullif(lang, 'de') AS lang_opt, source, n_chars
+  FROM documents
+)
+WHERE lang_opt IS NOT NULL AND n_chars BETWEEN 100 AND 300
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "sketch_heavy_sources": sketch_heavy_sources,
     "profile_documents_stats": profile_documents_stats,
+    "corpus_scan_pruned": corpus_scan_pruned,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -2168,4 +2234,5 @@ ORACLE_SQL = {
     "sketch_heavy_sources": _SKETCH_HEAVY_SQL,
     "profile_documents_stats": _profile_stats_sql(),
     "dv_takedown_counts": _DV_TAKEDOWN_SQL,
+    "corpus_scan_pruned": _SCAN_PRUNED_SQL,
 }

@@ -52,12 +52,15 @@ _MODULES = [
 # window = zero slack). Round 6 bought back headroom by retiring four
 # oracle-twin duplicates into ``retired_twins()`` (their semantics stay
 # pinned by tests/test_twin_equivalence.py); round 7 spent one slot on
-# ``dv_takedown_counts`` (deletion-vector DML round trip) — 99
-# registered, one free slot before the two-round staleness guarantee
-# tightens again.
+# ``dv_takedown_counts`` (deletion-vector DML round trip); round 8
+# retired ``events_json_props`` (verbatim-oracle twin of the VARIANT
+# path) and spent the slot on ``corpus_scan_pruned`` (null-count +
+# range data skipping through scan_table) — 99 registered, one free
+# slot before the two-round staleness guarantee tightens again.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
+    "corpus_scan_pruned",  # never checked
     "distinct_dedup",  # green r6
     "monthly_grouped_sum",  # green r6
     "month_key_forms",  # green r6
@@ -107,7 +110,6 @@ DRIVER_PRIORITY = [
     "streaming_sessionize_complete",  # green r6
     "ann_lsh_banded_topk",  # green r6
     "decontaminate_semantic",  # green r6
-    "dv_takedown_counts",  # green r7
 ]
 
 

@@ -515,6 +515,46 @@ def describe_history(path: str) -> list[dict]:
     return out
 
 
+def describe_detail(path: str) -> dict:
+    """DESCRIBE DETAIL analogue: one metadata-priced dict for the LIVE
+    table — version, file count/bytes, row count (DV-adjusted), pending
+    loose appends, deletion-vector totals, constraints, schema-evolution
+    state, retained-version count. The operational one-glance a
+    maintenance scheduler keys off (e.g. "compact when small files or
+    dv_rows grow past X")."""
+    io = _io(path)
+    man, entries, loose, stale = _live_state(path)
+    if man is None:
+        files = _top_level_part_files(path)
+        return {
+            "format": "parquet(unmanaged)",
+            "num_files": len(files),
+            "size_bytes": sum(
+                io.getsize(os.path.join(path, f)) for f in files
+            ),
+        }
+    dv_n = _dv_map(man)
+    return {
+        "format": f"manifest(v{man.get('format', 1)})",
+        "gen_no": man["gen_no"],
+        "op": man.get("op"),
+        "committed_at": man.get("committed_at"),
+        "rows": _meta_row_count(path, entries, loose, dv_n),
+        "num_files": len(entries),
+        "size_bytes": sum(
+            io.getsize(os.path.join(path, e["name"])) for e in entries
+        ),
+        "loose_appends": len(loose),
+        "dv_rows": sum(dv_n.values()),
+        "dv_files": len(dv_n),
+        "dv_sidecars": len(_dv_names(man)),
+        "retained_versions": len(man.get("history", [])),
+        "constraints": dict(man.get("constraints", {})),
+        "mixed_schema": bool(man.get("mixed_schema")),
+        "stale_superseded_on_disk": len(stale),
+    }
+
+
 def _retire(paths: list[str]) -> None:
     """Best-effort removal of files/dirs superseded by a committed
     manifest. Runs strictly AFTER the commit; a crash here leaves only
@@ -1822,8 +1862,9 @@ def materialize_deletion_vectors(
 def rollback(
     spark: SparkSession,
     path: str,
-    version: int,
+    version: int | None = None,
     retain_versions: int | None = None,
+    as_of: float | None = None,
 ) -> int:
     """RESTORE the table to a retained snapshot — metadata-only: the
     new manifest simply points at the retained version's file list, no
@@ -1843,8 +1884,15 @@ def rollback(
     restore is metadata-only, so rows of the restored snapshot are NOT
     re-validated against constraints added after it; run
     ``set_check_constraint`` again to force a full revalidation.
-    Returns the new current ``gen_no``.
+    ``as_of`` (unix seconds) is RESTORE ... TIMESTAMP AS OF — the
+    latest retained version committed at or before that instant
+    (mutually exclusive with ``version``). Returns the new current
+    ``gen_no``.
     """
+    if (version is None) == (as_of is None):
+        raise ValueError("pass exactly one of version= or as_of=")
+    if as_of is not None:
+        version = version_as_of(path, as_of)
     man = _load_manifest(path)
     if man is None:
         raise ValueError(f"no manifest at {path!r} — nothing to roll back")

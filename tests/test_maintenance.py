@@ -1983,3 +1983,42 @@ def test_check_constraint_evolving_merge_omits_constrained_column(
         S.merge_into(spark, path, bad, keys=["id"])
     gens_after = {d for d in os.listdir(path) if d.startswith("gen-")}
     assert gens_after == gens_before
+
+
+def test_describe_detail_and_rollback_as_of(spark, tmp_path):
+    """DESCRIBE DETAIL analogue (metadata-priced operational summary)
+    and RESTORE ... TIMESTAMP AS OF (rollback(as_of=))."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "cast(id as double) v").write.parquet(
+        path
+    )
+    d0 = S.describe_detail(path)
+    assert d0["format"] == "parquet(unmanaged)" and d0["size_bytes"] > 0
+
+    S.convert_to_manifest(spark, path)                              # v1
+    t_v1 = S._load_manifest(path)["committed_at"]
+    S.delete_where(spark, path, "id < 10", retain_versions=3,
+                   deletion_vectors=True)                            # v2
+    S.append_table(
+        spark.createDataFrame([(500, 0.0)], "id long, v double"
+                              ).coalesce(1), path)
+    S.set_check_constraint(spark, path, "pos", "v >= 0")            # v3
+    d = S.describe_detail(path)
+    assert d["gen_no"] == 3 and d["rows"] == 91
+    assert d["dv_rows"] == 10 and d["loose_appends"] == 1
+    assert d["constraints"] == {"pos": "v >= 0"}
+    assert d["retained_versions"] == 2
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+
+    # timestamp restore lands on the latest version at-or-before t
+    gen = S.rollback(spark, path, as_of=t_v1)
+    assert gen == 4
+    assert S.read_table(spark, path).count() == 100
+    with _pytest.raises(ValueError, match="exactly one"):
+        S.rollback(spark, path)
+    with _pytest.raises(ValueError, match="exactly one"):
+        S.rollback(spark, path, version=1, as_of=t_v1)
