@@ -555,6 +555,58 @@ def describe_detail(path: str) -> dict:
     }
 
 
+def advise_maintenance(
+    path: str,
+    target_bytes: int = 128 << 20,
+    dv_rot_threshold: float = 0.5,
+    loose_threshold: int = 8,
+) -> dict:
+    """Turn :func:`describe_detail`-grade metadata into CONCRETE
+    maintenance decisions — the scheduler hook for routine table
+    upkeep, all driver-side metadata (no Spark jobs):
+
+    * ``compact`` — True when 2+ live files are under half the target
+      size, or loose appends piled past ``loose_threshold`` (small
+      files + unadopted appends are the two read-cost leaks);
+    * ``materialize_dv`` — manifest-relative names whose DV'd deleted
+      fraction exceeds ``dv_rot_threshold`` (scans of those files waste
+      the anti-join; :func:`compact_small_files` folds them with the
+      same knob);
+    * ``vacuum`` — True when superseded files linger on disk (a crashed
+      retire left dead bytes for the TTL collector).
+
+    Run what it says with :func:`compact_small_files` /
+    :func:`vacuum_staging`; re-running after is idempotent-cheap."""
+    io = _io(path)
+    man, entries, loose, stale = _live_state(path)
+    if man is None:
+        return {"compact": False, "materialize_dv": [], "vacuum": False}
+    small = [
+        e
+        for e in entries
+        if io.getsize(os.path.join(path, e["name"])) < target_bytes // 2
+    ]
+    dv_n = _dv_map(man)
+    by_name = {e["name"]: e for e in entries}
+    rotten = [
+        rel
+        for rel, n in dv_n.items()
+        if rel in by_name
+        and n > dv_rot_threshold * max(1, _entry_rows(path, by_name[rel]))
+    ]
+    return {
+        "compact": len(small) >= 2 or len(loose) > loose_threshold,
+        "materialize_dv": sorted(rotten),
+        "vacuum": bool(stale),
+        "evidence": {
+            "small_files": len(small),
+            "loose_appends": len(loose),
+            "dv_rows": sum(dv_n.values()),
+            "stale_superseded_on_disk": len(stale),
+        },
+    }
+
+
 def _retire(paths: list[str]) -> None:
     """Best-effort removal of files/dirs superseded by a committed
     manifest. Runs strictly AFTER the commit; a crash here leaves only

@@ -2022,3 +2022,35 @@ def test_describe_detail_and_rollback_as_of(spark, tmp_path):
         S.rollback(spark, path)
     with _pytest.raises(ValueError, match="exactly one"):
         S.rollback(spark, path, version=1, as_of=t_v1)
+
+
+def test_advise_maintenance_drives_the_levers(spark, tmp_path):
+    """advise_maintenance reads metadata only and its recommendations,
+    when executed, clear themselves (the scheduler loop contract)."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(4000).selectExpr("id", "cast(id as double) v").write.parquet(
+        path
+    )
+    S.compact_parquet(spark, path, target_files=4, sort_col="id")
+    S.delete_where(spark, path, "id < 700", deletion_vectors=True,
+                   dv_rewrite_threshold=0.95)  # rots file 0 (70%)
+    for i in range(3):
+        S.append_table(
+            spark.createDataFrame([(9000 + i, 0.0)], "id long, v double"
+                                  ).coalesce(1), path)
+    adv = S.advise_maintenance(path, target_bytes=1 << 20,
+                               loose_threshold=2)
+    assert adv["compact"] is True
+    assert len(adv["materialize_dv"]) == 1
+    assert adv["evidence"]["loose_appends"] == 3
+    assert adv["evidence"]["dv_rows"] == 700
+
+    # execute the advice; it clears
+    S.compact_small_files(spark, path, target_bytes=1 << 20)
+    adv2 = S.advise_maintenance(path, target_bytes=1 << 20,
+                                loose_threshold=2)
+    assert adv2["materialize_dv"] == [] and adv2["evidence"]["dv_rows"] == 0
+    assert adv2["evidence"]["loose_appends"] == 0
+    assert S.read_table(spark, path).count() == 4000 - 700 + 3
