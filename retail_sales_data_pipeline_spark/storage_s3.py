@@ -159,6 +159,7 @@ class S3Storage:
         session_token: str | None = None,
         timeout: float = 60.0,
         page_size: int = 1000,
+        max_attempts: int = 4,
     ):
         self.endpoint_url = endpoint_url
         self.region = region
@@ -167,6 +168,7 @@ class S3Storage:
         self.session_token = session_token
         self.timeout = timeout
         self.page_size = page_size  # ListObjectsV2 max-keys per page
+        self.max_attempts = max_attempts  # transient-failure retries
 
     # -- config (env fallbacks resolved per call: picklable instance) --
 
@@ -202,7 +204,52 @@ class S3Storage:
 
     # -- signed request core ------------------------------------------
 
+    # transient statuses a production S3 client must absorb: throttling
+    # (503 SlowDown), internal errors (500), bad gateways (502/504)
+    _RETRY_STATUSES = (500, 502, 503, 504)
+
     def _request(
+        self,
+        method: str,
+        bucket: str,
+        key: str,
+        query: list[tuple[str, str]] | None = None,
+        body: bytes = b"",
+        extra_headers: dict[str, str] | None = None,
+        ok_status: tuple[int, ...] = (200, 204),
+    ) -> tuple[int, bytes, dict[str, str]]:
+        """One signed request with BOUNDED exponential-backoff retries
+        on transient failures (5xx + connection errors), the standard
+        S3-client contract: real buckets throttle with 503 SlowDown as
+        request rate ramps, and giving up on the first one would make
+        every control-plane pass flaky at scale. Retries are safe for
+        every verb used here — GET/HEAD/LIST are reads, DELETE is
+        idempotent, and PUT resends identical bytes (a conditional PUT
+        whose first attempt actually landed fails its own retry with
+        412, which the commit fence already treats as a lost race —
+        never a double commit). 4xx responses fail fast. Each attempt
+        is RE-SIGNED (fresh x-amz-date): a backoff can cross SigV4's
+        clock-skew window."""
+        import time
+
+        last: Exception | None = None
+        for attempt in range(self.max_attempts):
+            if attempt:
+                time.sleep(min(2.0, 0.1 * (2 ** (attempt - 1))))
+            try:
+                return self._request_once(
+                    method, bucket, key, query, body, extra_headers,
+                    ok_status,
+                )
+            except S3ResponseError as e:
+                if e.status not in self._RETRY_STATUSES:
+                    raise
+                last = e
+            except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
+                last = e
+        raise last
+
+    def _request_once(
         self,
         method: str,
         bucket: str,

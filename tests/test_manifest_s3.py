@@ -560,3 +560,52 @@ def test_dml_model_fuzz_on_s3(s3env, spark):
         spark, "s3://lake/tables/fuzz", "s3://lake/tables", 20260815,
         steps=14,
     )
+
+
+def test_transient_5xx_retried_4xx_fail_fast(s3env, spark, monkeypatch):
+    """The adapter absorbs throttling the way a production S3 client
+    must: 503 SlowDown responses are retried with backoff (each attempt
+    re-signed) until the request lands; 4xx responses fail fast. A DML
+    commit through a throttling window still lands exactly once."""
+    from tests import fake_s3 as FS
+    from retail_sales_data_pipeline_spark.storage_s3 import (
+        S3ResponseError,
+    )
+
+    uri = "s3://lake/tables/flaky"
+    _seed_table(spark, uri, n=20, files=1)
+
+    # inject: every Nth authorized request 503s (stateful flake)
+    orig = FS.DiskS3Handler._check_auth
+    state = {"n": 0}
+
+    def flaky(self):
+        ok = orig(self)
+        if not ok:
+            return False
+        state["n"] += 1
+        if state["n"] % 3 != 0:  # two of every three requests throttle
+            self._send(503, b"<Error><Code>SlowDown</Code></Error>")
+            return False
+        return True
+
+    monkeypatch.setattr(FS.DiskS3Handler, "_check_auth", flaky)
+    assert S.convert_to_manifest(spark, uri) == 1  # survives throttling
+    n = S.delete_where(spark, uri, "grp = 1")
+    assert n == 2
+    monkeypatch.setattr(FS.DiskS3Handler, "_check_auth", orig)
+    assert S.read_table(spark, uri).count() == 18
+    assert S._load_manifest(uri)["gen_no"] == 2
+
+    # 4xx is not retried: a permanent rejection surfaces immediately
+    calls = {"n": 0}
+
+    def reject(self):
+        calls["n"] += 1
+        self._send(418, b"<Error><Code>Teapot</Code></Error>")
+        return False
+
+    monkeypatch.setattr(FS.DiskS3Handler, "_check_auth", reject)
+    with pytest.raises(S3ResponseError, match="418"):
+        s3env["s3"].read_bytes(f"{uri}/_manifest.json")
+    assert calls["n"] == 1
