@@ -1984,9 +1984,26 @@ FROM documents"""
     return "\nUNION ALL\n".join(parts)
 
 
-# per-process DML work dirs, keyed by (query, sf_dir) — see
-# dv_takedown_counts for the lifecycle
+# per-process DML work dirs, keyed by (query, sf_dir) — see _workdir
 _DV_WORKDIRS: dict = {}
+
+
+def _workdir(key: tuple, prefix: str) -> str:
+    """ONE temp work dir per (process, key), removed at interpreter
+    exit — table-building queries (dv_takedown_counts,
+    corpus_scan_pruned) rebuild their table under it per call, and this
+    shared lifecycle keeps repeated bench/driver invocations from
+    accumulating table-sized directories in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = _DV_WORKDIRS.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix=prefix)
+        _DV_WORKDIRS[key] = base
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
 
 
 # ---------------------------------------------------------------------------
@@ -2002,27 +2019,19 @@ _DV_WORKDIRS: dict = {}
 # data files from the initial compaction are never rewritten.
 # ---------------------------------------------------------------------------
 def dv_takedown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from .. import sinks as S
 
     docs = load_table(
         spark, sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
     )
-    # ONE work dir per (process, sf_dir), wiped and rebuilt per call and
-    # removed at interpreter exit — repeated bench/driver invocations
-    # must not accumulate table-sized directories in /tmp (the returned
-    # DataFrame reads lazily, so the dir must outlive this function)
-    key = ("dv_takedown", sf_dir)
-    base = _DV_WORKDIRS.get(key)
-    if base is None:
-        base = tempfile.mkdtemp(prefix="dv_takedown_")
-        _DV_WORKDIRS[key] = base
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-    path = os.path.join(base, "docs")
+    # wiped and rebuilt per call under the shared per-process work dir
+    # (the returned DataFrame reads lazily, so the dir must outlive
+    # this function)
+    path = os.path.join(_workdir(("dv_takedown", sf_dir), "dv_takedown_"),
+                        "docs")
     shutil.rmtree(path, ignore_errors=True)
     docs.write.parquet(path)
     S.compact_parquet(spark, path, target_files=4, sort_col="doc_id")
@@ -2095,10 +2104,8 @@ FROM merged GROUP BY source
 # base table.
 # ---------------------------------------------------------------------------
 def corpus_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from .. import sinks as S
     from ..data_skipping import scan_table
@@ -2106,13 +2113,8 @@ def corpus_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(
         spark, sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
     )
-    key = ("scan_pruned", sf_dir)
-    base = _DV_WORKDIRS.get(key)
-    if base is None:
-        base = tempfile.mkdtemp(prefix="scan_pruned_")
-        _DV_WORKDIRS[key] = base
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-    path = os.path.join(base, "docs")
+    path = os.path.join(_workdir(("scan_pruned", sf_dir), "scan_pruned_"),
+                        "docs")
     shutil.rmtree(path, ignore_errors=True)
     S.write_parquet(
         docs.select(

@@ -126,10 +126,15 @@ def _io(path: str):
 
 
 def _spark_path(path: str) -> str:
-    """The Spark-visible (data-plane) path for a control-plane URI —
-    identity for local paths, the per-scheme mapping for object stores
-    (default ``s3://`` -> ``s3a://``; see ``storage.register_spark_path``)."""
-    return _table_io.for_path(path).spark_path(path)
+    """The Spark-visible (data-plane) path for a URI — identity for
+    local paths and for any scheme without a mapping, ``s3://`` ->
+    ``s3a://`` by default (``storage.register_spark_path`` overrides).
+    Deliberately does NOT resolve a storage backend: pure data-plane
+    writes to ``hdfs://``/``s3a://``/... need no control-plane client
+    and must pass straight through to the cluster filesystem."""
+    from . import storage as _storage
+
+    return _storage.spark_path(path)
 
 
 def _load_manifest(path: str) -> dict | None:
@@ -252,10 +257,30 @@ def _parquet_footer(abs_path: str) -> tuple[int, dict, dict]:
 
 def _file_entry(table_path: str, rel_name: str) -> dict:
     """Manifest entry for one data file: relative name + footer-derived
-    row count, column min/max stats, and null counts (the pruning
-    index)."""
-    rows, stats, nulls = _parquet_footer(os.path.join(table_path, rel_name))
-    return {"name": rel_name, "rows": rows, "stats": stats, "nulls": nulls}
+    row count, column min/max stats, null counts (the pruning index),
+    and file size — recorded ONCE at commit time so size-consuming
+    passes (describe_detail / advise_maintenance / compact_small_files)
+    read the manifest instead of issuing one stat/HEAD per live file
+    (at 100k files on an object store that difference is ~100k serial
+    round trips per call)."""
+    abs_path = os.path.join(table_path, rel_name)
+    rows, stats, nulls = _parquet_footer(abs_path)
+    return {
+        "name": rel_name,
+        "rows": rows,
+        "stats": stats,
+        "nulls": nulls,
+        "bytes": _io(abs_path).getsize(abs_path),
+    }
+
+
+def _entry_bytes(table_path: str, entry: dict) -> int:
+    """Entry file size; stat/HEAD fallback (and cache) for entries
+    committed before sizes were recorded."""
+    if entry.get("bytes") is None:
+        p = os.path.join(table_path, entry["name"])
+        entry["bytes"] = _io(p).getsize(p)
+    return entry["bytes"]
 
 
 def _version_files(version: dict, table_path: str) -> list[dict]:
@@ -541,9 +566,7 @@ def describe_detail(path: str) -> dict:
         "committed_at": man.get("committed_at"),
         "rows": _meta_row_count(path, entries, loose, dv_n),
         "num_files": len(entries),
-        "size_bytes": sum(
-            io.getsize(os.path.join(path, e["name"])) for e in entries
-        ),
+        "size_bytes": sum(_entry_bytes(path, e) for e in entries),
         "loose_appends": len(loose),
         "dv_rows": sum(dv_n.values()),
         "dv_files": len(dv_n),
@@ -577,14 +600,21 @@ def advise_maintenance(
 
     Run what it says with :func:`compact_small_files` /
     :func:`vacuum_staging`; re-running after is idempotent-cheap."""
-    io = _io(path)
     man, entries, loose, stale = _live_state(path)
     if man is None:
-        return {"compact": False, "materialize_dv": [], "vacuum": False}
+        return {
+            "compact": False,
+            "materialize_dv": [],
+            "vacuum": False,
+            "evidence": {
+                "small_files": 0,
+                "loose_appends": 0,
+                "dv_rows": 0,
+                "stale_superseded_on_disk": 0,
+            },
+        }
     small = [
-        e
-        for e in entries
-        if io.getsize(os.path.join(path, e["name"])) < target_bytes // 2
+        e for e in entries if _entry_bytes(path, e) < target_bytes // 2
     ]
     dv_n = _dv_map(man)
     by_name = {e["name"]: e for e in entries}
@@ -1329,11 +1359,16 @@ def compact_small_files(
     def _size(name: str) -> int:
         return _io(path).getsize(os.path.join(path, name))
 
-    # size classification needs only a stat; parquet footers are read
-    # ONLY for the small loose files that actually fold — the steady
-    # state (many right-sized loose appends) pays zero footer I/O here
-    small_ref = [e for e in entries if _size(e["name"]) < min_file_bytes]
-    big_ref = [e for e in entries if _size(e["name"]) >= min_file_bytes]
+    # referenced entries carry their size in the manifest (recorded at
+    # commit); only LOOSE appends need a stat — the steady state pays
+    # zero per-referenced-file IO here, and footers are read only for
+    # the small loose files that actually fold
+    small_ref = [
+        e for e in entries if _entry_bytes(path, e) < min_file_bytes
+    ]
+    big_ref = [
+        e for e in entries if _entry_bytes(path, e) >= min_file_bytes
+    ]
     small_loose_names = [f for f in loose if _size(f) < min_file_bytes]
     n_big_loose = len(loose) - len(small_loose_names)
     small_loose = [(f, _file_entry(path, f)) for f in small_loose_names]
@@ -1363,7 +1398,7 @@ def compact_small_files(
             "files_written": 0,
             "dv_materialized": 0,
         }
-    total_bytes = sum(_size(e["name"]) for e in fold)
+    total_bytes = sum(_entry_bytes(path, e) for e in fold)
     n_out = max(1, -(-total_bytes // target_bytes))
     fold_rel = [e["name"] for e in fold]
     dv = (man or {}).get("dv")

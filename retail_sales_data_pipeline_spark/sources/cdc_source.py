@@ -128,29 +128,27 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
 
         return _load_manifest(self.path)
 
-    def _sidecar_parts(self, rel: str) -> list[str]:
-        """The parquet file(s) of one CDC sidecar: a dir of part files,
-        or an adopted parquet file referenced directly."""
+    def _open_sidecar(self, rel: str, cache: dict) -> list:
+        """The opened ParquetFile(s) of one CDC sidecar (a dir of part
+        files, or an adopted parquet file referenced directly),
+        memoized in ``cache`` so the bulk-commit guard's footer pass
+        and the row-yield pass share ONE open per part — on an object
+        store each open costs a HEAD + ranged GETs, and paying it
+        twice per micro-batch would double the stream's control-plane
+        request load."""
+        if rel in cache:
+            return cache[rel]
         from ..sinks import _io
 
         io = _io(self.path)
         sub = os.path.join(self.path, rel)
-        if io.isdir(sub):
-            return [
-                os.path.join(sub, b) for b in io.list_basenames(sub, "part-")
-            ]
-        return [sub]
-
-    def _sidecar_rows(self, rel: str) -> int:
-        """Row count of one CDC sidecar from parquet FOOTERS — no data
-        pages are read."""
-        from ..sinks import _io
-
-        io = _io(self.path)
-        return sum(
-            io.open_parquet(p).metadata.num_rows
-            for p in self._sidecar_parts(rel)
+        parts = (
+            [os.path.join(sub, b) for b in io.list_basenames(sub, "part-")]
+            if io.isdir(sub)
+            else [sub]
         )
+        cache[rel] = [io.open_parquet(p) for p in parts]
+        return cache[rel]
 
     def initialOffset(self) -> dict:
         if self.start_version is not None:
@@ -192,13 +190,15 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
                 f"{missing} of {self.path!r} (rollback, or retention "
                 "dropped them) — restart with starting_version past them"
             )
+        opened: dict = {}  # rel -> [ParquetFile], shared guard/read
         for v in range(lo + 1, hi + 1):
             # bulk-commit guard: footer row counts only — refuse to pull
             # a rewrite-sized feed through the driver
             n = sum(
-                self._sidecar_rows(rel)
+                pf.metadata.num_rows
                 for kind in ("delete", "insert")
                 for rel in know[v]["cdc"].get(kind, [])
+                for pf in self._open_sidecar(rel, opened)
             )
             if n > self.max_batch_rows:
                 raise ValueError(
@@ -209,15 +209,11 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
                     "distributed sinks.table_changes_feed and restart "
                     f"this stream with starting_version={v}"
                 )
-        from ..sinks import _io
-
-        io = _io(self.path)
         for v in range(lo + 1, hi + 1):
             for kind in ("delete", "insert"):
                 for rel in know[v]["cdc"].get(kind, []):
-                    for part in self._sidecar_parts(rel):
-                        rows = io.open_parquet(part).read().to_pylist()
-                        for batch in rows:
+                    for pf in self._open_sidecar(rel, opened):
+                        for batch in pf.read().to_pylist():
                             yield tuple(
                                 [batch.get(c) for c in self.fields]
                                 + [kind, v]

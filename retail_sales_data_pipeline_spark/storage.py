@@ -176,3 +176,12 @@ def register_spark_path(scheme: str, mapper) -> None:
 
 def spark_path_mapper(scheme: str):
     return _SPARK_MAPS.get(scheme.lower(), _default_spark_map)
+
+
+def spark_path(uri: str) -> str:
+    """The Spark-visible (data-plane) path for a URI — per-scheme
+    mapping with NO backend resolution: pure data-plane writes
+    (``hdfs://``, ``s3a://``, ``abfss://`` ...) need no registered
+    control-plane client and must pass straight through to the
+    cluster's Hadoop filesystem."""
+    return spark_path_mapper(scheme_of(uri))(uri)

@@ -168,7 +168,9 @@ class S3Storage:
         self.session_token = session_token
         self.timeout = timeout
         self.page_size = page_size  # ListObjectsV2 max-keys per page
-        self.max_attempts = max_attempts  # transient-failure retries
+        # transient-failure retries; clamped so max_attempts=0 can't
+        # degenerate into `raise None`
+        self.max_attempts = max(1, max_attempts)
 
     # -- config (env fallbacks resolved per call: picklable instance) --
 

@@ -329,8 +329,10 @@ def _sentinel_source_dir(spark: SparkSession, sf_dir: str) -> str:
     if cached is not None and os.path.isdir(cached):
         return cached
     out = tempfile.mkdtemp(prefix="drain_")
-    _SENTINEL_DIRS[src] = out
     atexit.register(shutil.rmtree, out, ignore_errors=True)
+    # NOTE: cached only AFTER the build completes (end of function) — a
+    # failed copy/sentinel write must not leave a half-built dir that
+    # later calls would return as a valid source
     shutil.copy(src, os.path.join(out, "events.parquet"))
 
     schema = pq.read_schema(src)
@@ -357,6 +359,7 @@ def _sentinel_source_dir(spark: SparkSession, sf_dir: str) -> str:
         pa.Table.from_arrays(arrays, schema=schema),
         os.path.join(out, "zz_sentinel.parquet"),
     )
+    _SENTINEL_DIRS[src] = out  # fully built — safe to reuse
     return out
 
 

@@ -291,6 +291,13 @@ class _StorageFile(_io.RawIOBase):
         if n <= 0:
             return b""
         data = self._backend.read_range(self._uri, self._pos, n)
+        # clamp: a server/proxy that ignores the Range header answers
+        # 200 + the WHOLE object; returning more than n violates the
+        # file contract and would corrupt pyarrow's footer parse
+        if len(data) > n:
+            data = data[self._pos:self._pos + n] if len(
+                data
+            ) == self._size else data[:n]
         self._pos += len(data)
         return data
 
@@ -368,6 +375,21 @@ class StorageTableIO:
             else:
                 self._b.put_bytes(uri, body, if_match=etag)
         except _storage.PreconditionFailed:
+            # LOST-ACK DISAMBIGUATION: the backend retries transient
+            # failures, and a conditional PUT that actually LANDED but
+            # whose response was lost fails its own retry with 412
+            # (the object's ETag is now ours, not the If-Match one).
+            # Before declaring a lost race, read the object back — if
+            # it holds exactly the bytes this writer attempted, the
+            # commit succeeded and reporting failure would make
+            # retry_on_conflict re-apply non-idempotent DML on top of
+            # its own committed effect (double-apply).
+            try:
+                cur_bytes, _ = self._b.read_bytes_meta(uri)
+            except FileNotFoundError:
+                cur_bytes = None
+            if cur_bytes == body:
+                return  # our own commit — the ack was lost, not the race
             raise ConcurrentWriteError(
                 f"concurrent rewrite of {path!r}: the manifest object "
                 "changed between this writer's read and its conditional "
@@ -388,7 +410,17 @@ class StorageTableIO:
         )
 
     def listdir(self, dir_uri: str) -> list[str]:
-        return sorted(os.path.basename(e) for e in self._b.list(dir_uri))
+        """One-level basenames, LocalTableIO-parity contract: a missing
+        location raises. Object stores have no empty directories, so an
+        empty listing means the prefix doesn't exist — returning []
+        here would make ``vacuum_staging`` on a typo'd base prefix read
+        as "nothing to clean" while the real staging garbage keeps
+        accumulating. (``list_basenames`` keeps the silent [] — its
+        callers probe prefixes that legitimately may not exist yet.)"""
+        entries = self._b.list(dir_uri)
+        if not entries:
+            raise FileNotFoundError(dir_uri)
+        return sorted(os.path.basename(e) for e in entries)
 
     # -- predicates / metadata ------------------------------------------
 

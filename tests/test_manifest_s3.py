@@ -609,3 +609,42 @@ def test_transient_5xx_retried_4xx_fail_fast(s3env, spark, monkeypatch):
     with pytest.raises(S3ResponseError, match="418"):
         s3env["s3"].read_bytes(f"{uri}/_manifest.json")
     assert calls["n"] == 1
+
+
+def test_lost_ack_commit_not_reported_as_conflict(s3env, spark, monkeypatch):
+    """A conditional PUT that LANDS but whose response is lost gets
+    retried and 412s against the writer's own new ETag. That must read
+    as SUCCESS (the object holds exactly this writer's bytes), not as a
+    lost race — otherwise retry_on_conflict would re-apply
+    non-idempotent DML on top of its own committed effect."""
+    from tests import fake_s3 as FS
+
+    uri = "s3://lake/tables/lostack"
+    _seed_table(spark, uri, n=30, files=1)
+    S.convert_to_manifest(spark, uri)
+
+    # make the NEXT conditional manifest PUT apply server-side but
+    # answer 503 (as if the ack was lost); the adapter's retry then
+    # 412s against the writer's own write
+    orig_send = FS.DiskS3Handler._send
+    state = {"armed": True}
+
+    def lying_send(self, status, body=b"", extra=None):
+        if (
+            state["armed"]
+            and self.command == "PUT"
+            and self.headers.get("If-Match")
+            and status == 200
+        ):
+            state["armed"] = False
+            return orig_send(self, 503, b"<Error><Code>SlowDown</Code></Error>")
+        return orig_send(self, status, body, extra)
+
+    monkeypatch.setattr(FS.DiskS3Handler, "_send", lying_send)
+    n = S.delete_where(spark, uri, "grp = 2")  # must NOT raise
+    monkeypatch.setattr(FS.DiskS3Handler, "_send", orig_send)
+    assert n == 3
+    man = S._load_manifest(uri)
+    assert man["gen_no"] == 2 and man["op"] == "delete"
+    assert S.read_table(spark, uri).count() == 27
+    assert S.read_table(spark, uri).where("grp = 2").count() == 0
