@@ -823,6 +823,7 @@ def _commit_generation(
     dv_df: DataFrame | None = None,
     dv_n: dict[str, int] | None = None,
     dv_carry: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> tuple[int, dict, int]:
     """Shared commit core of the manifest protocol. Writes ``new_df``
     into a fresh generation directory, byte-copies the ``adopt`` loose
@@ -1064,6 +1065,15 @@ def _commit_generation(
         manifest["dv"] = dv_rec
     if constraints:
         manifest["constraints"] = constraints
+    # streaming-txn idempotency map (Delta's txn action): {app_id:
+    # last_applied_version}. CARRIED by every commit (it is table
+    # policy, like constraints); a commit made on behalf of a stream
+    # batch updates its app's entry atomically with the data
+    txn_map = dict(man.get("txn", {})) if man else {}
+    if txn is not None:
+        txn_map[txn[0]] = txn[1]
+    if txn_map:
+        manifest["txn"] = txn_map
     mixed = (
         bool(man and man.get("mixed_schema"))
         if mixed_schema is None
@@ -1946,6 +1956,81 @@ def materialize_deletion_vectors(
     return len(touched)
 
 
+def insert_into(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    retain_versions: int = 0,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Atomic INSERT INTO a manifest table: the batch lands as a new
+    generation's files, every existing file carries BY REFERENCE, and
+    the commit records the rows as the version's CDC insert feed —
+    everything :func:`append_table` (a bare directory write) does not
+    give: atomicity, a version, a change feed, CHECK enforcement, and
+    writer fencing. Bytes written are the batch only.
+
+    ``txn=(app_id, version)`` is the STREAMING IDEMPOTENCY marker
+    (Delta's txn action): the manifest carries ``{app_id:
+    last_applied_version}``, updated atomically with the data, and an
+    insert whose version is <= the recorded watermark is SKIPPED
+    (returns 0) — which turns foreachBatch's at-least-once replay into
+    exactly-once table effects (:func:`..streaming.stream_append_table`
+    is the stream wrapper). Loose ``append_table`` files stay loose and
+    untouched. Returns the number of rows inserted.
+    """
+    man, entries, loose, stale = _live_state(path)
+    if man is None:
+        raise ValueError(
+            f"no manifest at {path!r} — convert_to_manifest first (or "
+            "use append_table for unmanaged directories)"
+        )
+    if txn is not None:
+        last = man.get("txn", {}).get(txn[0])
+        if last is not None and txn[1] <= last:
+            return 0  # replayed batch: already applied, exactly-once
+    cols = _table_columns(
+        spark, man, [os.path.join(path, e["name"]) for e in entries]
+    ) if entries else df.columns
+    if set(df.columns) != set(cols):
+        raise ValueError(
+            f"insert schema mismatch: table has {sorted(cols)}, batch "
+            f"has {sorted(df.columns)} (schema evolution goes through "
+            "merge_into(evolve_schema=True))"
+        )
+    we_persisted = not df.is_cached
+    if we_persisted:
+        df = df.persist()
+    try:
+        n = df.count()
+        if n == 0 and txn is None:
+            return 0  # nothing to commit; don't burn a generation
+        # carried files keep their DVs by reference (nothing rewritten)
+        dv_df, dv_n, dv_carry = _dv_after_drop(spark, path, man, set())
+        _commit_generation(
+            spark,
+            path,
+            man=man,
+            loose=[],  # loose appends stay loose and visible
+            stale=stale,
+            keep_entries=entries,
+            new_df=df.coalesce(_rewrite_partitions(n, 0)),
+            suffix="._insert",
+            expected_new_rows=n,
+            retain_versions=retain_versions,
+            cdc={"insert": df.coalesce(_rewrite_partitions(n, 0)),
+                 "delete": None},
+            dv_df=dv_df,
+            dv_n=dv_n,
+            dv_carry=dv_carry,
+            txn=txn,
+        )
+        return n
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
 def rollback(
     spark: SparkSession,
     path: str,
@@ -2037,6 +2122,10 @@ def rollback(
         # CHECK constraints are table policy, not version state: a
         # restore of old DATA must not silently disarm them
         manifest["constraints"] = man["constraints"]
+    if man.get("txn"):
+        # streaming-txn watermarks are table policy too: dropping them
+        # on restore would let a replayed microbatch re-apply
+        manifest["txn"] = man["txn"]
     _commit_manifest(path, manifest, expect_gen=man["gen_no"])
     if dropped:
         live = {e["name"] for e in target_files} | _dv_names(manifest)

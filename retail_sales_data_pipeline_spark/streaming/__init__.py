@@ -1,4 +1,5 @@
 from .jobs import (  # noqa: F401
+    stream_append_table,
     stream_dedup_rollup,
     stream_hourly_rollup,
     stream_sessionize,

@@ -531,6 +531,51 @@ def stream_heavy_hitters(
     )
 
 
+def stream_append_table(
+    updates: DataFrame,
+    path: str,
+    checkpoint: str,
+    stream_id: str,
+):
+    """Append-only streaming ingest into a manifest table with
+    EXACTLY-ONCE table effects — the high-throughput sibling of
+    :func:`stream_cdc_apply` for sources with no key to merge on
+    (event logs, document feeds).
+
+    foreachBatch is at-least-once across crashes; exactly-once comes
+    from the manifest's streaming-txn watermark
+    (:func:`..sinks.insert_into` with ``txn=(stream_id, batch_id)``):
+    the batch's rows and the watermark commit ATOMICALLY, so a replayed
+    batch compares ``batch_id`` to the recorded watermark and skips —
+    no double-append, no lost batch, regardless of where the crash
+    fell. Each microbatch is one fenced commit (new files + CDC insert
+    feed; every existing file carries by reference), so downstream
+    incremental consumers see the stream's batches as ordinary
+    adjacent-version change feeds. A concurrent maintenance pass losing
+    the commit race is retried against the new table state.
+
+    ``stream_id`` names this stream's watermark slot in the manifest —
+    use one stable id per logical stream (two streams sharing an id
+    would skip each other's batches). Returns the started
+    StreamingQuery (caller drains/awaits)."""
+    from ..sinks import insert_into, retry_on_conflict
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        retry_on_conflict(
+            lambda: insert_into(
+                batch.sparkSession, path, batch,
+                txn=(stream_id, batch_id),
+            )
+        )
+
+    return (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_cdc_apply(
     updates: DataFrame,
     path: str,

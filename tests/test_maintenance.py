@@ -2054,3 +2054,70 @@ def test_advise_maintenance_drives_the_levers(spark, tmp_path):
     assert adv2["materialize_dv"] == [] and adv2["evidence"]["dv_rows"] == 0
     assert adv2["evidence"]["loose_appends"] == 0
     assert S.read_table(spark, path).count() == 4000 - 700 + 3
+
+
+def test_insert_into_atomic_append_with_txn(spark, tmp_path):
+    """insert_into: atomic INSERT INTO with a version, a CDC insert
+    feed, CHECK enforcement, DV carry — and the streaming-txn
+    idempotency watermark that turns at-least-once replay into
+    exactly-once table effects."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "cast(id as double) v").write.parquet(
+        path
+    )
+    S.convert_to_manifest(spark, path)                             # v1
+    S.delete_where(spark, path, "id = 5", deletion_vectors=True,
+                   retain_versions=3)                              # v2
+
+    batch = spark.createDataFrame(
+        [(200, 1.0), (201, 2.0)], "id long, v double"
+    )
+    n = S.insert_into(spark, path, batch, retain_versions=3,
+                      txn=("ingest", 7))                           # v3
+    assert n == 2
+    man = S._load_manifest(path)
+    assert man["op"] == "insert" and man["txn"] == {"ingest": 7}
+    # carried files kept their DV by reference; rows reflect the insert
+    assert sum(man["dv"]["n"].values()) == 1
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 101 and tbl.where("id >= 200").count() == 2
+    # the commit's CDC feed is exactly the batch
+    feed = S.table_changes(spark, path, 2, 3)
+    assert {(r.id, r._change_type) for r in feed.collect()} == {
+        (200, "insert"), (201, "insert")
+    }
+
+    # REPLAY: same txn version -> skipped, exactly-once
+    assert S.insert_into(spark, path, batch, txn=("ingest", 7)) == 0
+    assert S._load_manifest(path)["gen_no"] == 3
+    assert S.read_table(spark, path).count() == 101
+    # a NEWER version applies; an OLDER one (late replay) is skipped
+    assert S.insert_into(
+        spark, path,
+        spark.createDataFrame([(202, 3.0)], "id long, v double"),
+        txn=("ingest", 8), retain_versions=3,
+    ) == 1
+    assert S.insert_into(spark, path, batch, txn=("ingest", 6)) == 0
+    assert S.read_table(spark, path).count() == 102
+
+    # schema guard
+    with _pytest.raises(ValueError, match="insert schema mismatch"):
+        S.insert_into(
+            spark, path,
+            spark.createDataFrame([(1, "x")], "id long, tag string"),
+        )
+    # CHECK constraints gate the new files
+    S.set_check_constraint(spark, path, "pos", "v >= 0")
+    with _pytest.raises(ValueError, match="pos"):
+        S.insert_into(
+            spark, path,
+            spark.createDataFrame([(300, -1.0)], "id long, v double"),
+        )
+
+    # the txn watermark survives a restore (table policy)
+    S.rollback(spark, path, version=3)
+    assert S._load_manifest(path)["txn"]["ingest"] == 8
