@@ -1609,8 +1609,8 @@ def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24):
 
     for step in range(steps):
         op = rng.choice(
-            ["merge", "delete", "update", "append", "compact", "small",
-             "materialize", "rollback", "vacuum"]
+            ["merge", "delete", "update", "append", "insert", "compact",
+             "small", "materialize", "rollback", "vacuum"]
         )
         retain = rng.choice([0, 0, 2])
         prev_gen = (S._load_manifest(path) or {}).get("gen_no", 0)
@@ -1663,6 +1663,22 @@ def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24):
                 ).coalesce(1),
                 path,
             )
+            model.update(fresh)
+        elif op == "insert":
+            # atomic committed append (txn watermark advances with step)
+            fresh = {next_id + i: rng.uniform(0, 1e6) for i in range(3)}
+            next_id += 3
+            S.insert_into(
+                spark, path,
+                spark.createDataFrame(to_rows(fresh), "id long, v double"),
+                retain_versions=retain, txn=("fuzz", step),
+            )
+            # replay of the same batch id must be a no-op
+            assert S.insert_into(
+                spark, path,
+                spark.createDataFrame(to_rows(fresh), "id long, v double"),
+                txn=("fuzz", step),
+            ) == 0
             model.update(fresh)
         elif op == "compact":
             S.compact_parquet(spark, path, target_files=3,
