@@ -824,6 +824,7 @@ def _commit_generation(
     dv_n: dict[str, int] | None = None,
     dv_carry: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    cdc_insert_staged: bool = False,
 ) -> tuple[int, dict, int]:
     """Shared commit core of the manifest protocol. Writes ``new_df``
     into a fresh generation directory, byte-copies the ``adopt`` loose
@@ -849,7 +850,9 @@ def _commit_generation(
     (even of Nones) RECORDS the commit's change-data-feed so
     adjacent-version :func:`table_changes` skips the exceptAll scan;
     None means "changes unknown" (e.g. rollback) and forces the
-    fallback. Loose appends are reconciled automatically: adopted files
+    fallback. ``cdc_insert_staged`` records THIS commit's staged data
+    files as the insert feed by reference (the pure-insert shape —
+    zero extra bytes). Loose appends are reconciled automatically: adopted files
     join the recorded insert list by reference, and a commit that FOLDS
     loose rows into rewrites downgrades its feed to unknown (their row
     set was never captured — reporting "no change" would silently lose
@@ -966,6 +969,11 @@ def _commit_generation(
                 _spark_path(os.path.join(path, sub))
             )
             cdc_rec[kind] = [sub]
+    if cdc_insert_staged:
+        # a pure-insert commit's staged data files ARE its insert feed:
+        # record them by reference (zero extra bytes), same mechanism
+        # as adopted appends below
+        cdc_rec = {"insert": [e["name"] for e in new_entries], "delete": []}
     if cdc_rec is not None:
         # loose appends were never part of ANY version, so the rows of a
         # loose file this commit brings in are INSERTS of the v->v+1 hop:
@@ -1976,8 +1984,12 @@ def insert_into(
     insert whose version is <= the recorded watermark is SKIPPED
     (returns 0) — which turns foreachBatch's at-least-once replay into
     exactly-once table effects (:func:`..streaming.stream_append_table`
-    is the stream wrapper). Loose ``append_table`` files stay loose and
-    untouched. Returns the number of rows inserted.
+    is the stream wrapper). The staged files double as the commit's
+    CDC insert feed BY REFERENCE, so the batch bytes are written
+    exactly once. Empty batches are skipped without burning a
+    generation (a zero-row insert is idempotent under replay). Loose
+    ``append_table`` files stay loose and untouched. Returns the
+    number of rows inserted.
     """
     man, entries, loose, stale = _live_state(path)
     if man is None:
@@ -1989,22 +2001,31 @@ def insert_into(
         last = man.get("txn", {}).get(txn[0])
         if last is not None and txn[1] <= last:
             return 0  # replayed batch: already applied, exactly-once
-    cols = _table_columns(
-        spark, man, [os.path.join(path, e["name"]) for e in entries]
-    ) if entries else df.columns
-    if set(df.columns) != set(cols):
-        raise ValueError(
-            f"insert schema mismatch: table has {sorted(cols)}, batch "
-            f"has {sorted(df.columns)} (schema evolution goes through "
-            "merge_into(evolve_schema=True))"
-        )
+    if entries:
+        # NAME AND TYPE check: a same-named differently-typed batch
+        # would commit into a uniform table without the mixed_schema
+        # mark and brick every later footer-schema'd read
+        tbl_schema = _read_files(
+            spark, man, [os.path.join(path, entries[0]["name"])]
+        ).schema
+        want = {f.name: f.dataType for f in tbl_schema}
+        got = {f.name: f.dataType for f in df.schema}
+        if want != got:
+            raise ValueError(
+                f"insert schema mismatch: table has {want}, batch has "
+                f"{got} (schema evolution goes through "
+                "merge_into(evolve_schema=True))"
+            )
     we_persisted = not df.is_cached
     if we_persisted:
         df = df.persist()
     try:
         n = df.count()
-        if n == 0 and txn is None:
-            return 0  # nothing to commit; don't burn a generation
+        if n == 0:
+            # replay-safe skip: inserting zero rows is idempotent, so
+            # the watermark needn't advance — don't burn a generation
+            # (and an empty data file) on a quiet microbatch
+            return 0
         # carried files keep their DVs by reference (nothing rewritten)
         dv_df, dv_n, dv_carry = _dv_after_drop(spark, path, man, set())
         _commit_generation(
@@ -2018,8 +2039,10 @@ def insert_into(
             suffix="._insert",
             expected_new_rows=n,
             retain_versions=retain_versions,
-            cdc={"insert": df.coalesce(_rewrite_partitions(n, 0)),
-                 "delete": None},
+            # the staged data files ARE the insert feed — recorded BY
+            # REFERENCE, so the batch bytes are written once, not twice
+            cdc={"insert": None, "delete": None},
+            cdc_insert_staged=True,
             dv_df=dv_df,
             dv_n=dv_n,
             dv_carry=dv_carry,
@@ -2641,14 +2664,18 @@ def merge_into(
 
 
 def _is_stale_snapshot_error(exc: Exception) -> bool:
-    """Did a Spark job die reading files a CONCURRENT commit retired?
+    """Did this pass die reading files a CONCURRENT commit retired?
     With ``retain_versions=0`` a winner's post-commit retire deletes
     the exact files a racing DML pass is scanning (the documented
     reader-concurrency hazard of zero retention) — the loser surfaces
-    Spark's FAILED_READ_FILE instead of ever reaching the commit
-    fence. Semantically that IS a lost writer race (the Delta analogue
-    is ConcurrentDeleteReadException), so the retry loop classifies it
-    as retryable."""
+    Spark's FAILED_READ_FILE (executor-side scan) or a Python
+    FileNotFoundError (the driver-side pyarrow footer/schema reads)
+    instead of ever reaching the commit fence. Semantically that IS a
+    lost writer race (the Delta analogue is
+    ConcurrentDeleteReadException), so the retry loop classifies it as
+    retryable."""
+    if isinstance(exc, FileNotFoundError):
+        return True
     msg = str(exc)
     return "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg
 

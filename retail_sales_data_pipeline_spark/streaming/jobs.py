@@ -536,6 +536,7 @@ def stream_append_table(
     path: str,
     checkpoint: str,
     stream_id: str,
+    retain_versions: int = 2,
 ):
     """Append-only streaming ingest into a manifest table with
     EXACTLY-ONCE table effects — the high-throughput sibling of
@@ -556,14 +557,20 @@ def stream_append_table(
 
     ``stream_id`` names this stream's watermark slot in the manifest —
     use one stable id per logical stream (two streams sharing an id
-    would skip each other's batches). Returns the started
-    StreamingQuery (caller drains/awaits)."""
+    would skip each other's batches). ``retain_versions`` (default 2)
+    keeps each batch's version + CDC sidecar alive long enough for a
+    lagging adjacent-version consumer; 0 retires the previous batch's
+    feed at every commit (pure-ingest posture, no incremental readers).
+    Returns the started StreamingQuery (caller drains/awaits)."""
     from ..sinks import insert_into, retry_on_conflict
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return  # quiet microbatch: inserting 0 rows is idempotent
         retry_on_conflict(
             lambda: insert_into(
                 batch.sparkSession, path, batch,
+                retain_versions=retain_versions,
                 txn=(stream_id, batch_id),
             )
         )

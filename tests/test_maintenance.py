@@ -2120,12 +2120,32 @@ def test_insert_into_atomic_append_with_txn(spark, tmp_path):
     assert S.insert_into(spark, path, batch, txn=("ingest", 6)) == 0
     assert S.read_table(spark, path).count() == 102
 
-    # schema guard
+    # schema guard — names AND types (a same-named string column would
+    # brick the uniform table's footer-schema'd reads)
     with _pytest.raises(ValueError, match="insert schema mismatch"):
         S.insert_into(
             spark, path,
             spark.createDataFrame([(1, "x")], "id long, tag string"),
         )
+    with _pytest.raises(ValueError, match="insert schema mismatch"):
+        S.insert_into(
+            spark, path,
+            spark.createDataFrame([("x", 1.0)], "id string, v double"),
+        )
+    # the insert feed is BY REFERENCE to the staged data files (batch
+    # bytes written once) and an empty batch burns no generation
+    man_now = S._load_manifest(path)
+    assert man_now["cdc"]["insert"] == [
+        e["name"] for e in man_now["files"]
+        if e["name"].startswith(man_now["generation"])
+    ]
+    gen_before = man_now["gen_no"]
+    assert S.insert_into(
+        spark, path,
+        spark.createDataFrame([], "id long, v double"),
+        txn=("ingest", 99),
+    ) == 0
+    assert S._load_manifest(path)["gen_no"] == gen_before
     # CHECK constraints gate the new files
     S.set_check_constraint(spark, path, "pos", "v >= 0")
     with _pytest.raises(ValueError, match="pos"):
