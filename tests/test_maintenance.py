@@ -2157,3 +2157,60 @@ def test_insert_into_atomic_append_with_txn(spark, tmp_path):
     # the txn watermark survives a restore (table policy)
     S.rollback(spark, path, version=3)
     assert S._load_manifest(path)["txn"]["ingest"] == 8
+
+
+def test_round7_manifest_format_still_served(spark, tmp_path):
+    """Upgrade path: a manifest written before round 8 (entries carry
+    no null counts, no file sizes; no txn map) must keep working —
+    skipping admits conservatively, size-consuming passes fall back to
+    a stat, and the first new commit upgrades the entries it touches."""
+    import json
+    import os
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.data_skipping import scan_table
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).selectExpr("id", "cast(id as double) v").write.parquet(
+        path
+    )
+    S.compact_parquet(spark, path, target_files=4, sort_col="id")
+    # rewrite the manifest as round 7 would have written it
+    mpath = os.path.join(path, S._MANIFEST)
+    man = json.load(open(mpath))
+    for e in man["files"]:
+        e.pop("nulls", None)
+        e.pop("bytes", None)
+    man.pop("txn", None)
+    json.dump(man, open(mpath, "w"))
+
+    # null-dependent atoms admit (no counts recorded -> no pruning,
+    # never wrong rows); range atoms still prune via [min, max]
+    assert scan_table(spark, path, "v IS NOT NULL").count() == 1000
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        files_scanned,
+    )
+
+    assert files_scanned(path, "id < 250") == 1
+    # size consumers fall back to a stat per old entry
+    d = S.describe_detail(path)
+    assert d["size_bytes"] > 0 and d["num_files"] == 4
+    adv = S.advise_maintenance(path, target_bytes=1)
+    assert adv["compact"] is False
+    # DML + txn inserts work on the old-format table; the commit
+    # upgrades its own entries
+    assert S.delete_where(spark, path, "id = 7") == 1
+    assert S.insert_into(
+        spark, path,
+        spark.createDataFrame([(5000, 1.0)], "id long, v double"),
+        txn=("up", 1),
+    ) == 2 - 1
+    man2 = S._load_manifest(path)
+    assert man2["txn"] == {"up": 1}
+    new_entries = [
+        e for e in man2["files"] if e["name"].startswith(man2["generation"])
+    ]
+    assert new_entries and all(
+        "nulls" in e and "bytes" in e for e in new_entries
+    )
+    assert S.read_table(spark, path).count() == 1000
