@@ -193,6 +193,26 @@ def main() -> None:
               f"{res['inserted']:,} ins | {carried}/{written} "
               f"| {wrote/1e6:.1f} |")
 
+        # streaming ingest path: atomic txn-marked append — NO
+        # identification scan at all, CDC feed by reference (the batch
+        # bytes are written exactly once)
+        batch = (
+            spark.range(args.rows * 3, args.rows * 3 + 1000)
+            .selectExpr("id", "'ing' as payload", "'keep' as tag")
+        )
+        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before_dv = frozenset(
+            (S._load_manifest(path).get("dv") or {}).get("data", [])
+        )
+        t0 = time.time()
+        n = S.insert_into(spark, path, batch, txn=("bench", 1))
+        t_si = time.time() - t0
+        carried, written, wrote = commit_stats(path, before, before_dv)
+        replay = S.insert_into(spark, path, batch, txn=("bench", 1))
+        print(f"| insert_into (1k-row txn batch; replay={replay}) | "
+              f"{t_si:.1f} | {n:,} ins | {carried}/{written} "
+              f"| {wrote/1e6:.1f} |")
+
         # retention is retire-skip only: committing with retain k vs 0
         # must write the same generation bytes
         t0 = time.time()
