@@ -2151,6 +2151,73 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus_ingest_exactly_once — the streaming-ingest idempotency
+# protocol (sinks.insert_into txn watermark, the Delta txn-action
+# analogue generalizing the reference's A/I ledger idempotency,
+# src/main/transformations/jobs/main.py:46-64,189-213) as a
+# driver-checked query: seed a manifest table with the doc_id%4==0
+# slice of `documents`, insert_into three txn-marked batches (the
+# remaining slices) INCLUDING an at-least-once REPLAY of batch 2's
+# (app_id, version), then return the final table grouped by
+# (source, batch) plus a '_txn' summary row carrying the replay's
+# applied-row count (must be 0: the watermark skipped it) and the
+# recorded watermark (must be 3). The oracle is the full base table —
+# each row lands exactly once — with the summary row's invariants
+# hardcoded; a double-applied replay doubles every batch-2 group AND
+# flips the summary row, so both failure modes hash-mismatch. Same
+# rebuilt-per-call work dir lifecycle as dv_takedown_counts.
+# ---------------------------------------------------------------------------
+def corpus_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .. import sinks as S
+
+    docs = load_table(
+        spark, sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+    )
+    path = os.path.join(_workdir(("ingest_eo", sf_dir), "ingest_eo_"),
+                        "docs")
+    shutil.rmtree(path, ignore_errors=True)
+    S.write_parquet(docs.where("doc_id % 4 = 0"), path)
+    S.compact_parquet(spark, path, target_files=2, sort_col="doc_id")
+    replayed = -1
+    for ver in (1, 2, 3):
+        batch = docs.where(f"doc_id % 4 = {ver}")
+        S.insert_into(spark, path, batch, txn=("ingest_eo", ver))
+        if ver == 2:
+            # at-least-once delivery: the SAME (app_id, version) arrives
+            # again — the watermark must skip it (insert 0 rows)
+            replayed = S.insert_into(
+                spark, path, batch, txn=("ingest_eo", 2)
+            )
+    watermark = S.describe_detail(path)["txn"]["ingest_eo"]
+    summary = spark.createDataFrame(
+        [("_txn", 2, replayed, watermark)],
+        "source string, batch bigint, n_docs bigint, total_chars bigint",
+    )
+    return (
+        S.read_table(spark, path)
+        .groupBy("source", F.expr("doc_id % 4").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .unionByName(summary)
+    )
+
+
+_INGEST_EO_SQL = """
+SELECT source, doc_id % 4 AS batch, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source, doc_id % 4
+UNION ALL
+SELECT '_txn', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "sketch_heavy_sources": sketch_heavy_sources,
@@ -2191,6 +2258,7 @@ QUERIES = {
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "dedup_fuzzy_keys": dedup_fuzzy_keys,
     "dv_takedown_counts": dv_takedown_counts,
+    "corpus_ingest_exactly_once": corpus_ingest_exactly_once,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -2237,4 +2305,5 @@ ORACLE_SQL = {
     "profile_documents_stats": _profile_stats_sql(),
     "dv_takedown_counts": _DV_TAKEDOWN_SQL,
     "corpus_scan_pruned": _SCAN_PRUNED_SQL,
+    "corpus_ingest_exactly_once": _INGEST_EO_SQL,
 }

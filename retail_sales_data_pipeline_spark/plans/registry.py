@@ -28,9 +28,12 @@ _MODULES = [
 # their DuckDB oracles. Round 3 put the whole events/vector/media surface in
 # the window (all 50 green); round 4 refreshed the r2-era greens; round 5
 # refreshed the r3-era greens plus the two never-checked additions; round 6
-# rotated in the 50 queries whose last green row was r4; round 7 (current)
-# rotates back onto the 48 r5-stale queries plus the two r6 additions —
-# exactly the tools/rotate_registry.py output against the r6 history.
+# rotated in the 50 queries whose last green row was r4; round 7 rotated
+# onto the 48 r5-stale queries plus the two r6 additions; round 8 took the
+# 49 r6-stale queries plus never-checked corpus_scan_pruned; round 9
+# (current) rotates onto the 49 r7-stale queries plus the never-checked
+# corpus_ingest_exactly_once — exactly the tools/rotate_registry.py output
+# against the r8 history.
 # Queries not listed keep their module order after these; the full surface
 # stays covered by tools/drive_contract.py locally.
 #
@@ -55,61 +58,63 @@ _MODULES = [
 # ``dv_takedown_counts`` (deletion-vector DML round trip); round 8
 # retired ``events_json_props`` (verbatim-oracle twin of the VARIANT
 # path) and spent the slot on ``corpus_scan_pruned`` (null-count +
-# range data skipping through scan_table) — 99 registered, one free
-# slot before the two-round staleness guarantee tightens again.
+# range data skipping through scan_table); round 9 spent the last free
+# slot on ``corpus_ingest_exactly_once`` (the insert_into txn-watermark
+# replay protocol) — 100 registered, at the ceiling again. The next
+# addition must retire a twin first.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
-    "corpus_scan_pruned",  # never checked
-    "distinct_dedup",  # green r6
-    "monthly_grouped_sum",  # green r6
-    "month_key_forms",  # green r6
-    "product_enrich",  # green r6
-    "sales_rollup",  # green r6
-    "sales_cube",  # green r6
-    "customers_churned",  # green r6
-    "suppliers_with_returns",  # green r6
-    "customer_upsert",  # green r6
-    "scd2_customer_segments",  # green r6
-    "key_skew_profile",  # green r6
-    "maintenance_compaction_plan",  # green r6
-    "dq_violations",  # green r6
-    "mart_reconcile",  # green r6
-    "top_customers_per_month",  # green r6
-    "sales_pivot_by_flag",  # green r6
-    "customer_running_total",  # green r6
-    "monthly_price_quantiles",  # green r6
-    "revenue_anomalies",  # green r6
-    "order_value_quartiles",  # green r6
-    "text_token_stats",  # green r6
-    "profile_documents_stats",  # green r6
-    "text_quality",  # green r6
-    "text_lang_id",  # green r6
-    "text_fingerprint",  # green r6
-    "dedup_ngram_jaccard",  # green r6
-    "dedup_clusters",  # green r6
-    "dedup_rate_by_lang",  # green r6
-    "corpus_filter_pipeline",  # green r6
-    "corpus_sample",  # green r6
-    "corpus_stratified_sample",  # green r6
-    "corpus_tfidf_terms",  # green r6
-    "corpus_length_histogram",  # green r6
-    "text_redact_pii",  # green r6
-    "corpus_pack_sequences",  # green r6
-    "corpus_decontaminate",  # green r6
-    "text_repetition",  # green r6
-    "corpus_source_mix",  # green r6
-    "corpus_boilerplate_ngrams",  # green r6
-    "corpus_ngram_novelty",  # green r6
-    "dedup_keep_canonical",  # green r6
-    "text_langid_confusion",  # green r6
-    "corpus_unigram_logprob",  # green r6
-    "corpus_quality_sample",  # green r6
-    "corpus_mix_rebalance",  # green r6
-    "dedup_fuzzy_keys",  # green r6
-    "streaming_sessionize_complete",  # green r6
-    "ann_lsh_banded_topk",  # green r6
-    "decontaminate_semantic",  # green r6
+    "corpus_ingest_exactly_once",  # never checked
+    "customer_monthly_mart",  # green r7
+    "sales_team_mart",  # green r7
+    "star_join_enrich",  # green r7
+    "conform_union",  # green r7
+    "ledger_filter",  # green r7
+    "sketch_heavy_sources",  # green r7
+    "dedup_exact",  # green r7
+    "dedup_minhash_lsh",  # green r7
+    "dedup_simhash",  # green r7
+    "corpus_report",  # green r7
+    "corpus_approx_distinct",  # green r7
+    "dedup_incremental",  # green r7
+    "corpus_curation_funnel",  # green r7
+    "streaming_quality_filter",  # green r7
+    "corpus_split_assign",  # green r7
+    "corpus_shuffle_shard",  # green r7
+    "dv_takedown_counts",  # green r7
+    "events_hourly_rollup",  # green r7
+    "events_sessionize",  # green r7
+    "events_json_variant",  # green r7
+    "events_daily_stats",  # green r7
+    "events_asof_attribution",  # green r7
+    "events_range_pairs",  # green r7
+    "events_funnel",  # green r7
+    "events_cohort_retention",  # green r7
+    "streaming_hourly_rollup",  # green r7
+    "streaming_dedup_rollup",  # green r7
+    "streaming_sessionize",  # green r7
+    "events_approx_quantiles",  # green r7
+    "events_rolling_7day",  # green r7
+    "ann_cosine_topk",  # green r7
+    "ann_lsh_topk",  # green r7
+    "ann_ivf_topk",  # green r7
+    "ann_auto_topk",  # green r7
+    "dedup_embedding_cosine",  # green r7
+    "ann_recall_at_5",  # green r7
+    "kmeans_embeddings",  # green r7
+    "ann_quantized_topk",  # green r7
+    "dedup_semantic_cells",  # green r7
+    "kmeans_fixed_assign",  # green r7
+    "dedup_semantic_keep",  # green r7
+    "cluster_balanced_sample",  # green r7
+    "ann_label_agreement",  # green r7
+    "multimodal_decode",  # green r7
+    "multimodal_frame_sample",  # green r7
+    "multimodal_resize",  # green r7
+    "multimodal_pointer_decode",  # green r7
+    "multimodal_embed_texts",  # green r7
+    "multimodal_text_retrieval",  # green r7
 ]
 
 

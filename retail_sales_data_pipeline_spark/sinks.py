@@ -575,6 +575,9 @@ def describe_detail(path: str) -> dict:
         "constraints": dict(man.get("constraints", {})),
         "mixed_schema": bool(man.get("mixed_schema")),
         "stale_superseded_on_disk": len(stale),
+        # streaming-ingest watermarks ({app_id: last_applied_version}) —
+        # the exactly-once state a stream owner checks after a restart
+        "txn": dict(man.get("txn", {})),
     }
 
 
