@@ -283,11 +283,97 @@ def _entry_bytes(table_path: str, entry: dict) -> int:
     return entry["bytes"]
 
 
+# SHARDED MANIFEST INDEX (round 9, the 100k-file scale path): past
+# _SHARD_THRESHOLD live files the entry list no longer inlines in the
+# root manifest — it externalizes into immutable per-group sidecar
+# objects ("entries-*.json" under generation dirs, <= _SHARD_SIZE
+# entries each), referenced from the root as
+# ``{"files_ext": {"shards": [{"name", "count"}, ...]}}``. The root
+# stays the SINGLE CAS commit point; a commit rewrites only the shards
+# whose membership changed (Iceberg's manifest-file model: carried
+# shards ride by reference like carried data files), so per-commit
+# manifest bytes are O(touched entries + 1 small root), not O(table
+# files). Shards are immutable once written, so resolution caches them
+# per process — a warm live-state resolve costs ONE root GET.
+_SHARD_THRESHOLD = 10_000
+_SHARD_SIZE = 4_000
+_SHARD_CACHE: dict[tuple[str, str], list[dict]] = {}
+_SHARD_CACHE_MAX = 512
+
+
+def _shard_names(version: dict) -> set[str]:
+    """Relative paths of a version's external entry-list shards."""
+    ext = version.get("files_ext") or {}
+    return {s["name"] for s in ext.get("shards", [])}
+
+
+def _load_shard(table_path: str, rel: str) -> list[dict]:
+    """One immutable entry-list shard, cached per process. Immutability
+    makes the cache trivially coherent: a shard object is never
+    rewritten in place (changed membership = a NEW shard under the
+    committing generation's directory)."""
+    key = (table_path, rel)
+    got = _SHARD_CACHE.get(key)
+    if got is None:
+        doc = _io(table_path).load_json(os.path.join(table_path, rel))
+        if doc is None:
+            raise FileNotFoundError(os.path.join(table_path, rel))
+        got = doc["entries"]
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[key] = got
+    return got
+
+
+def _externalize_entries(
+    io,
+    path: str,
+    gen: str,
+    man_prev: dict,
+    keep_entries: list[dict],
+    new_entries: list[dict],
+    salt: int,
+) -> dict:
+    """Write this commit's entry list as external shards, carrying
+    every previous shard whose membership is unchanged BY REFERENCE.
+    Entries from broken shards (ones containing a file this commit
+    drops) re-pool with the new entries into fresh shards under the
+    committing generation. ``salt`` disambiguates shard names across
+    rebase attempts (stale attempts' shards are unreferenced dead
+    files vacuumed by TTL). Returns the ``files_ext`` record."""
+    keep_names = {e["name"] for e in keep_entries}
+    carried: list[dict] = []
+    residual = set(keep_names)
+    for s in (man_prev.get("files_ext") or {}).get("shards", []):
+        names = {e["name"] for e in _load_shard(path, s["name"])}
+        if names <= keep_names:
+            carried.append(s)
+            residual -= names
+    by_name = {e["name"]: e for e in keep_entries}
+    pool = [by_name[n] for n in sorted(residual)] + new_entries
+    shards = list(carried)
+    for i in range(0, len(pool), _SHARD_SIZE):
+        chunk = pool[i:i + _SHARD_SIZE]
+        rel = f"{gen}/entries-{salt}{i // _SHARD_SIZE:04d}.json"
+        io.write_json(os.path.join(path, rel), {"entries": chunk})
+        _SHARD_CACHE[(path, rel)] = chunk  # immutable: warm eagerly
+        shards.append({"name": rel, "count": len(chunk)})
+    return {"shards": shards}
+
+
 def _version_files(version: dict, table_path: str) -> list[dict]:
     """The file entries of one committed version. Format-2 versions
-    carry them inline; format-1 versions (a bare generation directory)
-    are normalized by listing the directory — names only, rows/stats
-    filled lazily by :func:`_entry_rows` when a DML pass needs them."""
+    carry them inline; sharded versions (``files_ext``) resolve their
+    immutable entry shards through the process cache; format-1
+    versions (a bare generation directory) are normalized by listing
+    the directory — names only, rows/stats filled lazily by
+    :func:`_entry_rows` when a DML pass needs them."""
+    ext = version.get("files_ext")
+    if ext is not None:
+        out: list[dict] = []
+        for s in ext.get("shards", []):
+            out.extend(_load_shard(table_path, s["name"]))
+        return out
     if "files" in version:
         return version["files"]
     gen = version["generation"]
@@ -540,26 +626,32 @@ def describe_history(path: str) -> list[dict]:
     return out
 
 
-def describe_detail(path: str) -> dict:
+def describe_detail(path: str, advise: bool = False) -> dict:
     """DESCRIBE DETAIL analogue: one metadata-priced dict for the LIVE
     table — version, file count/bytes, row count (DV-adjusted), pending
     loose appends, deletion-vector totals, constraints, schema-evolution
     state, retained-version count. The operational one-glance a
     maintenance scheduler keys off (e.g. "compact when small files or
-    dv_rows grow past X")."""
+    dv_rows grow past X"). With ``advise=True`` the result also carries
+    ``maintenance`` = :func:`advise_maintenance`'s decisions, so a
+    scheduler needs ONE call, not two (both are driver-side metadata;
+    the merge costs one extra manifest parse)."""
     io = _io(path)
     man, entries, loose, stale = _live_state(path)
     if man is None:
         files = _top_level_part_files(path)
-        return {
+        out = {
             "format": "parquet(unmanaged)",
             "num_files": len(files),
             "size_bytes": sum(
                 io.getsize(os.path.join(path, f)) for f in files
             ),
         }
+        if advise:
+            out["maintenance"] = advise_maintenance(path)
+        return out
     dv_n = _dv_map(man)
-    return {
+    out = {
         "format": f"manifest(v{man.get('format', 1)})",
         "gen_no": man["gen_no"],
         "op": man.get("op"),
@@ -579,6 +671,9 @@ def describe_detail(path: str) -> dict:
         # the exactly-once state a stream owner checks after a restart
         "txn": dict(man.get("txn", {})),
     }
+    if advise:
+        out["maintenance"] = advise_maintenance(path)
+    return out
 
 
 def advise_maintenance(
@@ -804,8 +899,72 @@ def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
             and not io.list_basenames(cp, "adopted-")
             and not io.list_basenames(cp, "cdc-")
             and not io.list_basenames(cp, "dv-")
+            and not io.list_basenames(cp, "entries-")
         ):
             io.rmtree_quiet(cp)
+
+
+# bounded CAS attempts for a rebase-enabled commit: each retry is one
+# manifest GET + conditional PUT (metadata-priced), so a short chain of
+# disjoint winners costs requests, never re-staged bytes
+_COMMIT_ATTEMPTS = 5
+
+
+class _TxnAlreadyApplied(Exception):
+    """A rebase found this commit's txn (app_id, version) already at or
+    below the winner's recorded watermark — a duplicate delivery of the
+    same batch won the race. The caller reports 0 rows applied (the
+    exactly-once contract) instead of committing a second copy."""
+
+
+def _rebase_ok(
+    man_base: dict,
+    man2: dict | None,
+    entries2: list[dict],
+    loose2: list[str],
+    *,
+    dropped: set[str],
+    loose_consumed: set[str],
+    dv_immaterial: bool = False,
+) -> bool:
+    """Can a lost commit be REBASED onto the winner's generation instead
+    of re-running the whole DML pass? True only when the two commits are
+    provably disjoint:
+
+    * every file this commit drops/rewrites is still live under the
+      winner (the winner didn't delete, rewrite, or compact any of
+      them);
+    * the winner left the merge-on-read (deletion-vector) state
+      untouched — this commit's DV math was computed against it
+      (``dv_immaterial`` waives this for the pure-append shape, which
+      only mirrors the table's DV state by reference and re-reads it
+      from the winner at rebase time);
+    * table policy is unchanged (CHECK constraints the staged files
+      were validated against; the mixed-schema mark the staged batch's
+      schema gate keyed off);
+    * every loose append this commit folded or adopted is still loose
+      (the winner didn't consume it too — double-adoption would
+      duplicate rows).
+
+    The winner ADDING files (a concurrent insert) does NOT conflict:
+    the rebased commit carries them untouched — WriteSerializable
+    isolation, the Delta default, where a predicate op serializes
+    BEFORE a concurrent blind append even if the appended rows would
+    have matched its predicate."""
+    if man2 is None:
+        return False
+    live2 = {e["name"] for e in entries2}
+    if not dropped <= live2:
+        return False
+    if not dv_immaterial and man2.get("dv") != man_base.get("dv"):
+        return False
+    if man2.get("constraints", {}) != man_base.get("constraints", {}):
+        return False
+    if bool(man2.get("mixed_schema")) != bool(man_base.get("mixed_schema")):
+        return False
+    if not loose_consumed <= set(loose2):
+        return False
+    return True
 
 
 def _commit_generation(
@@ -828,6 +987,7 @@ def _commit_generation(
     dv_carry: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     cdc_insert_staged: bool = False,
+    rebase: str | None = None,
 ) -> tuple[int, dict, int]:
     """Shared commit core of the manifest protocol. Writes ``new_df``
     into a fresh generation directory, byte-copies the ``adopt`` loose
@@ -873,9 +1033,34 @@ def _commit_generation(
     skips the data write entirely (a pure DV commit rewrites zero data
     bytes). Omitting all three (the default) clears DVs — any full
     rewrite materializes them.
+
+    ``rebase`` opts the commit into COMMIT-LEVEL CONFLICT
+    RECONCILIATION (see the commit-tail comment and :func:`_rebase_ok`):
+    on a lost CAS, reload the winner's manifest and, when the two
+    commits touched disjoint files, re-point the already-staged files
+    at the new generation instead of raising. ``"append"`` is the pure-
+    insert shape (empty read-set — always rebases unless the winner
+    already applied this commit's ``txn`` version, which raises
+    :class:`_TxnAlreadyApplied`); ``"auto"`` is the predicate-DML /
+    layout shape (rebases only when :func:`_rebase_ok` proves
+    disjointness); ``None`` (default) keeps the strict behavior — the
+    loser raises and :func:`retry_on_conflict` re-runs the whole pass.
+    A non-rebaseable lost race now also cleans its staged generation
+    eagerly instead of leaving it for vacuum's TTL.
     """
     import uuid
 
+    if cdc_insert_staged and adopt:
+        # cdc_insert_staged already records EVERY new entry — including
+        # gen/adopted-* files — in the insert feed via new_entries; the
+        # adopted-append reconciliation below would then append the
+        # adopted names a second time and double-count their rows for
+        # incremental consumers. No caller combines them (insert_into
+        # never adopts); fail loudly if one ever does.
+        raise ValueError(
+            "cdc_insert_staged and adopt are mutually exclusive: adopted "
+            "appends already join the staged insert feed by reference"
+        )
     io = _io(path)
     prev_no = man["gen_no"] if man else 0
     gen_no = prev_no + 1
@@ -1000,15 +1185,8 @@ def _commit_generation(
                     + adopted_rels,
                 }
 
-    files = keep_entries + new_entries
-    dv_rec = None
+    dv_data: list[str] | None = None
     if dv_n:
-        _assert_unique_basenames(files)
-        missing_dv = set(dv_n) - {e["name"] for e in files}
-        if missing_dv:
-            raise RuntimeError(
-                f"DV entries for files not in the version: {missing_dv}"
-            )
         data = list(dv_carry or [])
         if dv_df is not None:
             # with dv_carry this is a DELTA append: previous sidecars
@@ -1022,77 +1200,192 @@ def _commit_generation(
             data.append(sub)
         if not data:
             raise RuntimeError("dv_n without dv_df or dv_carry")
-        dv_rec = {"data": data, "n": dict(dv_n)}
-    rows = sum(_entry_rows(path, e) for e in files) - sum(
-        (dv_n or {}).values()
-    )
-    history = list(man.get("history", [])) if man else []
-    if man:
-        history.append(_prev_version_snapshot(man, path))
-    kept = (
-        history[max(0, len(history) - retain_versions):]
-        if retain_versions
-        else []
-    )
+        dv_data = data
     import time as _time
 
-    # liveness/dead sets BEFORE the manifest: top-level files adopted by
-    # convert_to_manifest that THIS commit drops must enter superseded,
-    # or a crashed retire would resurrect them as loose appends
-    live = {e["name"] for e in files}
-    for h in kept:
-        live |= {e["name"] for e in _version_files(h, path)}
-        live |= _cdc_names(h)
-        live |= _dv_names(h)
-    if cdc_rec is not None:
-        live |= {n for lst in cdc_rec.values() for n in lst}
-    if dv_rec is not None:
-        live |= set(dv_rec["data"])
-    old_names: set[str] = set()
-    if man:
-        old_names |= {e["name"] for e in _version_files(man, path)}
-        old_names |= _cdc_names(man)
-        old_names |= _dv_names(man)
-    for h in history:
-        old_names |= {e["name"] for e in _version_files(h, path)}
-        old_names |= _cdc_names(h)
-        old_names |= _dv_names(h)
-    dropped_top = {n for n in old_names - live if "/" not in n}
-
-    manifest = {
-        "format": 2,
-        "generation": gen,
-        "gen_no": gen_no,
-        "rows": rows,
-        "files": files,
-        "op": suffix.strip("._"),
-        "committed_at": round(_time.time(), 3),
-        "superseded": sorted(set(stale) | set(loose) | dropped_top),
-        "history": kept,
-    }
-    if cdc_rec is not None:
-        manifest["cdc"] = cdc_rec
-    if dv_rec is not None:
-        manifest["dv"] = dv_rec
-    if constraints:
-        manifest["constraints"] = constraints
-    # streaming-txn idempotency map (Delta's txn action): {app_id:
-    # last_applied_version}. CARRIED by every commit (it is table
-    # policy, like constraints); a commit made on behalf of a stream
-    # batch updates its app's entry atomically with the data
-    txn_map = dict(man.get("txn", {})) if man else {}
-    if txn is not None:
-        txn_map[txn[0]] = txn[1]
-    if txn_map:
-        manifest["txn"] = txn_map
-    mixed = (
-        bool(man and man.get("mixed_schema"))
-        if mixed_schema is None
-        else mixed_schema
+    # COMMIT TAIL: build the manifest against the current snapshot and
+    # CAS it in. On a lost race, a ``rebase``-enabled commit reloads the
+    # winner's state and — when the two commits are provably DISJOINT
+    # (see _rebase_ok) — re-derives its carried file list and re-CASes
+    # the ALREADY-STAGED files onto the new generation: no
+    # re-identification scan, no re-staging, no batch-byte rewrite.
+    # This is the Delta/Iceberg commit-level conflict reconciliation;
+    # without it, retry_on_conflict re-runs the whole DML pass even
+    # when concurrent writers touched disjoint files (the common case:
+    # parallel insert_into streams, or a delete racing a compaction of
+    # other files). The staging directory name keeps the ORIGINAL
+    # attempt's generation number (cosmetic only — every consumer works
+    # off manifest-relative names, never parses numbers out of
+    # directory names).
+    dropped = (
+        {e["name"] for e in _version_files(man, path)}
+        - {e["name"] for e in keep_entries}
+        if man
+        else set()
     )
-    if mixed:
-        manifest["mixed_schema"] = True
-    _commit_manifest(path, manifest, expect_gen=prev_no)
+    loose_consumed = set(loose) | {name for name, _ in (adopt or [])}
+    for attempt in range(_COMMIT_ATTEMPTS):
+        files = keep_entries + new_entries
+        # entry-list placement: inline below _SHARD_THRESHOLD; external
+        # immutable shards past it (or while the previous version is
+        # already sharded and hasn't shrunk back under half the
+        # threshold — hysteresis so a table at the boundary doesn't
+        # flip layouts every commit)
+        ext_rec = None
+        if man is not None and (
+            len(files) >= _SHARD_THRESHOLD
+            or (_shard_names(man) and len(files) >= _SHARD_THRESHOLD // 2)
+        ):
+            ext_rec = _externalize_entries(
+                io, path, gen, man, keep_entries, new_entries, attempt
+            )
+        dv_rec = None
+        if dv_n:
+            _assert_unique_basenames(files)
+            missing_dv = set(dv_n) - {e["name"] for e in files}
+            if missing_dv:
+                io.rmtree_quiet(staging)
+                raise RuntimeError(
+                    f"DV entries for files not in the version: {missing_dv}"
+                )
+            dv_rec = {"data": dv_data, "n": dict(dv_n)}
+        rows = sum(_entry_rows(path, e) for e in files) - sum(
+            (dv_n or {}).values()
+        )
+        history = list(man.get("history", [])) if man else []
+        if man:
+            history.append(_prev_version_snapshot(man, path))
+        kept = (
+            history[max(0, len(history) - retain_versions):]
+            if retain_versions
+            else []
+        )
+        # liveness/dead sets BEFORE the manifest: top-level files adopted
+        # by convert_to_manifest that THIS commit drops must enter
+        # superseded, or a crashed retire would resurrect them as loose
+        # appends
+        live = {e["name"] for e in files}
+        if ext_rec is not None:
+            live |= {s["name"] for s in ext_rec["shards"]}
+        for h in kept:
+            live |= {e["name"] for e in _version_files(h, path)}
+            live |= _cdc_names(h)
+            live |= _dv_names(h)
+            live |= _shard_names(h)
+        if cdc_rec is not None:
+            live |= {n for lst in cdc_rec.values() for n in lst}
+        if dv_rec is not None:
+            live |= set(dv_rec["data"])
+        old_names: set[str] = set()
+        if man:
+            old_names |= {e["name"] for e in _version_files(man, path)}
+            old_names |= _cdc_names(man)
+            old_names |= _dv_names(man)
+            old_names |= _shard_names(man)
+        for h in history:
+            old_names |= {e["name"] for e in _version_files(h, path)}
+            old_names |= _cdc_names(h)
+            old_names |= _dv_names(h)
+            old_names |= _shard_names(h)
+        dropped_top = {n for n in old_names - live if "/" not in n}
+
+        manifest = {
+            "format": 2,
+            "generation": gen,
+            "gen_no": gen_no,
+            "rows": rows,
+            "op": suffix.strip("._"),
+            "committed_at": round(_time.time(), 3),
+            "superseded": sorted(set(stale) | set(loose) | dropped_top),
+            "history": kept,
+        }
+        if ext_rec is not None:
+            manifest["files_ext"] = ext_rec
+        else:
+            manifest["files"] = files
+        if cdc_rec is not None:
+            manifest["cdc"] = cdc_rec
+        if dv_rec is not None:
+            manifest["dv"] = dv_rec
+        if constraints:
+            manifest["constraints"] = constraints
+        # streaming-txn idempotency map (Delta's txn action): {app_id:
+        # last_applied_version}. CARRIED by every commit (it is table
+        # policy, like constraints); a commit made on behalf of a stream
+        # batch updates its app's entry atomically with the data
+        txn_map = dict(man.get("txn", {})) if man else {}
+        if txn is not None:
+            txn_map[txn[0]] = txn[1]
+        if txn_map:
+            manifest["txn"] = txn_map
+        mixed = (
+            bool(man and man.get("mixed_schema"))
+            if mixed_schema is None
+            else mixed_schema
+        )
+        if mixed:
+            manifest["mixed_schema"] = True
+        try:
+            _commit_manifest(path, manifest, expect_gen=prev_no)
+            break
+        except ConcurrentWriteError:
+            if (
+                rebase is None
+                or man is None
+                or attempt == _COMMIT_ATTEMPTS - 1
+            ):
+                # a lost race the caller must re-run: don't leak the
+                # staged generation until vacuum's TTL finds it
+                io.rmtree_quiet(staging)
+                raise
+            try:
+                man2, entries2, loose2, stale2 = _live_state(path)
+            except Exception:
+                # reload racing a winner's retire: clean up, let
+                # retry_on_conflict's stale-snapshot path re-run
+                io.rmtree_quiet(staging)
+                raise
+            if txn is not None and man2 is not None:
+                last = man2.get("txn", {}).get(txn[0])
+                if last is not None and txn[1] <= last:
+                    # the winner (a duplicate delivery of this very
+                    # batch) already applied this txn version — the
+                    # exactly-once contract says drop ours
+                    io.rmtree_quiet(staging)
+                    raise _TxnAlreadyApplied() from None
+            pure_append = rebase == "append" and dv_df is None
+            if not _rebase_ok(
+                man, man2, entries2, loose2,
+                dropped=dropped, loose_consumed=loose_consumed,
+                dv_immaterial=pure_append,
+            ):
+                io.rmtree_quiet(staging)
+                raise
+            # disjoint: rebase the staged commit onto the winner's
+            # generation — carried files re-derived from the WINNER's
+            # live set (it may have compacted or appended files this
+            # commit never touched), everything staged reused as-is
+            man, stale = man2, stale2
+            if rebase == "auto":
+                # predicate ops consumed the snapshot's loose files
+                # (folded or adopted); anything that landed since stays
+                # loose and visible — never superseded by this commit
+                loose = [f for f in loose2 if f in loose_consumed]
+            if pure_append:
+                # the append only mirrors the table's merge-on-read
+                # state: re-read it from the winner (it may have added
+                # or retired DVs — immaterial to the staged batch)
+                dv2 = man2.get("dv")
+                dv_n = dict(dv2["n"]) if dv2 else None
+                dv_data = list(dv2["data"]) if dv2 else None
+            keep_entries = [
+                e for e in entries2 if e["name"] not in dropped
+            ]
+            prev_no = man2["gen_no"]
+            gen_no = prev_no + 1
+            # near-simultaneous committers: yield briefly so the local
+            # lock fence clears instead of spinning through attempts
+            _time.sleep(0.02 * attempt)
 
     # retire: previously-referenced files and superseded loose files not
     # referenced by the new manifest or a retained history version
@@ -1127,7 +1420,13 @@ def _prev_version_snapshot(man: dict, path: str) -> dict:
         for k in ("gen_no", "generation", "rows", "op", "committed_at")
         if k in man
     }
-    prev["files"] = _version_files(man, path)
+    if man.get("files_ext") is not None:
+        # sharded version: history shares the immutable shard OBJECTS,
+        # not an inlined copy (inlining 100k entries into the root per
+        # retained version would defeat the sharding)
+        prev["files_ext"] = man["files_ext"]
+    else:
+        prev["files"] = _version_files(man, path)
     if man.get("cdc") is not None:
         prev["cdc"] = man["cdc"]
     if man.get("dv") is not None:
@@ -1300,6 +1599,7 @@ def staged_rewrite(
         cdc={"insert": None, "delete": None},
         # a full rewrite lands every row in one schema again
         mixed_schema=False,
+        rebase="auto",
     )
     return n_files
 
@@ -1444,6 +1744,7 @@ def compact_small_files(
         dv_df=dv_df,
         dv_n=dv_n,
         dv_carry=dv_carry,
+        rebase="auto",
     )
     return {
         "rewritten": len(fold),
@@ -1759,6 +2060,7 @@ def delete_where(
             dv_df=dv_df,
             dv_n=dv_n,
             dv_carry=dv_carry,
+            rebase="auto",
         )
     finally:
         if hits is not None:
@@ -1916,6 +2218,7 @@ def update_where(
             dv_df=dv_df,
             dv_n=dv_n,
             dv_carry=dv_carry,
+            rebase="auto",
         )
     finally:
         if marked is not None:
@@ -1963,6 +2266,7 @@ def materialize_deletion_vectors(
         retain_versions=retain_versions,
         adopt=loose_entries,  # loose appends never carry DVs
         cdc={"insert": None, "delete": None},  # no logical row change
+        rebase="auto",
     )
     return len(touched)
 
@@ -2007,10 +2311,18 @@ def insert_into(
     if entries:
         # NAME AND TYPE check: a same-named differently-typed batch
         # would commit into a uniform table without the mixed_schema
-        # mark and brick every later footer-schema'd read
-        tbl_schema = _read_files(
-            spark, man, [os.path.join(path, entries[0]["name"])]
-        ).schema
+        # mark and brick every later footer-schema'd read. On a
+        # mixed_schema table (post-evolving-merge) the gate must be the
+        # UNIFIED schema — reads merge footers, so a batch carrying the
+        # evolved shape is valid even though entries[0] may predate the
+        # evolution (_read_files merge-reads exactly when the mark is
+        # set; the all-files probe is footer-priced and mixed-only)
+        probe = (
+            [os.path.join(path, e["name"]) for e in entries]
+            if man.get("mixed_schema")
+            else [os.path.join(path, entries[0]["name"])]
+        )
+        tbl_schema = _read_files(spark, man, probe).schema
         want = {f.name: f.dataType for f in tbl_schema}
         got = {f.name: f.dataType for f in df.schema}
         if want != got:
@@ -2031,26 +2343,36 @@ def insert_into(
             return 0
         # carried files keep their DVs by reference (nothing rewritten)
         dv_df, dv_n, dv_carry = _dv_after_drop(spark, path, man, set())
-        _commit_generation(
-            spark,
-            path,
-            man=man,
-            loose=[],  # loose appends stay loose and visible
-            stale=stale,
-            keep_entries=entries,
-            new_df=df.coalesce(_rewrite_partitions(n, 0)),
-            suffix="._insert",
-            expected_new_rows=n,
-            retain_versions=retain_versions,
-            # the staged data files ARE the insert feed — recorded BY
-            # REFERENCE, so the batch bytes are written once, not twice
-            cdc={"insert": None, "delete": None},
-            cdc_insert_staged=True,
-            dv_df=dv_df,
-            dv_n=dv_n,
-            dv_carry=dv_carry,
-            txn=txn,
-        )
+        try:
+            _commit_generation(
+                spark,
+                path,
+                man=man,
+                loose=[],  # loose appends stay loose and visible
+                stale=stale,
+                keep_entries=entries,
+                new_df=df.coalesce(_rewrite_partitions(n, 0)),
+                suffix="._insert",
+                expected_new_rows=n,
+                retain_versions=retain_versions,
+                # the staged data files ARE the insert feed — recorded BY
+                # REFERENCE, so the batch bytes are written once, not twice
+                cdc={"insert": None, "delete": None},
+                cdc_insert_staged=True,
+                dv_df=dv_df,
+                dv_n=dv_n,
+                dv_carry=dv_carry,
+                txn=txn,
+                # pure append, empty read-set: a lost race against ANY
+                # disjoint winner rebases the staged batch instead of
+                # re-staging it — concurrent insert streams each write
+                # their bytes exactly once
+                rebase="append",
+            )
+        except _TxnAlreadyApplied:
+            # a duplicate delivery of this very (app_id, version) won
+            # the race mid-commit — exactly-once says this copy drops
+            return 0
         return n
     finally:
         if we_persisted:
@@ -2128,7 +2450,6 @@ def rollback(
         "generation": target.get("generation"),
         "gen_no": gen_no,
         "rows": target["rows"],
-        "files": target_files,
         "op": f"restore({version})",
         "committed_at": round(_time.time(), 3),
         "superseded": sorted(set(stale) | set(loose)),
@@ -2136,6 +2457,12 @@ def rollback(
         # no "cdc" key: the row-level diff of a restore is not tracked,
         # so table_changes falls back to the snapshot diff
     }
+    if target.get("files_ext") is not None:
+        # sharded snapshot: restore shares its immutable shards by
+        # reference, same as history retention does
+        manifest["files_ext"] = target["files_ext"]
+    else:
+        manifest["files"] = target_files
     if target.get("mixed_schema"):
         # the TARGET's flag, not the live one: restore means the
         # snapshot's physical-schema state (a later rewrite may have
@@ -2154,16 +2481,22 @@ def rollback(
         manifest["txn"] = man["txn"]
     _commit_manifest(path, manifest, expect_gen=man["gen_no"])
     if dropped:
-        live = {e["name"] for e in target_files} | _dv_names(manifest)
+        live = (
+            {e["name"] for e in target_files}
+            | _dv_names(manifest)
+            | _shard_names(manifest)
+        )
         for h in history:
             live |= {e["name"] for e in _version_files(h, path)}
             live |= _cdc_names(h)
             live |= _dv_names(h)
+            live |= _shard_names(h)
         dead: set[str] = set()
         for h in dropped:
             dead |= {e["name"] for e in _version_files(h, path)}
             dead |= _cdc_names(h)
             dead |= _dv_names(h)
+            dead |= _shard_names(h)
         _retire([os.path.join(path, n) for n in dead - live])
         _cleanup_empty_gen_dirs(path, live)
     return gen_no
@@ -2652,6 +2985,7 @@ def merge_into(
                 dv_df=dv_df,
                 dv_n=dv_n,
                 dv_carry=dv_carry,
+                rebase="auto",
             )
         finally:
             if marked is not None:
@@ -2676,9 +3010,20 @@ def _is_stale_snapshot_error(exc: Exception) -> bool:
     instead of ever reaching the commit fence. Semantically that IS a
     lost writer race (the Delta analogue is
     ConcurrentDeleteReadException), so the retry loop classifies it as
-    retryable."""
+    retryable.
+
+    A Python FileNotFoundError only counts when the MISSING PATH is one
+    of the protocol's own data objects (``gen-*/`` generation members,
+    top-level ``part-*`` appends, DV/CDC sidecars) — a retire can only
+    ever delete those. A genuinely missing/typo'd table path raises a
+    FileNotFoundError too, and blanket-retrying it would silently
+    re-run the whole op ``attempts`` times before surfacing the real
+    error."""
     if isinstance(exc, FileNotFoundError):
-        return True
+        s = str(exc)
+        return any(
+            tok in s for tok in ("gen-", "part-", "dv-", "adopted-", "cdc-")
+        )
     msg = str(exc)
     return "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg
 
@@ -2695,7 +3040,15 @@ def retry_on_conflict(fn, attempts: int = 3):
     contract). Safe because every DML op here re-reads the live
     manifest at entry, so a retry computes against the winner's table
     rather than replaying a stale plan. The last failure propagates
-    after ``attempts`` tries."""
+    after ``attempts`` tries.
+
+    This is the OUTER, whole-pass loop — since round 9 it is the
+    fallback, not the common path: commits first try COMMIT-LEVEL
+    reconciliation inside :func:`_commit_generation` (``rebase=``),
+    which re-CASes the already-staged files when the racing commits
+    touched disjoint files. Only an overlapping conflict (the winner
+    rewrote/DV'd a file this pass read, consumed the same loose
+    append, or changed table policy) reaches this re-run."""
     last: Exception | None = None
     for _ in range(max(1, attempts)):
         try:
@@ -2773,6 +3126,7 @@ def vacuum_staging(
                 live |= {e["name"] for e in _version_files(ver, p)}
                 live |= _cdc_names(ver)
                 live |= _dv_names(ver)
+                live |= _shard_names(ver)
             live_dirs = {n.split("/", 1)[0] for n in live if "/" in n}
             superseded = set(man.get("superseded", []))
             for child in io.listdir(p):
@@ -2795,6 +3149,7 @@ def vacuum_staging(
                         for base in sorted(
                             io.list_basenames(cp, "part-")
                             + io.list_basenames(cp, "adopted-")
+                            + io.list_basenames(cp, "entries-")
                         ):
                             sub = os.path.join(cp, base)
                             rel = f"{child}/{base}"

@@ -86,6 +86,14 @@ class LocalTableIO:
         with open(uri) as fh:
             return json.load(fh)
 
+    def write_json(self, uri: str, obj: dict) -> None:
+        """Unfenced JSON sidecar write (manifest entry shards): staged
+        pre-commit under a generation directory, invisible until the
+        ROOT manifest references it — atomicity rides the root CAS."""
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        with open(uri, "w") as fh:
+            json.dump(obj, fh)
+
     def commit_manifest(
         self, path: str, manifest: dict, expect_gen: int | None = None
     ) -> None:
@@ -348,6 +356,11 @@ class StorageTableIO:
         except FileNotFoundError:
             return None
 
+    def write_json(self, uri: str, obj: dict) -> None:
+        """Unfenced JSON sidecar write (manifest entry shards) — one
+        unconditional PUT; visibility is gated by the root CAS."""
+        self._b.put_bytes(uri, json.dumps(obj).encode())
+
     def commit_manifest(
         self, path: str, manifest: dict, expect_gen: int | None = None
     ) -> None:
@@ -355,6 +368,8 @@ class StorageTableIO:
         (current manifest + ETag), one conditional PUT. A 412 from the
         store IS the fence — no lock object exists to leak, break, or
         race."""
+        import uuid as _uuid
+
         uri = os.path.join(path, _MANIFEST)
         try:
             cur_bytes, etag = self._b.read_bytes_meta(uri)
@@ -368,6 +383,15 @@ class StorageTableIO:
                 f"{expect_gen} -> {cur_no} since this rewrite began; "
                 "retry against the new state"
             )
+        # per-commit writer token, chained through the last few commits
+        # (mutates the caller's dict — the token is part of the
+        # committed manifest by design). The chain lets the lost-ack
+        # path below recognize its own commit even after LATER writers
+        # commit on top of it in the read-back window.
+        token = _uuid.uuid4().hex
+        manifest["writer_chain"] = (
+            [token] + (cur.get("writer_chain", []) if cur else [])
+        )[:8]
         body = json.dumps(manifest).encode()
         try:
             if etag is None:
@@ -380,15 +404,20 @@ class StorageTableIO:
             # whose response was lost fails its own retry with 412
             # (the object's ETag is now ours, not the If-Match one).
             # Before declaring a lost race, read the object back — if
-            # it holds exactly the bytes this writer attempted, the
-            # commit succeeded and reporting failure would make
-            # retry_on_conflict re-apply non-idempotent DML on top of
-            # its own committed effect (double-apply).
+            # this writer's token appears in the current chain, the
+            # commit succeeded (even if OTHER writers have since
+            # committed on top of it — the byte-equality check alone
+            # misreads exactly that as a lost race) and reporting
+            # failure would make retry_on_conflict re-apply
+            # non-idempotent DML on top of its own committed effect.
             try:
                 cur_bytes, _ = self._b.read_bytes_meta(uri)
-            except FileNotFoundError:
-                cur_bytes = None
-            if cur_bytes == body:
+                cur2 = json.loads(cur_bytes)
+            except (FileNotFoundError, ValueError):
+                cur_bytes, cur2 = None, None
+            if cur_bytes == body or (
+                cur2 is not None and token in cur2.get("writer_chain", [])
+            ):
                 return  # our own commit — the ack was lost, not the race
             raise ConcurrentWriteError(
                 f"concurrent rewrite of {path!r}: the manifest object "

@@ -112,6 +112,14 @@ def cleanup_local_dir(dir_path: str, storage: Storage = LOCAL) -> list[str]:
     reference, errors propagate instead of being logged-and-reraised
     after printing a traceback. Returns the deleted paths.
     """
+    # misconfigured-prefix guard: S3Storage.list returns [] for an
+    # existing bucket's empty prefix (object stores have no empty
+    # directories — that contract keeps quarantine/archive emptying
+    # flows rerunnable), so a typo'd staging prefix would otherwise
+    # read as "cleanup succeeded". Probe the location explicitly and
+    # raise here, matching the local backend (whose list() raises).
+    if not storage.is_dir(dir_path) and not storage.exists(dir_path):
+        raise FileNotFoundError(dir_path)
     deleted = []
     for item in storage.list(dir_path):
         storage.delete(item)

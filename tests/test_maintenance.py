@@ -2029,6 +2029,12 @@ def test_describe_detail_and_rollback_as_of(spark, tmp_path):
     assert d["constraints"] == {"pos": "v >= 0"}
     assert d["retained_versions"] == 2
     assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert "maintenance" not in d  # opt-in only
+    # advise=True folds the scheduler decisions into the same call
+    d_adv = S.describe_detail(path, advise=True)
+    m = d_adv["maintenance"]
+    assert m == S.advise_maintenance(path)
+    assert set(m) >= {"compact", "materialize_dv", "vacuum", "evidence"}
 
     # timestamp restore lands on the latest version at-or-before t
     gen = S.rollback(spark, path, as_of=t_v1)
@@ -2214,3 +2220,82 @@ def test_round7_manifest_format_still_served(spark, tmp_path):
         "nulls" in e and "bytes" in e for e in new_entries
     )
     assert S.read_table(spark, path).count() == 1000
+
+
+def test_sharded_manifest_index_lifecycle(spark, tmp_path, monkeypatch):
+    """Round-9 scale path: past _SHARD_THRESHOLD live files the entry
+    list externalizes into immutable shards referenced from the root
+    manifest (Iceberg's manifest-file model). Forced here with a tiny
+    threshold: DML shards the index, unchanged shards carry BY
+    REFERENCE across commits, history/time-travel/rollback share the
+    shard objects, cold resolution reloads them from disk, and a full
+    rewrite that shrinks the table collapses back to the inline form."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 3)
+    path = str(tmp_path / "sharded")
+    df = spark.range(8000).selectExpr("id", "id % 10 as grp")
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    assert S.convert_to_manifest(spark, path) == 1  # inline first commit
+    man1 = S._load_manifest(path)
+    assert "files" in man1 and not man1.get("files_ext")
+
+    # first DML commit crosses the threshold -> sharded root
+    n = S.delete_where(spark, path, "id % 1000 = 3", retain_versions=2)
+    assert n == 8
+    man2 = S._load_manifest(path)
+    assert man2.get("files_ext") and "files" not in man2
+    shards2 = {s["name"] for s in man2["files_ext"]["shards"]}
+    assert len(shards2) >= 3  # 8 entries / shard size 3
+    assert sum(s["count"] for s in man2["files_ext"]["shards"]) == len(
+        S._version_files(man2, path)
+    )
+    assert S.read_table(spark, path).count() == 7992
+
+    # pure append: every previous shard must carry BY REFERENCE
+    batch = spark.range(90000, 90010).selectExpr("id", "id % 10 as grp")
+    assert S.insert_into(spark, path, batch, retain_versions=2,
+                         txn=("st", 1)) == 10
+    man3 = S._load_manifest(path)
+    shards3 = {s["name"] for s in man3["files_ext"]["shards"]}
+    assert shards2 <= shards3  # unchanged groups shared, not rewritten
+    assert S.read_table(spark, path).count() == 8002
+
+    # history shares shard OBJECTS (no inlined copies in the root)
+    assert all(
+        "files_ext" in h or h["gen_no"] == 1
+        for h in man3.get("history", [])
+    )
+    # time travel through a sharded snapshot
+    assert S.read_table(spark, path, version=2).count() == 7992
+
+    # cold resolution: a fresh process has no cache
+    S._SHARD_CACHE.clear()
+    assert len(S._version_files(S._load_manifest(path), path)) == len(
+        shards3
+    ) * 0 + sum(s["count"] for s in man3["files_ext"]["shards"])
+    assert S.read_table(spark, path).count() == 8002
+
+    # rollback onto a sharded snapshot shares its shards by reference
+    S.rollback(spark, path, version=2)
+    man4 = S._load_manifest(path)
+    assert {s["name"] for s in man4["files_ext"]["shards"]} == shards2
+    assert S.read_table(spark, path).count() == 7992
+
+    # a full rewrite that shrinks below half the threshold collapses
+    # the index back inline; superseded shard objects are retired
+    S.compact_parquet(spark, path, target_files=2)
+    man5 = S._load_manifest(path)
+    assert "files" in man5 and not man5.get("files_ext")
+    assert S.read_table(spark, path).count() == 7992
+    import os as _os
+
+    leftover = [
+        f"{d}/{b}"
+        for d in _os.listdir(path)
+        if _os.path.isdir(_os.path.join(path, d))
+        for b in _os.listdir(_os.path.join(path, d))
+        if b.startswith("entries-")
+    ]
+    assert not leftover, leftover

@@ -648,3 +648,272 @@ def test_lost_ack_commit_not_reported_as_conflict(s3env, spark, monkeypatch):
     assert man["gen_no"] == 2 and man["op"] == "delete"
     assert S.read_table(spark, uri).count() == 27
     assert S.read_table(spark, uri).where("grp = 2").count() == 0
+
+
+def test_sharded_manifest_index_on_s3(s3env, spark, monkeypatch):
+    """The round-9 sharded entry index over s3://: shards are plain
+    objects, the root stays the single ETag-CAS commit point, carried
+    shards ride by reference (no re-PUT), and reads resolve root +
+    shards only."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 3)
+    uri = "s3://lake/tables/sharded"
+    _seed_table(spark, uri, n=800, files=8)
+    S.convert_to_manifest(spark, uri)  # inline (convert never shards)
+    # the first commit carrying >= threshold files shards the index
+    assert S.insert_into(spark, uri, _batch(spark, 8000, 8010)) == 10
+    man = S._load_manifest(uri)
+    assert man.get("files_ext") and "files" not in man
+    shards = {s["name"] for s in man["files_ext"]["shards"]}
+    assert sum(s["count"] for s in man["files_ext"]["shards"]) == 9
+    assert S.read_table(spark, uri).count() == 810
+    # next append carries every shard by reference; commits cost ONE
+    # root CAS PUT + ONE new-shard PUT, zero re-PUT of carried shards
+    s3env["s3"].page_size = 1000
+    server = s3env["server"]
+    S._SHARD_CACHE.clear()  # force cold resolution through the store
+    server.reset_counts()
+    assert S.insert_into(spark, uri, _batch(spark, 9000, 9010)) == 10
+    c = server.reset_counts()
+    man2 = S._load_manifest(uri)
+    assert shards <= {s["name"] for s in man2["files_ext"]["shards"]}
+    assert c["PUT"] == 2, c
+    assert S.read_table(spark, uri).count() == 820
+    # DML over the sharded index: only the touched groups rewrite
+    assert S.delete_where(spark, uri, "id >= 9000") == 10
+    assert S.read_table(spark, uri).count() == 810
+    S._SHARD_CACHE.clear()
+    assert S.describe_detail(uri)["rows"] == 810
+
+
+def test_lost_ack_with_interleaved_third_writer(s3env, spark, monkeypatch):
+    """Sharper lost-ack shape: this writer's conditional PUT LANDS
+    unacked, and a THIRD writer commits on top before the read-back.
+    Byte-equality alone would misread that as a lost race (the object
+    no longer holds our bytes) and re-apply non-idempotent DML on top
+    of our own committed effect; the writer-token CHAIN in the manifest
+    recognizes the landed commit through later generations."""
+    uri = "s3://lake/tables/lostack3"
+    _seed_table(spark, uri, n=10, files=1)
+    S.convert_to_manifest(spark, uri)
+    io = table_io.for_path(uri)
+    s3 = s3env["s3"]
+    muri = f"{uri}/_manifest.json"
+    orig_put = s3.put_bytes
+    state = {"armed": True}
+
+    def landed_but_unacked(path, data, **kw):
+        if state["armed"] and path == muri and kw.get("if_match"):
+            state["armed"] = False
+            orig_put(path, data, **kw)  # the PUT actually lands...
+            # ...then writer C commits ON TOP, inside the ack window
+            nxt = json.loads(s3.read_bytes(muri))
+            nxt["gen_no"] += 1
+            nxt["op"] = "writer-c"
+            io.commit_manifest(uri, nxt, expect_gen=nxt["gen_no"] - 1)
+            raise PreconditionFailed(path)  # the ack this writer never saw
+        return orig_put(path, data, **kw)
+
+    monkeypatch.setattr(s3, "put_bytes", landed_but_unacked)
+    man = json.loads(s3.read_bytes(muri))
+    a_gen = man["gen_no"] + 1
+    man = dict(man, gen_no=a_gen, op="writer-a")
+    # must read as SUCCESS: our token is in writer C's carried chain
+    io.commit_manifest(uri, man, expect_gen=a_gen - 1)
+    monkeypatch.setattr(s3, "put_bytes", orig_put)
+    final = json.loads(s3.read_bytes(muri))
+    assert final["op"] == "writer-c" and final["gen_no"] == a_gen + 1
+
+
+# ---------------------------------------------------------------------------
+# commit-level conflict reconciliation: disjoint writers REBASE their
+# already-staged commit instead of re-running the whole DML pass
+# ---------------------------------------------------------------------------
+
+def _batch(spark, lo: int, hi: int):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 10).alias("grp"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("payload"),
+    )
+
+
+def _gen_dirs(s3env, uri: str, tag: str) -> list[str]:
+    """Staging directories of one op kind, read from the store's
+    backing tree (the data plane the fake maps onto)."""
+    root = os.path.join(s3env["root"], uri[len("s3://"):])
+    return sorted(
+        d for d in os.listdir(root)
+        if d.startswith("gen-") and tag in d and
+        os.path.isdir(os.path.join(root, d))
+    )
+
+
+def test_concurrent_inserts_rebase_without_restaging(
+    s3env, spark, monkeypatch
+):
+    """Two insert_into writers race the CAS; the loser REBASES its
+    already-staged batch onto the winner's generation — both batches
+    land, each writer stages its bytes exactly once, and the whole
+    resolution is metadata-priced (request budget pinned: three
+    manifest PUTs total — winner's, loser's 412, loser's rebase —
+    and zero re-staged data bytes)."""
+    uri = "s3://lake/tables/ins_race"
+    _seed_table(spark, uri, n=40, files=2)
+    S.convert_to_manifest(spark, uri)  # gen 1
+    s3 = s3env["s3"]
+    # the fixture's 3-key toy page size exercises pagination elsewhere;
+    # the request-budget pin wants real-S3 pages so LIST counts mean
+    # "listings issued" (same convention as the budget test above)
+    s3.page_size = 1000
+    server = s3env["server"]
+    muri = f"{uri}/_manifest.json"
+    orig = s3.read_bytes_meta
+    fired = {"done": False}
+
+    def interpose(path):
+        data, etag = orig(path)
+        if path == muri and not fired["done"]:
+            fired["done"] = True
+            # writer B: a REAL insert through the full protocol,
+            # committing between A's CAS read and A's conditional PUT
+            assert S.insert_into(spark, uri, _batch(spark, 1000, 1010)) == 10
+        return data, etag
+
+    monkeypatch.setattr(s3, "read_bytes_meta", interpose)
+    server.reset_counts()
+    n = S.insert_into(spark, uri, _batch(spark, 2000, 2020))
+    c = server.reset_counts()
+    monkeypatch.setattr(s3, "read_bytes_meta", orig)
+    assert n == 20  # the loser committed WITHOUT raising or re-running
+    # exactly three manifest PUTs: B's commit, A's 412'd CAS, A's rebase
+    assert c["PUT"] == 3, c
+    assert sum(c.values()) <= 40, c
+    man = S._load_manifest(uri)
+    assert man["gen_no"] == 3  # convert, B, A-rebased
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 70
+    assert tbl.where("id >= 1000").count() == 30  # no loss, no double
+    # each writer staged ONCE: both dirs carry the ORIGINAL attempt's
+    # generation number (gen-000002), proving the loser re-pointed its
+    # staged files instead of writing them again
+    dirs = _gen_dirs(s3env, uri, "._insert")
+    assert len(dirs) == 2 and all(d.startswith("gen-000002") for d in dirs)
+
+
+def test_txn_insert_race_keeps_exactly_once(s3env, spark, monkeypatch):
+    """Duplicate delivery RACING itself: two writers insert the same
+    (app_id, version). The loser's rebase sees the winner's watermark
+    and drops its copy — 0 rows applied, batch lands exactly once."""
+    uri = "s3://lake/tables/txn_race"
+    _seed_table(spark, uri, n=40, files=2)
+    S.convert_to_manifest(spark, uri)
+    s3 = s3env["s3"]
+    muri = f"{uri}/_manifest.json"
+    orig = s3.read_bytes_meta
+    fired = {"done": False}
+
+    def interpose(path):
+        data, etag = orig(path)
+        if path == muri and not fired["done"]:
+            fired["done"] = True
+            assert S.insert_into(
+                spark, uri, _batch(spark, 1000, 1010), txn=("app", 7)
+            ) == 10
+        return data, etag
+
+    monkeypatch.setattr(s3, "read_bytes_meta", interpose)
+    n = S.insert_into(
+        spark, uri, _batch(spark, 1000, 1010), txn=("app", 7)
+    )
+    monkeypatch.setattr(s3, "read_bytes_meta", orig)
+    assert n == 0  # exactly-once: the racing duplicate dropped itself
+    tbl = S.read_table(spark, uri)
+    assert tbl.where("id >= 1000").count() == 10
+    assert S.describe_detail(uri)["txn"] == {"app": 7}
+    # the dropped copy's staging is cleaned eagerly, not left for vacuum
+    assert len(_gen_dirs(s3env, uri, "._insert")) == 1
+
+
+def test_disjoint_delete_rebases_over_compaction(s3env, spark, monkeypatch):
+    """The verdict-shape race: a DELETE whose matched file the winner
+    never touched loses the CAS to a compaction of OTHER files. The
+    loser rebases — no re-identification scan, no re-staging — and the
+    final table carries the winner's compacted file plus the loser's
+    rewrite."""
+    uri = "s3://lake/tables/del_vs_compact"
+    # one BIG file (ids 0..4999) + three small appends; the compaction
+    # folds only the smalls, the delete touches only the big file
+    S.write_parquet(_batch(spark, 0, 5000).coalesce(1), uri)
+    for lo in (5000, 5050, 5100):
+        S.append_table(_batch(spark, lo, lo + 50).coalesce(1), uri)
+    S.convert_to_manifest(spark, uri)  # adopts all four files
+    man0 = S._load_manifest(uri)
+    assert len(man0["files"]) == 4
+    s3 = s3env["s3"]
+    muri = f"{uri}/_manifest.json"
+    orig = s3.read_bytes_meta
+    fired = {"done": False}
+    small_cut = max(
+        e["bytes"] for e in man0["files"] if e["rows"] == 50
+    ) + 1
+
+    def interpose(path):
+        data, etag = orig(path)
+        if path == muri and not fired["done"]:
+            fired["done"] = True
+            res = S.compact_small_files(
+                spark, uri, min_file_bytes=small_cut
+            )
+            assert res["rewritten"] == 3 and res["carried"] == 1
+        return data, etag
+
+    monkeypatch.setattr(s3, "read_bytes_meta", interpose)
+    # NOT wrapped in retry_on_conflict: a failed rebase would raise
+    n = S.delete_where(spark, uri, "id < 100")
+    monkeypatch.setattr(s3, "read_bytes_meta", orig)
+    assert n == 100
+    man = S._load_manifest(uri)
+    assert man["gen_no"] == 3  # convert, compact, delete-rebased
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 5050
+    assert tbl.where("id < 100").count() == 0
+    assert tbl.where("id >= 5000").count() == 150  # compacted rows intact
+    # the delete staged once, under its ORIGINAL attempt number
+    dirs = _gen_dirs(s3env, uri, "._delete")
+    assert len(dirs) == 1 and dirs[0].startswith("gen-000002")
+
+
+def test_overlapping_delete_conflict_still_reruns(s3env, spark, monkeypatch):
+    """Rebase must REFUSE when the winner rewrote a file this commit
+    also rewrites: the loser raises ConcurrentWriteError (staging
+    cleaned eagerly) and retry_on_conflict's whole-pass re-run remains
+    the correct fallback."""
+    uri = "s3://lake/tables/overlap"
+    _seed_table(spark, uri, n=100, files=1)  # ONE file: any two DMLs overlap
+    S.convert_to_manifest(spark, uri)
+    s3 = s3env["s3"]
+    muri = f"{uri}/_manifest.json"
+    orig = s3.read_bytes_meta
+    fired = {"done": False}
+
+    def interpose(path):
+        data, etag = orig(path)
+        if path == muri and not fired["done"]:
+            fired["done"] = True
+            assert S.delete_where(spark, uri, "id < 5") == 5
+        return data, etag
+
+    monkeypatch.setattr(s3, "read_bytes_meta", interpose)
+    with pytest.raises(S.ConcurrentWriteError):
+        S.delete_where(spark, uri, "id < 10")
+    # the loser cleaned its staged generation on the spot
+    assert len(_gen_dirs(s3env, uri, "._delete")) == 1
+    # the outer retry loop re-runs against the winner's state and lands
+    n = S.retry_on_conflict(lambda: S.delete_where(spark, uri, "id < 10"))
+    monkeypatch.setattr(s3, "read_bytes_meta", orig)
+    assert n == 5  # ids 0..4 already gone; the re-run removes 5..9
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 90 and tbl.where("id < 10").count() == 0
