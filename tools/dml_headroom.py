@@ -213,6 +213,44 @@ def main() -> None:
               f"{t_si:.1f} | {n:,} ins | {carried}/{written} "
               f"| {wrote/1e6:.1f} |")
 
+        # contended ingest (round 9): a second writer commits BETWEEN
+        # this writer's snapshot and its CAS. Commit-level rebase must
+        # resolve it with ONE extra manifest round trip and ZERO
+        # re-staged bytes — the loser's staged batch is re-pointed at
+        # the winner's generation, never re-written or re-counted.
+        batch_a = (
+            spark.range(args.rows * 4, args.rows * 4 + 1000)
+            .selectExpr("id", "'a' as payload", "'keep' as tag")
+        )
+        batch_b = (
+            spark.range(args.rows * 5, args.rows * 5 + 1000)
+            .selectExpr("id", "'b' as payload", "'keep' as tag")
+        )
+        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before_dv = frozenset(
+            (S._load_manifest(path).get("dv") or {}).get("data", [])
+        )
+        orig_commit = S._commit_manifest
+        state = {"armed": True}
+
+        def racing(p, manifest, expect_gen=None):
+            if state["armed"]:
+                state["armed"] = False
+                S.insert_into(spark, path, batch_b)  # the winner
+            return orig_commit(p, manifest, expect_gen=expect_gen)
+
+        t0 = time.time()
+        S._commit_manifest = racing
+        try:
+            n = S.insert_into(spark, path, batch_a)  # loses, rebases
+        finally:
+            S._commit_manifest = orig_commit
+        t_race = time.time() - t0
+        carried, written, wrote = commit_stats(path, before, before_dv)
+        print(f"| insert_into under contention (loser rebased) | "
+              f"{t_race:.1f} | {n:,} ins | {carried}/{written} both "
+              f"writers | {wrote/1e6:.1f} |")
+
         # retention is retire-skip only: committing with retain k vs 0
         # must write the same generation bytes
         t0 = time.time()
