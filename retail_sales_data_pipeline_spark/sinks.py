@@ -300,6 +300,10 @@ _SHARD_SIZE = 4_000
 _SHARD_CACHE: dict[tuple[str, str], list[dict]] = {}
 _SHARD_CACHE_MAX = 512
 
+# unified-schema cache for mixed-schema tables, keyed by
+# (table path, schema_epoch) — see insert_into's gate
+_MIXED_SCHEMA_CACHE: dict = {}
+
 
 def _shard_names(version: dict) -> set[str]:
     """Relative paths of a version's external entry-list shards."""
@@ -338,15 +342,22 @@ def _externalize_entries(
     every previous shard whose membership is unchanged BY REFERENCE.
     Entries from broken shards (ones containing a file this commit
     drops) re-pool with the new entries into fresh shards under the
-    committing generation. ``salt`` disambiguates shard names across
-    rebase attempts (stale attempts' shards are unreferenced dead
-    files vacuumed by TTL). Returns the ``files_ext`` record."""
+    committing generation. UNDERSIZED shards (fewer than half of
+    ``_SHARD_SIZE`` entries) re-pool too, even when unchanged:
+    without that, every small append would mint a one-file shard
+    forever and shard count would grow O(commits). Continual tail
+    folding bounds the per-commit index rewrite at half a shard of
+    entries and the shard count at ~2x the optimal
+    ceil(live files / _SHARD_SIZE). ``salt`` disambiguates shard
+    names across rebase attempts (stale attempts' shards are
+    unreferenced dead files vacuumed by TTL). Returns the
+    ``files_ext`` record."""
     keep_names = {e["name"] for e in keep_entries}
     carried: list[dict] = []
     residual = set(keep_names)
     for s in (man_prev.get("files_ext") or {}).get("shards", []):
         names = {e["name"] for e in _load_shard(path, s["name"])}
-        if names <= keep_names:
+        if names <= keep_names and len(names) >= _SHARD_SIZE // 2:
             carried.append(s)
             residual -= names
     by_name = {e["name"]: e for e in keep_entries}
@@ -910,6 +921,30 @@ def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
 _COMMIT_ATTEMPTS = 5
 
 
+def _drop_lost_staging(io, path: str, gen: str) -> None:
+    """Remove a lost commit's staged generation — UNLESS the current
+    manifest (or a retained version) references it, which means the
+    "lost" CAS actually LANDED and its ack was misrecognized (the
+    lost-ack writer-chain check in table_io is depth-bounded, so a
+    long-enough burst of later commits can rotate this writer's token
+    out). Deleting a referenced generation would turn a wrong error
+    REPORT into real data loss; re-checking liveness here costs one
+    manifest read. When liveness can't be verified, the staging is
+    left for TTL vacuum, whose collection is liveness-checked too."""
+    try:
+        man = _load_manifest(path)
+        if man is not None:
+            for ver in [man] + list(man.get("history", [])):
+                if ver.get("generation") == gen or any(
+                    e["name"].startswith(gen + "/")
+                    for e in _version_files(ver, path)
+                ):
+                    return  # the commit landed: staging IS live data
+    except Exception:
+        return
+    io.rmtree_quiet(os.path.join(path, gen))
+
+
 class _TxnAlreadyApplied(Exception):
     """A rebase found this commit's txn (app_id, version) already at or
     below the winner's recorded watermark — a duplicate delivery of the
@@ -925,7 +960,9 @@ def _rebase_ok(
     *,
     dropped: set[str],
     loose_consumed: set[str],
+    snapshot_names: set[str] = frozenset(),
     dv_immaterial: bool = False,
+    allow_added: bool = True,
 ) -> bool:
     """Can a lost commit be REBASED onto the winner's generation instead
     of re-running the whole DML pass? True only when the two commits are
@@ -946,15 +983,24 @@ def _rebase_ok(
       (the winner didn't consume it too — double-adoption would
       duplicate rows).
 
-    The winner ADDING files (a concurrent insert) does NOT conflict:
-    the rebased commit carries them untouched — WriteSerializable
-    isolation, the Delta default, where a predicate op serializes
-    BEFORE a concurrent blind append even if the appended rows would
-    have matched its predicate."""
+    The winner ADDING files (a concurrent insert) does NOT conflict
+    for MATCHED-ONLY ops (delete/update/layout): the rebased commit
+    carries the new files untouched — WriteSerializable isolation, the
+    Delta default, where a predicate op serializes BEFORE a concurrent
+    blind append even if the appended rows would have matched its
+    predicate. It DOES conflict for ops that insert when a key is NOT
+    matched (``allow_added=False``, merge_into): two concurrent merges
+    of the same absent key would otherwise BOTH take their not-matched
+    branch and commit duplicate rows — an outcome no serial order
+    produces (whichever merge ran second would match and update), so
+    the loser must re-run against the winner's rows instead. This is
+    Delta's ConcurrentAppendException for read-dependent writers."""
     if man2 is None:
         return False
     live2 = {e["name"] for e in entries2}
     if not dropped <= live2:
+        return False
+    if not allow_added and not live2 <= snapshot_names:
         return False
     if not dv_immaterial and man2.get("dv") != man_base.get("dv"):
         return False
@@ -1041,9 +1087,13 @@ def _commit_generation(
     at the new generation instead of raising. ``"append"`` is the pure-
     insert shape (empty read-set — always rebases unless the winner
     already applied this commit's ``txn`` version, which raises
-    :class:`_TxnAlreadyApplied`); ``"auto"`` is the predicate-DML /
-    layout shape (rebases only when :func:`_rebase_ok` proves
-    disjointness); ``None`` (default) keeps the strict behavior — the
+    :class:`_TxnAlreadyApplied`); ``"auto"`` is the MATCHED-ONLY
+    predicate-DML / layout shape (rebases only when :func:`_rebase_ok`
+    proves disjointness); ``"merge"`` is the read-dependent inserter
+    shape — like ``"auto"`` but additionally refusing any winner that
+    ADDED files, because a not-matched insert decided against the
+    snapshot is invalidated by concurrent new rows (duplicate-key
+    hazard); ``None`` (default) keeps the strict behavior — the
     loser raises and :func:`retry_on_conflict` re-runs the whole pass.
     A non-rebaseable lost race now also cleans its staged generation
     eagerly instead of leaving it for vacuum's TTL.
@@ -1217,12 +1267,10 @@ def _commit_generation(
     # attempt's generation number (cosmetic only — every consumer works
     # off manifest-relative names, never parses numbers out of
     # directory names).
-    dropped = (
-        {e["name"] for e in _version_files(man, path)}
-        - {e["name"] for e in keep_entries}
-        if man
-        else set()
+    snapshot_names = (
+        {e["name"] for e in _version_files(man, path)} if man else set()
     )
+    dropped = snapshot_names - {e["name"] for e in keep_entries}
     loose_consumed = set(loose) | {name for name, _ in (adopt or [])}
     for attempt in range(_COMMIT_ATTEMPTS):
         files = keep_entries + new_entries
@@ -1325,6 +1373,17 @@ def _commit_generation(
         )
         if mixed:
             manifest["mixed_schema"] = True
+            # SCHEMA EPOCH: the generation whose commit last widened
+            # the unified schema (an explicit mixed_schema=True, i.e.
+            # an evolving merge). Carried untouched by every other
+            # commit, it keys the per-process unified-schema cache —
+            # without it, every insert into a mixed table would re-run
+            # the all-footers schema merge per micro-batch.
+            manifest["schema_epoch"] = (
+                gen_no
+                if mixed_schema
+                else (man or {}).get("schema_epoch", 0)
+            )
         try:
             _commit_manifest(path, manifest, expect_gen=prev_no)
             break
@@ -1334,16 +1393,18 @@ def _commit_generation(
                 or man is None
                 or attempt == _COMMIT_ATTEMPTS - 1
             ):
-                # a lost race the caller must re-run: don't leak the
-                # staged generation until vacuum's TTL finds it
-                io.rmtree_quiet(staging)
+                # a lost race the caller must re-run: clean the staged
+                # generation eagerly — but liveness-checked, because a
+                # "lost" CAS can be a LANDED commit whose ack was
+                # misrecognized (see _drop_lost_staging)
+                _drop_lost_staging(io, path, gen)
                 raise
             try:
                 man2, entries2, loose2, stale2 = _live_state(path)
             except Exception:
                 # reload racing a winner's retire: clean up, let
                 # retry_on_conflict's stale-snapshot path re-run
-                io.rmtree_quiet(staging)
+                _drop_lost_staging(io, path, gen)
                 raise
             if txn is not None and man2 is not None:
                 last = man2.get("txn", {}).get(txn[0])
@@ -1351,22 +1412,26 @@ def _commit_generation(
                     # the winner (a duplicate delivery of this very
                     # batch) already applied this txn version — the
                     # exactly-once contract says drop ours
-                    io.rmtree_quiet(staging)
+                    _drop_lost_staging(io, path, gen)
                     raise _TxnAlreadyApplied() from None
             pure_append = rebase == "append" and dv_df is None
             if not _rebase_ok(
                 man, man2, entries2, loose2,
                 dropped=dropped, loose_consumed=loose_consumed,
+                snapshot_names=snapshot_names,
                 dv_immaterial=pure_append,
+                # merge takes its NOT-MATCHED branch against the
+                # snapshot — a winner that ADDED rows invalidates it
+                allow_added=rebase != "merge",
             ):
-                io.rmtree_quiet(staging)
+                _drop_lost_staging(io, path, gen)
                 raise
             # disjoint: rebase the staged commit onto the winner's
             # generation — carried files re-derived from the WINNER's
             # live set (it may have compacted or appended files this
             # commit never touched), everything staged reused as-is
             man, stale = man2, stale2
-            if rebase == "auto":
+            if rebase in ("auto", "merge"):
                 # predicate ops consumed the snapshot's loose files
                 # (folded or adopted); anything that landed since stays
                 # loose and visible — never superseded by this commit
@@ -1435,6 +1500,8 @@ def _prev_version_snapshot(man: dict, path: str) -> dict:
         # per VERSION, not table-global: a later full rewrite clears
         # the live flag while this snapshot still needs merged reads
         prev["mixed_schema"] = True
+        if man.get("schema_epoch") is not None:
+            prev["schema_epoch"] = man["schema_epoch"]
     return prev
 
 
@@ -2315,14 +2382,26 @@ def insert_into(
         # mixed_schema table (post-evolving-merge) the gate must be the
         # UNIFIED schema — reads merge footers, so a batch carrying the
         # evolved shape is valid even though entries[0] may predate the
-        # evolution (_read_files merge-reads exactly when the mark is
-        # set; the all-files probe is footer-priced and mixed-only)
-        probe = (
-            [os.path.join(path, e["name"]) for e in entries]
-            if man.get("mixed_schema")
-            else [os.path.join(path, entries[0]["name"])]
-        )
-        tbl_schema = _read_files(spark, man, probe).schema
+        # evolution. The all-files merge probe is a per-epoch cost, not
+        # a per-batch one: the unified schema only widens on evolving
+        # commits (manifest "schema_epoch"), so it caches per process —
+        # a micro-batch ingest loop into a 100k-file mixed table pays
+        # the footer-merge job once, then one dict lookup per batch.
+        if man.get("mixed_schema"):
+            key = (path, man.get("schema_epoch", 0))
+            tbl_schema = _MIXED_SCHEMA_CACHE.get(key)
+            if tbl_schema is None:
+                tbl_schema = _read_files(
+                    spark, man,
+                    [os.path.join(path, e["name"]) for e in entries],
+                ).schema
+                if len(_MIXED_SCHEMA_CACHE) >= 64:
+                    _MIXED_SCHEMA_CACHE.pop(next(iter(_MIXED_SCHEMA_CACHE)))
+                _MIXED_SCHEMA_CACHE[key] = tbl_schema
+        else:
+            tbl_schema = _read_files(
+                spark, man, [os.path.join(path, entries[0]["name"])]
+            ).schema
         want = {f.name: f.dataType for f in tbl_schema}
         got = {f.name: f.dataType for f in df.schema}
         if want != got:
@@ -2468,6 +2547,10 @@ def rollback(
         # snapshot's physical-schema state (a later rewrite may have
         # cleared the live flag; the snapshot's files still differ)
         manifest["mixed_schema"] = True
+        # keep the schema-epoch cache key consistent with the restored
+        # file set (the live epoch may postdate this snapshot)
+        if target.get("schema_epoch") is not None:
+            manifest["schema_epoch"] = target["schema_epoch"]
     if target.get("dv") is not None:
         # restore means the snapshot's merge-on-read state too
         manifest["dv"] = target["dv"]
@@ -2985,7 +3068,7 @@ def merge_into(
                 dv_df=dv_df,
                 dv_n=dv_n,
                 dv_carry=dv_carry,
-                rebase="auto",
+                rebase="merge",
             )
         finally:
             if marked is not None:

@@ -391,7 +391,7 @@ class StorageTableIO:
         token = _uuid.uuid4().hex
         manifest["writer_chain"] = (
             [token] + (cur.get("writer_chain", []) if cur else [])
-        )[:8]
+        )[:32]
         body = json.dumps(manifest).encode()
         try:
             if etag is None:

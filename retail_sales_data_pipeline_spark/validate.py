@@ -105,20 +105,25 @@ def archive_files(
     return moved
 
 
-def cleanup_local_dir(dir_path: str, storage: Storage = LOCAL) -> list[str]:
+def cleanup_local_dir(
+    dir_path: str, storage: Storage = LOCAL, missing_ok: bool = False
+) -> list[str]:
     """F3: delete every file/subdirectory inside ``dir_path`` (the
     directory itself stays) — the post-upload staging cleanup step
     (reference src/main/delete/local_file_delete.py:5-19). Unlike the
     reference, errors propagate instead of being logged-and-reraised
     after printing a traceback. Returns the deleted paths.
+
+    A MISSING location raises (local parity — a typo'd staging prefix
+    must not read as "cleanup succeeded"). On object stores an emptied
+    prefix is indistinguishable from an absent one (no empty
+    directories exist), so a rerunnable emptying flow — cleanup after
+    a crash, a quiet run that staged nothing — should pass
+    ``missing_ok=True`` to get the no-op instead of the guard.
     """
-    # misconfigured-prefix guard: S3Storage.list returns [] for an
-    # existing bucket's empty prefix (object stores have no empty
-    # directories — that contract keeps quarantine/archive emptying
-    # flows rerunnable), so a typo'd staging prefix would otherwise
-    # read as "cleanup succeeded". Probe the location explicitly and
-    # raise here, matching the local backend (whose list() raises).
     if not storage.is_dir(dir_path) and not storage.exists(dir_path):
+        if missing_ok:
+            return []
         raise FileNotFoundError(dir_path)
     deleted = []
     for item in storage.list(dir_path):

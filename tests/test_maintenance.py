@@ -2299,3 +2299,103 @@ def test_sharded_manifest_index_lifecycle(spark, tmp_path, monkeypatch):
         if b.startswith("entries-")
     ]
     assert not leftover, leftover
+
+
+def test_sharded_index_fragmentation_bounded(spark, tmp_path, monkeypatch):
+    """Small appends must not mint a shard forever: undersized carried
+    shards (< _SHARD_SIZE // 2 entries) re-pool into the committing
+    generation's new shard, so shard count tracks the LIVE FILE count
+    (~2x optimal), not the commit count (continual tail folding)."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 8)
+    path = str(tmp_path / "frag")
+    spark.range(800).selectExpr("id", "id % 10 as grp").repartition(
+        8
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+    for i in range(10):
+        batch = spark.range(10_000 + i, 10_001 + i).selectExpr(
+            "id", "id % 10 as grp"
+        )
+        assert S.insert_into(spark, path, batch.coalesce(1)) == 1
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    n_entries = sum(s["count"] for s in shards)
+    assert n_entries == 18
+    # without tail folding this would be ~11 shards (one per append);
+    # the bound is 2x-optimal: every carried shard holds >= SIZE/2
+    assert len(shards) <= -(-2 * n_entries // S._SHARD_SIZE) + 1, shards
+    assert S.read_table(spark, path).count() == 810
+
+
+def test_drop_lost_staging_spares_live_generations(spark, tmp_path):
+    """The conflict-path staging cleanup must re-check liveness: a
+    'lost' CAS can be a LANDED commit whose ack was misrecognized
+    (bounded writer-chain), and deleting its generation would turn a
+    wrong error report into data loss."""
+    import os as _os
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id % 10 as grp").write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    S.delete_where(spark, path, "grp = 3")  # creates a live generation
+    man = S._load_manifest(path)
+    gen = man["generation"]
+    io = S._io(path)
+    # referenced generation: the guard must refuse to delete it
+    S._drop_lost_staging(io, path, gen)
+    assert _os.path.isdir(_os.path.join(path, gen))
+    assert S.read_table(spark, path).count() == 90
+    # unreferenced staging: removed as before
+    orphan = "gen-000099._delete-deadbeef"
+    _os.makedirs(_os.path.join(path, orphan))
+    with open(_os.path.join(path, orphan, "part-x.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    S._drop_lost_staging(io, path, orphan)
+    assert not _os.path.exists(_os.path.join(path, orphan))
+
+
+def test_insert_into_mixed_schema_accepts_unified(spark, tmp_path):
+    """ADVICE r8: on a mixed_schema table (post-evolving-merge) the
+    insert gate validates against the UNIFIED schema, so a batch
+    carrying the evolved shape is accepted; a type conflict still
+    fails loudly. The unified probe is cached per schema_epoch —
+    a second insert pays a dict lookup, not a footer-merge job."""
+    import pytest as _pytest
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "cast(id as double) v").write.parquet(
+        path
+    )
+    S.convert_to_manifest(spark, path)
+    patch = spark.createDataFrame(
+        [(5, 5.0, "new")], "id long, v double, tag string"
+    )
+    S.merge_into(spark, path, patch, keys=["id"], evolve_schema=True)
+    man = S._load_manifest(path)
+    assert man["mixed_schema"] and man["schema_epoch"] == man["gen_no"]
+
+    unified = spark.createDataFrame(
+        [(900, 1.0, "u")], "id long, v double, tag string"
+    )
+    assert S.insert_into(spark, path, unified) == 1
+    # epoch carried by the insert commit; cache key stable
+    man2 = S._load_manifest(path)
+    assert man2["schema_epoch"] == man["schema_epoch"]
+    assert (path, man2["schema_epoch"]) in S._MIXED_SCHEMA_CACHE
+    assert S.insert_into(spark, path, unified.selectExpr(
+        "id + 1 as id", "v", "tag")) == 1  # cache-hit path
+    # name+type still enforced against the unified schema
+    bad = spark.createDataFrame([(1, "x", "y")],
+                                "id long, v string, tag string")
+    with _pytest.raises(ValueError, match="insert schema mismatch"):
+        S.insert_into(spark, path, bad)
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 102
+    assert tbl.where("tag = 'u'").count() == 2

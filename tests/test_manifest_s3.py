@@ -886,6 +886,52 @@ def test_disjoint_delete_rebases_over_compaction(s3env, spark, monkeypatch):
     assert len(dirs) == 1 and dirs[0].startswith("gen-000002")
 
 
+def test_concurrent_merges_same_absent_key_no_duplicate(
+    s3env, spark, monkeypatch
+):
+    """Two merges race to upsert the SAME absent key. The winner
+    inserts it; the loser must NOT rebase (its not-matched decision
+    was made against the pre-insert snapshot — rebasing would commit a
+    duplicate key, an outcome no serial order produces). The loser
+    re-runs via retry_on_conflict, MATCHES the winner's row, and
+    updates it: exactly one row for the key."""
+    from pyspark.sql import functions as F
+
+    uri = "s3://lake/tables/merge_race"
+    _seed_table(spark, uri, n=40, files=2)
+    S.convert_to_manifest(spark, uri)
+    s3 = s3env["s3"]
+    muri = f"{uri}/_manifest.json"
+    orig = s3.read_bytes_meta
+    fired = {"done": False}
+
+    def upd(payload: str):
+        return spark.createDataFrame(
+            [(7777, 7, payload)], "id long, grp long, payload string"
+        )
+
+    def interpose(path):
+        data, etag = orig(path)
+        if path == muri and not fired["done"]:
+            fired["done"] = True
+            res = S.merge_into(spark, uri, upd("winner"), keys=["id"],
+                               broadcast_updates=True)
+            assert res["inserted"] == 1
+        return data, etag
+
+    monkeypatch.setattr(s3, "read_bytes_meta", interpose)
+    res = S.retry_on_conflict(
+        lambda: S.merge_into(spark, uri, upd("loser"), keys=["id"],
+                             broadcast_updates=True)
+    )
+    monkeypatch.setattr(s3, "read_bytes_meta", orig)
+    # the re-run saw the winner's row and UPDATED it, not re-inserted
+    assert res["updated"] == 1 and res["inserted"] == 0
+    rows = S.read_table(spark, uri).where("id = 7777")
+    assert rows.count() == 1
+    assert rows.select(F.col("payload")).first()[0] == "loser"
+
+
 def test_overlapping_delete_conflict_still_reruns(s3env, spark, monkeypatch):
     """Rebase must REFUSE when the winner rewrote a file this commit
     also rewrites: the loser raises ConcurrentWriteError (staging

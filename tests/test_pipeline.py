@@ -481,3 +481,18 @@ def test_ledger_reconcile_flips_archived_actives(spark, workdir):
     assert fixed == ["x.csv"]
     assert ledger.active_files(spark) == ["y.csv"]
     assert ledger.reconcile(spark, workdir["processed"]) == []  # idempotent
+
+
+def test_cleanup_local_dir_missing_ok(tmp_path):
+    """A missing location raises by default (typo guard); rerunnable
+    emptying flows on object stores — where an emptied prefix is
+    indistinguishable from an absent one — opt into the no-op with
+    missing_ok=True."""
+    import pytest as _pytest
+
+    from retail_sales_data_pipeline_spark.validate import cleanup_local_dir
+
+    absent = str(tmp_path / "no-such-dir")
+    with _pytest.raises(FileNotFoundError):
+        cleanup_local_dir(absent)
+    assert cleanup_local_dir(absent, missing_ok=True) == []
