@@ -60,8 +60,10 @@ _MODULES = [
 # path) and spent the slot on ``corpus_scan_pruned`` (null-count +
 # range data skipping through scan_table); round 9 spent the last free
 # slot on ``corpus_ingest_exactly_once`` (the insert_into txn-watermark
-# replay protocol) — 100 registered, at the ceiling again. The next
-# addition must retire a twin first.
+# replay protocol) and bought it back by retiring ``ann_auto_topk``
+# (verbatim _LSH_BANDED_SQL oracle twin of ``ann_lsh_banded_topk``;
+# the auto-selection logic stays pinned by tests/test_similarity.py
+# and the twin-equivalence test) — 99 registered, one free slot.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
@@ -99,7 +101,6 @@ DRIVER_PRIORITY = [
     "ann_cosine_topk",  # green r7
     "ann_lsh_topk",  # green r7
     "ann_ivf_topk",  # green r7
-    "ann_auto_topk",  # green r7
     "dedup_embedding_cosine",  # green r7
     "ann_recall_at_5",  # green r7
     "kmeans_embeddings",  # green r7
@@ -115,6 +116,7 @@ DRIVER_PRIORITY = [
     "multimodal_pointer_decode",  # green r7
     "multimodal_embed_texts",  # green r7
     "multimodal_text_retrieval",  # green r7
+    "distinct_dedup",  # green r8
 ]
 
 

@@ -882,6 +882,12 @@ WHERE rk = 1 AND cosine >= {DECONTAM_COS}
 TWIN_QUERIES = {
     "bench_ann_banded_arrow": (bench_ann_banded_arrow, "ann_lsh_banded_topk"),
     "bench_ann_cosine_arrow": (bench_ann_cosine_arrow, "ann_cosine_topk"),
+    # retired round 9 (slack for the r10 rotation): at the oracle's
+    # corpus size the auto-selector always picks the banded config, so
+    # its oracle was _LSH_BANDED_SQL verbatim; the selection LOGIC
+    # stays pinned by tests/test_similarity.py (zero-action build +
+    # measured-rule dispatch) and the twin test keeps the output equal
+    "ann_auto_topk": (ann_auto_topk, "ann_lsh_banded_topk"),
 }
 
 QUERIES = {
@@ -889,7 +895,6 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_banded_topk": ann_lsh_banded_topk,
-    "ann_auto_topk": ann_auto_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_recall_at_5": ann_recall_at_5,
     "kmeans_embeddings": kmeans_embeddings,
@@ -908,7 +913,6 @@ ORACLE_SQL = {
     "ann_lsh_topk": _LSH_SQL,
     "ann_ivf_topk": _IVF_SQL,
     "ann_lsh_banded_topk": _LSH_BANDED_SQL,
-    "ann_auto_topk": _LSH_BANDED_SQL,
     "dedup_embedding_cosine": _NEARDUP_SQL,
     "ann_recall_at_5": _RECALL_SQL,
     "ann_quantized_topk": _QUANTIZED_SQL,

@@ -1847,12 +1847,23 @@ def convert_to_manifest(spark: SparkSession, path: str) -> int:
         "generation": None,  # adopted in place, no directory written
         "gen_no": 1,
         "rows": sum(e["rows"] for e in entries),
-        "files": entries,
         "op": "convert",
         "committed_at": round(_time.time(), 3),
         "superseded": [],
         "history": [],
     }
+    if len(entries) >= _SHARD_THRESHOLD:
+        # a 100k-file adoption should not mint a 20 MB inline root only
+        # for the first DML commit to re-shard it — externalize now,
+        # under a convert-owned index directory
+        import uuid as _uuid
+
+        manifest["files_ext"] = _externalize_entries(
+            _io(path), path, f"gen-000001._convert-{_uuid.uuid4().hex[:8]}",
+            {}, entries, [], 0,
+        )
+    else:
+        manifest["files"] = entries
     _commit_manifest(path, manifest, expect_gen=0)
     return 1
 

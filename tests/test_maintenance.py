@@ -2399,3 +2399,26 @@ def test_insert_into_mixed_schema_accepts_unified(spark, tmp_path):
     tbl = S.read_table(spark, path)
     assert tbl.count() == 102
     assert tbl.where("tag = 'u'").count() == 2
+
+
+def test_convert_shards_large_adoption(spark, tmp_path, monkeypatch):
+    """CONVERT of a directory past _SHARD_THRESHOLD externalizes the
+    index immediately — a 100k-file adoption must not mint a ~20 MB
+    inline root only for the first DML commit to re-shard it."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 3)
+    path = str(tmp_path / "bigconvert")
+    spark.range(800).selectExpr("id", "id % 10 as grp").repartition(
+        8
+    ).write.mode("overwrite").parquet(path)
+    assert S.convert_to_manifest(spark, path) == 1
+    man = S._load_manifest(path)
+    assert man.get("files_ext") and "files" not in man
+    assert sum(s["count"] for s in man["files_ext"]["shards"]) == 8
+    assert S.read_table(spark, path).count() == 800
+    # the protocol works on the sharded adoption: DML + read + detail
+    assert S.delete_where(spark, path, "grp = 3") == 80
+    assert S.read_table(spark, path).count() == 720
+    assert S.describe_detail(path)["rows"] == 720
