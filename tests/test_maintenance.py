@@ -2422,3 +2422,42 @@ def test_convert_shards_large_adoption(spark, tmp_path, monkeypatch):
     assert S.delete_where(spark, path, "grp = 3") == 80
     assert S.read_table(spark, path).count() == 720
     assert S.describe_detail(path)["rows"] == 720
+
+
+def test_live_concurrent_inserts_rebase_local(spark, tmp_path):
+    """LIVE two-thread insert race on the POSIX lock fence — NOT
+    wrapped in retry_on_conflict: both writers must land through
+    commit-level rebase alone (the local fence surfaces contention as
+    ConcurrentWriteError from the lock OR the generation re-check;
+    the rebase loop absorbs both shapes). No rows lost, no rows
+    doubled, generation advanced exactly twice."""
+    import threading
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "race")
+    spark.range(100).selectExpr("id", "id % 10 as grp").repartition(
+        2
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def worker(lo: int) -> None:
+        try:
+            batch = spark.range(lo, lo + 50).selectExpr(
+                "id", "id % 10 as grp"
+            )
+            barrier.wait(timeout=30)
+            assert S.insert_into(spark, path, batch) == 50
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=worker, args=(1000,))
+    t2 = threading.Thread(target=worker, args=(2000,))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert not errs, errs
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 200
+    assert tbl.where("id >= 1000").count() == 100
+    assert S._load_manifest(path)["gen_no"] == 3

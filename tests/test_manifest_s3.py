@@ -886,6 +886,37 @@ def test_disjoint_delete_rebases_over_compaction(s3env, spark, monkeypatch):
     assert len(dirs) == 1 and dirs[0].startswith("gen-000002")
 
 
+def test_live_concurrent_inserts_rebase_on_s3(s3env, spark):
+    """LIVE two-thread insert race over the ETag-CAS fence — NOT
+    wrapped in retry_on_conflict: both writers must land through
+    commit-level rebase alone. No rows lost or doubled, generation
+    advanced exactly twice."""
+    import threading
+
+    uri = "s3://lake/tables/live_ins"
+    _seed_table(spark, uri, n=100, files=2)
+    S.convert_to_manifest(spark, uri)
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def worker(lo: int) -> None:
+        try:
+            batch = _batch(spark, lo, lo + 50)
+            barrier.wait(timeout=30)
+            assert S.insert_into(spark, uri, batch) == 50
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=worker, args=(1000,))
+    t2 = threading.Thread(target=worker, args=(2000,))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert not errs, errs
+    tbl = S.read_table(spark, uri)
+    assert tbl.count() == 200
+    assert tbl.where("id >= 1000").count() == 100
+    assert S._load_manifest(uri)["gen_no"] == 3
+
+
 def test_concurrent_merges_same_absent_key_no_duplicate(
     s3env, spark, monkeypatch
 ):
