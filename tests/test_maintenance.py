@@ -2456,6 +2456,8 @@ def test_live_concurrent_inserts_rebase_local(spark, tmp_path):
     t1 = threading.Thread(target=worker, args=(1000,))
     t2 = threading.Thread(target=worker, args=(2000,))
     t1.start(); t2.start(); t1.join(60); t2.join(60)
+    # a hung fence must fail HERE, not as a confusing row-count miss
+    assert not t1.is_alive() and not t2.is_alive(), "worker hung"
     assert not errs, errs
     tbl = S.read_table(spark, path)
     assert tbl.count() == 200
