@@ -2463,3 +2463,62 @@ def test_live_concurrent_inserts_rebase_local(spark, tmp_path):
     assert tbl.count() == 200
     assert tbl.where("id >= 1000").count() == 100
     assert S._load_manifest(path)["gen_no"] == 3
+
+
+def test_rebase_ingest_stress_exactly_once(spark, tmp_path):
+    """Contention stress on the rebase path: four writer threads, each
+    applying three txn-marked batches INCLUDING a duplicate delivery,
+    with NO retry_on_conflict wrapper — commit-level rebase plus the
+    txn watermark alone must produce exactly-once table effects under
+    real interleaving. The final state is deterministic regardless of
+    the winning order: every (app, version) batch lands exactly once
+    and each app's watermark is its max version."""
+    import threading
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "stress")
+    spark.range(100).selectExpr("id", "id % 10 as grp").repartition(
+        2
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+    errs: list[Exception] = []
+    barrier = threading.Barrier(4)
+
+    def worker(w: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            for ver in (1, 2, 3):
+                lo = 10_000 * (w + 1) + 100 * ver
+                batch = spark.range(lo, lo + 10).selectExpr(
+                    "id", "id % 10 as grp"
+                )
+                n = S.insert_into(
+                    spark, path, batch, txn=(f"app{w}", ver)
+                )
+                assert n in (0, 10)  # 0 only if a duplicate raced in
+                if ver == 2:  # at-least-once: redeliver the same batch
+                    assert S.insert_into(
+                        spark, path, batch, txn=(f"app{w}", 2)
+                    ) == 0
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert all(not t.is_alive() for t in threads), "worker hung"
+    assert not errs, errs
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 100 + 4 * 3 * 10  # every batch exactly once
+    assert tbl.where("id >= 10000").count() == 120
+    # no duplicates anywhere (each id unique by construction)
+    assert tbl.select("id").distinct().count() == tbl.count()
+    man = S._load_manifest(path)
+    assert man["txn"] == {f"app{w}": 3 for w in range(4)}
+    # 12 applied commits: convert(1) + one generation per landed batch
+    assert man["gen_no"] == 13
