@@ -961,6 +961,7 @@ def _rebase_ok(
     dropped: set[str],
     loose_consumed: set[str],
     snapshot_names: set[str] = frozenset(),
+    dv_targets: set[str] = frozenset(),
     dv_immaterial: bool = False,
     allow_added: bool = True,
 ) -> bool:
@@ -999,6 +1000,12 @@ def _rebase_ok(
         return False
     live2 = {e["name"] for e in entries2}
     if not dropped <= live2:
+        return False
+    if not dv_targets <= live2:
+        # this commit MARKS deletion vectors on files the winner
+        # rewrote/compacted away — its position sets are against dead
+        # bytes (found by the concurrent pair fuzz: a DV update racing
+        # a compaction of its target file); must re-run, not rebase
         return False
     if not allow_added and not live2 <= snapshot_names:
         return False
@@ -1419,6 +1426,9 @@ def _commit_generation(
                 man, man2, entries2, loose2,
                 dropped=dropped, loose_consumed=loose_consumed,
                 snapshot_names=snapshot_names,
+                dv_targets=(
+                    set(dv_n) if dv_n and not pure_append else set()
+                ),
                 dv_immaterial=pure_append,
                 # merge takes its NOT-MATCHED branch against the
                 # snapshot — a winner that ADDED rows invalidates it
@@ -3106,20 +3116,24 @@ def _is_stale_snapshot_error(exc: Exception) -> bool:
     ConcurrentDeleteReadException), so the retry loop classifies it as
     retryable.
 
-    A Python FileNotFoundError only counts when the MISSING PATH is one
-    of the protocol's own data objects (``gen-*/`` generation members,
+    A Python FileNotFoundError — or Spark's analysis-time
+    ``[PATH_NOT_FOUND]`` (the same race caught at DataFrame
+    CONSTRUCTION instead of execution; surfaced by the concurrent
+    pair fuzz) — only counts when the MISSING PATH is one of the
+    protocol's own data objects (``gen-*/`` generation members,
     top-level ``part-*`` appends, DV/CDC sidecars) — a retire can only
-    ever delete those. A genuinely missing/typo'd table path raises a
-    FileNotFoundError too, and blanket-retrying it would silently
-    re-run the whole op ``attempts`` times before surfacing the real
-    error."""
-    if isinstance(exc, FileNotFoundError):
-        s = str(exc)
-        return any(
-            tok in s for tok in ("gen-", "part-", "dv-", "adopted-", "cdc-")
-        )
+    ever delete those. A genuinely missing/typo'd table path raises
+    these too, and blanket-retrying it would silently re-run the whole
+    op ``attempts`` times before surfacing the real error."""
     msg = str(exc)
-    return "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg
+    protocol_obj = any(
+        tok in msg for tok in ("gen-", "part-", "dv-", "adopted-", "cdc-")
+    )
+    if isinstance(exc, FileNotFoundError):
+        return protocol_obj
+    if "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg:
+        return True
+    return "PATH_NOT_FOUND" in msg and protocol_obj
 
 
 def retry_on_conflict(fn, attempts: int = 3):

@@ -2522,3 +2522,119 @@ def test_rebase_ingest_stress_exactly_once(spark, tmp_path):
     assert man["txn"] == {f"app{w}": 3 for w in range(4)}
     # 12 applied commits: convert(1) + one generation per landed batch
     assert man["gen_no"] == 13
+
+
+@_pt.mark.parametrize("seed", [20260815, 907])
+def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
+    """Seeded CONCURRENCY fuzz for the rebase protocol: each round runs
+    TWO randomly chosen DML ops in parallel threads (each under
+    retry_on_conflict, so overlapping conflicts re-run and disjoint
+    ones rebase), then asserts the table equals ONE of the two serial
+    orders of the pair applied to the model — the WriteSerializable
+    guarantee, checked mechanically. A rebase that merged two commits
+    into a state no serialization produces (lost rows, double
+    inserts, missed updates) fails the round it happens in."""
+    import random
+    import threading
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"pair{seed}")
+    model = {i: float(i) for i in range(300)}
+
+    def to_df(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "id long, v double"
+        )
+
+    S.write_parquet(to_df(model).repartition(4), path)
+    S.convert_to_manifest(spark, path)
+    next_id = [10_000, 50_000]  # per-thread-slot fresh-id pools
+
+    def make_op(slot: int):
+        """One (table_action, model_fn) pair; model_fn is PURE so the
+        two serial orders can both be computed."""
+        kind = rng.choice(["delete", "update", "merge", "insert",
+                           "compact"])
+        if kind == "delete":
+            victims = rng.sample(sorted(model), k=min(3, len(model)))
+            pred = f"id IN ({', '.join(map(str, victims))})"
+            dv = bool(rng.getrandbits(1))
+
+            def act():
+                S.delete_where(spark, path, pred, deletion_vectors=dv)
+
+            def mod(m):
+                return {k: v for k, v in m.items() if k not in victims}
+        elif kind == "update":
+            lo = rng.randrange(0, 300)
+            bump = float(rng.randrange(1, 50))
+            dv = bool(rng.getrandbits(1))
+
+            def act():
+                S.update_where(spark, path, {"v": f"v + {bump}"},
+                               f"id BETWEEN {lo} AND {lo + 30}",
+                               deletion_vectors=dv)
+
+            def mod(m):
+                return {
+                    k: (v + bump if lo <= k <= lo + 30 else v)
+                    for k, v in m.items()
+                }
+        elif kind == "merge":
+            ups = rng.sample(sorted(model), k=min(2, len(model)))
+            fresh = [next_id[slot], next_id[slot] + 1]
+            next_id[slot] += 2
+            batch = {i: float(rng.randrange(0, 10_000))
+                     for i in ups + fresh}
+
+            def act():
+                S.merge_into(spark, path, to_df(batch), keys=["id"],
+                             broadcast_updates=True)
+
+            def mod(m):
+                return {**m, **batch}
+        elif kind == "insert":
+            fresh = {next_id[slot] + i: float(rng.randrange(0, 10_000))
+                     for i in range(3)}
+            next_id[slot] += 3
+
+            def act():
+                S.insert_into(spark, path, to_df(fresh))
+
+            def mod(m):
+                return {**m, **fresh}
+        else:
+
+            def act():
+                S.compact_small_files(spark, path, target_bytes=1 << 20)
+
+            def mod(m):
+                return dict(m)
+        return act, mod
+
+    for rnd in range(8):
+        (act_a, mod_a), (act_b, mod_b) = make_op(0), make_op(1)
+        errs: list[Exception] = []
+        barrier = threading.Barrier(2)
+
+        def run(act):
+            try:
+                barrier.wait(timeout=30)
+                S.retry_on_conflict(act, attempts=8)
+            except Exception as e:  # surfaced below
+                errs.append((type(e).__name__, str(e)[:800]))
+
+        t1 = threading.Thread(target=run, args=(act_a,))
+        t2 = threading.Thread(target=run, args=(act_b,))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert not t1.is_alive() and not t2.is_alive(), "worker hung"
+        assert not errs, (rnd, errs)
+        got = {r.id: r.v for r in S.read_table(spark, path).collect()}
+        ab, ba = mod_b(mod_a(model)), mod_a(mod_b(model))
+        assert got in (ab, ba), (
+            f"round {rnd}: outcome matches NEITHER serialization "
+            f"(extra={set(got) - set(ab)} missing={set(ab) - set(got)})"
+        )
+        model = got
