@@ -2524,23 +2524,25 @@ def test_rebase_ingest_stress_exactly_once(spark, tmp_path):
     assert man["gen_no"] == 13
 
 
-@_pt.mark.parametrize("seed", [20260815, 907])
-def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
-    """Seeded CONCURRENCY fuzz for the rebase protocol: each round runs
-    TWO randomly chosen DML ops in parallel threads (each under
-    retry_on_conflict, so overlapping conflicts re-run and disjoint
-    ones rebase), then asserts the table equals ONE of the two serial
-    orders of the pair applied to the model — the WriteSerializable
-    guarantee, checked mechanically. A rebase that merged two commits
-    into a state no serialization produces (lost rows, double
-    inserts, missed updates) fails the round it happens in."""
+def run_concurrent_pair_fuzz(spark, path, seed, rounds=8):
+    """Seeded CONCURRENCY fuzz for the rebase protocol, path-
+    parameterized so the object-store suite (tests/test_manifest_s3.py)
+    replays it over s3://: each round runs TWO randomly chosen DML ops
+    in parallel threads (each under retry_on_conflict, so overlapping
+    conflicts re-run and disjoint ones rebase), then asserts the table
+    equals ONE of the two serial orders of the pair applied to the
+    model — the WriteSerializable guarantee, checked mechanically. A
+    rebase that merged two commits into a state no serialization
+    produces (lost rows, double inserts, missed updates) fails the
+    round it happens in. It caught two real defects on its first runs
+    (dv-target liveness in _rebase_ok; PATH_NOT_FOUND stale-snapshot
+    classification)."""
     import random
     import threading
 
     import retail_sales_data_pipeline_spark.sinks as S
 
     rng = random.Random(seed)
-    path = str(tmp_path / f"pair{seed}")
     model = {i: float(i) for i in range(300)}
 
     def to_df(d):
@@ -2614,7 +2616,7 @@ def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
                 return dict(m)
         return act, mod
 
-    for rnd in range(8):
+    for rnd in range(rounds):
         (act_a, mod_a), (act_b, mod_b) = make_op(0), make_op(1)
         errs: list[Exception] = []
         barrier = threading.Barrier(2)
@@ -2638,3 +2640,8 @@ def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
             f"(extra={set(got) - set(ab)} missing={set(ab) - set(got)})"
         )
         model = got
+
+
+@_pt.mark.parametrize("seed", [20260815, 907])
+def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
+    run_concurrent_pair_fuzz(spark, str(tmp_path / f"pair{seed}"), seed)

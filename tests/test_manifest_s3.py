@@ -564,6 +564,19 @@ def test_dml_model_fuzz_on_s3(s3env, spark):
     )
 
 
+def test_concurrent_pair_fuzz_on_s3(s3env, spark):
+    """The concurrency pair fuzz (tests/test_maintenance.py) replayed
+    over s3:// — real threads racing DML through the ETag-CAS fence
+    and the rebase path, every round's outcome checked against the two
+    serializations. Trimmed round count: every control-plane call is a
+    signed HTTP round trip here."""
+    from tests.test_maintenance import run_concurrent_pair_fuzz
+
+    run_concurrent_pair_fuzz(
+        spark, "s3://lake/tables/pairfuzz", 20260815, rounds=5
+    )
+
+
 def test_transient_5xx_retried_4xx_fail_fast(s3env, spark, monkeypatch):
     """The adapter absorbs throttling the way a production S3 client
     must: 503 SlowDown responses are retried with backoff (each attempt
