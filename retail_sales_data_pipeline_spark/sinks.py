@@ -324,7 +324,9 @@ def _load_shard(table_path: str, rel: str) -> list[dict]:
             raise FileNotFoundError(os.path.join(table_path, rel))
         got = doc["entries"]
         if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
-            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+            # default=None: two concurrent writer threads (the rebase
+            # races are real) may evict the same head key
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)), None)
         _SHARD_CACHE[key] = got
     return got
 
@@ -2417,7 +2419,9 @@ def insert_into(
                     [os.path.join(path, e["name"]) for e in entries],
                 ).schema
                 if len(_MIXED_SCHEMA_CACHE) >= 64:
-                    _MIXED_SCHEMA_CACHE.pop(next(iter(_MIXED_SCHEMA_CACHE)))
+                    _MIXED_SCHEMA_CACHE.pop(
+                        next(iter(_MIXED_SCHEMA_CACHE)), None
+                    )
                 _MIXED_SCHEMA_CACHE[key] = tbl_schema
         else:
             tbl_schema = _read_files(
