@@ -2237,11 +2237,13 @@ def test_sharded_manifest_index_lifecycle(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "sharded")
     df = spark.range(8000).selectExpr("id", "id % 10 as grp")
     df.repartition(8).write.mode("overwrite").parquet(path)
-    assert S.convert_to_manifest(spark, path) == 1  # inline first commit
+    # convert of an above-threshold directory shards IMMEDIATELY
+    # (round-9 follow-up: no 20 MB inline root on big adoptions)
+    assert S.convert_to_manifest(spark, path) == 1
     man1 = S._load_manifest(path)
-    assert "files" in man1 and not man1.get("files_ext")
+    assert man1.get("files_ext") and "files" not in man1
 
-    # first DML commit crosses the threshold -> sharded root
+    # DML keeps the sharded layout; membership-changed shards rewrite
     n = S.delete_where(spark, path, "id % 1000 = 3", retain_versions=2)
     assert n == 8
     man2 = S._load_manifest(path)
