@@ -889,7 +889,9 @@ def _read_version(
     )
 
 
-def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
+def _cleanup_empty_gen_dirs(
+    path: str, live_names: set[str], touched: set[str]
+) -> None:
     """Remove generation directories fully drained by a retire: no
     live-referenced files AND no data files left on disk. A dir that
     still holds data files but no live references is a crashed staging
@@ -898,15 +900,25 @@ def _cleanup_empty_gen_dirs(path: str, live_names: set[str]) -> None:
     in-flight Spark write (its part files don't exist until task
     commit): skip it — the writer's own commit or the TTL vacuum owns
     its fate, and deleting it here would kill the racing job with a
-    FileNotFoundError instead of the fence's ConcurrentWriteError."""
+    FileNotFoundError instead of the fence's ConcurrentWriteError.
+    The sweep considers ONLY directories named in ``touched`` — the
+    generation dirs this retire actually drained — never every gen-*
+    dir on disk: Spark's job setup creates a staging dir an instant
+    before ``_temporary`` lands inside it, and the concurrent pair
+    fuzz caught an any-dir sweep deleting a racing writer's
+    just-created staging inside that window (the loser's write then
+    died with a Py4J error no retry classifier knows). A foreign
+    writer's staging is never in this commit's dead set, so scoping
+    the sweep to ``touched`` closes the race exactly; crash-orphaned
+    empties are TTL vacuum's job."""
     io = _io(path)
     live_dirs = {n.split("/", 1)[0] for n in live_names if "/" in n}
-    for child in io.listdir(path):
+    for child in sorted(touched):
         cp = os.path.join(path, child)
         if (
             child.startswith("gen-")
-            and io.isdir(cp)
             and child not in live_dirs
+            and io.isdir(cp)
             and not io.exists(os.path.join(cp, "_temporary"))
             and not io.list_basenames(cp, "part-")
             and not io.list_basenames(cp, "adopted-")
@@ -1469,7 +1481,10 @@ def _commit_generation(
     dead = [os.path.join(path, n) for n in old_names - live]
     dead += [os.path.join(path, f) for f in set(stale) | set(loose)]
     _retire(dead)
-    _cleanup_empty_gen_dirs(path, live)
+    _cleanup_empty_gen_dirs(
+        path, live,
+        {n.split("/", 1)[0] for n in old_names - live if "/" in n},
+    )
     return gen_no, manifest, len(staged)
 
 
@@ -2606,7 +2621,10 @@ def rollback(
             dead |= _dv_names(h)
             dead |= _shard_names(h)
         _retire([os.path.join(path, n) for n in dead - live])
-        _cleanup_empty_gen_dirs(path, live)
+        _cleanup_empty_gen_dirs(
+            path, live,
+            {n.split("/", 1)[0] for n in dead - live if "/" in n},
+        )
     return gen_no
 
 
