@@ -2218,6 +2218,78 @@ SELECT '_txn', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus_merge_evolve — schema evolution under MERGE
+# (sinks.merge_into(evolve_schema=True), the Delta autoMerge analogue
+# generalizing the reference's extra-column fold,
+# src/main/transformations/jobs/main.py:245-254) as a driver-checked
+# query: seed a manifest table with the doc_id%4 IN (0,1,2) slice of
+# `documents`, then MERGE a batch of the odd doc_ids that ADDS a `rev`
+# column and OMITS `n_chars`. doc_id%4==1 rows MATCH (replaced by
+# evolved rows: n_chars → NULL, rev set), doc_id%4==3 rows are
+# inserted, doc_id%4 IN (0,2) rows survive in CARRIED files whose old
+# physical schema lacks `rev` — the mixed-schema read must reconcile
+# them to rev=NULL. The result groups by (source, lang) with count()
+# vs count(col) pairs so a wrong NULL backfill on EITHER column, a
+# dropped carried file, or a double-applied match all hash-mismatch.
+# The oracle is the equivalent UNION with explicit NULL casts. Same
+# rebuilt-per-call work dir lifecycle as dv_takedown_counts.
+# ---------------------------------------------------------------------------
+def corpus_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .. import sinks as S
+
+    docs = load_table(
+        spark, sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+    )
+    path = os.path.join(_workdir(("merge_evolve", sf_dir), "merge_evolve_"),
+                        "docs")
+    shutil.rmtree(path, ignore_errors=True)
+    S.write_parquet(docs.where("doc_id % 4 IN (0, 1, 2)"), path)
+    # several files sorted by doc_id so the matched odd keys cluster:
+    # the footer-pruned MERGE rewrites only the files holding %4==1
+    # rows and carries the rest by reference under the OLD schema
+    S.compact_parquet(spark, path, target_files=4, sort_col="doc_id")
+    batch = docs.where("doc_id % 2 = 1").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("doc_id % 7").cast("long").alias("rev"),  # added column
+        # n_chars omitted: matched rows evolve to n_chars=NULL
+    )
+    S.merge_into(spark, path, batch, keys=["doc_id"], evolve_schema=True)
+    return (
+        S.read_table(spark, path)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.count("rev").alias("n_with_rev"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("rev").cast("long").alias("total_rev"),
+        )
+    )
+
+
+_MERGE_EVOLVE_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       count(n_chars) AS n_with_chars,
+       count(rev) AS n_with_rev,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(rev) AS BIGINT) AS total_rev
+FROM (
+  SELECT lang, source, n_chars, CAST(NULL AS BIGINT) AS rev
+  FROM documents WHERE doc_id % 4 IN (0, 2)
+  UNION ALL
+  SELECT lang, source, CAST(NULL AS BIGINT) AS n_chars, doc_id % 7 AS rev
+  FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY source, lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "sketch_heavy_sources": sketch_heavy_sources,
@@ -2259,6 +2331,7 @@ QUERIES = {
     "dedup_fuzzy_keys": dedup_fuzzy_keys,
     "dv_takedown_counts": dv_takedown_counts,
     "corpus_ingest_exactly_once": corpus_ingest_exactly_once,
+    "corpus_merge_evolve": corpus_merge_evolve,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -2306,4 +2379,5 @@ ORACLE_SQL = {
     "dv_takedown_counts": _DV_TAKEDOWN_SQL,
     "corpus_scan_pruned": _SCAN_PRUNED_SQL,
     "corpus_ingest_exactly_once": _INGEST_EO_SQL,
+    "corpus_merge_evolve": _MERGE_EVOLVE_SQL,
 }

@@ -30,10 +30,11 @@ _MODULES = [
 # refreshed the r3-era greens plus the two never-checked additions; round 6
 # rotated in the 50 queries whose last green row was r4; round 7 rotated
 # onto the 48 r5-stale queries plus the two r6 additions; round 8 took the
-# 49 r6-stale queries plus never-checked corpus_scan_pruned; round 9
-# (current) rotates onto the 49 r7-stale queries plus the never-checked
-# corpus_ingest_exactly_once — exactly the tools/rotate_registry.py output
-# against the r8 history.
+# 49 r6-stale queries plus never-checked corpus_scan_pruned; round 9 took
+# the 49 r7-stale queries plus never-checked corpus_ingest_exactly_once;
+# round 10 (current) rotates onto the 49 r8-stale queries plus the
+# never-checked corpus_merge_evolve — exactly the
+# tools/rotate_registry.py output against the r9 history.
 # Queries not listed keep their module order after these; the full surface
 # stays covered by tools/drive_contract.py locally.
 #
@@ -63,60 +64,64 @@ _MODULES = [
 # replay protocol) and bought it back by retiring ``ann_auto_topk``
 # (verbatim _LSH_BANDED_SQL oracle twin of ``ann_lsh_banded_topk``;
 # the auto-selection logic stays pinned by tests/test_similarity.py
-# and the twin-equivalence test) — 99 registered, one free slot.
+# and the twin-equivalence test); round 10 spent that slot on
+# ``corpus_merge_evolve`` (merge_into(evolve_schema=True) — the
+# mixed-schema NULL-backfill read under the hard signal) — back at
+# the 100/50 ceiling: the NEXT query addition must retire a twin
+# first (see retired_twins()).
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
-    "corpus_ingest_exactly_once",  # never checked
-    "customer_monthly_mart",  # green r7
-    "sales_team_mart",  # green r7
-    "star_join_enrich",  # green r7
-    "conform_union",  # green r7
-    "ledger_filter",  # green r7
-    "sketch_heavy_sources",  # green r7
-    "dedup_exact",  # green r7
-    "dedup_minhash_lsh",  # green r7
-    "dedup_simhash",  # green r7
-    "corpus_report",  # green r7
-    "corpus_approx_distinct",  # green r7
-    "dedup_incremental",  # green r7
-    "corpus_curation_funnel",  # green r7
-    "streaming_quality_filter",  # green r7
-    "corpus_split_assign",  # green r7
-    "corpus_shuffle_shard",  # green r7
-    "dv_takedown_counts",  # green r7
-    "events_hourly_rollup",  # green r7
-    "events_sessionize",  # green r7
-    "events_json_variant",  # green r7
-    "events_daily_stats",  # green r7
-    "events_asof_attribution",  # green r7
-    "events_range_pairs",  # green r7
-    "events_funnel",  # green r7
-    "events_cohort_retention",  # green r7
-    "streaming_hourly_rollup",  # green r7
-    "streaming_dedup_rollup",  # green r7
-    "streaming_sessionize",  # green r7
-    "events_approx_quantiles",  # green r7
-    "events_rolling_7day",  # green r7
-    "ann_cosine_topk",  # green r7
-    "ann_lsh_topk",  # green r7
-    "ann_ivf_topk",  # green r7
-    "dedup_embedding_cosine",  # green r7
-    "ann_recall_at_5",  # green r7
-    "kmeans_embeddings",  # green r7
-    "ann_quantized_topk",  # green r7
-    "dedup_semantic_cells",  # green r7
-    "kmeans_fixed_assign",  # green r7
-    "dedup_semantic_keep",  # green r7
-    "cluster_balanced_sample",  # green r7
-    "ann_label_agreement",  # green r7
-    "multimodal_decode",  # green r7
-    "multimodal_frame_sample",  # green r7
-    "multimodal_resize",  # green r7
-    "multimodal_pointer_decode",  # green r7
-    "multimodal_embed_texts",  # green r7
-    "multimodal_text_retrieval",  # green r7
-    "distinct_dedup",  # green r8
+    "corpus_merge_evolve",  # never checked
+    "monthly_grouped_sum",  # green r8
+    "month_key_forms",  # green r8
+    "product_enrich",  # green r8
+    "sales_rollup",  # green r8
+    "sales_cube",  # green r8
+    "customers_churned",  # green r8
+    "suppliers_with_returns",  # green r8
+    "customer_upsert",  # green r8
+    "scd2_customer_segments",  # green r8
+    "key_skew_profile",  # green r8
+    "maintenance_compaction_plan",  # green r8
+    "dq_violations",  # green r8
+    "mart_reconcile",  # green r8
+    "top_customers_per_month",  # green r8
+    "sales_pivot_by_flag",  # green r8
+    "customer_running_total",  # green r8
+    "monthly_price_quantiles",  # green r8
+    "revenue_anomalies",  # green r8
+    "order_value_quartiles",  # green r8
+    "text_token_stats",  # green r8
+    "profile_documents_stats",  # green r8
+    "corpus_scan_pruned",  # green r8
+    "text_quality",  # green r8
+    "text_lang_id",  # green r8
+    "text_fingerprint",  # green r8
+    "dedup_ngram_jaccard",  # green r8
+    "dedup_clusters",  # green r8
+    "dedup_rate_by_lang",  # green r8
+    "corpus_filter_pipeline",  # green r8
+    "corpus_sample",  # green r8
+    "corpus_stratified_sample",  # green r8
+    "corpus_tfidf_terms",  # green r8
+    "corpus_length_histogram",  # green r8
+    "text_redact_pii",  # green r8
+    "corpus_pack_sequences",  # green r8
+    "corpus_decontaminate",  # green r8
+    "text_repetition",  # green r8
+    "corpus_source_mix",  # green r8
+    "corpus_boilerplate_ngrams",  # green r8
+    "corpus_ngram_novelty",  # green r8
+    "dedup_keep_canonical",  # green r8
+    "text_langid_confusion",  # green r8
+    "corpus_unigram_logprob",  # green r8
+    "corpus_quality_sample",  # green r8
+    "corpus_mix_rebalance",  # green r8
+    "dedup_fuzzy_keys",  # green r8
+    "streaming_sessionize_complete",  # green r8
+    "ann_lsh_banded_topk",  # green r8
+    "decontaminate_semantic",  # green r8
 ]
 
 
