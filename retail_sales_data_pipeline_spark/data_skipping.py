@@ -258,6 +258,33 @@ def prune_entries(entries: list[dict], predicate: str) -> list[dict]:
     ]
 
 
+def shard_admits(atoms: list[tuple]):
+    """Predicate over ROOT manifest shard records (round 10): each
+    record carries the same ``rows``/``stats``/``nulls`` shape as a
+    file entry, aggregated over its members by ``sinks._shard_agg``,
+    so :func:`_entry_admits` evaluates it verbatim at shard
+    granularity. Records without the aggregate (pre-r10) admit."""
+    def admits(rec: dict) -> bool:
+        return all(_entry_admits(rec, a) for a in atoms)
+
+    return admits
+
+
+def _scan_admits(predicate: str | None):
+    """The shard filter for one scan, or None when no provable atoms
+    exist. MIXED-SCHEMA tables are carved out inside ``_live_state``
+    itself (stats pruning there can drop every file that physically
+    CARRIES an evolved column, and the merged-footer read of the
+    survivors would lose the column from the scan schema — the
+    re-applied predicate would then fail to resolve); a full rewrite
+    unifies the physical schema, clears the flag, and re-enables
+    skipping."""
+    if not predicate:
+        return None
+    atoms = pruning_atoms(predicate)
+    return shard_admits(atoms) if atoms else None
+
+
 def scan_table(
     spark: SparkSession,
     path: str,
@@ -270,21 +297,39 @@ def scan_table(
     predicate is still applied to the result, so an unparseable or
     partially-parseable predicate costs pruning, never rows. Loose
     append files (no stats yet) are always scanned. Falls back to the
-    plain resolved read for never-rewritten tables."""
-    man, entries, loose, _ = _live_state(path)
+    plain resolved read for never-rewritten tables.
+
+    SHARDED tables (round 10) additionally skip at INDEX granularity:
+    the root's per-shard aggregate stats are tested first, and entry
+    shards whose aggregate range disproves the predicate are never
+    loaded at all — a selective scan of a 1M-file table resolves by
+    reading the root plus O(touched shards), not the whole index.
+    Mixed-schema tables skip this (see :func:`_scan_admits`)."""
+    man, entries, loose, _ = _live_state(
+        path, shard_admits=_scan_admits(predicate)
+    )
     if man is None:
         from .sinks import _spark_path
 
         df = spark.read.parquet(_spark_path(path))
     else:
         all_entries = entries  # pre-prune list: schema source below
-        if predicate:
+        if predicate and not man.get("mixed_schema"):
             entries = prune_entries(entries, predicate)
         rels = [e["name"] for e in entries] + list(loose)
         if not rels:
             # everything pruned: an empty frame with the table schema
             # (no second _live_state — one directory snapshot per scan)
             src = [os.path.join(path, e["name"]) for e in all_entries]
+            if not src:
+                # even the index shards were skipped: ONE shard load
+                # recovers a schema-bearing file
+                from .sinks import _load_shard
+
+                first = man["files_ext"]["shards"][0]
+                src = [os.path.join(
+                    path, _load_shard(path, first["name"])[0]["name"]
+                )]
             df = _read_files(spark, man, src).limit(0)
         else:
             # DV-aware: deletion-vector-deleted rows never surface
@@ -303,6 +348,28 @@ def files_scanned(path: str, predicate: str | None = None) -> int:
     man, entries, loose, _ = _live_state(path)
     if man is None:
         return -1  # unmanaged table: directory scan, count unknown
-    if predicate:
+    if predicate and not man.get("mixed_schema"):
         entries = prune_entries(entries, predicate)
     return len(entries) + len(loose)
+
+
+def shards_loaded(path: str, predicate: str | None = None) -> tuple[int, int]:
+    """``(index shards scan_table would load, total shards)`` for a
+    sharded table under ``predicate`` — the round-10 observable: no
+    shard bodies are read, only the root's aggregate records are
+    evaluated. ``(total, total)`` when shard skipping doesn't apply
+    (inline table, no provable atoms, mixed schema)."""
+    from .sinks import _load_manifest
+
+    man = _load_manifest(path)
+    shards = ((man or {}).get("files_ext") or {}).get("shards", [])
+    admits = (
+        None if man is not None and man.get("mixed_schema")
+        else _scan_admits(predicate)
+    )
+    if admits is None:
+        return len(shards), len(shards)
+    return (
+        sum(1 for s in shards if admits(s) or s.get("top", 1)),
+        len(shards),
+    )

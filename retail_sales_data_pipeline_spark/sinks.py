@@ -331,6 +331,74 @@ def _load_shard(table_path: str, rel: str) -> list[dict]:
     return got
 
 
+def _shard_agg(chunk: list[dict]) -> dict:
+    """Shard-level aggregate pruning facts for the ROOT manifest's
+    shard record (round 10, the Iceberg manifest-list min/max model):
+    ``rows`` (sum), ``stats`` (per-column [min, max] unioned over the
+    shard's entries), ``nulls`` (per-column summed null counts) and
+    ``top`` (how many entries name TOP-LEVEL files — the loose-file
+    classifier needs those names even when a predicate disproves the
+    shard). The record is shaped exactly like a file entry, so
+    ``data_skipping._entry_admits`` evaluates it unchanged at shard
+    granularity: a selective scan loads only the shards whose
+    aggregate range admits the predicate, O(touched shards) instead of
+    O(all shards). Conservative by omission — a column is dropped from
+    the aggregate the moment ANY member entry lacks the fact (missing
+    span admits; missing null count admits), so pruning can only skip
+    shards PROVABLY empty of matches and the full predicate is still
+    re-applied after the scan."""
+    rows = 0
+    rows_known = True
+    top = 0
+    for e in chunk:
+        if "/" not in e["name"]:
+            top += 1
+        r = e.get("rows")
+        if r is None:
+            rows_known = False
+        else:
+            rows += r
+    # a null count survives only if EVERY member entry records it
+    null_cols = set.intersection(
+        *[set(e.get("nulls") or {}) for e in chunk]
+    ) if chunk else set()
+    nulls = {c: sum(e["nulls"][c] for e in chunk) for c in null_cols}
+    # a span survives only if every entry records one for the column
+    # OR is provably all-NULL in it (no values to constrain the union)
+    span_cols: set[str] = set()
+    for e in chunk:
+        span_cols |= set(e.get("stats") or {})
+    stats: dict[str, list] = {}
+    for c in sorted(span_cols):
+        agg: list | None = None
+        for e in chunk:
+            span = (e.get("stats") or {}).get(c)
+            if span is not None:
+                try:
+                    agg = (
+                        [span[0], span[1]] if agg is None
+                        else [min(agg[0], span[0]), max(agg[1], span[1])]
+                    )
+                except TypeError:
+                    agg = None
+                    break
+                continue
+            r = e.get("rows")
+            n = (e.get("nulls") or {}).get(c)
+            if r is not None and n is not None and 0 < r <= n:
+                continue  # all-NULL entry
+            agg = None
+            break
+        if agg is not None:
+            stats[c] = agg
+    return {
+        "rows": rows if rows_known else None,
+        "stats": stats,
+        "nulls": nulls,
+        "top": top,
+    }
+
+
 def _externalize_entries(
     io,
     path: str,
@@ -358,8 +426,16 @@ def _externalize_entries(
     carried: list[dict] = []
     residual = set(keep_names)
     for s in (man_prev.get("files_ext") or {}).get("shards", []):
-        names = {e["name"] for e in _load_shard(path, s["name"])}
+        members = _load_shard(path, s["name"])
+        names = {e["name"] for e in members}
         if names <= keep_names and len(names) >= _SHARD_SIZE // 2:
+            if "top" not in s:
+                # pre-r10 record: backfill the shard-level pruning
+                # aggregate (the members are already in hand — zero
+                # extra I/O) so old tables gain scan-time shard
+                # skipping at their next commit
+                s = {"name": s["name"], "count": s["count"],
+                     **_shard_agg(members)}
             carried.append(s)
             residual -= names
     by_name = {e["name"]: e for e in keep_entries}
@@ -370,7 +446,7 @@ def _externalize_entries(
         rel = f"{gen}/entries-{salt}{i // _SHARD_SIZE:04d}.json"
         io.write_json(os.path.join(path, rel), {"entries": chunk})
         _SHARD_CACHE[(path, rel)] = chunk  # immutable: warm eagerly
-        shards.append({"name": rel, "count": len(chunk)})
+        shards.append({"name": rel, "count": len(chunk), **_shard_agg(chunk)})
     return {"shards": shards}
 
 
@@ -408,7 +484,10 @@ def _entry_rows(table_path: str, entry: dict) -> int:
     return entry["rows"]
 
 
-def _live_state(path: str) -> tuple[dict | None, list[dict], list[str], list[str]]:
+def _live_state(
+    path: str,
+    shard_admits=None,
+) -> tuple[dict | None, list[dict], list[str], list[str]]:
     """ONE directory snapshot resolving the live table: ``(manifest,
     referenced file entries, loose append basenames, stale superseded
     basenames still on disk)``. Everything a rewrite reads AND the
@@ -419,19 +498,85 @@ def _live_state(path: str) -> tuple[dict | None, list[dict], list[str], list[str
     Top-level files REFERENCED by the current manifest or a retained
     history version are not loose: :func:`convert_to_manifest` adopts a
     plain directory's files in place (zero rewrite), so referenced
-    names can live at the table root."""
+    names can live at the table root.
+
+    ``shard_admits`` (round 10, the scan path only) is a predicate
+    over ROOT shard records: on a sharded table, entry shards it
+    rejects are never loaded — a selective scan resolves O(touched
+    shards), the Iceberg manifest-list model. Correctness carve-outs,
+    both conservative: a rejected shard whose record shows (or, pre-
+    r10 record, may show) TOP-LEVEL file names still loads, because
+    the loose-append classifier needs those names to avoid double-
+    scanning an adopted file as loose (``top`` in the record makes
+    this free for the normal all-in-generation-dirs layout); and
+    history versions load only their possibly-top-level shards, since
+    history names feed nothing but that classifier."""
     man = _load_manifest(path)
     top = _top_level_part_files(path)
     if man is None:
         return None, [], top, []
     sup = set(man.get("superseded", []))
-    entries = _version_files(man, path)
-    referenced = {e["name"] for e in entries}
-    for h in man.get("history", []):
-        referenced |= {e["name"] for e in _version_files(h, path)}
+    if man.get("mixed_schema"):
+        # stats pruning on a mixed-schema table can drop every file
+        # that physically CARRIES an evolved column, and the merged-
+        # footer read of the survivors would lose the column from the
+        # scan schema — enforce the carve-out HERE so no caller can
+        # trip it
+        shard_admits = None
+    if shard_admits is None:
+        entries = _version_files(man, path)
+        referenced = {e["name"] for e in entries}
+        for h in man.get("history", []):
+            referenced |= {e["name"] for e in _version_files(h, path)}
+    else:
+        entries, referenced = _version_files_admitted(
+            man, path, shard_admits
+        )
+        for h in man.get("history", []):
+            referenced |= _version_top_names(h, path)
     loose = [f for f in top if f not in sup and f not in referenced]
     stale = sorted(sup & set(top))
     return man, entries, loose, stale
+
+
+def _version_files_admitted(
+    version: dict, table_path: str, admits
+) -> tuple[list[dict], set[str]]:
+    """Scan-path resolve of one version: ``(entries of admitted
+    shards, referenced names)``. Shards rejected by ``admits`` are
+    skipped without I/O when their record proves they hold no
+    top-level names; otherwise they load for the name set only."""
+    ext = version.get("files_ext")
+    if ext is None:
+        entries = _version_files(version, table_path)
+        return entries, {e["name"] for e in entries}
+    entries: list[dict] = []
+    referenced: set[str] = set()
+    for s in ext.get("shards", []):
+        if admits(s):
+            got = _load_shard(table_path, s["name"])
+            entries.extend(got)
+            referenced |= {e["name"] for e in got}
+        elif s.get("top", 1):
+            referenced |= {
+                e["name"] for e in _load_shard(table_path, s["name"])
+            }
+    return entries, referenced
+
+
+def _version_top_names(version: dict, table_path: str) -> set[str]:
+    """A version's referenced names for the loose-file classifier,
+    loading only shards that may hold TOP-LEVEL names (loose files are
+    top-level by construction, so generation-dir names are dead weight
+    here)."""
+    ext = version.get("files_ext")
+    if ext is None:
+        return {e["name"] for e in _version_files(version, table_path)}
+    out: set[str] = set()
+    for s in ext.get("shards", []):
+        if s.get("top", 1):
+            out |= {e["name"] for e in _load_shard(table_path, s["name"])}
+    return out
 
 
 def live_files(path: str, version: int | None = None) -> list[str]:
@@ -931,8 +1076,13 @@ def _cleanup_empty_gen_dirs(
 
 # bounded CAS attempts for a rebase-enabled commit: each retry is one
 # manifest GET + conditional PUT (metadata-priced), so a short chain of
-# disjoint winners costs requests, never re-staged bytes
-_COMMIT_ATTEMPTS = 5
+# disjoint winners costs requests, never re-staged bytes. Sized by the
+# round-10 sustained-contention envelope (tools/dml_headroom.py
+# --contention): at 8 writers x 25 continuous batches, 5 attempts
+# exhausted on ~1-1.5% of commits even with jittered backoff; 8
+# attempts measured zero exhaustion, and the extra headroom is three
+# more metadata round trips on the worst-case tail only
+_COMMIT_ATTEMPTS = 8
 
 
 def _drop_lost_staging(io, path: str, gen: str) -> None:
@@ -1272,6 +1422,7 @@ def _commit_generation(
         if not data:
             raise RuntimeError("dv_n without dv_df or dv_carry")
         dv_data = data
+    import random as _random
     import time as _time
 
     # COMMIT TAIL: build the manifest against the current snapshot and
@@ -1301,12 +1452,17 @@ def _commit_generation(
         # threshold — hysteresis so a table at the boundary doesn't
         # flip layouts every commit)
         ext_rec = None
-        if man is not None and (
-            len(files) >= _SHARD_THRESHOLD
-            or (_shard_names(man) and len(files) >= _SHARD_THRESHOLD // 2)
+        if len(files) >= _SHARD_THRESHOLD or (
+            man is not None
+            and _shard_names(man)
+            and len(files) >= _SHARD_THRESHOLD // 2
         ):
+            # man or {}: a FIRST-EVER commit this large must shard too
+            # (a multi-MB inline root would stand until the next
+            # commit re-sharded it); with no previous manifest there
+            # are simply no shards to carry
             ext_rec = _externalize_entries(
-                io, path, gen, man, keep_entries, new_entries, attempt
+                io, path, gen, man or {}, keep_entries, new_entries, attempt
             )
         dv_rec = None
         if dv_n:
@@ -1399,9 +1555,14 @@ def _commit_generation(
             # an evolving merge). Carried untouched by every other
             # commit, it keys the per-process unified-schema cache —
             # without it, every insert into a mixed table would re-run
-            # the all-footers schema merge per micro-batch.
+            # the all-footers schema merge per micro-batch. The value
+            # is the uuid-salted generation NAME, not the bare gen_no:
+            # gen numbers restart at 1 when a table is dropped and
+            # recreated at the same path, and a recolliding (path,
+            # epoch) key would hand the new incarnation the OLD
+            # incarnation's unified schema.
             manifest["schema_epoch"] = (
-                gen_no
+                gen
                 if mixed_schema
                 else (man or {}).get("schema_epoch", 0)
             )
@@ -1420,6 +1581,20 @@ def _commit_generation(
                 # misrecognized (see _drop_lost_staging)
                 _drop_lost_staging(io, path, gen)
                 raise
+            # FULL-JITTER exponential backoff BEFORE re-reading the
+            # winner's state. Position is load-bearing: the snapshot
+            # read below opens this attempt's read-to-CAS window, so a
+            # sleep placed after it (the r9 shape — a deterministic
+            # 0.02*attempt at the loop tail) widens the very window a
+            # competing commit kills, GUARANTEEING staleness under
+            # sustained throughput. Sleeping first desynchronizes the
+            # losers and then races the shortest possible window.
+            # Sized by tools/dml_headroom.py --contention: 8 writers x
+            # 25 continuous batches exhausted ~1-1.5% of commits under
+            # the r9 shape; zero after this change (docs/SCALE.md).
+            _time.sleep(
+                _random.uniform(0.0, min(0.25, 0.02 * 2 ** attempt))
+            )
             try:
                 man2, entries2, loose2, stale2 = _live_state(path)
             except Exception:
@@ -1472,9 +1647,6 @@ def _commit_generation(
             ]
             prev_no = man2["gen_no"]
             gen_no = prev_no + 1
-            # near-simultaneous committers: yield briefly so the local
-            # lock fence clears instead of spinning through attempts
-            _time.sleep(0.02 * attempt)
 
     # retire: previously-referenced files and superseded loose files not
     # referenced by the new manifest or a retained history version

@@ -2381,7 +2381,11 @@ def test_insert_into_mixed_schema_accepts_unified(spark, tmp_path):
     )
     S.merge_into(spark, path, patch, keys=["id"], evolve_schema=True)
     man = S._load_manifest(path)
-    assert man["mixed_schema"] and man["schema_epoch"] == man["gen_no"]
+    # ADVICE r9: the epoch is the uuid-salted generation NAME, not the
+    # bare gen_no — gen numbers restart when a table is dropped and
+    # recreated at the same path, and a recolliding (path, epoch) key
+    # would hand the new incarnation the old one's unified schema
+    assert man["mixed_schema"] and man["schema_epoch"] == man["generation"]
 
     unified = spark.createDataFrame(
         [(900, 1.0, "u")], "id long, v double, tag string"
@@ -2647,3 +2651,66 @@ def run_concurrent_pair_fuzz(spark, path, seed, rounds=8):
 @_pt.mark.parametrize("seed", [20260815, 907])
 def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
     run_concurrent_pair_fuzz(spark, str(tmp_path / f"pair{seed}"), seed)
+
+
+def test_evolving_merge_winner_blocks_rebase(spark, tmp_path, monkeypatch):
+    """r9 verdict hardening: the mixed-schema mark is part of
+    _rebase_ok's POLICY check — a commit staged against the uniform
+    table must not rebase onto a winner whose evolving merge flipped
+    the table mixed (the staged files were validated against the old
+    schema world). Forced deterministically: a delete loses its CAS to
+    an evolving merge that touched DISJOINT files, so every OTHER
+    rebase precondition holds (dropped files live, DV state untouched,
+    no loose consumed, winner-added files allowed for matched-only
+    ops) and the flag flip is the one thing standing; the spy pins
+    that _rebase_ok was consulted and REFUSED, and retry_on_conflict
+    re-runs the delete against the evolved table — the
+    winner-then-loser serialization."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "evolve_race")
+    spark.range(400).selectExpr(
+        "id", "cast(id as double) v"
+    ).repartition(4).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    S.compact_parquet(spark, path, target_files=4, sort_col="id")
+
+    evolve_batch = spark.createDataFrame(
+        [(350, 350.0, "tagged")], "id long, v double, tag string"
+    )
+    orig_commit = S._commit_manifest
+    state = {"armed": True}
+    verdicts: list[bool] = []
+    real_rebase_ok = S._rebase_ok
+
+    def spying_rebase_ok(*a, **kw):
+        got = real_rebase_ok(*a, **kw)
+        verdicts.append(got)
+        return got
+
+    def racing(p, manifest, expect_gen=None):
+        if state["armed"] and manifest.get("op") == "delete":
+            state["armed"] = False
+            # the winner lands INSIDE the loser's read-to-CAS window:
+            # an evolving merge on a file the delete never touches
+            S.merge_into(spark, path, evolve_batch, keys=["id"],
+                         evolve_schema=True)
+        return orig_commit(p, manifest, expect_gen=expect_gen)
+
+    monkeypatch.setattr(S, "_rebase_ok", spying_rebase_ok)
+    monkeypatch.setattr(S, "_commit_manifest", racing)
+    n = S.retry_on_conflict(
+        lambda: S.delete_where(spark, path, "id < 25")
+    )
+    monkeypatch.setattr(S, "_commit_manifest", orig_commit)
+    assert n == 25
+    # the refusal fired: _rebase_ok consulted and said no (the ONLY
+    # failing precondition is the mixed-schema flip — the merge's file
+    # set is disjoint from the delete's)
+    assert verdicts and verdicts[0] is False, verdicts
+    man = S._load_manifest(path)
+    assert man.get("mixed_schema") is True
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 375
+    assert tbl.where("tag = 'tagged'").count() == 1
+    assert tbl.where("id < 25").count() == 0

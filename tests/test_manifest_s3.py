@@ -701,7 +701,59 @@ def test_sharded_manifest_index_on_s3(s3env, spark, monkeypatch):
     assert S.describe_detail(uri)["rows"] == 810
 
 
-def test_lost_ack_with_interleaved_third_writer(s3env, spark, monkeypatch):
+def test_sharded_selective_scan_request_budget(s3env, spark, monkeypatch):
+    """Round-10 shard-level stats over s3://: a SELECTIVE scan_table
+    resolves by GETting the root manifest plus only the entry shards
+    whose aggregate [min, max] admits the predicate — request count
+    O(touched shards), pinned on the SigV4 fake. The commit that built
+    the table stays at the r9 budget (one root CAS PUT + changed-shard
+    PUTs only)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        scan_table,
+        shards_loaded,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    s3env["s3"].page_size = 1000
+    server = s3env["server"]
+    uri = "s3://lake/tables/shardstats"
+    df = spark.range(8000).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    S.write_parquet(df.repartition(8), uri)
+    S.convert_to_manifest(spark, uri)
+    # id-sorted layout -> disjoint per-shard id ranges; this commit is
+    # the sharding one: ONE root CAS PUT + the entry-shard PUTs
+    server.reset_counts()
+    S.compact_parquet(spark, uri, target_files=8, sort_col="id")
+    c = server.reset_counts()
+    man = S._load_manifest(uri)
+    n_shards = len(man["files_ext"]["shards"])
+    assert n_shards == 4
+    assert c["PUT"] == 1 + n_shards, c
+    assert all(s["top"] == 0 and "stats" in s
+               for s in man["files_ext"]["shards"])
+
+    # cold selective scan: root GET + ONE shard GET; zero PUTs. The
+    # data plane (parquet bytes) moves through the mapped directory,
+    # so every counted request is control-plane metadata.
+    assert shards_loaded(uri, "id BETWEEN 100 AND 120") == (1, 4)
+    S._SHARD_CACHE.clear()
+    server.reset_counts()
+    got = scan_table(spark, uri, "id BETWEEN 100 AND 120")
+    assert got.count() == 21
+    c = server.reset_counts()
+    assert c.get("PUT", 0) == 0, c
+    assert c.get("GET", 0) <= 2, c  # root + 1 admitted shard
+    # whole budget (incl. the loose-file LIST and the schema footer's
+    # ranged reads) stays a handful of requests
+    assert sum(c.values()) <= 8, c
+
+    # the carve-outs stay conservative: no provable atom -> all shards
+    assert shards_loaded(uri, "id + grp = 12") == (4, 4)
     """Sharper lost-ack shape: this writer's conditional PUT LANDS
     unacked, and a THIRD writer commits on top before the read-back.
     Byte-equality alone would misread that as a lost race (the object

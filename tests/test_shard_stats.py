@@ -1,0 +1,271 @@
+"""Round-10 shard-level statistics: the root manifest's shard records
+carry aggregate [min, max] / null-count / row-count facts so a
+selective scan loads only the index shards whose aggregate range
+admits the predicate — the Iceberg manifest-list min/max model on top
+of the round-9 sharded entry index. Extends the reference's full-scan
+read (src/main/read/parquet_read.py) the same way the per-file skipping
+in test_data_skipping.py does, one level up the metadata tree."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import retail_sales_data_pipeline_spark.sinks as S
+from retail_sales_data_pipeline_spark.data_skipping import (
+    files_scanned,
+    scan_table,
+    shards_loaded,
+)
+
+
+def _sharded_table(spark, tmp_path, monkeypatch, name="t"):
+    """An 8-file, 4-shard manifest table sorted by id, so shards cover
+    disjoint id ranges and a point predicate provably touches one."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / name)
+    spark.range(8000).selectExpr(
+        "id", "id % 10 as grp", "nullif(id % 4, 0) as opt"
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+    # one compaction pass lays the files out id-sorted -> disjoint
+    # per-file (and per-shard) id ranges
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    return path
+
+
+def test_shard_records_carry_aggregate_stats(spark, tmp_path, monkeypatch):
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    assert len(shards) == 4
+    for s in shards:
+        assert s["top"] == 0  # compaction moved everything to gen dirs
+        assert s["rows"] == sum(
+            e["rows"] for e in S._load_shard(path, s["name"])
+        )
+        assert "id" in s["stats"] and "grp" in s["stats"]
+        lo, hi = s["stats"]["id"]
+        assert 0 <= lo <= hi < 8000
+        assert s["nulls"]["id"] == 0
+        # opt is NULL on id%4==0 rows: positive shard-level null count
+        assert s["nulls"]["opt"] > 0
+    # shard ranges are disjoint (sorted layout) and cover the domain
+    spans = sorted(s["stats"]["id"] for s in shards)
+    assert spans[0][0] == 0 and spans[-1][1] == 7999
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b < c
+
+
+def test_selective_scan_loads_touched_shards_only(
+    spark, tmp_path, monkeypatch
+):
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    loaded, total = shards_loaded(path, "id BETWEEN 100 AND 120")
+    assert total == 4 and loaded == 1
+
+    # pin the actual shard I/O, not just the plan: cold cache, count
+    # _load_shard calls during the scan resolve
+    calls: list[str] = []
+    real = S._load_shard
+
+    def counting(table_path, rel):
+        calls.append(rel)
+        return real(table_path, rel)
+
+    monkeypatch.setattr(S, "_load_shard", counting)
+    S._SHARD_CACHE.clear()
+    df = scan_table(spark, path, "id BETWEEN 100 AND 120")
+    assert len(set(calls)) == 1, calls
+    assert df.count() == 21
+    assert sorted(r.id for r in df.collect()) == list(range(100, 121))
+
+    # unpruned equivalence: the shard skip never changes results
+    monkeypatch.setattr(S, "_load_shard", real)
+    full = S.read_table(spark, path).where("id BETWEEN 100 AND 120")
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_all_shards_pruned_keeps_schema(spark, tmp_path, monkeypatch):
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    loaded, total = shards_loaded(path, "id = 123456")
+    assert (loaded, total) == (0, 4)
+    df = scan_table(spark, path, "id = 123456")
+    assert df.columns == ["id", "grp", "opt"]
+    assert df.count() == 0
+    assert files_scanned(path, "id = 123456") == 0
+
+
+def test_unparseable_predicate_loads_everything(
+    spark, tmp_path, monkeypatch
+):
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    loaded, total = shards_loaded(path, "id + grp = 12")  # not an atom
+    assert loaded == total == 4
+    want = (
+        S.read_table(spark, path).where("id + grp = 12").count()
+    )
+    assert want > 0
+    assert scan_table(spark, path, "id + grp = 12").count() == want
+
+
+def test_pruned_shard_with_top_level_names_still_loads(
+    spark, tmp_path, monkeypatch
+):
+    """A rejected shard that references TOP-LEVEL files (convert-
+    adopted layout) must still load for the loose-append classifier —
+    otherwise its files would be double-scanned as loose appends."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "adopted")
+    spark.range(8000).selectExpr("id", "id % 10 as grp").repartition(
+        8
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)  # adopts top-level files
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    assert all(s["top"] == s["count"] for s in shards)
+    # every shard has top>0, so shard skipping cannot skip I/O here...
+    loaded, total = shards_loaded(path, "id = 1")
+    assert loaded == total
+    # ...but correctness holds: no adopted file is misread as loose
+    df = scan_table(spark, path, "id = 1")
+    assert df.count() == 1
+
+
+def test_pre_r10_records_backfill_on_carry(spark, tmp_path, monkeypatch):
+    """Shard records written before round 10 (no aggregate fields)
+    admit everything — conservative — and gain the aggregate when the
+    next commit carries them."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    man = S._load_manifest(path)
+    # simulate the r9 on-disk format: strip the aggregates in place
+    for s in man["files_ext"]["shards"]:
+        for k in ("rows", "stats", "nulls", "top"):
+            s.pop(k, None)
+    S._io(path).write_json(os.path.join(path, S._MANIFEST), man)
+    loaded, total = shards_loaded(path, "id BETWEEN 100 AND 120")
+    assert loaded == total == 4  # old records: no skipping, no error
+    assert scan_table(spark, path, "id BETWEEN 100 AND 120").count() == 21
+
+    # an append re-pools the tail but CARRIES full-size shards — the
+    # carried records must come back with the aggregate backfilled
+    batch = spark.range(90000, 90010).selectExpr(
+        "id", "id % 10 as grp", "nullif(id % 4, 0) as opt"
+    )
+    S.insert_into(spark, path, batch)
+    man2 = S._load_manifest(path)
+    carried = [
+        s for s in man2["files_ext"]["shards"]
+        if {e["name"] for e in S._load_shard(path, s["name"])}
+        <= {e["name"] for e in S._version_files(man, path)}
+    ]
+    assert carried, "append should carry at least one unchanged shard"
+    assert all("top" in s and "stats" in s for s in carried)
+    loaded, total = shards_loaded(path, "id BETWEEN 100 AND 120")
+    assert loaded < total
+
+
+def test_first_commit_past_threshold_shards(spark, tmp_path, monkeypatch):
+    """ADVICE r9: a FIRST-EVER manifest commit with >= threshold files
+    externalizes immediately — no multi-MB inline root waiting for the
+    next commit to re-shard it. compact_parquet on a plain directory
+    is exactly that path (man is None at commit time)."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "first")
+    spark.range(4000).selectExpr("id", "id % 10 as grp").coalesce(
+        2
+    ).write.mode("overwrite").parquet(path)
+    # no convert_to_manifest: the compaction commit IS the first one
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    man = S._load_manifest(path)
+    assert man.get("files_ext") and "files" not in man
+    assert sum(s["count"] for s in man["files_ext"]["shards"]) == 8
+    assert all("top" in s for s in man["files_ext"]["shards"])
+    assert S.read_table(spark, path).count() == 4000
+    loaded, total = shards_loaded(path, "id BETWEEN 10 AND 20")
+    assert loaded < total
+
+
+def test_mixed_schema_table_scans_unpruned_and_correct(
+    spark, tmp_path, monkeypatch
+):
+    """The mixed-schema carve-out: stats pruning could drop every file
+    that physically carries an evolved column, and the merged read of
+    the survivors would lose the column — so scans of mixed tables
+    prune nothing (shard or entry level) and stay correct."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 10_000)
+    path = str(tmp_path / "mixed")
+    spark.range(100).selectExpr(
+        "id", "cast(id as double) v"
+    ).repartition(4).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+    patch = spark.createDataFrame(
+        [(5, 5.0, "new")], "id long, v double, tag string"
+    )
+    S.merge_into(spark, path, patch, keys=["id"], evolve_schema=True)
+    # a predicate on the EVOLVED column would prune every pre-evolution
+    # file if pruning ran (they record no 'tag' facts -> admit; but the
+    # evolved file is the only one [min,max] could disprove) — assert
+    # the scan is schema-stable and right either way
+    df = scan_table(spark, path, "tag = 'absent'")
+    assert df.columns == ["id", "v", "tag"]
+    assert df.count() == 0
+    assert scan_table(spark, path, "tag = 'new'").count() == 1
+    assert files_scanned(path, "v < 10") == files_scanned(path)
+
+
+def test_schema_epoch_unique_per_incarnation(spark, tmp_path):
+    """ADVICE r9: the unified-schema cache key must not collide when a
+    table is dropped and recreated at the same path (gen numbers
+    restart at 1, so a bare gen_no key would resurrect the OLD
+    incarnation's unified schema and mis-gate inserts)."""
+    import shutil
+
+    path = str(tmp_path / "reborn")
+    spark.range(10).selectExpr(
+        "id", "cast(id as double) v"
+    ).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    patch = spark.createDataFrame(
+        [(1, 1.0, "x")], "id long, v double, tag string"
+    )
+    S.merge_into(spark, path, patch, keys=["id"], evolve_schema=True)
+    epoch1 = S._load_manifest(path)["schema_epoch"]
+    # prime the cache through the insert gate
+    S.insert_into(
+        spark,
+        path,
+        spark.createDataFrame([(90, 9.0, "y")],
+                              "id long, v double, tag string"),
+    )
+    assert (path, epoch1) in S._MIXED_SCHEMA_CACHE
+
+    # drop + recreate at the same path with a DIFFERENT evolved shape
+    shutil.rmtree(path)
+    spark.range(10).selectExpr(
+        "id", "cast(id as string) label"
+    ).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    patch2 = spark.createDataFrame(
+        [(1, "a", 7)], "id long, label string, score long"
+    )
+    S.merge_into(spark, path, patch2, keys=["id"], evolve_schema=True)
+    epoch2 = S._load_manifest(path)["schema_epoch"]
+    assert epoch2 != epoch1  # uuid-salted generation name: unique
+    # the gate validates against the NEW unified schema, not a stale
+    # cache hit from the first incarnation
+    ok = spark.createDataFrame(
+        [(91, "b", 8)], "id long, label string, score long"
+    )
+    assert S.insert_into(spark, path, ok) == 1
+    bad = spark.createDataFrame(
+        [(92, 2.0, "t")], "id long, v double, tag string"
+    )
+    with pytest.raises(ValueError, match="insert schema mismatch"):
+        S.insert_into(spark, path, bad)

@@ -50,7 +50,7 @@ def commit_stats(
     NEW deletion-vector sidecars, i.e. the actual write amplification
     of the operation."""
     man = S._load_manifest(path)
-    after = {e["name"] for e in man["files"]}
+    after = {e["name"] for e in S._version_files(man, path)}
     new = after - before
     wrote = sum(
         os.path.getsize(os.path.join(path, n)) for n in new
@@ -64,11 +64,133 @@ def commit_stats(
     return len(before & after), len(new), wrote
 
 
+def contention_probe(spark, work: str, writers: int, batches: int) -> dict:
+    """Sustained-contention envelope (round 10): N writers × M
+    continuous txn batches against ONE table, no think time — the
+    worst case for the commit-level rebase protocol. Reports commit
+    throughput, the per-commit CAS-attempt histogram (attempt 1 = the
+    uncontended fast path; every extra attempt is one lost CAS that
+    was rebased, never re-staged), and the attempt-exhaustion rate
+    (a ConcurrentWriteError escaping insert_into after
+    _COMMIT_ATTEMPTS tries — the caller must re-run)."""
+    import threading
+    from collections import Counter
+
+    from retail_sales_data_pipeline_spark.table_io import (
+        ConcurrentWriteError,
+    )
+
+    path = os.path.join(work, f"contend_{writers}")
+    spark.range(1000).selectExpr(
+        "id", "'seed' as payload", "'keep' as tag"
+    ).coalesce(2).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+
+    local = threading.local()
+    orig = S._commit_manifest
+
+    def counting(p, manifest, expect_gen=None):
+        try:
+            return orig(p, manifest, expect_gen=expect_gen)
+        except ConcurrentWriteError:
+            local.conflicts = getattr(local, "conflicts", 0) + 1
+            raise
+
+    attempts: Counter = Counter()
+    exhausted = [0]
+    lock = threading.Lock()
+
+    def writer(w: int) -> None:
+        for v in range(1, batches + 1):
+            batch = spark.range(
+                (w * batches + v) * 10_000, (w * batches + v) * 10_000 + 50
+            ).selectExpr("id", f"'w{w}' as payload", "'keep' as tag")
+            local.conflicts = 0
+            try:
+                S.insert_into(spark, path, batch, txn=(f"w{w}", v))
+                with lock:
+                    attempts[1 + local.conflicts] += 1
+            except ConcurrentWriteError:
+                with lock:
+                    exhausted[0] += 1
+                # the real caller re-runs; mirror that so throughput
+                # reflects delivered batches, not abandoned ones
+                S.retry_on_conflict(
+                    lambda: S.insert_into(
+                        spark, path, batch, txn=(f"w{w}", v)
+                    )
+                )
+                with lock:
+                    attempts[S._COMMIT_ATTEMPTS + 1 + local.conflicts] += 1
+
+    S._commit_manifest = counting
+    t0 = time.time()
+    try:
+        threads = [
+            threading.Thread(target=writer, args=(w,))
+            for w in range(writers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        S._commit_manifest = orig
+    wall = time.time() - t0
+
+    total = writers * batches
+    n_rows = S.read_table(spark, path).count()
+    assert n_rows == 1000 + total * 50, (n_rows, total)
+    man = S._load_manifest(path)
+    assert all(
+        man["txn"][f"w{w}"] == batches for w in range(writers)
+    ), man.get("txn")
+    return {
+        "writers": writers,
+        "commits": total,
+        "wall_s": round(wall, 2),
+        "commits_per_s": round(total / wall, 2),
+        "attempt_histogram": dict(sorted(attempts.items())),
+        "exhausted": exhausted[0],
+        "exhaustion_rate": round(exhausted[0] / total, 4),
+    }
+
+
+def run_contention(spark, work: str, batches: int) -> None:
+    print(f"\n# sustained contention: N writers x {batches} txn "
+          "batches, one table, no think time")
+    print("| writers | commits | wall s | commits/s | "
+          "attempts histogram | exhausted (rate) |")
+    print("|---|---|---|---|---|---|")
+    for n in (2, 4, 8):
+        r = contention_probe(spark, work, n, batches)
+        hist = ", ".join(
+            f"{k}:{v}" for k, v in r["attempt_histogram"].items()
+        )
+        print(f"| {r['writers']} | {r['commits']} | {r['wall_s']} "
+              f"| {r['commits_per_s']} | {hist} "
+              f"| {r['exhausted']} ({r['exhaustion_rate']:.1%}) |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=5_000_000)
     ap.add_argument("--files", type=int, default=16)
+    ap.add_argument("--contention", action="store_true",
+                    help="run the sustained-contention envelope only")
+    ap.add_argument("--batches", type=int, default=25,
+                    help="txn batches per writer in --contention mode")
     args = ap.parse_args()
+
+    if args.contention:
+        spark = get_spark("dml-headroom-contention")
+        work = tempfile.mkdtemp(prefix="dml_contend_")
+        try:
+            run_contention(spark, work, args.batches)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            spark.stop()
+        return
 
     spark = get_spark("dml-headroom")
     work = tempfile.mkdtemp(prefix="dml_headroom_")
@@ -98,7 +220,7 @@ def main() -> None:
         print("|---|---|---|---|---|")
 
         # point delete: a 100-id takedown band inside ONE sorted file
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         lo0 = args.rows // 3
         ids = ", ".join(str(lo0 + i) for i in range(100))
         t0 = time.time()
@@ -112,7 +234,7 @@ def main() -> None:
 
         # scattered delete: ~1% of rows across EVERY file — the
         # worst-case where granularity cannot help (all files touched)
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         t0 = time.time()
         n_del = S.delete_where(spark, path, "tag = 'purge'")
         t_del = time.time() - t0
@@ -124,7 +246,7 @@ def main() -> None:
         # same worst case, merge-on-read: a deletion-vector delete of
         # ~1% scattered rows writes the position sidecar + CDC only —
         # ZERO data files rewritten even though every file is touched
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         t0 = time.time()
         n_del = S.delete_where(spark, path, "id % 97 = 13",
                                deletion_vectors=True)
@@ -140,7 +262,7 @@ def main() -> None:
             spark.range(lo_dv, lo_dv + 1000)
             .selectExpr("id", "'dvpatch' as payload", "'keep' as tag")
         )
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         before_dv = frozenset(
             (S._load_manifest(path).get("dv") or {}).get("data", [])
         )
@@ -161,7 +283,7 @@ def main() -> None:
             spark.range(lo, lo + 1000)
             .selectExpr("id", "'patched' as payload", "'keep' as tag")
         )
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         before_dv = frozenset(
             (S._load_manifest(path).get("dv") or {}).get("data", [])
         )
@@ -180,7 +302,7 @@ def main() -> None:
             spark.range(args.rows * 2, args.rows * 2 + 1000)
             .selectExpr("id", "'new' as payload", "'keep' as tag")
         )
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         before_dv = frozenset(
             (S._load_manifest(path).get("dv") or {}).get("data", [])
         )
@@ -200,7 +322,7 @@ def main() -> None:
             spark.range(args.rows * 3, args.rows * 3 + 1000)
             .selectExpr("id", "'ing' as payload", "'keep' as tag")
         )
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         before_dv = frozenset(
             (S._load_manifest(path).get("dv") or {}).get("data", [])
         )
@@ -226,7 +348,7 @@ def main() -> None:
             spark.range(args.rows * 5, args.rows * 5 + 1000)
             .selectExpr("id", "'b' as payload", "'keep' as tag")
         )
-        before = {e["name"] for e in S._load_manifest(path)["files"]}
+        before = {e["name"] for e in S._version_files(S._load_manifest(path), path)}
         before_dv = frozenset(
             (S._load_manifest(path).get("dv") or {}).get("data", [])
         )
