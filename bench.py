@@ -55,6 +55,9 @@ HEADLINE = [
     # lakehouse paths (r8/r9): stats-pruned scan and txn-watermark ingest
     "corpus_scan_pruned",
     "corpus_ingest_exactly_once",
+    # lakehouse path (r10): the schema-evolving merge round trip
+    # (corpus_commit_lineage joins in r11 when it registers)
+    "corpus_merge_evolve",
 ]
 
 

@@ -566,10 +566,14 @@ TWIN_QUERIES = {
     # with the VARIANT path — retired to fund the corpus_scan_pruned
     # slot; equality stays pinned by test_twin_equivalence
     "events_json_props": (events_json_props, "events_json_variant"),
+    # round 10: the batch hourly rollup shares _HOURLY_SQL verbatim
+    # with the structured-streaming path (the harder execution path
+    # keeps the driver slot) — retired to fund corpus_commit_lineage;
+    # equality stays pinned by test_twin_equivalence
+    "events_hourly_rollup": (events_hourly_rollup, "streaming_hourly_rollup"),
 }
 
 QUERIES = {
-    "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
     "events_json_variant": events_json_variant,
     "events_daily_stats": events_daily_stats,
@@ -586,7 +590,6 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
-    "events_hourly_rollup": _HOURLY_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "events_json_variant": _JSON_SQL,
     "events_daily_stats": _DAILY_SQL,

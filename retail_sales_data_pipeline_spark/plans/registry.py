@@ -66,9 +66,16 @@ _MODULES = [
 # the auto-selection logic stays pinned by tests/test_similarity.py
 # and the twin-equivalence test); round 10 spent that slot on
 # ``corpus_merge_evolve`` (merge_into(evolve_schema=True) — the
-# mixed-schema NULL-backfill read under the hard signal) — back at
-# the 100/50 ceiling: the NEXT query addition must retire a twin
-# first (see retired_twins()).
+# mixed-schema NULL-backfill read under the hard signal) and retired
+# ``events_hourly_rollup`` (verbatim _HOURLY_SQL twin of
+# ``streaming_hourly_rollup`` — the harder streaming execution path
+# keeps the slot). That retire frees a window slot only from ROUND 11
+# (it removed an r9-green, not an r8-stale: the freshness invariant
+# counts stale queries, so a round at the ceiling absorbs exactly ONE
+# never-checked query). ``corpus_commit_lineage`` (DESCRIBE HISTORY
+# under the oracle) is implemented and oracle-pinned by
+# tests/test_commit_lineage.py, queued to register in round 11 —
+# 99 registered, one deferred.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [

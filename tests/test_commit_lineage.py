@@ -1,0 +1,60 @@
+"""corpus_commit_lineage (round 10) — DESCRIBE HISTORY as a query,
+pinned against its DuckDB oracle HERE because it is implemented but
+not yet registered: at the registry's 100/50 ceiling a round absorbs
+exactly one never-checked query without breaking the two-round
+freshness guarantee, and round 10's slot went to corpus_merge_evolve.
+This test runs the exact comparison the driver will run when the
+query registers in round 11 (same fixtures, same normalization), so
+registration is a one-line change with no new risk."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from retail_sales_data_pipeline_spark.plans.llm_ops import (
+    _COMMIT_LINEAGE_SQL,
+    corpus_commit_lineage,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def test_commit_lineage_matches_oracle(spark, oracle):
+    got = sorted(
+        tuple(r) for r in corpus_commit_lineage(spark, SF).collect()
+    )
+    want = sorted(map(tuple, oracle.execute(_COMMIT_LINEAGE_SQL).fetchall()))
+    assert got == want
+    # shape sanity: five commits + the txn watermark row, ops in order
+    ops = [r[1] for r in sorted(got)]
+    assert ops == ["convert", "insert", "delete", "delete", "compact",
+                   "_txn"]
+    dv_row = [r for r in got if r[0] == 4][0]
+    assert dv_row[3] > 0  # the merge-on-read delete recorded DV rows
+    purged = [r for r in got if r[0] == 5][0]
+    assert purged[3] == 0 and purged[2] == dv_row[2]  # REORG kept rows
+
+
+def test_commit_lineage_queued_not_registered():
+    """The r11 registration reminder: when this fails because the query
+    IS registered, delete this test and move the name into bench
+    HEADLINE (see plans/registry.py CAPACITY note)."""
+    from retail_sales_data_pipeline_spark.plans.registry import (
+        all_oracle_sql,
+        all_queries,
+    )
+
+    assert "corpus_commit_lineage" not in all_queries()
+    assert "corpus_commit_lineage" not in all_oracle_sql()
