@@ -321,12 +321,15 @@ def scan_table(
             # everything pruned: an empty frame with the table schema
             # (no second _live_state — one directory snapshot per scan)
             src = [os.path.join(path, e["name"]) for e in all_entries]
-            if not src:
+            ext = man.get("files_ext") or {}
+            if not src and ext.get("shards"):
                 # even the index shards were skipped: ONE shard load
-                # recovers a schema-bearing file
+                # recovers a schema-bearing file (a genuinely EMPTY
+                # table — zero entries, zero shards — falls through to
+                # _read_files([]), the pre-r10 behavior for that shape)
                 from .sinks import _load_shard
 
-                first = man["files_ext"]["shards"][0]
+                first = ext["shards"][0]
                 src = [os.path.join(
                     path, _load_shard(path, first["name"])[0]["name"]
                 )]
@@ -354,22 +357,38 @@ def files_scanned(path: str, predicate: str | None = None) -> int:
 
 
 def shards_loaded(path: str, predicate: str | None = None) -> tuple[int, int]:
-    """``(index shards scan_table would load, total shards)`` for a
-    sharded table under ``predicate`` — the round-10 observable: no
-    shard bodies are read, only the root's aggregate records are
-    evaluated. ``(total, total)`` when shard skipping doesn't apply
-    (inline table, no provable atoms, mixed schema)."""
+    """``(index shards scan_table would load, total distinct shards)``
+    for a sharded table under ``predicate`` — the round-10 observable:
+    no shard bodies are read, only root shard records are evaluated.
+    Counts the WHOLE resolve, mirroring ``_live_state`` exactly:
+    live-version shards load when admitted or possibly-top-level, and
+    RETAINED HISTORY versions load their possibly-top-level shards for
+    the loose-file classifier (pre-r10 history records lack ``top``
+    and load conservatively — a table upgraded from r9 keeps paying
+    O(history shards) until those snapshots age out of retention or
+    re-shard, and this counter makes that visible instead of reporting
+    a flattering live-only number). History shards carried by
+    reference from the live version count once. ``(total, total)``
+    when shard skipping doesn't apply (inline table, no provable
+    atoms, mixed schema)."""
     from .sinks import _load_manifest
 
     man = _load_manifest(path)
-    shards = ((man or {}).get("files_ext") or {}).get("shards", [])
-    admits = (
-        None if man is not None and man.get("mixed_schema")
-        else _scan_admits(predicate)
-    )
+    if man is None:
+        return 0, 0
+    live = (man.get("files_ext") or {}).get("shards", [])
+    history = man.get("history", [])
+    all_names = {s["name"] for s in live}
+    hist_top: set[str] = set()
+    for h in history:
+        for s in (h.get("files_ext") or {}).get("shards", []):
+            all_names.add(s["name"])
+            if s.get("top", 1):
+                hist_top.add(s["name"])
+    admits = None if man.get("mixed_schema") else _scan_admits(predicate)
     if admits is None:
-        return len(shards), len(shards)
-    return (
-        sum(1 for s in shards if admits(s) or s.get("top", 1)),
-        len(shards),
-    )
+        return len(all_names), len(all_names)
+    loaded = {
+        s["name"] for s in live if admits(s) or s.get("top", 1)
+    } | hist_top
+    return len(loaded), len(all_names)

@@ -2224,17 +2224,26 @@ SELECT '_txn', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)
 # generalizing the reference's extra-column fold,
 # src/main/transformations/jobs/main.py:245-254) as a driver-checked
 # query: seed a manifest table with the doc_id%4 IN (0,1,2) slice of
-# `documents`, then MERGE a batch of the odd doc_ids that ADDS a `rev`
-# column and OMITS `n_chars`. doc_id%4==1 rows MATCH (replaced by
-# evolved rows: n_chars → NULL, rev set), doc_id%4==3 rows are
-# inserted, doc_id%4 IN (0,2) rows survive in CARRIED files whose old
-# physical schema lacks `rev` — the mixed-schema read must reconcile
-# them to rev=NULL. The result groups by (source, lang) with count()
-# vs count(col) pairs so a wrong NULL backfill on EITHER column, a
-# dropped carried file, or a double-applied match all hash-mismatch.
-# The oracle is the equivalent UNION with explicit NULL casts. Same
-# rebuilt-per-call work dir lifecycle as dv_takedown_counts.
+# `documents` laid out id-sorted, then MERGE a batch of the LOW odd
+# doc_ids (doc_id < 100 — a RANGE, so the footer-pruned identification
+# scan provably touches only the low files) that ADDS a `rev` column
+# and OMITS `n_chars`. Low doc_id%4==1 rows MATCH (replaced by evolved
+# rows: n_chars -> NULL, rev set), low %4==3 rows are inserted, and
+# every file above the cutoff CARRIES by reference under the OLD
+# physical schema lacking `rev` — the mixed-schema read must reconcile
+# those to rev=NULL. tests/test_merge_evolve_query.py pins that
+# carried old-schema files really exist after the merge (a modulo-only
+# batch would have touched every id-sorted file and left the reconcile
+# path unexercised — round-10 self-review finding). The result groups
+# by (source, lang) with count() vs count(col) pairs so a wrong NULL
+# backfill on EITHER column, a dropped carried file, or a
+# double-applied match all hash-mismatch. The oracle is the equivalent
+# UNION with explicit NULL casts. Same rebuilt-per-call work dir
+# lifecycle as dv_takedown_counts.
 # ---------------------------------------------------------------------------
+_EVOLVE_CUTOFF = 100  # fixed id cutoff: 20% of the sf0.01 id span, 2% of sf0.1
+
+
 def corpus_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -2248,18 +2257,21 @@ def corpus_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "docs")
     shutil.rmtree(path, ignore_errors=True)
     S.write_parquet(docs.where("doc_id % 4 IN (0, 1, 2)"), path)
-    # several files sorted by doc_id so the matched odd keys cluster:
-    # the footer-pruned MERGE rewrites only the files holding %4==1
-    # rows and carries the rest by reference under the OLD schema
+    # id-sorted files: the banded batch below rewrites only the files
+    # whose [min, max] admits a low odd key — the rest carry by
+    # reference under the pre-evolution physical schema
     S.compact_parquet(spark, path, target_files=4, sort_col="doc_id")
-    batch = docs.where("doc_id % 2 = 1").select(
+    batch = docs.where(
+        f"doc_id % 2 = 1 AND doc_id < {_EVOLVE_CUTOFF}"
+    ).select(
         "doc_id",
         "lang",
         "source",
         F.expr("doc_id % 7").cast("long").alias("rev"),  # added column
         # n_chars omitted: matched rows evolve to n_chars=NULL
     )
-    S.merge_into(spark, path, batch, keys=["doc_id"], evolve_schema=True)
+    S.merge_into(spark, path, batch, keys=["doc_id"], evolve_schema=True,
+                 broadcast_updates=True)
     return (
         S.read_table(spark, path)
         .groupBy("source", "lang")
@@ -2283,8 +2295,11 @@ FROM (
   SELECT lang, source, n_chars, CAST(NULL AS BIGINT) AS rev
   FROM documents WHERE doc_id % 4 IN (0, 2)
   UNION ALL
+  SELECT lang, source, n_chars, CAST(NULL AS BIGINT) AS rev
+  FROM documents WHERE doc_id % 4 = 1 AND doc_id >= 100
+  UNION ALL
   SELECT lang, source, CAST(NULL AS BIGINT) AS n_chars, doc_id % 7 AS rev
-  FROM documents WHERE doc_id % 2 = 1
+  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 100
 )
 GROUP BY source, lang
 """

@@ -754,6 +754,9 @@ def test_sharded_selective_scan_request_budget(s3env, spark, monkeypatch):
 
     # the carve-outs stay conservative: no provable atom -> all shards
     assert shards_loaded(uri, "id + grp = 12") == (4, 4)
+
+
+def test_lost_ack_with_interleaved_third_writer(s3env, spark, monkeypatch):
     """Sharper lost-ack shape: this writer's conditional PUT LANDS
     unacked, and a THIRD writer commits on top before the read-back.
     Byte-equality alone would misread that as a lost race (the object

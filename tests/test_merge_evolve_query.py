@@ -1,0 +1,45 @@
+"""corpus_merge_evolve must actually exercise what it claims to pin:
+the mixed-schema read reconciling CARRIED pre-evolution files (no
+`rev` column in their physical schema) against the evolved ones. The
+round-10 self-review found the first cut silently rewrote every file
+(a modulo-keyed batch spans every id-sorted file), leaving the
+reconcile path unexercised while the oracle stayed green — this test
+makes that regression loud."""
+
+from __future__ import annotations
+
+import os
+
+import retail_sales_data_pipeline_spark.sinks as S
+from retail_sales_data_pipeline_spark.plans import llm_ops
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_merge_evolve_leaves_carried_old_schema_files(spark):
+    df = llm_ops.corpus_merge_evolve(spark, SF)
+    n_rows = df.count()
+    assert n_rows > 0
+    path = os.path.join(llm_ops._DV_WORKDIRS[("merge_evolve", SF)], "docs")
+    man = S._load_manifest(path)
+    assert man.get("mixed_schema") is True
+    schemas = []
+    for e in S._version_files(man, path):
+        cols = set(
+            S._io(path)
+            .open_parquet(os.path.join(path, e["name"]))
+            .schema_arrow.names
+        )
+        schemas.append("rev" in cols)
+    # BOTH worlds must be live: files carrying the evolved column and
+    # carried files physically lacking it (reads reconcile the latter
+    # to rev=NULL — the path the oracle comparison is trapping)
+    assert any(schemas), "no evolved file landed"
+    assert not all(schemas), (
+        "every file was rewritten with the evolved schema — the merge "
+        "batch no longer leaves carried pre-evolution files, so the "
+        "mixed-schema reconcile is unexercised"
+    )
+    # and the carried side still holds the majority of the table (the
+    # patch was banded below _EVOLVE_CUTOFF)
+    assert schemas.count(False) >= 2

@@ -114,14 +114,20 @@ def contention_probe(spark, work: str, writers: int, batches: int) -> dict:
                 with lock:
                     exhausted[0] += 1
                 # the real caller re-runs; mirror that so throughput
-                # reflects delivered batches, not abandoned ones
+                # reflects delivered batches, not abandoned ones.
+                # local.conflicts keeps accumulating across the rerun,
+                # so 1 + conflicts is the TRUE total attempt count —
+                # adding _COMMIT_ATTEMPTS again would double-count the
+                # exhausted tries (round-10 self-review finding; the
+                # r9-shape "12:N" buckets in early probe output were
+                # really 7-attempt tails)
                 S.retry_on_conflict(
                     lambda: S.insert_into(
                         spark, path, batch, txn=(f"w{w}", v)
                     )
                 )
                 with lock:
-                    attempts[S._COMMIT_ATTEMPTS + 1 + local.conflicts] += 1
+                    attempts[1 + local.conflicts] += 1
 
     S._commit_manifest = counting
     t0 = time.time()
