@@ -269,3 +269,69 @@ def test_schema_epoch_unique_per_incarnation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="insert schema mismatch"):
         S.insert_into(spark, path, bad)
+
+
+# ---------------------------------------------------------------------------
+# property: shard-level pruning is SOUND by construction — if the
+# aggregate record disproves an atom, every member entry disproves it
+# too (skipping the shard can never skip a file the entry-level pass
+# would have scanned). Hypothesis drives random entry populations and
+# atoms through the real _shard_agg/_entry_admits pair.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _entry_strategy():
+    span = st.tuples(
+        st.integers(-50, 50), st.integers(0, 60)
+    ).map(lambda t: [t[0], t[0] + t[1]])
+    return st.builds(
+        lambda rows, has_span, span, nulls_known, nulls, top: {
+            "name": ("f.parquet" if top else "gen-1/f.parquet"),
+            "rows": rows,
+            "stats": ({"x": span} if has_span else {}),
+            "nulls": (
+                {"x": min(nulls, rows if rows is not None else nulls)}
+                if nulls_known
+                else {}
+            ),
+        },
+        rows=st.one_of(st.none(), st.integers(0, 100)),
+        has_span=st.booleans(),
+        span=span,
+        nulls_known=st.booleans(),
+        nulls=st.integers(0, 100),
+        top=st.booleans(),
+    )
+
+
+_ATOMS = st.one_of(
+    st.tuples(st.just("cmp"), st.just("x"),
+              st.sampled_from(["=", "<", "<=", ">", ">="]),
+              st.integers(-60, 60)),
+    st.tuples(st.just("in"), st.just("x"),
+              st.lists(st.integers(-60, 60), min_size=1, max_size=4)
+              .map(tuple)),
+    st.tuples(st.just("between"), st.just("x"),
+              st.integers(-60, 60), st.integers(-60, 60)),
+    st.tuples(st.just("isnull"), st.just("x")),
+    st.tuples(st.just("notnull"), st.just("x")),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(chunk=st.lists(_entry_strategy(), min_size=1, max_size=8),
+       atom=_ATOMS)
+def test_shard_agg_pruning_is_sound(chunk, atom):
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        _entry_admits,
+    )
+
+    rec = {"name": "s", "count": len(chunk), **S._shard_agg(chunk)}
+    if not _entry_admits(rec, atom):
+        survivors = [e for e in chunk if _entry_admits(e, atom)]
+        assert not survivors, (
+            "shard aggregate disproved the atom but a member entry "
+            f"admits it: atom={atom} rec={rec} survivors={survivors}"
+        )
