@@ -32,6 +32,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=2000)
     ap.add_argument("--rows-per", type=int, default=500)
+    ap.add_argument("--index-entries", type=int, default=100_000,
+                    help="synthetic-entry count for the sharded-index "
+                         "section (the 1M scale check is one flag)")
     args = ap.parse_args()
     n_files, rows = args.files, args.files * args.rows_per
 
@@ -110,7 +113,7 @@ def main() -> None:
                 "stats": {"id": [i * 1000, i * 1000 + 999]},
                 "nulls": {"id": 0},
             }
-            for i in range(100_000)
+            for i in range(args.index_entries)
         ]
         io = S._io(big)
         t0 = time.time()
@@ -120,12 +123,12 @@ def main() -> None:
         t_shard = time.time() - t0
         root = {
             "format": 2, "gen_no": 2, "generation": "gen-000002._idx",
-            "rows": 100_000_000, "files_ext": ext, "op": "idx",
+            "rows": args.index_entries * 1000, "files_ext": ext, "op": "idx",
             "superseded": [], "history": [],
         }
         S._commit_manifest(big, root, expect_gen=0)
         root_b = os.path.getsize(os.path.join(big, "_manifest.json"))
-        print(f"\n# sharded index, 100,000 entries "
+        print(f"\n# sharded index, {args.index_entries:,} entries "
               f"({len(ext['shards'])} shards)")
         print("| metadata op | wall | note |")
         print("|---|---|---|")
@@ -146,9 +149,11 @@ def main() -> None:
         print(f"| WARM resolve (immutable-shard cache) | "
               f"{t_warm * 1e3:.0f} ms | root GET only |")
         t0 = time.time()
-        n_scan = files_scanned(big, "id BETWEEN 50000000 AND 50000010")
+        mid = args.index_entries * 1000 // 2
+        band_big = f"id BETWEEN {mid} AND {mid + 10}"
+        n_scan = files_scanned(big, band_big)
         t_prune_big = time.time() - t0
-        print(f"| stats-prune 100k entries | {t_prune_big * 1e3:.0f} ms "
+        print(f"| stats-prune {args.index_entries:,} entries | {t_prune_big * 1e3:.0f} ms "
               f"| -> {n_scan} file(s) scanned |")
         # round 10: shard-level aggregate stats — a SELECTIVE scan
         # resolves by loading the root plus only the shards whose
@@ -158,7 +163,6 @@ def main() -> None:
             shards_loaded,
         )
 
-        band_big = "id BETWEEN 50000000 AND 50000010"
         loaded, total_sh = shards_loaded(big, band_big)
         S._SHARD_CACHE.clear()
         t0 = time.time()
