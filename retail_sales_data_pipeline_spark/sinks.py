@@ -1084,6 +1084,17 @@ def _cleanup_empty_gen_dirs(
 # more metadata round trips on the worst-case tail only
 _COMMIT_ATTEMPTS = 8
 
+# full-jitter backoff window before a rebase re-read: uniform(0,
+# min(CAP, BASE * 2^attempt)). The CAP must exceed the system's
+# inter-commit gap or late attempts re-race inside a window where a
+# competitor lands every time: with the r10 0.25 s cap the ETag-CAS
+# fence (no lock queue — pure optimistic racing, and each cycle pays
+# HTTP round trips) exhausted 10% of commits at 8 continuous writers;
+# at 1.0 s the tail spreads across several commit intervals. The local
+# lock fence queues writers at the lock, so it rarely reaches the cap.
+_BACKOFF_BASE = 0.02
+_BACKOFF_CAP = 1.0
+
 
 def _drop_lost_staging(io, path: str, gen: str) -> None:
     """Remove a lost commit's staged generation — UNLESS the current
@@ -1593,7 +1604,9 @@ def _commit_generation(
             # 25 continuous batches exhausted ~1-1.5% of commits under
             # the r9 shape; zero after this change (docs/SCALE.md).
             _time.sleep(
-                _random.uniform(0.0, min(0.25, 0.02 * 2 ** attempt))
+                _random.uniform(
+                    0.0, min(_BACKOFF_CAP, _BACKOFF_BASE * 2 ** attempt)
+                )
             )
             try:
                 man2, entries2, loose2, stale2 = _live_state(path)

@@ -15,6 +15,15 @@ at 100 TB:
 
 Usage: python tools/dml_headroom.py [--rows 5000000] [--files 16]
 Prints one markdown table row per op for docs/SCALE.md.
+
+``--contention [--batches N] [--s3]`` runs the round-10 sustained-
+contention envelope instead: N in {2,4,8} writers x continuous
+txn-marked insert_into batches against ONE table, reporting commit
+throughput, the per-commit CAS-attempt histogram, and the
+attempt-exhaustion rate — against the local lock fence by default, or
+the ETag-CAS conditional-PUT fence on the disk-backed SigV4 fake with
+``--s3`` (the object-store shape; see docs/SCALE.md for why the two
+fences degrade differently).
 """
 
 from __future__ import annotations
@@ -64,7 +73,7 @@ def commit_stats(
     return len(before & after), len(new), wrote
 
 
-def contention_probe(spark, work: str, writers: int, batches: int) -> dict:
+def contention_probe(spark, base: str, writers: int, batches: int) -> dict:
     """Sustained-contention envelope (round 10): N writers × M
     continuous txn batches against ONE table, no think time — the
     worst case for the commit-level rebase protocol. Reports commit
@@ -80,10 +89,15 @@ def contention_probe(spark, work: str, writers: int, batches: int) -> dict:
         ConcurrentWriteError,
     )
 
-    path = os.path.join(work, f"contend_{writers}")
-    spark.range(1000).selectExpr(
-        "id", "'seed' as payload", "'keep' as tag"
-    ).coalesce(2).write.parquet(path)
+    path = f"{base}/contend_{writers}"
+    # through the Storage seam: the data plane addresses object-store
+    # URIs via the registered mapping, exactly like the sinks do
+    S.write_parquet(
+        spark.range(1000).selectExpr(
+            "id", "'seed' as payload", "'keep' as tag"
+        ).coalesce(2),
+        path,
+    )
     S.convert_to_manifest(spark, path)
 
     local = threading.local()
@@ -162,14 +176,14 @@ def contention_probe(spark, work: str, writers: int, batches: int) -> dict:
     }
 
 
-def run_contention(spark, work: str, batches: int) -> None:
-    print(f"\n# sustained contention: N writers x {batches} txn "
-          "batches, one table, no think time")
+def run_contention(spark, base: str, batches: int, fence: str) -> None:
+    print(f"\n# sustained contention ({fence} fence): N writers x "
+          f"{batches} txn batches, one table, no think time")
     print("| writers | commits | wall s | commits/s | "
           "attempts histogram | exhausted (rate) |")
     print("|---|---|---|---|---|---|")
     for n in (2, 4, 8):
-        r = contention_probe(spark, work, n, batches)
+        r = contention_probe(spark, base, n, batches)
         hist = ", ".join(
             f"{k}:{v}" for k, v in r["attempt_histogram"].items()
         )
@@ -186,14 +200,44 @@ def main() -> None:
                     help="run the sustained-contention envelope only")
     ap.add_argument("--batches", type=int, default=25,
                     help="txn batches per writer in --contention mode")
+    ap.add_argument("--s3", action="store_true",
+                    help="contention against the disk-backed SigV4 fake "
+                         "(ETag-CAS conditional-PUT fence, the object-"
+                         "store shape) instead of the local lock fence")
     args = ap.parse_args()
 
     if args.contention:
         spark = get_spark("dml-headroom-contention")
         work = tempfile.mkdtemp(prefix="dml_contend_")
+        server = None
         try:
-            run_contention(spark, work, args.batches)
+            if args.s3:
+                from tests.fake_s3 import DiskS3Server
+                from retail_sales_data_pipeline_spark import storage
+                from retail_sales_data_pipeline_spark.storage_s3 import (
+                    S3Storage,
+                )
+
+                os.environ.setdefault("AWS_ACCESS_KEY_ID", "probe-key")
+                os.environ.setdefault("AWS_SECRET_ACCESS_KEY",
+                                      "probe-secret")
+                root = os.path.join(work, "objstore")
+                os.makedirs(root)
+                server = DiskS3Server(root).start()
+                server.make_bucket("lake")
+                storage._REGISTRY["s3"] = S3Storage(
+                    endpoint_url=server.endpoint
+                )
+                storage._SPARK_MAPS["s3"] = (
+                    lambda uri: os.path.join(root, uri[len("s3://"):])
+                )
+                run_contention(spark, "s3://lake/contend", args.batches,
+                               "ETag-CAS")
+            else:
+                run_contention(spark, work, args.batches, "local lock")
         finally:
+            if server is not None:
+                server.shutdown()
             shutil.rmtree(work, ignore_errors=True)
             spark.stop()
         return
