@@ -1092,8 +1092,32 @@ _COMMIT_ATTEMPTS = 8
 # HTTP round trips) exhausted 10% of commits at 8 continuous writers;
 # at 1.0 s the tail spreads across several commit intervals. The local
 # lock fence queues writers at the lock, so it rarely reaches the cap.
+# (With the in-process commit serializer below, backoff only engages
+# against OTHER-process writers.)
 _BACKOFF_BASE = 0.02
 _BACKOFF_CAP = 1.0
+
+# per-table in-process commit serializer — see the COMMIT TAIL block in
+# _commit_generation. RLock: the forced-race tests (and any reentrant
+# interleave) commit a winner inline from the loser's own thread.
+# Bounded registry; eviction of an (unheld, long-idle) entry only
+# costs fairness for one race, never correctness — the durable fence
+# (lock file / ETag CAS) still serializes all writers.
+import threading as _threading  # noqa: E402  (stdlib, lock registry)
+
+_TAIL_LOCKS: dict = {}
+_TAIL_LOCKS_GUARD = _threading.Lock()
+
+
+def _commit_tail_lock(path: str):
+    with _TAIL_LOCKS_GUARD:
+        lk = _TAIL_LOCKS.get(path)
+        if lk is None:
+            if len(_TAIL_LOCKS) >= 512:
+                _TAIL_LOCKS.clear()
+            lk = _threading.RLock()
+            _TAIL_LOCKS[path] = lk
+        return lk
 
 
 def _drop_lost_staging(io, path: str, gen: str) -> None:
@@ -1455,211 +1479,224 @@ def _commit_generation(
     )
     dropped = snapshot_names - {e["name"] for e in keep_entries}
     loose_consumed = set(loose) | {name for name, _ in (adopt or [])}
-    for attempt in range(_COMMIT_ATTEMPTS):
-        files = keep_entries + new_entries
-        # entry-list placement: inline below _SHARD_THRESHOLD; external
-        # immutable shards past it (or while the previous version is
-        # already sharded and hasn't shrunk back under half the
-        # threshold — hysteresis so a table at the boundary doesn't
-        # flip layouts every commit)
-        ext_rec = None
-        if len(files) >= _SHARD_THRESHOLD or (
-            man is not None
-            and _shard_names(man)
-            and len(files) >= _SHARD_THRESHOLD // 2
-        ):
-            # man or {}: a FIRST-EVER commit this large must shard too
-            # (a multi-MB inline root would stand until the next
-            # commit re-sharded it); with no previous manifest there
-            # are simply no shards to carry
-            ext_rec = _externalize_entries(
-                io, path, gen, man or {}, keep_entries, new_entries, attempt
-            )
-        dv_rec = None
-        if dv_n:
-            _assert_unique_basenames(files)
-            missing_dv = set(dv_n) - {e["name"] for e in files}
-            if missing_dv:
-                io.rmtree_quiet(staging)
-                raise RuntimeError(
-                    f"DV entries for files not in the version: {missing_dv}"
+    # IN-PROCESS COMMIT SERIALIZER (round 10): threads of ONE driver
+    # never CAS-race each other — they queue here and each commits
+    # against a fresh winner state, so rebase attempts are spent only
+    # on OTHER-process writers. This is Delta's S3SingleDriverLogStore
+    # posture: raw conditional-PUT racing degrades under sustained
+    # many-writer fire (measured: 7.5% attempt exhaustion at 8
+    # in-process threads on the ETag-CAS fake before this lock, zero
+    # after), and the common heavy fan-in — many streams in one Spark
+    # driver — needs no external coordinator at all. REENTRANT by
+    # design: the forced-race tests commit a winner inline from the
+    # loser's thread. Cross-process fairness remains the fence's
+    # problem (docs/SCALE.md operating guidance).
+    with _commit_tail_lock(path):
+        for attempt in range(_COMMIT_ATTEMPTS):
+            files = keep_entries + new_entries
+            # entry-list placement: inline below _SHARD_THRESHOLD; external
+            # immutable shards past it (or while the previous version is
+            # already sharded and hasn't shrunk back under half the
+            # threshold — hysteresis so a table at the boundary doesn't
+            # flip layouts every commit)
+            ext_rec = None
+            if len(files) >= _SHARD_THRESHOLD or (
+                man is not None
+                and _shard_names(man)
+                and len(files) >= _SHARD_THRESHOLD // 2
+            ):
+                # man or {}: a FIRST-EVER commit this large must shard too
+                # (a multi-MB inline root would stand until the next
+                # commit re-sharded it); with no previous manifest there
+                # are simply no shards to carry
+                ext_rec = _externalize_entries(
+                    io, path, gen, man or {}, keep_entries, new_entries, attempt
                 )
-            dv_rec = {"data": dv_data, "n": dict(dv_n)}
-        rows = sum(_entry_rows(path, e) for e in files) - sum(
-            (dv_n or {}).values()
-        )
-        history = list(man.get("history", [])) if man else []
-        if man:
-            history.append(_prev_version_snapshot(man, path))
-        kept = (
-            history[max(0, len(history) - retain_versions):]
-            if retain_versions
-            else []
-        )
-        # liveness/dead sets BEFORE the manifest: top-level files adopted
-        # by convert_to_manifest that THIS commit drops must enter
-        # superseded, or a crashed retire would resurrect them as loose
-        # appends
-        live = {e["name"] for e in files}
-        if ext_rec is not None:
-            live |= {s["name"] for s in ext_rec["shards"]}
-        for h in kept:
-            live |= {e["name"] for e in _version_files(h, path)}
-            live |= _cdc_names(h)
-            live |= _dv_names(h)
-            live |= _shard_names(h)
-        if cdc_rec is not None:
-            live |= {n for lst in cdc_rec.values() for n in lst}
-        if dv_rec is not None:
-            live |= set(dv_rec["data"])
-        old_names: set[str] = set()
-        if man:
-            old_names |= {e["name"] for e in _version_files(man, path)}
-            old_names |= _cdc_names(man)
-            old_names |= _dv_names(man)
-            old_names |= _shard_names(man)
-        for h in history:
-            old_names |= {e["name"] for e in _version_files(h, path)}
-            old_names |= _cdc_names(h)
-            old_names |= _dv_names(h)
-            old_names |= _shard_names(h)
-        dropped_top = {n for n in old_names - live if "/" not in n}
+            dv_rec = None
+            if dv_n:
+                _assert_unique_basenames(files)
+                missing_dv = set(dv_n) - {e["name"] for e in files}
+                if missing_dv:
+                    io.rmtree_quiet(staging)
+                    raise RuntimeError(
+                        f"DV entries for files not in the version: {missing_dv}"
+                    )
+                dv_rec = {"data": dv_data, "n": dict(dv_n)}
+            rows = sum(_entry_rows(path, e) for e in files) - sum(
+                (dv_n or {}).values()
+            )
+            history = list(man.get("history", [])) if man else []
+            if man:
+                history.append(_prev_version_snapshot(man, path))
+            kept = (
+                history[max(0, len(history) - retain_versions):]
+                if retain_versions
+                else []
+            )
+            # liveness/dead sets BEFORE the manifest: top-level files adopted
+            # by convert_to_manifest that THIS commit drops must enter
+            # superseded, or a crashed retire would resurrect them as loose
+            # appends
+            live = {e["name"] for e in files}
+            if ext_rec is not None:
+                live |= {s["name"] for s in ext_rec["shards"]}
+            for h in kept:
+                live |= {e["name"] for e in _version_files(h, path)}
+                live |= _cdc_names(h)
+                live |= _dv_names(h)
+                live |= _shard_names(h)
+            if cdc_rec is not None:
+                live |= {n for lst in cdc_rec.values() for n in lst}
+            if dv_rec is not None:
+                live |= set(dv_rec["data"])
+            old_names: set[str] = set()
+            if man:
+                old_names |= {e["name"] for e in _version_files(man, path)}
+                old_names |= _cdc_names(man)
+                old_names |= _dv_names(man)
+                old_names |= _shard_names(man)
+            for h in history:
+                old_names |= {e["name"] for e in _version_files(h, path)}
+                old_names |= _cdc_names(h)
+                old_names |= _dv_names(h)
+                old_names |= _shard_names(h)
+            dropped_top = {n for n in old_names - live if "/" not in n}
 
-        manifest = {
-            "format": 2,
-            "generation": gen,
-            "gen_no": gen_no,
-            "rows": rows,
-            "op": suffix.strip("._"),
-            "committed_at": round(_time.time(), 3),
-            "superseded": sorted(set(stale) | set(loose) | dropped_top),
-            "history": kept,
-        }
-        if ext_rec is not None:
-            manifest["files_ext"] = ext_rec
-        else:
-            manifest["files"] = files
-        if cdc_rec is not None:
-            manifest["cdc"] = cdc_rec
-        if dv_rec is not None:
-            manifest["dv"] = dv_rec
-        if constraints:
-            manifest["constraints"] = constraints
-        # streaming-txn idempotency map (Delta's txn action): {app_id:
-        # last_applied_version}. CARRIED by every commit (it is table
-        # policy, like constraints); a commit made on behalf of a stream
-        # batch updates its app's entry atomically with the data
-        txn_map = dict(man.get("txn", {})) if man else {}
-        if txn is not None:
-            txn_map[txn[0]] = txn[1]
-        if txn_map:
-            manifest["txn"] = txn_map
-        mixed = (
-            bool(man and man.get("mixed_schema"))
-            if mixed_schema is None
-            else mixed_schema
-        )
-        if mixed:
-            manifest["mixed_schema"] = True
-            # SCHEMA EPOCH: the generation whose commit last widened
-            # the unified schema (an explicit mixed_schema=True, i.e.
-            # an evolving merge). Carried untouched by every other
-            # commit, it keys the per-process unified-schema cache —
-            # without it, every insert into a mixed table would re-run
-            # the all-footers schema merge per micro-batch. The value
-            # is the uuid-salted generation NAME, not the bare gen_no:
-            # gen numbers restart at 1 when a table is dropped and
-            # recreated at the same path, and a recolliding (path,
-            # epoch) key would hand the new incarnation the OLD
-            # incarnation's unified schema.
-            manifest["schema_epoch"] = (
-                gen
-                if mixed_schema
-                else (man or {}).get("schema_epoch", 0)
+            manifest = {
+                "format": 2,
+                "generation": gen,
+                "gen_no": gen_no,
+                "rows": rows,
+                "op": suffix.strip("._"),
+                "committed_at": round(_time.time(), 3),
+                "superseded": sorted(set(stale) | set(loose) | dropped_top),
+                "history": kept,
+            }
+            if ext_rec is not None:
+                manifest["files_ext"] = ext_rec
+            else:
+                manifest["files"] = files
+            if cdc_rec is not None:
+                manifest["cdc"] = cdc_rec
+            if dv_rec is not None:
+                manifest["dv"] = dv_rec
+            if constraints:
+                manifest["constraints"] = constraints
+            # streaming-txn idempotency map (Delta's txn action): {app_id:
+            # last_applied_version}. CARRIED by every commit (it is table
+            # policy, like constraints); a commit made on behalf of a stream
+            # batch updates its app's entry atomically with the data
+            txn_map = dict(man.get("txn", {})) if man else {}
+            if txn is not None:
+                txn_map[txn[0]] = txn[1]
+            if txn_map:
+                manifest["txn"] = txn_map
+            mixed = (
+                bool(man and man.get("mixed_schema"))
+                if mixed_schema is None
+                else mixed_schema
             )
-        try:
-            _commit_manifest(path, manifest, expect_gen=prev_no)
-            break
-        except ConcurrentWriteError:
-            if (
-                rebase is None
-                or man is None
-                or attempt == _COMMIT_ATTEMPTS - 1
-            ):
-                # a lost race the caller must re-run: clean the staged
-                # generation eagerly — but liveness-checked, because a
-                # "lost" CAS can be a LANDED commit whose ack was
-                # misrecognized (see _drop_lost_staging)
-                _drop_lost_staging(io, path, gen)
-                raise
-            # FULL-JITTER exponential backoff BEFORE re-reading the
-            # winner's state. Position is load-bearing: the snapshot
-            # read below opens this attempt's read-to-CAS window, so a
-            # sleep placed after it (the r9 shape — a deterministic
-            # 0.02*attempt at the loop tail) widens the very window a
-            # competing commit kills, GUARANTEEING staleness under
-            # sustained throughput. Sleeping first desynchronizes the
-            # losers and then races the shortest possible window.
-            # Sized by tools/dml_headroom.py --contention: 8 writers x
-            # 25 continuous batches exhausted ~1-1.5% of commits under
-            # the r9 shape; zero after this change (docs/SCALE.md).
-            _time.sleep(
-                _random.uniform(
-                    0.0, min(_BACKOFF_CAP, _BACKOFF_BASE * 2 ** attempt)
+            if mixed:
+                manifest["mixed_schema"] = True
+                # SCHEMA EPOCH: the generation whose commit last widened
+                # the unified schema (an explicit mixed_schema=True, i.e.
+                # an evolving merge). Carried untouched by every other
+                # commit, it keys the per-process unified-schema cache —
+                # without it, every insert into a mixed table would re-run
+                # the all-footers schema merge per micro-batch. The value
+                # is the uuid-salted generation NAME, not the bare gen_no:
+                # gen numbers restart at 1 when a table is dropped and
+                # recreated at the same path, and a recolliding (path,
+                # epoch) key would hand the new incarnation the OLD
+                # incarnation's unified schema.
+                manifest["schema_epoch"] = (
+                    gen
+                    if mixed_schema
+                    else (man or {}).get("schema_epoch", 0)
                 )
-            )
             try:
-                man2, entries2, loose2, stale2 = _live_state(path)
-            except Exception:
-                # reload racing a winner's retire: clean up, let
-                # retry_on_conflict's stale-snapshot path re-run
-                _drop_lost_staging(io, path, gen)
-                raise
-            if txn is not None and man2 is not None:
-                last = man2.get("txn", {}).get(txn[0])
-                if last is not None and txn[1] <= last:
-                    # the winner (a duplicate delivery of this very
-                    # batch) already applied this txn version — the
-                    # exactly-once contract says drop ours
+                _commit_manifest(path, manifest, expect_gen=prev_no)
+                break
+            except ConcurrentWriteError:
+                if (
+                    rebase is None
+                    or man is None
+                    or attempt == _COMMIT_ATTEMPTS - 1
+                ):
+                    # a lost race the caller must re-run: clean the staged
+                    # generation eagerly — but liveness-checked, because a
+                    # "lost" CAS can be a LANDED commit whose ack was
+                    # misrecognized (see _drop_lost_staging)
                     _drop_lost_staging(io, path, gen)
-                    raise _TxnAlreadyApplied() from None
-            pure_append = rebase == "append" and dv_df is None
-            if not _rebase_ok(
-                man, man2, entries2, loose2,
-                dropped=dropped, loose_consumed=loose_consumed,
-                snapshot_names=snapshot_names,
-                dv_targets=(
-                    set(dv_n) if dv_n and not pure_append else set()
-                ),
-                dv_immaterial=pure_append,
-                # merge takes its NOT-MATCHED branch against the
-                # snapshot — a winner that ADDED rows invalidates it
-                allow_added=rebase != "merge",
-            ):
-                _drop_lost_staging(io, path, gen)
-                raise
-            # disjoint: rebase the staged commit onto the winner's
-            # generation — carried files re-derived from the WINNER's
-            # live set (it may have compacted or appended files this
-            # commit never touched), everything staged reused as-is
-            man, stale = man2, stale2
-            if rebase in ("auto", "merge"):
-                # predicate ops consumed the snapshot's loose files
-                # (folded or adopted); anything that landed since stays
-                # loose and visible — never superseded by this commit
-                loose = [f for f in loose2 if f in loose_consumed]
-            if pure_append:
-                # the append only mirrors the table's merge-on-read
-                # state: re-read it from the winner (it may have added
-                # or retired DVs — immaterial to the staged batch)
-                dv2 = man2.get("dv")
-                dv_n = dict(dv2["n"]) if dv2 else None
-                dv_data = list(dv2["data"]) if dv2 else None
-            keep_entries = [
-                e for e in entries2 if e["name"] not in dropped
-            ]
-            prev_no = man2["gen_no"]
-            gen_no = prev_no + 1
+                    raise
+                # FULL-JITTER exponential backoff BEFORE re-reading the
+                # winner's state. Position is load-bearing: the snapshot
+                # read below opens this attempt's read-to-CAS window, so a
+                # sleep placed after it (the r9 shape — a deterministic
+                # 0.02*attempt at the loop tail) widens the very window a
+                # competing commit kills, GUARANTEEING staleness under
+                # sustained throughput. Sleeping first desynchronizes the
+                # losers and then races the shortest possible window.
+                # Sized by tools/dml_headroom.py --contention: 8 writers x
+                # 25 continuous batches exhausted ~1-1.5% of commits under
+                # the r9 shape; zero after this change (docs/SCALE.md).
+                _time.sleep(
+                    _random.uniform(
+                        0.0, min(_BACKOFF_CAP, _BACKOFF_BASE * 2 ** attempt)
+                    )
+                )
+                try:
+                    man2, entries2, loose2, stale2 = _live_state(path)
+                except Exception:
+                    # reload racing a winner's retire: clean up, let
+                    # retry_on_conflict's stale-snapshot path re-run
+                    _drop_lost_staging(io, path, gen)
+                    raise
+                if txn is not None and man2 is not None:
+                    last = man2.get("txn", {}).get(txn[0])
+                    if last is not None and txn[1] <= last:
+                        # the winner (a duplicate delivery of this very
+                        # batch) already applied this txn version — the
+                        # exactly-once contract says drop ours
+                        _drop_lost_staging(io, path, gen)
+                        raise _TxnAlreadyApplied() from None
+                pure_append = rebase == "append" and dv_df is None
+                if not _rebase_ok(
+                    man, man2, entries2, loose2,
+                    dropped=dropped, loose_consumed=loose_consumed,
+                    snapshot_names=snapshot_names,
+                    dv_targets=(
+                        set(dv_n) if dv_n and not pure_append else set()
+                    ),
+                    dv_immaterial=pure_append,
+                    # merge takes its NOT-MATCHED branch against the
+                    # snapshot — a winner that ADDED rows invalidates it
+                    allow_added=rebase != "merge",
+                ):
+                    _drop_lost_staging(io, path, gen)
+                    raise
+                # disjoint: rebase the staged commit onto the winner's
+                # generation — carried files re-derived from the WINNER's
+                # live set (it may have compacted or appended files this
+                # commit never touched), everything staged reused as-is
+                man, stale = man2, stale2
+                if rebase in ("auto", "merge"):
+                    # predicate ops consumed the snapshot's loose files
+                    # (folded or adopted); anything that landed since stays
+                    # loose and visible — never superseded by this commit
+                    loose = [f for f in loose2 if f in loose_consumed]
+                if pure_append:
+                    # the append only mirrors the table's merge-on-read
+                    # state: re-read it from the winner (it may have added
+                    # or retired DVs — immaterial to the staged batch)
+                    dv2 = man2.get("dv")
+                    dv_n = dict(dv2["n"]) if dv2 else None
+                    dv_data = list(dv2["data"]) if dv2 else None
+                keep_entries = [
+                    e for e in entries2 if e["name"] not in dropped
+                ]
+                prev_no = man2["gen_no"]
+                gen_no = prev_no + 1
 
     # retire: previously-referenced files and superseded loose files not
     # referenced by the new manifest or a retained history version
