@@ -407,9 +407,14 @@ def _externalize_entries(
     keep_entries: list[dict],
     new_entries: list[dict],
     salt: int,
+    carried_verbatim: list[dict] = (),
 ) -> dict:
     """Write this commit's entry list as external shards, carrying
     every previous shard whose membership is unchanged BY REFERENCE.
+    ``carried_verbatim`` (round 10, selective DML): root shard records
+    the resolve already PROVED unchanged (predicate-rejected, no
+    member touched) — carried as-is without loading their members at
+    all, the step that makes a selective DML commit O(touched shards).
     Entries from broken shards (ones containing a file this commit
     drops) re-pool with the new entries into fresh shards under the
     committing generation. UNDERSIZED shards (fewer than half of
@@ -423,9 +428,12 @@ def _externalize_entries(
     unreferenced dead files vacuumed by TTL). Returns the
     ``files_ext`` record."""
     keep_names = {e["name"] for e in keep_entries}
-    carried: list[dict] = []
+    carried: list[dict] = list(carried_verbatim)
+    verbatim_names = {s["name"] for s in carried_verbatim}
     residual = set(keep_names)
     for s in (man_prev.get("files_ext") or {}).get("shards", []):
+        if s["name"] in verbatim_names:
+            continue  # proven unchanged at resolve time: never loaded
         members = _load_shard(path, s["name"])
         names = {e["name"] for e in members}
         if names <= keep_names and len(names) >= _SHARD_SIZE // 2:
@@ -487,6 +495,7 @@ def _entry_rows(table_path: str, entry: dict) -> int:
 def _live_state(
     path: str,
     shard_admits=None,
+    carry_out: list | None = None,
 ) -> tuple[dict | None, list[dict], list[str], list[str]]:
     """ONE directory snapshot resolving the live table: ``(manifest,
     referenced file entries, loose append basenames, stale superseded
@@ -510,7 +519,13 @@ def _live_state(
     scanning an adopted file as loose (``top`` in the record makes
     this free for the normal all-in-generation-dirs layout); and
     history versions load only their possibly-top-level shards, since
-    history names feed nothing but that classifier."""
+    history names feed nothing but that classifier.
+
+    ``carry_out`` (round 10, selective DML) upgrades the resolve to
+    the DML contract: rejected shards either load fully into
+    ``entries`` or land in ``carry_out`` as verbatim-carry records —
+    see :func:`_version_files_admitted`. Mixed-schema tables clear
+    ``carry_out`` along with ``shard_admits`` (full load)."""
     man = _load_manifest(path)
     top = _top_level_part_files(path)
     if man is None:
@@ -521,7 +536,9 @@ def _live_state(
         # that physically CARRIES an evolved column, and the merged-
         # footer read of the survivors would lose the column from the
         # scan schema — enforce the carve-out HERE so no caller can
-        # trip it
+        # trip it. The DML resolve (carry_out) additionally needs the
+        # unified-schema gate and _table_columns to see every physical
+        # schema, so it degrades to full load with it.
         shard_admits = None
     if shard_admits is None:
         entries = _version_files(man, path)
@@ -530,22 +547,52 @@ def _live_state(
             referenced |= {e["name"] for e in _version_files(h, path)}
     else:
         entries, referenced = _version_files_admitted(
-            man, path, shard_admits
+            man, path, shard_admits, carry_out
         )
         for h in man.get("history", []):
             referenced |= _version_top_names(h, path)
+        if carry_out and not entries:
+            # keep at least one shard loaded: schema-bearing consumers
+            # (the insert gate, _table_columns) read entries[0], and a
+            # perfectly-carried resolve would leave them blind
+            entries.extend(_load_shard(path, carry_out[-1]["name"]))
+            carry_out.pop()
     loose = [f for f in top if f not in sup and f not in referenced]
     stale = sorted(sup & set(top))
     return man, entries, loose, stale
 
 
+def _shard_carry_eligible(s: dict) -> bool:
+    """May a DML commit carry this REJECTED root shard record verbatim,
+    without ever loading its members? Requires: a post-r10 record with
+    a known ``rows`` sum (the commit's row accounting adds it without
+    enumerating members), zero TOP-LEVEL members (the loose-file
+    classifier and the dropped-top retire set need top-level names by
+    value), and a right-sized shard (undersized tails still load so
+    the continual tail folding keeps its fragmentation bound)."""
+    return (
+        s.get("top", 1) == 0
+        and isinstance(s.get("rows"), int)
+        and s.get("count", 0) >= _SHARD_SIZE // 2
+    )
+
+
 def _version_files_admitted(
-    version: dict, table_path: str, admits
+    version: dict, table_path: str, admits, carry_out: list | None = None
 ) -> tuple[list[dict], set[str]]:
     """Scan-path resolve of one version: ``(entries of admitted
     shards, referenced names)``. Shards rejected by ``admits`` are
     skipped without I/O when their record proves they hold no
-    top-level names; otherwise they load for the name set only."""
+    top-level names; otherwise they load for the name set only.
+
+    ``carry_out`` switches to the DML resolve (round 10, selective
+    DML): rejected shards that are :func:`_shard_carry_eligible`
+    append their ROOT RECORD to ``carry_out`` — the commit will carry
+    them into the next version verbatim, never loading their members —
+    and every other rejected shard loads fully INTO the entry list
+    (a DML commit must account for every live file either as an entry
+    or as a carried shard record; the scan path's names-only load is
+    not enough)."""
     ext = version.get("files_ext")
     if ext is None:
         entries = _version_files(version, table_path)
@@ -557,11 +604,38 @@ def _version_files_admitted(
             got = _load_shard(table_path, s["name"])
             entries.extend(got)
             referenced |= {e["name"] for e in got}
+        elif carry_out is not None:
+            if _shard_carry_eligible(s):
+                carry_out.append(s)
+            else:
+                got = _load_shard(table_path, s["name"])
+                entries.extend(got)
+                referenced |= {e["name"] for e in got}
         elif s.get("top", 1):
             referenced |= {
                 e["name"] for e in _load_shard(table_path, s["name"])
             }
     return entries, referenced
+
+
+def _version_names_skip(
+    version: dict, table_path: str, skip: set[str]
+) -> set[str]:
+    """A version's referenced file names, NOT enumerating members of
+    shards named in ``skip``. Sound only when every skipped shard is
+    carried verbatim into the commit being built: its members are then
+    referenced by BOTH the old and the new version, so excluding them
+    from both sides of every live/dead set difference cancels exactly
+    — they can never be retired, dropped, or reported top-level."""
+    ext = version.get("files_ext")
+    if ext is None or not skip:
+        return {e["name"] for e in _version_files(version, table_path)}
+    out: set[str] = set()
+    for s in ext.get("shards", []):
+        if s["name"] in skip:
+            continue
+        out |= {e["name"] for e in _load_shard(table_path, s["name"])}
+    return out
 
 
 def _version_top_names(version: dict, table_path: str) -> set[str]:
@@ -919,6 +993,24 @@ def _cdc_names(version: dict) -> set[str]:
     return {name for lst in cdc.values() for name in lst}
 
 
+def _cdc_sidecars(version: dict) -> set[str]:
+    """A version's cdc names that are REAL sidecar objects (cdc-insert
+    / cdc-delete dirs). BY-REFERENCE entries — the pure-insert feed and
+    adopted appends record the version's own DATA files as its insert
+    list — are excluded: they are version members, already covered by
+    member enumeration on both sides of the commit tail's live/dead
+    difference. Re-adding them there is redundant on a full resolve
+    and WRONG on a selective one (a carried shard's members are
+    excluded from both sides by design; a cdc-by-reference copy on the
+    old side only would retire a live file — caught by
+    test_sharded_index_fragmentation_bounded when insert_into went
+    selective)."""
+    return {
+        n for n in _cdc_names(version)
+        if os.path.basename(n).startswith("cdc-")
+    }
+
+
 def _dv_map(version: dict | None) -> dict[str, int]:
     """Per-file deleted-row counts of a version's DELETION VECTORS,
     keyed by manifest-relative data-file name ({} when none). A file
@@ -1240,6 +1332,7 @@ def _commit_generation(
     txn: tuple[str, int] | None = None,
     cdc_insert_staged: bool = False,
     rebase: str | None = None,
+    carried_shards: list[dict] | None = None,
 ) -> tuple[int, dict, int]:
     """Shared commit core of the manifest protocol. Writes ``new_df``
     into a fresh generation directory, byte-copies the ``adopt`` loose
@@ -1303,8 +1396,25 @@ def _commit_generation(
     loser raises and :func:`retry_on_conflict` re-runs the whole pass.
     A non-rebaseable lost race now also cleans its staged generation
     eagerly instead of leaving it for vacuum's TTL.
+
+    ``carried_shards`` (round 10, SELECTIVE DML): root shard records
+    the caller's resolve proved untouched (see ``_live_state``'s
+    ``carry_out``) — their members were never loaded and never will
+    be: the commit carries the records verbatim, adds their ``rows``
+    aggregate to the row accounting, and excludes their members from
+    BOTH sides of every live/dead set difference (sound because the
+    shard object is referenced by both the old and the new version —
+    the difference cancels member-by-member). A lost CAS resets to
+    the full resolve (the winner may have rewritten a carried shard).
+    The "merge" isolation check compares the winner's live set against
+    the FULL snapshot name set; a lost "merge" CAS with carried shards
+    completes ``snapshot_names`` lazily from the carried records
+    (their members ARE the missing names) before consulting
+    :func:`_rebase_ok` — the rare-path cost of the common-path skip.
     """
     import uuid
+
+    carried_shards = list(carried_shards or [])
 
     if cdc_insert_staged and adopt:
         # cdc_insert_staged already records EVERY new entry — including
@@ -1341,10 +1451,17 @@ def _commit_generation(
         # a pure-DV commit writes no data files, so the staging dir may
         # not exist yet — adoption still needs it
         io.makedirs(staging)
+    adopted_rels: list[str] = []
     for name, entry in adopt or []:
-        dst = f"adopted-{name}"
+        # uuid-salted: adopting the SAME loose name twice across a
+        # table's life must not mint two live files with one basename —
+        # deletion-vector position sets key on basenames, and the
+        # selective-DML resolve (carried_shards) relies on every NEW
+        # basename being collision-free by construction
+        dst = f"adopted-{uuid.uuid4().hex[:8]}-{name}"
         io.copy_file(os.path.join(path, name), os.path.join(staging, dst))
         new_entries.append({**entry, "name": f"{gen}/{dst}"})
+        adopted_rels.append(f"{gen}/{dst}")
     constraints = dict(man.get("constraints", {})) if man else {}
     if constraints and new_entries:
         # CHECK enforcement is commit-time and staged-sized: carried
@@ -1431,9 +1548,6 @@ def _commit_generation(
         if folded_loose:
             cdc_rec = None
         else:
-            adopted_rels = [
-                f"{gen}/adopted-{name}" for name, _ in (adopt or [])
-            ]
             if adopted_rels:
                 cdc_rec = {
                     **cdc_rec,
@@ -1474,8 +1588,9 @@ def _commit_generation(
     # attempt's generation number (cosmetic only — every consumer works
     # off manifest-relative names, never parses numbers out of
     # directory names).
+    carry_skip = {s["name"] for s in carried_shards}
     snapshot_names = (
-        {e["name"] for e in _version_files(man, path)} if man else set()
+        _version_names_skip(man, path, carry_skip) if man else set()
     )
     dropped = snapshot_names - {e["name"] for e in keep_entries}
     loose_consumed = set(loose) | {name for name, _ in (adopt or [])}
@@ -1500,7 +1615,7 @@ def _commit_generation(
             # threshold — hysteresis so a table at the boundary doesn't
             # flip layouts every commit)
             ext_rec = None
-            if len(files) >= _SHARD_THRESHOLD or (
+            if carried_shards or len(files) >= _SHARD_THRESHOLD or (
                 man is not None
                 and _shard_names(man)
                 and len(files) >= _SHARD_THRESHOLD // 2
@@ -1508,22 +1623,40 @@ def _commit_generation(
                 # man or {}: a FIRST-EVER commit this large must shard too
                 # (a multi-MB inline root would stand until the next
                 # commit re-sharded it); with no previous manifest there
-                # are simply no shards to carry
+                # are simply no shards to carry. carried_shards forces
+                # the external layout regardless of the LOADED count —
+                # the table is sharded by construction, and the inline
+                # collapse decision needs the full entry list anyway
+                # (it happens on full-resolve commits only).
                 ext_rec = _externalize_entries(
-                    io, path, gen, man or {}, keep_entries, new_entries, attempt
+                    io, path, gen, man or {}, keep_entries, new_entries,
+                    attempt, carried_verbatim=carried_shards,
                 )
             dv_rec = None
             if dv_n:
+                # loaded files only under a selective resolve — sound
+                # inductively: carried shards' members (and their DV
+                # entries) are untouched, every NEW basename is
+                # collision-free by construction (Spark job-uuid part
+                # names; uuid-salted adopted names)
                 _assert_unique_basenames(files)
                 missing_dv = set(dv_n) - {e["name"] for e in files}
+                if missing_dv and carried_shards:
+                    # names valid under the base version whose files this
+                    # commit didn't drop live inside carried shards
+                    missing_dv -= (
+                        set((man.get("dv") or {}).get("n", {})) - dropped
+                    )
                 if missing_dv:
                     io.rmtree_quiet(staging)
                     raise RuntimeError(
                         f"DV entries for files not in the version: {missing_dv}"
                     )
                 dv_rec = {"data": dv_data, "n": dict(dv_n)}
-            rows = sum(_entry_rows(path, e) for e in files) - sum(
-                (dv_n or {}).values()
+            rows = (
+                sum(_entry_rows(path, e) for e in files)
+                + sum(s["rows"] for s in carried_shards)
+                - sum((dv_n or {}).values())
             )
             history = list(man.get("history", [])) if man else []
             if man:
@@ -1537,12 +1670,20 @@ def _commit_generation(
             # by convert_to_manifest that THIS commit drops must enter
             # superseded, or a crashed retire would resurrect them as loose
             # appends
+            # members of carried-verbatim shards are excluded from BOTH
+            # live and old_names (carry_skip): the shard is referenced
+            # by the old version AND ext_rec, so every member would land
+            # on both sides of old_names - live and cancel — skipping
+            # the enumeration is the whole point of the carry, and
+            # _cleanup_empty_gen_dirs is disk-guarded (a dir still
+            # holding part files is never removed), so a partial live
+            # set cannot over-delete there either
             live = {e["name"] for e in files}
             if ext_rec is not None:
                 live |= {s["name"] for s in ext_rec["shards"]}
             for h in kept:
-                live |= {e["name"] for e in _version_files(h, path)}
-                live |= _cdc_names(h)
+                live |= _version_names_skip(h, path, carry_skip)
+                live |= _cdc_sidecars(h)
                 live |= _dv_names(h)
                 live |= _shard_names(h)
             if cdc_rec is not None:
@@ -1551,13 +1692,13 @@ def _commit_generation(
                 live |= set(dv_rec["data"])
             old_names: set[str] = set()
             if man:
-                old_names |= {e["name"] for e in _version_files(man, path)}
-                old_names |= _cdc_names(man)
+                old_names |= _version_names_skip(man, path, carry_skip)
+                old_names |= _cdc_sidecars(man)
                 old_names |= _dv_names(man)
                 old_names |= _shard_names(man)
             for h in history:
-                old_names |= {e["name"] for e in _version_files(h, path)}
-                old_names |= _cdc_names(h)
+                old_names |= _version_names_skip(h, path, carry_skip)
+                old_names |= _cdc_sidecars(h)
                 old_names |= _dv_names(h)
                 old_names |= _shard_names(h)
             dropped_top = {n for n in old_names - live if "/" not in n}
@@ -1660,6 +1801,15 @@ def _commit_generation(
                         # exactly-once contract says drop ours
                         _drop_lost_staging(io, path, gen)
                         raise _TxnAlreadyApplied() from None
+                if carried_shards and rebase == "merge":
+                    # the not-matched isolation check below compares
+                    # live2 against the FULL base name set — complete
+                    # it from the carried records (loads only here, on
+                    # the lost-CAS rare path)
+                    for s in carried_shards:
+                        snapshot_names |= {
+                            e["name"] for e in _load_shard(path, s["name"])
+                        }
                 pure_append = rebase == "append" and dv_df is None
                 if not _rebase_ok(
                     man, man2, entries2, loose2,
@@ -1695,6 +1845,12 @@ def _commit_generation(
                 keep_entries = [
                     e for e in entries2 if e["name"] not in dropped
                 ]
+                # the winner may have rewritten/folded a shard this
+                # commit was carrying verbatim; entries2 is the FULL
+                # resolve, so the rebased attempt re-derives the index
+                # from it and the carry (with its skip set) resets
+                carried_shards = []
+                carry_skip = set()
                 prev_no = man2["gen_no"]
                 gen_no = prev_no + 1
 
@@ -2312,7 +2468,17 @@ def delete_where(
     """
     from pyspark.sql import functions as F
 
-    man, entries, loose, stale = _live_state(path)
+    from .data_skipping import _scan_admits  # lazy: avoids module cycle
+
+    # SELECTIVE RESOLVE (round 10): on a sharded table, index shards
+    # whose aggregate [min, max] disproves the predicate are never
+    # loaded — their root records ride through to the commit verbatim,
+    # so a targeted takedown on a 1M-file table is O(touched shards)
+    # end to end, identification AND commit
+    carried: list[dict] = []
+    man, entries, loose, stale = _live_state(
+        path, shard_admits=_scan_admits(predicate), carry_out=carried
+    )
     loose_entries = [(f, _file_entry(path, f)) for f in loose]
     cand = entries + [e for _, e in loose_entries]
     if not cand:
@@ -2388,6 +2554,7 @@ def delete_where(
             dv_n=dv_n,
             dv_carry=dv_carry,
             rebase="auto",
+            carried_shards=carried,
         )
     finally:
         if hits is not None:
@@ -2428,7 +2595,14 @@ def update_where(
     """
     from pyspark.sql import functions as F
 
-    man, entries, loose, stale = _live_state(path)
+    from .data_skipping import _scan_admits  # lazy: avoids module cycle
+
+    # selective resolve, same contract as delete_where: predicate-
+    # rejected index shards carry verbatim, never loaded
+    carried: list[dict] = []
+    man, entries, loose, stale = _live_state(
+        path, shard_admits=_scan_admits(predicate), carry_out=carried
+    )
     loose_entries = [(f, _file_entry(path, f)) for f in loose]
     cand = entries + [e for _, e in loose_entries]
     if not cand:
@@ -2546,6 +2720,7 @@ def update_where(
             dv_n=dv_n,
             dv_carry=dv_carry,
             rebase="auto",
+            carried_shards=carried,
         )
     finally:
         if marked is not None:
@@ -2625,7 +2800,15 @@ def insert_into(
     ``append_table`` files stay loose and untouched. Returns the
     number of rows inserted.
     """
-    man, entries, loose, stale = _live_state(path)
+    # pure append, empty read-set: NOTHING needs its members loaded —
+    # every carry-eligible index shard rides through verbatim, so a
+    # micro-batch insert into a sharded 1M-file table resolves by
+    # reading the root plus the undersized tail, not the whole index
+    # (the resolve keeps one shard loaded as the schema-gate witness)
+    carried: list[dict] = []
+    man, entries, loose, stale = _live_state(
+        path, shard_admits=lambda s: False, carry_out=carried
+    )
     if man is None:
         raise ValueError(
             f"no manifest at {path!r} — convert_to_manifest first (or "
@@ -2709,6 +2892,7 @@ def insert_into(
                 # re-staging it — concurrent insert streams each write
                 # their bytes exactly once
                 rebase="append",
+                carried_shards=carried,
             )
         except _TxnAlreadyApplied:
             # a duplicate delivery of this very (app_id, version) won
@@ -3111,28 +3295,13 @@ def merge_into(
 
     from pyspark.sql import functions as F
 
-    man, entries, loose, stale = _live_state(path)
-    src = [os.path.join(path, e["name"]) for e in entries] + [
-        os.path.join(path, f) for f in loose
-    ]
-    old_cols = (
-        _table_columns(spark, man, src)
-        if src
-        else spark.read.parquet(_spark_path(path)).columns
-    )
-    if not evolve_schema and set(updates.columns) != set(old_cols):
-        raise ValueError(
-            f"merge schema mismatch: table has {sorted(old_cols)}, "
-            f"updates have {sorted(updates.columns)} "
-            "(pass evolve_schema=True to add/omit columns)"
-        )
-    missing_keys = [k for k in keys if k not in updates.columns
-                    or k not in old_cols]
+    # source-side key sanity BEFORE any job or table I/O (the table-
+    # side half of the check runs after the resolve below)
+    missing_keys = [k for k in keys if k not in updates.columns]
     if missing_keys:
         raise ValueError(
             f"merge keys {missing_keys} must exist on both sides"
         )
-    evolving = evolve_schema and set(updates.columns) != set(old_cols)
     nn = reduce(
         lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
     )
@@ -3166,6 +3335,52 @@ def merge_into(
                 f"updates are not unique on {keys} — one target row "
                 "would match several source rows (ambiguous MERGE)"
             )
+        # SELECTIVE RESOLVE (round 10): the patch's key facts — exact
+        # sorted set when broadcast, [k_lo, k_hi] otherwise — prune the
+        # INDEX, not just the file list: shards whose aggregate key
+        # range disproves every patch key are carried verbatim, never
+        # loaded. Sound for the NOT-MATCHED branch too: a rejected
+        # shard provably contains no patch key, so it cannot turn an
+        # insert into an update.
+        carried: list[dict] = []
+        admits = None
+        if pre["n_matchable"] > 0 and pre["k_lo"] is not None:
+            from .data_skipping import (  # lazy: avoids module cycle
+                shard_admits as _mk_shard_admits,
+            )
+
+            keys_sorted_pre = (
+                list(pre["ks"]) if broadcast_updates else None
+            )
+            atoms = (
+                [("in", k0, tuple(keys_sorted_pre))]
+                if keys_sorted_pre
+                else [("between", k0, pre["k_lo"], pre["k_hi"])]
+            )
+            admits = _mk_shard_admits(atoms)
+        man, entries, loose, stale = _live_state(
+            path, shard_admits=admits, carry_out=carried
+        )
+        src = [os.path.join(path, e["name"]) for e in entries] + [
+            os.path.join(path, f) for f in loose
+        ]
+        old_cols = (
+            _table_columns(spark, man, src)
+            if src
+            else spark.read.parquet(_spark_path(path)).columns
+        )
+        if not evolve_schema and set(updates.columns) != set(old_cols):
+            raise ValueError(
+                f"merge schema mismatch: table has {sorted(old_cols)}, "
+                f"updates have {sorted(updates.columns)} "
+                "(pass evolve_schema=True to add/omit columns)"
+            )
+        missing_keys = [k for k in keys if k not in old_cols]
+        if missing_keys:
+            raise ValueError(
+                f"merge keys {missing_keys} must exist on both sides"
+            )
+        evolving = evolve_schema and set(updates.columns) != set(old_cols)
         loose_entries = [(f, _file_entry(path, f)) for f in loose]
         cand = entries + [e for _, e in loose_entries]
         dv = (man or {}).get("dv")
@@ -3334,6 +3549,7 @@ def merge_into(
                 dv_n=dv_n,
                 dv_carry=dv_carry,
                 rebase="merge",
+                carried_shards=carried,
             )
         finally:
             if marked is not None:

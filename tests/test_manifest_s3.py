@@ -756,6 +756,63 @@ def test_sharded_selective_scan_request_budget(s3env, spark, monkeypatch):
     assert shards_loaded(uri, "id + grp = 12") == (4, 4)
 
 
+def test_sharded_selective_dml_request_budget(s3env, spark, monkeypatch):
+    """Round-10 second rung, over s3://: a SELECTIVE DELETE on a
+    sharded table is O(touched shards) END TO END — identification
+    loads root + admitted shards only, and the commit carries every
+    rejected shard's ROOT RECORD verbatim: shard GETs stay at the
+    touched set, shard PUTs at the re-pooled set, one root CAS PUT."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    s3env["s3"].page_size = 1000
+    server = s3env["server"]
+    uri = "s3://lake/tables/shard-dml"
+    df = spark.range(8000).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    S.write_parquet(df.repartition(8), uri)
+    S.convert_to_manifest(spark, uri)
+    S.compact_parquet(spark, uri, target_files=8, sort_col="id")
+    man0 = S._load_manifest(uri)
+    names0 = {s["name"] for s in man0["files_ext"]["shards"]}
+    assert len(names0) == 4
+
+    S._SHARD_CACHE.clear()
+    server.reset_counts()
+    assert S.delete_where(spark, uri, "id BETWEEN 100 AND 120") == 21
+    c = server.reset_counts()
+    # identification: root GET + ONE admitted shard GET (everything
+    # else the data plane reads through the mapped dir); commit: the
+    # root CAS PUT + the re-pooled shard PUT — rejected shards move
+    # ZERO requests in either direction
+    assert c["PUT"] == 2, c  # new entry shard + root CAS
+    assert c.get("GET", 0) <= 4, c
+    # whole control plane (incl. existence HEADs, footer ranges, the
+    # retire DELETEs) stays a handful — independent of shard count
+    assert sum(c.values()) <= 20, c
+
+    man1 = S._load_manifest(uri)
+    names1 = {s["name"] for s in man1["files_ext"]["shards"]}
+    assert len(names0 & names1) == 3  # carried by record
+    assert man1["rows"] == 8000 - 21
+    assert S.read_table(spark, uri).count() == 8000 - 21
+
+    # a pure APPEND carries everything but the witness shard: one new
+    # entry-shard PUT + the root CAS, O(1) shard GETs
+    S._SHARD_CACHE.clear()
+    server.reset_counts()
+    batch = spark.range(90000, 90003).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    assert S.insert_into(spark, uri, batch) == 3
+    c = server.reset_counts()
+    assert c["PUT"] == 2, c
+    assert c.get("GET", 0) <= 4, c
+    assert S.read_table(spark, uri).count() == 8000 - 21 + 3
+
+
 def test_lost_ack_with_interleaved_third_writer(s3env, spark, monkeypatch):
     """Sharper lost-ack shape: this writer's conditional PUT LANDS
     unacked, and a THIRD writer commits on top before the read-back.

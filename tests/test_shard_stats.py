@@ -330,11 +330,247 @@ def test_shard_agg_pruning_is_sound(chunk, atom):
 
     rec = {"name": "s", "count": len(chunk), **S._shard_agg(chunk)}
     if not _entry_admits(rec, atom):
-        survivors = [e for e in chunk if _entry_admits(e, atom)]
+        # soundness is ROW-level: an EMPTY member (rows == 0) may admit
+        # at entry granularity (conservative) while the aggregate's
+        # all-NULL inference disproves the atom over the shard's actual
+        # rows — skipping a file with no rows can never skip a match
+        survivors = [
+            e for e in chunk
+            if _entry_admits(e, atom) and e.get("rows") != 0
+        ]
         assert not survivors, (
-            "shard aggregate disproved the atom but a member entry "
-            f"admits it: atom={atom} rec={rec} survivors={survivors}"
+            "shard aggregate disproved the atom but a NON-EMPTY member "
+            f"entry admits it: atom={atom} rec={rec} "
+            f"survivors={survivors}"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-10 second rung: SELECTIVE DML — identification AND commit are
+# O(touched shards). Rejected index shards are never loaded; their root
+# records ride through the commit verbatim (sinks._live_state carry_out
+# -> _commit_generation carried_shards -> _externalize_entries
+# carried_verbatim).
+# ---------------------------------------------------------------------------
+
+
+def _count_shard_loads(monkeypatch):
+    calls: list[str] = []
+    real = S._load_shard
+
+    def counting(table_path, rel):
+        calls.append(rel)
+        return real(table_path, rel)
+
+    monkeypatch.setattr(S, "_load_shard", counting)
+    return calls
+
+
+def test_selective_delete_loads_touched_shards_only(
+    spark, tmp_path, monkeypatch
+):
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    man0 = S._load_manifest(path)
+    shard_names0 = {s["name"] for s in man0["files_ext"]["shards"]}
+    assert len(shard_names0) == 4
+
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    n = S.delete_where(spark, path, "id BETWEEN 100 AND 120")
+    assert n == 21
+    # identification + commit together touched ONE shard (id-sorted
+    # layout: the predicate's range lives in a single shard)
+    assert len(set(calls)) == 1, calls
+
+    man1 = S._load_manifest(path)
+    shard_names1 = {s["name"] for s in man1["files_ext"]["shards"]}
+    # the three untouched shards are carried BY RECORD — same objects
+    assert len(shard_names0 & shard_names1) == 3
+    # row accounting used the carried records' aggregate, not a load
+    assert man1["rows"] == 8000 - 21
+    got = S.read_table(spark, path)
+    assert got.count() == 8000 - 21
+    assert got.where("id BETWEEN 100 AND 120").count() == 0
+    # untouched data intact, bit-for-bit row equality on a probe range
+    assert got.where("id BETWEEN 4000 AND 4010").count() == 11
+
+
+def test_selective_delete_equals_full_resolve(spark, tmp_path, monkeypatch):
+    """Carry on vs carry suppressed: identical table contents, rows,
+    and read-back — the optimization is invisible to semantics."""
+    a = _sharded_table(spark, tmp_path, monkeypatch, name="carry")
+    b = _sharded_table(spark, tmp_path, monkeypatch, name="full")
+    pred = "id >= 6000 AND id < 6500 AND grp < 5"
+    S.delete_where(spark, a, pred)
+    monkeypatch.setattr(S, "_shard_carry_eligible", lambda s: False)
+    S.delete_where(spark, b, pred)
+    ta = sorted(map(tuple, S.read_table(spark, a).collect()))
+    tb = sorted(map(tuple, S.read_table(spark, b).collect()))
+    assert ta == tb
+    assert S._load_manifest(a)["rows"] == S._load_manifest(b)["rows"]
+
+
+def test_selective_update_carries_rejected_shards(
+    spark, tmp_path, monkeypatch
+):
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    n = S.update_where(
+        spark, path, {"grp": "grp + 100"}, "id BETWEEN 200 AND 210"
+    )
+    assert n == 11
+    assert len(set(calls)) == 1, calls
+    got = S.read_table(spark, path)
+    assert got.where("grp >= 100").count() == 11
+    assert got.count() == 8000
+    assert S._load_manifest(path)["rows"] == 8000
+
+
+def test_selective_insert_carries_all_but_witness(
+    spark, tmp_path, monkeypatch
+):
+    """A pure append loads NO shard members except the single schema-
+    gate witness — micro-batch ingest into a huge sharded table is
+    O(1) index I/O, not O(shards)."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    batch = spark.range(90000, 90005).selectExpr(
+        "id", "id % 10 as grp", "nullif(id % 4, 0) as opt"
+    )
+    assert S.insert_into(spark, path, batch) == 5
+    assert len(set(calls)) == 1, calls  # the witness shard only
+    man = S._load_manifest(path)
+    assert man["rows"] == 8005
+    assert S.read_table(spark, path).count() == 8005
+
+
+def test_selective_dv_delete_chain_is_inductively_sound(
+    spark, tmp_path, monkeypatch
+):
+    """Two DV deletes hitting DIFFERENT shards: the second commit's
+    dv_n names files inside shards it carried verbatim — the relaxed
+    membership check must accept them (they were valid under the base
+    version and weren't dropped), and reads apply both vectors."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    assert S.delete_where(
+        spark, path, "id BETWEEN 100 AND 104", deletion_vectors=True
+    ) == 5
+    # second delete touches a far shard; the first delete's DV entries
+    # live in a shard this commit never loads
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    assert S.delete_where(
+        spark, path, "id BETWEEN 7000 AND 7004", deletion_vectors=True
+    ) == 5
+    assert len(set(calls)) <= 2, calls  # touched shard (+ tail fold)
+    got = S.read_table(spark, path)
+    assert got.count() == 8000 - 10
+    assert got.where("id BETWEEN 100 AND 104").count() == 0
+    assert got.where("id BETWEEN 7000 AND 7004").count() == 0
+    assert S._load_manifest(path)["rows"] == 7990
+
+
+def test_selective_merge_prunes_index_by_patch_keys(
+    spark, tmp_path, monkeypatch
+):
+    """merge_into derives shard pruning from the PATCH's key facts
+    (exact sorted set under broadcast): rejected shards are never
+    loaded and carry verbatim; the not-matched branch stays sound (a
+    rejected shard provably holds no patch key, so it cannot turn an
+    insert into an update)."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    patch = spark.createDataFrame(
+        [(150, 99, None), (9999999, 7, None)],
+        "id long, grp long, opt long",
+    )
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    res = S.merge_into(spark, path, patch, keys=["id"],
+                       broadcast_updates=True)
+    assert res == {"updated": 1, "inserted": 1, "matched_rows": 1}
+    assert len(set(calls)) == 1, calls  # only the shard holding id=150
+    got = S.read_table(spark, path)
+    assert got.count() == 8001
+    assert got.where("id = 150").collect()[0].grp == 99
+    assert got.where("id = 9999999").count() == 1
+    assert S._load_manifest(path)["rows"] == 8001
+    # equivalence against a full resolve on a twin table
+    twin = _sharded_table(spark, tmp_path, monkeypatch, name="twin")
+    monkeypatch.setattr(S, "_shard_carry_eligible", lambda s: False)
+    res2 = S.merge_into(spark, twin, patch, keys=["id"],
+                        broadcast_updates=True)
+    assert res2 == res
+    assert sorted(map(tuple, S.read_table(spark, twin).collect())) == \
+        sorted(map(tuple, got.collect()))
+
+
+def test_selective_delete_with_retention_and_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """Retained history shares carried shard objects by reference;
+    vacuum after a selective delete must not eat carried members."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    S.delete_where(spark, path, "id BETWEEN 0 AND 99", retain_versions=2)
+    S.delete_where(spark, path, "id BETWEEN 3000 AND 3099",
+                   retain_versions=2)
+    S.vacuum_staging(path, ttl_seconds=0)
+    got = S.read_table(spark, path)
+    assert got.count() == 8000 - 200
+    man = S._load_manifest(path)
+    assert man["rows"] == 7800
+    # time travel to the intermediate version still resolves
+    prev = S.read_table(spark, path, version=man["gen_no"] - 1)
+    assert prev.count() == 8000 - 100
+
+
+def test_adopted_names_are_collision_free(spark, tmp_path, monkeypatch):
+    """Adopting the same loose basename twice must mint two DISTINCT
+    live basenames (DV position sets key on basenames; the selective
+    resolve relies on new names never colliding with unloaded carried
+    members)."""
+    import shutil
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 10_000)
+    path = str(tmp_path / "adoptions")
+    spark.range(100).selectExpr("id", "id % 10 as grp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+
+    def land_loose(tag):
+        src = str(tmp_path / f"batch-{tag}")
+        spark.range(1000, 1003).selectExpr(
+            "id", "id % 10 as grp"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        base = next(
+            f for f in os.listdir(src) if f.startswith("part-")
+        )
+        # SAME destination basename both times (part- prefix: the loose
+        # classifier only sees part-* files)
+        shutil.copy(
+            os.path.join(src, base),
+            os.path.join(path, "part-loose.parquet"),
+        )
+
+    land_loose("a")
+    S.delete_where(spark, path, "id = 0")  # adopts part-loose.parquet
+    # an intervening commit recomputes `superseded` (the retired loose
+    # name drops off once it's gone from disk) — without it a REUSED
+    # loose name is classified as crash debris, not a new append
+    S.insert_into(
+        spark, path,
+        spark.createDataFrame([(5000, 0)], "id long, grp long"),
+    )
+    land_loose("b")
+    S.delete_where(spark, path, "id = 1")  # adopts the second one
+    man = S._load_manifest(path)
+    names = [e["name"] for e in S._version_files(man, path)]
+    bases = [os.path.basename(n) for n in names]
+    assert len(bases) == len(set(bases)), bases
+    assert sum("adopted-" in b for b in bases) == 2
+    assert S.read_table(spark, path).count() == 100 - 2 + 6 + 1
 
 
 def test_shards_loaded_counts_history_loads(spark, tmp_path, monkeypatch):

@@ -191,6 +191,27 @@ def main() -> None:
         print(f"| incremental commit index cost | {t_inc * 1e3:.0f} ms | "
               f"{carried}/{len(ext2['shards'])} shards carried by "
               f"reference |")
+        # round 10 second rung: SELECTIVE DML — the identification
+        # resolve collects verbatim-carry records for rejected shards
+        # and the commit re-externalizes WITHOUT loading them, so a
+        # targeted delete's index cost is O(touched shards) end to end
+        # (the r9 shape above still resolves every member for the
+        # membership check — in-process set algebra, but linear)
+        S._SHARD_CACHE.clear()
+        carry: list[dict] = []
+        t0 = time.time()
+        dml_entries, _ = S._version_files_admitted(
+            S._load_manifest(big), big, _scan_admits(band_big), carry
+        )
+        ext3 = S._externalize_entries(
+            io, big, "gen-000004._del", root,
+            dml_entries[1:],  # drop one touched file, keep the rest
+            [], 0, carried_verbatim=carry,
+        )
+        t_dml = time.time() - t0
+        print(f"| COLD selective DML resolve + commit index | "
+              f"{t_dml * 1e3:.0f} ms | {len(carry)}/{total_sh} shards "
+              f"carried UNLOADED, {len(dml_entries):,} entries touched |")
 
         print(json.dumps({
             "files": n_files,
