@@ -2653,6 +2653,25 @@ def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
     run_concurrent_pair_fuzz(spark, str(tmp_path / f"pair{seed}"), seed)
 
 
+@_pt.mark.parametrize("seed", [31337])
+def test_concurrent_dml_pair_fuzz_sharded(
+    spark, tmp_path, seed, monkeypatch
+):
+    """The same WriteSerializable pair fuzz on a SHARDED table (tiny
+    thresholds): every DML op now runs the round-10 selective resolve
+    — rejected shards carried verbatim, rebase resets to the full
+    resolve on a lost CAS — and the serialization guarantee must hold
+    under the exact same model check. Exercises carry + rebase + tail
+    folding under real thread interleaving."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    run_concurrent_pair_fuzz(
+        spark, str(tmp_path / f"shardpair{seed}"), seed
+    )
+
+
 def test_evolving_merge_winner_blocks_rebase(spark, tmp_path, monkeypatch):
     """r9 verdict hardening: the mixed-schema mark is part of
     _rebase_ok's POLICY check — a commit staged against the uniform
