@@ -391,12 +391,21 @@ def _shard_agg(chunk: list[dict]) -> dict:
             break
         if agg is not None:
             stats[c] = agg
-    return {
+    # byte floor + sum, recorded only when every member carries a size:
+    # bmin lets compact_small_files skip shards that provably hold no
+    # file under its fold threshold; bsum lets describe_detail report
+    # table bytes without enumerating members
+    bsizes = [e.get("bytes") for e in chunk]
+    out = {
         "rows": rows if rows_known else None,
         "stats": stats,
         "nulls": nulls,
         "top": top,
     }
+    if bsizes and all(isinstance(b, int) for b in bsizes):
+        out["bmin"] = min(bsizes)
+        out["bsum"] = sum(bsizes)
+    return out
 
 
 def _externalize_entries(
@@ -869,7 +878,19 @@ def describe_detail(path: str, advise: bool = False) -> dict:
     scheduler needs ONE call, not two (both are driver-side metadata;
     the merge costs one extra manifest parse)."""
     io = _io(path)
-    man, entries, loose, stale = _live_state(path)
+    # O(root) on a sharded table: shard records with a byte sum (bsum)
+    # carry verbatim — file count, bytes and rows come from aggregates
+    # (root rows is the committed DV-adjusted live count; loose appends
+    # add their footers). Records without bsum load as usual.
+    carried: list[dict] = []
+    man, entries, loose, stale = _live_state(
+        path,
+        shard_admits=lambda s: not isinstance(s.get("bsum"), int),
+        carry_out=carried,
+    )
+    if carried and not isinstance(man.get("rows"), int):
+        carried = []
+        man, entries, loose, stale = _live_state(path)
     if man is None:
         files = _top_level_part_files(path)
         out = {
@@ -883,14 +904,21 @@ def describe_detail(path: str, advise: bool = False) -> dict:
             out["maintenance"] = advise_maintenance(path)
         return out
     dv_n = _dv_map(man)
+    if carried:
+        rows = man["rows"] + sum(
+            _parquet_footer(os.path.join(path, f))[0] for f in loose
+        )
+    else:
+        rows = _meta_row_count(path, entries, loose, dv_n)
     out = {
         "format": f"manifest(v{man.get('format', 1)})",
         "gen_no": man["gen_no"],
         "op": man.get("op"),
         "committed_at": man.get("committed_at"),
-        "rows": _meta_row_count(path, entries, loose, dv_n),
-        "num_files": len(entries),
-        "size_bytes": sum(_entry_bytes(path, e) for e in entries),
+        "rows": rows,
+        "num_files": len(entries) + sum(s["count"] for s in carried),
+        "size_bytes": sum(_entry_bytes(path, e) for e in entries)
+        + sum(s["bsum"] for s in carried),
         "loose_appends": len(loose),
         "dv_rows": sum(dv_n.values()),
         "dv_files": len(dv_n),
@@ -930,7 +958,22 @@ def advise_maintenance(
 
     Run what it says with :func:`compact_small_files` /
     :func:`vacuum_staging`; re-running after is idempotent-cheap."""
-    man, entries, loose, stale = _live_state(path)
+    # same selective resolve as compact_small_files: shards whose byte
+    # floor clears the small threshold hold no small files — their
+    # records carry, the small count stays exact over the loaded rest.
+    # DV rot needs per-member fractions, so tables with DV state load
+    # fully (a rotten file can be right-sized and live anywhere).
+    carried: list[dict] = []
+    man, entries, loose, stale = _live_state(
+        path,
+        shard_admits=lambda s: not (
+            isinstance(s.get("bmin"), int)
+            and s["bmin"] >= target_bytes // 2
+        ),
+        carry_out=carried,
+    )
+    if carried and _dv_map(man):
+        man, entries, loose, stale = _live_state(path)
     if man is None:
         return {
             "compact": False,
@@ -2147,7 +2190,26 @@ def compact_small_files(
     """
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
-    man, entries, loose, stale = _live_state(path)
+    # SELECTIVE RESOLVE (round 10): a shard whose byte FLOOR (bmin,
+    # the smallest member's size) clears the fold threshold provably
+    # contributes nothing to this pass — carried verbatim, members
+    # never loaded, so routine OPTIMIZE against a mostly-right-sized
+    # sharded table is O(small-tail shards). DV-rot retirement needs
+    # per-member deleted fractions and a DV'd name's shard membership
+    # is unknown without loading, so merge-on-read tables fall back to
+    # the full resolve below.
+    carried: list[dict] = []
+    man, entries, loose, stale = _live_state(
+        path,
+        shard_admits=lambda s: not (
+            isinstance(s.get("bmin"), int)
+            and s["bmin"] >= min_file_bytes
+        ),
+        carry_out=carried,
+    )
+    if carried and dv_rot_threshold is not None and _dv_map(man):
+        carried = []
+        man, entries, loose, stale = _live_state(path)
 
     def _size(name: str) -> int:
         return _io(path).getsize(os.path.join(path, name))
@@ -2184,10 +2246,11 @@ def compact_small_files(
         ]
         big_ref = [e for e in big_ref if e not in rotten]
         fold = fold + rotten
+    n_carried_shard = sum(s["count"] for s in carried)
     if len(fold) < 2 and not rotten:
         return {
             "rewritten": 0,
-            "carried": len(big_ref) + n_big_loose,
+            "carried": len(big_ref) + n_big_loose + n_carried_shard,
             "files_written": 0,
             "dv_materialized": 0,
         }
@@ -2217,10 +2280,11 @@ def compact_small_files(
         dv_n=dv_n,
         dv_carry=dv_carry,
         rebase="auto",
+        carried_shards=carried,
     )
     return {
         "rewritten": len(fold),
-        "carried": len(big_ref) + n_big_loose,
+        "carried": len(big_ref) + n_big_loose + n_carried_shard,
         "files_written": n_written,
         "dv_materialized": len(rotten),
     }

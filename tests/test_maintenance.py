@@ -1577,6 +1577,22 @@ def test_dml_sequence_model_fuzz(spark, tmp_path, seed):
     run_dml_model_fuzz(spark, str(tmp_path / "tbl"), str(tmp_path), seed)
 
 
+@_pt.mark.parametrize("seed", [60601])
+def test_dml_sequence_model_fuzz_sharded(
+    spark, tmp_path, seed, monkeypatch
+):
+    """The model fuzz with tiny shard thresholds: every sequence step
+    runs the round-10 selective resolve (verbatim carry through
+    delete/update/merge/insert/compact, witness shards, tail folding,
+    retention sharing shard objects) and the after-every-commit model
+    check plus snapshot checkpoints must stay exact."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    run_dml_model_fuzz(spark, str(tmp_path / "tbl"), str(tmp_path), seed)
+
+
 def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24):
     """The fuzz body, path-parameterized so the object-store suite
     (tests/test_manifest_s3.py) replays the same model over s3://."""

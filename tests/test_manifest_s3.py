@@ -577,6 +577,20 @@ def test_concurrent_pair_fuzz_on_s3(s3env, spark):
     )
 
 
+def test_concurrent_pair_fuzz_on_s3_sharded(s3env, spark, monkeypatch):
+    """The pair fuzz over s3:// on a SHARDED table: thread races drive
+    the selective resolve's verbatim carry through the ETag-CAS fence
+    and its full-resolve rebase reset — serialization checked against
+    the model each round."""
+    from tests.test_maintenance import run_concurrent_pair_fuzz
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    run_concurrent_pair_fuzz(
+        spark, "s3://lake/tables/pairfuzz-sh", 31337, rounds=4
+    )
+
+
 def test_transient_5xx_retried_4xx_fail_fast(s3env, spark, monkeypatch):
     """The adapter absorbs throttling the way a production S3 client
     must: 503 SlowDown responses are retried with backoff (each attempt

@@ -525,6 +525,75 @@ def test_selective_delete_with_retention_and_vacuum(
     assert prev.count() == 8000 - 100
 
 
+def test_selective_compact_skips_right_sized_shards(
+    spark, tmp_path, monkeypatch
+):
+    """Incremental OPTIMIZE prunes by the shard byte FLOOR (bmin): a
+    shard whose smallest member clears min_file_bytes provably holds
+    nothing to fold and carries verbatim — routine maintenance on a
+    mostly-right-sized sharded table touches the small tail only."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    man = S._load_manifest(path)
+    base_sizes = [
+        e["bytes"] for e in S._version_files(man, path)
+    ]
+    assert all(isinstance(s["bmin"], int)
+               for s in man["files_ext"]["shards"])
+    # three tiny appends: the small tail to fold
+    for i in range(3):
+        S.insert_into(
+            spark, path,
+            spark.range(90000 + i, 90001 + i).selectExpr(
+                "id", "id % 10 as grp", "nullif(id % 4, 0) as opt"
+            ).coalesce(1),
+        )
+    floor = min(base_sizes) // 2  # tiny files are far below this
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    res = S.compact_small_files(
+        spark, path, target_bytes=2 * floor, min_file_bytes=floor
+    )
+    assert res["rewritten"] == 3
+    assert res["carried"] == 8
+    # only the small-tail shards loaded (each tiny insert minted a
+    # 1-entry tail shard: _SHARD_SIZE=2 makes count>=1 "right-sized");
+    # the four base shards carried verbatim — never loaded
+    assert len(set(calls)) == 3, calls
+    man2 = S._load_manifest(path)
+    assert man2["rows"] == 8003
+    assert S.read_table(spark, path).count() == 8003
+    base_shards = {s["name"] for s in man["files_ext"]["shards"]
+                   if s["bmin"] >= floor}
+    assert base_shards <= {
+        s["name"] for s in man2["files_ext"]["shards"]
+    }
+
+
+def test_describe_and_advise_are_o_root_on_sharded_tables(
+    spark, tmp_path, monkeypatch
+):
+    """DESCRIBE DETAIL and the maintenance advisor read file count,
+    bytes and rows from the root's shard aggregates (bsum/bmin) —
+    zero shard loads on a fully right-sized table — and stay EXACT:
+    numbers match a forced full resolve."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    fast = S.describe_detail(path)
+    adv = S.advise_maintenance(path, target_bytes=2 * 1024)
+    # O(root) + the one schema-witness shard _live_state always keeps
+    # loaded when everything else carries
+    assert len(set(calls)) <= 1, calls
+    assert adv["compact"] is False and adv["evidence"]["small_files"] == 0
+
+    # forced full resolve: identical numbers
+    monkeypatch.setattr(S, "_shard_carry_eligible", lambda s: False)
+    full = S.describe_detail(path)
+    for k in ("rows", "num_files", "size_bytes", "gen_no", "dv_rows"):
+        assert fast[k] == full[k], (k, fast[k], full[k])
+    assert fast["num_files"] == 8 and fast["rows"] == 8000
+
+
 def test_adopted_names_are_collision_free(spark, tmp_path, monkeypatch):
     """Adopting the same loose basename twice must mint two DISTINCT
     live basenames (DV position sets key on basenames; the selective
