@@ -446,11 +446,15 @@ def _externalize_entries(
         members = _load_shard(path, s["name"])
         names = {e["name"] for e in members}
         if names <= keep_names and len(names) >= _SHARD_SIZE // 2:
-            if "top" not in s:
-                # pre-r10 record: backfill the shard-level pruning
-                # aggregate (the members are already in hand — zero
-                # extra I/O) so old tables gain scan-time shard
-                # skipping at their next commit
+            if "top" not in s or "bmin" not in s:
+                # stale record (pre-r10: no aggregate at all; early-r10:
+                # stats but no byte floor/sum): backfill from the
+                # members already in hand — zero extra I/O — so old
+                # tables gain shard skipping AND the O(root) metadata
+                # path at their next commit. Records whose members
+                # genuinely lack sizes recompute each carry (still
+                # zero extra I/O — the load happened for the
+                # membership check above).
                 s = {"name": s["name"], "count": s["count"],
                      **_shard_agg(members)}
             carried.append(s)
@@ -865,6 +869,117 @@ def describe_history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def verify_table(path: str, deep: bool = False) -> dict:
+    """FSCK for a manifest table: one full-resolve consistency sweep
+    that proves the invariants every fast path RELIES on but (by
+    design) no longer re-checks per commit — the operational
+    counterpart of the round-10 selective resolve, and the upgrade
+    check for tables written by older code (e.g. pre-salt duplicate
+    adopted basenames, which a selective DV commit can no longer
+    detect at commit time). Driver-side metadata + existence probes,
+    zero Spark jobs (``deep=True`` adds one footer read per live file
+    to re-verify entry row counts). Checks:
+
+    * every file referenced by the live version AND every retained
+      snapshot exists on disk;
+    * every index shard object exists and its root record's ``count``
+      (and ``rows``/byte aggregates, when present) matches its members;
+    * live basenames are UNIQUE (the deletion-vector keying invariant);
+    * every DV target is a live file and every DV/CDC sidecar exists;
+    * no superseded name is referenced by any retained version.
+
+    Returns ``{"ok": bool, "errors": [...], "files_checked": n,
+    "shards_checked": n, "versions_checked": n}`` — run it after
+    upgrading table code, after a crash recovered by TTL vacuum, or on
+    a schedule next to :func:`advise_maintenance`."""
+    io = _io(path)
+    errors: list[str] = []
+    man = _load_manifest(path)
+    if man is None:
+        return {"ok": True, "errors": [],
+                "files_checked": 0, "shards_checked": 0,
+                "versions_checked": 0}
+    versions = [man] + list(man.get("history", []))
+    files_checked = 0
+    shards_checked = 0
+    sup = set(man.get("superseded", []))
+    for v in versions:
+        tag = f"v{v.get('gen_no')}"
+        for s in (v.get("files_ext") or {}).get("shards", []):
+            shards_checked += 1
+            sp = os.path.join(path, s["name"])
+            if not io.exists(sp):
+                errors.append(f"{tag}: missing index shard {s['name']}")
+                continue
+            members = _load_shard(path, s["name"])
+            if len(members) != s.get("count"):
+                errors.append(
+                    f"{tag}: shard {s['name']} count {s.get('count')} "
+                    f"!= {len(members)} members"
+                )
+            if isinstance(s.get("rows"), int):
+                got = sum(e.get("rows") or 0 for e in members)
+                if got != s["rows"]:
+                    errors.append(
+                        f"{tag}: shard {s['name']} rows {s['rows']} "
+                        f"!= {got} summed"
+                    )
+            if isinstance(s.get("bsum"), int):
+                got = sum(e.get("bytes") or 0 for e in members)
+                if got != s["bsum"]:
+                    errors.append(
+                        f"{tag}: shard {s['name']} bsum {s['bsum']} "
+                        f"!= {got} summed"
+                    )
+        entries = _version_files(v, path)
+        for e in entries:
+            files_checked += 1
+            p = os.path.join(path, e["name"])
+            if not io.exists(p):
+                errors.append(f"{tag}: missing data file {e['name']}")
+            elif deep and e.get("rows") is not None:
+                rows = _parquet_footer(p)[0]
+                if rows != e["rows"]:
+                    errors.append(
+                        f"{tag}: {e['name']} footer rows {rows} != "
+                        f"manifest {e['rows']}"
+                    )
+            if v is not man and e["name"] in sup:
+                errors.append(
+                    f"{tag}: retained version references superseded "
+                    f"name {e['name']}"
+                )
+        for rel in sorted(_cdc_names(v) | _dv_names(v)):
+            base = os.path.basename(rel)
+            if not (base.startswith("cdc-") or base.startswith("dv-")):
+                continue  # by-reference data names checked above
+            if not io.exists(os.path.join(path, rel)) and not io.isdir(
+                os.path.join(path, rel)
+            ):
+                errors.append(f"{tag}: missing sidecar {rel}")
+    live_entries = _version_files(man, path)
+    bases: dict[str, str] = {}
+    for e in live_entries:
+        b = os.path.basename(e["name"])
+        if b in bases:
+            errors.append(
+                f"live basename collision: {bases[b]} vs {e['name']} — "
+                "deletion-vector keying is ambiguous; compact the table"
+            )
+        bases[b] = e["name"]
+    live_names = {e["name"] for e in live_entries}
+    for rel in _dv_map(man):
+        if rel not in live_names:
+            errors.append(f"DV entry targets non-live file {rel}")
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "files_checked": files_checked,
+        "shards_checked": shards_checked,
+        "versions_checked": len(versions),
+    }
 
 
 def describe_detail(path: str, advise: bool = False) -> dict:
@@ -1681,7 +1796,11 @@ def _commit_generation(
                 # inductively: carried shards' members (and their DV
                 # entries) are untouched, every NEW basename is
                 # collision-free by construction (Spark job-uuid part
-                # names; uuid-salted adopted names)
+                # names; uuid-salted adopted names). KNOWN CARVE-OUT: a
+                # table holding duplicate basenames minted by PRE-salt
+                # code passes this partial check where the full one
+                # raised — run verify_table() once after upgrading
+                # (it re-proves global uniqueness).
                 _assert_unique_basenames(files)
                 missing_dv = set(dv_n) - {e["name"] for e in files}
                 if missing_dv and carried_shards:
@@ -1734,13 +1853,26 @@ def _commit_generation(
             if dv_rec is not None:
                 live |= set(dv_rec["data"])
             old_names: set[str] = set()
+            hist_members: set[str] = set()
+            man_members: set[str] = set()
             if man:
-                old_names |= _version_names_skip(man, path, carry_skip)
+                man_members = _version_names_skip(man, path, carry_skip)
+                old_names |= man_members
                 old_names |= _cdc_sidecars(man)
                 old_names |= _dv_names(man)
                 old_names |= _shard_names(man)
             for h in history:
-                old_names |= _version_names_skip(h, path, carry_skip)
+                # HISTORY-sourced data-file names are tracked apart:
+                # a history version indexes files under ITS OWN
+                # partition (inline lists, or shard objects from before
+                # a re-pool), so a file that still lives inside a
+                # carried shard can surface here by a name the
+                # carry_skip cancellation cannot match — the dead-set
+                # computation below must prove such names dead against
+                # the carried members before retiring them
+                hn = _version_names_skip(h, path, carry_skip)
+                old_names |= hn
+                hist_members |= hn
                 old_names |= _cdc_sidecars(h)
                 old_names |= _dv_names(h)
                 old_names |= _shard_names(h)
@@ -1848,11 +1980,24 @@ def _commit_generation(
                     # the not-matched isolation check below compares
                     # live2 against the FULL base name set — complete
                     # it from the carried records (loads only here, on
-                    # the lost-CAS rare path)
-                    for s in carried_shards:
-                        snapshot_names |= {
-                            e["name"] for e in _load_shard(path, s["name"])
-                        }
+                    # the lost-CAS rare path). The winner may have
+                    # re-pooled a carried shard and eagerly retired its
+                    # object — any load failure means the snapshot
+                    # can't be reconstructed, so treat the race as
+                    # non-rebaseable: clean the staging and re-raise
+                    # the ConcurrentWriteError for retry_on_conflict.
+                    snapshot_ok = True
+                    try:
+                        for s in carried_shards:
+                            snapshot_names |= {
+                                e["name"]
+                                for e in _load_shard(path, s["name"])
+                            }
+                    except Exception:
+                        snapshot_ok = False
+                    if not snapshot_ok:
+                        _drop_lost_staging(io, path, gen)
+                        raise
                 pure_append = rebase == "append" and dv_df is None
                 if not _rebase_ok(
                     man, man2, entries2, loose2,
@@ -1899,7 +2044,31 @@ def _commit_generation(
 
     # retire: previously-referenced files and superseded loose files not
     # referenced by the new manifest or a retained history version
-    dead = [os.path.join(path, n) for n in old_names - live]
+    dead_names = old_names - live
+    # suspects: names seen ONLY through history versions. Names the
+    # base version itself enumerated are partition-proven (a version's
+    # index partitions its files, so a name from an ADMITTED shard is
+    # never also a carried member) — and the base snapshot always sits
+    # in `history`, so without this subtraction every commit's own
+    # drops would trigger the carried-member load and void the skip.
+    if carried_shards and dead_names & (hist_members - man_members):
+        # an EXPIRING history version enumerated names the carry_skip
+        # cancellation can't represent (inline/format-1 lists, or shard
+        # objects from before a re-pool moved the file into a shard
+        # this commit carries verbatim) — a name seen only that way may
+        # still be LIVE inside a carried shard. Prove death by loading
+        # the carried members once (process-cache-warm; object-store
+        # cost only on commits that actually expire a version). This
+        # commit's own drops are unaffected: they came from ADMITTED
+        # shards, and a version's index partitions its files, so no
+        # dropped name can also be a carried member.
+        carried_members: set[str] = set()
+        for s in carried_shards:
+            carried_members |= {
+                e["name"] for e in _load_shard(path, s["name"])
+            }
+        dead_names -= carried_members
+    dead = [os.path.join(path, n) for n in dead_names]
     dead += [os.path.join(path, f) for f in set(stale) | set(loose)]
     _retire(dead)
     _cleanup_empty_gen_dirs(
@@ -3392,20 +3561,26 @@ def merge_into(
     try:
         pre = updates.agg(*aggs).first()  # pre-write action 1 of 2
         n_upd = pre["n_upd"]
-        if n_upd == 0:
-            return {"updated": 0, "inserted": 0, "matched_rows": 0}
         if pre["n_keys"] != pre["n_matchable"]:
             raise ValueError(
                 f"updates are not unique on {keys} — one target row "
                 "would match several source rows (ambiguous MERGE)"
             )
+        keys_sorted = (
+            list(pre["ks"])
+            if broadcast_updates and pre["ks"] is not None
+            else None
+        )
         # SELECTIVE RESOLVE (round 10): the patch's key facts — exact
         # sorted set when broadcast, [k_lo, k_hi] otherwise — prune the
         # INDEX, not just the file list: shards whose aggregate key
         # range disproves every patch key are carried verbatim, never
         # loaded. Sound for the NOT-MATCHED branch too: a rejected
         # shard provably contains no patch key, so it cannot turn an
-        # insert into an update.
+        # insert into an update. (The resolve needs the patch facts,
+        # so schema/key validation against the table runs after this
+        # one aggregation job — fail-fast on the SOURCE side happened
+        # before any job, above.)
         carried: list[dict] = []
         admits = None
         if pre["n_matchable"] > 0 and pre["k_lo"] is not None:
@@ -3413,12 +3588,9 @@ def merge_into(
                 shard_admits as _mk_shard_admits,
             )
 
-            keys_sorted_pre = (
-                list(pre["ks"]) if broadcast_updates else None
-            )
             atoms = (
-                [("in", k0, tuple(keys_sorted_pre))]
-                if keys_sorted_pre
+                [("in", k0, tuple(keys_sorted))]
+                if keys_sorted
                 else [("between", k0, pre["k_lo"], pre["k_hi"])]
             )
             admits = _mk_shard_admits(atoms)
@@ -3445,6 +3617,10 @@ def merge_into(
                 f"merge keys {missing_keys} must exist on both sides"
             )
         evolving = evolve_schema and set(updates.columns) != set(old_cols)
+        if n_upd == 0:
+            # empty patch: a no-op — but only AFTER the schema/key
+            # validation above, so a malformed caller still fails loud
+            return {"updated": 0, "inserted": 0, "matched_rows": 0}
         loose_entries = [(f, _file_entry(path, f)) for f in loose]
         cand = entries + [e for _, e in loose_entries]
         dv = (man or {}).get("dv")
@@ -3458,7 +3634,6 @@ def merge_into(
                 f"deletion vectors reserve column names {sorted(clash)}; "
                 "rename the update columns or merge without DVs"
             )
-        keys_sorted = list(pre["ks"]) if broadcast_updates else None
         scan = (
             [
                 e

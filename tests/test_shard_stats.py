@@ -642,6 +642,163 @@ def test_adopted_names_are_collision_free(spark, tmp_path, monkeypatch):
     assert S.read_table(spark, path).count() == 100 - 2 + 6 + 1
 
 
+def test_expiring_inline_history_never_retires_carried_members(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 self-review regression (CONFIRMED data loss before the
+    fix): an EXPIRING history version indexes files under its OWN
+    partition — an inline list, or shard objects from before a
+    re-pool — so a file still live inside a carried shard can surface
+    in old_names by a name the carry_skip cancellation can't match.
+    The dead-set must prove such names dead against the carried
+    members instead of retiring live data."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "expiry")
+    spark.range(100).selectExpr("id", "id % 10 as grp").coalesce(
+        2
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+    # inline manifest: 3 gen files under the threshold
+    S.compact_parquet(spark, path, target_files=3)
+    assert S._load_manifest(path).get("files_ext") is None
+
+    def batch(lo):
+        return spark.range(lo, lo + 2).selectExpr(
+            "id", "id % 10 as grp"
+        ).coalesce(1)
+
+    # the sharding commit RETAINS the inline version in history
+    S.insert_into(spark, path, batch(1000), retain_versions=1)
+    man = S._load_manifest(path)
+    assert man.get("files_ext") is not None
+    assert any("files" in h for h in man["history"])
+
+    # a plain selective insert (retain 0) expires the inline version;
+    # before the fix this retired 2 of the 3 still-live data files
+    S.insert_into(spark, path, batch(2000))
+    man2 = S._load_manifest(path)
+    for e in S._version_files(man2, path):
+        assert os.path.exists(os.path.join(path, e["name"])), e["name"]
+    assert S.read_table(spark, path).count() == 104
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+    # the cross-re-pool shape: files re-pooled into a NEW shard that a
+    # later commit carries, while an expiring SHARDED version still
+    # names them through the old shard objects
+    S.insert_into(spark, path, batch(3000), retain_versions=1)
+    S.compact_parquet(spark, path, target_files=6)  # re-pools shards
+    S.insert_into(spark, path, batch(4000), retain_versions=1)
+    S.insert_into(spark, path, batch(5000))  # expires the retained one
+    assert S.read_table(spark, path).count() == 110
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_verify_table_fsck(spark, tmp_path, monkeypatch):
+    """verify_table proves the invariants the fast paths rely on:
+    clean on a healthy sharded+DV table, loud on a missing data file,
+    a forged shard count, and a live basename collision."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    S.delete_where(spark, path, "id BETWEEN 10 AND 14",
+                   deletion_vectors=True, retain_versions=1)
+    res = S.verify_table(path, deep=True)
+    assert res["ok"] and res["shards_checked"] >= 4
+    assert res["versions_checked"] == 2
+
+    # missing data file
+    man = S._load_manifest(path)
+    victim = S._version_files(man, path)[0]["name"]
+    os.rename(os.path.join(path, victim),
+              os.path.join(path, victim + ".hidden"))
+    bad = S.verify_table(path)
+    assert not bad["ok"] and any("missing data file" in e
+                                 for e in bad["errors"])
+    os.rename(os.path.join(path, victim + ".hidden"),
+              os.path.join(path, victim))
+    assert S.verify_table(path)["ok"]
+
+    # forged shard count
+    man = S._load_manifest(path)
+    man["files_ext"]["shards"][0]["count"] += 1
+    S._io(path).write_json(os.path.join(path, S._MANIFEST), man)
+    bad = S.verify_table(path)
+    assert not bad["ok"] and any("count" in e for e in bad["errors"])
+
+
+def test_merge_validates_schema_even_for_empty_patch(spark, tmp_path):
+    """Self-review #4: an empty updates frame must still fail loud on
+    a schema mismatch (the no-op early return happens only after the
+    table-side validation)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    spark.range(10).selectExpr("id", "id % 3 as grp").write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    empty_bad = spark.createDataFrame([], "id long, other string")
+    with pytest.raises(ValueError, match="merge schema mismatch"):
+        S.merge_into(spark, path, empty_bad, keys=["id"])
+    missing_key = spark.createDataFrame([], "grp long")
+    with pytest.raises(ValueError, match="must exist on both sides"):
+        S.merge_into(spark, path, missing_key, keys=["id"])
+    # and a well-formed empty patch is still a clean no-op
+    empty_ok = spark.createDataFrame([], "id long, grp long")
+    assert S.merge_into(spark, path, empty_ok, keys=["id"]) == {
+        "updated": 0, "inserted": 0, "matched_rows": 0
+    }
+
+
+def test_lost_merge_rebase_with_retired_carried_shard(
+    spark, tmp_path, monkeypatch
+):
+    """Self-review #3: a lost merge CAS completes its snapshot from
+    carried shard records — if the winner re-pooled and retired one,
+    the load fails; the loser must clean its staging and surface
+    ConcurrentWriteError (retry_on_conflict re-runs), never a raw
+    FileNotFoundError and never a leaked generation."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    patch = spark.createDataFrame([(150, 99, None)],
+                                  "id long, grp long, opt long")
+    orig_commit = S._commit_manifest
+    state = {"armed": True}
+
+    def racing(p, manifest, expect_gen=None):
+        if state["armed"] and manifest.get("op") == "merge":
+            state["armed"] = False
+            # winner re-pools EVERY shard and eagerly retires the old
+            # index objects while the merge is mid-commit
+            S.compact_parquet(spark, path, target_files=4, sort_col="id")
+            S._SHARD_CACHE.clear()
+        return orig_commit(p, manifest, expect_gen=expect_gen)
+
+    monkeypatch.setattr(S, "_commit_manifest", racing)
+    res = S.retry_on_conflict(
+        lambda: S.merge_into(spark, path, patch, keys=["id"],
+                             broadcast_updates=True)
+    )
+    monkeypatch.setattr(S, "_commit_manifest", orig_commit)
+    assert res["updated"] == 1
+    got = S.read_table(spark, path)
+    assert got.count() == 8000
+    assert got.where("id = 150").collect()[0].grp == 99
+    fsck = S.verify_table(path)
+    assert fsck["ok"], fsck["errors"]
+    # no leaked staging: every gen dir on disk is referenced or empty
+    man = S._load_manifest(path)
+    live_dirs = {
+        e["name"].split("/", 1)[0]
+        for e in S._version_files(man, path)
+    } | {s["name"].split("/", 1)[0]
+         for s in man["files_ext"]["shards"]}
+    for child in os.listdir(path):
+        full = os.path.join(path, child)
+        if child.startswith("gen-") and os.path.isdir(full):
+            if child not in live_dirs:
+                assert not [f for f in os.listdir(full)
+                            if f.startswith("part-")], child
+
+
 def test_shards_loaded_counts_history_loads(spark, tmp_path, monkeypatch):
     """Round-10 self-review follow-through: shards_loaded mirrors the
     WHOLE resolve — retained history versions' possibly-top-level
