@@ -631,6 +631,19 @@ def _version_files_admitted(
     return entries, referenced
 
 
+def _carried_member_names(table_path: str, shards: list[dict]) -> set[str]:
+    """Member names of a set of carried shard records — the rare-path
+    enumeration both the lost-merge snapshot completion and the
+    expiring-history dead-set proof share. Raises on a missing or
+    unreadable shard object; each call site decides whether that is
+    fatal (pre-commit: treat the race as non-rebaseable) or must be
+    absorbed (post-commit: never let a committed write look failed)."""
+    out: set[str] = set()
+    for s in shards:
+        out |= {e["name"] for e in _load_shard(table_path, s["name"])}
+    return out
+
+
 def _version_names_skip(
     version: dict, table_path: str, skip: set[str]
 ) -> set[str]:
@@ -902,66 +915,118 @@ def verify_table(path: str, deep: bool = False) -> dict:
                 "files_checked": 0, "shards_checked": 0,
                 "versions_checked": 0}
     versions = [man] + list(man.get("history", []))
-    files_checked = 0
-    shards_checked = 0
     sup = set(man.get("superseded", []))
+    # an FSCK must never crash on the corruption it exists to detect,
+    # and versions SHARE objects by reference (shards, data files,
+    # sidecars) — each distinct object is probed once, structural
+    # per-record checks run on first sight, and a missing/corrupt
+    # object is one reported error, not an aborted sweep
+    seen_shards: set[str] = set()
+    seen_files: set[str] = set()
+    seen_sidecars: set[str] = set()
+    man_entries: list[dict] = []
+    live_fully_resolved = True
     for v in versions:
         tag = f"v{v.get('gen_no')}"
-        for s in (v.get("files_ext") or {}).get("shards", []):
-            shards_checked += 1
-            sp = os.path.join(path, s["name"])
-            if not io.exists(sp):
-                errors.append(f"{tag}: missing index shard {s['name']}")
-                continue
-            members = _load_shard(path, s["name"])
-            if len(members) != s.get("count"):
+        entries: list[dict] = []
+        ext = v.get("files_ext")
+        if ext is not None:
+            for s in ext.get("shards", []):
+                first = s["name"] not in seen_shards
+                seen_shards.add(s["name"])
+                sp = os.path.join(path, s["name"])
+                if not io.exists(sp):
+                    if first:
+                        errors.append(
+                            f"{tag}: missing index shard {s['name']}"
+                        )
+                    if v is man:
+                        live_fully_resolved = False
+                    continue
+                try:
+                    members = _load_shard(path, s["name"])
+                except Exception as exc:
+                    if first:
+                        errors.append(
+                            f"{tag}: unreadable index shard "
+                            f"{s['name']}: {type(exc).__name__}"
+                        )
+                    if v is man:
+                        live_fully_resolved = False
+                    continue
+                entries.extend(members)
+                if not first:
+                    continue
+                if len(members) != s.get("count"):
+                    errors.append(
+                        f"{tag}: shard {s['name']} count "
+                        f"{s.get('count')} != {len(members)} members"
+                    )
+                if isinstance(s.get("rows"), int):
+                    got = sum(e.get("rows") or 0 for e in members)
+                    if got != s["rows"]:
+                        errors.append(
+                            f"{tag}: shard {s['name']} rows "
+                            f"{s['rows']} != {got} summed"
+                        )
+                if isinstance(s.get("bsum"), int):
+                    got = sum(e.get("bytes") or 0 for e in members)
+                    if got != s["bsum"]:
+                        errors.append(
+                            f"{tag}: shard {s['name']} bsum "
+                            f"{s['bsum']} != {got} summed"
+                        )
+        else:
+            try:
+                entries = _version_files(v, path)
+            except Exception as exc:
                 errors.append(
-                    f"{tag}: shard {s['name']} count {s.get('count')} "
-                    f"!= {len(members)} members"
+                    f"{tag}: unresolvable file list: "
+                    f"{type(exc).__name__}"
                 )
-            if isinstance(s.get("rows"), int):
-                got = sum(e.get("rows") or 0 for e in members)
-                if got != s["rows"]:
-                    errors.append(
-                        f"{tag}: shard {s['name']} rows {s['rows']} "
-                        f"!= {got} summed"
-                    )
-            if isinstance(s.get("bsum"), int):
-                got = sum(e.get("bytes") or 0 for e in members)
-                if got != s["bsum"]:
-                    errors.append(
-                        f"{tag}: shard {s['name']} bsum {s['bsum']} "
-                        f"!= {got} summed"
-                    )
-        entries = _version_files(v, path)
+                continue
+        if v is man:
+            man_entries = entries
         for e in entries:
-            files_checked += 1
-            p = os.path.join(path, e["name"])
-            if not io.exists(p):
-                errors.append(f"{tag}: missing data file {e['name']}")
-            elif deep and e.get("rows") is not None:
-                rows = _parquet_footer(p)[0]
-                if rows != e["rows"]:
-                    errors.append(
-                        f"{tag}: {e['name']} footer rows {rows} != "
-                        f"manifest {e['rows']}"
-                    )
-            if v is not man and e["name"] in sup:
+            name = e["name"]
+            if v is not man and name in sup:
                 errors.append(
                     f"{tag}: retained version references superseded "
-                    f"name {e['name']}"
+                    f"name {name}"
                 )
+            if name in seen_files:
+                continue
+            seen_files.add(name)
+            p = os.path.join(path, name)
+            if not io.exists(p):
+                errors.append(f"{tag}: missing data file {name}")
+            elif deep and e.get("rows") is not None:
+                try:
+                    rows = _parquet_footer(p)[0]
+                except Exception as exc:
+                    errors.append(
+                        f"{tag}: unreadable footer {name}: "
+                        f"{type(exc).__name__}"
+                    )
+                else:
+                    if rows != e["rows"]:
+                        errors.append(
+                            f"{tag}: {name} footer rows {rows} != "
+                            f"manifest {e['rows']}"
+                        )
         for rel in sorted(_cdc_names(v) | _dv_names(v)):
             base = os.path.basename(rel)
             if not (base.startswith("cdc-") or base.startswith("dv-")):
                 continue  # by-reference data names checked above
+            if rel in seen_sidecars:
+                continue
+            seen_sidecars.add(rel)
             if not io.exists(os.path.join(path, rel)) and not io.isdir(
                 os.path.join(path, rel)
             ):
                 errors.append(f"{tag}: missing sidecar {rel}")
-    live_entries = _version_files(man, path)
     bases: dict[str, str] = {}
-    for e in live_entries:
+    for e in man_entries:
         b = os.path.basename(e["name"])
         if b in bases:
             errors.append(
@@ -969,15 +1034,19 @@ def verify_table(path: str, deep: bool = False) -> dict:
                 "deletion-vector keying is ambiguous; compact the table"
             )
         bases[b] = e["name"]
-    live_names = {e["name"] for e in live_entries}
-    for rel in _dv_map(man):
-        if rel not in live_names:
-            errors.append(f"DV entry targets non-live file {rel}")
+    live_names = {e["name"] for e in man_entries}
+    if live_fully_resolved:
+        # with a missing/unreadable live shard this check would emit a
+        # derived false positive for every DV target inside it — the
+        # shard error above is the root cause, already reported
+        for rel in _dv_map(man):
+            if rel not in live_names:
+                errors.append(f"DV entry targets non-live file {rel}")
     return {
         "ok": not errors,
         "errors": errors,
-        "files_checked": files_checked,
-        "shards_checked": shards_checked,
+        "files_checked": len(seen_files),
+        "shards_checked": len(seen_shards),
         "versions_checked": len(versions),
     }
 
@@ -1986,18 +2055,17 @@ def _commit_generation(
                     # can't be reconstructed, so treat the race as
                     # non-rebaseable: clean the staging and re-raise
                     # the ConcurrentWriteError for retry_on_conflict.
-                    snapshot_ok = True
                     try:
-                        for s in carried_shards:
-                            snapshot_names |= {
-                                e["name"]
-                                for e in _load_shard(path, s["name"])
-                            }
+                        snapshot_names |= _carried_member_names(
+                            path, carried_shards
+                        )
                     except Exception:
-                        snapshot_ok = False
-                    if not snapshot_ok:
                         _drop_lost_staging(io, path, gen)
-                        raise
+                        raise ConcurrentWriteError(
+                            f"lost race at {path!r}: winner retired a "
+                            "carried index shard before the snapshot "
+                            "could be completed; re-run the operation"
+                        ) from None
                 pure_append = rebase == "append" and dv_df is None
                 if not _rebase_ok(
                     man, man2, entries2, loose2,
@@ -2051,7 +2119,12 @@ def _commit_generation(
     # never also a carried member) — and the base snapshot always sits
     # in `history`, so without this subtraction every commit's own
     # drops would trigger the carried-member load and void the skip.
-    if carried_shards and dead_names & (hist_members - man_members):
+    suspects = (
+        dead_names & (hist_members - man_members)
+        if carried_shards
+        else set()
+    )
+    if suspects:
         # an EXPIRING history version enumerated names the carry_skip
         # cancellation can't represent (inline/format-1 lists, or shard
         # objects from before a re-pool moved the file into a shard
@@ -2062,12 +2135,18 @@ def _commit_generation(
         # commit's own drops are unaffected: they came from ADMITTED
         # shards, and a version's index partitions its files, so no
         # dropped name can also be a carried member.
-        carried_members: set[str] = set()
-        for s in carried_shards:
-            carried_members |= {
-                e["name"] for e in _load_shard(path, s["name"])
-            }
-        dead_names -= carried_members
+        #
+        # POST-COMMIT POSTURE: the CAS already landed — nothing here
+        # may raise, or a COMMITTED write would surface as a retryable
+        # failure and retry_on_conflict would re-apply it (double
+        # insert). If a racing process retired a carried shard object
+        # before this load, skip retiring the unprovable names instead
+        # — dead bytes are TTL vacuum's job, double-applied rows are
+        # forever.
+        try:
+            dead_names -= _carried_member_names(path, carried_shards)
+        except Exception:
+            dead_names -= suspects
     dead = [os.path.join(path, n) for n in dead_names]
     dead += [os.path.join(path, f) for f in set(stale) | set(loose)]
     _retire(dead)

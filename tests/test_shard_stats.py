@@ -727,6 +727,81 @@ def test_verify_table_fsck(spark, tmp_path, monkeypatch):
     assert not bad["ok"] and any("count" in e for e in bad["errors"])
 
 
+def test_verify_table_reports_instead_of_crashing(
+    spark, tmp_path, monkeypatch
+):
+    """Second self-review round: the FSCK must REPORT a missing or
+    corrupt index shard and a truncated data file — never raise on
+    exactly the corruption it exists to detect — and dedupe shared
+    objects across retained versions (shards and files shared by
+    reference are probed once)."""
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    S.delete_where(spark, path, "id = 7", retain_versions=1)
+    clean = S.verify_table(path, deep=True)
+    assert clean["ok"]
+    # shared objects counted once despite two versions referencing them
+    man = S._load_manifest(path)
+    n_live = len(S._version_files(man, path))
+    assert clean["files_checked"] <= n_live + 2  # live + the rewritten
+
+    # missing shard object: reported, sweep completes, no exception
+    S._SHARD_CACHE.clear()
+    victim_shard = man["files_ext"]["shards"][0]["name"]
+    os.rename(os.path.join(path, victim_shard),
+              os.path.join(path, victim_shard + ".gone"))
+    bad = S.verify_table(path, deep=True)
+    assert not bad["ok"]
+    assert any("missing index shard" in e for e in bad["errors"]), bad
+    os.rename(os.path.join(path, victim_shard + ".gone"),
+              os.path.join(path, victim_shard))
+
+    # corrupt shard JSON: reported, not raised
+    S._SHARD_CACHE.clear()
+    with open(os.path.join(path, victim_shard), "w") as fh:
+        fh.write("{not json")
+    bad = S.verify_table(path)
+    assert not bad["ok"]
+    assert any("unreadable index shard" in e for e in bad["errors"]), bad
+
+
+def test_expiry_guard_absorbs_shard_load_failure(
+    spark, tmp_path, monkeypatch
+):
+    """Second self-review round, the post-CAS posture: the expiring-
+    history dead-set proof runs AFTER the manifest landed — if the
+    carried-member load fails (racing retire of the shard object), the
+    commit must still SUCCEED with the unprovable names left for TTL
+    vacuum, never surface as a retryable failure that would re-apply a
+    committed write."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "absorb")
+    spark.range(100).selectExpr("id", "id % 10 as grp").coalesce(
+        2
+    ).write.mode("overwrite").parquet(path)
+    S.convert_to_manifest(spark, path)
+    S.compact_parquet(spark, path, target_files=3)
+
+    def batch(lo):
+        return spark.range(lo, lo + 2).selectExpr(
+            "id", "id % 10 as grp"
+        ).coalesce(1)
+
+    S.insert_into(spark, path, batch(1000), retain_versions=1)
+    # force the carried-member load to fail during the NEXT commit's
+    # retire (which expires the inline version -> suspects non-empty)
+    real = S._carried_member_names
+
+    def failing(table_path, shards):
+        raise FileNotFoundError("simulated racing retire")
+
+    monkeypatch.setattr(S, "_carried_member_names", failing)
+    assert S.insert_into(spark, path, batch(2000)) == 2  # no raise
+    monkeypatch.setattr(S, "_carried_member_names", real)
+    assert S.read_table(spark, path).count() == 104
+    assert S.verify_table(path, deep=True)["ok"]
+
+
 def test_merge_validates_schema_even_for_empty_patch(spark, tmp_path):
     """Self-review #4: an empty updates frame must still fail loud on
     a schema mismatch (the no-op early return happens only after the
