@@ -176,7 +176,15 @@ def contention_probe(spark, base: str, writers: int, batches: int) -> dict:
     }
 
 
-def run_contention(spark, base: str, batches: int, fence: str) -> None:
+def run_contention(spark, base: str, batches: int, fence: str,
+                   sharded: bool = False) -> None:
+    if sharded:
+        # tiny thresholds: every commit runs the round-10 SELECTIVE
+        # resolve (verbatim carry + full-resolve rebase reset) — the
+        # envelope for micro-batch ingest into a sharded table
+        S._SHARD_THRESHOLD = 2
+        S._SHARD_SIZE = 2
+        fence = f"{fence}, SHARDED index"
     print(f"\n# sustained contention ({fence} fence): N writers x "
           f"{batches} txn batches, one table, no think time")
     print("| writers | commits | wall s | commits/s | "
@@ -200,6 +208,10 @@ def main() -> None:
                     help="run the sustained-contention envelope only")
     ap.add_argument("--batches", type=int, default=25,
                     help="txn batches per writer in --contention mode")
+    ap.add_argument("--sharded", action="store_true",
+                    help="contention against a SHARDED manifest index "
+                         "(tiny thresholds): every commit runs the "
+                         "round-10 selective resolve")
     ap.add_argument("--s3", action="store_true",
                     help="contention against the disk-backed SigV4 fake "
                          "(ETag-CAS conditional-PUT fence, the object-"
@@ -232,9 +244,10 @@ def main() -> None:
                     lambda uri: os.path.join(root, uri[len("s3://"):])
                 )
                 run_contention(spark, "s3://lake/contend", args.batches,
-                               "ETag-CAS")
+                               "ETag-CAS", sharded=args.sharded)
             else:
-                run_contention(spark, work, args.batches, "local lock")
+                run_contention(spark, work, args.batches, "local lock",
+                               sharded=args.sharded)
         finally:
             if server is not None:
                 server.shutdown()
