@@ -696,6 +696,51 @@ def test_expiring_inline_history_never_retires_carried_members(
     assert fsck["ok"], fsck["errors"]
 
 
+def test_sharded_selective_commit_crash_boundaries(
+    spark, tmp_path, monkeypatch
+):
+    """Atomicity of the selective commit on a SHARDED table: a crash
+    after the new entry shards are written but before the root CAS
+    leaves readers on the OLD index (orphan shard objects are TTL
+    vacuum material); a crash after the CAS but before retire leaves
+    the NEW state visible with dead bytes on disk; a clean re-run
+    recovers both."""
+    import pytest
+
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    # crash A: before the root CAS — selective delete staged data and
+    # wrote fresh entry shards, none of it visible
+    gen0 = S._load_manifest(path)["gen_no"]
+    monkeypatch.setattr(S, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        S.delete_where(spark, path, "id BETWEEN 100 AND 120")
+    monkeypatch.undo()
+    man = S._load_manifest(path)
+    assert man["gen_no"] == gen0
+    assert S.read_table(spark, path).count() == 8000
+    assert S.verify_table(path)["ok"]
+
+    # crash B: after the CAS, before retire — new version visible,
+    # superseded bytes linger for vacuum
+    monkeypatch.setattr(S, "_retire", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        S.delete_where(spark, path, "id BETWEEN 100 AND 120")
+    monkeypatch.undo()
+    got = S.read_table(spark, path)
+    assert got.count() == 8000 - 21
+    assert got.where("id BETWEEN 100 AND 120").count() == 0
+    assert S.verify_table(path)["ok"]
+
+    # recovery: a later selective delete over the crashed state works
+    assert S.delete_where(spark, path, "id BETWEEN 4000 AND 4004") == 5
+    assert S.read_table(spark, path).count() == 8000 - 26
+    assert S.verify_table(path, deep=True)["ok"]
+
+
 def test_verify_table_fsck(spark, tmp_path, monkeypatch):
     """verify_table proves the invariants the fast paths rely on:
     clean on a healthy sharded+DV table, loud on a missing data file,
