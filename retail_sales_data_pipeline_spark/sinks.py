@@ -906,7 +906,22 @@ def verify_table(path: str, deep: bool = False) -> dict:
     Returns ``{"ok": bool, "errors": [...], "files_checked": n,
     "shards_checked": n, "versions_checked": n}`` — run it after
     upgrading table code, after a crash recovered by TTL vacuum, or on
-    a schedule next to :func:`advise_maintenance`."""
+    a schedule next to :func:`advise_maintenance`. NEVER raises: a
+    root manifest too malformed to sweep at all comes back as one
+    ``unverifiable:`` error."""
+    try:
+        return _verify_table_sweep(path, deep)
+    except Exception as exc:  # the net under the net: report, not raise
+        return {
+            "ok": False,
+            "errors": [f"unverifiable: {type(exc).__name__}: {exc}"],
+            "files_checked": 0,
+            "shards_checked": 0,
+            "versions_checked": 0,
+        }
+
+
+def _verify_table_sweep(path: str, deep: bool) -> dict:
     io = _io(path)
     errors: list[str] = []
     man = _load_manifest(path)
@@ -914,14 +929,22 @@ def verify_table(path: str, deep: bool = False) -> dict:
         return {"ok": True, "errors": [],
                 "files_checked": 0, "shards_checked": 0,
                 "versions_checked": 0}
+    # integrity reads must hit DISK, not the immutable-shard process
+    # cache — a warm cache would mask exactly the on-disk corruption
+    # (truncated shard JSON, partial write) this sweep exists to find
+    for k in [k for k in _SHARD_CACHE if k[0] == path]:
+        _SHARD_CACHE.pop(k, None)
     versions = [man] + list(man.get("history", []))
     sup = set(man.get("superseded", []))
     # an FSCK must never crash on the corruption it exists to detect,
     # and versions SHARE objects by reference (shards, data files,
-    # sidecars) — each distinct object is probed once, structural
-    # per-record checks run on first sight, and a missing/corrupt
-    # object is one reported error, not an aborted sweep
-    seen_shards: set[str] = set()
+    # sidecars) — each distinct object is probed/loaded once, while
+    # the per-RECORD structural checks (count/rows/bsum vs members)
+    # run for every version's record (two versions can carry
+    # DIFFERENT records naming one shard object; a forged history
+    # record must not hide behind the live one). A missing/corrupt
+    # object is one reported error, not an aborted sweep.
+    member_cache: dict[str, list | None] = {}
     seen_files: set[str] = set()
     seen_sidecars: set[str] = set()
     man_entries: list[dict] = []
@@ -930,53 +953,67 @@ def verify_table(path: str, deep: bool = False) -> dict:
         tag = f"v{v.get('gen_no')}"
         entries: list[dict] = []
         ext = v.get("files_ext")
-        if ext is not None:
-            for s in ext.get("shards", []):
-                first = s["name"] not in seen_shards
-                seen_shards.add(s["name"])
-                sp = os.path.join(path, s["name"])
-                if not io.exists(sp):
-                    if first:
-                        errors.append(
-                            f"{tag}: missing index shard {s['name']}"
-                        )
+        if isinstance(ext, dict):
+            shard_recs = ext.get("shards", [])
+            if not isinstance(shard_recs, list):
+                errors.append(f"{tag}: malformed files_ext.shards")
+                shard_recs = []
+            for s in shard_recs:
+                sname = s.get("name") if isinstance(s, dict) else None
+                if not isinstance(sname, str):
+                    errors.append(
+                        f"{tag}: malformed shard record {s!r:.80}"
+                    )
                     if v is man:
                         live_fully_resolved = False
                     continue
-                try:
-                    members = _load_shard(path, s["name"])
-                except Exception as exc:
-                    if first:
+                first = sname not in member_cache
+                if first:
+                    sp = os.path.join(path, sname)
+                    if not io.exists(sp):
                         errors.append(
-                            f"{tag}: unreadable index shard "
-                            f"{s['name']}: {type(exc).__name__}"
+                            f"{tag}: missing index shard {sname}"
                         )
+                        member_cache[sname] = None
+                    else:
+                        try:
+                            member_cache[sname] = _load_shard(
+                                path, sname
+                            )
+                        except Exception as exc:
+                            errors.append(
+                                f"{tag}: unreadable index shard "
+                                f"{sname}: {type(exc).__name__}"
+                            )
+                            member_cache[sname] = None
+                members = member_cache[sname]
+                if members is None:
                     if v is man:
                         live_fully_resolved = False
                     continue
                 entries.extend(members)
-                if not first:
-                    continue
                 if len(members) != s.get("count"):
                     errors.append(
-                        f"{tag}: shard {s['name']} count "
+                        f"{tag}: shard {sname} count "
                         f"{s.get('count')} != {len(members)} members"
                     )
                 if isinstance(s.get("rows"), int):
                     got = sum(e.get("rows") or 0 for e in members)
                     if got != s["rows"]:
                         errors.append(
-                            f"{tag}: shard {s['name']} rows "
+                            f"{tag}: shard {sname} rows "
                             f"{s['rows']} != {got} summed"
                         )
                 if isinstance(s.get("bsum"), int):
                     got = sum(e.get("bytes") or 0 for e in members)
                     if got != s["bsum"]:
                         errors.append(
-                            f"{tag}: shard {s['name']} bsum "
+                            f"{tag}: shard {sname} bsum "
                             f"{s['bsum']} != {got} summed"
                         )
         else:
+            if ext is not None:
+                errors.append(f"{tag}: malformed files_ext record")
             try:
                 entries = _version_files(v, path)
             except Exception as exc:
@@ -984,7 +1021,9 @@ def verify_table(path: str, deep: bool = False) -> dict:
                     f"{tag}: unresolvable file list: "
                     f"{type(exc).__name__}"
                 )
-                continue
+                entries = []
+                if v is man:
+                    live_fully_resolved = False
         if v is man:
             man_entries = entries
         for e in entries:
@@ -1046,7 +1085,7 @@ def verify_table(path: str, deep: bool = False) -> dict:
         "ok": not errors,
         "errors": errors,
         "files_checked": len(seen_files),
-        "shards_checked": len(seen_shards),
+        "shards_checked": len(member_cache),
         "versions_checked": len(versions),
     }
 

@@ -800,13 +800,59 @@ def test_verify_table_reports_instead_of_crashing(
     os.rename(os.path.join(path, victim_shard + ".gone"),
               os.path.join(path, victim_shard))
 
-    # corrupt shard JSON: reported, not raised
-    S._SHARD_CACHE.clear()
+    # corrupt shard JSON: reported, not raised — WITHOUT a cache
+    # clear: the FSCK must read disk, never trust the warm process
+    # cache (third self-review round)
+    shard_bytes = open(os.path.join(path, victim_shard), "rb").read()
+    S._load_shard(path, victim_shard)  # warm the cache deliberately
     with open(os.path.join(path, victim_shard), "w") as fh:
         fh.write("{not json")
     bad = S.verify_table(path)
     assert not bad["ok"]
     assert any("unreadable index shard" in e for e in bad["errors"]), bad
+    with open(os.path.join(path, victim_shard), "wb") as fh:
+        fh.write(shard_bytes)
+    assert S.verify_table(path)["ok"]
+
+    # truncated data file: deep sweep reports the unreadable footer
+    man = S._load_manifest(path)
+    data_victim = S._version_files(man, path)[0]["name"]
+    dp = os.path.join(path, data_victim)
+    data_bytes = open(dp, "rb").read()
+    with open(dp, "wb") as fh:
+        fh.write(data_bytes[: len(data_bytes) // 2])
+    bad = S.verify_table(path, deep=True)
+    assert not bad["ok"]
+    assert any("unreadable footer" in e or "footer rows" in e
+               for e in bad["errors"]), bad
+    with open(dp, "wb") as fh:
+        fh.write(data_bytes)
+
+    # forged HISTORY record of a shard the live manifest shares: the
+    # structural check runs per version-record, not per object
+    man = S._load_manifest(path)
+    hist = [h for h in man["history"] if h.get("files_ext")]
+    if hist:
+        hist[0]["files_ext"] = {
+            "shards": [
+                dict(s, count=(s["count"] + 1))
+                for s in hist[0]["files_ext"]["shards"]
+            ]
+        }
+        S._io(path).write_json(os.path.join(path, S._MANIFEST), man)
+        bad = S.verify_table(path)
+        assert not bad["ok"]
+        assert any("count" in e for e in bad["errors"]), bad
+
+    # a root too malformed to sweep: reported as unverifiable, not
+    # raised
+    S._io(path).write_json(
+        os.path.join(path, S._MANIFEST),
+        {"format": 2, "gen_no": 1, "files_ext": {"shards": 42},
+         "history": "nope"},
+    )
+    bad = S.verify_table(path)
+    assert not bad["ok"] and bad["errors"], bad
 
 
 def test_expiry_guard_absorbs_shard_load_failure(
