@@ -392,3 +392,43 @@ def shards_loaded(path: str, predicate: str | None = None) -> tuple[int, int]:
         s["name"] for s in live if admits(s) or s.get("top", 1)
     } | hist_top
     return len(loaded), len(all_names)
+
+
+def dml_shards_loaded(
+    path: str, predicate: str | None = None
+) -> tuple[int, int]:
+    """``(index shards a DELETE/UPDATE with ``predicate`` would load,
+    total distinct shards)`` — the capacity-planning twin of
+    :func:`shards_loaded` for the round-10 SELECTIVE DML resolve.
+    Differs from the scan counter in the carry rules: a rejected shard
+    is skipped only when its record is verbatim-carry ELIGIBLE (known
+    rows sum, zero top-level members, right-sized — see
+    ``sinks._shard_carry_eligible``); every other rejected shard loads
+    fully, because a DML commit must account for each live file as an
+    entry or a carried record. Root records only, no shard bodies
+    read. ``(total, total)`` when selectivity doesn't apply."""
+    from .sinks import _load_manifest, _shard_carry_eligible
+
+    man = _load_manifest(path)
+    if man is None:
+        return 0, 0
+    live = (man.get("files_ext") or {}).get("shards", [])
+    history = man.get("history", [])
+    all_names = {s["name"] for s in live}
+    hist_top: set[str] = set()
+    for h in history:
+        for s in (h.get("files_ext") or {}).get("shards", []):
+            all_names.add(s["name"])
+            if s.get("top", 1):
+                hist_top.add(s["name"])
+    admits = None if man.get("mixed_schema") else _scan_admits(predicate)
+    if admits is None:
+        return len(all_names), len(all_names)
+    loaded = {
+        s["name"]
+        for s in live
+        if admits(s) or not _shard_carry_eligible(s)
+    } | hist_top
+    if len(loaded) == 0 and live:
+        loaded = {live[-1]["name"]}  # the schema-witness shard
+    return len(loaded), len(all_names)

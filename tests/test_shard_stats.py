@@ -395,6 +395,29 @@ def test_selective_delete_loads_touched_shards_only(
     assert got.where("id BETWEEN 4000 AND 4010").count() == 11
 
 
+def test_dml_shards_loaded_observable(spark, tmp_path, monkeypatch):
+    """dml_shards_loaded predicts the selective-DML resolve the way
+    shards_loaded predicts the scan: its prediction matches the ACTUAL
+    distinct shard loads a delete performs."""
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        dml_shards_loaded,
+    )
+
+    path = _sharded_table(spark, tmp_path, monkeypatch)
+    pred = "id BETWEEN 100 AND 120"
+    predicted, total = dml_shards_loaded(path, pred)
+    assert (predicted, total) == (1, 4)
+    # selectivity off: unparseable predicate loads everything
+    assert dml_shards_loaded(path, "id + grp = 3") == (4, 4)
+    # all-rejected: only the schema witness loads
+    assert dml_shards_loaded(path, "id = 123456") == (1, 4)
+
+    calls = _count_shard_loads(monkeypatch)
+    S._SHARD_CACHE.clear()
+    assert S.delete_where(spark, path, pred) == 21
+    assert len(set(calls)) == predicted, calls
+
+
 def test_selective_delete_equals_full_resolve(spark, tmp_path, monkeypatch):
     """Carry on vs carry suppressed: identical table contents, rows,
     and read-back — the optimization is invisible to semantics."""
