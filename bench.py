@@ -56,8 +56,9 @@ HEADLINE = [
     "corpus_scan_pruned",
     "corpus_ingest_exactly_once",
     # lakehouse path (r10): the schema-evolving merge round trip
-    # (corpus_commit_lineage joins in r11 when it registers)
     "corpus_merge_evolve",
+    # lakehouse path (r11): DESCRIBE HISTORY lineage under the oracle
+    "corpus_commit_lineage",
 ]
 
 

@@ -2412,13 +2412,10 @@ QUERIES = {
     "dv_takedown_counts": dv_takedown_counts,
     "corpus_ingest_exactly_once": corpus_ingest_exactly_once,
     "corpus_merge_evolve": corpus_merge_evolve,
-    # corpus_commit_lineage is implemented + oracle-pinned
-    # (tests/test_commit_lineage.py) but NOT yet registered: at the
-    # 100/50 ceiling a round absorbs exactly ONE never-checked query
-    # without breaking the two-round freshness guarantee
-    # (tests/test_registry_freshness.py proves 51 > 50 otherwise).
-    # The events_hourly_rollup retire (an r9-green) frees exactly one
-    # window slot from round 11 — register it there.
+    # registered round 11 into the slot freed by the round-10
+    # events_hourly_rollup retire (an r9-green, so the freshness
+    # invariant absorbs exactly this one never-checked query)
+    "corpus_commit_lineage": corpus_commit_lineage,
 }
 
 # queries deliberately without an oracle twin (driver does rows-only):
@@ -2467,4 +2464,5 @@ ORACLE_SQL = {
     "corpus_scan_pruned": _SCAN_PRUNED_SQL,
     "corpus_ingest_exactly_once": _INGEST_EO_SQL,
     "corpus_merge_evolve": _MERGE_EVOLVE_SQL,
+    "corpus_commit_lineage": _COMMIT_LINEAGE_SQL,
 }

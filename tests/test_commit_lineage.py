@@ -1,11 +1,7 @@
-"""corpus_commit_lineage (round 10) — DESCRIBE HISTORY as a query,
-pinned against its DuckDB oracle HERE because it is implemented but
-not yet registered: at the registry's 100/50 ceiling a round absorbs
-exactly one never-checked query without breaking the two-round
-freshness guarantee, and round 10's slot went to corpus_merge_evolve.
-This test runs the exact comparison the driver will run when the
-query registers in round 11 (same fixtures, same normalization), so
-registration is a one-line change with no new risk."""
+"""corpus_commit_lineage — DESCRIBE HISTORY as a query, pinned
+against its DuckDB oracle.  Registered in round 11 (the driver runs
+the same comparison via the registry); this test keeps the local
+fast-feedback copy of the exact driver comparison."""
 
 from __future__ import annotations
 
@@ -47,14 +43,12 @@ def test_commit_lineage_matches_oracle(spark, oracle):
     assert purged[3] == 0 and purged[2] == dv_row[2]  # REORG kept rows
 
 
-def test_commit_lineage_queued_not_registered():
-    """The r11 registration reminder: when this fails because the query
-    IS registered, delete this test and move the name into bench
-    HEADLINE (see plans/registry.py CAPACITY note)."""
+def test_commit_lineage_registered():
+    """Round 11: the query and its oracle twin are live in the registry."""
     from retail_sales_data_pipeline_spark.plans.registry import (
         all_oracle_sql,
         all_queries,
     )
 
-    assert "corpus_commit_lineage" not in all_queries()
-    assert "corpus_commit_lineage" not in all_oracle_sql()
+    assert "corpus_commit_lineage" in all_queries()
+    assert "corpus_commit_lineage" in all_oracle_sql()

@@ -3,8 +3,10 @@ carry aggregate [min, max] / null-count / row-count facts so a
 selective scan loads only the index shards whose aggregate range
 admits the predicate — the Iceberg manifest-list min/max model on top
 of the round-9 sharded entry index. Extends the reference's full-scan
-read (src/main/read/parquet_read.py) the same way the per-file skipping
-in test_data_skipping.py does, one level up the metadata tree."""
+read (src/main/read/database_read.py and the conform-union scan in
+src/main/transformations/jobs/main.py) the same way the per-file
+skipping in test_data_skipping.py does, one level up the metadata
+tree."""
 
 from __future__ import annotations
 
