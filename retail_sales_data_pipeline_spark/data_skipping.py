@@ -230,8 +230,27 @@ def _entry_admits(entry: dict, atom: tuple) -> bool:
     (all-NULL column); and EVERY comparison/IN/BETWEEN is disproved by
     an all-NULL column too (SQL comparisons with NULL are never TRUE) —
     which is exactly the file shape [min, max] can't speak to, since
-    all-NULL columns carry no min/max."""
+    all-NULL columns carry no min/max.
+
+    Physical-absence facts (round 11, mixed-schema tables): entries
+    record their file's physical top-level column list (``cols``; for
+    shard records, the UNION over members). A column absent from the
+    list is all-NULL in the file by schema-evolution semantics (the
+    read backfills NULL — Delta's autoMerge model), so ``IS NULL``
+    admits and every other atom rejects. Entries committed before the
+    list was recorded carry no ``cols`` and admit — conservative."""
     col = atom[1]
+    cols = entry.get("cols")
+    if cols is not None and col not in cols:
+        # case-insensitive second look before REJECTING: Spark resolves
+        # identifiers case-insensitively by default, so "SCORE" in a
+        # predicate matches a physical "score" — only a name absent
+        # under either comparison is provably absent. (The stats/nulls
+        # lookups below don't need this: their miss direction is
+        # admit, which is always safe.)
+        low = col.lower()
+        if not any(c.lower() == low for c in cols):
+            return atom[0] == "isnull"
     nulls = entry.get("nulls") or {}
     rows = entry.get("rows")
     n = nulls.get(col)
@@ -270,15 +289,24 @@ def shard_admits(atoms: list[tuple]):
     return admits
 
 
+def _prunable(man: dict) -> bool:
+    """May this table's SCANS use stats pruning? Uniform tables always.
+    Mixed-schema tables only once the unified logical schema is
+    recorded in the root manifest (round 11, set by the evolving
+    commit): reads then supply the schema explicitly, so pruning every
+    file that physically carries an evolved column can no longer lose
+    the column from the scan schema, and per-entry/per-shard ``cols``
+    make physical absence a pruning fact. A pre-r11 evolved table
+    (flag without schema) keeps the conservative full resolve until
+    its next evolving commit or full rewrite."""
+    return not man.get("mixed_schema") or man.get("table_schema") is not None
+
+
 def _scan_admits(predicate: str | None):
     """The shard filter for one scan, or None when no provable atoms
-    exist. MIXED-SCHEMA tables are carved out inside ``_live_state``
-    itself (stats pruning there can drop every file that physically
-    CARRIES an evolved column, and the merged-footer read of the
-    survivors would lose the column from the scan schema — the
-    re-applied predicate would then fail to resolve); a full rewrite
-    unifies the physical schema, clears the flag, and re-enables
-    skipping."""
+    exist. PRE-R11 mixed-schema tables (no recorded unified schema)
+    are carved out inside ``_live_state`` itself — see
+    :func:`_prunable`."""
     if not predicate:
         return None
     atoms = pruning_atoms(predicate)
@@ -304,7 +332,9 @@ def scan_table(
     shards whose aggregate range disproves the predicate are never
     loaded at all — a selective scan of a 1M-file table resolves by
     reading the root plus O(touched shards), not the whole index.
-    Mixed-schema tables skip this (see :func:`_scan_admits`)."""
+    Mixed-schema tables participate once their unified schema is
+    recorded in the root (round 11); pre-r11 evolved tables keep the
+    full resolve (see :func:`_prunable`)."""
     man, entries, loose, _ = _live_state(
         path, shard_admits=_scan_admits(predicate)
     )
@@ -314,7 +344,7 @@ def scan_table(
         df = spark.read.parquet(_spark_path(path))
     else:
         all_entries = entries  # pre-prune list: schema source below
-        if predicate and not man.get("mixed_schema"):
+        if predicate and _prunable(man):
             entries = prune_entries(entries, predicate)
         rels = [e["name"] for e in entries] + list(loose)
         if not rels:
@@ -351,7 +381,7 @@ def files_scanned(path: str, predicate: str | None = None) -> int:
     man, entries, loose, _ = _live_state(path)
     if man is None:
         return -1  # unmanaged table: directory scan, count unknown
-    if predicate and not man.get("mixed_schema"):
+    if predicate and _prunable(man):
         entries = prune_entries(entries, predicate)
     return len(entries) + len(loose)
 
@@ -370,7 +400,7 @@ def shards_loaded(path: str, predicate: str | None = None) -> tuple[int, int]:
     a flattering live-only number). History shards carried by
     reference from the live version count once. ``(total, total)``
     when shard skipping doesn't apply (inline table, no provable
-    atoms, mixed schema)."""
+    atoms, pre-r11 mixed schema with no recorded unified schema)."""
     from .sinks import _load_manifest
 
     man = _load_manifest(path)
@@ -385,7 +415,7 @@ def shards_loaded(path: str, predicate: str | None = None) -> tuple[int, int]:
             all_names.add(s["name"])
             if s.get("top", 1):
                 hist_top.add(s["name"])
-    admits = None if man.get("mixed_schema") else _scan_admits(predicate)
+    admits = _scan_admits(predicate) if _prunable(man) else None
     if admits is None:
         return len(all_names), len(all_names)
     loaded = {

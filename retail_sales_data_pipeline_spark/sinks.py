@@ -202,22 +202,32 @@ def _json_scalar(v, widen: bool = False):
     return None
 
 
-def _parquet_footer(abs_path: str) -> tuple[int, dict, dict]:
-    """Row count, per-column [min, max], and per-column NULL counts of
-    one parquet file, from the FOOTER only — no data pages are read, so
-    this is metadata-priced at any file size. Columns with
-    missing/unusable stats in any row group are omitted from the
-    respective index (conservative: no stats -> file is always a
-    candidate). Null counts are recorded only when EVERY row group
-    reports one (an unknown row group poisons the column — an
-    undercounted total would unsoundly prune ``IS NULL``).
+def _parquet_footer(abs_path: str) -> tuple[int, dict, dict, list]:
+    """Row count, per-column [min, max], per-column NULL counts, and
+    the PHYSICAL top-level column names of one parquet file, from the
+    FOOTER only — no data pages are read, so this is metadata-priced
+    at any file size. Columns with missing/unusable stats in any row
+    group are omitted from the respective index (conservative: no
+    stats -> file is always a candidate). Null counts are recorded
+    only when EVERY row group reports one (an unknown row group
+    poisons the column — an undercounted total would unsoundly prune
+    ``IS NULL``).
 
     All-NULL columns deliberately keep a null-count entry even though
     they have no [min, max]: ``nulls[col] == rows`` is itself a pruning
     fact (every comparison predicate on that column is FALSE for the
     whole file).
+
+    The column list (round 11) is the mixed-schema pruning fact: a
+    column ABSENT from a file's physical schema is all-NULL there by
+    the table's schema-evolution semantics, so range / ``IS NOT NULL``
+    atoms prune the file even though its footer carries no stats for
+    the column at all (``IS NULL`` must admit). See
+    :func:`data_skipping._entry_admits`.
     """
-    md = _io(abs_path).open_parquet(abs_path).metadata
+    pf = _io(abs_path).open_parquet(abs_path)
+    cols = list(pf.schema_arrow.names)
+    md = pf.metadata
     agg: dict[str, list | None] = {}
     nulls: dict[str, int | None] = {}
     for rg in range(md.num_row_groups):
@@ -252,6 +262,7 @@ def _parquet_footer(abs_path: str) -> tuple[int, dict, dict]:
         md.num_rows,
         stats,
         {k: v for k, v in nulls.items() if v is not None},
+        cols,
     )
 
 
@@ -264,12 +275,13 @@ def _file_entry(table_path: str, rel_name: str) -> dict:
     (at 100k files on an object store that difference is ~100k serial
     round trips per call)."""
     abs_path = os.path.join(table_path, rel_name)
-    rows, stats, nulls = _parquet_footer(abs_path)
+    rows, stats, nulls, cols = _parquet_footer(abs_path)
     return {
         "name": rel_name,
         "rows": rows,
         "stats": stats,
         "nulls": nulls,
+        "cols": cols,
         "bytes": _io(abs_path).getsize(abs_path),
     }
 
@@ -358,11 +370,46 @@ def _shard_agg(chunk: list[dict]) -> dict:
             rows_known = False
         else:
             rows += r
-    # a null count survives only if EVERY member entry records it
-    null_cols = set.intersection(
-        *[set(e.get("nulls") or {}) for e in chunk]
-    ) if chunk else set()
-    nulls = {c: sum(e["nulls"][c] for e in chunk) for c in null_cols}
+    # physical-column union (round 11, mixed-schema skipping): recorded
+    # only when EVERY member carries its column list — then "c not in
+    # shard cols" proves c is absent from (so all-NULL in) every member
+    cols: list | None = None
+    if chunk and all(e.get("cols") is not None for e in chunk):
+        cset: set[str] = set()
+        for e in chunk:
+            cset |= set(e["cols"])
+        cols = sorted(cset)
+
+    def _absent(e: dict, c: str) -> bool:
+        # column physically absent from this member file -> all-NULL
+        # there by schema-evolution semantics (read backfills NULL).
+        # Case-insensitive like Spark's identifier resolution: only a
+        # name absent under either comparison is provably absent.
+        mc = e.get("cols")
+        if mc is None or c in mc:
+            return False
+        cl = c.lower()
+        return not any(m.lower() == cl for m in mc)
+
+    # a null count survives only if EVERY member entry records it OR
+    # is provably all-NULL by column absence with a known row count
+    null_cols: set[str] = set()
+    for e in chunk:
+        null_cols |= set(e.get("nulls") or {})
+    nulls: dict[str, int] = {}
+    for c in null_cols:
+        total = 0
+        for e in chunk:
+            n = (e.get("nulls") or {}).get(c)
+            if n is None:
+                if _absent(e, c) and e.get("rows") is not None:
+                    n = e["rows"]
+                else:
+                    total = -1
+                    break
+            total += n
+        if total >= 0:
+            nulls[c] = total
     # a span survives only if every entry records one for the column
     # OR is provably all-NULL in it (no values to constrain the union)
     span_cols: set[str] = set()
@@ -383,6 +430,8 @@ def _shard_agg(chunk: list[dict]) -> dict:
                     agg = None
                     break
                 continue
+            if _absent(e, c):
+                continue  # physically absent: all-NULL, no constraint
             r = e.get("rows")
             n = (e.get("nulls") or {}).get(c)
             if r is not None and n is not None and 0 < r <= n:
@@ -402,6 +451,8 @@ def _shard_agg(chunk: list[dict]) -> dict:
         "nulls": nulls,
         "top": top,
     }
+    if cols is not None:
+        out["cols"] = cols
     if bsizes and all(isinstance(b, int) for b in bsizes):
         out["bmin"] = min(bsizes)
         out["bsum"] = sum(bsizes)
@@ -451,7 +502,13 @@ def _externalize_entries(
                 # stats but no byte floor/sum): backfill from the
                 # members already in hand — zero extra I/O — so old
                 # tables gain shard skipping AND the O(root) metadata
-                # path at their next commit. Records whose members
+                # path at their next commit. The r11 "cols" union is
+                # deliberately NOT a backfill trigger: pre-r11 shard
+                # FILES are immutable and their members never carry
+                # cols, so a cols-triggered recompute would re-run
+                # per-commit forever without ever producing one —
+                # legacy shards simply stay conservative (no physical-
+                # absence pruning) until a rewrite re-pools them. Records whose members
                 # genuinely lack sizes recompute each carry (still
                 # zero extra I/O — the load happened for the
                 # membership check above).
@@ -499,9 +556,9 @@ def _entry_rows(table_path: str, entry: dict) -> int:
     """Entry row count, footer-read (and cached) for normalized
     format-1 entries that don't carry it."""
     if entry.get("rows") is None:
-        entry["rows"], entry["stats"], entry["nulls"] = _parquet_footer(
-            os.path.join(table_path, entry["name"])
-        )
+        (
+            entry["rows"], entry["stats"], entry["nulls"], entry["cols"]
+        ) = _parquet_footer(os.path.join(table_path, entry["name"]))
     return entry["rows"]
 
 
@@ -544,14 +601,20 @@ def _live_state(
     if man is None:
         return None, [], top, []
     sup = set(man.get("superseded", []))
-    if man.get("mixed_schema"):
-        # stats pruning on a mixed-schema table can drop every file
-        # that physically CARRIES an evolved column, and the merged-
-        # footer read of the survivors would lose the column from the
-        # scan schema — enforce the carve-out HERE so no caller can
-        # trip it. The DML resolve (carry_out) additionally needs the
-        # unified-schema gate and _table_columns to see every physical
-        # schema, so it degrades to full load with it.
+    if man.get("mixed_schema") and (
+        carry_out is not None or man.get("table_schema") is None
+    ):
+        # PRE-R11 mixed tables (no recorded unified schema): stats
+        # pruning can drop every file that physically CARRIES an
+        # evolved column, and the merged-footer read of the survivors
+        # would lose the column from the scan schema — enforce the
+        # carve-out HERE so no caller can trip it. With the unified
+        # schema recorded in the root (round 11), reads supply it
+        # explicitly and the scan path prunes safely (entry/shard
+        # `cols` make absent columns a pruning fact, not a hazard).
+        # The DML resolve (carry_out) stays conservative either way:
+        # its commit accounting and unified-schema gate want every
+        # physical schema in hand, so it degrades to full load.
         shard_admits = None
     if shard_admits is None:
         entries = _version_files(man, path)
@@ -718,15 +781,36 @@ def live_files(path: str, version: int | None = None) -> list[str]:
     ]
 
 
+def _recorded_schema(version: dict):
+    """The version's recorded unified StructType (round 11), or None.
+    Parsed per call — cheap (a JSON dict, no I/O) and always coherent
+    with the manifest object in hand."""
+    raw = version.get("table_schema")
+    if raw is None:
+        return None
+    try:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(_json.loads(raw))
+    except Exception:
+        return None  # unparseable record: behave as if absent
+
+
 def _read_files(
     spark: SparkSession, man: dict | None, paths: list[str]
 ) -> DataFrame:
     """Parquet read of an explicit manifest file list. Tables that have
     taken a schema-evolving commit (``mixed_schema`` in the manifest)
-    read with parquet schema merging, so files carried BY REFERENCE
-    with the pre-evolution physical schema reconcile against the new
-    one (missing columns -> NULL) — the reason evolution costs zero
-    rewrites.
+    read under the manifest's recorded unified schema when one exists
+    (round 11: explicit ``reader.schema`` — absent columns backfill
+    NULL with zero footer I/O, and the schema survives even when data
+    skipping pruned every file physically carrying an evolved column),
+    falling back to parquet schema merging for pre-r11 mixed tables.
+    Either way files carried BY REFERENCE with the pre-evolution
+    physical schema reconcile against the new one (missing columns ->
+    NULL) — the reason evolution costs zero rewrites.
 
     Uniform tables get the schema from ONE footer (driver-side
     pyarrow): Spark's schema inference over an explicit path list runs
@@ -736,6 +820,9 @@ def _read_files(
     reader = spark.read
     spark_paths = [_io(p).spark_path(p) for p in paths]
     if man is not None and man.get("mixed_schema"):
+        recorded = _recorded_schema(man)
+        if recorded is not None:
+            return reader.schema(recorded).parquet(*spark_paths)
         return reader.option("mergeSchema", "true").parquet(*spark_paths)
     if paths:
         try:
@@ -898,7 +985,10 @@ def verify_table(path: str, deep: bool = False) -> dict:
     * every file referenced by the live version AND every retained
       snapshot exists on disk;
     * every index shard object exists and its root record's ``count``
-      (and ``rows``/byte aggregates, when present) matches its members;
+      (and ``rows``/byte/``cols`` aggregates, when present) matches its
+      members — ``cols`` is soundness-critical: an over-narrow record
+      actively prunes (round 11); ``deep`` also re-verifies each
+      entry's ``cols`` against the file's physical schema;
     * live basenames are UNIQUE (the deletion-vector keying invariant);
     * every DV target is a live file and every DV/CDC sidecar exists;
     * no superseded name is referenced by any retained version.
@@ -1011,6 +1101,29 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                             f"{tag}: shard {sname} bsum "
                             f"{s['bsum']} != {got} summed"
                         )
+                if isinstance(s.get("cols"), list):
+                    # soundness-critical (round 11): an over-narrow
+                    # cols record ACTIVELY prunes — verify it is the
+                    # exact union of member column lists
+                    union: set[str] = set()
+                    incomplete = False
+                    for e in members:
+                        mc = e.get("cols")
+                        if mc is None:
+                            incomplete = True
+                            break
+                        union |= set(mc)
+                    if incomplete:
+                        errors.append(
+                            f"{tag}: shard {sname} records cols but a "
+                            "member lacks its column list"
+                        )
+                    elif union != set(s["cols"]):
+                        errors.append(
+                            f"{tag}: shard {sname} cols != member "
+                            f"union (record {sorted(s['cols'])}, "
+                            f"members {sorted(union)})"
+                        )
         else:
             if ext is not None:
                 errors.append(f"{tag}: malformed files_ext record")
@@ -1041,17 +1154,24 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                 errors.append(f"{tag}: missing data file {name}")
             elif deep and e.get("rows") is not None:
                 try:
-                    rows = _parquet_footer(p)[0]
+                    ft = _parquet_footer(p)
                 except Exception as exc:
                     errors.append(
                         f"{tag}: unreadable footer {name}: "
                         f"{type(exc).__name__}"
                     )
                 else:
-                    if rows != e["rows"]:
+                    if ft[0] != e["rows"]:
                         errors.append(
-                            f"{tag}: {name} footer rows {rows} != "
+                            f"{tag}: {name} footer rows {ft[0]} != "
                             f"manifest {e['rows']}"
+                        )
+                    if e.get("cols") is not None and set(
+                        e["cols"]
+                    ) != set(ft[3]):
+                        errors.append(
+                            f"{tag}: {name} entry cols != physical "
+                            "schema (absence pruning would be unsound)"
                         )
         for rel in sorted(_cdc_names(v) | _dv_names(v)):
             base = os.path.basename(rel)
@@ -1461,6 +1581,7 @@ _BACKOFF_CAP = 1.0
 # Bounded registry; eviction of an (unheld, long-idle) entry only
 # costs fairness for one race, never correctness — the durable fence
 # (lock file / ETag CAS) still serializes all writers.
+import contextlib as _contextlib  # noqa: E402  (stdlib, commit guard)
 import threading as _threading  # noqa: E402  (stdlib, lock registry)
 
 _TAIL_LOCKS: dict = {}
@@ -1476,6 +1597,37 @@ def _commit_tail_lock(path: str):
             lk = _threading.RLock()
             _TAIL_LOCKS[path] = lk
         return lk
+
+
+@_contextlib.contextmanager
+def _commit_guard(path: str):
+    """The commit tail's full serialization stack (round 11): the
+    OPTIONAL cross-process advisory coordinator (see
+    :mod:`.coordinator` — Delta's external-commit-coordinator seam;
+    default None keeps the measured round-10 behavior) outside, the
+    in-process per-table RLock inside. Coordinator failures of any
+    kind degrade to uncoordinated commits: the durable fence (lock
+    file / ETag CAS) owns correctness, coordination only buys
+    cross-process fairness under sustained multi-driver fire."""
+    from .coordinator import get_commit_coordinator
+
+    coord = get_commit_coordinator()
+    token = None
+    if coord is not None:
+        try:
+            token = coord.acquire(path)
+        except Exception:
+            token = None  # a raising lock service must not block commits
+    try:
+        with _commit_tail_lock(path):
+            yield
+    finally:
+        if coord is not None and token is not None:
+            try:
+                coord.release(path, token)
+            except Exception:
+                pass  # release failure: TTL breaking reclaims the lock
+
 
 
 def _drop_lost_staging(io, path: str, gen: str) -> None:
@@ -1592,6 +1744,7 @@ def _commit_generation(
     adopt: list[tuple[str, dict]] | None = None,
     cdc: dict | None = None,
     mixed_schema: bool | None = None,
+    table_schema: str | None = None,
     dv_df: DataFrame | None = None,
     dv_n: dict[str, int] | None = None,
     dv_carry: list[str] | None = None,
@@ -1632,8 +1785,16 @@ def _commit_generation(
     set was never captured — reporting "no change" would silently lose
     the appended rows for incremental consumers). ``mixed_schema``: True marks the table as holding files
     of differing physical schemas (reads merge footers), False clears
-    the mark (a full rewrite unified them), None inherits. Returns
-    ``(gen_no, manifest, n_new_files)``.
+    the mark (a full rewrite unified them), None inherits.
+    ``table_schema`` (round 11): the JSON StructType of the table's
+    UNIFIED logical schema, recorded in the root on schema-widening
+    commits (the Delta model — schema lives in the log, not in
+    footers). Its presence lets mixed-schema reads supply the schema
+    explicitly (no all-footers merge job, no schema loss when stats
+    pruning drops every file carrying an evolved column), which is
+    what re-enables data skipping on evolved tables. Carried by
+    non-widening commits; dropped when ``mixed_schema`` clears.
+    Returns ``(gen_no, manifest, n_new_files)``.
 
     DELETION VECTORS: ``dv_n`` (per-file deleted-row counts, keyed by
     manifest-relative name) records the NEW version's merge-on-read
@@ -1870,9 +2031,12 @@ def _commit_generation(
     # after), and the common heavy fan-in — many streams in one Spark
     # driver — needs no external coordinator at all. REENTRANT by
     # design: the forced-race tests commit a winner inline from the
-    # loser's thread. Cross-process fairness remains the fence's
-    # problem (docs/SCALE.md operating guidance).
-    with _commit_tail_lock(path):
+    # loser's thread. Cross-process fairness defaults to the fence's
+    # optimistic racing (docs/SCALE.md operating guidance, ~4
+    # continuous processes per raw-object-store table); deployments
+    # past that plug an advisory coordinator into _commit_guard
+    # (round 11, see coordinator.py).
+    with _commit_guard(path):
         for attempt in range(_COMMIT_ATTEMPTS):
             files = keep_entries + new_entries
             # entry-list placement: inline below _SHARD_THRESHOLD; external
@@ -2038,6 +2202,16 @@ def _commit_generation(
                     if mixed_schema
                     else (man or {}).get("schema_epoch", 0)
                 )
+                # unified logical schema: set by the widening commit,
+                # carried by every other commit on a mixed table (and
+                # dropped with the flag when a rewrite unifies)
+                ts = (
+                    table_schema
+                    if mixed_schema and table_schema is not None
+                    else (man or {}).get("table_schema")
+                )
+                if ts is not None:
+                    manifest["table_schema"] = ts
             try:
                 _commit_manifest(path, manifest, expect_gen=prev_no)
                 break
@@ -2237,6 +2411,8 @@ def _prev_version_snapshot(man: dict, path: str) -> dict:
         prev["mixed_schema"] = True
         if man.get("schema_epoch") is not None:
             prev["schema_epoch"] = man["schema_epoch"]
+        if man.get("table_schema") is not None:
+            prev["table_schema"] = man["table_schema"]
     return prev
 
 
@@ -2700,10 +2876,51 @@ def _table_columns(
     """Column names of a manifest file set WITHOUT building a Spark
     relation (which lists every path up front — linear in file count):
     one pyarrow footer suffices for uniform tables. Mixed-schema tables
-    genuinely need the merged view and fall back to the relation."""
+    with a recorded unified schema (round 11) read it straight from the
+    root manifest — zero I/O; only pre-r11 mixed tables still need the
+    merged relation."""
+    if man is not None and man.get("mixed_schema"):
+        recorded = _recorded_schema(man)
+        if recorded is not None:
+            return recorded.names
     if man is not None and man.get("mixed_schema") or not paths:
         return _read_files(spark, man, paths).columns
     return list(_io(paths[0]).open_parquet(paths[0]).schema_arrow.names)
+
+
+def _unified_schema_json(
+    spark: SparkSession, man: dict | None, src: list[str], upd_schema
+) -> str | None:
+    """JSON StructType of a table's POST-EVOLUTION unified logical
+    schema: the existing schema (recorded in the root when present;
+    else merged footers for a pre-r11 mixed table — a one-time upgrade
+    cost; else one footer for a uniform table) extended with the update
+    batch's new columns, every field forced nullable (old rows are NULL
+    in new columns and vice versa). Returns None when a common column's
+    type differs between table and batch — recording a schema that
+    contradicts the files would be worse than degrading, so reads fall
+    back to footer merging and surface the conflict there."""
+    import json as _json
+
+    from pyspark.sql.types import StructField, StructType
+
+    base = _recorded_schema(man) if man is not None else None
+    if base is None and src:
+        if man is not None and man.get("mixed_schema"):
+            base = _read_files(spark, man, src).schema
+        else:
+            base = _read_files(spark, man, [src[0]]).schema
+    fields: list[StructField] = []
+    seen: dict[str, object] = {}
+    base_fields = list(base.fields) if base is not None else []
+    for f in base_fields + list(upd_schema.fields):
+        if f.name in seen:
+            if seen[f.name] != f.dataType:
+                return None
+            continue
+        seen[f.name] = f.dataType
+        fields.append(StructField(f.name, f.dataType, True))
+    return _json.dumps(StructType(fields).jsonValue())
 
 
 def _rel_file(uri: str, table_path: str) -> str:
@@ -3182,8 +3399,13 @@ def insert_into(
         # a micro-batch ingest loop into a 100k-file mixed table pays
         # the footer-merge job once, then one dict lookup per batch.
         if man.get("mixed_schema"):
+            recorded = _recorded_schema(man)
             key = (path, man.get("schema_epoch", 0))
-            tbl_schema = _MIXED_SCHEMA_CACHE.get(key)
+            tbl_schema = (
+                recorded
+                if recorded is not None
+                else _MIXED_SCHEMA_CACHE.get(key)
+            )
             if tbl_schema is None:
                 tbl_schema = _read_files(
                     spark, man,
@@ -3348,6 +3570,8 @@ def rollback(
         # file set (the live epoch may postdate this snapshot)
         if target.get("schema_epoch") is not None:
             manifest["schema_epoch"] = target["schema_epoch"]
+        if target.get("table_schema") is not None:
+            manifest["table_schema"] = target["table_schema"]
     if target.get("dv") is not None:
         # restore means the snapshot's merge-on-read state too
         manifest["dv"] = target["dv"]
@@ -3735,6 +3959,11 @@ def merge_into(
                 f"merge keys {missing_keys} must exist on both sides"
             )
         evolving = evolve_schema and set(updates.columns) != set(old_cols)
+        uni_schema = (
+            _unified_schema_json(spark, man, src, updates.schema)
+            if evolving
+            else None
+        )
         if n_upd == 0:
             # empty patch: a no-op — but only AFTER the schema/key
             # validation above, so a malformed caller still fails loud
@@ -3902,6 +4131,7 @@ def merge_into(
                     "delete": deleted,
                 },
                 mixed_schema=True if evolving else None,
+                table_schema=uni_schema,
                 dv_df=dv_df,
                 dv_n=dv_n,
                 dv_carry=dv_carry,

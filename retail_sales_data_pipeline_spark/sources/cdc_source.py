@@ -84,6 +84,11 @@ def _table_schema(path: str) -> StructType:
         return os.path.join(p, parts[0]) if parts else None
 
     if man is not None and man.get("mixed_schema"):
+        from ..sinks import _recorded_schema
+
+        recorded = _recorded_schema(man)
+        if recorded is not None:
+            return recorded  # round 11: schema from the root, zero I/O
         schemas = []
         for p in files:
             target = _first_part(p)

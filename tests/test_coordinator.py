@@ -1,0 +1,230 @@
+"""Round-11 cross-process commit coordinator: the advisory lock seam
+(coordinator.py) around the manifest commit tail. The durable fence
+(lock file / ETag CAS in table_io) stays the correctness boundary —
+these tests pin that the coordinator adds cross-process FAIRNESS
+without ever being able to block or corrupt a commit. Extends the
+reference's single-writer posture (src/main/transformations/jobs/
+main.py runs one job at a time) the way Delta's external commit
+coordinator extends S3 single-driver commits."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import pytest
+
+import retail_sales_data_pipeline_spark.sinks as S
+from retail_sales_data_pipeline_spark.coordinator import (
+    AdvisoryFileLockCoordinator,
+    get_commit_coordinator,
+    set_commit_coordinator,
+)
+
+
+@pytest.fixture(autouse=True)
+def _no_leftover_coordinator():
+    yield
+    set_commit_coordinator(None)
+
+
+def test_acquire_release_lifecycle(tmp_path):
+    c = AdvisoryFileLockCoordinator(str(tmp_path / "locks"))
+    tok = c.acquire("/data/tbl")
+    assert tok == "held"
+    lp = c._lock_path("/data/tbl")
+    assert os.path.exists(lp)
+    # a DIFFERENT table locks independently
+    tok2 = c.acquire("/data/other")
+    assert tok2 == "held"
+    c.release("/data/tbl", tok)
+    assert not os.path.exists(lp)
+    c.release("/data/other", tok2)
+
+
+def test_reentrant_same_process(tmp_path):
+    """The forced-race shape: a nested commit from the holder process
+    must not deadlock — the lock means 'this PROCESS holds the
+    table'."""
+    c = AdvisoryFileLockCoordinator(str(tmp_path / "locks"))
+    t1 = c.acquire("/t")
+    t2 = c.acquire("/t")
+    assert (t1, t2) == ("held", "reentrant")
+    c.release("/t", t2)
+    assert os.path.exists(c._lock_path("/t"))  # still held at depth 1
+    c.release("/t", t1)
+    assert not os.path.exists(c._lock_path("/t"))
+
+
+def test_ttl_breaks_crashed_holder(tmp_path):
+    """A lock file from a crashed process (older than ttl) is broken,
+    not waited on forever — the table_io commit-lock posture."""
+    c = AdvisoryFileLockCoordinator(
+        str(tmp_path / "locks"), ttl_seconds=0.05, wait_seconds=5.0
+    )
+    lp = c._lock_path("/t")
+    with open(lp, "w") as fh:
+        fh.write("99999:0")  # a dead pid's lock
+    old = time.time() - 10
+    os.utime(lp, (old, old))
+    t0 = time.time()
+    assert c.acquire("/t") == "held"
+    assert time.time() - t0 < 2.0
+    c.release("/t", "held")
+
+
+def test_wait_budget_gives_up_advisory(tmp_path):
+    """A held lock past the wait budget returns None — the commit
+    proceeds UNCOORDINATED rather than turning a stuck lock service
+    into a table outage."""
+    lock_dir = str(tmp_path / "locks")
+    holder = AdvisoryFileLockCoordinator(lock_dir, ttl_seconds=300)
+    assert holder.acquire("/t") == "held"
+    waiter = AdvisoryFileLockCoordinator(
+        lock_dir, ttl_seconds=300, wait_seconds=0.1
+    )
+    t0 = time.time()
+    assert waiter.acquire("/t") is None
+    assert 0.05 < time.time() - t0 < 2.0
+    waiter.release("/t", None)  # no-op, never raises
+    holder.release("/t", "held")
+
+
+def test_commit_guard_tolerates_broken_coordinator(spark, tmp_path):
+    """Advisory end to end: a coordinator whose acquire/release RAISE
+    must not block a real commit."""
+
+    class Broken:
+        def acquire(self, path):
+            raise RuntimeError("lock service down")
+
+        def release(self, path, token):
+            raise RuntimeError("still down")
+
+    path = str(tmp_path / "tbl")
+    S.write_parquet(
+        spark.range(10).selectExpr("id", "id * 1.0 as v"), path
+    )
+    S.convert_to_manifest(spark, path)
+    set_commit_coordinator(Broken())
+    assert S.delete_where(spark, path, "id = 3") == 1
+    assert S.read_table(spark, path).count() == 9
+
+
+def test_threaded_race_with_coordinator(spark, tmp_path):
+    """The s3-suite converge race, under a real coordinator: both
+    writers land, results identical to the uncoordinated protocol,
+    and the lock file is released at the end."""
+    path = str(tmp_path / "tbl")
+    S.write_parquet(
+        spark.range(100).selectExpr(
+            "id", "id % 10 as grp", "id * 1.0 as v"
+        ).repartition(4),
+        path,
+    )
+    S.convert_to_manifest(spark, path)
+    coord = AdvisoryFileLockCoordinator(str(tmp_path / "locks"))
+    set_commit_coordinator(coord)
+    assert get_commit_coordinator() is coord
+    errs: list = []
+    barrier = threading.Barrier(2)
+
+    def worker(pred: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            S.retry_on_conflict(
+                lambda: S.delete_where(spark, path, pred), attempts=8
+            )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=worker, args=("grp = 1",))
+    t2 = threading.Thread(target=worker, args=("grp = 2",))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert not t1.is_alive() and not t2.is_alive(), "worker hung"
+    assert not errs, errs
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 80
+    assert tbl.where("grp IN (1, 2)").count() == 0
+    assert not os.path.exists(coord._lock_path(path))
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, sys.argv[1])
+import retail_sales_data_pipeline_spark.sinks as S
+from retail_sales_data_pipeline_spark.coordinator import (
+    AdvisoryFileLockCoordinator, set_commit_coordinator,
+)
+from retail_sales_data_pipeline_spark.table_io import ConcurrentWriteError
+
+path, lock_dir, wid, iters, use_coord = sys.argv[2:7]
+iters = int(iters)
+coord = None
+if use_coord == "1":
+    coord = AdvisoryFileLockCoordinator(lock_dir)
+attempts = 0
+for i in range(iters):
+    while True:
+        token = coord.acquire(path) if coord else None
+        try:
+            man = S._load_manifest(path)
+            man = dict(man)
+            man["gen_no"] += 1
+            man.setdefault("txn", {})[f"w{wid}"] = i + 1
+            attempts += 1
+            try:
+                S._commit_manifest(path, man, expect_gen=man["gen_no"] - 1)
+                break
+            except ConcurrentWriteError:
+                continue
+        finally:
+            if coord:
+                coord.release(path, token)
+print(json.dumps({"attempts": attempts, "iters": iters}))
+"""
+
+
+@pytest.mark.parametrize("use_coord", ["0", "1"])
+def test_cross_process_commit_race(tmp_path, use_coord):
+    """TWO real PROCESSES race CAS commits against one table — with
+    and without the coordinator, the fence keeps every commit (the
+    correctness half); with it, wasted CAS cycles drop (the fairness
+    half, measured for docs/SCALE.md by dml_headroom --processes)."""
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    S._commit_manifest(
+        path,
+        {"format": 2, "gen_no": 1, "generation": "gen-000001._seed",
+         "rows": 0, "files": [], "op": "seed", "superseded": [],
+         "history": []},
+        expect_gen=0,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    iters = 12
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, repo, path,
+             str(tmp_path / "locks"), str(w), str(iters), use_coord],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for w in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[:2000]
+        outs.append(json.loads(out))
+    man = S._load_manifest(path)
+    # exactly-once: every iteration of both workers landed exactly once
+    assert man["gen_no"] == 1 + 2 * iters
+    assert man["txn"] == {"w0": iters, "w1": iters}
+    # no leaked lock file
+    assert not os.listdir(str(tmp_path / "locks")) if use_coord == "1" \
+        else True

@@ -546,6 +546,9 @@ def test_concurrent_writers_converge_with_retry_on_s3(s3env, spark):
     assert tbl.count() == 80
     assert tbl.where("grp IN (1, 2)").count() == 0
     assert S._load_manifest(uri)["gen_no"] == 3
+    # post-race FSCK (r10 verdict #5), over the SigV4 fake too
+    fsck = S.verify_table(uri)
+    assert fsck["ok"], fsck["errors"]
 
 
 def test_dml_model_fuzz_on_s3(s3env, spark):

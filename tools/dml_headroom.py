@@ -29,6 +29,7 @@ fences degrade differently).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import shutil
 import sys
@@ -165,6 +166,10 @@ def contention_probe(spark, base: str, writers: int, batches: int) -> dict:
     assert all(
         man["txn"][f"w{w}"] == batches for w in range(writers)
     ), man.get("txn")
+    # post-probe FSCK (r10 verdict #5): every contention run ends with
+    # a full-resolve integrity sweep of the raced table
+    fsck = S.verify_table(path)
+    assert fsck["ok"], fsck["errors"]
     return {
         "writers": writers,
         "commits": total,
@@ -200,12 +205,122 @@ def run_contention(spark, base: str, batches: int, fence: str,
               f"| {r['exhausted']} ({r['exhaustion_rate']:.1%}) |")
 
 
+_PROC_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+import retail_sales_data_pipeline_spark.sinks as S
+from retail_sales_data_pipeline_spark.coordinator import (
+    AdvisoryFileLockCoordinator,
+)
+from retail_sales_data_pipeline_spark.table_io import ConcurrentWriteError
+
+path, lock_dir, wid, iters, use_coord, endpoint = sys.argv[2:8]
+iters = int(iters)
+if endpoint:
+    from retail_sales_data_pipeline_spark import storage
+    from retail_sales_data_pipeline_spark.storage_s3 import S3Storage
+
+    storage._REGISTRY["s3"] = S3Storage(endpoint_url=endpoint)
+coord = AdvisoryFileLockCoordinator(lock_dir) if use_coord == "1" else None
+attempts = 0
+t0 = time.time()
+for i in range(iters):
+    while True:
+        token = coord.acquire(path) if coord else None
+        try:
+            man = dict(S._load_manifest(path))
+            man["gen_no"] += 1
+            man.setdefault("txn", {})[f"w{wid}"] = i + 1
+            attempts += 1
+            try:
+                S._commit_manifest(path, man, expect_gen=man["gen_no"] - 1)
+                break
+            except ConcurrentWriteError:
+                continue
+        finally:
+            if coord:
+                coord.release(path, token)
+print(json.dumps({"attempts": attempts, "wall": time.time() - t0}))
+"""
+
+
+def run_processes(
+    base: str, procs_list, iters: int, endpoint: str = "",
+    table_base: str | None = None, fence: str = "local lock",
+) -> None:
+    """Round-11 CROSS-PROCESS commit-tail measurement: N OS processes
+    race metadata commits (snapshot read -> CAS, the exact tail the
+    in-process serializer cannot reach) against one table, with and
+    without the advisory file-lock coordinator. Metadata-only by
+    design — coordination changes the tail's wasted CAS cycles, not
+    staging throughput, so this isolates the variable. Ends with a
+    verify_table sweep of the raced table."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    print(f"\n# cross-process commit tail: N processes x {iters} "
+          f"metadata commits, {fence} fence")
+    print("| procs | coordinator | wall s | commits/s | "
+          "CAS attempts per landed commit |")
+    print("|---|---|---|---|---|")
+    for n in procs_list:
+        for use_coord in ("0", "1"):
+            if table_base:
+                path = f"{table_base}/xproc-{n}-{use_coord}"
+            else:
+                path = os.path.join(base, f"xproc-{n}-{use_coord}")
+                os.makedirs(path)
+            S._commit_manifest(
+                path,
+                {"format": 2, "gen_no": 1,
+                 "generation": "gen-000001._seed", "rows": 0,
+                 "files": [], "op": "seed", "superseded": [],
+                 "history": []},
+                expect_gen=0,
+            )
+            lock_dir = os.path.join(base, f"locks-{n}-{use_coord}")
+            t0 = time.time()
+            workers = [
+                subprocess.Popen(
+                    [_sys.executable, "-c", _PROC_WORKER, repo, path,
+                     lock_dir, str(w), str(iters), use_coord, endpoint],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                )
+                for w in range(n)
+            ]
+            outs = []
+            for p in workers:
+                out, err = p.communicate(timeout=600)
+                assert p.returncode == 0, err.decode()[:2000]
+                outs.append(json.loads(out))
+            wall = time.time() - t0
+            man = S._load_manifest(path)
+            total = n * iters
+            assert man["gen_no"] == 1 + total, (man["gen_no"], total)
+            assert all(
+                man["txn"][f"w{w}"] == iters for w in range(n)
+            ), man.get("txn")
+            fsck = S.verify_table(path)
+            assert fsck["ok"], fsck["errors"]
+            attempts = sum(o["attempts"] for o in outs)
+            label = ("AdvisoryFileLock" if use_coord == "1"
+                     else "none (optimistic racing)")
+            print(f"| {n} | {label} | {wall:.2f} | "
+                  f"{total / wall:.1f} | {attempts / total:.2f} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=5_000_000)
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--contention", action="store_true",
                     help="run the sustained-contention envelope only")
+    ap.add_argument("--processes", action="store_true",
+                    help="run the round-11 cross-process commit-tail "
+                         "measurement (advisory coordinator on/off)")
+    ap.add_argument("--iters", type=int, default=50,
+                    help="commits per process in --processes mode")
     ap.add_argument("--batches", type=int, default=25,
                     help="txn batches per writer in --contention mode")
     ap.add_argument("--sharded", action="store_true",
@@ -217,6 +332,40 @@ def main() -> None:
                          "(ETag-CAS conditional-PUT fence, the object-"
                          "store shape) instead of the local lock fence")
     args = ap.parse_args()
+
+    if args.processes:
+        work = tempfile.mkdtemp(prefix="dml_xproc_")
+        server = None
+        try:
+            if args.s3:
+                from tests.fake_s3 import DiskS3Server
+                from retail_sales_data_pipeline_spark import storage
+                from retail_sales_data_pipeline_spark.storage_s3 import (
+                    S3Storage,
+                )
+
+                os.environ.setdefault("AWS_ACCESS_KEY_ID", "probe-key")
+                os.environ.setdefault("AWS_SECRET_ACCESS_KEY",
+                                      "probe-secret")
+                root = os.path.join(work, "objstore")
+                os.makedirs(root)
+                server = DiskS3Server(root).start()
+                server.make_bucket("lake")
+                storage._REGISTRY["s3"] = S3Storage(
+                    endpoint_url=server.endpoint
+                )
+                run_processes(
+                    work, (2, 4, 8), args.iters,
+                    endpoint=server.endpoint,
+                    table_base="s3://lake", fence="ETag-CAS",
+                )
+            else:
+                run_processes(work, (2, 4, 8), args.iters)
+        finally:
+            if server is not None:
+                server.shutdown()
+            shutil.rmtree(work, ignore_errors=True)
+        return
 
     if args.contention:
         spark = get_spark("dml-headroom-contention")

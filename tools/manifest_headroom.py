@@ -173,6 +173,57 @@ def main() -> None:
         print(f"| COLD selective resolve (shard stats) | "
               f"{t_sel * 1e3:.0f} ms | {loaded}/{total_sh} shards "
               f"loaded, {len(sel_entries):,} entries touched |")
+        # round 11: MIXED-SCHEMA tables keep shard skipping once the
+        # unified schema is recorded in the root — measure the same
+        # selective resolve through the REAL _live_state gate on an
+        # evolved index (entries carry their physical column list;
+        # root carries mixed_schema + table_schema), vs the pre-r11
+        # behavior (flag without schema -> full resolve)
+        for e in entries:
+            e["cols"] = ["id"]
+        ext_mx = S._externalize_entries(
+            io, big, "gen-000005._mx", {}, entries, [], 0
+        )
+        root_mx = dict(
+            root, gen_no=5, generation="gen-000005._mx",
+            files_ext=ext_mx, mixed_schema=True,
+            table_schema=json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "score", "type": "long", "nullable": True,
+                     "metadata": {}},
+                ],
+            }),
+        )
+        S._commit_manifest(big, root_mx, expect_gen=2)
+        S._SHARD_CACHE.clear()
+        t0 = time.time()
+        _, mx_entries, _, _ = S._live_state(
+            big, shard_admits=_scan_admits(band_big)
+        )
+        t_mx = time.time() - t0
+        loaded_mx, _ = shards_loaded(big, band_big)
+        print(f"| COLD selective resolve, MIXED-SCHEMA table (r11) | "
+              f"{t_mx * 1e3:.0f} ms | {loaded_mx}/{len(ext_mx['shards'])} "
+              f"shards loaded, {len(mx_entries):,} entries touched |")
+        root_old = dict(root_mx, gen_no=6, generation="gen-000006._old")
+        root_old.pop("table_schema")
+        S._commit_manifest(big, root_old, expect_gen=5)
+        S._SHARD_CACHE.clear()
+        t0 = time.time()
+        _, old_entries, _, _ = S._live_state(
+            big, shard_admits=_scan_admits(band_big)
+        )
+        t_old = time.time() - t0
+        print(f"| ... same, PRE-R11 layout (no recorded schema) | "
+              f"{t_old * 1e3:.0f} ms | full resolve, "
+              f"{len(old_entries):,} entries — the degradation r11 "
+              f"removes |")
+        S._commit_manifest(big, dict(root, gen_no=7,
+                                     generation="gen-000007._back"),
+                           expect_gen=6)  # restore uniform for rows below
         # incremental commit: carried shards by reference. Re-warm the
         # shard cache first — the selective-resolve probe above cleared
         # it, and this row's r9 baseline (83 ms) is the WARM in-process
