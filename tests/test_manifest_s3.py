@@ -773,6 +773,64 @@ def test_sharded_selective_scan_request_budget(s3env, spark, monkeypatch):
     assert shards_loaded(uri, "id + grp = 12") == (4, 4)
 
 
+def test_mixed_schema_selective_scan_request_budget(
+    s3env, spark, monkeypatch
+):
+    """Round 11 over s3://: after an EVOLVING merge the table is
+    mixed-schema — and a selective scan still costs root GET + touched
+    shard GETs, because the root records the unified schema (reads
+    need no footer merge) and entry/shard cols make absence a pruning
+    fact. The exact budget the pre-r11 carve-out used to forfeit."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        scan_table,
+        shards_loaded,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    s3env["s3"].page_size = 1000
+    server = s3env["server"]
+    uri = "s3://lake/tables/mixedstats"
+    df = spark.range(8000).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    S.write_parquet(df.repartition(8), uri)
+    S.convert_to_manifest(spark, uri)
+    S.compact_parquet(spark, uri, target_files=8, sort_col="id")
+    patch = spark.range(100, 121).selectExpr(
+        "id", "id % 10 as grp", "id * 2 as score"
+    )
+    S.merge_into(spark, uri, patch, keys=["id"], evolve_schema=True)
+    man = S._load_manifest(uri)
+    assert man["mixed_schema"] and man.get("table_schema")
+
+    total = len(man["files_ext"]["shards"])
+    loaded, _ = shards_loaded(uri, "id BETWEEN 4000 AND 4010")
+    assert loaded < total
+    S._SHARD_CACHE.clear()
+    server.reset_counts()
+    got = scan_table(spark, uri, "id BETWEEN 4000 AND 4010")
+    rows = got.collect()
+    c = server.reset_counts()
+    assert sorted(r.id for r in rows) == list(range(4000, 4011))
+    assert all(r.score is None for r in rows)  # evolved col survives
+    assert c.get("PUT", 0) == 0, c
+    assert c.get("GET", 0) <= 1 + loaded, c  # root + admitted shards
+    assert sum(c.values()) <= 8, c
+
+    # predicate on the EVOLVED column: pre-evolution shards prune from
+    # root records alone — still a touched-shards budget
+    S._SHARD_CACHE.clear()
+    server.reset_counts()
+    got = scan_table(spark, uri, "score IS NOT NULL")
+    assert got.count() == 21
+    c = server.reset_counts()
+    assert c.get("PUT", 0) == 0, c
+    assert sum(c.values()) <= 8, c
+
+
 def test_sharded_selective_dml_request_budget(s3env, spark, monkeypatch):
     """Round-10 second rung, over s3://: a SELECTIVE DELETE on a
     sharded table is O(touched shards) END TO END — identification
