@@ -298,8 +298,11 @@ def _prunable(man: dict) -> bool:
     the column from the scan schema, and per-entry/per-shard ``cols``
     make physical absence a pruning fact. A pre-r11 evolved table
     (flag without schema) keeps the conservative full resolve until
-    its next evolving commit or full rewrite."""
-    return not man.get("mixed_schema") or man.get("table_schema") is not None
+    its next evolving commit or full rewrite. Parse-checked, not
+    key-presence-checked: a corrupt record must degrade, not prune."""
+    from .sinks import _recorded_schema
+
+    return not man.get("mixed_schema") or _recorded_schema(man) is not None
 
 
 def _scan_admits(predicate: str | None):
@@ -436,7 +439,10 @@ def dml_shards_loaded(
     ``sinks._shard_carry_eligible``); every other rejected shard loads
     fully, because a DML commit must account for each live file as an
     entry or a carried record. Root records only, no shard bodies
-    read. ``(total, total)`` when selectivity doesn't apply."""
+    read. ``(total, total)`` when selectivity doesn't apply (inline
+    table, no provable atoms, pre-r11 mixed schema — round 11 keeps
+    DML selective on mixed tables whose unified schema is recorded,
+    same as the scan path)."""
     from .sinks import _load_manifest, _shard_carry_eligible
 
     man = _load_manifest(path)
@@ -451,7 +457,7 @@ def dml_shards_loaded(
             all_names.add(s["name"])
             if s.get("top", 1):
                 hist_top.add(s["name"])
-    admits = None if man.get("mixed_schema") else _scan_admits(predicate)
+    admits = _scan_admits(predicate) if _prunable(man) else None
     if admits is None:
         return len(all_names), len(all_names)
     loaded = {

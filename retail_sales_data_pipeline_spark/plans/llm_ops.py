@@ -2240,6 +2240,16 @@ SELECT '_txn', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)
 # double-applied match all hash-mismatch. The oracle is the equivalent
 # UNION with explicit NULL casts. Same rebuilt-per-call work dir
 # lifecycle as dv_takedown_counts.
+#
+# Round 11 adds the MIXED-SCHEMA DATA SKIPPING leg under the same hard
+# signal: `n_rev_pruned` re-counts the evolved rows through
+# data_skipping.scan_table("rev IS NOT NULL") — a predicate on the
+# EVOLVED column, so the selective resolve prunes every carried
+# old-schema file from its physical-column record (absent => all-NULL
+# => IS NOT NULL rejects) and reads the survivors under the root's
+# recorded unified schema. Unsound pruning (a dropped matching row)
+# or schema loss (rev missing from the scan schema) hash-mismatches /
+# errors against the oracle's plain recount.
 # ---------------------------------------------------------------------------
 _EVOLVE_CUTOFF = 100  # fixed id cutoff: 20% of the sf0.01 id span, 2% of sf0.1
 
@@ -2272,7 +2282,9 @@ def corpus_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     S.merge_into(spark, path, batch, keys=["doc_id"], evolve_schema=True,
                  broadcast_updates=True)
-    return (
+    from ..data_skipping import scan_table
+
+    main = (
         S.read_table(spark, path)
         .groupBy("source", "lang")
         .agg(
@@ -2283,6 +2295,14 @@ def corpus_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("long").alias("total_rev"),
         )
     )
+    pruned = (
+        scan_table(spark, path, "rev IS NOT NULL")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_rev_pruned"))
+    )
+    return main.join(pruned, ["source", "lang"], "left").withColumn(
+        "n_rev_pruned", F.coalesce("n_rev_pruned", F.lit(0)).cast("long")
+    )
 
 
 _MERGE_EVOLVE_SQL = """
@@ -2290,7 +2310,8 @@ SELECT source, lang, count(*) AS n_docs,
        count(n_chars) AS n_with_chars,
        count(rev) AS n_with_rev,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(rev) AS BIGINT) AS total_rev
+       CAST(sum(rev) AS BIGINT) AS total_rev,
+       CAST(count(rev) AS BIGINT) AS n_rev_pruned
 FROM (
   SELECT lang, source, n_chars, CAST(NULL AS BIGINT) AS rev
   FROM documents WHERE doc_id % 4 IN (0, 2)

@@ -601,20 +601,19 @@ def _live_state(
     if man is None:
         return None, [], top, []
     sup = set(man.get("superseded", []))
-    if man.get("mixed_schema") and (
-        carry_out is not None or man.get("table_schema") is None
-    ):
+    if man.get("mixed_schema") and _recorded_schema(man) is None:
         # PRE-R11 mixed tables (no recorded unified schema): stats
         # pruning can drop every file that physically CARRIES an
         # evolved column, and the merged-footer read of the survivors
         # would lose the column from the scan schema — enforce the
         # carve-out HERE so no caller can trip it. With the unified
-        # schema recorded in the root (round 11), reads supply it
-        # explicitly and the scan path prunes safely (entry/shard
-        # `cols` make absent columns a pruning fact, not a hazard).
-        # The DML resolve (carry_out) stays conservative either way:
-        # its commit accounting and unified-schema gate want every
-        # physical schema in hand, so it degrades to full load.
+        # schema recorded in the root (round 11), BOTH the scan and
+        # the DML resolve prune safely: reads supply the schema
+        # explicitly (no footer merge, no schema loss), entry/shard
+        # `cols` make absent columns a pruning fact, and every
+        # schema-bearing consumer of the resolve (the insert gate,
+        # _table_columns, _unified_schema_json's base) reads the root
+        # record instead of needing all physical schemas in hand.
         shard_admits = None
     if shard_admits is None:
         entries = _version_files(man, path)

@@ -43,3 +43,18 @@ def test_merge_evolve_leaves_carried_old_schema_files(spark):
     # and the carried side still holds the majority of the table (the
     # patch was banded below _EVOLVE_CUTOFF)
     assert schemas.count(False) >= 2
+
+    # round 11: the query's n_rev_pruned leg must actually PRUNE — the
+    # evolving commit recorded the unified schema, and the carried
+    # old-schema files are provably rev-less (absence fact), so the
+    # selective scan reads strictly fewer files than the table holds
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        files_scanned,
+    )
+
+    assert man.get("table_schema")
+    n_pruned = files_scanned(path, "rev IS NOT NULL")
+    assert 0 < n_pruned < files_scanned(path)
+    # and the leg agrees with the full-read count column for column
+    row = df.where("n_rev_pruned <> n_with_rev").count()
+    assert row == 0

@@ -1210,3 +1210,109 @@ def test_evolved_scan_case_insensitive_predicate(
     assert files_scanned(path, "SCORE >= 0") == files_scanned(
         path, "score >= 0"
     )
+
+
+def test_evolved_selective_delete_loads_touched_shards_only(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11 second rung: selective DML stays O(touched shards) on
+    a MIXED-SCHEMA table once the unified schema is recorded — the
+    resolve prunes with entry/shard cols, the commit carries rejected
+    shards verbatim, and the rewrite reads under the recorded schema
+    (no footer merge, no schema loss)."""
+    path = _evolved_sharded_table(spark, tmp_path, monkeypatch)
+    man0 = S._load_manifest(path)
+    shards0 = {s["name"] for s in man0["files_ext"]["shards"]}
+
+    calls: list[str] = []
+    real = S._load_shard
+
+    def counting(table_path, rel):
+        calls.append(rel)
+        return real(table_path, rel)
+
+    monkeypatch.setattr(S, "_load_shard", counting)
+    S._SHARD_CACHE.clear()
+    n = S.delete_where(spark, path, "id BETWEEN 4000 AND 4020")
+    assert n == 21
+    # the touched id range lives in one shard; carry-ineligible ones
+    # (undersized tails from the evolve's re-pool) may also load
+    assert len(set(calls)) < len(shards0), calls
+
+    monkeypatch.setattr(S, "_load_shard", real)
+    man1 = S._load_manifest(path)
+    assert man1["mixed_schema"] and man1["table_schema"] == man0[
+        "table_schema"
+    ]
+    assert len(shards0 & {s["name"] for s in man1["files_ext"]["shards"]})
+    got = S.read_table(spark, path)
+    assert got.count() == 8000 - 21
+    assert got.where("id BETWEEN 4000 AND 4020").count() == 0
+    # evolved column intact across the DML (patch rows untouched)
+    assert got.where("score IS NOT NULL").count() == 21
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+    # a unified-schema APPEND onto the evolved SHARDED table: the
+    # insert gate reads the recorded schema, the selective resolve
+    # carries every eligible shard, and the new rows land exactly once
+    batch = spark.range(90000, 90005).selectExpr(
+        "id", "id % 10 as grp", "nullif(id % 4, 0) as opt",
+        "id * 2 as score"
+    )
+    assert S.insert_into(spark, path, batch) == 5
+    assert S.read_table(spark, path).count() == 8000 - 21 + 5
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_second_evolution_widens_recorded_schema(
+    spark, tmp_path, monkeypatch
+):
+    """An evolving merge ON an already-mixed table: the unified-schema
+    base comes from the ROOT record (no full resolve), widens with the
+    new column, and reads reconcile all three physical generations."""
+    path = _evolved_sharded_table(spark, tmp_path, monkeypatch)
+    patch2 = spark.range(7000, 7011).selectExpr(
+        "id", "id % 10 as grp", "nullif(id % 4, 0) as opt",
+        "cast(null as long) as score", "id * 3 as bonus"
+    )
+    S.merge_into(spark, path, patch2, keys=["id"], evolve_schema=True)
+    man = S._load_manifest(path)
+    rec = S._recorded_schema(man)
+    assert rec.names == ["id", "grp", "opt", "score", "bonus"]
+    df = S.read_table(spark, path)
+    assert df.count() == 8000
+    assert df.where("bonus IS NOT NULL").count() == 11
+    assert df.where("score IS NOT NULL").count() == 21
+    # skipping works on the NEWEST column too
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        scan_table as _scan,
+    )
+
+    got = _scan(spark, path, "bonus >= 0")
+    assert sorted(r.id for r in got.collect()) == list(range(7000, 7011))
+    assert files_scanned(path, "bonus >= 0") < files_scanned(path)
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_corrupt_table_schema_degrades_not_prunes(
+    spark, tmp_path, monkeypatch
+):
+    """A present-but-unparseable table_schema record must behave like
+    an absent one (full resolve, mergeSchema fallback), never prune."""
+    import json
+
+    path = _evolved_sharded_table(spark, tmp_path, monkeypatch)
+    mpath = os.path.join(path, "_manifest.json")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    man["table_schema"] = "{not json"
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    loaded, total = shards_loaded(path, "id BETWEEN 100 AND 120")
+    assert loaded == total
+    df = scan_table(spark, path, "id BETWEEN 100 AND 120")
+    assert df.count() == 21
+    assert "score" in df.columns
