@@ -1,0 +1,208 @@
+"""Bloom-filter point-lookup skipping for manifest tables (round 11).
+
+Footer [min, max] stats — and the shard aggregates built on them —
+prune RANGE predicates, which serves tables laid out sorted/Z-ordered
+on the queried column. They are useless for the other canonical
+100 TB lookup: ``WHERE fingerprint = '9f3a...'`` or
+``WHERE doc_id IN (<takedown list>)`` against a column the table is
+NOT sorted by — every file's [lo, hi] spans the hash space, nothing
+prunes, and a single takedown scans the table. Delta solves this with
+bloom filter indexes; this module is that feature for the manifest
+protocol:
+
+* ``sinks.set_bloom_columns(spark, path, cols, fpp)`` records the
+  policy in the manifest (table policy, carried by every commit like
+  CHECK constraints) and BACKFILLS a sidecar per existing live file;
+* every later commit builds sidecars for ITS OWN new files in one
+  distributed Spark job (``mapInPandas`` accumulates per-file partial
+  filters task-side; the driver ORs partials and writes sidecars) —
+  patch-priced, like constraint enforcement;
+* sidecars live NEXT TO their data file (``<file>.bloom.json``), so
+  liveness is derived — a sidecar is live iff its data file is — and
+  retire/vacuum need no new ledger;
+* the identification paths (``data_skipping.prune_entries`` — used by
+  ``scan_table``, ``delete_where``/``update_where``) probe sidecars
+  for equality/IN atoms on policy columns AFTER range pruning, and
+  drop files whose filter disproves every probed value.
+
+SOUNDNESS. A false positive only costs a scan; a false NEGATIVE would
+drop matching rows, so the hash must be bit-stable across processes,
+library versions, and years: values canonicalize to UTF-8 strings
+(integers via ``str(int)``; string columns as-is; floats and other
+types are rejected at policy time — canonicalization across SQL
+dialects is not worth the hazard), hashed with ``hashlib.md5``, and
+the k probe positions derive from the two 64-bit halves
+(Kirsch-Mitzenmacher double hashing). The sidecar records the
+column's canonical TYPE CLASS; a probe literal of a different class
+admits rather than guessing a cast. NULLs are never added and never
+probed (``col = NULL`` is never TRUE; ``IS NULL`` pruning belongs to
+the null-count index). Entries without a sidecar flag admit.
+
+SCALE ENVELOPE. Probing is a driver-side sidecar GET per surviving
+candidate, so it engages only when the post-range-prune candidate
+list is at most ``PROBE_CAP`` files (default 4096 ≈ 0.5 TB at 128 MB
+files) — past that, the right lever is layout (Z-order the lookup
+column) or a distributed probe job, and the scan stays correct
+either way. Sidecars are immutable and cached per process like index
+shards.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import math
+import os
+
+BLOOM_SUFFIX = ".bloom.json"
+PROBE_CAP = 4096
+
+_SIDE_CACHE: dict[str, dict | None] = {}
+_SIDE_CACHE_MAX = 8192
+
+
+def params(n_rows: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n_rows`` expected values at ``fpp``.
+    Byte-aligned m; k capped so tiny files don't over-hash."""
+    n = max(int(n_rows), 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 7) // 8) * 8)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def type_class(value) -> str | None:
+    """Canonical class of a value: "int", "str", or None (never
+    bloomed — bool excluded explicitly: it is an int subclass but
+    str(True) != a canonical integer form)."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return "int"
+    if isinstance(value, str):
+        return "str"
+    return None
+
+
+def _digest(value) -> tuple[int, int] | None:
+    tc = type_class(value)
+    if tc is None:
+        return None
+    s = str(value) if tc == "int" else value
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    return (
+        int.from_bytes(d[:8], "big"),
+        int.from_bytes(d[8:16], "big"),
+    )
+
+
+def add_values(bits: bytearray, k: int, values) -> None:
+    """Fold ``values`` into the filter in place. Non-canonical values
+    (NULL, unexpected types) are skipped — they can never be probed
+    positive, and the probe side admits non-canonical literals."""
+    m = len(bits) * 8
+    for v in values:
+        hh = _digest(v)
+        if hh is None:
+            continue
+        h1, h2 = hh
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+
+
+def might_contain(bits: bytes, k: int, value) -> bool:
+    """False ONLY when the filter proves absence. Non-canonical
+    probes admit."""
+    hh = _digest(value)
+    if hh is None:
+        return True
+    m = len(bits) * 8
+    h1, h2 = hh
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+def encode_sidecar(fpp: float, cols: dict[str, tuple[str, int, bytearray]]) -> dict:
+    """Sidecar payload: ``{col: {"type", "k", "bits"(b64)}}``."""
+    return {
+        "format": 1,
+        "fpp": fpp,
+        "cols": {
+            c: {
+                "type": tc,
+                "k": k,
+                "bits": base64.b64encode(bytes(bits)).decode(),
+            }
+            for c, (tc, k, bits) in cols.items()
+        },
+    }
+
+
+def sidecar_path(table_path: str, rel_name: str) -> str:
+    return os.path.join(table_path, rel_name + BLOOM_SUFFIX)
+
+
+def load_sidecar(io, table_path: str, rel_name: str) -> dict | None:
+    """Cached immutable sidecar read; None on missing/corrupt (the
+    probe then admits — advisory index, never a correctness gate)."""
+    p = sidecar_path(table_path, rel_name)
+    if p in _SIDE_CACHE:
+        return _SIDE_CACHE[p]
+    try:
+        raw = io.load_json(p)
+        cols = {}
+        for c, rec in (raw or {}).get("cols", {}).items():
+            cols[c] = {
+                "type": rec["type"],
+                "k": int(rec["k"]),
+                "bits": base64.b64decode(rec["bits"]),
+            }
+        out: dict | None = {"cols": cols} if cols else None
+    except Exception:
+        out = None
+    if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
+        _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)), None)
+    _SIDE_CACHE[p] = out
+    return out
+
+
+def eq_atoms(atoms: list[tuple], policy_cols) -> list[tuple[str, list]]:
+    """The bloom-probeable atoms: ``col = lit`` and ``col IN (...)``
+    on policy columns, as ``(col, [values])`` pairs."""
+    out = []
+    for a in atoms:
+        if a[0] == "cmp" and a[2] == "=" and a[1] in policy_cols:
+            out.append((a[1], [a[3]]))
+        elif a[0] == "in" and a[1] in policy_cols:
+            out.append((a[1], list(a[2])))
+    return out
+
+
+def entry_admits(io, table_path: str, entry: dict, probes) -> bool:
+    """Can this file contain any probed value? A missing/corrupt
+    sidecar (pre-policy file, interrupted build), absent column
+    record, or type-class mismatch all admit. Rejects only when, for
+    SOME atom, EVERY value is proven absent (AND-conjunction
+    semantics: one impossible atom disproves the file)."""
+    side = load_sidecar(io, table_path, entry["name"])
+    if side is None:
+        return True
+    for col, values in probes:
+        rec = side["cols"].get(col)
+        if rec is None:
+            continue
+        admit_one = False
+        for v in values:
+            if type_class(v) != rec["type"]:
+                admit_one = True
+                break
+            if might_contain(rec["bits"], rec["k"], v):
+                admit_one = True
+                break
+        if not admit_one:
+            return False
+    return True

@@ -34,6 +34,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import bloom as _bloom
+from .sinks import _io as _sinks_io
 from .sinks import _live_state, _read_files, _read_version
 
 _TOKEN = re.compile(
@@ -266,15 +268,40 @@ def _entry_admits(entry: dict, atom: tuple) -> bool:
     return _span_admits(stats[col], atom)
 
 
-def prune_entries(entries: list[dict], predicate: str) -> list[dict]:
+def prune_entries(
+    entries: list[dict],
+    predicate: str,
+    table_path: str | None = None,
+    man: dict | None = None,
+) -> list[dict]:
     """Drop manifest file entries whose footer stats PROVE the predicate
-    matches no row in the file. Driver-side, metadata only."""
+    matches no row in the file. Driver-side, metadata only.
+
+    With ``table_path``/``man`` (round 11), equality and IN atoms on
+    the table's BLOOM-POLICY columns additionally probe the per-file
+    bloom sidecars (see :mod:`.bloom`) AFTER range pruning — the point
+    lookup on an unsorted column that [min, max] can never prune. The
+    probe engages only while the surviving candidate list is at most
+    ``bloom.PROBE_CAP`` files (a sidecar GET per candidate is
+    driver-side; past the cap the right lever is layout), and every
+    bloom miss direction admits — advisory, never a correctness
+    gate."""
     atoms = pruning_atoms(predicate)
     if not atoms:
         return entries
-    return [
+    out = [
         e for e in entries if all(_entry_admits(e, a) for a in atoms)
     ]
+    policy = (man or {}).get("bloom") if table_path else None
+    if policy and out and len(out) <= _bloom.PROBE_CAP:
+        probes = _bloom.eq_atoms(atoms, set(policy.get("cols", [])))
+        if probes:
+            io = _sinks_io(table_path)
+            out = [
+                e for e in out
+                if _bloom.entry_admits(io, table_path, e, probes)
+            ]
+    return out
 
 
 def shard_admits(atoms: list[tuple]):
@@ -348,7 +375,7 @@ def scan_table(
     else:
         all_entries = entries  # pre-prune list: schema source below
         if predicate and _prunable(man):
-            entries = prune_entries(entries, predicate)
+            entries = prune_entries(entries, predicate, path, man)
         rels = [e["name"] for e in entries] + list(loose)
         if not rels:
             # everything pruned: an empty frame with the table schema
@@ -385,7 +412,7 @@ def files_scanned(path: str, predicate: str | None = None) -> int:
     if man is None:
         return -1  # unmanaged table: directory scan, count unknown
     if predicate and _prunable(man):
-        entries = prune_entries(entries, predicate)
+        entries = prune_entries(entries, predicate, path, man)
     return len(entries) + len(loose)
 
 

@@ -165,8 +165,16 @@ def _commit_manifest(path: str, manifest: dict, expect_gen: int | None = None) -
 def _top_level_part_files(path: str) -> list[str]:
     """Basenames of loose data files at the table root (the original
     un-managed layout, plus any ``append_table`` batches landed since
-    the last rewrite)."""
-    return _io(path).list_basenames(path, "part-")
+    the last rewrite). Bloom sidecars (``<file>.bloom.json``, round
+    11) sit NEXT TO their data file — a backfilled convert-adopted
+    table has them at the root — and must never classify as loose
+    data."""
+    from .bloom import BLOOM_SUFFIX
+
+    return [
+        b for b in _io(path).list_basenames(path, "part-")
+        if not b.endswith(BLOOM_SUFFIX)
+    ]
 
 
 def _json_scalar(v, widen: bool = False):
@@ -549,6 +557,7 @@ def _version_files(version: dict, table_path: str) -> list[dict]:
         for b in _io(table_path).list_basenames(
             os.path.join(table_path, gen), "part-"
         )
+        if not b.endswith(".bloom.json")  # sidecars are never data
     ]
 
 
@@ -1719,6 +1728,8 @@ def _rebase_ok(
         return False
     if not dv_immaterial and man2.get("dv") != man_base.get("dv"):
         return False
+    if man2.get("bloom", {}) != man_base.get("bloom", {}):
+        return False  # bloom policy changed under us: re-run, re-index
     if man2.get("constraints", {}) != man_base.get("constraints", {}):
         return False
     if bool(man2.get("mixed_schema")) != bool(man_base.get("mixed_schema")):
@@ -1942,6 +1953,17 @@ def _commit_generation(
                     for c, n in bad.items()
                 )
             )
+    bloom_policy = dict(man.get("bloom", {})) if man else {}
+    if bloom_policy and new_entries:
+        # bloom sidecar build is commit-time and staged-sized, the
+        # same induction as CHECK enforcement: carried files keep
+        # their immutable sidecars by adjacency, only this commit's
+        # new files (including adopted appends) index now
+        try:
+            _write_bloom_sidecars(spark, path, bloom_policy, new_entries)
+        except Exception:
+            io.rmtree_quiet(staging)
+            raise
     cdc_rec = None
     if cdc is not None:
         cdc_rec = {}
@@ -2169,6 +2191,8 @@ def _commit_generation(
                 manifest["dv"] = dv_rec
             if constraints:
                 manifest["constraints"] = constraints
+            if bloom_policy:
+                manifest["bloom"] = bloom_policy
             # streaming-txn idempotency map (Delta's txn action): {app_id:
             # last_applied_version}. CARRIED by every commit (it is table
             # policy, like constraints); a commit made on behalf of a stream
@@ -2361,6 +2385,12 @@ def _commit_generation(
             dead_names -= suspects
     dead = [os.path.join(path, n) for n in dead_names]
     dead += [os.path.join(path, f) for f in set(stale) | set(loose)]
+    if bloom_policy:
+        # sidecar liveness is derived from its data file: retire the
+        # companion with the file (vacuum sweeps any stragglers)
+        from .bloom import BLOOM_SUFFIX
+
+        dead += [p + BLOOM_SUFFIX for p in list(dead)]
     _retire(dead)
     _cleanup_empty_gen_dirs(
         path, live,
@@ -2818,6 +2848,205 @@ def _roll_metadata_commit(man: dict, path: str, op: str) -> dict:
     return new_man
 
 
+def _write_bloom_sidecars(
+    spark: SparkSession,
+    path: str,
+    policy: dict,
+    entries: list[dict],
+    skip_existing: bool = False,
+) -> int:
+    """Build one bloom sidecar per entry for the policy's columns (see
+    :mod:`.bloom`): ONE distributed job over the files — each task
+    accumulates per-(file, column) partial filters across its Arrow
+    batches and emits them once, the driver ORs partials and writes
+    ``<file>.bloom.json`` beside each data file. Values canonicalize
+    SPARK-SIDE (``cast(col as string)``), so executor-side pandas
+    dtype coercion (nullable int64 -> float64, the classic false-
+    negative factory) can never corrupt a hash. Returns the number of
+    sidecars written. ``skip_existing`` is the backfill mode."""
+    import base64 as _b64
+
+    from pyspark.sql import functions as F
+
+    from . import bloom as B
+
+    cols = list(policy.get("cols", []))
+    fpp = float(policy.get("fpp", 0.01))
+    io = _io(path)
+    targets = [
+        e for e in entries
+        if (e.get("cols") is None or any(c in e["cols"] for c in cols))
+        and not (
+            skip_existing
+            and io.exists(B.sidecar_path(path, e["name"]))
+        )
+    ]
+    if not targets:
+        return 0
+    sizing = {
+        os.path.basename(e["name"]): B.params(e.get("rows") or 0, fpp)
+        for e in targets
+    }
+    src = [os.path.join(path, e["name"]) for e in targets]
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[_spark_path(p) for p in src]
+    )
+    have = [c for c in cols if c in df.columns]
+    if not have:
+        return 0
+    # record each column's canonical type class from the TABLE schema;
+    # unsupported types were rejected at set_bloom_columns time, but a
+    # post-policy evolution could add e.g. a float column of the same
+    # name — skip such columns rather than hash an unstable form
+    tclass: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name not in have:
+            continue
+        t = f.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            tclass[f.name] = "int"
+        elif t == "string":
+            tclass[f.name] = "str"
+    have = [c for c in have if c in tclass]
+    if not have:
+        return 0
+    sel = df.select(
+        F.input_file_name().alias("_f"),
+        *[F.col(c).cast("string").alias(c) for c in have],
+    )
+    have_b, sizing_b = list(have), dict(sizing)
+
+    def build(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bases = pdf["_f"].map(lambda u: u.rsplit("/", 1)[-1])
+            for base, grp in pdf.groupby(bases):
+                mk = sizing_b.get(base)
+                if mk is None:
+                    continue
+                m, k = mk
+                for c in have_b:
+                    vals = grp[c].dropna().tolist()
+                    if not vals:
+                        continue
+                    bits = acc.get((base, c))
+                    if bits is None:
+                        bits = bytearray(m // 8)
+                        acc[(base, c)] = bits
+                    B.add_values(bits, k, vals)
+        rows = [
+            (b, c, _b64.b64encode(bytes(bits)).decode())
+            for (b, c), bits in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=["base", "col", "bits"])
+
+    partials = sel.mapInPandas(
+        build, "base string, col string, bits string"
+    ).collect()
+    merged: dict[tuple[str, str], int] = {}
+    for r in partials:
+        key = (r["base"], r["col"])
+        merged[key] = merged.get(key, 0) | int.from_bytes(
+            _b64.b64decode(r["bits"]), "big"
+        )
+    written = 0
+    for e in targets:
+        base = os.path.basename(e["name"])
+        m, k = sizing[base]
+        payload_cols: dict = {}
+        for c in have:
+            bits = bytearray(
+                merged.get((base, c), 0).to_bytes(m // 8, "big")
+            )
+            payload_cols[c] = (tclass[c], k, bits)
+        io.write_json(
+            B.sidecar_path(path, e["name"]),
+            B.encode_sidecar(fpp, payload_cols),
+        )
+        B._SIDE_CACHE.pop(B.sidecar_path(path, e["name"]), None)
+        written += 1
+    return written
+
+
+def set_bloom_columns(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    fpp: float = 0.01,
+) -> int:
+    """Record a BLOOM FILTER INDEX policy on the table (the Delta
+    bloom-index analogue) and backfill a sidecar per existing live
+    file: point lookups (``col = x``, ``col IN (...)``) on the policy
+    columns then prune files the filter proves cannot match — the
+    lookup shape [min, max] stats cannot serve on a column the table
+    is not sorted by (takedown-by-fingerprint, the LLM-corpus case).
+    Columns must be integer- or string-typed (canonical hashing;
+    float canonicalization across dialects is a false-negative
+    hazard). Policy is table policy, carried by every later commit —
+    each builds sidecars for its own new files, patch-priced like
+    CHECK enforcement. Returns the number of sidecars backfilled."""
+    from . import bloom as B  # noqa: F401  (documented companion)
+
+    man = _load_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"no manifest at {path!r} — convert_to_manifest first"
+        )
+    if not cols:
+        raise ValueError("set_bloom_columns needs at least one column")
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    entries = _version_files(man, path)
+    probe_src = [os.path.join(path, e["name"]) for e in entries[:1]]
+    schema_cols: dict[str, str] = {}
+    if man.get("mixed_schema"):
+        rec = _recorded_schema(man)
+        fields = rec.fields if rec is not None else []
+        for f in fields:
+            schema_cols[f.name] = f.dataType.simpleString()
+    elif probe_src:
+        sch = _io(probe_src[0]).open_parquet(probe_src[0]).schema_arrow
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        for f in from_arrow_schema(sch).fields:
+            schema_cols[f.name] = f.dataType.simpleString()
+    ok_types = ("tinyint", "smallint", "int", "bigint", "string")
+    for c in cols:
+        if schema_cols and c not in schema_cols:
+            raise ValueError(f"bloom column {c!r} not in table schema")
+        if schema_cols and schema_cols[c] not in ok_types:
+            raise ValueError(
+                f"bloom column {c!r} has type {schema_cols[c]!r}; only "
+                "integer and string columns index soundly"
+            )
+    policy = {"cols": sorted(cols), "fpp": float(fpp)}
+    n = _write_bloom_sidecars(
+        spark, path, policy, entries, skip_existing=True
+    )
+    new_man = _roll_metadata_commit(
+        man, path, f"set_bloom_columns({','.join(sorted(cols))})"
+    )
+    new_man["bloom"] = policy
+    _commit_manifest(path, new_man, expect_gen=man["gen_no"])
+    return n
+
+
+def drop_bloom_columns(path: str) -> None:
+    """Remove the bloom policy (metadata-only commit). Existing
+    sidecars stop being consulted immediately and are collected by
+    retire/vacuum alongside their data files."""
+    man = _load_manifest(path)
+    if man is None or not man.get("bloom"):
+        raise ValueError(f"no bloom policy on {path!r}")
+    new_man = _roll_metadata_commit(man, path, "drop_bloom_columns")
+    del new_man["bloom"]
+    _commit_manifest(path, new_man, expect_gen=man["gen_no"])
+
+
 def set_check_constraint(
     spark: SparkSession, path: str, name: str, expr: str
 ) -> None:
@@ -2949,7 +3178,7 @@ def _matched_files(
 
     from .data_skipping import prune_entries  # lazy: avoids module cycle
 
-    scan = prune_entries(cand, predicate)
+    scan = prune_entries(cand, predicate, path, man)
     if not scan:
         return {}, 0
     pred = F.coalesce(F.expr(predicate), F.lit(False))
@@ -3600,7 +3829,12 @@ def rollback(
             dead |= _cdc_names(h)
             dead |= _dv_names(h)
             dead |= _shard_names(h)
-        _retire([os.path.join(path, n) for n in dead - live])
+        dead_paths = [os.path.join(path, n) for n in dead - live]
+        if manifest.get("bloom"):
+            from .bloom import BLOOM_SUFFIX
+
+            dead_paths += [p + BLOOM_SUFFIX for p in list(dead_paths)]
+        _retire(dead_paths)
         _cleanup_empty_gen_dirs(
             path, live,
             {n.split("/", 1)[0] for n in dead - live if "/" in n},
@@ -4299,6 +4533,8 @@ def vacuum_staging(
                             io.rmtree_quiet(cp)
                         removed.append(cp)
                     elif child in live_dirs:
+                        from .bloom import BLOOM_SUFFIX
+
                         # live dir: collect its per-file deads only
                         for base in sorted(
                             io.list_basenames(cp, "part-")
@@ -4307,6 +4543,11 @@ def vacuum_staging(
                         ):
                             sub = os.path.join(cp, base)
                             rel = f"{child}/{base}"
+                            if rel.endswith(BLOOM_SUFFIX):
+                                # a bloom sidecar's liveness is its
+                                # DATA FILE's: never collect one whose
+                                # file is live, always one whose isn't
+                                rel = rel[: -len(BLOOM_SUFFIX)]
                             if rel not in live and expired(sub):
                                 if not dry_run:
                                     io.remove_file(sub)

@@ -1,0 +1,312 @@
+"""Round-11 bloom filter indexes: point-lookup file skipping on
+columns the table is NOT sorted by (sinks.set_bloom_columns +
+bloom.py + the prune_entries probe) — the Delta bloom-index analogue,
+and the lookup shape [min, max] footer stats can never prune. The
+canonical 100 TB case is takedown-by-fingerprint over an LLM corpus
+(extends the reference's full-scan read path,
+src/main/read/aws_read.py, with an index the reference never had).
+
+Soundness focus: a false positive costs a scan; a false NEGATIVE
+would silently drop matching rows, so these tests pin the hash
+round trip, dtype canonicalization (nullable ints), type-class
+mismatch admission, and the missing/corrupt-sidecar admit paths."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import retail_sales_data_pipeline_spark.bloom as B
+import retail_sales_data_pipeline_spark.sinks as S
+from retail_sales_data_pipeline_spark.data_skipping import (
+    files_scanned,
+    scan_table,
+)
+
+
+def _fp_table(spark, tmp_path, n=20_000, files=8, name="tbl"):
+    """An UNSORTED-fingerprint table: md5 strings spread every file
+    across the whole hash space, so range stats prune nothing."""
+    path = str(tmp_path / name)
+    df = (
+        spark.range(n)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.write_parquet(df.repartition(files), path)
+    S.convert_to_manifest(spark, path)
+    return path
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# unit: the filter itself
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_roundtrip_no_false_negatives():
+    m, k = B.params(1000, 0.01)
+    bits = bytearray(m // 8)
+    values = [f"doc-{i}" for i in range(1000)]
+    B.add_values(bits, k, values)
+    assert all(B.might_contain(bytes(bits), k, v) for v in values)
+    # fpp sanity: misses mostly rejected
+    miss = sum(
+        B.might_contain(bytes(bits), k, f"absent-{i}") for i in range(1000)
+    )
+    assert miss < 60  # 1% nominal; generous margin
+
+
+def test_bloom_int_string_canonical_equivalence():
+    """The build side hashes Spark's cast(col as string); the probe
+    side hashes the int literal — both must land on str(int)."""
+    m, k = B.params(100, 0.01)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, [str(v) for v in (-5, 0, 777, 2**60)])
+    for v in (-5, 0, 777, 2**60):
+        assert B.might_contain(bytes(bits), k, v)
+        assert B.might_contain(bytes(bits), k, str(v))
+
+
+def test_bloom_hash_pinned_vectors():
+    """The hash must stay bit-stable forever (a changed hash = false
+    negatives against old sidecars). Pin actual digest-derived
+    positions for fixed inputs."""
+    assert B._digest("abc") == (
+        int.from_bytes(hashlib.md5(b"abc").digest()[:8], "big"),
+        int.from_bytes(hashlib.md5(b"abc").digest()[8:16], "big"),
+    )
+    assert B._digest(123) == B._digest("123")
+    assert B._digest(None) is None
+    assert B._digest(True) is None  # bool is not a canonical int
+    assert B._digest(1.5) is None
+
+
+def test_bloom_type_class_mismatch_admits():
+    m, k = B.params(10, 0.01)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, ["7"])
+    side = {"cols": {"c": {"type": "str", "k": k, "bits": bytes(bits)}}}
+
+    class IO:
+        def load_json(self, p):
+            return None
+
+    entry = {"name": "f"}
+    # direct probe through entry_admits with a stubbed cache
+    B._SIDE_CACHE.clear()
+    B._SIDE_CACHE[B.sidecar_path("/t", "f")] = side
+    # int literal against a str column: class mismatch -> admit
+    assert B.entry_admits(IO(), "/t", entry, [("c", [7])])
+    # str literal, present -> admit; absent -> reject
+    assert B.entry_admits(IO(), "/t", entry, [("c", ["7"])])
+    assert not B.entry_admits(IO(), "/t", entry, [("c", ["8"])])
+    # IN: any present value admits
+    assert B.entry_admits(IO(), "/t", entry, [("c", ["8", "7"])])
+    B._SIDE_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# end to end: policy, backfill, probe, commits, lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_point_lookup_prunes_unsorted_table(spark, tmp_path):
+    path = _fp_table(spark, tmp_path)
+    total = files_scanned(path)
+    target = _md5("123")
+    # before the policy: nothing prunes (hash space spans every file)
+    assert files_scanned(path, f"fp = '{target}'") == total
+
+    n = S.set_bloom_columns(spark, path, ["fp", "id"], fpp=0.01)
+    assert n == total
+    man = S._load_manifest(path)
+    assert man["bloom"] == {"cols": ["fp", "id"], "fpp": 0.01}
+
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, f"fp = '{target}'") <= 2  # fpp slack
+    got = scan_table(spark, path, f"fp = '{target}'").collect()
+    assert [(r.id, r.fp) for r in got] == [(123, target)]
+    # int policy column prunes too
+    assert files_scanned(path, "id = 777") <= 2
+    assert scan_table(spark, path, "id = 777").count() == 1
+    # absent value: zero files -> zero Spark jobs downstream
+    assert files_scanned(path, "fp = 'nope'") == 0
+    # IN-list unions the probes
+    assert files_scanned(
+        path, f"fp IN ('{target}', '{_md5('19999')}')"
+    ) <= 4
+    # non-policy column unaffected; range atoms don't consult blooms
+    assert files_scanned(path, "grp = 3") == total
+    assert files_scanned(path, "id > 0") == total
+
+
+def test_takedown_delete_via_bloom(spark, tmp_path):
+    path = _fp_table(spark, tmp_path)
+    S.set_bloom_columns(spark, path, ["fp"])
+    target = _md5("4242")
+    assert S.delete_where(spark, path, f"fp = '{target}'") == 1
+    assert S.read_table(spark, path).count() == 20_000 - 1
+    # a no-match takedown identifies ZERO files (metadata only)
+    assert S.delete_where(spark, path, "fp = 'absent'") == 0
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_commits_index_their_own_files(spark, tmp_path):
+    """Policy is carried; every later commit builds sidecars for its
+    new files only (patch-priced, the CHECK-enforcement induction)."""
+    path = _fp_table(spark, tmp_path)
+    S.set_bloom_columns(spark, path, ["fp"])
+    batch = (
+        spark.range(90_000, 90_010)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    assert S.insert_into(spark, path, batch) == 10
+    man = S._load_manifest(path)
+    assert man["bloom"]["cols"] == ["fp"]  # carried by the commit
+    t = _md5("90005")
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, f"fp = '{t}'") <= 2
+    assert scan_table(spark, path, f"fp = '{t}'").count() == 1
+    # compaction rewrites files -> fresh sidecars for the new layout
+    S.compact_parquet(spark, path, target_files=4)
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, f"fp = '{t}'") <= 2
+    assert scan_table(spark, path, f"fp = '{t}'").count() == 1
+    fsck = S.verify_table(path)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_retire_removes_sidecars_with_files(spark, tmp_path):
+    path = _fp_table(spark, tmp_path, n=2000, files=2)
+    S.set_bloom_columns(spark, path, ["fp"])
+
+    def sidecars():
+        out = []
+        for root, _, fs in os.walk(path):
+            out += [os.path.join(root, f) for f in fs
+                    if f.endswith(B.BLOOM_SUFFIX)]
+        return out
+
+    before = set(sidecars())
+    assert len(before) == 2
+    # full rewrite retires the old files -> their sidecars go too
+    S.compact_parquet(spark, path, target_files=1)
+    after = set(sidecars())
+    assert not (before & after), "old sidecars must retire with files"
+    assert len(after) == 1
+
+
+def test_missing_and_corrupt_sidecars_admit(spark, tmp_path):
+    path = _fp_table(spark, tmp_path, n=2000, files=2)
+    S.set_bloom_columns(spark, path, ["fp"])
+    target = _md5("77")
+    man = S._load_manifest(path)
+    entries = S._version_files(man, path)
+    # corrupt one sidecar, delete the other: both must ADMIT
+    sp0 = B.sidecar_path(path, entries[0]["name"])
+    sp1 = B.sidecar_path(path, entries[1]["name"])
+    with open(sp0, "w") as fh:
+        fh.write("{broken")
+    os.unlink(sp1)
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, f"fp = '{target}'") == 2  # no pruning
+    assert scan_table(spark, path, f"fp = '{target}'").count() == 1
+
+
+def test_probe_cap_disables_driver_side_probing(spark, tmp_path, monkeypatch):
+    path = _fp_table(spark, tmp_path, n=2000, files=2)
+    S.set_bloom_columns(spark, path, ["fp"])
+    monkeypatch.setattr(B, "PROBE_CAP", 1)  # candidates (2) > cap
+    B._SIDE_CACHE.clear()
+    target = _md5("123")
+    assert files_scanned(path, f"fp = '{target}'") == 2
+    assert scan_table(spark, path, f"fp = '{target}'").count() == 1
+
+
+def test_policy_rejects_bad_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.write_parquet(
+        spark.range(10).selectExpr("id", "id * 1.5 as price"), path
+    )
+    S.convert_to_manifest(spark, path)
+    with pytest.raises(ValueError, match="not in table schema"):
+        S.set_bloom_columns(spark, path, ["nope"])
+    with pytest.raises(ValueError, match="only"):
+        S.set_bloom_columns(spark, path, ["price"])  # float: unsound
+    with pytest.raises(ValueError, match="fpp"):
+        S.set_bloom_columns(spark, path, ["id"], fpp=2.0)
+
+
+def test_drop_policy_stops_probing(spark, tmp_path):
+    path = _fp_table(spark, tmp_path, n=2000, files=2)
+    S.set_bloom_columns(spark, path, ["fp"])
+    target = _md5("123")
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, f"fp = '{target}'") <= 1
+    S.drop_bloom_columns(path)
+    assert S._load_manifest(path).get("bloom") is None
+    assert files_scanned(path, f"fp = '{target}'") == 2
+    with pytest.raises(ValueError, match="no bloom policy"):
+        S.drop_bloom_columns(path)
+
+
+def test_vacuum_protects_live_sidecars(spark, tmp_path):
+    """The per-file vacuum sweep lists sidecars under the part-
+    prefix; a LIVE file's sidecar must survive any TTL, a dead one's
+    must be collected."""
+    import time
+
+    base = str(tmp_path)
+    path = _fp_table(spark, tmp_path, n=2000, files=2, name="vtbl")
+    S.compact_parquet(spark, path, target_files=2)  # files in gen dirs
+    S.set_bloom_columns(spark, path, ["fp"])
+    man = S._load_manifest(path)
+    entries = S._version_files(man, path)
+    live_side = B.sidecar_path(path, entries[0]["name"])
+    # plant a DEAD sidecar (no data file) in the same gen dir
+    gen_dir = os.path.dirname(os.path.join(path, entries[0]["name"]))
+    dead_side = os.path.join(gen_dir, "part-dead.parquet" + B.BLOOM_SUFFIX)
+    with open(dead_side, "w") as fh:
+        fh.write("{}")
+    removed = S.vacuum_staging(base, ttl_seconds=0,
+                               now=time.time() + 10)
+    assert dead_side in removed
+    assert os.path.exists(live_side), "live sidecar vacuumed!"
+    # the table still reads and prunes
+    B._SIDE_CACHE.clear()
+    assert scan_table(spark, path, f"fp = '{_md5('5')}'").count() == 1
+
+
+def test_bloom_with_evolved_mixed_schema(spark, tmp_path):
+    """Policy + schema evolution compose: files written before an
+    evolved bloom column physically lack it (absence pruning handles
+    them); files written after carry sidecars for it."""
+    path = _fp_table(spark, tmp_path, n=2000, files=2)
+    S.set_bloom_columns(spark, path, ["fp"])
+    patch = (
+        spark.range(100, 111)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+        .withColumn("tag", F.concat(F.lit("t-"), F.col("id")))
+    )
+    S.merge_into(spark, path, patch, keys=["id"], evolve_schema=True)
+    man = S._load_manifest(path)
+    assert man["mixed_schema"] and man["bloom"]
+    target = _md5("105")
+    B._SIDE_CACHE.clear()
+    got = scan_table(spark, path, f"fp = '{target}'")
+    assert got.count() == 1
+    assert "tag" in got.columns
+    assert files_scanned(path, f"fp = '{target}'") <= 2
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]

@@ -831,6 +831,51 @@ def test_mixed_schema_selective_scan_request_budget(
     assert sum(c.values()) <= 8, c
 
 
+def test_bloom_point_lookup_request_budget(s3env, spark):
+    """Round-11 bloom indexes over s3://: a point lookup on an
+    UNSORTED fingerprint column costs the root GET + one sidecar GET
+    per candidate + the admitted file's scan — and a NO-MATCH lookup
+    never plans a Spark job at all."""
+    from pyspark.sql import functions as F
+
+    import retail_sales_data_pipeline_spark.bloom as B
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        files_scanned,
+        scan_table,
+    )
+
+    server = s3env["server"]
+    uri = "s3://lake/tables/bloomed"
+    df = (
+        spark.range(4000)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.write_parquet(df.repartition(4), uri)
+    S.convert_to_manifest(spark, uri)
+    assert S.set_bloom_columns(spark, uri, ["fp"]) == 4
+
+    import hashlib
+
+    target = hashlib.md5(b"1234").hexdigest()
+    B._SIDE_CACHE.clear()
+    server.reset_counts()
+    n = files_scanned(uri, f"fp = '{target}'")
+    c = server.reset_counts()
+    assert n <= 2
+    assert c.get("PUT", 0) == 0, c
+    # root GET + <=4 sidecar GETs (+ the loose LIST)
+    assert c.get("GET", 0) <= 5, c
+    got = scan_table(spark, uri, f"fp = '{target}'")
+    assert [r.id for r in got.collect()] == [1234]
+    # absent fingerprint: zero admitted files, metadata-priced
+    B._SIDE_CACHE.clear()
+    server.reset_counts()
+    assert files_scanned(uri, "fp = 'absent'") == 0
+    c = server.reset_counts()
+    assert c.get("GET", 0) <= 5 and c.get("PUT", 0) == 0, c
+
+
 def test_sharded_selective_dml_request_budget(s3env, spark, monkeypatch):
     """Round-10 second rung, over s3://: a SELECTIVE DELETE on a
     sharded table is O(touched shards) END TO END — identification

@@ -1,0 +1,112 @@
+"""Measure bloom-index point-lookup skipping (round 11): an UNSORTED
+fingerprint table — the takedown-by-hash shape where [min, max] footer
+stats prune nothing — with and without the bloom policy.
+
+Usage: python tools/bloom_headroom.py [--rows 2000000] [--files 64]
+Prints one markdown table for docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import retail_sales_data_pipeline_spark.bloom as B  # noqa: E402
+import retail_sales_data_pipeline_spark.sinks as S  # noqa: E402
+from retail_sales_data_pipeline_spark.data_skipping import (  # noqa: E402
+    files_scanned,
+    scan_table,
+)
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--files", type=int, default=64)
+    args = ap.parse_args()
+    spark = get_spark("bloom-headroom")
+    work = tempfile.mkdtemp(prefix="bloom_headroom_")
+    path = os.path.join(work, "tbl")
+    try:
+        (
+            spark.range(args.rows)
+            .withColumn("fp", F.md5(F.col("id").cast("string")))
+            .withColumn("grp", F.col("id") % 97)
+            .repartition(args.files)
+            .write.parquet(path)
+        )
+        S.convert_to_manifest(spark, path)
+        import hashlib
+
+        target = hashlib.md5(str(args.rows // 2).encode()).hexdigest()
+        pred = f"fp = '{target}'"
+        data_b = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+        t0 = time.time()
+        n_no = S.read_table(spark, path).where(pred).count()
+        t_scan = time.time() - t0
+        assert n_no == 1
+
+        t0 = time.time()
+        n_side = S.set_bloom_columns(spark, path, ["fp"], fpp=0.01)
+        t_build = time.time() - t0
+        side_b = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+            if f.endswith(B.BLOOM_SUFFIX)
+        )
+
+        B._SIDE_CACHE.clear()
+        t0 = time.time()
+        n_files = files_scanned(path, pred)
+        t_probe = time.time() - t0
+        t0 = time.time()
+        n_rows = scan_table(spark, path, pred).count()
+        t_lookup = time.time() - t0
+        assert n_rows == 1
+
+        # the takedown shape: delete by fingerprint
+        t0 = time.time()
+        n_del = S.delete_where(spark, path, pred)
+        t_del = time.time() - t0
+        assert n_del == 1
+        t0 = time.time()
+        assert S.delete_where(spark, path, "fp = 'absent'") == 0
+        t_nomatch = time.time() - t0
+
+        print(f"# bloom index: {args.rows:,} rows, {args.files} "
+              f"UNSORTED-fingerprint files, {data_b/1e6:.0f} MB data")
+        print("| op | wall | note |")
+        print("|---|---|---|")
+        print(f"| full-scan point lookup (no index) | {t_scan:.2f} s | "
+              f"{args.files}/{args.files} files scanned |")
+        print(f"| build sidecars (one distributed job) | {t_build:.2f} s "
+              f"| {n_side} sidecars, {side_b/1e6:.1f} MB "
+              f"({side_b/data_b:.1%} of data) |")
+        print(f"| bloom probe (driver, cold cache) | {t_probe*1e3:.0f} ms "
+              f"| -> {n_files} file(s) admitted |")
+        print(f"| indexed point lookup | {t_lookup:.2f} s | "
+              f"{t_scan/max(t_lookup,1e-9):.1f}x faster |")
+        print(f"| takedown DELETE by fingerprint | {t_del:.2f} s | "
+              f"identification + rewrite of 1 file |")
+        print(f"| no-match takedown | {t_nomatch*1e3:.0f} ms | "
+              f"0 files identified, ZERO Spark jobs |")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
