@@ -182,6 +182,81 @@ def eq_atoms(atoms: list[tuple], policy_cols) -> list[tuple[str, list]]:
     return out
 
 
+def payload_rejects(raw: dict | None, probes) -> bool:
+    """Does this decoded sidecar payload DISPROVE every value of some
+    atom? The shared verdict kernel of the driver-side and distributed
+    probes (one code path = one soundness surface). Admits on any
+    malformed shape."""
+    try:
+        cols = (raw or {}).get("cols", {})
+        for col, values in probes:
+            rec = cols.get(col)
+            if rec is None:
+                continue
+            bits = rec["bits"]
+            if isinstance(bits, str):
+                bits = base64.b64decode(bits)
+            k = int(rec["k"])
+            admit_one = False
+            for v in values:
+                if type_class(v) != rec["type"] or might_contain(
+                    bits, k, v
+                ):
+                    admit_one = True
+                    break
+            if not admit_one:
+                return True
+        return False
+    except Exception:
+        return False  # malformed: admit
+
+
+def distributed_rejects(spark, table_path: str, probes) -> set:
+    """The SCALE path past :data:`PROBE_CAP`: one Spark job lists and
+    reads every sidecar under the table (``binaryFile`` + glob — the
+    same distributed listing a parquet scan does) and returns the DATA
+    basenames whose filter disproves the probe. Files without a
+    sidecar never appear and therefore admit; a job failure of any
+    kind returns the empty set (no pruning — advisory index). At 1M
+    files this is 1M small object reads spread across the cluster,
+    instead of 1M driver-side GETs or a full data scan."""
+    from .sinks import _io
+
+    try:
+        import json as _json
+
+        probes_b = list(probes)
+
+        def scan(batches):
+            import pandas as pd
+
+            rejected: list[str] = []
+            for pdf in batches:
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    try:
+                        raw = _json.loads(bytes(content))
+                    except Exception:
+                        continue  # corrupt: admit
+                    if payload_rejects(raw, probes_b):
+                        base = p.rsplit("/", 1)[-1]
+                        rejected.append(base[: -len(BLOOM_SUFFIX)])
+            yield pd.DataFrame({"base": rejected})
+
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*" + BLOOM_SUFFIX)
+            .option("recursiveFileLookup", "true")
+            .load(_io(table_path).spark_path(table_path))
+            .select("path", "content")
+        )
+        return {
+            r["base"]
+            for r in df.mapInPandas(scan, "base string").collect()
+        }
+    except Exception:
+        return set()
+
+
 def entry_admits(io, table_path: str, entry: dict, probes) -> bool:
     """Can this file contain any probed value? A missing/corrupt
     sidecar (pre-policy file, interrupted build), absent column
@@ -191,18 +266,4 @@ def entry_admits(io, table_path: str, entry: dict, probes) -> bool:
     side = load_sidecar(io, table_path, entry["name"])
     if side is None:
         return True
-    for col, values in probes:
-        rec = side["cols"].get(col)
-        if rec is None:
-            continue
-        admit_one = False
-        for v in values:
-            if type_class(v) != rec["type"]:
-                admit_one = True
-                break
-            if might_contain(rec["bits"], rec["k"], v):
-                admit_one = True
-                break
-        if not admit_one:
-            return False
-    return True
+    return not payload_rejects(side, probes)

@@ -273,6 +273,7 @@ def prune_entries(
     predicate: str,
     table_path: str | None = None,
     man: dict | None = None,
+    spark=None,
 ) -> list[dict]:
     """Drop manifest file entries whose footer stats PROVE the predicate
     matches no row in the file. Driver-side, metadata only.
@@ -280,11 +281,12 @@ def prune_entries(
     With ``table_path``/``man`` (round 11), equality and IN atoms on
     the table's BLOOM-POLICY columns additionally probe the per-file
     bloom sidecars (see :mod:`.bloom`) AFTER range pruning — the point
-    lookup on an unsorted column that [min, max] can never prune. The
-    probe engages only while the surviving candidate list is at most
-    ``bloom.PROBE_CAP`` files (a sidecar GET per candidate is
-    driver-side; past the cap the right lever is layout), and every
-    bloom miss direction admits — advisory, never a correctness
+    lookup on an unsorted column that [min, max] can never prune. Up
+    to ``bloom.PROBE_CAP`` candidates probe driver-side (one cached
+    sidecar GET each); past the cap, callers that pass ``spark`` get
+    the DISTRIBUTED probe (one ``binaryFile`` job over every sidecar —
+    the 1M-file path), and callers without a session skip probing.
+    Every bloom miss direction admits — advisory, never a correctness
     gate."""
     atoms = pruning_atoms(predicate)
     if not atoms:
@@ -293,14 +295,23 @@ def prune_entries(
         e for e in entries if all(_entry_admits(e, a) for a in atoms)
     ]
     policy = (man or {}).get("bloom") if table_path else None
-    if policy and out and len(out) <= _bloom.PROBE_CAP:
+    if policy and out:
         probes = _bloom.eq_atoms(atoms, set(policy.get("cols", [])))
-        if probes:
+        if probes and len(out) <= _bloom.PROBE_CAP:
             io = _sinks_io(table_path)
             out = [
                 e for e in out
                 if _bloom.entry_admits(io, table_path, e, probes)
             ]
+        elif probes and spark is not None:
+            rejected = _bloom.distributed_rejects(
+                spark, table_path, probes
+            )
+            if rejected:
+                out = [
+                    e for e in out
+                    if os.path.basename(e["name"]) not in rejected
+                ]
     return out
 
 
@@ -375,7 +386,7 @@ def scan_table(
     else:
         all_entries = entries  # pre-prune list: schema source below
         if predicate and _prunable(man):
-            entries = prune_entries(entries, predicate, path, man)
+            entries = prune_entries(entries, predicate, path, man, spark)
         rels = [e["name"] for e in entries] + list(loose)
         if not rels:
             # everything pruned: an empty frame with the table schema

@@ -3178,7 +3178,7 @@ def _matched_files(
 
     from .data_skipping import prune_entries  # lazy: avoids module cycle
 
-    scan = prune_entries(cand, predicate, path, man)
+    scan = prune_entries(cand, predicate, path, man, spark)
     if not scan:
         return {}, 0
     pred = F.coalesce(F.expr(predicate), F.lit(False))

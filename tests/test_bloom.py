@@ -310,3 +310,51 @@ def test_bloom_with_evolved_mixed_schema(spark, tmp_path):
     assert files_scanned(path, f"fp = '{target}'") <= 2
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]
+
+
+def test_distributed_probe_past_cap(spark, tmp_path, monkeypatch):
+    """Past PROBE_CAP the driver-side probe would be a GET storm —
+    scan_table switches to ONE binaryFile job over every sidecar and
+    prunes identically. files_scanned (no session) skips probing but
+    stays correct."""
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="dist")
+    S.set_bloom_columns(spark, path, ["fp"])
+    target = _md5("1234")
+    monkeypatch.setattr(B, "PROBE_CAP", 0)  # force the distributed path
+    B._SIDE_CACHE.clear()
+    got = scan_table(spark, path, f"fp = '{target}'")
+    rows = got.collect()
+    assert [(r.id, r.fp) for r in rows] == [(1234, target)]
+    # the distributed probe pruned: the plan reads fewer files than
+    # the table holds (pin via the scan's input files)
+    assert len(got.inputFiles()) < 4
+    # absent value: everything rejected, empty result, schema intact
+    empty = scan_table(spark, path, "fp = 'absent'")
+    assert empty.count() == 0
+    assert empty.columns == ["id", "fp", "grp"]
+    # delete identification rides the same path (spark available)
+    assert S.delete_where(spark, path, f"fp = '{target}'") == 1
+    # files_scanned has no session: probing skipped, count honest
+    assert files_scanned(path, f"fp = '{_md5('99')}'") == 4
+
+
+def test_distributed_probe_matches_driver_probe(spark, tmp_path, monkeypatch):
+    """Same verdict kernel, same answers: for a set of probes the
+    distributed rejects equal the driver-side rejects exactly."""
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="equiv")
+    S.set_bloom_columns(spark, path, ["fp", "id"])
+    man = S._load_manifest(path)
+    entries = S._version_files(man, path)
+    io = S._io(path)
+    for probes in (
+        [("fp", [_md5("77")])],
+        [("id", [123, 9999])],
+        [("fp", ["absent"]), ("id", [5])],
+    ):
+        B._SIDE_CACHE.clear()
+        driver_rej = {
+            os.path.basename(e["name"]) for e in entries
+            if not B.entry_admits(io, path, e, probes)
+        }
+        dist_rej = B.distributed_rejects(spark, path, probes)
+        assert dist_rej == driver_rej, probes
