@@ -358,3 +358,31 @@ def test_distributed_probe_matches_driver_probe(spark, tmp_path, monkeypatch):
         }
         dist_rej = B.distributed_rejects(spark, path, probes)
         assert dist_rej == driver_rej, probes
+
+
+def test_bloom_on_sharded_table(spark, tmp_path, monkeypatch):
+    """Composition with the sharded index: an fp point lookup cannot
+    reject shards (hash-space ranges admit), so the resolve loads the
+    index — and then bloom pruning cuts the FILE list to the admitted
+    candidates before any scan."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = _fp_table(spark, tmp_path, n=8000, files=8, name="sharded")
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, path, ["fp"])
+    man = S._load_manifest(path)
+    assert man.get("files_ext"), "table should be sharded"
+    target = _md5("4321")
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, f"fp = '{target}'") <= 2
+    got = scan_table(spark, path, f"fp = '{target}'")
+    assert [r.id for r in got.collect()] == [4321]
+    # the id-range path still prunes shards; blooms don't interfere
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        shards_loaded,
+    )
+
+    loaded, total = shards_loaded(path, "id BETWEEN 10 AND 20")
+    assert loaded < total
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]

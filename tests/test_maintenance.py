@@ -1593,9 +1593,13 @@ def test_dml_sequence_model_fuzz_sharded(
     run_dml_model_fuzz(spark, str(tmp_path / "tbl"), str(tmp_path), seed)
 
 
-def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24):
+def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24,
+                       bloom_cols=None):
     """The fuzz body, path-parameterized so the object-store suite
-    (tests/test_manifest_s3.py) replays the same model over s3://."""
+    (tests/test_manifest_s3.py) replays the same model over s3://.
+    ``bloom_cols`` (round 11) sets a bloom policy up front, so every
+    fuzzed commit additionally builds sidecars and the final deep
+    FSCK sweeps them."""
     import random
 
     import retail_sales_data_pipeline_spark.sinks as S
@@ -1613,6 +1617,8 @@ def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24):
         path,
     )
     S.convert_to_manifest(spark, path)  # exercise zero-rewrite adoption
+    if bloom_cols:
+        S.set_bloom_columns(spark, path, bloom_cols)
     next_id = 10_000
     saved: dict[int, dict] = {}
 
@@ -2680,6 +2686,17 @@ def run_concurrent_pair_fuzz(spark, path, seed, rounds=8):
     # the invariants the selective fast paths no longer re-check
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]
+
+
+def test_dml_sequence_model_fuzz_bloomed(spark, tmp_path):
+    """The model fuzz with a BLOOM POLICY active (round 11): every
+    random merge/delete/update/append/compact/rollback commit also
+    builds sidecars, point lookups during the sequence stay correct,
+    and the closing deep FSCK covers the indexed table."""
+    run_dml_model_fuzz(
+        spark, str(tmp_path / "btbl"), str(tmp_path), 424242,
+        steps=14, bloom_cols=["id"],
+    )
 
 
 @_pt.mark.parametrize("seed", [20260815, 907])
