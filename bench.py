@@ -172,7 +172,11 @@ def _probe_input(spark) -> str:
     if _PROBE_INPUT is None:
         import tempfile
 
-        d = os.path.join(tempfile.gettempdir(), "bench_probe_parquet")
+        # pid-suffixed: two concurrent bench runs on one host must not
+        # overwrite each other's probe input mid-read
+        d = os.path.join(
+            tempfile.gettempdir(), f"bench_probe_parquet_{os.getpid()}"
+        )
         (
             spark.range(0, 4_000_000, 1, 8)
             .selectExpr(

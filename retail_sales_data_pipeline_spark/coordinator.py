@@ -123,14 +123,26 @@ class AdvisoryFileLockCoordinator:
         while True:
             try:
                 fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()}:{time.time()}".encode())
-                os.close(fd)
-                with self._held_guard:
-                    self._held[table_path] = 1
-                return "held"
             except OSError as exc:
                 if exc.errno != errno.EEXIST:
                     return None  # unusable lock dir: advisory -> skip
+                fd = None
+            if fd is not None:
+                try:
+                    os.write(fd, f"{os.getpid()}:{time.time()}".encode())
+                except OSError:
+                    pass  # payload is diagnostic only; the FILE locks
+                finally:
+                    try:
+                        os.close(fd)
+                    except OSError:
+                        pass
+                # diagnostic payload is best-effort; the CREATED file
+                # is the lock. Never leave a lock we can't release:
+                # _held is set iff the file exists under our name.
+                with self._held_guard:
+                    self._held[table_path] = 1
+                return "held"
             try:
                 age = time.time() - os.path.getmtime(lp)
                 if age > self.ttl_seconds:
@@ -143,14 +155,22 @@ class AdvisoryFileLockCoordinator:
             time.sleep(self.poll_seconds)
 
     def release(self, table_path: str, token) -> None:
+        """Unlink when the DEPTH reaches zero, regardless of which
+        token kind is released last — releases may arrive out of
+        acquisition order (thread A 'held' finishes before thread B
+        'reentrant'), and keying the unlink on the token would leak
+        the lock file until the TTL break (review finding,
+        regression-pinned)."""
         if token is None:
             return
         with self._held_guard:
             depth = self._held.get(table_path, 0)
-            if token == "reentrant" or depth > 1:
-                self._held[table_path] = max(depth - 1, 0)
+            if depth > 1:
+                self._held[table_path] = depth - 1
                 return
             self._held.pop(table_path, None)
+            if depth == 0:
+                return  # over-release: nothing held, nothing to unlink
         try:
             os.unlink(self._lock_path(table_path))
         except OSError:

@@ -61,6 +61,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from . import table_io as _table_io
+from .bloom import BLOOM_SUFFIX as _BLOOM_SUFFIX
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -169,11 +170,9 @@ def _top_level_part_files(path: str) -> list[str]:
     11) sit NEXT TO their data file — a backfilled convert-adopted
     table has them at the root — and must never classify as loose
     data."""
-    from .bloom import BLOOM_SUFFIX
-
     return [
         b for b in _io(path).list_basenames(path, "part-")
-        if not b.endswith(BLOOM_SUFFIX)
+        if not b.endswith(_BLOOM_SUFFIX)
     ]
 
 
@@ -557,7 +556,7 @@ def _version_files(version: dict, table_path: str) -> list[dict]:
         for b in _io(table_path).list_basenames(
             os.path.join(table_path, gen), "part-"
         )
-        if not b.endswith(".bloom.json")  # sidecars are never data
+        if not b.endswith(_BLOOM_SUFFIX)  # sidecars are never data
     ]
 
 
@@ -2227,10 +2226,18 @@ def _commit_generation(
                 )
                 # unified logical schema: set by the widening commit,
                 # carried by every other commit on a mixed table (and
-                # dropped with the flag when a rewrite unifies)
+                # dropped with the flag when a rewrite unifies). A
+                # widening commit that could NOT compute the unified
+                # schema (table_schema None — e.g. a type-conflicting
+                # second evolution) must DROP the recorded schema, not
+                # carry the stale one: carrying it would make every
+                # later explicit-schema read silently hide the newly
+                # evolved column (review finding, regression-pinned) —
+                # dropping degrades those reads to footer merging,
+                # which sees everything.
                 ts = (
                     table_schema
-                    if mixed_schema and table_schema is not None
+                    if mixed_schema
                     else (man or {}).get("table_schema")
                 )
                 if ts is not None:
@@ -2388,9 +2395,7 @@ def _commit_generation(
     if bloom_policy:
         # sidecar liveness is derived from its data file: retire the
         # companion with the file (vacuum sweeps any stragglers)
-        from .bloom import BLOOM_SUFFIX
-
-        dead += [p + BLOOM_SUFFIX for p in list(dead)]
+        dead += [p + _BLOOM_SUFFIX for p in list(dead)]
     _retire(dead)
     _cleanup_empty_gen_dirs(
         path, live,
@@ -3811,6 +3816,11 @@ def rollback(
         # streaming-txn watermarks are table policy too: dropping them
         # on restore would let a replayed microbatch re-apply
         manifest["txn"] = man["txn"]
+    if man.get("bloom"):
+        # the bloom index policy is table policy like constraints: a
+        # restore must not silently disarm point-lookup skipping (and
+        # the sidecar-retire branch below keys off this record)
+        manifest["bloom"] = man["bloom"]
     _commit_manifest(path, manifest, expect_gen=man["gen_no"])
     if dropped:
         live = (
@@ -3831,9 +3841,7 @@ def rollback(
             dead |= _shard_names(h)
         dead_paths = [os.path.join(path, n) for n in dead - live]
         if manifest.get("bloom"):
-            from .bloom import BLOOM_SUFFIX
-
-            dead_paths += [p + BLOOM_SUFFIX for p in list(dead_paths)]
+            dead_paths += [p + _BLOOM_SUFFIX for p in list(dead_paths)]
         _retire(dead_paths)
         _cleanup_empty_gen_dirs(
             path, live,
@@ -4192,15 +4200,17 @@ def merge_into(
                 f"merge keys {missing_keys} must exist on both sides"
             )
         evolving = evolve_schema and set(updates.columns) != set(old_cols)
+        if n_upd == 0:
+            # empty patch: a no-op — but only AFTER the schema/key
+            # validation above, so a malformed caller still fails loud
+            return {"updated": 0, "inserted": 0, "matched_rows": 0}
+        # after the no-op return: on a pre-r11 mixed table this costs
+        # the all-footers schema-merge relation, wasted on empty input
         uni_schema = (
             _unified_schema_json(spark, man, src, updates.schema)
             if evolving
             else None
         )
-        if n_upd == 0:
-            # empty patch: a no-op — but only AFTER the schema/key
-            # validation above, so a malformed caller still fails loud
-            return {"updated": 0, "inserted": 0, "matched_rows": 0}
         loose_entries = [(f, _file_entry(path, f)) for f in loose]
         cand = entries + [e for _, e in loose_entries]
         dv = (man or {}).get("dv")
@@ -4533,8 +4543,6 @@ def vacuum_staging(
                             io.rmtree_quiet(cp)
                         removed.append(cp)
                     elif child in live_dirs:
-                        from .bloom import BLOOM_SUFFIX
-
                         # live dir: collect its per-file deads only
                         for base in sorted(
                             io.list_basenames(cp, "part-")
@@ -4543,11 +4551,11 @@ def vacuum_staging(
                         ):
                             sub = os.path.join(cp, base)
                             rel = f"{child}/{base}"
-                            if rel.endswith(BLOOM_SUFFIX):
+                            if rel.endswith(_BLOOM_SUFFIX):
                                 # a bloom sidecar's liveness is its
                                 # DATA FILE's: never collect one whose
                                 # file is live, always one whose isn't
-                                rel = rel[: -len(BLOOM_SUFFIX)]
+                                rel = rel[: -len(_BLOOM_SUFFIX)]
                             if rel not in live and expired(sub):
                                 if not dry_run:
                                     io.remove_file(sub)

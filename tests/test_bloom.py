@@ -386,3 +386,28 @@ def test_bloom_on_sharded_table(spark, tmp_path, monkeypatch):
     assert loaded < total
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]
+
+
+def test_rollback_carries_bloom_policy(spark, tmp_path):
+    """Review finding (r11): RESTORE must not silently disarm the
+    index — policy is table policy like constraints, and the dropped-
+    version sidecar retire keys off it."""
+    path = _fp_table(spark, tmp_path, n=2000, files=2, name="rb")
+    S.set_bloom_columns(spark, path, ["fp"])
+    target = _md5("55")
+    S.delete_where(spark, path, f"fp = '{target}'", retain_versions=2)
+    prev = S._load_manifest(path)["gen_no"] - 1
+    S.rollback(spark, path, version=prev)  # restore pre-delete snapshot
+    man = S._load_manifest(path)
+    assert man.get("bloom", {}).get("cols") == ["fp"]
+    # later commits keep indexing
+    batch = (
+        spark.range(70_000, 70_005)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.insert_into(spark, path, batch)
+    t = _md5("70003")
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, f"fp = '{t}'") <= 2
+    assert scan_table(spark, path, f"fp = '{t}'").count() == 1

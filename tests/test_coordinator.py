@@ -228,3 +228,25 @@ def test_cross_process_commit_race(tmp_path, use_coord):
     # no leaked lock file
     assert not os.listdir(str(tmp_path / "locks")) if use_coord == "1" \
         else True
+
+
+def test_release_order_reentrant_last_unlinks(tmp_path):
+    """Review finding (r11): releases may arrive out of acquisition
+    order — 'held' released first, 'reentrant' last must still unlink
+    at depth zero (keying the unlink on the token kind leaked the
+    lock until the TTL break)."""
+    c = AdvisoryFileLockCoordinator(str(tmp_path / "locks"))
+    t1 = c.acquire("/t")
+    t2 = c.acquire("/t")
+    assert (t1, t2) == ("held", "reentrant")
+    c.release("/t", t1)  # held released FIRST
+    assert os.path.exists(c._lock_path("/t"))  # still depth 1
+    c.release("/t", t2)  # reentrant released LAST
+    assert not os.path.exists(c._lock_path("/t"))
+    # and the lock is immediately reacquirable, no TTL wait
+    t0 = time.time()
+    assert c.acquire("/t") == "held"
+    assert time.time() - t0 < 1.0
+    c.release("/t", "held")
+    # over-release is a no-op, never negative depth / foreign unlink
+    c.release("/t", "held")

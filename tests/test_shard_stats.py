@@ -1316,3 +1316,40 @@ def test_corrupt_table_schema_degrades_not_prunes(
     df = scan_table(spark, path, "id BETWEEN 100 AND 120")
     assert df.count() == 21
     assert "score" in df.columns
+
+
+def test_conflicting_second_evolution_drops_stale_schema(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding (r11): an evolving merge whose unified schema
+    can't be computed (type-conflicting common column) must DROP the
+    recorded table_schema, not carry the stale one — carrying it made
+    the newly evolved column silently invisible to every explicit-
+    schema read."""
+    path = str(tmp_path / "conflict")
+    spark.range(10).selectExpr(
+        "id", "cast(id as double) v"
+    ).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    p1 = spark.createDataFrame(
+        [(1, 1.0, 7)], "id long, v double, rev long"
+    )
+    S.merge_into(spark, path, p1, keys=["id"], evolve_schema=True)
+    assert S._recorded_schema(S._load_manifest(path)) is not None
+
+    # second evolution: rev comes back as INT (conflict) plus `note`
+    p2 = spark.createDataFrame(
+        [(2, 2.0, 3, "x")],
+        "id long, v double, rev int, note string",
+    )
+    S.merge_into(spark, path, p2, keys=["id"], evolve_schema=True)
+    man = S._load_manifest(path)
+    assert man["mixed_schema"]
+    assert man.get("table_schema") is None  # stale record dropped
+    got = S.read_table(spark, path)
+    assert "note" in got.columns  # footer-merge fallback sees it
+    assert got.where("note = 'x'").count() == 1
+    # and the conservative full resolve is back (no unsound pruning)
+    from retail_sales_data_pipeline_spark.data_skipping import _prunable
+
+    assert not _prunable(man)
