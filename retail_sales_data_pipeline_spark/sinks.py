@@ -3363,6 +3363,106 @@ def delete_where(
     return n_del
 
 
+_DELETE_KEYS_LITERAL_CAP = 1000
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys,
+    col: str,
+    retain_versions: int = 0,
+    deletion_vectors: bool = False,
+    dv_rewrite_threshold: float = 0.5,
+) -> int:
+    """Bulk keyed DELETE — the takedown-LIST shape (`retract these
+    100k document fingerprints`) as a first-class API instead of a
+    hand-built predicate. ``keys`` is a Python sequence of int/str
+    values or a single-column DataFrame; rows whose ``col`` equals any
+    key are deleted with exactly :func:`delete_where`'s semantics,
+    atomicity, CDC feed, and deletion-vector option (this IS
+    delete_where under the hood — one code path, one soundness
+    surface).
+
+    Two regimes, chosen by distinct-key count:
+
+    * **metadata-sized** (≤ ``_DELETE_KEYS_LITERAL_CAP``): the keys
+      inline as an ``IN (...)`` literal list — the pruning grammar
+      parses it, so footer stats, shard aggregates, AND the bloom
+      index all engage; a takedown list that matches nothing
+      identifies zero files with zero Spark jobs.
+    * **bulk**: the keys register as a temp view and the predicate
+      becomes ``col BETWEEN lo AND hi AND col IN (SELECT ...)`` —
+      Catalyst plans the IN-subquery as a (broadcast) semi join for
+      the identification scan, while the BETWEEN band (computed with
+      one small aggregate over the keys) keeps file- and shard-level
+      range pruning parseable, the same banding ``merge_into`` uses.
+
+    Only int/string key values are accepted (the same canonical-form
+    rule as the bloom index; float equality deletes are a correctness
+    trap — write the predicate explicitly if you really mean it).
+    Returns the number of rows deleted."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    def _lit(v) -> str:
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise ValueError(
+                f"delete_keys accepts int/str keys, got {type(v).__name__}"
+                " — use delete_where with an explicit predicate"
+            )
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    if isinstance(keys, DataFrame):
+        if len(keys.columns) != 1:
+            raise ValueError(
+                f"keys frame must have exactly one column, got "
+                f"{keys.columns}"
+            )
+        kdf = keys.select(
+            F.col(keys.columns[0]).alias(col)
+        ).where(F.col(col).isNotNull()).distinct()
+        head = kdf.limit(_DELETE_KEYS_LITERAL_CAP + 1).collect()
+        if len(head) <= _DELETE_KEYS_LITERAL_CAP:
+            vals = [r[0] for r in head]
+        else:
+            # bulk: band + IN-subquery over a temp view
+            view = f"_delete_keys_{uuid.uuid4().hex[:12]}"
+            kdf.createOrReplaceTempView(view)
+            try:
+                agg = kdf.agg(
+                    F.min(col).alias("lo"), F.max(col).alias("hi")
+                ).first()
+                pred = (
+                    f"{col} BETWEEN {_lit(agg['lo'])} AND "
+                    f"{_lit(agg['hi'])} AND {col} IN "
+                    f"(SELECT {col} FROM {view})"
+                )
+                return delete_where(
+                    spark, path, pred,
+                    retain_versions=retain_versions,
+                    deletion_vectors=deletion_vectors,
+                    dv_rewrite_threshold=dv_rewrite_threshold,
+                )
+            finally:
+                spark.catalog.dropTempView(view)
+    else:
+        vals = [v for v in keys if v is not None]
+    vals = sorted(set(vals), key=_lit)
+    if not vals:
+        return 0
+    pred = f"{col} IN ({', '.join(_lit(v) for v in vals)})"
+    return delete_where(
+        spark, path, pred,
+        retain_versions=retain_versions,
+        deletion_vectors=deletion_vectors,
+        dv_rewrite_threshold=dv_rewrite_threshold,
+    )
+
+
 def update_where(
     spark: SparkSession,
     path: str,

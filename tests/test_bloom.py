@@ -411,3 +411,71 @@ def test_rollback_carries_bloom_policy(spark, tmp_path):
     B._SIDE_CACHE.clear()
     assert files_scanned(path, f"fp = '{t}'") <= 2
     assert scan_table(spark, path, f"fp = '{t}'").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# delete_keys: the takedown-LIST API (round 11) — one code path with
+# delete_where, literal regime rides the bloom index, bulk regime
+# becomes band + IN-subquery semi join
+# ---------------------------------------------------------------------------
+
+
+def test_delete_keys_literal_rides_bloom(spark, tmp_path):
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="dk1")
+    S.set_bloom_columns(spark, path, ["fp"])
+    targets = [_md5(str(i)) for i in (7, 77, 777)]
+    B._SIDE_CACHE.clear()
+    assert S.delete_keys(spark, path, targets, "fp") == 3
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 4000 - 3
+    assert tbl.where(f"id IN (7, 77, 777)").count() == 0
+    # a list that matches nothing: zero files identified, 0 deleted
+    assert S.delete_keys(spark, path, ["absent-a", "absent-b"], "fp") == 0
+    # int keys on the id column
+    assert S.delete_keys(spark, path, [11, 12, 11, None], "id") == 2
+    assert S.delete_keys(spark, path, [], "id") == 0
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_delete_keys_bulk_dataframe(spark, tmp_path, monkeypatch):
+    """Past the literal cap: band + IN-subquery. Equality with the
+    literal path pinned on the same key set."""
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="dk2")
+    ref = _fp_table(spark, tmp_path, n=4000, files=4, name="dk2ref")
+    monkeypatch.setattr(S, "_DELETE_KEYS_LITERAL_CAP", 10)
+    keys = spark.range(100, 151).select(F.col("id"))  # 51 keys > cap
+    assert S.delete_keys(spark, path, keys, "id") == 51
+    # reference: same keys as literals through delete_where
+    lits = ", ".join(str(i) for i in range(100, 151))
+    assert S.delete_where(spark, ref, f"id IN ({lits})") == 51
+    got = sorted(map(tuple, S.read_table(spark, path).collect()))
+    want = sorted(map(tuple, S.read_table(spark, ref).collect()))
+    assert got == want
+    # the band kept range pruning parseable: files outside [100, 150]
+    # were never candidates (id-unsorted here, so just assert count)
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_delete_keys_dv_and_validation(spark, tmp_path):
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="dk3")
+    # deletion-vector variant
+    n = S.delete_keys(spark, path, [5, 6], "id", deletion_vectors=True)
+    assert n == 2
+    assert S.read_table(spark, path).where("id IN (5, 6)").count() == 0
+    with pytest.raises(ValueError, match="int/str"):
+        S.delete_keys(spark, path, [1.5], "id")
+    with pytest.raises(ValueError, match="exactly one column"):
+        S.delete_keys(
+            spark, path, spark.range(3).selectExpr("id", "id b"), "id"
+        )
+    # string escaping round trip
+    df = spark.createDataFrame(
+        [(1, "o'brien"), (2, "plain")], "id long, name string"
+    )
+    p2 = str(tmp_path / "esc")
+    S.write_parquet(df, p2)
+    S.convert_to_manifest(spark, p2)
+    assert S.delete_keys(spark, p2, ["o'brien"], "name") == 1
+    assert S.read_table(spark, p2).count() == 1
