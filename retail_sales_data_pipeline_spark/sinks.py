@@ -1275,6 +1275,7 @@ def describe_detail(path: str, advise: bool = False) -> dict:
         "dv_sidecars": len(_dv_names(man)),
         "retained_versions": len(man.get("history", [])),
         "constraints": dict(man.get("constraints", {})),
+        "bloom": dict(man.get("bloom", {})),
         "mixed_schema": bool(man.get("mixed_schema")),
         "stale_superseded_on_disk": len(stale),
         # streaming-ingest watermarks ({app_id: last_applied_version}) —
