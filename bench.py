@@ -170,13 +170,17 @@ def _probe_input(spark) -> str:
     never the write."""
     global _PROBE_INPUT
     if _PROBE_INPUT is None:
+        import atexit
+        import shutil
         import tempfile
 
         # pid-suffixed: two concurrent bench runs on one host must not
-        # overwrite each other's probe input mid-read
+        # overwrite each other's probe input mid-read; atexit-removed
+        # so routine benching doesn't accumulate ~tens of MB per run
         d = os.path.join(
             tempfile.gettempdir(), f"bench_probe_parquet_{os.getpid()}"
         )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         (
             spark.range(0, 4_000_000, 1, 8)
             .selectExpr(

@@ -3207,16 +3207,25 @@ def _matched_files(
         )
         per = {base_to_rel[r["_file"]]: r["n"] for r in hits}
     else:
+        src = _read_files(
+            spark, man, [os.path.join(path, e["name"]) for e in scan]
+        )
         hits = (
-            _read_files(
-                spark, man, [os.path.join(path, e["name"]) for e in scan]
+            # provenance FIRST, filter second: input_file_name() is
+            # only defined inside the scan stage — a predicate that
+            # Catalyst rewrites into a join (delete_keys' bulk
+            # IN-subquery becomes a semi join) would otherwise
+            # evaluate it past an exchange and return '' (caught by
+            # the bulk-list regression test as misattributed counts)
+            src.select(
+                F.input_file_name().alias("__prov_file__"), "*"
             )
             .where(pred)
-            .groupBy(F.input_file_name().alias("_file"))
+            .groupBy("__prov_file__")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        per = {_rel_file(r["_file"], path): r["n"] for r in hits}
+        per = {_rel_file(r["__prov_file__"], path): r["n"] for r in hits}
     return per, sum(per.values())
 
 
@@ -3399,10 +3408,12 @@ def delete_keys(
       one small aggregate over the keys) keeps file- and shard-level
       range pruning parseable, the same banding ``merge_into`` uses.
 
-    Only int/string key values are accepted (the same canonical-form
-    rule as the bloom index; float equality deletes are a correctness
-    trap — write the predicate explicitly if you really mean it).
-    Returns the number of rows deleted."""
+    Only int/string key values are accepted, and one call's keys must
+    all share one type (the same canonical-form rule as the bloom
+    index; float equality deletes are a correctness trap — write the
+    predicate explicitly if you really mean it). A bare string is one
+    key, not a character sequence. Returns the number of rows
+    deleted."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -3417,51 +3428,81 @@ def delete_keys(
             return str(v)
         return "'" + v.replace("'", "''") + "'"
 
+    def _delete(pred: str) -> int:
+        return delete_where(
+            spark, path, pred,
+            retain_versions=retain_versions,
+            deletion_vectors=deletion_vectors,
+            dv_rewrite_threshold=dv_rewrite_threshold,
+        )
+
+    def _bulk(kdf: DataFrame) -> int:
+        # band + IN-subquery over a temp view: the BETWEEN conjunct
+        # keeps range pruning parseable, Catalyst plans the subquery
+        # as a (broadcast) semi join for the identification scan
+        view = f"_delete_keys_{uuid.uuid4().hex[:12]}"
+        kdf.createOrReplaceTempView(view)
+        try:
+            agg = kdf.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            if agg["lo"] is None:
+                return 0  # all-NULL keys frame
+            return _delete(
+                f"{col} BETWEEN {_lit(agg['lo'])} AND "
+                f"{_lit(agg['hi'])} AND {col} IN "
+                f"(SELECT {col} FROM {view})"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+
     if isinstance(keys, DataFrame):
         if len(keys.columns) != 1:
             raise ValueError(
                 f"keys frame must have exactly one column, got "
                 f"{keys.columns}"
             )
+        # persist around the regime probe / band agg / identification:
+        # a derived keys frame would otherwise re-run its upstream job
+        # three-plus times
         kdf = keys.select(
             F.col(keys.columns[0]).alias(col)
-        ).where(F.col(col).isNotNull()).distinct()
-        head = kdf.limit(_DELETE_KEYS_LITERAL_CAP + 1).collect()
-        if len(head) <= _DELETE_KEYS_LITERAL_CAP:
+        ).where(F.col(col).isNotNull()).distinct().persist()
+        try:
+            head = kdf.limit(_DELETE_KEYS_LITERAL_CAP + 1).collect()
+            if len(head) > _DELETE_KEYS_LITERAL_CAP:
+                return _bulk(kdf)
             vals = [r[0] for r in head]
-        else:
-            # bulk: band + IN-subquery over a temp view
-            view = f"_delete_keys_{uuid.uuid4().hex[:12]}"
-            kdf.createOrReplaceTempView(view)
-            try:
-                agg = kdf.agg(
-                    F.min(col).alias("lo"), F.max(col).alias("hi")
-                ).first()
-                pred = (
-                    f"{col} BETWEEN {_lit(agg['lo'])} AND "
-                    f"{_lit(agg['hi'])} AND {col} IN "
-                    f"(SELECT {col} FROM {view})"
-                )
-                return delete_where(
-                    spark, path, pred,
-                    retain_versions=retain_versions,
-                    deletion_vectors=deletion_vectors,
-                    dv_rewrite_threshold=dv_rewrite_threshold,
-                )
-            finally:
-                spark.catalog.dropTempView(view)
+        finally:
+            # delete_where fully materializes before returning, so
+            # the unpersist here never strands an in-flight plan
+            kdf.unpersist()
     else:
+        if isinstance(keys, str):
+            keys = [keys]  # one key, not a character sequence
+        if isinstance(keys, (bytes, bytearray)):
+            raise ValueError(
+                "delete_keys accepts int/str keys, got bytes"
+            )
         vals = [v for v in keys if v is not None]
     vals = sorted(set(vals), key=_lit)
     if not vals:
         return 0
-    pred = f"{col} IN ({', '.join(_lit(v) for v in vals)})"
-    return delete_where(
-        spark, path, pred,
-        retain_versions=retain_versions,
-        deletion_vectors=deletion_vectors,
-        dv_rewrite_threshold=dv_rewrite_threshold,
-    )
+    classes = {("int" if isinstance(v, int) else "str") for v in vals}
+    if len(classes) > 1:
+        raise ValueError(
+            "delete_keys needs one key type per call, got mixed "
+            "int and str values"
+        )
+    if len(vals) > _DELETE_KEYS_LITERAL_CAP:
+        # a big PYTHON list routes to the same bulk regime a big
+        # frame does — an unbounded IN literal would cost a multi-MB
+        # expression parse plus O(keys x candidate files) driver-side
+        # pruning work
+        return _bulk(
+            spark.createDataFrame([(v,) for v in vals], [col])
+        )
+    return _delete(f"{col} IN ({', '.join(_lit(v) for v in vals)})")
 
 
 def update_where(

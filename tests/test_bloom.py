@@ -479,3 +479,27 @@ def test_delete_keys_dv_and_validation(spark, tmp_path):
     S.convert_to_manifest(spark, p2)
     assert S.delete_keys(spark, p2, ["o'brien"], "name") == 1
     assert S.read_table(spark, p2).count() == 1
+
+
+def test_delete_keys_string_and_bulk_list_regimes(
+    spark, tmp_path, monkeypatch
+):
+    """Second-review findings: a bare string is ONE key (not a char
+    sequence); a big Python LIST routes to the bulk regime like a big
+    frame; mixed int/str key types are rejected."""
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="dk4")
+    target = _md5("42")
+    # bare string: exactly one row deleted, never char-wise
+    assert S.delete_keys(spark, path, target, "fp") == 1
+    assert S.read_table(spark, path).where("id = 42").count() == 0
+    with pytest.raises(ValueError, match="bytes"):
+        S.delete_keys(spark, path, b"abc", "fp")
+    with pytest.raises(ValueError, match="mixed"):
+        S.delete_keys(spark, path, [1, "a"], "id")
+    # big list > cap: the bulk band+subquery regime, same results
+    monkeypatch.setattr(S, "_DELETE_KEYS_LITERAL_CAP", 10)
+    assert S.delete_keys(spark, path, list(range(200, 251)), "id") == 51
+    assert S.read_table(spark, path).where(
+        "id BETWEEN 200 AND 250"
+    ).count() == 0
+    assert S.read_table(spark, path).count() == 4000 - 1 - 51
