@@ -503,3 +503,24 @@ def test_delete_keys_string_and_bulk_list_regimes(
         "id BETWEEN 200 AND 250"
     ).count() == 0
     assert S.read_table(spark, path).count() == 4000 - 1 - 51
+
+
+def test_delete_keys_bulk_forced_shuffle_join(spark, tmp_path, monkeypatch):
+    """Provenance pin, deterministic: with broadcast disabled the bulk
+    IN-subquery plans as a SHUFFLED semi join — identification must
+    still attribute matches to the right files (input_file_name is
+    captured at scan level, before the join boundary)."""
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="dk5")
+    monkeypatch.setattr(S, "_DELETE_KEYS_LITERAL_CAP", 10)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        keys = spark.range(300, 341).select(F.col("id"))
+        assert S.delete_keys(spark, path, keys, "id") == 41
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 4000 - 41
+    assert tbl.where("id BETWEEN 300 AND 340").count() == 0
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
