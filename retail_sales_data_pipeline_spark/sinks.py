@@ -1200,6 +1200,28 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                 "deletion-vector keying is ambiguous; compact the table"
             )
         bases[b] = e["name"]
+    if man.get("mixed_schema"):
+        # INVISIBLE-COLUMN invariant (round 11): on a mixed table with
+        # a recorded unified schema, every live file's physical column
+        # set must be covered by the record — a physical column the
+        # recorded schema lacks is silently hidden from every
+        # explicit-schema read (the bug class the stale-carry fix
+        # closed; this sweep catches any other path to that state)
+        rec = _recorded_schema(man)
+        if rec is not None:
+            known = {f.name.lower() for f in rec.fields}
+            for e in man_entries:
+                extra = [
+                    c for c in (e.get("cols") or [])
+                    if c.lower() not in known
+                ]
+                if extra:
+                    errors.append(
+                        f"live file {e['name']} carries columns "
+                        f"{sorted(extra)} missing from the recorded "
+                        "table_schema — those columns are invisible "
+                        "to explicit-schema reads"
+                    )
     live_names = {e["name"] for e in man_entries}
     if live_fully_resolved:
         # with a missing/unreadable live shard this check would emit a

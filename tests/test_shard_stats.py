@@ -1353,3 +1353,25 @@ def test_conflicting_second_evolution_drops_stale_schema(
     from retail_sales_data_pipeline_spark.data_skipping import _prunable
 
     assert not _prunable(man)
+
+
+def test_fsck_catches_invisible_columns(spark, tmp_path, monkeypatch):
+    """verify_table flags the invisible-column state: a mixed table
+    whose recorded schema LACKS a column some live file physically
+    carries (the bug class the stale-carry fix closed)."""
+    import json
+
+    path = _evolved_sharded_table(spark, tmp_path, monkeypatch)
+    assert S.verify_table(path)["ok"]
+    mpath = os.path.join(path, "_manifest.json")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    # forge a stale schema record missing `score`
+    sch = json.loads(man["table_schema"])
+    sch["fields"] = [f for f in sch["fields"] if f["name"] != "score"]
+    man["table_schema"] = json.dumps(sch)
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    fsck = S.verify_table(path)
+    assert not fsck["ok"]
+    assert any("invisible" in e for e in fsck["errors"])
