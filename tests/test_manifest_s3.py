@@ -876,6 +876,47 @@ def test_bloom_point_lookup_request_budget(s3env, spark):
     assert c.get("GET", 0) <= 5 and c.get("PUT", 0) == 0, c
 
 
+def test_bloom_distributed_probe_over_s3(s3env, spark, monkeypatch):
+    """The past-the-cap distributed probe over s3://: the binaryFile
+    sidecar glob runs through the table's spark_path mapping (s3a on
+    a real cluster, the disk-backed dir here) and prunes identically
+    to the driver probe."""
+    from pyspark.sql import functions as F
+
+    import retail_sales_data_pipeline_spark.bloom as B
+    from retail_sales_data_pipeline_spark.data_skipping import scan_table
+
+    uri = "s3://lake/tables/bloomdist"
+    df = (
+        spark.range(4000)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.write_parquet(df.repartition(4), uri)
+    S.convert_to_manifest(spark, uri)
+    S.set_bloom_columns(spark, uri, ["fp"])
+
+    import hashlib
+
+    target = hashlib.md5(b"2048").hexdigest()
+    monkeypatch.setattr(B, "PROBE_CAP", 0)  # force the distributed path
+    B._SIDE_CACHE.clear()
+    got = scan_table(spark, uri, f"fp = '{target}'")
+    assert [r.id for r in got.collect()] == [2048]
+    assert len(got.inputFiles()) < 4  # the probe job pruned
+    # reject-set equivalence against the driver kernel, over s3
+    man = S._load_manifest(uri)
+    entries = S._version_files(man, uri)
+    io = S._io(uri)
+    probes = [("fp", [target])]
+    B._SIDE_CACHE.clear()
+    driver_rej = {
+        os.path.basename(e["name"]) for e in entries
+        if not B.entry_admits(io, uri, e, probes)
+    }
+    assert B.distributed_rejects(spark, uri, probes) == driver_rej
+
+
 def test_sharded_selective_dml_request_budget(s3env, spark, monkeypatch):
     """Round-10 second rung, over s3://: a SELECTIVE DELETE on a
     sharded table is O(touched shards) END TO END — identification
