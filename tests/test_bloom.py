@@ -524,3 +524,42 @@ def test_delete_keys_bulk_forced_shuffle_join(spark, tmp_path, monkeypatch):
     assert tbl.where("id BETWEEN 300 AND 340").count() == 0
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]
+
+
+def test_delete_keys_on_evolved_sharded_bloomed_table(
+    spark, tmp_path, monkeypatch
+):
+    """All three r11 features composed: a SHARDED table takes an
+    EVOLVING merge, carries a BLOOM policy, and then serves a keyed
+    takedown — selective resolve, recorded-schema read, bloom
+    identification, and the deep FSCK all hold together."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = _fp_table(spark, tmp_path, n=8000, files=8, name="compose")
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, path, ["fp"])
+    patch = (
+        spark.range(100, 111)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+        .withColumn("tag", F.concat(F.lit("t-"), F.col("id")))
+    )
+    S.merge_into(spark, path, patch, keys=["id"], evolve_schema=True)
+    man = S._load_manifest(path)
+    assert man["mixed_schema"] and man["bloom"] and man.get("files_ext")
+
+    # keyed takedown by fingerprint on the evolved table
+    targets = [_md5(str(i)) for i in (105, 4000, 7777)]
+    B._SIDE_CACHE.clear()
+    assert S.delete_keys(spark, path, targets, "fp") == 3
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 8000 - 3
+    assert tbl.where("id IN (105, 4000, 7777)").count() == 0
+    assert "tag" in tbl.columns
+    assert tbl.where("tag IS NOT NULL").count() == 10  # 11 - 1 deleted
+    # bulk regime on the same table
+    monkeypatch.setattr(S, "_DELETE_KEYS_LITERAL_CAP", 5)
+    assert S.delete_keys(spark, path, list(range(200, 221)), "id") == 21
+    assert S.read_table(spark, path).count() == 8000 - 3 - 21
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
