@@ -79,56 +79,56 @@ _MODULES = [
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [
-    "corpus_commit_lineage",  # never checked
-    "customer_monthly_mart",  # green r9
-    "sales_team_mart",  # green r9
-    "star_join_enrich",  # green r9
-    "conform_union",  # green r9
-    "ledger_filter",  # green r9
-    "distinct_dedup",  # green r9
-    "sketch_heavy_sources",  # green r9
-    "dedup_exact",  # green r9
-    "dedup_minhash_lsh",  # green r9
-    "dedup_simhash",  # green r9
-    "corpus_report",  # green r9
-    "corpus_approx_distinct",  # green r9
-    "dedup_incremental",  # green r9
-    "corpus_curation_funnel",  # green r9
-    "streaming_quality_filter",  # green r9
-    "corpus_split_assign",  # green r9
-    "corpus_shuffle_shard",  # green r9
-    "dv_takedown_counts",  # green r9
-    "corpus_ingest_exactly_once",  # green r9
-    "events_sessionize",  # green r9
-    "events_json_variant",  # green r9
-    "events_daily_stats",  # green r9
-    "events_asof_attribution",  # green r9
-    "events_range_pairs",  # green r9
-    "events_funnel",  # green r9
-    "events_cohort_retention",  # green r9
-    "streaming_hourly_rollup",  # green r9
-    "streaming_dedup_rollup",  # green r9
-    "streaming_sessionize",  # green r9
-    "events_approx_quantiles",  # green r9
-    "events_rolling_7day",  # green r9
-    "ann_cosine_topk",  # green r9
-    "ann_lsh_topk",  # green r9
-    "ann_ivf_topk",  # green r9
-    "dedup_embedding_cosine",  # green r9
-    "ann_recall_at_5",  # green r9
-    "kmeans_embeddings",  # green r9
-    "ann_quantized_topk",  # green r9
-    "dedup_semantic_cells",  # green r9
-    "kmeans_fixed_assign",  # green r9
-    "dedup_semantic_keep",  # green r9
-    "cluster_balanced_sample",  # green r9
-    "ann_label_agreement",  # green r9
-    "multimodal_decode",  # green r9
-    "multimodal_frame_sample",  # green r9
-    "multimodal_resize",  # green r9
-    "multimodal_pointer_decode",  # green r9
-    "multimodal_embed_texts",  # green r9
-    "multimodal_text_retrieval",  # green r9
+    "monthly_grouped_sum",  # green r10
+    "month_key_forms",  # green r10
+    "product_enrich",  # green r10
+    "sales_rollup",  # green r10
+    "sales_cube",  # green r10
+    "customers_churned",  # green r10
+    "suppliers_with_returns",  # green r10
+    "customer_upsert",  # green r10
+    "scd2_customer_segments",  # green r10
+    "key_skew_profile",  # green r10
+    "maintenance_compaction_plan",  # green r10
+    "dq_violations",  # green r10
+    "mart_reconcile",  # green r10
+    "top_customers_per_month",  # green r10
+    "sales_pivot_by_flag",  # green r10
+    "customer_running_total",  # green r10
+    "monthly_price_quantiles",  # green r10
+    "revenue_anomalies",  # green r10
+    "order_value_quartiles",  # green r10
+    "text_token_stats",  # green r10
+    "profile_documents_stats",  # green r10
+    "corpus_scan_pruned",  # green r10
+    "text_quality",  # green r10
+    "text_lang_id",  # green r10
+    "text_fingerprint",  # green r10
+    "dedup_ngram_jaccard",  # green r10
+    "dedup_clusters",  # green r10
+    "dedup_rate_by_lang",  # green r10
+    "corpus_filter_pipeline",  # green r10
+    "corpus_sample",  # green r10
+    "corpus_stratified_sample",  # green r10
+    "corpus_tfidf_terms",  # green r10
+    "corpus_length_histogram",  # green r10
+    "text_redact_pii",  # green r10
+    "corpus_pack_sequences",  # green r10
+    "corpus_decontaminate",  # green r10
+    "text_repetition",  # green r10
+    "corpus_source_mix",  # green r10
+    "corpus_boilerplate_ngrams",  # green r10
+    "corpus_ngram_novelty",  # green r10
+    "dedup_keep_canonical",  # green r10
+    "text_langid_confusion",  # green r10
+    "corpus_unigram_logprob",  # green r10
+    "corpus_quality_sample",  # green r10
+    "corpus_mix_rebalance",  # green r10
+    "dedup_fuzzy_keys",  # green r10
+    "corpus_merge_evolve",  # green r10
+    "streaming_sessionize_complete",  # green r10
+    "ann_lsh_banded_topk",  # green r10
+    "decontaminate_semantic",  # green r10
 ]
 
 def _collect(attr: str) -> dict:

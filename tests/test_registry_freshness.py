@@ -43,7 +43,7 @@ WINDOW = rotate_registry.WINDOW
 # the test meaningful after the driver writes the NEXT round's
 # CORRECTNESS file — without the cap, every query verified by that very
 # window would count stale the moment its new row lands.
-ROTATION_BASIS_ROUND = 10
+ROTATION_BASIS_ROUND = 11
 
 
 def _last_green() -> tuple[int, dict[str, int]]:
