@@ -38,24 +38,44 @@ admits rather than guessing a cast. NULLs are never added and never
 probed (``col = NULL`` is never TRUE; ``IS NULL`` pruning belongs to
 the null-count index). Entries without a sidecar flag admit.
 
-SCALE ENVELOPE. Probing is a driver-side sidecar GET per surviving
-candidate, so it engages only when the post-range-prune candidate
-list is at most ``PROBE_CAP`` files (default 4096 ≈ 0.5 TB at 128 MB
-files) — past that, the right lever is layout (Z-order the lookup
-column) or a distributed probe job, and the scan stays correct
-either way. Sidecars are immutable and cached per process like index
-shards.
+SCALE ENVELOPE. Up to ``PROBE_CAP`` post-range-prune candidates
+(default 4096 ≈ 0.5 TB at 128 MB files) probe driver-side with
+CONCURRENT cached sidecar GETs (:func:`prefetch_sidecars`), within a
+(values x candidates) budget; past either bound, callers with a
+session get the distributed probe (:func:`distributed_admits` — one
+``binaryFile`` job, reject verdicts anti-joined in Spark, only
+admitted names collected). Round 12 adds the SHARD grain: root shard
+records can carry an OR-fold of their members' filters
+(:func:`aggregate_payloads`, same payload shape, same verdict
+kernel), so a selective lookup skips whole shards before any entry
+shard loads — honest capacity: ~10 bits per DISTINCT value per shard
+at the cap, so clustered/low-cardinality columns prune and a unique
+key saturates (recorded null, admits, file grain takes over).
+
+FPP SIZING for bulk probes: probing V keys admits a non-matching
+file with probability 1-(1-fpp)^V. A table built for takedown-LIST
+workloads (``delete_keys`` batches) wants fpp << 1/V_max — e.g. 1e-6
+for 100k-key batches (~29 bits/row vs ~10 at 1%).
+
+Sidecars are immutable and cached per process like index shards.
 """
 
 from __future__ import annotations
 
 import base64
+import functools
 import hashlib
 import math
 import os
 
 BLOOM_SUFFIX = ".bloom.json"
 PROBE_CAP = 4096
+# shard-grain aggregate ceiling: 8192 bits (1 KB raw, ~1.4 KB b64) per
+# (shard, column) keeps a 1000-shard root's bloom payload under ~3 MB
+SHARD_AGG_BITS = 8192
+# an aggregate more than half full admits nearly everything it is
+# asked about — store nothing instead of paying root bytes for noise
+SHARD_AGG_MAX_FILL = 0.5
 
 _SIDE_CACHE: dict[str, dict | None] = {}
 _SIDE_CACHE_MAX = 8192
@@ -63,10 +83,14 @@ _SIDE_CACHE_MAX = 8192
 
 def params(n_rows: int, fpp: float) -> tuple[int, int]:
     """(m bits, k hashes) for ``n_rows`` expected values at ``fpp``.
-    Byte-aligned m; k capped so tiny files don't over-hash."""
+    m rounds UP to a power of two (round 12): ``(x mod m) mod t ==
+    x mod t`` whenever ``t`` divides ``m``, so power-of-two filters
+    OR-FOLD down to any smaller power-of-two size without rehashing —
+    the property the shard-grain aggregates are built on. k capped so
+    tiny files don't over-hash."""
     n = max(int(n_rows), 1)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = max(64, ((m + 7) // 8) * 8)
+    m = max(64, 1 << (m - 1).bit_length())
     k = max(1, round(m / n * math.log(2)))
     return m, min(k, 16)
 
@@ -84,7 +108,12 @@ def type_class(value) -> str | None:
     return None
 
 
+@functools.lru_cache(maxsize=1 << 18)
 def _digest(value) -> tuple[int, int] | None:
+    # cached (round 12): a bulk key-batch probe re-probes the SAME
+    # values against every candidate's filter — the md5 dominates, the
+    # per-filter modular positions don't, so one digest per distinct
+    # value makes an N-file x V-key probe O(V md5 + N*V*k bitops)
     tc = type_class(value)
     if tc is None:
         return None
@@ -164,10 +193,110 @@ def load_sidecar(io, table_path: str, rel_name: str) -> dict | None:
         out: dict | None = {"cols": cols} if cols else None
     except Exception:
         out = None
-    if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
-        _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)), None)
+    try:
+        if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
+            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)), None)
+    except (RuntimeError, StopIteration):
+        pass  # concurrent prefetch threads raced the eviction: skip it
     _SIDE_CACHE[p] = out
     return out
+
+
+def prefetch_sidecars(io, table_path: str, rel_names, threads: int = 16) -> None:
+    """Warm the sidecar cache for a candidate list with CONCURRENT
+    GETs (round 12): the driver-side probe under the cap was
+    sequential — 4096 cold-S3 reads at ~10 ms each is ~40 s of pure
+    latency; threaded it is latency/16. Local filesystems barely
+    notice; the object-store seam is the beneficiary. Failures load
+    as None exactly like the sequential path (probe then admits)."""
+    todo = [
+        n for n in rel_names
+        if sidecar_path(table_path, n) not in _SIDE_CACHE
+    ]
+    if len(todo) <= 1:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(threads, len(todo))) as ex:
+        # consume to surface nothing: load_sidecar never raises
+        list(ex.map(lambda n: load_sidecar(io, table_path, n), todo))
+
+
+def fold_bits(bits: bytes, target_bytes: int) -> bytes:
+    """OR-fold a power-of-two filter down to ``target_bytes`` (also a
+    power of two dividing ``len(bits)``). Sound because positions were
+    computed mod m and ``(x mod m) mod t == x mod t`` when t | m: every
+    bit a value set in the big filter stays set for it in the fold."""
+    if len(bits) <= target_bytes:
+        return bytes(bits)
+    acc = 0
+    for off in range(0, len(bits), target_bytes):
+        acc |= int.from_bytes(bits[off:off + target_bytes], "big")
+    return acc.to_bytes(target_bytes, "big")
+
+
+def aggregate_payloads(
+    raws: list,
+    cols,
+    cap_bits: int = SHARD_AGG_BITS,
+    max_fill: float = SHARD_AGG_MAX_FILL,
+) -> dict | None:
+    """Fold MEMBER sidecar payloads into one shard-grain filter per
+    column — the `_shard_agg` move applied to the bloom index (round
+    12): the root's shard record then disproves a point lookup for the
+    WHOLE shard, so a >PROBE_CAP probe costs O(touched shards), not a
+    sidecar read per file. Same payload shape as a sidecar
+    (``{"cols": {col: {type, k, bits}}}``), so :func:`payload_rejects`
+    is the one verdict kernel at every granularity.
+
+    Capacity is honest: a bloom filter needs ~10 bits per DISTINCT
+    value, so at ``cap_bits`` the aggregate serves shards whose
+    distinct-value count is modest — low-cardinality columns, or
+    clustered/sorted keys — and SATURATES on e.g. a unique fingerprint
+    over millions of rows. Saturated, type-conflicted, or unfoldable
+    (non-power-of-two r11 sidecar) columns are dropped; ``None`` when
+    nothing survives. Probing a record without an aggregate admits —
+    conservative at every miss, like the rest of the index.
+
+    k is the MINIMUM member k: a value inserted with k' >= k set a
+    superset of the probed positions, so probing fewer positions can
+    only admit more, never reject a present value."""
+    if not raws or any(r is None for r in raws):
+        return None  # a member without a sidecar could contain anything
+    out_cols: dict = {}
+    for c in cols:
+        recs = []
+        for r in raws:
+            rec = (r.get("cols") or {}).get(c)
+            if rec is None:
+                recs = None
+                break
+            bits = rec["bits"]
+            if isinstance(bits, str):
+                bits = base64.b64decode(bits)
+            recs.append((rec["type"], int(rec["k"]), bits))
+        if not recs:
+            continue
+        if len({t for t, _, _ in recs}) != 1:
+            continue  # type drift across members: skip, admit
+        t_bytes = min(cap_bits // 8, min(len(b) for _, _, b in recs))
+        if t_bytes <= 0 or t_bytes & (t_bytes - 1):
+            t_bytes = 1 << max(t_bytes.bit_length() - 1, 3)
+        if any(len(b) % t_bytes for _, _, b in recs):
+            continue  # unfoldable member (pre-r12 non-pow2 sidecar)
+        acc = 0
+        for _, _, b in recs:
+            acc |= int.from_bytes(fold_bits(b, t_bytes), "big")
+        if acc.bit_count() > max_fill * t_bytes * 8:
+            continue  # saturated: admits ~everything, not worth bytes
+        out_cols[c] = {
+            "type": recs[0][0],
+            "k": min(k for _, k, _ in recs),
+            "bits": base64.b64encode(
+                acc.to_bytes(t_bytes, "big")
+            ).decode(),
+        }
+    return {"cols": out_cols} if out_cols else None
 
 
 def eq_atoms(atoms: list[tuple], policy_cols) -> list[tuple[str, list]]:
@@ -211,50 +340,93 @@ def payload_rejects(raw: dict | None, probes) -> bool:
         return False  # malformed: admit
 
 
-def distributed_rejects(spark, table_path: str, probes) -> set:
+def _strip_scheme(uri: str) -> str:
+    """Normalize a file URI for prefix matching: drop the scheme and
+    any authority slashes (``file:/t``, ``file:///t``, ``s3a://b/k``
+    all become scheme-free, slash-collapsed forms), so the root the
+    driver loads by and the paths Spark reports compare equal."""
+    import re
+
+    u = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:", "", uri)
+    if u.startswith("//"):
+        u = u[1:]
+        # authority-form URI: keep exactly one leading slash so
+        # s3a://bucket/key and its reported twin collapse identically
+        while u.startswith("//"):
+            u = u[1:]
+    return u
+
+
+def distributed_admits(spark, table_path: str, probes, rel_names) -> set | None:
     """The SCALE path past :data:`PROBE_CAP`: one Spark job lists and
     reads every sidecar under the table (``binaryFile`` + glob — the
-    same distributed listing a parquet scan does) and returns the DATA
-    basenames whose filter disproves the probe. Files without a
-    sidecar never appear and therefore admit; a job failure of any
-    kind returns the empty set (no pruning — advisory index). At 1M
-    files this is 1M small object reads spread across the cluster,
-    instead of 1M driver-side GETs or a full data scan."""
+    same distributed listing a parquet scan does), keeps the REJECT
+    verdicts distributed, anti-joins the live candidate list against
+    them in Spark, and collects only the ADMITTED names — on the
+    canonical no-match takedown over a 1M-file table the driver
+    receives a handful of strings, not ~1M (round 12, inverting the
+    r11 collect: the hot path is now O(selectivity)).
+
+    Matching is by table-RELATIVE name (``entry name + suffix``), not
+    basename: a stale sidecar in a retained-history generation or an
+    in-flight staging dir can only reject ITSELF, never a live file
+    that happens to share its basename. A candidate whose sidecar is
+    missing (pre-policy file, interrupted build) appears in no reject
+    row and therefore survives the anti-join — admit-on-missing holds
+    without the driver ever learning which sidecars exist. Returns
+    None on any failure (no pruning — advisory index)."""
     from .sinks import _io
 
     try:
         import json as _json
 
+        import pandas as pd
+        from pyspark.sql import functions as F
+
         probes_b = list(probes)
+        names = list(rel_names)
+        spark_root = _io(table_path).spark_path(table_path)
+        root_n = _strip_scheme(spark_root).rstrip("/") + "/"
 
         def scan(batches):
-            import pandas as pd
-
-            rejected: list[str] = []
             for pdf in batches:
+                rejected: list[str] = []
                 for p, content in zip(pdf["path"], pdf["content"]):
+                    # exact table-relative key: a sidecar whose
+                    # normalized path doesn't sit under the root (or
+                    # fails to strip) emits nothing and thus admits
+                    pn = _strip_scheme(p)
+                    if not pn.startswith(root_n):
+                        continue
                     try:
                         raw = _json.loads(bytes(content))
                     except Exception:
                         continue  # corrupt: admit
                     if payload_rejects(raw, probes_b):
-                        base = p.rsplit("/", 1)[-1]
-                        rejected.append(base[: -len(BLOOM_SUFFIX)])
-            yield pd.DataFrame({"base": rejected})
+                        rejected.append(pn[len(root_n):])
+                yield pd.DataFrame({"relkey": rejected})
 
-        df = (
+        side = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*" + BLOOM_SUFFIX)
             .option("recursiveFileLookup", "true")
-            .load(_io(table_path).spark_path(table_path))
+            .load(spark_root)
             .select("path", "content")
         )
+        rejects = side.mapInPandas(scan, "relkey string")
+        cand = spark.createDataFrame(
+            pd.DataFrame({"name": names})
+        ).withColumn(
+            "relkey", F.concat(F.col("name"), F.lit(BLOOM_SUFFIX))
+        )
         return {
-            r["base"]
-            for r in df.mapInPandas(scan, "base string").collect()
+            r["name"]
+            for r in cand.join(rejects, "relkey", "left_anti")
+            .select("name")
+            .collect()
         }
     except Exception:
-        return set()
+        return None
 
 
 def entry_admits(io, table_path: str, entry: dict, probes) -> bool:

@@ -146,8 +146,34 @@ class AdvisoryFileLockCoordinator:
             try:
                 age = time.time() - os.path.getmtime(lp)
                 if age > self.ttl_seconds:
-                    os.unlink(lp)  # crashed holder: break and re-race
-                    continue
+                    # break via RENAME-then-verify, not a bare unlink
+                    # (round-12 advice fix): a stale holder releasing
+                    # and a NEW process acquiring between the stat and
+                    # the break must not lose its fresh lock. The
+                    # rename is atomic, so whatever file we grabbed is
+                    # exclusively ours to inspect: confirmed stale ->
+                    # discard; actually fresh (we lost the race) ->
+                    # restore it. A crash between rename and restore
+                    # leaks only a tombstone file (advisory layer —
+                    # the durable CAS stays the correctness fence).
+                    tomb = f"{lp}.break-{os.getpid()}-{time.time_ns()}"
+                    os.rename(lp, tomb)
+                    try:
+                        fresh = (
+                            time.time() - os.path.getmtime(tomb)
+                            <= self.ttl_seconds
+                        )
+                    except OSError:
+                        fresh = False
+                    if fresh:
+                        # we lost the break race to a LIVE holder:
+                        # restore its lock and fall through to the
+                        # polite wait (re-breaking immediately would
+                        # busy-spin stat/rename against it)
+                        os.rename(tomb, lp)
+                    else:
+                        os.unlink(tomb)  # crashed holder: re-race
+                        continue
             except OSError:
                 continue  # holder released between probe and stat
             if time.time() >= deadline:

@@ -268,12 +268,35 @@ def _entry_admits(entry: dict, atom: tuple) -> bool:
     return _span_admits(stats[col], atom)
 
 
+# driver-side bloom probe budget: (probe values x candidate files)
+# pairs — past this, a 100k-key batch against thousands of sidecars is
+# minutes of driver CPU and the distributed probe is the right shape
+_DRIVER_PROBE_BUDGET = 2_000_000
+# shard-record bloom probing is pure driver CPU over root metadata;
+# key batches beyond this skip the shard grain (file grain still runs)
+_SHARD_PROBE_VALUES = 1_000
+
+
+def _bloom_probe_list(
+    atoms: list[tuple], policy_cols, extra_probes
+) -> list[tuple[str, list]]:
+    """Probeable (col, values) pairs: parsed equality/IN atoms plus
+    the side-channel key batches bulk ``delete_keys`` supplies (its
+    >1000-key regime is an IN-subquery the grammar can't see)."""
+    probes = _bloom.eq_atoms(atoms, policy_cols)
+    for c, vals in extra_probes or ():
+        if c in policy_cols and vals:
+            probes.append((c, list(vals)))
+    return probes
+
+
 def prune_entries(
     entries: list[dict],
     predicate: str,
     table_path: str | None = None,
     man: dict | None = None,
     spark=None,
+    extra_probes=None,
 ) -> list[dict]:
     """Drop manifest file entries whose footer stats PROVE the predicate
     matches no row in the file. Driver-side, metadata only.
@@ -281,48 +304,87 @@ def prune_entries(
     With ``table_path``/``man`` (round 11), equality and IN atoms on
     the table's BLOOM-POLICY columns additionally probe the per-file
     bloom sidecars (see :mod:`.bloom`) AFTER range pruning — the point
-    lookup on an unsorted column that [min, max] can never prune. Up
-    to ``bloom.PROBE_CAP`` candidates probe driver-side (one cached
-    sidecar GET each); past the cap, callers that pass ``spark`` get
-    the DISTRIBUTED probe (one ``binaryFile`` job over every sidecar —
-    the 1M-file path), and callers without a session skip probing.
-    Every bloom miss direction admits — advisory, never a correctness
-    gate."""
+    lookup on an unsorted column that [min, max] can never prune.
+    ``extra_probes`` (round 12) adds programmatic (col, values)
+    batches to the same probe — the bulk ``delete_keys`` regime, whose
+    IN-subquery predicate the pruning grammar cannot parse. Up to
+    ``bloom.PROBE_CAP`` candidates probe driver-side (concurrent
+    cached sidecar GETs) within a value-count budget; past either
+    bound, callers that pass ``spark`` get the DISTRIBUTED probe (one
+    ``binaryFile`` job over every sidecar, reject verdicts anti-joined
+    in Spark, only ADMITTED names collected — the 1M-file path), and
+    callers without a session skip probing. Every bloom miss direction
+    admits — advisory, never a correctness gate."""
     atoms = pruning_atoms(predicate)
-    if not atoms:
+    if not atoms and not extra_probes:
         return entries
     out = [
         e for e in entries if all(_entry_admits(e, a) for a in atoms)
     ]
     policy = (man or {}).get("bloom") if table_path else None
     if policy and out:
-        probes = _bloom.eq_atoms(atoms, set(policy.get("cols", [])))
-        if probes and len(out) <= _bloom.PROBE_CAP:
+        probes = _bloom_probe_list(
+            atoms, set(policy.get("cols", [])), extra_probes
+        )
+        n_vals = sum(len(v) for _, v in probes)
+        if not probes:
+            return out
+        if (
+            len(out) <= _bloom.PROBE_CAP
+            and n_vals * len(out) <= _DRIVER_PROBE_BUDGET
+        ):
             io = _sinks_io(table_path)
+            _bloom.prefetch_sidecars(
+                io, table_path, [e["name"] for e in out]
+            )
             out = [
                 e for e in out
                 if _bloom.entry_admits(io, table_path, e, probes)
             ]
-        elif probes and spark is not None:
-            rejected = _bloom.distributed_rejects(
-                spark, table_path, probes
+        elif spark is not None:
+            admitted = _bloom.distributed_admits(
+                spark, table_path, probes, [e["name"] for e in out]
             )
-            if rejected:
-                out = [
-                    e for e in out
-                    if os.path.basename(e["name"]) not in rejected
-                ]
+            if admitted is not None:
+                out = [e for e in out if e["name"] in admitted]
     return out
 
 
-def shard_admits(atoms: list[tuple]):
+def shard_admits(atoms: list[tuple], extra_probes=None):
     """Predicate over ROOT manifest shard records (round 10): each
     record carries the same ``rows``/``stats``/``nulls`` shape as a
     file entry, aggregated over its members by ``sinks._shard_agg``,
     so :func:`_entry_admits` evaluates it verbatim at shard
-    granularity. Records without the aggregate (pre-r10) admit."""
+    granularity. Records without the aggregate (pre-r10) admit.
+
+    Round 12: records may also carry a shard-grain BLOOM aggregate
+    (``rec["bloom"]``, the OR-fold of member sidecars — see
+    ``bloom.aggregate_payloads``); equality/IN atoms and bounded
+    ``extra_probes`` key batches probe it with the same verdict
+    kernel as every other granularity, so a point lookup skips whole
+    shards before any entry shard is read. Records without the
+    aggregate (pre-r12, saturated, or policy-less) admit."""
+    probes_cache: dict[frozenset, list] = {}
+
     def admits(rec: dict) -> bool:
-        return all(_entry_admits(rec, a) for a in atoms)
+        if not all(_entry_admits(rec, a) for a in atoms):
+            return False
+        agg = rec.get("bloom")
+        if agg:
+            pcols = frozenset(agg.get("cols", {}))
+            probes = probes_cache.get(pcols)
+            if probes is None:
+                probes = [
+                    (c, v)
+                    for c, v in _bloom_probe_list(
+                        atoms, pcols, extra_probes
+                    )
+                    if len(v) <= _SHARD_PROBE_VALUES
+                ]
+                probes_cache[pcols] = probes
+            if probes and _bloom.payload_rejects(agg, probes):
+                return False
+        return True
 
     return admits
 
@@ -343,15 +405,15 @@ def _prunable(man: dict) -> bool:
     return not man.get("mixed_schema") or _recorded_schema(man) is not None
 
 
-def _scan_admits(predicate: str | None):
+def _scan_admits(predicate: str | None, extra_probes=None):
     """The shard filter for one scan, or None when no provable atoms
     exist. PRE-R11 mixed-schema tables (no recorded unified schema)
     are carved out inside ``_live_state`` itself — see
     :func:`_prunable`."""
-    if not predicate:
+    atoms = pruning_atoms(predicate) if predicate else []
+    if not atoms and not extra_probes:
         return None
-    atoms = pruning_atoms(predicate)
-    return shard_admits(atoms) if atoms else None
+    return shard_admits(atoms, extra_probes)
 
 
 def scan_table(
@@ -415,15 +477,21 @@ def scan_table(
     return df
 
 
-def files_scanned(path: str, predicate: str | None = None) -> int:
+def files_scanned(
+    path: str, predicate: str | None = None, spark=None
+) -> int:
     """How many manifest files ``scan_table`` would read for
     ``predicate`` — the observable for pruning tests and capacity
-    planning (metadata only)."""
+    planning (metadata only). Pass ``spark`` to include the
+    DISTRIBUTED bloom probe past ``bloom.PROBE_CAP`` (round 12 —
+    without a session that leg is skipped, so on large bloomed tables
+    the count is an UPPER BOUND on what ``scan_table`` reads with the
+    same predicate and session)."""
     man, entries, loose, _ = _live_state(path)
     if man is None:
         return -1  # unmanaged table: directory scan, count unknown
     if predicate and _prunable(man):
-        entries = prune_entries(entries, predicate, path, man)
+        entries = prune_entries(entries, predicate, path, man, spark)
     return len(entries) + len(loose)
 
 

@@ -2008,15 +2008,24 @@ def _workdir(key: tuple, prefix: str) -> str:
 
 # ---------------------------------------------------------------------------
 # Q: dv_takedown_counts — the deletion-vector DML round trip as a
-# driver-checked query: build a manifest table from `documents`,
-# DV-delete a language takedown + a scattered id purge, DV-merge a
+# driver-checked query, STRENGTHENED in round 12 to run the takedown-
+# LIST surface end to end: build a manifest table from `documents`,
+# install a BLOOM FILTER INDEX policy (sinks.set_bloom_columns), then
+# retract via `delete_keys` — the language takedown as a literal key,
+# the scattered id purge as a KEYS FRAME (the retraction-list shape;
+# literal regime at sf0.01's 500 docs, the >1000-key BULK band +
+# IN-subquery + key-batch bloom probe at sf0.1's 5000) — DV-merge a
 # redaction patch plus one synthetic insert, and return per-source
 # survivor stats read back THROUGH the DV-filtered read path. The
 # oracle replays the same algebra over the base table (ANSI DELETE
 # null semantics via IS NOT TRUE; MERGE as NOT-EXISTS UNION ALL).
-# Table state is built in a fresh temp dir per call, so the query is
-# deterministic and rerunnable; every write is merge-on-read — the
-# data files from the initial compaction are never rewritten.
+# Generalizes the reference's quarantine/ledger file-retraction loop
+# (src/main/transformations/jobs/main.py:159-176, 417-447) to
+# row-granular takedowns. Table state is built in a fresh temp dir
+# per call, so the query is deterministic and rerunnable; every write
+# is merge-on-read — the data files from the initial compaction are
+# never rewritten. The bloom-probe pruning pin for exactly this table
+# shape lives in tests/test_bloom.py::test_dv_takedown_bloom_probe.
 # ---------------------------------------------------------------------------
 def dv_takedown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -2035,10 +2044,15 @@ def dv_takedown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     docs.write.parquet(path)
     S.compact_parquet(spark, path, target_files=4, sort_col="doc_id")
-    S.delete_where(spark, path, "lang = 'de'", deletion_vectors=True)
-    S.delete_where(spark, path, "doc_id % 97 = 13", deletion_vectors=True)
+    S.set_bloom_columns(spark, path, ["doc_id", "lang"])
+    S.delete_keys(spark, path, ["de"], "lang", deletion_vectors=True)
+    S.delete_keys(
+        spark, path,
+        docs.where("doc_id % 3 = 1").select("doc_id"),
+        "doc_id", deletion_vectors=True,
+    )
     survivors = (
-        "(lang = 'de') IS NOT TRUE AND (doc_id % 97 = 13) IS NOT TRUE"
+        "(lang = 'de') IS NOT TRUE AND (doc_id % 3 = 1) IS NOT TRUE"
     )
     updates = (
         docs.where(survivors)
@@ -2075,7 +2089,7 @@ def dv_takedown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DV_TAKEDOWN_SQL = """
 WITH survivors AS (
   SELECT doc_id, lang, source, n_chars FROM documents
-  WHERE (lang = 'de') IS NOT TRUE AND (doc_id % 97 = 13) IS NOT TRUE
+  WHERE (lang = 'de') IS NOT TRUE AND (doc_id % 3 = 1) IS NOT TRUE
 ), updates AS (
   SELECT doc_id, 'redacted' AS lang, source, CAST(-1 AS BIGINT) AS n_chars
   FROM survivors WHERE doc_id % 31 = 5

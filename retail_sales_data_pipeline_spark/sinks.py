@@ -466,6 +466,28 @@ def _shard_agg(chunk: list[dict]) -> dict:
     return out
 
 
+def _bloom_shard_agg(io, path: str, members: list[dict], policy) -> dict | None:
+    """Shard-grain bloom aggregate for a root shard record (round 12):
+    the OR-fold of the members' sidecars, one filter per policy
+    column — ``bloom.aggregate_payloads`` does the folding and the
+    honesty checks (saturation, type drift, unfoldable pre-r12
+    sidecars all drop to None). Cost is one cached sidecar GET per
+    member, paid once per shard record: carried records keep the
+    aggregate (``None`` included — a recorded null means "attempted,
+    not useful", so saturated shards are never re-aggregated every
+    commit). Sound across policy DROP too: the aggregate states facts
+    about immutable member files, but drop_bloom_columns strips it
+    anyway so consultation visibly stops with the policy."""
+    if not policy:
+        return None
+    from . import bloom as B
+
+    return B.aggregate_payloads(
+        [B.load_sidecar(io, path, e["name"]) for e in members],
+        list(policy.get("cols", [])),
+    )
+
+
 def _externalize_entries(
     io,
     path: str,
@@ -494,6 +516,7 @@ def _externalize_entries(
     names across rebase attempts (stale attempts' shards are
     unreferenced dead files vacuumed by TTL). Returns the
     ``files_ext`` record."""
+    bloom_policy = man_prev.get("bloom")
     keep_names = {e["name"] for e in keep_entries}
     carried: list[dict] = list(carried_verbatim)
     verbatim_names = {s["name"] for s in carried_verbatim}
@@ -504,6 +527,17 @@ def _externalize_entries(
         members = _load_shard(path, s["name"])
         names = {e["name"] for e in members}
         if names <= keep_names and len(names) >= _SHARD_SIZE // 2:
+            if bloom_policy and "bloom" not in s:
+                # one-time upgrade per carried record: members are in
+                # hand, sidecars exist by policy induction; a null
+                # result is RECORDED so saturated shards don't pay the
+                # sidecar GETs again at every later commit
+                s = {
+                    **s,
+                    "bloom": _bloom_shard_agg(
+                        io, path, members, bloom_policy
+                    ),
+                }
             if "top" not in s or "bmin" not in s:
                 # stale record (pre-r10: no aggregate at all; early-r10:
                 # stats but no byte floor/sum): backfill from the
@@ -519,8 +553,11 @@ def _externalize_entries(
                 # genuinely lack sizes recompute each carry (still
                 # zero extra I/O — the load happened for the
                 # membership check above).
-                s = {"name": s["name"], "count": s["count"],
-                     **_shard_agg(members)}
+                s = {
+                    "name": s["name"], "count": s["count"],
+                    **({"bloom": s["bloom"]} if "bloom" in s else {}),
+                    **_shard_agg(members),
+                }
             carried.append(s)
             residual -= names
     by_name = {e["name"]: e for e in keep_entries}
@@ -531,7 +568,12 @@ def _externalize_entries(
         rel = f"{gen}/entries-{salt}{i // _SHARD_SIZE:04d}.json"
         io.write_json(os.path.join(path, rel), {"entries": chunk})
         _SHARD_CACHE[(path, rel)] = chunk  # immutable: warm eagerly
-        shards.append({"name": rel, "count": len(chunk), **_shard_agg(chunk)})
+        rec = {"name": rel, "count": len(chunk), **_shard_agg(chunk)}
+        if bloom_policy:
+            # this commit's sidecars are already on disk (built before
+            # externalization), carried members' by policy induction
+            rec["bloom"] = _bloom_shard_agg(io, path, chunk, bloom_policy)
+        shards.append(rec)
     return {"shards": shards}
 
 
@@ -2901,13 +2943,25 @@ def _write_bloom_sidecars(
     cols = list(policy.get("cols", []))
     fpp = float(policy.get("fpp", 0.01))
     io = _io(path)
+
+    def covers(e: dict) -> bool:
+        # backfill skip is keyed on the sidecar's CONTENT, not its
+        # existence (round-12 advice fix): re-applying a policy with a
+        # different column set or fpp must REBUILD, else pre-existing
+        # files are never indexed for the new columns and their point
+        # lookups silently lose all pruning
+        try:
+            raw = io.load_json(B.sidecar_path(path, e["name"]))
+            if float(raw.get("fpp", -1.0)) != fpp:
+                return False
+            return set(cols) <= set(raw.get("cols") or {})
+        except Exception:
+            return False  # missing/corrupt: rebuild
+
     targets = [
         e for e in entries
         if (e.get("cols") is None or any(c in e["cols"] for c in cols))
-        and not (
-            skip_existing
-            and io.exists(B.sidecar_path(path, e["name"]))
-        )
+        and not (skip_existing and covers(e))
     ]
     if not targets:
         return 0
@@ -3059,6 +3113,27 @@ def set_bloom_columns(
         man, path, f"set_bloom_columns({','.join(sorted(cols))})"
     )
     new_man["bloom"] = policy
+    ext = (man.get("files_ext") or {}).get("shards")
+    if ext:
+        # shard-grain aggregates land NOW, in the same commit that set
+        # the policy (round 12): a 1M-file table gets O(touched shards)
+        # point lookups immediately instead of waiting for each shard
+        # to be rewritten. Members are loaded through the shard cache
+        # and the sidecars were just built above — this is the one
+        # O(files) pass the backfill already paid for.
+        io = _io(path)
+        new_man["files_ext"] = {
+            **man["files_ext"],
+            "shards": [
+                {
+                    **{k: v for k, v in s.items() if k != "bloom"},
+                    "bloom": _bloom_shard_agg(
+                        io, path, _load_shard(path, s["name"]), policy
+                    ),
+                }
+                for s in ext
+            ],
+        }
     _commit_manifest(path, new_man, expect_gen=man["gen_no"])
     return n
 
@@ -3066,12 +3141,24 @@ def set_bloom_columns(
 def drop_bloom_columns(path: str) -> None:
     """Remove the bloom policy (metadata-only commit). Existing
     sidecars stop being consulted immediately and are collected by
-    retire/vacuum alongside their data files."""
+    retire/vacuum alongside their data files; shard-grain aggregates
+    are stripped from the root records in the same commit (they would
+    stay TRUE — member files are immutable — but consultation must
+    visibly stop with the policy)."""
     man = _load_manifest(path)
     if man is None or not man.get("bloom"):
         raise ValueError(f"no bloom policy on {path!r}")
     new_man = _roll_metadata_commit(man, path, "drop_bloom_columns")
     del new_man["bloom"]
+    ext = (new_man.get("files_ext") or {}).get("shards")
+    if ext:
+        new_man["files_ext"] = {
+            **new_man["files_ext"],
+            "shards": [
+                {k: v for k, v in s.items() if k != "bloom"}
+                for s in ext
+            ],
+        }
     _commit_manifest(path, new_man, expect_gen=man["gen_no"])
 
 
@@ -3193,6 +3280,7 @@ def _matched_files(
     cand: list[dict],
     predicate: str,
     dv: dict | None = None,
+    bloom_probes=None,
 ) -> tuple[dict[str, int], int]:
     """The shared DML identification scan: per-file matched-row counts
     ``{rel_name: n}`` for files containing a row matching ``predicate``,
@@ -3206,7 +3294,9 @@ def _matched_files(
 
     from .data_skipping import prune_entries  # lazy: avoids module cycle
 
-    scan = prune_entries(cand, predicate, path, man, spark)
+    scan = prune_entries(
+        cand, predicate, path, man, spark, extra_probes=bloom_probes
+    )
     if not scan:
         return {}, 0
     pred = F.coalesce(F.expr(predicate), F.lit(False))
@@ -3258,6 +3348,7 @@ def delete_where(
     retain_versions: int = 0,
     deletion_vectors: bool = False,
     dv_rewrite_threshold: float = 0.5,
+    _bloom_probes=None,
 ) -> int:
     """Row-level DELETE on a parquet table — the takedown/right-to-be-
     forgotten operation an LLM corpus store needs as a first-class
@@ -3310,7 +3401,9 @@ def delete_where(
     # end to end, identification AND commit
     carried: list[dict] = []
     man, entries, loose, stale = _live_state(
-        path, shard_admits=_scan_admits(predicate), carry_out=carried
+        path,
+        shard_admits=_scan_admits(predicate, _bloom_probes),
+        carry_out=carried,
     )
     loose_entries = [(f, _file_entry(path, f)) for f in loose]
     cand = entries + [e for _, e in loose_entries]
@@ -3319,7 +3412,9 @@ def delete_where(
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     dv = (man or {}).get("dv")
     old_dv_n = _dv_map(man)
-    per_file, n_del = _matched_files(spark, man, path, cand, predicate, dv)
+    per_file, n_del = _matched_files(
+        spark, man, path, cand, predicate, dv, bloom_probes=_bloom_probes
+    )
     if not per_file:
         return 0  # no-op: don't burn a generation rewriting anything
     touched_rel = set(per_file)
@@ -3396,6 +3491,10 @@ def delete_where(
 
 
 _DELETE_KEYS_LITERAL_CAP = 1000
+# bulk delete_keys collects up to this many distinct keys for the
+# bloom side-channel probe (~10 MB of md5 strings at the cap); bigger
+# batches delete correctly but unpruned
+_BLOOM_PROBE_KEYS_CAP = 100_000
 
 
 def delete_keys(
@@ -3429,6 +3528,14 @@ def delete_keys(
       the identification scan, while the BETWEEN band (computed with
       one small aggregate over the keys) keeps file- and shard-level
       range pruning parseable, the same banding ``merge_into`` uses.
+      The distinct keys ALSO ride a side channel into the bloom
+      sidecar probe (round 12, up to ``_BLOOM_PROBE_KEYS_CAP``), so
+      the index serves exactly the workload it was built for — a
+      100k-fingerprint takedown against an unsorted hash column the
+      band cannot prune. Size the policy's fpp for the batch: probing
+      V keys admits a non-matching file with probability
+      1-(1-fpp)^V, so bulk-takedown tables want fpp << 1/V (e.g.
+      1e-6 for 100k-key batches).
 
     Only int/string key values are accepted, and one call's keys must
     all share one type (the same canonical-form rule as the bloom
@@ -3450,12 +3557,13 @@ def delete_keys(
             return str(v)
         return "'" + v.replace("'", "''") + "'"
 
-    def _delete(pred: str) -> int:
+    def _delete(pred: str, probes=None) -> int:
         return delete_where(
             spark, path, pred,
             retain_versions=retain_versions,
             deletion_vectors=deletion_vectors,
             dv_rewrite_threshold=dv_rewrite_threshold,
+            _bloom_probes=probes,
         )
 
     def _bulk(kdf: DataFrame) -> int:
@@ -3470,10 +3578,23 @@ def delete_keys(
             ).first()
             if agg["lo"] is None:
                 return 0  # all-NULL keys frame
+            # the bloom index must serve EXACTLY this workload — a
+            # 100k-fingerprint takedown against an unsorted column,
+            # where the BETWEEN band spans the hash space and range
+            # pruning is useless (round-12 fix: the IN-subquery is
+            # invisible to the pruning grammar, so the distinct keys
+            # ride a side channel into the same sidecar probe the
+            # literal regime gets). Batches past the cap skip the
+            # probe: identification stays correct, just unpruned.
+            probes = None
+            head = kdf.limit(_BLOOM_PROBE_KEYS_CAP + 1).collect()
+            if len(head) <= _BLOOM_PROBE_KEYS_CAP:
+                probes = [(col, [r[0] for r in head])]
             return _delete(
                 f"{col} BETWEEN {_lit(agg['lo'])} AND "
                 f"{_lit(agg['hi'])} AND {col} IN "
-                f"(SELECT {col} FROM {view})"
+                f"(SELECT {col} FROM {view})",
+                probes,
             )
         finally:
             spark.catalog.dropTempView(view)

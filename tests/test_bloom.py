@@ -340,24 +340,35 @@ def test_distributed_probe_past_cap(spark, tmp_path, monkeypatch):
 
 def test_distributed_probe_matches_driver_probe(spark, tmp_path, monkeypatch):
     """Same verdict kernel, same answers: for a set of probes the
-    distributed rejects equal the driver-side rejects exactly."""
+    distributed ADMITTED set equals the driver-side one exactly
+    (round 12: the kernel collects admitted names — O(selectivity) on
+    the driver — with payload_rejects still the shared verdict)."""
     path = _fp_table(spark, tmp_path, n=4000, files=4, name="equiv")
     S.set_bloom_columns(spark, path, ["fp", "id"])
     man = S._load_manifest(path)
     entries = S._version_files(man, path)
     io = S._io(path)
+    names = [e["name"] for e in entries]
     for probes in (
         [("fp", [_md5("77")])],
         [("id", [123, 9999])],
         [("fp", ["absent"]), ("id", [5])],
     ):
         B._SIDE_CACHE.clear()
-        driver_rej = {
-            os.path.basename(e["name"]) for e in entries
-            if not B.entry_admits(io, path, e, probes)
+        driver_adm = {
+            e["name"] for e in entries
+            if B.entry_admits(io, path, e, probes)
         }
-        dist_rej = B.distributed_rejects(spark, path, probes)
-        assert dist_rej == driver_rej, probes
+        dist_adm = B.distributed_admits(spark, path, probes, names)
+        assert dist_adm == driver_adm, probes
+    # a candidate with NO sidecar must survive the anti-join (admit-
+    # on-missing without the driver learning which sidecars exist)
+    io.remove_file(B.sidecar_path(path, names[0]))
+    B._SIDE_CACHE.clear()
+    dist_adm = B.distributed_admits(
+        spark, path, [("fp", ["absent"])], names
+    )
+    assert names[0] in dist_adm and len(dist_adm) == 1
 
 
 def test_bloom_on_sharded_table(spark, tmp_path, monkeypatch):
@@ -561,5 +572,293 @@ def test_delete_keys_on_evolved_sharded_bloomed_table(
     monkeypatch.setattr(S, "_DELETE_KEYS_LITERAL_CAP", 5)
     assert S.delete_keys(spark, path, list(range(200, 221)), "id") == 21
     assert S.read_table(spark, path).count() == 8000 - 3 - 21
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+# ---------------------------------------------------------------------------
+# round 12: bulk key-batch probing, shard-grain aggregates, backfill
+# adequacy — the three verdict/advice items on the r11 index
+# ---------------------------------------------------------------------------
+
+
+def test_bulk_delete_keys_probes_bloom(spark, tmp_path):
+    """The >1000-key regime gets the SAME index the literal regime
+    does (r11 verdict missing #2): the distinct keys ride a side
+    channel into the sidecar probe, so a bulk takedown against an
+    unsorted fingerprint column identifies at most what the literal
+    IN would — not the full band scan."""
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        prune_entries,
+    )
+
+    path = _fp_table(spark, tmp_path, n=20_000, files=16, name="bulkp")
+    # fpp sized to the batch: probing V keys admits a non-matching
+    # file with probability 1-(1-fpp)^V, so a table built for bulk
+    # takedowns needs fpp << 1/V — 1e-5 here for ~2.5k-key batches
+    # (~26 bits/row instead of ~10; the sizing rule is documented in
+    # delete_keys and SCALE.md)
+    S.set_bloom_columns(spark, path, ["fp"], fpp=1e-5)
+    man = S._load_manifest(path)
+    entries = S._version_files(man, path)
+
+    # keys = every fingerprint in TWO of the sixteen files (>1000 keys
+    # -> bulk regime; the md5 band spans the whole hash space)
+    df = S.read_table(spark, path).select(
+        "fp", F.input_file_name().alias("f")
+    )
+    two = [r.f for r in df.select("f").distinct().limit(2).collect()]
+    keys = [r.fp for r in df.where(F.col("f").isin(two)).collect()]
+    assert len(keys) > S._DELETE_KEYS_LITERAL_CAP
+
+    lo, hi = min(keys), max(keys)
+    band = f"fp BETWEEN '{lo}' AND '{hi}'"
+    B._SIDE_CACHE.clear()
+    # band alone: the hash space admits ~everything
+    assert len(prune_entries(entries, band, path, man, spark)) >= 14
+    # band + key batch: only the two source files (+fpp slack) survive
+    pruned = prune_entries(
+        entries, band, path, man, spark, extra_probes=[("fp", keys)]
+    )
+    assert len(pruned) <= 6  # two source files + fpp slack
+    # and never more than the literal-IN pruning on the same key set
+    lits = ", ".join(f"'{k}'" for k in keys)
+    lit_pruned = prune_entries(
+        entries, f"fp IN ({lits})", path, man, spark
+    )
+    assert len(pruned) <= max(len(lit_pruned), 2)
+
+    # an all-absent bulk batch disproves ~every file (deterministic
+    # data + hash, so the fpp slack here is a fixed small number)
+    absent = [f"absent-{i}" for i in range(1500)]
+    assert len(prune_entries(
+        entries, "fp BETWEEN 'absent-' AND 'absent-z'",
+        path, man, spark, extra_probes=[("fp", absent)],
+    )) <= 2
+
+    # end to end: the bulk delete removes exactly the two files' rows
+    assert S.delete_keys(spark, path, keys, "fp") == len(keys)
+    assert S.read_table(spark, path).count() == 20_000 - len(keys)
+    assert S.delete_keys(spark, path, absent, "fp") == 0
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_shard_bloom_aggregate_point_lookup(spark, tmp_path, monkeypatch):
+    """Shard records carry an OR-fold of their members' sidecars
+    (r11 verdict missing #3): a point lookup on a clustered-but-
+    unordered column skips whole SHARDS before any entry shard is
+    read — O(touched shards), the `_shard_agg` pattern applied to the
+    bloom index."""
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        shards_loaded,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "shagg")
+    # bucket = md5(id // 1000), clustered by the id sort — PLUS two
+    # sentinel values in every file pinning each [min, max] span to
+    # the whole hash space, so range stats provably cannot prune and
+    # any shard skip below is the bloom aggregate's doing
+    df = (
+        spark.range(8000)
+        .withColumn(
+            "bucket",
+            F.when(F.col("id") % 1000 == 0, F.lit("0" * 32))
+            .when(F.col("id") % 1000 == 1, F.lit("f" * 32))
+            .otherwise(
+                F.md5((F.col("id") / 1000).cast("long").cast("string"))
+            ),
+        )
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.write_parquet(df.repartition(8), path)
+    S.convert_to_manifest(spark, path)
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, path, ["bucket"])
+
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    assert any(s.get("bloom") for s in shards), "no aggregate recorded"
+    target = _md5("3")  # bucket of ids 3000-3999
+    B._SIDE_CACHE.clear()
+    loaded, total = shards_loaded(path, f"bucket = '{target}'")
+    assert total >= 4 and loaded < total, (loaded, total)
+    got = scan_table(spark, path, f"bucket = '{target}'")
+    assert got.count() == 998  # 1000 minus the two sentinel rows
+    # absent bucket: zero shards loaded, empty result, schema intact
+    loaded0, _ = shards_loaded(path, "bucket = 'nope'")
+    assert loaded0 == 0
+    assert scan_table(spark, path, "bucket = 'nope'").count() == 0
+    # selective DML rides the same shard skip
+    assert S.delete_where(spark, path, f"bucket = '{target}'") == 998
+    assert S.read_table(spark, path).count() == 8000 - 998
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_shard_bloom_aggregate_soundness():
+    """Admit-on-missing extended to the aggregate: records without
+    one (pre-r12, saturated-and-recorded-null, policy-less) admit;
+    malformed aggregates admit; only a well-formed aggregate that
+    DISPROVES every probed value rejects."""
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        pruning_atoms,
+        shard_admits,
+    )
+
+    m, k = B.params(100, 0.01)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, ["present"])
+    import base64
+
+    agg = {"cols": {"c": {
+        "type": "str", "k": k,
+        "bits": base64.b64encode(bytes(bits)).decode(),
+    }}}
+    base = {"rows": 10, "stats": {}, "nulls": {}}
+    atoms = pruning_atoms("c = 'absent'")
+    admits = shard_admits(atoms)
+    assert admits({**base})                      # no aggregate
+    assert admits({**base, "bloom": None})       # recorded null
+    assert admits({**base, "bloom": {"cols": "garbage"}})  # malformed
+    assert not admits({**base, "bloom": agg})    # disproven
+    hit = shard_admits(pruning_atoms("c = 'present'"))
+    assert hit({**base, "bloom": agg})           # present admits
+    # extra_probes (the bulk key batch) probe the aggregate too,
+    # but only within the bounded value budget
+    assert not shard_admits([], [("c", ["absent"])])(
+        {**base, "bloom": agg}
+    )
+    big = [f"v{i}" for i in range(5000)]
+    assert shard_admits([], [("c", big)])({**base, "bloom": agg})
+
+
+def test_set_bloom_columns_rebuilds_on_policy_change(spark, tmp_path):
+    """Advice fix (medium): backfill keyed on sidecar CONTENT. A
+    re-applied policy with new columns or a different fpp rebuilds
+    pre-existing sidecars; an identical policy still skips them."""
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="repol")
+    assert S.set_bloom_columns(spark, path, ["fp"]) == 4
+    S.drop_bloom_columns(path)
+    # wider column set: every file re-indexes, id lookups now prune
+    assert S.set_bloom_columns(spark, path, ["fp", "id"]) == 4
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, "id = 777") <= 2
+    assert scan_table(spark, path, "id = 777").count() == 1
+    # different fpp: rebuild again
+    S.drop_bloom_columns(path)
+    assert S.set_bloom_columns(spark, path, ["fp", "id"], fpp=0.001) == 4
+    # identical policy: adequate sidecars are skipped (0 rebuilt)
+    S.drop_bloom_columns(path)
+    assert S.set_bloom_columns(spark, path, ["fp", "id"], fpp=0.001) == 0
+    B._SIDE_CACHE.clear()
+    assert files_scanned(path, "id = 777") <= 2
+
+
+def test_drop_policy_strips_shard_aggregates(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "dropagg")
+    # same sentinel trick as the point-lookup test: range stats span,
+    # so pruning before the drop is the aggregate's and must VANISH
+    # with the policy
+    df = (
+        spark.range(4000)
+        .withColumn(
+            "bucket",
+            F.when(F.col("id") % 500 == 0, F.lit("0" * 32))
+            .when(F.col("id") % 500 == 1, F.lit("f" * 32))
+            .otherwise(
+                F.md5((F.col("id") / 500).cast("long").cast("string"))
+            ),
+        )
+    )
+    S.write_parquet(df.repartition(8), path)
+    S.convert_to_manifest(spark, path)
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, path, ["bucket"])
+    man = S._load_manifest(path)
+    assert any(s.get("bloom") for s in man["files_ext"]["shards"])
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        shards_loaded,
+    )
+
+    probe = f"bucket = '{_md5('3')}'"
+    loaded, total = shards_loaded(path, probe)
+    assert loaded < total  # the aggregate prunes while the policy holds
+    S.drop_bloom_columns(path)
+    man = S._load_manifest(path)
+    assert all("bloom" not in s for s in man["files_ext"]["shards"])
+    # consultation stopped: the lookup loads every shard again
+    loaded, total = shards_loaded(path, probe)
+    assert loaded == total
+
+
+def test_prefetch_sidecars_fills_cache(spark, tmp_path):
+    path = _fp_table(spark, tmp_path, n=2000, files=4, name="pref")
+    S.set_bloom_columns(spark, path, ["fp"])
+    man = S._load_manifest(path)
+    names = [e["name"] for e in S._version_files(man, path)]
+    B._SIDE_CACHE.clear()
+    B.prefetch_sidecars(S._io(path), path, names)
+    for n in names:
+        assert B.sidecar_path(path, n) in B._SIDE_CACHE
+    # the probe after a prefetch answers identically to cold loads
+    io = S._io(path)
+    probes = [("fp", [_md5("55")])]
+    warm = {n for n in names if B.entry_admits(io, path, {"name": n}, probes)}
+    B._SIDE_CACHE.clear()
+    cold = {n for n in names if B.entry_admits(io, path, {"name": n}, probes)}
+    assert warm == cold
+
+
+def test_dv_takedown_bloom_probe(spark, tmp_path):
+    """The files_scanned-style pin for the STRENGTHENED
+    dv_takedown_counts driver query (round 12): on its exact table
+    shape — doc_id-sorted compaction, bloom policy on doc_id + lang,
+    DV takedowns through delete_keys — the identification provably
+    engages the bloom index. Sparse doc_ids make within-range absent
+    keys possible, so a zero-file identification here is the BLOOM's
+    verdict, not the [min, max] span's."""
+    path = str(tmp_path / "dvshape")
+    docs = spark.range(2000).select(
+        (F.col("id") * 7 + 1).alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es")]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src-"), (F.col("id") % 5)).alias("source"),
+        (F.col("id") % 997).alias("n_chars"),
+    )
+    docs.write.parquet(path)
+    S.compact_parquet(spark, path, target_files=4, sort_col="doc_id")
+    S.set_bloom_columns(spark, path, ["doc_id", "lang"])
+
+    B._SIDE_CACHE.clear()
+    # absent lang: the index proves no file can match -> zero files,
+    # and the takedown itself is a zero-Spark-job no-op
+    assert files_scanned(path, "lang IN ('zz')") == 0
+    assert S.delete_keys(
+        spark, path, ["zz"], "lang", deletion_vectors=True
+    ) == 0
+    # absent-but-in-range doc_ids (not ===1 mod 7): ranges admit, the
+    # bloom rejects
+    assert files_scanned(path, "doc_id IN (9, 16, 4000)") == 0
+    assert S.delete_keys(spark, path, [9, 16, 4000], "doc_id") == 0
+    # present keys identify a bounded file set and delete for real
+    assert files_scanned(path, "doc_id IN (8, 7001)") <= 2
+    assert S.delete_keys(
+        spark, path, [8, 7001], "doc_id", deletion_vectors=True
+    ) == 2
+    # the keys-FRAME shape the driver query uses (doc_id % 3 = 1)
+    keys = docs.where("doc_id % 3 = 1").select("doc_id")
+    n_keys = keys.count()
+    assert S.delete_keys(
+        spark, path, keys, "doc_id", deletion_vectors=True
+    ) == n_keys  # disjoint from the point deletes (8, 7001 === 2 mod 3)
+    left = S.read_table(spark, path)
+    assert left.where("doc_id % 3 = 1").count() == 0
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]

@@ -250,3 +250,50 @@ def test_release_order_reentrant_last_unlinks(tmp_path):
     c.release("/t", "held")
     # over-release is a no-op, never negative depth / foreign unlink
     c.release("/t", "held")
+
+
+def test_ttl_break_spares_freshened_lock(tmp_path, monkeypatch):
+    """Round-12 advice fix: the TTL break is rename-then-verify, not
+    a bare stat-then-unlink. If the lock looks stale at the first
+    stat but is FRESH by the time the breaker grabs it (the stale
+    holder released and a new process acquired in between), the
+    breaker must RESTORE it instead of deleting a live lock."""
+    import retail_sales_data_pipeline_spark.coordinator as C
+
+    c = AdvisoryFileLockCoordinator(
+        str(tmp_path / "locks"), ttl_seconds=60,
+        poll_seconds=0.01, wait_seconds=0.15,
+    )
+    lp = c._lock_path("/t")
+    with open(lp, "w") as fh:
+        fh.write("peer:now")  # fresh on disk (mtime = now)
+
+    real_getmtime = os.path.getmtime
+
+    def lying_stat(p):
+        # the LOCK path reads stale (simulating the re-acquire race:
+        # by the time we act, the file at lp is a new holder's);
+        # the renamed tombstone is statted truthfully and is fresh
+        if p == lp:
+            return time.time() - 3600
+        return real_getmtime(p)
+
+    monkeypatch.setattr(C.os.path, "getmtime", lying_stat)
+    assert c.acquire("/t") is None  # never stole the fresh lock
+    monkeypatch.setattr(C.os.path, "getmtime", real_getmtime)
+    assert os.path.exists(lp), "fresh holder's lock must be restored"
+    # no tombstone litter for the restored case
+    leftovers = [
+        f for f in os.listdir(str(tmp_path / "locks")) if ".break-" in f
+    ]
+    assert leftovers == []
+    # and a genuinely stale lock still breaks cleanly (tombstone
+    # removed, lock acquired)
+    old = time.time() - 3600
+    os.utime(lp, (old, old))
+    assert c.acquire("/t") == "held"
+    c.release("/t", "held")
+    leftovers = [
+        f for f in os.listdir(str(tmp_path / "locks")) if ".break-" in f
+    ]
+    assert leftovers == []

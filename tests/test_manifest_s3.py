@@ -594,6 +594,30 @@ def test_concurrent_pair_fuzz_on_s3_sharded(s3env, spark, monkeypatch):
     )
 
 
+def test_concurrent_pair_fuzz_on_s3_coordinated(s3env, spark, tmp_path):
+    """Round-12 (r11 verdict #8): the s3 pair fuzz once more UNDER an
+    advisory commit coordinator — the WriteSerializable guarantee must
+    be exactly as strong with the fairness layer installed (the
+    coordinator can reorder who commits first, never what a commit
+    may produce), and the durable ETag-CAS fence stays the one
+    correctness boundary."""
+    from retail_sales_data_pipeline_spark.coordinator import (
+        AdvisoryFileLockCoordinator,
+        set_commit_coordinator,
+    )
+    from tests.test_maintenance import run_concurrent_pair_fuzz
+
+    set_commit_coordinator(
+        AdvisoryFileLockCoordinator(str(tmp_path / "locks"))
+    )
+    try:
+        run_concurrent_pair_fuzz(
+            spark, "s3://lake/tables/pairfuzz-coord", 424242, rounds=4
+        )
+    finally:
+        set_commit_coordinator(None)
+
+
 def test_transient_5xx_retried_4xx_fail_fast(s3env, spark, monkeypatch):
     """The adapter absorbs throttling the way a production S3 client
     must: 503 SlowDown responses are retried with backoff (each attempt
@@ -904,17 +928,21 @@ def test_bloom_distributed_probe_over_s3(s3env, spark, monkeypatch):
     got = scan_table(spark, uri, f"fp = '{target}'")
     assert [r.id for r in got.collect()] == [2048]
     assert len(got.inputFiles()) < 4  # the probe job pruned
-    # reject-set equivalence against the driver kernel, over s3
+    # admitted-set equivalence against the driver kernel, over s3
+    # (round 12: the distributed probe collects the ADMITTED names —
+    # O(selectivity) on the driver — and matches by table-relative
+    # name through the spark_path mapping)
     man = S._load_manifest(uri)
     entries = S._version_files(man, uri)
     io = S._io(uri)
     probes = [("fp", [target])]
     B._SIDE_CACHE.clear()
-    driver_rej = {
-        os.path.basename(e["name"]) for e in entries
-        if not B.entry_admits(io, uri, e, probes)
+    names = [e["name"] for e in entries]
+    driver_adm = {
+        e["name"] for e in entries
+        if B.entry_admits(io, uri, e, probes)
     }
-    assert B.distributed_rejects(spark, uri, probes) == driver_rej
+    assert B.distributed_admits(spark, uri, probes, names) == driver_adm
 
 
 def test_sharded_selective_dml_request_budget(s3env, spark, monkeypatch):
