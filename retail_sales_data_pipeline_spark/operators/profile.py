@@ -208,6 +208,15 @@ def advise(
       the most range-selective column lands LAST — the position whose
       curve bounding boxes are tightest (measured,
       tools/layout_headroom.py).
+    * ``bloom`` (round 12) — candidate columns for
+      ``sinks.set_bloom_columns``: identifier-shaped columns (int or
+      string type class — the only ones the index hashes soundly —
+      with distinct count ≥ half the non-null rows), i.e. the
+      point-lookup shape where [min, max] stats cannot prune unless
+      the table happens to be sorted by that column. Ordered by
+      descending distinct ratio. fpp is the caller's call: 0.01 for
+      single-key lookups, ``<< 1/batch`` for bulk takedown lists
+      (see ``bloom.py``).
 
     Driver-side arithmetic over the (n_cols)-row profile — no jobs.
     """
@@ -246,6 +255,23 @@ def advise(
         key=lambda c: (rows[c]["approx_distinct"], c),
     )
 
+    bloomable = ("tinyint", "smallint", "int", "bigint", "string")
+    bloom = sorted(
+        (
+            c
+            for c, r in rows.items()
+            if r["dtype"] in bloomable
+            and r["approx_distinct"]
+            and (n - r["n_nulls"]) > 0
+            and r["approx_distinct"] >= 0.5 * (n - r["n_nulls"])
+            and r["approx_distinct"] > 1
+        ),
+        key=lambda c: (
+            -rows[c]["approx_distinct"] / max(1, n - rows[c]["n_nulls"]),
+            c,
+        ),
+    )
+
     return {
         "n_rows": n,
         "est_bytes": est_bytes,
@@ -253,4 +279,5 @@ def advise(
         "salt": salt,
         "dominance": dominance,
         "zorder": zorder,
+        "bloom": bloom,
     }

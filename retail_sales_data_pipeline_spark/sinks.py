@@ -1060,6 +1060,80 @@ def verify_table(path: str, deep: bool = False) -> dict:
         }
 
 
+def _verify_shard_bloom(
+    io, path: str, sname: str, agg: dict, members: list[dict]
+) -> list[str]:
+    """Deep-FSCK leg for one shard's bloom aggregate: re-fold the
+    member sidecars and prove the recorded filter COVERS them — for
+    every column, the recorded bits must be a superset of the
+    re-folded member bits, the recorded k must not exceed any
+    member's k, the type class must agree, and every member must
+    actually carry a sidecar record for the column (an aggregate over
+    a sidecar-less member over-claims: that member's values are
+    unknown and could be rejected). Any violation is a condition
+    under which shard skipping could drop matching rows."""
+    import base64 as _b64
+
+    from . import bloom as B
+
+    msgs: list[str] = []
+    for cname, rec in (agg.get("cols") or {}).items():
+        try:
+            bits = rec["bits"]
+            rec_bits = _b64.b64decode(bits) if isinstance(bits, str) else bytes(bits)
+            rec_k = int(rec["k"])
+            rec_t = rec["type"]
+        except Exception:
+            msgs.append(
+                f"shard {sname} bloom[{cname}]: malformed record"
+            )
+            continue
+        acc = 0
+        for e in members:
+            side = B.load_sidecar(io, path, e["name"])
+            mrec = (side or {}).get("cols", {}).get(cname)
+            if mrec is None:
+                msgs.append(
+                    f"shard {sname} bloom[{cname}]: member "
+                    f"{e['name']} has no sidecar record — the "
+                    "aggregate over-claims coverage"
+                )
+                break
+            if mrec.get("type") != rec_t:
+                msgs.append(
+                    f"shard {sname} bloom[{cname}]: member type "
+                    f"{mrec.get('type')!r} != aggregate {rec_t!r}"
+                )
+                break
+            mbits = mrec["bits"]
+            if isinstance(mbits, str):
+                mbits = _b64.b64decode(mbits)
+            if len(mbits) % max(len(rec_bits), 1):
+                msgs.append(
+                    f"shard {sname} bloom[{cname}]: member filter "
+                    f"({len(mbits)} B) not foldable to the aggregate "
+                    f"({len(rec_bits)} B)"
+                )
+                break
+            if int(mrec.get("k", 0)) < rec_k:
+                msgs.append(
+                    f"shard {sname} bloom[{cname}]: aggregate probes "
+                    f"k={rec_k} but member {e['name']} inserted only "
+                    f"k={mrec.get('k')}"
+                )
+                break
+            acc |= int.from_bytes(
+                B.fold_bits(mbits, len(rec_bits)), "big"
+            )
+        else:
+            if acc & ~int.from_bytes(rec_bits, "big"):
+                msgs.append(
+                    f"shard {sname} bloom[{cname}]: recorded bits "
+                    "miss member bits — unsound rejects possible"
+                )
+    return msgs
+
+
 def _verify_table_sweep(path: str, deep: bool) -> dict:
     io = _io(path)
     errors: list[str] = []
@@ -1073,6 +1147,15 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
     # (truncated shard JSON, partial write) this sweep exists to find
     for k in [k for k in _SHARD_CACHE if k[0] == path]:
         _SHARD_CACHE.pop(k, None)
+    if deep:
+        # same rule for the bloom sidecar cache: the aggregate
+        # coverage check must read the sidecars on DISK
+        from . import bloom as B
+
+        for k in [
+            k for k in B._SIDE_CACHE if k.startswith(path + os.sep)
+        ]:
+            B._SIDE_CACHE.pop(k, None)
     versions = [man] + list(man.get("history", []))
     sup = set(man.get("superseded", []))
     # an FSCK must never crash on the corruption it exists to detect,
@@ -1173,6 +1256,23 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                             f"union (record {sorted(s['cols'])}, "
                             f"members {sorted(union)})"
                         )
+                if deep and isinstance(s.get("bloom"), dict) and first:
+                    # soundness-critical (round 12): a shard bloom
+                    # aggregate that MISSES bits a member filter set
+                    # (or probes more positions than a member
+                    # inserted) can unsoundly reject a present value
+                    # and skip a whole shard of matching rows —
+                    # re-fold the member sidecars and require the
+                    # recorded aggregate to cover them. Once per
+                    # distinct shard object (the aggregate states
+                    # facts about immutable members, identical under
+                    # every version that references it).
+                    errors.extend(
+                        f"{tag}: {msg}"
+                        for msg in _verify_shard_bloom(
+                            io, path, sname, s["bloom"], members
+                        )
+                    )
         else:
             if ext is not None:
                 errors.append(f"{tag}: malformed files_ext record")
@@ -3543,20 +3643,6 @@ def delete_keys(
     predicate explicitly if you really mean it). A bare string is one
     key, not a character sequence. Returns the number of rows
     deleted."""
-    import uuid
-
-    from pyspark.sql import functions as F
-
-    def _lit(v) -> str:
-        if isinstance(v, bool) or not isinstance(v, (int, str)):
-            raise ValueError(
-                f"delete_keys accepts int/str keys, got {type(v).__name__}"
-                " — use delete_where with an explicit predicate"
-            )
-        if isinstance(v, int):
-            return str(v)
-        return "'" + v.replace("'", "''") + "'"
-
     def _delete(pred: str, probes=None) -> int:
         return delete_where(
             spark, path, pred,
@@ -3566,18 +3652,84 @@ def delete_keys(
             _bloom_probes=probes,
         )
 
-    def _bulk(kdf: DataFrame) -> int:
+    return _keyed_batch_op(spark, path, keys, col, "delete_keys", _delete)
+
+
+def update_keys(
+    spark: SparkSession,
+    path: str,
+    keys,
+    col: str,
+    assignments: dict[str, str],
+    retain_versions: int = 0,
+    deletion_vectors: bool = False,
+    dv_rewrite_threshold: float = 0.5,
+) -> int:
+    """Bulk keyed UPDATE — the relabel-LIST shape (`mark these 100k
+    document fingerprints quarantined`) as a first-class API,
+    completing the key-batch triad (:func:`delete_keys`, the keyed
+    :func:`merge_into`, and this). ``keys``/``col`` select rows
+    exactly like :func:`delete_keys` (same two regimes, same
+    literal/bulk cap, same bloom key-batch probe, one shared
+    machinery — :func:`_keyed_batch_op`); ``assignments`` apply with
+    exactly :func:`update_where`'s semantics, CDC feed, row-count
+    validation, and deletion-vector option. Unlike MERGE this never
+    inserts: an absent key simply matches nothing — the right
+    semantics for policy relabels where inventing rows would be a
+    bug. Returns the number of rows updated."""
+    def _update(pred: str, probes=None) -> int:
+        return update_where(
+            spark, path, assignments, pred,
+            retain_versions=retain_versions,
+            deletion_vectors=deletion_vectors,
+            dv_rewrite_threshold=dv_rewrite_threshold,
+            _bloom_probes=probes,
+        )
+
+    return _keyed_batch_op(spark, path, keys, col, "update_keys", _update)
+
+
+def _keyed_batch_op(
+    spark: SparkSession, path: str, keys, col: str, api: str, run
+) -> int:
+    """The shared key-batch regime machinery behind :func:`delete_keys`
+    and :func:`update_keys`: validate/canonicalize the keys, choose the
+    literal or bulk regime, and call ``run(predicate, bloom_probes)``
+    — so every keyed DML shares one regime-selection surface exactly
+    as every DML shares delete_where/update_where's identification."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    def _lit(v) -> str:
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise ValueError(
+                f"{api} accepts int/str keys, got {type(v).__name__}"
+                " — use the predicate API with an explicit predicate"
+            )
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    def _bulk(kdf: DataFrame, key_vals=None) -> int:
         # band + IN-subquery over a temp view: the BETWEEN conjunct
         # keeps range pruning parseable, Catalyst plans the subquery
-        # as a (broadcast) semi join for the identification scan
-        view = f"_delete_keys_{uuid.uuid4().hex[:12]}"
+        # as a (broadcast) semi join for the identification scan.
+        # When the keys arrived as a PYTHON LIST, the band and the
+        # probe batch are computed driver-side — two fewer Spark jobs
+        # than deriving them back out of the frame (round 12).
+        view = f"_keyed_op_{uuid.uuid4().hex[:12]}"
         kdf.createOrReplaceTempView(view)
         try:
-            agg = kdf.agg(
-                F.min(col).alias("lo"), F.max(col).alias("hi")
-            ).first()
-            if agg["lo"] is None:
-                return 0  # all-NULL keys frame
+            if key_vals is not None:
+                lo, hi = min(key_vals), max(key_vals)
+            else:
+                agg = kdf.agg(
+                    F.min(col).alias("lo"), F.max(col).alias("hi")
+                ).first()
+                lo, hi = agg["lo"], agg["hi"]
+                if lo is None:
+                    return 0  # all-NULL keys frame
             # the bloom index must serve EXACTLY this workload — a
             # 100k-fingerprint takedown against an unsorted column,
             # where the BETWEEN band spans the hash space and range
@@ -3587,13 +3739,15 @@ def delete_keys(
             # literal regime gets). Batches past the cap skip the
             # probe: identification stays correct, just unpruned.
             probes = None
-            head = kdf.limit(_BLOOM_PROBE_KEYS_CAP + 1).collect()
-            if len(head) <= _BLOOM_PROBE_KEYS_CAP:
-                probes = [(col, [r[0] for r in head])]
-            return _delete(
-                f"{col} BETWEEN {_lit(agg['lo'])} AND "
-                f"{_lit(agg['hi'])} AND {col} IN "
-                f"(SELECT {col} FROM {view})",
+            if key_vals is None:
+                head = kdf.limit(_BLOOM_PROBE_KEYS_CAP + 1).collect()
+                if len(head) <= _BLOOM_PROBE_KEYS_CAP:
+                    key_vals = [r[0] for r in head]
+            if key_vals is not None and len(key_vals) <= _BLOOM_PROBE_KEYS_CAP:
+                probes = [(col, list(key_vals))]
+            return run(
+                f"{col} BETWEEN {_lit(lo)} AND {_lit(hi)} AND "
+                f"{col} IN (SELECT {col} FROM {view})",
                 probes,
             )
         finally:
@@ -3625,7 +3779,7 @@ def delete_keys(
             keys = [keys]  # one key, not a character sequence
         if isinstance(keys, (bytes, bytearray)):
             raise ValueError(
-                "delete_keys accepts int/str keys, got bytes"
+                f"{api} accepts int/str keys, got bytes"
             )
         vals = [v for v in keys if v is not None]
     vals = sorted(set(vals), key=_lit)
@@ -3634,18 +3788,20 @@ def delete_keys(
     classes = {("int" if isinstance(v, int) else "str") for v in vals}
     if len(classes) > 1:
         raise ValueError(
-            "delete_keys needs one key type per call, got mixed "
+            f"{api} needs one key type per call, got mixed "
             "int and str values"
         )
     if len(vals) > _DELETE_KEYS_LITERAL_CAP:
         # a big PYTHON list routes to the same bulk regime a big
         # frame does — an unbounded IN literal would cost a multi-MB
         # expression parse plus O(keys x candidate files) driver-side
-        # pruning work
+        # pruning work. The list is already distinct and in hand, so
+        # the band and probe batch skip their Spark jobs.
         return _bulk(
-            spark.createDataFrame([(v,) for v in vals], [col])
+            spark.createDataFrame([(v,) for v in vals], [col]),
+            key_vals=vals,
         )
-    return _delete(f"{col} IN ({', '.join(_lit(v) for v in vals)})")
+    return run(f"{col} IN ({', '.join(_lit(v) for v in vals)})", None)
 
 
 def update_where(
@@ -3656,6 +3812,7 @@ def update_where(
     retain_versions: int = 0,
     deletion_vectors: bool = False,
     dv_rewrite_threshold: float = 0.5,
+    _bloom_probes=None,
 ) -> int:
     """Row-level UPDATE on a manifest table — ``UPDATE t SET col =
     expr, ... WHERE predicate`` — completing the DML quad (layout,
@@ -3687,7 +3844,9 @@ def update_where(
     # rejected index shards carry verbatim, never loaded
     carried: list[dict] = []
     man, entries, loose, stale = _live_state(
-        path, shard_admits=_scan_admits(predicate), carry_out=carried
+        path,
+        shard_admits=_scan_admits(predicate, _bloom_probes),
+        carry_out=carried,
     )
     loose_entries = [(f, _file_entry(path, f)) for f in loose]
     cand = entries + [e for _, e in loose_entries]
@@ -3705,7 +3864,9 @@ def update_where(
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     dv = (man or {}).get("dv")
     old_dv_n = _dv_map(man)
-    per_file, n_upd = _matched_files(spark, man, path, cand, predicate, dv)
+    per_file, n_upd = _matched_files(
+        spark, man, path, cand, predicate, dv, bloom_probes=_bloom_probes
+    )
     touched_rel = set(per_file)
     if not touched_rel:
         return 0
@@ -4520,6 +4681,24 @@ def merge_into(
             if pre["n_matchable"] > 0
             else []
         )
+        if scan and keys_sorted:
+            # keyed upsert on a bloom-policied table (round 12): the
+            # broadcast patch's exact key set probes the sidecars the
+            # same way delete_keys' batches do, so a fingerprint-keyed
+            # merge against an UNSORTED key column identifies only the
+            # files that can hold a patch key instead of scanning the
+            # table ([min, max] spans the hash space there). Sound for
+            # multi-column keys too: a file disproven for k0 cannot
+            # hold a full-key match, and a rejected file cannot turn
+            # an insert into an update. Shard grain already engaged —
+            # the selective resolve's ("in", k0, keys) atom probes the
+            # root aggregates through shard_admits.
+            from .data_skipping import prune_entries as _prune
+
+            scan = _prune(
+                scan, "", path, man, spark,
+                extra_probes=[(k0, keys_sorted)],
+            )
         per_file: dict[str, int] = {}
         matched_rows = matched_keys = 0
         if scan:

@@ -862,3 +862,152 @@ def test_dv_takedown_bloom_probe(spark, tmp_path):
     assert left.where("doc_id % 3 = 1").count() == 0
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]
+
+
+def test_deep_fsck_validates_shard_aggregates(spark, tmp_path, monkeypatch):
+    """Round-12 FSCK leg: a shard bloom aggregate that lost member
+    bits (corruption, a bad rewrite) could unsoundly skip a whole
+    shard of matching rows — verify_table(deep=True) re-folds the
+    member sidecars and reports it; the healthy table sweeps clean."""
+    import base64
+    import json as _json
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "fsckagg")
+    df = (
+        spark.range(4000)
+        .withColumn(
+            "bucket",
+            F.md5((F.col("id") / 500).cast("long").cast("string")),
+        )
+    )
+    S.write_parquet(df.repartition(8), path)
+    S.convert_to_manifest(spark, path)
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, path, ["bucket"])
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+    # corrupt: zero out one shard's aggregate bits (claims "no values
+    # anywhere" — the unsound-reject direction)
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    victim = next(s for s in shards if s.get("bloom"))
+    rec = victim["bloom"]["cols"]["bucket"]
+    n = len(base64.b64decode(rec["bits"]))
+    rec["bits"] = base64.b64encode(bytes(n)).decode()
+    man["gen_no"] += 1
+    S._commit_manifest(path, man, expect_gen=man["gen_no"] - 1)
+
+    fsck = S.verify_table(path, deep=True)
+    assert not fsck["ok"]
+    assert any("miss member bits" in e for e in fsck["errors"]), fsck
+    # shallow sweep (no sidecar reads) still passes — the check is a
+    # deep leg by design
+    assert S.verify_table(path)["ok"]
+
+
+def test_merge_into_probes_bloom_for_keyed_upserts(spark, tmp_path):
+    """Round 12: a broadcast keyed MERGE on a bloom-policied table
+    probes the sidecars with its exact key set — a fingerprint-keyed
+    upsert identifies only the files that can hold a patch key
+    instead of scanning the whole unsorted table."""
+    path = _fp_table(spark, tmp_path, n=8000, files=8, name="mergeb")
+    S.set_bloom_columns(spark, path, ["fp"])
+
+    # patch keyed on fp: 3 replacements + 2 inserts
+    patch = spark.createDataFrame(
+        [(_md5(str(i)), 10_000 + i, i % 7) for i in (11, 222, 3333)]
+        + [("new-fp-1", 90_001, 0), ("new-fp-2", 90_002, 1)],
+        "fp string, id long, grp long",
+    ).select("id", "fp", "grp")
+
+    reads: list[int] = []
+    real_read = S._read_files
+
+    def spy(spark_, man_, paths, *a, **kw):
+        reads.append(len(paths))
+        return real_read(spark_, man_, paths, *a, **kw)
+
+    B._SIDE_CACHE.clear()
+    S._read_files = spy
+    try:
+        out = S.merge_into(
+            spark, path, patch, keys=["fp"], broadcast_updates=True
+        )
+    finally:
+        S._read_files = real_read
+    assert out == {"updated": 3, "inserted": 2, "matched_rows": 3}
+    # the identification scan read at most the 3 key-holding files
+    # (+fpp slack), not all 8
+    assert reads and reads[0] <= 4, reads
+    tbl = S.read_table(spark, path)
+    assert tbl.count() == 8000 + 2
+    assert tbl.where("id = 10011").count() == 1
+    assert tbl.where("fp = 'new-fp-1'").count() == 1
+
+    # an all-new patch (no key present): the probe empties the scan —
+    # a pure insert with ZERO table files read for identification
+    patch2 = spark.createDataFrame(
+        [("brand-1", 91_001, 2), ("brand-2", 91_002, 3)],
+        "fp string, id long, grp long",
+    ).select("id", "fp", "grp")
+    reads.clear()
+    B._SIDE_CACHE.clear()
+    S._read_files = spy
+    try:
+        out2 = S.merge_into(
+            spark, path, patch2, keys=["fp"], broadcast_updates=True
+        )
+    finally:
+        S._read_files = real_read
+    assert out2["updated"] == 0 and out2["inserted"] == 2
+    # identification never read a data file (any recorded reads are
+    # from the commit's write path, which reads no candidates here)
+    assert not reads or reads[0] == 0, reads
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_update_keys_relabel_list(spark, tmp_path, monkeypatch):
+    """Round 12: update_keys — the relabel-list twin of delete_keys,
+    one shared regime machinery. Literal and bulk regimes both apply
+    update_where semantics; an absent key matches nothing (never
+    inserts); the bloom index prunes identification the same way."""
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="uk")
+    S.set_bloom_columns(spark, path, ["fp", "id"])
+
+    # literal regime, string keys on the indexed fp column
+    targets = [_md5(str(i)) for i in (5, 55, 555)]
+    B._SIDE_CACHE.clear()
+    n = S.update_keys(spark, path, targets, "fp", {"grp": "-1"})
+    assert n == 3
+    tbl = S.read_table(spark, path)
+    assert tbl.where("grp = -1").count() == 3
+    assert [r.id for r in tbl.where("grp = -1").collect()] and \
+        sorted(r.id for r in tbl.where("grp = -1").collect()) == [5, 55, 555]
+
+    # absent keys: zero rows, zero commits, never an insert
+    assert S.update_keys(spark, path, ["absent"], "fp", {"grp": "-2"}) == 0
+    assert S.read_table(spark, path).count() == 4000
+
+    # bulk regime (past the cap) with DV, assignments referencing the
+    # pre-update row
+    monkeypatch.setattr(S, "_DELETE_KEYS_LITERAL_CAP", 10)
+    n = S.update_keys(
+        spark, path, list(range(100, 151)), "id",
+        {"grp": "grp + 100"}, deletion_vectors=True,
+    )
+    assert n == 51
+    got = S.read_table(spark, path).where("id BETWEEN 100 AND 150")
+    assert got.count() == 51
+    assert all(r.grp >= 100 for r in got.collect())
+
+    # validation comes from the shared machinery
+    with pytest.raises(ValueError, match="update_keys"):
+        S.update_keys(spark, path, [1.5], "id", {"grp": "0"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        S.update_keys(spark, path, [1], "id", {"nope": "0"})
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]

@@ -1312,3 +1312,70 @@ def test_overlapping_delete_conflict_still_reruns(s3env, spark, monkeypatch):
     assert n == 5  # ids 0..4 already gone; the re-run removes 5..9
     tbl = S.read_table(spark, uri)
     assert tbl.count() == 90 and tbl.where("id < 10").count() == 0
+
+
+def test_shard_bloom_aggregate_request_budget(s3env, spark, monkeypatch):
+    """Round 12 over s3://: on a SHARDED bloom-policied table, a point
+    lookup on a clustered-but-unordered column pays root GET + the
+    touched shard's GET + that shard's member sidecar GETs — other
+    shards' sidecars are NEVER fetched (the root aggregate disproved
+    them), and a no-match lookup is root-only."""
+    from pyspark.sql import functions as F
+
+    import retail_sales_data_pipeline_spark.bloom as B
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        scan_table,
+        shards_loaded,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    s3env["s3"].page_size = 1000
+    server = s3env["server"]
+    uri = "s3://lake/tables/shardbloom"
+    # sentinels pin every [min, max] span to the whole hash space, so
+    # any pruning below is the bloom aggregate's
+    df = spark.range(8000).select(
+        "id",
+        F.when(F.col("id") % 1000 == 0, F.lit("0" * 32))
+        .when(F.col("id") % 1000 == 1, F.lit("f" * 32))
+        .otherwise(
+            F.md5((F.col("id") / 1000).cast("long").cast("string"))
+        ).alias("bucket"),
+    )
+    S.write_parquet(df.repartition(8), uri)
+    S.convert_to_manifest(spark, uri)
+    S.compact_parquet(spark, uri, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, uri, ["bucket"])
+    man = S._load_manifest(uri)
+    shards = man["files_ext"]["shards"]
+    assert len(shards) == 4 and any(s.get("bloom") for s in shards)
+
+    import hashlib
+
+    target = hashlib.md5(b"3").hexdigest()
+    loaded, total = shards_loaded(uri, f"bucket = '{target}'")
+    # range compaction samples its split points, so the bucket's ids
+    # may straddle one shard boundary — 1 or 2 of 4, never more
+    assert total == 4 and loaded <= 2, (loaded, total)
+    S._SHARD_CACHE.clear()
+    B._SIDE_CACHE.clear()
+    server.reset_counts()
+    got = scan_table(spark, uri, f"bucket = '{target}'")
+    assert got.count() == 998
+    c = server.reset_counts()
+    assert c.get("PUT", 0) == 0, c
+    # root + touched shards + their member sidecars; the untouched
+    # shards and their sidecars never move
+    assert c.get("GET", 0) <= 1 + 3 * loaded, c
+    assert sum(c.values()) <= 12, c
+
+    # no-match: every shard disproven from the ROOT alone — no shard
+    # GET, no sidecar GET, no Spark job
+    S._SHARD_CACHE.clear()
+    B._SIDE_CACHE.clear()
+    server.reset_counts()
+    assert scan_table(spark, uri, "bucket = 'absent'").count() == 0
+    c = server.reset_counts()
+    assert c.get("GET", 0) <= 2, c  # root (+ the schema-witness shard)
+    assert sum(c.values()) <= 6, c

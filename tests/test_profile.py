@@ -165,3 +165,37 @@ def test_profile_stats_only_mode(spark):
     assert all(r.top_values == [] for r in prof.values())
     assert prof["doc_id"].approx_distinct > 0
     assert prof["lang"].min_value is not None
+
+def test_advise_recommends_bloom_for_identifier_columns(spark, tmp_path):
+    """Round 12: advise() names the point-lookup-shaped columns —
+    int/string identifiers whose distinct count rivals the row count
+    — as bloom-index candidates, and set_bloom_columns accepts the
+    recommendation verbatim."""
+    from pyspark.sql import functions as F
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.operators.profile import advise
+
+    df = (
+        spark.range(5000)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))  # unique str
+        .withColumn("lang", F.element_at(  # 4 values: not identifier
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ))
+        .withColumn("score", (F.col("id") % 1000) / 7.0)  # float: never
+    )
+    adv = advise(profile_table(df, capacity=4096))
+    assert "fp" in adv["bloom"] and "id" in adv["bloom"], adv["bloom"]
+    assert "lang" not in adv["bloom"]
+    assert "score" not in adv["bloom"]  # float hashes are a hazard
+    # identifier columns lead (highest distinct ratio first)
+    assert adv["bloom"][0] in ("fp", "id")
+
+    # the recommendation feeds the lever verbatim
+    path = str(tmp_path / "advbloom")
+    S.write_parquet(df.repartition(4), path)
+    S.convert_to_manifest(spark, path)
+    assert S.set_bloom_columns(spark, path, adv["bloom"]) == 4
+    man = S._load_manifest(path)
+    assert man["bloom"]["cols"] == sorted(adv["bloom"])
