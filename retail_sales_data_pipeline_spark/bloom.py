@@ -279,8 +279,17 @@ def aggregate_payloads(
             continue
         if len({t for t, _, _ in recs}) != 1:
             continue  # type drift across members: skip, admit
+        if any(len(b) < 8 or k < 1 for _, k, b in recs):
+            # a truncated/empty member filter (params floors m at 64
+            # bits, so anything smaller is corrupt) would fold to
+            # ZERO contribution and make the aggregate claim the
+            # member provably holds nothing — the one false-NEGATIVE
+            # factory this module must never build. Skip the column;
+            # the file-grain probe admits the corrupt member
+            # (review finding, regression-pinned).
+            continue
         t_bytes = min(cap_bits // 8, min(len(b) for _, _, b in recs))
-        if t_bytes <= 0 or t_bytes & (t_bytes - 1):
+        if t_bytes & (t_bytes - 1):
             t_bytes = 1 << max(t_bytes.bit_length() - 1, 3)
         if any(len(b) % t_bytes for _, _, b in recs):
             continue  # unfoldable member (pre-r12 non-pow2 sidecar)

@@ -167,10 +167,18 @@ class AdvisoryFileLockCoordinator:
                         fresh = False
                     if fresh:
                         # we lost the break race to a LIVE holder:
-                        # restore its lock and fall through to the
-                        # polite wait (re-breaking immediately would
-                        # busy-spin stat/rename against it)
-                        os.rename(tomb, lp)
+                        # restore its lock via LINK (fails with
+                        # EEXIST instead of clobbering — a THIRD
+                        # process may have acquired while lp was
+                        # renamed away, and a rename restore would
+                        # overwrite its fresh lock; review finding),
+                        # then fall through to the polite wait
+                        # (re-breaking immediately would busy-spin)
+                        try:
+                            os.link(tomb, lp)
+                        except OSError:
+                            pass  # a new holder owns lp: keep theirs
+                        os.unlink(tomb)
                     else:
                         os.unlink(tomb)  # crashed holder: re-race
                         continue

@@ -1108,6 +1108,13 @@ def _verify_shard_bloom(
             mbits = mrec["bits"]
             if isinstance(mbits, str):
                 mbits = _b64.b64decode(mbits)
+            if len(mbits) < 8:
+                msgs.append(
+                    f"shard {sname} bloom[{cname}]: member "
+                    f"{e['name']} sidecar filter is truncated "
+                    f"({len(mbits)} B) — the aggregate over-claims"
+                )
+                break
             if len(mbits) % max(len(rec_bits), 1):
                 msgs.append(
                     f"shard {sname} bloom[{cname}]: member filter "
@@ -1256,17 +1263,20 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                             f"union (record {sorted(s['cols'])}, "
                             f"members {sorted(union)})"
                         )
-                if deep and isinstance(s.get("bloom"), dict) and first:
+                if deep and isinstance(s.get("bloom"), dict) and v is man:
                     # soundness-critical (round 12): a shard bloom
                     # aggregate that MISSES bits a member filter set
                     # (or probes more positions than a member
                     # inserted) can unsoundly reject a present value
                     # and skip a whole shard of matching rows —
                     # re-fold the member sidecars and require the
-                    # recorded aggregate to cover them. Once per
-                    # distinct shard object (the aggregate states
-                    # facts about immutable members, identical under
-                    # every version that references it).
+                    # recorded aggregate to cover them. LIVE records
+                    # only: they alone drive shard_admits, and a
+                    # history-only record legitimately goes stale
+                    # when a re-policy rebuilds still-live members'
+                    # sidecars at a different fpp/k (review finding —
+                    # flagging that would fail FSCK on a healthy
+                    # table).
                     errors.extend(
                         f"{tag}: {msg}"
                         for msg in _verify_shard_bloom(
@@ -3058,11 +3068,24 @@ def _write_bloom_sidecars(
         except Exception:
             return False  # missing/corrupt: rebuild
 
-    targets = [
+    eligible = [
         e for e in entries
-        if (e.get("cols") is None or any(c in e["cols"] for c in cols))
-        and not (skip_existing and covers(e))
+        if e.get("cols") is None or any(c in e["cols"] for c in cols)
     ]
+    if skip_existing and eligible:
+        # CONCURRENT adequacy reads (review finding): a sequential
+        # GET per file made the idempotent re-policy O(files x
+        # object-store latency) — the exact pattern prefetch_sidecars
+        # exists to kill on the probe side
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(eligible))
+        ) as ex:
+            covered = list(ex.map(covers, eligible))
+        targets = [e for e, c in zip(eligible, covered) if not c]
+    else:
+        targets = eligible
     if not targets:
         return 0
     sizing = {

@@ -1011,3 +1011,54 @@ def test_update_keys_relabel_list(spark, tmp_path, monkeypatch):
         S.update_keys(spark, path, [1], "id", {"nope": "0"})
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]
+
+
+def test_aggregate_skips_truncated_member_filters():
+    """Review finding (r12): a member sidecar record with EMPTY bits
+    (truncated write) folds to zero contribution — building the
+    aggregate over it would claim the member provably holds nothing
+    and unsoundly skip the shard. The column must be skipped; the
+    file-grain probe on the same corrupt record must admit."""
+    m, k = B.params(1000, 0.01)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, ["present"])
+    good = {"cols": {"c": {"type": "str", "k": k, "bits": bytes(bits)}}}
+    trunc = {"cols": {"c": {"type": "str", "k": k, "bits": b""}}}
+    assert B.aggregate_payloads([good, trunc], ["c"]) is None
+    tiny = {"cols": {"c": {"type": "str", "k": k, "bits": b"\x00" * 4}}}
+    assert B.aggregate_payloads([good, tiny], ["c"]) is None
+    zerok = {"cols": {"c": {"type": "str", "k": 0, "bits": bytes(bits)}}}
+    assert B.aggregate_payloads([good, zerok], ["c"]) is None
+    # file grain: the corrupt record ADMITS (never a reject source)
+    assert not B.payload_rejects(trunc, [("c", ["anything"])])
+
+
+def test_deep_fsck_ignores_stale_history_aggregates(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding (r12): after a re-policy rebuilds still-live
+    members' sidecars at a different fpp, a HISTORY-only shard record
+    keeps its old aggregate — legitimately stale, never consulted by
+    live pruning. Deep FSCK must not flag the healthy table."""
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = _fp_table(spark, tmp_path, n=4000, files=4, name="histagg")
+    S.compact_parquet(spark, path, target_files=4, sort_col="id")
+    S.set_bloom_columns(spark, path, ["fp"])
+    # break one shard with a retained version: the re-pooled layout is
+    # live, the pre-delete shard records stay referenced from history
+    target = _md5("77")
+    assert S.delete_where(
+        spark, path, f"fp = '{target}'", retain_versions=1
+    ) == 1
+    man = S._load_manifest(path)
+    assert man.get("history"), "needs a retained version"
+    # re-policy at a different fpp rebuilds the LIVE members' sidecars
+    S.drop_bloom_columns(path)
+    S.set_bloom_columns(spark, path, ["fp"], fpp=1e-4)
+    B._SIDE_CACHE.clear()
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+    # and the live index still prunes correctly after the rebuild
+    t2 = _md5("123")
+    assert scan_table(spark, path, f"fp = '{t2}'").count() == 1

@@ -297,3 +297,49 @@ def test_ttl_break_spares_freshened_lock(tmp_path, monkeypatch):
         f for f in os.listdir(str(tmp_path / "locks")) if ".break-" in f
     ]
     assert leftovers == []
+
+
+def test_ttl_break_restore_never_clobbers_new_holder(tmp_path, monkeypatch):
+    """Review finding (r12): between the breaker's rename and its
+    restore, a THIRD process can legitimately acquire the vacant lock
+    path. The restore must not overwrite that fresh lock — it LINKS
+    (EEXIST loses politely) instead of renaming over it."""
+    import retail_sales_data_pipeline_spark.coordinator as C
+
+    c = AdvisoryFileLockCoordinator(
+        str(tmp_path / "locks"), ttl_seconds=60,
+        poll_seconds=0.01, wait_seconds=0.12,
+    )
+    lp = c._lock_path("/t")
+    with open(lp, "w") as fh:
+        fh.write("displaced-holder")
+
+    real_getmtime = os.path.getmtime
+    lied = {"n": 0}
+
+    def lying_stat(p):
+        if p == lp and lied["n"] == 0:
+            lied["n"] = 1
+            return time.time() - 3600  # first stat: looks stale
+        return real_getmtime(p)
+
+    real_rename = os.rename
+
+    def rename_then_thirdparty(a, b):
+        real_rename(a, b)
+        if a == lp:  # the break just vacated lp: a third process lands
+            with open(lp, "w") as fh:
+                fh.write("third-holder")
+
+    monkeypatch.setattr(C.os.path, "getmtime", lying_stat)
+    monkeypatch.setattr(C.os, "rename", rename_then_thirdparty)
+    tok = c.acquire("/t")
+    monkeypatch.setattr(C.os, "rename", real_rename)
+    monkeypatch.setattr(C.os.path, "getmtime", real_getmtime)
+    assert tok is None  # waited out politely, never "held"
+    with open(lp) as fh:
+        assert fh.read() == "third-holder"  # the new holder survived
+    leftovers = [
+        f for f in os.listdir(str(tmp_path / "locks")) if ".break-" in f
+    ]
+    assert leftovers == []  # tombstone cleaned up either way

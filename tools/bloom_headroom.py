@@ -171,7 +171,6 @@ def main() -> None:
         # opens data files); aggregates synthesized exactly as
         # set_bloom_columns records them.
         # ------------------------------------------------------------
-        import base64 as b64
         import hashlib as hl
 
         print(f"\n# shard-grain bloom aggregates: point-lookup resolve "
@@ -234,8 +233,12 @@ def main() -> None:
                 "bloom": {"cols": ["bucket"], "fpp": 0.01},
             }
             S._commit_manifest(big, root, expect_gen=0)
+            # the root stores the aggregate as JSON text (its bits
+            # field is base64 INSIDE the json) — measure that, not a
+            # second base64 wrap (review finding: the old metric
+            # overstated root overhead by the 4/3 b64 factor)
             bloom_b = sum(
-                len(b64.b64encode(json_dumps(s.get("bloom")).encode()))
+                len(json_dumps(s.get("bloom")).encode())
                 for s in ext["shards"]
             )
             target = hl.md5(str(n_idx // 8000).encode()).hexdigest()
