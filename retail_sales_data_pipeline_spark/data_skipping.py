@@ -495,6 +495,62 @@ def files_scanned(
     return len(entries) + len(loose)
 
 
+def explain_skipping(
+    path: str, predicate: str | None = None, spark=None
+) -> dict:
+    """One operator-facing report of WHY a predicate prunes (or
+    doesn't) on a manifest table — the debugging twin of
+    ``files_scanned``/``shards_loaded`` (round 12). Metadata-only
+    (plus the distributed bloom probe when ``spark`` is passed and
+    the candidate list is past the cap):
+
+    ``atoms``            provable conjuncts the grammar extracted —
+                         an empty list on a non-trivial predicate
+                         means the predicate shape defeats pruning
+                         (OR at the top level, function-wrapped
+                         column, unparseable literal);
+    ``shards_loaded``    (loaded, total) index shards at resolve;
+    ``files_scanned``    files the scan would read;
+    ``files_total``      live file count;
+    ``bloom_policy``     the table's indexed columns (None without a
+                         policy);
+    ``bloom_probes``     (col, n_values) pairs the bloom stage would
+                         probe — empty when no equality/IN atom hits
+                         a policy column;
+    ``prunable``         False when the table is a pre-r11 mixed-
+                         schema layout that forces the full resolve.
+
+    A 100 TB operator reads this instead of guessing: "my takedown
+    scans everything" resolves to either no-policy, a non-atom
+    predicate, or a genuinely-everywhere key in one call."""
+    from .sinks import _load_manifest
+
+    man = _load_manifest(path)
+    atoms = pruning_atoms(predicate) if predicate else []
+    if man is None:
+        return {
+            "atoms": atoms, "shards_loaded": (0, 0),
+            "files_scanned": -1, "files_total": -1,
+            "bloom_policy": None, "bloom_probes": [],
+            "prunable": False,
+        }
+    policy = man.get("bloom") or None
+    probes = (
+        _bloom.eq_atoms(atoms, set(policy.get("cols", [])))
+        if policy
+        else []
+    )
+    return {
+        "atoms": atoms,
+        "shards_loaded": shards_loaded(path, predicate),
+        "files_scanned": files_scanned(path, predicate, spark),
+        "files_total": files_scanned(path),
+        "bloom_policy": sorted(policy["cols"]) if policy else None,
+        "bloom_probes": [(c, len(v)) for c, v in probes],
+        "prunable": _prunable(man),
+    }
+
+
 def shards_loaded(path: str, predicate: str | None = None) -> tuple[int, int]:
     """``(index shards scan_table would load, total distinct shards)``
     for a sharded table under ``predicate`` — the round-10 observable:

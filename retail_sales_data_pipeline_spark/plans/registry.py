@@ -75,7 +75,12 @@ _MODULES = [
 # never-checked query). Round 11 spent that slot on
 # ``corpus_commit_lineage`` (DESCRIBE HISTORY under the oracle,
 # oracle-pinned since r10 by tests/test_commit_lineage.py) — back at
-# the 100/50 ceiling.
+# the 100/50 ceiling. Round 12 STRENGTHENED ``dv_takedown_counts``
+# in place (the ceiling move): its retraction legs now run
+# set_bloom_columns + BOTH delete_keys regimes (literal lang key;
+# keys-FRAME scattered purge — literal at sf0.01's 500 docs, bulk
+# band + key-batch bloom probe at sf0.1's 5000) under the unchanged
+# oracle algebra.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
 DRIVER_PRIORITY = [

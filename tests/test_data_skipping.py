@@ -422,3 +422,50 @@ def test_entry_admits_never_drops_a_matching_row(
         )
     if some_match:
         assert _entry_admits(entry, a), (entry, a)
+
+
+def test_explain_skipping_report(spark, tmp_path):
+    """Round 12: the one-call pruning explainer — atoms, shard/file
+    counts, bloom engagement — on the three shapes an operator
+    actually debugs: indexed point lookup, unparseable predicate,
+    and no-policy table."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        explain_skipping,
+    )
+
+    path = str(tmp_path / "explain")
+    df = (
+        spark.range(4000)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.write_parquet(df.repartition(4), path)
+    S.convert_to_manifest(spark, path)
+
+    # no policy yet: lookup parses but nothing bloom-probes
+    target = hashlib.md5(b"123").hexdigest()
+    rep = explain_skipping(path, f"fp = '{target}'")
+    assert rep["atoms"] and rep["bloom_policy"] is None
+    assert rep["files_scanned"] == rep["files_total"] == 4
+
+    S.set_bloom_columns(spark, path, ["fp"])
+    rep = explain_skipping(path, f"fp = '{target}'")
+    assert rep["bloom_policy"] == ["fp"]
+    assert rep["bloom_probes"] == [("fp", 1)]
+    assert rep["files_scanned"] <= 2 and rep["prunable"]
+
+    # predicate shape that defeats the grammar: empty atoms explains
+    # the full scan in one field
+    rep = explain_skipping(path, f"fp = '{target}' OR grp = 3")
+    assert rep["atoms"] == [] and rep["files_scanned"] == 4
+
+    # unmanaged directory: everything signals "no manifest"
+    raw = str(tmp_path / "plain")
+    df.limit(10).write.parquet(raw)
+    rep = explain_skipping(raw, "id = 1")
+    assert rep["files_scanned"] == -1 and not rep["prunable"]
