@@ -335,18 +335,69 @@ def payload_rejects(raw: dict | None, probes) -> bool:
             if isinstance(bits, str):
                 bits = base64.b64decode(bits)
             k = int(rec["k"])
-            admit_one = False
-            for v in values:
-                if type_class(v) != rec["type"] or might_contain(
-                    bits, k, v
-                ):
-                    admit_one = True
-                    break
+            vals = list(values)
+            admit_one = any(
+                type_class(v) != rec["type"] for v in vals
+            )
+            if not admit_one:
+                batch = (
+                    _batch_rejects(bits, k, vals)
+                    if len(vals) >= _BATCH_PROBE_MIN
+                    else None
+                )
+                if batch is None:
+                    admit_one = any(
+                        might_contain(bits, k, v) for v in vals
+                    )
+                else:
+                    admit_one = not batch
             if not admit_one:
                 return True
         return False
     except Exception:
         return False  # malformed: admit
+
+
+# below this many probe values the pure-Python loop beats the numpy
+# setup cost; above it the vectorized kernel is ~10-20x faster
+_BATCH_PROBE_MIN = 64
+
+
+def _batch_rejects(bits: bytes, k: int, values) -> bool | None:
+    """Vectorized "NO value can be contained" verdict for one filter
+    (round 12): a bulk key-batch probe is V x k modular bit tests per
+    file — minutes of driver CPU in pure Python at 100k keys x
+    thousands of files — and numpy does the identical arithmetic in
+    one shot. ONLY sound for power-of-two m: numpy's uint64 wrap
+    computes ``((h1 + i*h2) mod 2^64) mod m``, which equals the
+    insert side's exact ``(h1 + i*h2) mod m`` iff m divides 2^64.
+    Non-pow2 (r11) filters and a missing numpy return None — the
+    caller falls back to the bit-exact Python loop. The caller
+    guarantees every value is canonical and type-matched (mismatches
+    already admitted)."""
+    m = len(bits) * 8
+    if m <= 0 or m & (m - 1):
+        return None
+    try:
+        import numpy as np
+    except Exception:
+        return None
+    hs = [_digest(v) for v in values]
+    if any(h is None for h in hs):
+        return None  # non-canonical slipped through: loop handles it
+    h1 = np.array([a for a, _ in hs], dtype=np.uint64)
+    h2 = np.array([b for _, b in hs], dtype=np.uint64)
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    alive = np.ones(len(hs), dtype=bool)
+    mask = np.uint64(m - 1)  # pow2: % m == & (m-1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        byte = arr[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        alive &= bit.astype(bool)
+        if not alive.any():
+            return True  # every value disproven: reject the file
+    return not bool(alive.any())
 
 
 def _strip_scheme(uri: str) -> str:

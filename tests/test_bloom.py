@@ -1062,3 +1062,44 @@ def test_deep_fsck_ignores_stale_history_aggregates(
     # and the live index still prunes correctly after the rebuild
     t2 = _md5("123")
     assert scan_table(spark, path, f"fp = '{t2}'").count() == 1
+
+
+def test_batch_probe_equivalent_to_loop():
+    """Round 12: the numpy bulk-probe kernel must agree with the
+    bit-exact Python loop on every verdict — same positions, same
+    admits — across filter sizes, fpps, hit/miss mixes; non-pow2
+    (r11-era) filters fall back to the loop (uint64 wrap would
+    diverge there)."""
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(12):
+        n = rng.randrange(50, 2500)
+        m, k = B.params(n, rng.choice([0.01, 1e-4, 1e-6]))
+        bits = bytearray(m // 8)
+        present = [f"v{trial}-{i}" for i in range(n)]
+        B.add_values(bits, k, present)
+        vals = rng.sample(present, min(80, n)) + [
+            f"absent-{trial}-{i}" for i in range(200)
+        ]
+        rng.shuffle(vals)
+        loop_admits = any(
+            B.might_contain(bytes(bits), k, v) for v in vals
+        )
+        batch = B._batch_rejects(bytes(bits), k, vals)
+        assert batch is not None
+        assert (not batch) == loop_admits, trial
+        rec = {"cols": {"c": {
+            "type": "str", "k": k, "bits": bytes(bits)}}}
+        assert B.payload_rejects(rec, [("c", vals)]) == (
+            not loop_admits
+        )
+        # int values ride the same canonical form
+        ints = [rng.randrange(0, 10**9) for _ in range(100)]
+        ib = bytearray(m // 8)
+        B.add_values(ib, k, [str(i) for i in ints[:50]])
+        lo = any(B.might_contain(bytes(ib), k, v) for v in ints)
+        ba = B._batch_rejects(bytes(ib), k, ints)
+        assert ba is not None and (not ba) == lo
+    # non-pow2 filter: fall back (r11 sidecars)
+    assert B._batch_rejects(bytes(24), 3, ["x"] * 100) is None
