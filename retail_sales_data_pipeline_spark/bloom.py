@@ -447,6 +447,23 @@ def distributed_admits(spark, table_path: str, probes, rel_names) -> set | None:
         names = list(rel_names)
         spark_root = _io(table_path).spark_path(table_path)
         root_n = _strip_scheme(spark_root).rstrip("/") + "/"
+        # scope the listing to the CANDIDATES' parent dirs (round 12):
+        # live files sit in a handful of generation dirs, while the
+        # recursive table glob would also read every sidecar in
+        # retained-history generations and crash-orphaned staging
+        # dirs — objects that can never match a live candidate's
+        # relkey anyway. The dirs exist (the candidates live there),
+        # so pathGlobFilter over them is failure-free; any surprise
+        # still lands in the except -> no-pruning direction.
+        dirs = sorted({n.rsplit("/", 1)[0] if "/" in n else "" for n in names})
+        if "" in dirs:
+            # a root-level candidate (converted-in-place layout):
+            # the recursive root listing subsumes every other dir
+            load_paths = [spark_root]
+        else:
+            load_paths = [
+                spark_root.rstrip("/") + "/" + d for d in dirs
+            ]
 
         def scan(batches):
             for pdf in batches:
@@ -470,7 +487,7 @@ def distributed_admits(spark, table_path: str, probes, rel_names) -> set | None:
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*" + BLOOM_SUFFIX)
             .option("recursiveFileLookup", "true")
-            .load(spark_root)
+            .load(load_paths)
             .select("path", "content")
         )
         rejects = side.mapInPandas(scan, "relkey string")

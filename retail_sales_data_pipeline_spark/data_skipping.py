@@ -269,9 +269,11 @@ def _entry_admits(entry: dict, atom: tuple) -> bool:
 
 
 # driver-side bloom probe budget: (probe values x candidate files)
-# pairs — past this, a 100k-key batch against thousands of sidecars is
-# minutes of driver CPU and the distributed probe is the right shape
-_DRIVER_PROBE_BUDGET = 2_000_000
+# pairs — past this, the distributed probe is the right shape. Raised
+# 2M -> 8M in round 12 with the vectorized kernel (~35 ms per file at
+# 100k keys, so the worst in-budget driver probe is ~3 s — comparable
+# to one Spark job's floor, without the job)
+_DRIVER_PROBE_BUDGET = 8_000_000
 # shard-record bloom probing is pure driver CPU over root metadata;
 # key batches beyond this skip the shard grain (file grain still runs)
 _SHARD_PROBE_VALUES = 1_000
