@@ -456,9 +456,15 @@ def distributed_admits(spark, table_path: str, probes, rel_names) -> set | None:
         # so pathGlobFilter over them is failure-free; any surprise
         # still lands in the except -> no-pruning direction.
         dirs = sorted({n.rsplit("/", 1)[0] if "/" in n else "" for n in names})
-        if "" in dirs:
-            # a root-level candidate (converted-in-place layout):
-            # the recursive root listing subsumes every other dir
+        if "" in dirs or any(
+            ch in d for d in dirs for ch in "*?[]{}\\"
+        ):
+            # a root-level candidate (converted-in-place layout)
+            # subsumes every dir; a dir name carrying a glob
+            # metacharacter would be re-interpreted by Spark's path
+            # globbing — fall back to the full recursive listing
+            # rather than risk mis-globbing into the silent
+            # no-pruning except branch (review finding)
             load_paths = [spark_root]
         else:
             load_paths = [

@@ -269,11 +269,28 @@ def _entry_admits(entry: dict, atom: tuple) -> bool:
 
 
 # driver-side bloom probe budget: (probe values x candidate files)
-# pairs — past this, the distributed probe is the right shape. Raised
-# 2M -> 8M in round 12 with the vectorized kernel (~35 ms per file at
-# 100k keys, so the worst in-budget driver probe is ~3 s — comparable
-# to one Spark job's floor, without the job)
-_DRIVER_PROBE_BUDGET = 8_000_000
+# pairs — past this, the distributed probe is the right shape. Two
+# tiers (round 12): the raised tier applies only when the vectorized
+# kernel can plausibly engage (numpy importable, batch-sized values —
+# ~35 ms per file at 100k keys, so the worst in-budget probe is ~3 s,
+# comparable to one Spark job's floor without the job); everything
+# else keeps the pure-Python-loop budget. Residual carve-out: an
+# r11-era non-pow2 sidecar still falls back to the loop per file
+# inside the raised tier — bounded at ~8M*k bitops once, and gone at
+# the table's next sidecar rebuild.
+_DRIVER_PROBE_BUDGET = 2_000_000
+_DRIVER_PROBE_BUDGET_VECTOR = 8_000_000
+
+
+def _probe_budget(n_vals: int) -> int:
+    if n_vals >= _bloom._BATCH_PROBE_MIN:
+        try:
+            import numpy  # noqa: F401
+
+            return _DRIVER_PROBE_BUDGET_VECTOR
+        except Exception:
+            pass
+    return _DRIVER_PROBE_BUDGET
 # shard-record bloom probing is pure driver CPU over root metadata;
 # key batches beyond this skip the shard grain (file grain still runs)
 _SHARD_PROBE_VALUES = 1_000
@@ -333,7 +350,7 @@ def prune_entries(
             return out
         if (
             len(out) <= _bloom.PROBE_CAP
-            and n_vals * len(out) <= _DRIVER_PROBE_BUDGET
+            and n_vals * len(out) <= _probe_budget(n_vals)
         ):
             io = _sinks_io(table_path)
             _bloom.prefetch_sidecars(
@@ -524,10 +541,10 @@ def explain_skipping(
 
     A 100 TB operator reads this instead of guessing: "my takedown
     scans everything" resolves to either no-policy, a non-atom
-    predicate, or a genuinely-everywhere key in one call."""
-    from .sinks import _load_manifest
-
-    man = _load_manifest(path)
+    predicate, or a genuinely-everywhere key in one call. One full
+    index resolve total (`shards_loaded` evaluates root records
+    only, no shard bodies)."""
+    man, entries, loose, _ = _live_state(path)
     atoms = pruning_atoms(predicate) if predicate else []
     if man is None:
         return {
@@ -537,17 +554,20 @@ def explain_skipping(
             "prunable": False,
         }
     policy = man.get("bloom") or None
-    probes = (
-        _bloom.eq_atoms(atoms, set(policy.get("cols", [])))
-        if policy
-        else []
-    )
+    pcols = sorted((policy or {}).get("cols") or [])
+    # the CANONICAL probe-list computation — the same helper the
+    # planner's bloom stage uses, so this report can never drift
+    # from what prune_entries actually probes
+    probes = _bloom_probe_list(atoms, set(pcols), None) if policy else []
+    scanned = entries
+    if predicate and _prunable(man):
+        scanned = prune_entries(entries, predicate, path, man, spark)
     return {
         "atoms": atoms,
         "shards_loaded": shards_loaded(path, predicate),
-        "files_scanned": files_scanned(path, predicate, spark),
-        "files_total": files_scanned(path),
-        "bloom_policy": sorted(policy["cols"]) if policy else None,
+        "files_scanned": len(scanned) + len(loose),
+        "files_total": len(entries) + len(loose),
+        "bloom_policy": pcols if policy else None,
         "bloom_probes": [(c, len(v)) for c, v in probes],
         "prunable": _prunable(man),
     }

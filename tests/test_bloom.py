@@ -1094,12 +1094,34 @@ def test_batch_probe_equivalent_to_loop():
         assert B.payload_rejects(rec, [("c", vals)]) == (
             not loop_admits
         )
-        # int values ride the same canonical form
+        # the REJECT verdict — the production no-match-takedown path,
+        # and the only direction where a kernel bug loses data: an
+        # all-absent batch must reject in BOTH kernels (review
+        # finding: the mixed batches above always admit, so they
+        # never reached this branch)
+        allabs = [f"never-{trial}-{i}" for i in range(300)]
+        loop_rej = not any(
+            B.might_contain(bytes(bits), k, v) for v in allabs
+        )
+        batch_rej = B._batch_rejects(bytes(bits), k, allabs)
+        assert batch_rej is not None and batch_rej == loop_rej, trial
+        # int values ride the same canonical form, both verdicts
         ints = [rng.randrange(0, 10**9) for _ in range(100)]
         ib = bytearray(m // 8)
         B.add_values(ib, k, [str(i) for i in ints[:50]])
         lo = any(B.might_contain(bytes(ib), k, v) for v in ints)
         ba = B._batch_rejects(bytes(ib), k, ints)
         assert ba is not None and (not ba) == lo
+        lo_abs = not any(
+            B.might_contain(bytes(ib), k, v + 10**12) for v in ints
+        )
+        ba_abs = B._batch_rejects(
+            bytes(ib), k, [v + 10**12 for v in ints]
+        )
+        assert ba_abs is not None and ba_abs == lo_abs
     # non-pow2 filter: fall back (r11 sidecars)
     assert B._batch_rejects(bytes(24), 3, ["x"] * 100) is None
+    # the early exit inside the k-loop (every value dead after the
+    # first rounds) agrees with the loop on an EMPTY filter too
+    m, k = B.params(500, 0.01)
+    assert B._batch_rejects(bytes(m // 8), k, ["a", "b", "c"]) is True
