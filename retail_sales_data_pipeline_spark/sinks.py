@@ -3158,8 +3158,7 @@ def _write_bloom_sidecars(
         merged[key] = merged.get(key, 0) | int.from_bytes(
             _b64.b64decode(r["bits"]), "big"
         )
-    written = 0
-    for e in targets:
+    def _emit(e: dict) -> None:
         base = os.path.basename(e["name"])
         m, k = sizing[base]
         payload_cols: dict = {}
@@ -3173,8 +3172,17 @@ def _write_bloom_sidecars(
             B.encode_sidecar(fpp, payload_cols),
         )
         B._SIDE_CACHE.pop(B.sidecar_path(path, e["name"]), None)
-        written += 1
-    return written
+
+    # CONCURRENT sidecar PUTs (round 12): one JSON per file written
+    # sequentially was the last O(files x object-store latency) loop
+    # on this surface — same treatment as the probe prefetch and the
+    # adequacy reads. Any write failure aborts the commit as before
+    # (the executor re-raises on result consumption).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
+        list(ex.map(_emit, targets))
+    return len(targets)
 
 
 def set_bloom_columns(
