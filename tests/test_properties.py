@@ -323,3 +323,68 @@ def test_misra_gries_bounds_under_any_partitioning(items, capacity, data):
     for item, cnt in exact.items():
         if cnt > bound:
             assert item in merged, (item, cnt, bound)
+
+
+# ---------------------------------------------------------------------------
+# round 12: bloom fold/aggregate soundness as a PROPERTY — for any
+# member layout and any value present in any member, the shard
+# aggregate (when it builds at all) must never reject that value, and
+# the vectorized batch kernel must agree with the bit-exact loop.
+# ---------------------------------------------------------------------------
+
+_bloom_members = st.lists(
+    st.tuples(
+        st.lists(
+            st.one_of(
+                st.text(min_size=1, max_size=12),
+                st.integers(min_value=-(10**9), max_value=10**9),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.sampled_from([0.01, 1e-3, 1e-5]),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(members=_bloom_members, cap=st.sampled_from([512, 2048, 8192]))
+def test_bloom_aggregate_never_rejects_present_value(members, cap):
+    import retail_sales_data_pipeline_spark.bloom as B
+
+    raws = []
+    for values, fpp in members:
+        m, k = B.params(len(values), fpp)
+        bits = bytearray(m // 8)
+        # the build side hashes Spark's cast(col as string)
+        B.add_values(bits, k, [str(v) for v in values])
+        raws.append({
+            "cols": {"c": {"type": "str", "k": k, "bits": bytes(bits)}}
+        })
+    agg = B.aggregate_payloads(raws, ["c"], cap_bits=cap)
+    if agg is None:
+        return  # saturated/unbuildable: admits by absence — sound
+    for values, _ in members:
+        for v in values:
+            assert not B.payload_rejects(agg, [("c", [str(v)])]), v
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    present=st.lists(st.text(min_size=1, max_size=10), min_size=1,
+                     max_size=300, unique=True),
+    probes=st.lists(st.text(min_size=1, max_size=10), min_size=64,
+                    max_size=300),
+    fpp=st.sampled_from([0.01, 1e-4]),
+)
+def test_batch_kernel_agrees_with_loop_property(present, probes, fpp):
+    import retail_sales_data_pipeline_spark.bloom as B
+
+    m, k = B.params(len(present), fpp)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, present)
+    loop = any(B.might_contain(bytes(bits), k, v) for v in probes)
+    batch = B._batch_rejects(bytes(bits), k, probes)
+    assert batch is not None and (not batch) == loop
