@@ -1655,27 +1655,55 @@ def run_dml_model_fuzz(spark, path, base_dir, seed, steps=24,
                 victims = rng.sample(
                     sorted(model), k=min(4, len(model))
                 ) or [-1]  # empty table: a matches-nothing takedown
-                pred = f"id IN ({', '.join(map(str, victims))})"
                 gone = set(victims) & set(model)
+                if rng.getrandbits(1):
+                    # the keyed takedown API (round 12): same
+                    # semantics, the _keyed_batch_op regime machinery
+                    # under the model check
+                    S.delete_keys(
+                        spark, path, victims, "id",
+                        retain_versions=retain,
+                        deletion_vectors=bool(rng.getrandbits(1)),
+                    )
+                else:
+                    S.delete_where(
+                        spark, path,
+                        f"id IN ({', '.join(map(str, victims))})",
+                        retain_versions=retain,
+                        deletion_vectors=bool(rng.getrandbits(1)),
+                    )
             else:
                 cut = rng.uniform(0, 1e6)
-                pred = f"v < {cut}"
                 gone = {k for k, v in model.items() if v < cut}
-            S.delete_where(spark, path, pred, retain_versions=retain,
-                           deletion_vectors=bool(rng.getrandbits(1)))
+                S.delete_where(
+                    spark, path, f"v < {cut}", retain_versions=retain,
+                    deletion_vectors=bool(rng.getrandbits(1)),
+                )
             for k in gone:
                 del model[k]
         elif op == "update":
-            lo = rng.randrange(0, 500)
             bump = rng.randrange(1, 100)
-            S.update_where(
-                spark, path, {"v": f"v + {bump}"},
-                f"id BETWEEN {lo} AND {lo + 50}", retain_versions=retain,
-                deletion_vectors=bool(rng.getrandbits(1)),
-            )
-            for k in list(model):
-                if lo <= k <= lo + 50:
+            if rng.getrandbits(1) and model:
+                # the keyed relabel API (round 12) rides the fuzz too
+                victims = rng.sample(sorted(model), k=min(5, len(model)))
+                S.update_keys(
+                    spark, path, victims, "id", {"v": f"v + {bump}"},
+                    retain_versions=retain,
+                    deletion_vectors=bool(rng.getrandbits(1)),
+                )
+                for k in victims:
                     model[k] = model[k] + bump
+            else:
+                lo = rng.randrange(0, 500)
+                S.update_where(
+                    spark, path, {"v": f"v + {bump}"},
+                    f"id BETWEEN {lo} AND {lo + 50}",
+                    retain_versions=retain,
+                    deletion_vectors=bool(rng.getrandbits(1)),
+                )
+                for k in list(model):
+                    if lo <= k <= lo + 50:
+                        model[k] = model[k] + bump
         elif op == "append":
             fresh = {next_id + i: float(i) for i in range(3)}
             next_id += 3
