@@ -82,14 +82,38 @@ def ranked_names(names: list[str], hist: dict[int, dict]) -> list[str]:
     return sorted(names, key=key)
 
 
-def compute_window(max_round: int | None = None) -> list[str]:
+def compute_window(
+    max_round: int | None = None, reserve: tuple[str, ...] = ()
+) -> list[str]:
+    """Window = staleness ranking, with ``reserve`` names force-seated.
+
+    The freshness reserve (VERDICT r12 missing #3) guarantees queries
+    strengthened in the round being shipped land in that round's own
+    driver window. Reserved names already in the natural window cost
+    nothing; otherwise they displace the LAST (least-stale) natural
+    members, trading those members a one-round staleness extension for
+    same-round evidence on the new surface.
+    """
     from retail_sales_data_pipeline_spark.plans.registry import all_queries
 
-    return ranked_names(list(all_queries()), history(max_round))[:WINDOW]
+    ranked = ranked_names(list(all_queries()), history(max_round))
+    window = ranked[:WINDOW]
+    forced = [n for n in reserve if n in ranked and n not in window]
+    if forced:
+        keep = [n for n in window if n not in forced][: WINDOW - len(forced)]
+        window = sorted(keep + forced, key=ranked.index)
+    return window
 
 
 def main() -> None:
     from retail_sales_data_pipeline_spark.plans.registry import all_queries
+
+    try:
+        from retail_sales_data_pipeline_spark.plans.registry import (
+            ROUND_FRESH_RESERVE,
+        )
+    except ImportError:
+        ROUND_FRESH_RESERVE = ()
 
     names = list(all_queries())
     hist = history()
@@ -104,8 +128,10 @@ def main() -> None:
                 last_green[name] = rnd
 
     ranked = ranked_names(names, hist)
-    window = ranked[:WINDOW]
+    window = compute_window(reserve=tuple(ROUND_FRESH_RESERVE))
     print(f"# rotate_registry: {len(names)} registered, window={WINDOW}")
+    if ROUND_FRESH_RESERVE:
+        print(f"# freshness reserve (force-seated): {list(ROUND_FRESH_RESERVE)}")
     print(f"# never-checked: {sum(1 for n in names if n not in last_seen)}; "
           f"checked-not-green: "
           f"{sum(1 for n in last_seen if n not in last_green)}")
