@@ -860,6 +860,35 @@ def test_dv_takedown_bloom_probe(spark, tmp_path):
     ) == n_keys  # disjoint from the point deletes (8, 7001 === 2 mod 3)
     left = S.read_table(spark, path)
     assert left.where("doc_id % 3 = 1").count() == 0
+
+    # round 13: the keyed UPDATE probes the index exactly like
+    # delete_keys — absent-but-in-range keys are a zero-file, zero-row
+    # no-op (the bloom's verdict: files_scanned proves the same
+    # identification scan sees zero candidates), present keys relabel
+    # for real with pre-update-row assignment semantics
+    assert files_scanned(path, "doc_id IN (23, 30, 3999)") == 0
+    assert S.update_keys(
+        spark, path, [23, 30, 3999], "doc_id",
+        {"source": "concat('q:', source)"},
+    ) == 0
+    assert files_scanned(path, "doc_id IN (15, 7008)") <= 2
+    before = {
+        r.doc_id: (r.source, r.n_chars)
+        for r in left.where("doc_id IN (15, 7008)").collect()
+    }
+    assert S.update_keys(
+        spark, path, [15, 7008], "doc_id",
+        {"source": "concat('q:', source)", "n_chars": "-n_chars"},
+        deletion_vectors=True,
+    ) == len(before)
+    after = {
+        r.doc_id: (r.source, r.n_chars)
+        for r in S.read_table(spark, path)
+        .where("doc_id IN (15, 7008)").collect()
+    }
+    assert after == {
+        k: ("q:" + src, -n) for k, (src, n) in before.items()
+    }
     fsck = S.verify_table(path, deep=True)
     assert fsck["ok"], fsck["errors"]
 

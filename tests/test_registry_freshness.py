@@ -31,6 +31,7 @@ import rotate_registry  # noqa: E402
 
 from retail_sales_data_pipeline_spark.plans.registry import (  # noqa: E402
     DRIVER_PRIORITY,
+    ROUND_FRESH_RESERVE,
     all_oracle_sql,
     all_queries,
 )
@@ -43,7 +44,7 @@ WINDOW = rotate_registry.WINDOW
 # the test meaningful after the driver writes the NEXT round's
 # CORRECTNESS file — without the cap, every query verified by that very
 # window would count stale the moment its new row lands.
-ROTATION_BASIS_ROUND = 11
+ROTATION_BASIS_ROUND = 12
 
 
 def _last_green() -> tuple[int, dict[str, int]]:
@@ -85,9 +86,32 @@ def test_stale_queries_are_in_driver_window():
         "or split the rotation"
     )
     missing = [q for q in stale if q not in window]
-    assert not missing, (
+    # The freshness reserve (VERDICT r12 missing #3) may displace up to
+    # len(reserve) least-stale members when a reserved query is not
+    # itself stale — those displaced members get a one-round staleness
+    # extension in exchange for same-round evidence on new surface.
+    displacing = [q for q in ROUND_FRESH_RESERVE if q in window and q not in stale]
+    assert len(missing) <= len(displacing), (
         f"stale queries (last green < r{latest}) missing from "
-        f"DRIVER_PRIORITY: {missing} — run tools/rotate_registry.py"
+        f"DRIVER_PRIORITY: {missing} — run tools/rotate_registry.py "
+        f"(only {len(displacing)} reserve displacement(s) allowed)"
+    )
+
+
+def test_round_fresh_reserve_seated_in_window():
+    """Queries strengthened in the round being shipped must sit in THAT
+    round's driver window, so the flagship's oracle evidence lands in the
+    driver's own CORRECTNESS file rather than only the judge's re-drive
+    (VERDICT r12 missing #3)."""
+    names = set(all_queries())
+    window = set(DRIVER_PRIORITY[:WINDOW])
+    unknown = [q for q in ROUND_FRESH_RESERVE if q not in names]
+    assert not unknown, f"reserve names not in registry: {unknown}"
+    unseated = [q for q in ROUND_FRESH_RESERVE if q not in window]
+    assert not unseated, (
+        f"round-strengthened queries missing from DRIVER_PRIORITY: "
+        f"{unseated} — re-run tools/rotate_registry.py (it force-seats "
+        f"ROUND_FRESH_RESERVE) and re-paste"
     )
 
 
@@ -123,3 +147,32 @@ def test_bench_headline_names_all_registered():
     names = set(all_queries())
     missing = [n for n in bench.HEADLINE if n not in names]
     assert not missing, f"bench HEADLINE names not in registry: {missing}"
+
+
+def test_bench_settledness_gate():
+    """r12 verdict missing #4: the cold-cache band must be flagged
+    MECHANICALLY (inflated_band / re-run), not by PLANS.md prose. Pin
+    the gate's thresholds: the r12 driver artifact's own probe set
+    (spread 0.761) must trip it; a settled probe set must not."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    r12 = {  # the artifact that motivated the gate
+        "calibration_spread": 0.761,
+        "calibration_probes": [0.719, 0.743, 0.801, 1.102, 1.48],
+    }
+    settled = {
+        "calibration_spread": 0.21,
+        "calibration_probes": [0.71, 0.74, 0.80, 0.88, 0.92],
+    }
+    ratio_trip = {  # tight spread but a >2x probe ratio still trips
+        "calibration_spread": 0.39,
+        "calibration_probes": [0.3, 0.31, 0.33, 0.6, 0.69],
+    }
+    assert bench._unsettled(r12)
+    assert not bench._unsettled(settled)
+    assert bench._unsettled(ratio_trip)
