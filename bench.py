@@ -81,22 +81,21 @@ def _warmup(spark, queries, names: list[str]) -> None:
             release_persisted()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="bench")
+# Settledness gate (r12 verdict missing #4): a calibration spread past
+# this band — or a max/min probe ratio past the factor — is the
+# cold-page-cache fingerprint the r10-r12 PLANS.md adjudications kept
+# re-documenting by hand (first sf0.1 run after a heavy suite lands
+# ~1.6-2x inflated with rotating regression flags). The gate makes the
+# adjudication mechanical: re-run the whole suite once after a settle
+# pause, publish BOTH attempts, and mark the representative one.
+_SPREAD_GATE = 0.4
+_PROBE_RATIO_GATE = 2.0
+_SETTLE_SEC = 60.0
 
-    queries = dict(all_queries())
-    # retired oracle-twin variants left the driver registry in r6; the
-    # bench_* two stay TIMED (the name filter below picks them up) —
-    # dropping them would shrink the suite total and read as a phantom
-    # perf win round-over-round. The other retired twins were never in
-    # HEADLINE and are merely resolvable here, not timed.
-    queries.update({k: fn for k, (fn, _twin) in retired_twins().items()})
-    names = [n for n in HEADLINE if n in queries]
-    # include any extension headliners registered later
-    names += [n for n in sorted(queries) if n.startswith("bench_")]
-    _warmup(spark, queries, names)
+
+def _run_suite(spark, queries, names: list[str], sf_dir: str) -> dict:
+    """One full timed pass: before/after calibration probes around the
+    best-of-2 query timings. Returns the per-attempt record."""
     # median-of-5 probes, split BEFORE and AFTER the timed run (r8
     # verdict: a single best-of-N probe swung 1.9x across 30 minutes on
     # this box, making the round-over-round normalized_ratio itself
@@ -130,18 +129,79 @@ def main() -> None:
         f"# calibration: median {calibration}s, spread {spread}s "
         f"(probes {probes})", file=sys.stderr,
     )
-    vs_prior = _regression_check(timings, calibration)
-
-    result = {
-        "metric": "headline_queries_total_sec",
+    return {
         "value": round(sum(timings.values()), 3),
-        "unit": "sec",
         "queries": timings,
         "calibration_sec": calibration,
         "calibration_spread": spread,
         "calibration_probes": probes,
+    }
+
+
+def _unsettled(attempt: dict) -> bool:
+    probes = attempt["calibration_probes"]
+    return (
+        attempt["calibration_spread"] > _SPREAD_GATE
+        or (probes[0] > 0 and probes[-1] / probes[0] > _PROBE_RATIO_GATE)
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+
+    queries = dict(all_queries())
+    # retired oracle-twin variants left the driver registry in r6; the
+    # bench_* two stay TIMED (the name filter below picks them up) —
+    # dropping them would shrink the suite total and read as a phantom
+    # perf win round-over-round. The other retired twins were never in
+    # HEADLINE and are merely resolvable here, not timed.
+    queries.update({k: fn for k, (fn, _twin) in retired_twins().items()})
+    names = [n for n in HEADLINE if n in queries]
+    # include any extension headliners registered later
+    names += [n for n in sorted(queries) if n.startswith("bench_")]
+    _warmup(spark, queries, names)
+
+    attempts = [_run_suite(spark, queries, names, sf_dir)]
+    if _unsettled(attempts[0]) and not os.environ.get(
+        "SPARK_GRAFT_BENCH_ONESHOT"
+    ):
+        print(
+            f"# UNSETTLED attempt 0 (spread "
+            f"{attempts[0]['calibration_spread']}s > {_SPREAD_GATE}s or "
+            f"probe ratio > {_PROBE_RATIO_GATE}) — settling "
+            f"{_SETTLE_SEC:.0f}s and re-running the suite once",
+            file=sys.stderr,
+        )
+        time.sleep(_SETTLE_SEC)
+        attempts.append(_run_suite(spark, queries, names, sf_dir))
+
+    # representative = the attempt with the tighter probe spread; if
+    # even that one trips the gate, the artifact says so mechanically
+    rep_i = min(
+        range(len(attempts)),
+        key=lambda i: attempts[i]["calibration_spread"],
+    )
+    rep = attempts[rep_i]
+    timings = rep["queries"]
+    calibration = rep["calibration_sec"]
+    vs_prior = _regression_check(timings, calibration)
+
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": rep["value"],
+        "unit": "sec",
+        "queries": timings,
+        "calibration_sec": calibration,
+        "calibration_spread": rep["calibration_spread"],
+        "calibration_probes": rep["calibration_probes"],
+        "inflated_band": _unsettled(rep),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if len(attempts) > 1:
+        result["attempts"] = attempts
+        result["representative_attempt"] = rep_i
     if vs_prior:
         # both raw and machine-normalized deltas vs the last recorded
         # round, so drift vs regression is settled by data in the file
