@@ -176,8 +176,37 @@ class AdvisoryFileLockCoordinator:
                         # (re-breaking immediately would busy-spin)
                         try:
                             os.link(tomb, lp)
-                        except OSError:
+                        except FileExistsError:
                             pass  # a new holder owns lp: keep theirs
+                        except OSError:
+                            # filesystem without hard-link support
+                            # (some NFS/FUSE object-store mounts,
+                            # r12 advice #1): a swallowed failure
+                            # here would silently destroy the LIVE
+                            # holder's lock when the tomb unlinks.
+                            # Restore via exclusive-create + copy —
+                            # O_EXCL keeps the no-clobber guarantee;
+                            # EEXIST again means a new holder owns
+                            # lp and theirs is kept. (A holder that
+                            # RELEASED inside the rename window still
+                            # gets resurrected as a zombie that the
+                            # next TTL break collects — inherent to
+                            # restore-by-content, advisory-layer
+                            # only.)
+                            try:
+                                fd2 = os.open(
+                                    lp,
+                                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                                )
+                                try:
+                                    with open(tomb, "rb") as tf:
+                                        os.write(fd2, tf.read())
+                                except OSError:
+                                    pass  # payload diagnostic only
+                                finally:
+                                    os.close(fd2)
+                            except OSError:
+                                pass  # new holder owns lp: keep theirs
                         os.unlink(tomb)
                     else:
                         os.unlink(tomb)  # crashed holder: re-race

@@ -282,8 +282,15 @@ _DRIVER_PROBE_BUDGET = 2_000_000
 _DRIVER_PROBE_BUDGET_VECTOR = 8_000_000
 
 
-def _probe_budget(n_vals: int) -> int:
-    if n_vals >= _bloom._BATCH_PROBE_MIN:
+def _probe_budget(probes) -> int:
+    """Pair budget for ``probes`` ([(col, values), ...]). The raised
+    vector tier is keyed on the LARGEST single atom's value count, not
+    the sum (r12 advice #3): `_batch_rejects` engages per atom, so a
+    probe list of many sub-batch atoms would run the whole raised
+    budget through the pure-Python loop — a driver stall the tier
+    exists to prevent."""
+    biggest = max((len(v) for _, v in probes), default=0)
+    if biggest >= _bloom._BATCH_PROBE_MIN:
         try:
             import numpy  # noqa: F401
 
@@ -329,11 +336,16 @@ def prune_entries(
     IN-subquery predicate the pruning grammar cannot parse. Up to
     ``bloom.PROBE_CAP`` candidates probe driver-side (concurrent
     cached sidecar GETs) within a value-count budget; past either
-    bound, callers that pass ``spark`` get the DISTRIBUTED probe (one
-    ``binaryFile`` job over every sidecar, reject verdicts anti-joined
-    in Spark, only ADMITTED names collected — the 1M-file path), and
-    callers without a session skip probing. Every bloom miss direction
-    admits — advisory, never a correctness gate."""
+    bound, CONSOLIDATED per-shard sidecar objects (round 13) give the
+    driver full per-file verdicts at O(shards) GETs when the pair
+    budget still fits, and the remainder goes to callers that pass
+    ``spark`` as the DISTRIBUTED probe (one ``binaryFile`` job —
+    over exactly the O(shards) consolidated objects under full
+    coverage, else the per-file sidecar listing; reject verdicts
+    anti-joined in Spark, only ADMITTED names collected — the
+    1M-file path). Callers without a session skip what neither
+    driver path covers. Every bloom miss direction admits —
+    advisory, never a correctness gate."""
     atoms = pruning_atoms(predicate)
     if not atoms and not extra_probes:
         return entries
@@ -348,9 +360,10 @@ def prune_entries(
         n_vals = sum(len(v) for _, v in probes)
         if not probes:
             return out
+        budget = _probe_budget(probes)
         if (
             len(out) <= _bloom.PROBE_CAP
-            and n_vals * len(out) <= _probe_budget(n_vals)
+            and n_vals * len(out) <= budget
         ):
             io = _sinks_io(table_path)
             _bloom.prefetch_sidecars(
@@ -360,12 +373,60 @@ def prune_entries(
                 e for e in out
                 if _bloom.entry_admits(io, table_path, e, probes)
             ]
-        elif spark is not None:
-            admitted = _bloom.distributed_admits(
-                spark, table_path, probes, [e["name"] for e in out]
+        else:
+            # past the candidate cap (or pair budget): consolidated
+            # shard objects first (round 13 — O(shards) GETs for full
+            # per-file verdicts), then the distributed job for
+            # whatever they don't cover
+            ext = (man.get("files_ext") or {}).get("shards") or []
+            cons = [s["bloomside"] for s in ext if s.get("bloomside")]
+            full_cov = bool(ext) and all(
+                s.get("bloomside") for s in ext
             )
-            if admitted is not None:
-                out = [e for e in out if e["name"] in admitted]
+            rest, kept, cov_ran = out, [], False
+            if cons and n_vals * len(out) <= budget:
+                # same CPU budget as the per-file path — the GET count
+                # is what changed (O(shards), threaded): the selective
+                # point lookup on a 1M-file table resolves driver-side
+                admitted, covered = _bloom.consolidated_admits(
+                    _sinks_io(table_path), table_path, ext, probes
+                )
+                if covered:
+                    cov_ran = True
+                    kept = [
+                        e for e in rest
+                        if e["name"] in covered and e["name"] in admitted
+                    ]
+                    rest = [e for e in rest if e["name"] not in covered]
+            if rest:
+                if (
+                    len(rest) <= _bloom.PROBE_CAP
+                    and n_vals * len(rest) <= budget
+                ):
+                    io = _sinks_io(table_path)
+                    _bloom.prefetch_sidecars(
+                        io, table_path, [e["name"] for e in rest]
+                    )
+                    rest = [
+                        e for e in rest
+                        if _bloom.entry_admits(io, table_path, e, probes)
+                    ]
+                elif spark is not None:
+                    admitted = _bloom.distributed_admits(
+                        spark, table_path, probes,
+                        [e["name"] for e in rest],
+                        # the consolidated objects only help the job
+                        # when their members are still IN `rest` (the
+                        # driver pass didn't run); after a driver pass
+                        # every remaining candidate is uncovered
+                        consolidated=(
+                            (cons, full_cov) if not cov_ran else None
+                        ),
+                    )
+                    if admitted is not None:
+                        rest = [e for e in rest if e["name"] in admitted]
+            keep = {e["name"] for e in kept} | {e["name"] for e in rest}
+            out = [e for e in out if e["name"] in keep]
     return out
 
 

@@ -1153,6 +1153,7 @@ def decode_media(
     fake: bool = True,
     pre_partitioned: bool = False,
     on_error: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Decode/feature-extract media payloads via ``mapInPandas``.
 
@@ -1171,8 +1172,26 @@ def decode_media(
     monitor decode health. Codec bugs still raise either way — only
     ValueError (the codecs' documented malformed-payload signal) is
     mapped to NULL.
+
+    ``decoder`` (round 13) is the CODEC SEAM — the scale boundary of
+    this module made pluggable: a callable ``(payload: bytes,
+    media_type: str) -> {"width", "height", "n_frames", "feature"}``
+    that replaces the built-in pure-Python codecs WITHOUT touching
+    the operator or its plan shape. The built-in JPEG path's huffman
+    entropy decode is sequential Python per payload (numpy IDCT
+    aside) — honest for fixtures, the bottleneck on a real image
+    corpus — so production drops a native codec (libjpeg-turbo via
+    PIL, cloudpickled into the task closure exactly like
+    ``fetch_media``'s ``storage`` backend) through this parameter and
+    keeps the partitioning, Arrow batching, schema, and error policy
+    unchanged. A custom decoder signals a malformed payload by
+    raising ValueError, which honors ``on_error`` like the built-ins;
+    throughput at realistic image sizes is measured in
+    tools/media_headroom.py (--decoder-seam) and docs/SCALE.md.
     """
-    decode = _fake_decode if fake else _real_decode
+    decode = decoder if decoder is not None else (
+        _fake_decode if fake else _real_decode
+    )
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 

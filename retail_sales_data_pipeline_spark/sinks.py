@@ -488,6 +488,40 @@ def _bloom_shard_agg(io, path: str, members: list[dict], policy) -> dict | None:
     )
 
 
+def _bloom_shard_consolidated(
+    io, path: str, shard_rel: str, members: list[dict], policy
+) -> str | None:
+    """Write the shard's CONSOLIDATED sidecar object (round 13, r12
+    verdict missing #2): the members' filters concatenated under one
+    ``<shard rel>.agg.bloom.json`` — full per-file verdicts at one GET
+    per shard, the grain the OR-fold aggregate cannot serve once a
+    unique-key column saturates it. Members without a sidecar are
+    omitted (probe admits them). Written at the same moments as the
+    shard aggregate — new-shard externalization, carried-record
+    upgrade, and the set_bloom_columns backfill — and, like the
+    aggregate, sound across the sidecars it copies: shard membership
+    is immutable (changed membership = a new shard name = a new
+    object). Returns the object's rel name, None when no member has a
+    sidecar (recorded, so sidecar-less shards don't retry the GETs
+    every commit)."""
+    if not policy:
+        return None
+    from . import bloom as B
+
+    payloads = {
+        e["name"]: side
+        for e in members
+        if (side := B.load_sidecar(io, path, e["name"])) is not None
+    }
+    if not payloads:
+        return None
+    rel = shard_rel + B.CONSOLIDATED_SUFFIX
+    full = os.path.join(path, rel)
+    io.write_json(full, B.encode_consolidated(payloads))
+    B._CONS_CACHE.pop(full, None)  # a re-applied policy rewrites in place
+    return rel
+
+
 def _externalize_entries(
     io,
     path: str,
@@ -538,6 +572,16 @@ def _externalize_entries(
                         io, path, members, bloom_policy
                     ),
                 }
+            if bloom_policy and "bloomside" not in s:
+                # same one-time upgrade for the consolidated object
+                # (round 13): a null result is recorded for the same
+                # retry-suppression reason
+                s = {
+                    **s,
+                    "bloomside": _bloom_shard_consolidated(
+                        io, path, s["name"], members, bloom_policy
+                    ),
+                }
             if "top" not in s or "bmin" not in s:
                 # stale record (pre-r10: no aggregate at all; early-r10:
                 # stats but no byte floor/sum): backfill from the
@@ -556,6 +600,10 @@ def _externalize_entries(
                 s = {
                     "name": s["name"], "count": s["count"],
                     **({"bloom": s["bloom"]} if "bloom" in s else {}),
+                    **(
+                        {"bloomside": s["bloomside"]}
+                        if "bloomside" in s else {}
+                    ),
                     **_shard_agg(members),
                 }
             carried.append(s)
@@ -573,6 +621,9 @@ def _externalize_entries(
             # this commit's sidecars are already on disk (built before
             # externalization), carried members' by policy induction
             rec["bloom"] = _bloom_shard_agg(io, path, chunk, bloom_policy)
+            rec["bloomside"] = _bloom_shard_consolidated(
+                io, path, rel, chunk, bloom_policy
+            )
         shards.append(rec)
     return {"shards": shards}
 
@@ -1141,6 +1192,88 @@ def _verify_shard_bloom(
     return msgs
 
 
+def _verify_shard_consolidated(
+    io, path: str, sname: str, cons_rel: str, members: list[dict]
+) -> list[str]:
+    """Deep-FSCK leg for one shard's CONSOLIDATED sidecar object
+    (round 13): every payload it carries must be covered by the
+    member's own sidecar — same type class, probe k not above the
+    member's insert k, same filter size, and no member bit missing
+    from the copy (a copy that LOST bits is a false-negative factory
+    at O(shard) blast radius). A member name outside the shard's
+    membership is an error too: its reject verdict would target a
+    file this object has no authority over. Missing members/columns
+    are NOT errors — the probe admits them (documented
+    less-pruning-never-wrong degradation)."""
+    import base64 as _b64
+
+    from . import bloom as B
+
+    msgs: list[str] = []
+    raw = io.load_json(os.path.join(path, cons_rel))
+    if raw is None:
+        return [f"shard {sname}: missing consolidated object {cons_rel}"]
+    names = {e["name"] for e in members}
+    for mname, payload in (raw.get("members") or {}).items():
+        if mname not in names:
+            msgs.append(
+                f"shard {sname} consolidated: foreign member {mname}"
+            )
+            continue
+        side = B.load_sidecar(io, path, mname)
+        for cname, rec in (payload or {}).get("cols", {}).items():
+            try:
+                bits = rec["bits"]
+                c_bits = (
+                    _b64.b64decode(bits)
+                    if isinstance(bits, str) else bytes(bits)
+                )
+                c_k, c_t = int(rec["k"]), rec["type"]
+            except Exception:
+                msgs.append(
+                    f"shard {sname} consolidated[{mname}.{cname}]: "
+                    "malformed payload"
+                )
+                continue
+            mrec = (side or {}).get("cols", {}).get(cname)
+            if mrec is None:
+                msgs.append(
+                    f"shard {sname} consolidated[{mname}.{cname}]: "
+                    "no member sidecar record to cover the copied "
+                    "filter — unsound rejects possible"
+                )
+                continue
+            mbits = mrec["bits"]
+            if isinstance(mbits, str):
+                mbits = _b64.b64decode(mbits)
+            if mrec.get("type") != c_t:
+                msgs.append(
+                    f"shard {sname} consolidated[{mname}.{cname}]: "
+                    f"type {c_t!r} != member {mrec.get('type')!r}"
+                )
+            elif len(mbits) != len(c_bits):
+                msgs.append(
+                    f"shard {sname} consolidated[{mname}.{cname}]: "
+                    f"filter size {len(c_bits)} B != member "
+                    f"{len(mbits)} B"
+                )
+            elif c_k > int(mrec.get("k", 0)):
+                msgs.append(
+                    f"shard {sname} consolidated[{mname}.{cname}]: "
+                    f"probes k={c_k} but member inserted only "
+                    f"k={mrec.get('k')}"
+                )
+            elif int.from_bytes(mbits, "big") & ~int.from_bytes(
+                c_bits, "big"
+            ):
+                msgs.append(
+                    f"shard {sname} consolidated[{mname}.{cname}]: "
+                    "copy misses member bits — unsound rejects "
+                    "possible"
+                )
+    return msgs
+
+
 def _verify_table_sweep(path: str, deep: bool) -> dict:
     io = _io(path)
     errors: list[str] = []
@@ -1163,6 +1296,10 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
             k for k in B._SIDE_CACHE if k.startswith(path + os.sep)
         ]:
             B._SIDE_CACHE.pop(k, None)
+        for k in [
+            k for k in B._CONS_CACHE if k.startswith(path + os.sep)
+        ]:
+            B._CONS_CACHE.pop(k, None)
     versions = [man] + list(man.get("history", []))
     sup = set(man.get("superseded", []))
     # an FSCK must never crash on the corruption it exists to detect,
@@ -1281,6 +1418,16 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                         f"{tag}: {msg}"
                         for msg in _verify_shard_bloom(
                             io, path, sname, s["bloom"], members
+                        )
+                    )
+                if deep and s.get("bloomside") and v is man:
+                    # same blast-radius argument for the consolidated
+                    # object (round 13): a copied filter that lost
+                    # bits rejects a whole file's matching rows
+                    errors.extend(
+                        f"{tag}: {msg}"
+                        for msg in _verify_shard_consolidated(
+                            io, path, sname, s["bloomside"], members
                         )
                     )
         else:
@@ -2569,8 +2716,15 @@ def _commit_generation(
     dead += [os.path.join(path, f) for f in set(stale) | set(loose)]
     if bloom_policy:
         # sidecar liveness is derived from its data file: retire the
-        # companion with the file (vacuum sweeps any stragglers)
-        dead += [p + _BLOOM_SUFFIX for p in list(dead)]
+        # companion with the file (vacuum sweeps any stragglers).
+        # Shard objects in the dead set take their consolidated
+        # companion (round 13) the same way — for data files the
+        # extra name never exists and the retire no-ops.
+        from . import bloom as B
+
+        base_dead = list(dead)
+        dead += [p + _BLOOM_SUFFIX for p in base_dead]
+        dead += [p + B.CONSOLIDATED_SUFFIX for p in base_dead]
     _retire(dead)
     _cleanup_empty_gen_dirs(
         path, live,
@@ -3253,17 +3407,25 @@ def set_bloom_columns(
         # and the sidecars were just built above — this is the one
         # O(files) pass the backfill already paid for.
         io = _io(path)
+        new_shards = []
+        for s in ext:
+            members = _load_shard(path, s["name"])
+            new_shards.append({
+                **{
+                    k: v for k, v in s.items()
+                    if k not in ("bloom", "bloomside")
+                },
+                "bloom": _bloom_shard_agg(io, path, members, policy),
+                # consolidated object (round 13): rewritten in place on
+                # a policy re-apply — sound, the members are immutable
+                # and the new payloads describe the same value sets
+                "bloomside": _bloom_shard_consolidated(
+                    io, path, s["name"], members, policy
+                ),
+            })
         new_man["files_ext"] = {
             **man["files_ext"],
-            "shards": [
-                {
-                    **{k: v for k, v in s.items() if k != "bloom"},
-                    "bloom": _bloom_shard_agg(
-                        io, path, _load_shard(path, s["name"]), policy
-                    ),
-                }
-                for s in ext
-            ],
+            "shards": new_shards,
         }
     _commit_manifest(path, new_man, expect_gen=man["gen_no"])
     return n
@@ -3286,7 +3448,10 @@ def drop_bloom_columns(path: str) -> None:
         new_man["files_ext"] = {
             **new_man["files_ext"],
             "shards": [
-                {k: v for k, v in s.items() if k != "bloom"}
+                {
+                    k: v for k, v in s.items()
+                    if k not in ("bloom", "bloomside")
+                }
                 for s in ext
             ],
         }

@@ -1154,3 +1154,159 @@ def test_batch_probe_equivalent_to_loop():
     # first rounds) agrees with the loop on an EMPTY filter too
     m, k = B.params(500, 0.01)
     assert B._batch_rejects(bytes(m // 8), k, ["a", "b", "c"]) is True
+
+
+# ---------------------------------------------------------------------------
+# round 13: consolidated per-shard sidecar objects — O(shards) GETs for
+# full file-grain verdicts past PROBE_CAP (r12 verdict missing #2)
+# ---------------------------------------------------------------------------
+
+
+def _consolidated_table(spark, tmp_path, monkeypatch, name="consd"):
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = _fp_table(spark, tmp_path, n=8000, files=8, name=name)
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, path, ["fp"])
+    return path
+
+
+def test_consolidated_objects_written_and_covering(
+    spark, tmp_path, monkeypatch
+):
+    """set_bloom_columns writes one consolidated object per shard,
+    referenced from the root record, whose members are exactly the
+    shard's membership; deep FSCK sweeps the new objects clean."""
+    path = _consolidated_table(spark, tmp_path, monkeypatch)
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    assert shards and all(s.get("bloomside") for s in shards)
+    for s in shards:
+        full = os.path.join(path, s["bloomside"])
+        assert os.path.exists(full), s["bloomside"]
+        with open(full) as f:
+            raw = json.load(f)
+        members = {e["name"] for e in S._load_shard(path, s["name"])}
+        assert set(raw["members"]) == members
+    fsck = S.verify_table(path, deep=True)
+    assert fsck["ok"], fsck["errors"]
+
+
+def test_consolidated_driver_probe_past_cap(spark, tmp_path, monkeypatch):
+    """Past PROBE_CAP with NO session: the consolidated objects give
+    the driver exact file-grain pruning at O(shards) GETs — zero
+    per-file sidecar reads, and files_scanned is exact instead of the
+    no-probing upper bound."""
+    path = _consolidated_table(spark, tmp_path, monkeypatch, name="cap")
+    monkeypatch.setattr(B, "PROBE_CAP", 2)  # 8 candidates >> cap
+    B._SIDE_CACHE.clear()
+    B._CONS_CACHE.clear()
+    target = _md5("4321")
+    assert files_scanned(path, f"fp = '{target}'") <= 2
+    assert not B._SIDE_CACHE, "per-file sidecars were read"
+    assert B._CONS_CACHE, "consolidated objects were not consulted"
+    # absent key: the index disproves every file driver-side
+    assert files_scanned(path, f"fp = '{'0' * 32}'") <= 1
+    # end to end through scan_table (same driver path)
+    got = scan_table(spark, path, f"fp = '{target}'")
+    assert [r.id for r in got.collect()] == [4321]
+
+
+def test_consolidated_missing_object_falls_back(
+    spark, tmp_path, monkeypatch
+):
+    """Soundness: a referenced-but-deleted consolidated object leaves
+    its members UNCOVERED — they fall back to per-file sidecars and
+    the answer is unchanged (admit direction preserved)."""
+    path = _consolidated_table(spark, tmp_path, monkeypatch, name="miss")
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    target = _md5("4321")
+    truth = files_scanned(path, f"fp = '{target}'")
+    os.remove(os.path.join(path, shards[0]["bloomside"]))
+    monkeypatch.setattr(B, "PROBE_CAP", 2)
+    B._SIDE_CACHE.clear()
+    B._CONS_CACHE.clear()
+    assert files_scanned(path, f"fp = '{target}'") == truth
+    assert B._SIDE_CACHE, "uncovered members should probe per-file"
+    got = scan_table(spark, path, f"fp = '{target}'")
+    assert [r.id for r in got.collect()] == [4321]
+
+
+def test_consolidated_distributed_plans_agree(
+    spark, tmp_path, monkeypatch
+):
+    """The distributed probe's consolidated-only plan (full coverage:
+    O(shards) exact-path GETs, no listing) returns the same admitted
+    set as the per-file listing plan — and survives a deleted object
+    by falling back to the listing."""
+    path = _consolidated_table(spark, tmp_path, monkeypatch, name="dist")
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    cons = [s["bloomside"] for s in shards]
+    names = [e["name"] for e in S._version_files(man, path)]
+    probes = [("fp", [_md5("4321"), _md5("77")])]
+    via_cons = B.distributed_admits(
+        spark, path, probes, names, consolidated=(cons, True)
+    )
+    via_files = B.distributed_admits(spark, path, probes, names)
+    assert via_cons is not None and via_cons == via_files
+    assert 0 < len(via_cons) <= 4
+    # delete one object: the consolidated-only plan fails over to the
+    # per-file listing and still returns the same (sound) set
+    os.remove(os.path.join(path, cons[0]))
+    again = B.distributed_admits(
+        spark, path, probes, names, consolidated=(cons, True)
+    )
+    assert again == via_files
+
+
+def test_deep_fsck_flags_consolidated_bit_loss(
+    spark, tmp_path, monkeypatch
+):
+    """A consolidated copy that LOST bits a member sidecar set could
+    unsoundly reject a present value for the whole file —
+    verify_table(deep=True) re-checks each copied payload against the
+    member's own sidecar and reports the loss."""
+    import base64
+
+    path = _consolidated_table(spark, tmp_path, monkeypatch, name="fsck")
+    man = S._load_manifest(path)
+    rel = man["files_ext"]["shards"][0]["bloomside"]
+    full = os.path.join(path, rel)
+    with open(full) as f:
+        raw = json.load(f)
+    mname = next(iter(raw["members"]))
+    rec = raw["members"][mname]["cols"]["fp"]
+    bits = bytearray(base64.b64decode(rec["bits"]))
+    bits[0] = 0
+    bits[len(bits) // 2] = 0
+    rec["bits"] = base64.b64encode(bytes(bits)).decode()
+    with open(full, "w") as f:
+        json.dump(raw, f)
+    fsck = S.verify_table(path, deep=True)
+    assert not fsck["ok"]
+    assert any("consolidated" in e and "misses member bits" in e
+               for e in fsck["errors"])
+
+
+def test_digest_cache_bounded_for_long_values(monkeypatch):
+    """r12 verdict wrong #1: the digest lru keys hold RAW probe
+    values, so a bulk probe over long strings must not enter the
+    cache — 100k long keys would pin hundreds of MB on the driver.
+    Long values still hash identically (same filter verdicts)."""
+    B._digest_cached.cache_clear()
+    base = B._digest_cached.cache_info().currsize
+    long_vals = ["x" * 4096 + str(i) for i in range(1000)]
+    for v in long_vals:
+        assert B._digest(v) == B._digest_raw(v)
+    assert B._digest_cached.cache_info().currsize == base
+    # short values still cache
+    for i in range(100):
+        B._digest(f"short-{i}")
+    assert B._digest_cached.cache_info().currsize == base + 100
+    # and the filter round trip is unchanged for long values
+    m, k = B.params(1000, 0.01)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, long_vals)
+    assert all(B.might_contain(bytes(bits), k, v) for v in long_vals)

@@ -343,3 +343,62 @@ def test_ttl_break_restore_never_clobbers_new_holder(tmp_path, monkeypatch):
         f for f in os.listdir(str(tmp_path / "locks")) if ".break-" in f
     ]
     assert leftovers == []  # tombstone cleaned up either way
+
+
+def test_ttl_break_restore_without_hardlinks(tmp_path, monkeypatch):
+    """Round-13 (r12 advice #1): on filesystems without hard-link
+    support the restore must fall back to exclusive-create + copy —
+    a swallowed link failure would silently destroy the live
+    holder's lock when the tombstone unlinks. And when a THIRD
+    process acquired while the lock was renamed away, the fallback's
+    O_EXCL keeps the no-clobber guarantee."""
+    import errno
+
+    import retail_sales_data_pipeline_spark.coordinator as C
+
+    c = AdvisoryFileLockCoordinator(
+        str(tmp_path / "locks"), ttl_seconds=60,
+        poll_seconds=0.01, wait_seconds=0.15,
+    )
+    lp = c._lock_path("/t")
+    with open(lp, "w") as fh:
+        fh.write("peer:payload")
+
+    real_getmtime = os.path.getmtime
+
+    def lying_stat(p):
+        if p == lp:
+            return time.time() - 3600  # looks stale at first stat
+        return real_getmtime(p)  # tombstone fresh: restore path
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.ENOTSUP, "hard links not supported")
+
+    monkeypatch.setattr(C.os.path, "getmtime", lying_stat)
+    monkeypatch.setattr(C.os, "link", no_link)
+    assert c.acquire("/t") is None
+    monkeypatch.setattr(C.os.path, "getmtime", real_getmtime)
+    assert os.path.exists(lp), "copy-restore must recreate the lock"
+    with open(lp) as fh:
+        assert fh.read() == "peer:payload"
+    assert not [
+        f for f in os.listdir(str(tmp_path / "locks")) if ".break-" in f
+    ]
+
+    # third-process race under the same no-hardlink regime: a NEW
+    # holder created lp while it was renamed away — O_EXCL refuses
+    # the clobber and the new holder's lock survives untouched
+    real_rename = os.rename
+
+    def rename_then_new_holder(src, dst):
+        real_rename(src, dst)
+        if src == lp:
+            with open(lp, "w") as fh:
+                fh.write("new-holder")
+
+    monkeypatch.setattr(C.os.path, "getmtime", lying_stat)
+    monkeypatch.setattr(C.os, "rename", rename_then_new_holder)
+    assert c.acquire("/t") is None
+    monkeypatch.setattr(C.os.path, "getmtime", real_getmtime)
+    with open(lp) as fh:
+        assert fh.read() == "new-holder", "O_EXCL must not clobber"

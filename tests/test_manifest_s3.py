@@ -1379,3 +1379,58 @@ def test_shard_bloom_aggregate_request_budget(s3env, spark, monkeypatch):
     c = server.reset_counts()
     assert c.get("GET", 0) <= 2, c  # root (+ the schema-witness shard)
     assert sum(c.values()) <= 6, c
+
+
+def test_consolidated_probe_request_budget(s3env, spark, monkeypatch):
+    """Round 13: past PROBE_CAP, the consolidated per-shard sidecar
+    objects give the driver full file-grain verdicts at O(shards)
+    GETs — not one GET per file — and ``files_scanned`` reports
+    EXACTLY what ``scan_table`` then reads, with or without a session
+    (r12 verdict wrong #2: the sessionless count on a >cap bloomed
+    table used to be a flattering upper bound)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    import retail_sales_data_pipeline_spark.bloom as B
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        files_scanned,
+        scan_table,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    server = s3env["server"]
+    uri = "s3://lake/tables/consbudget"
+    df = (
+        spark.range(4000)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.write_parquet(df.repartition(8), uri)
+    S.convert_to_manifest(spark, uri)
+    S.compact_parquet(spark, uri, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, uri, ["fp"])
+    man = S._load_manifest(uri)
+    shards = man["files_ext"]["shards"]
+    assert len(shards) == 4 and all(s.get("bloomside") for s in shards)
+
+    monkeypatch.setattr(B, "PROBE_CAP", 2)  # 8 candidates >> cap
+    target = hashlib.md5(b"1234").hexdigest()
+    pred = f"fp = '{target}'"
+    B._SIDE_CACHE.clear()
+    B._CONS_CACHE.clear()
+    S._SHARD_CACHE.clear()
+    server.reset_counts()
+    n_rep = files_scanned(uri, pred)  # no session
+    c = server.reset_counts()
+    # root GET + 4 shard bodies + 4 consolidated objects (+ loose
+    # LIST); crucially NOT the 8 per-file sidecar GETs on top
+    assert c.get("GET", 0) <= 10, c
+    assert c.get("PUT", 0) == 0, c
+    # report == scan: sessionless, with-session, and the actual read
+    # all agree on the same file count
+    assert n_rep == files_scanned(uri, pred, spark)
+    got = scan_table(spark, uri, pred)
+    assert [r.id for r in got.collect()] == [1234]
+    assert n_rep == len(got.inputFiles())

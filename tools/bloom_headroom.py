@@ -44,6 +44,7 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--bulk-keys", type=int, default=20_000)
     ap.add_argument("--index-entries", type=int, default=1_000_000)
+    ap.add_argument("--cons-entries", type=int, default=1_000_000)
     args = ap.parse_args()
     spark = get_spark("bloom-headroom")
     work = tempfile.mkdtemp(prefix="bloom_headroom_")
@@ -262,6 +263,117 @@ def main() -> None:
                   f"back to the distributed sidecar probe — capacity "
                   f"is ~10 bits/DISTINCT value/shard at the "
                   f"{B.SHARD_AGG_BITS}-bit cap).")
+
+        # ------------------------------------------------------------
+        # round 13: CONSOLIDATED per-shard sidecars — the saturating
+        # unique-key case the shard aggregate honestly cannot serve.
+        # One synthetic sidecar per file (unique fingerprint), then
+        # the same probe before/after consolidation: object-GET count
+        # drops from O(files) to O(shards).
+        # ------------------------------------------------------------
+        import hashlib as hl
+        import json as _json
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_c = args.cons_entries
+        big = os.path.join(work, "cons")
+        gen = "gen-000001._seed"
+        os.makedirs(os.path.join(big, gen))
+        print(f"\n# consolidated per-shard sidecars (round 13): "
+              f"{n_c:,} files, UNIQUE fingerprint per file (shard "
+              f"aggregates saturate -> null), {(n_c + 3999) // 4000} "
+              f"shards")
+        # filters sized for 64 rows but seeded with the one probed
+        # fingerprint: GET topology and probe wall (the measured
+        # claims) are identical to a fully-populated filter; only the
+        # no-match fpp is flattered — the real-table sections above
+        # carry the honest fpp
+        m1, k1 = B.params(64, 0.01)
+
+        def mk_side(i: int) -> None:
+            bits = bytearray(m1 // 8)
+            B.add_values(bits, k1, [hl.md5(str(i).encode()).hexdigest()])
+            with open(os.path.join(
+                big, gen, f"part-{i:07d}.parquet" + B.BLOOM_SUFFIX
+            ), "w") as f:
+                _json.dump(B.encode_sidecar(0.01, {
+                    "fp": ("str", k1, bits)
+                }), f)
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(mk_side, range(n_c)))
+        t_mk = time.time() - t0
+        entries = [
+            {"name": f"{gen}/part-{i:07d}.parquet", "rows": 1,
+             "bytes": 128 << 20, "stats": None,
+             "nulls": {"fp": 0}}
+            for i in range(n_c)
+        ]
+        io = S._io(big)
+        policy = {"cols": ["fp"], "fpp": 0.01}
+        t0 = time.time()
+        ext = S._externalize_entries(
+            io, big, "gen-000002._idx", {"bloom": policy}, entries, [], 0
+        )
+        t_ext = time.time() - t0
+        n_shards = len(ext["shards"])
+        assert all(s.get("bloomside") for s in ext["shards"])
+        assert all(s.get("bloom") is None for s in ext["shards"]), \
+            "unique keys must saturate the OR-fold aggregate"
+        cons_b = sum(
+            os.path.getsize(os.path.join(big, s["bloomside"]))
+            for s in ext["shards"]
+        )
+        root = {
+            "format": 2, "gen_no": 1, "generation": "gen-000002._idx",
+            "rows": n_c, "files_ext": ext, "op": "idx",
+            "superseded": [], "history": [], "bloom": policy,
+        }
+        S._commit_manifest(big, root, expect_gen=0)
+        target = hl.md5(str(n_c // 2).encode()).hexdigest()
+        pred = f"fp = '{target}'"
+        print(f"(sidecar synth {t_mk:.1f} s; externalize + "
+              f"consolidate {t_ext:.1f} s, {cons_b/1e6:.1f} MB of "
+              f"consolidated objects)")
+        print("| probe | objects read | wall | files admitted |")
+        print("|---|---|---|---|")
+
+        # AFTER, driver path: cold consolidated resolve, no session
+        B._SIDE_CACHE.clear()
+        B._CONS_CACHE.clear()
+        S._SHARD_CACHE.clear()
+        t0 = time.time()
+        n_adm = files_scanned(big, pred)
+        t_cons = time.time() - t0
+        print(f"| driver, consolidated (cold) | {n_shards} | "
+              f"{t_cons*1e3:.0f} ms | {n_adm} |")
+        B._CONS_CACHE.clear()
+        t0 = time.time()
+        n_abs = files_scanned(big, "fp = 'absent'")
+        t_abs = time.time() - t0
+        print(f"| driver, consolidated, NO-MATCH (cold) | {n_shards} | "
+              f"{t_abs*1e3:.0f} ms | {n_abs} |")
+
+        # distributed probe, before vs after
+        names = [e["name"] for e in entries]
+        probes = [("fp", [target])]
+        t0 = time.time()
+        adm_files = B.distributed_admits(spark, big, probes, names)
+        t_dist_files = time.time() - t0
+        print(f"| distributed, per-file sidecars (the r12 'before') | "
+              f"{n_c:,} | {t_dist_files:.1f} s | {len(adm_files)} |")
+        cons_rels = [s["bloomside"] for s in ext["shards"]]
+        t0 = time.time()
+        adm_cons = B.distributed_admits(
+            spark, big, probes, names, consolidated=(cons_rels, True)
+        )
+        t_dist_cons = time.time() - t0
+        print(f"| distributed, consolidated (round 13) | {n_shards} | "
+              f"{t_dist_cons:.1f} s | {len(adm_cons)} |")
+        assert adm_cons == adm_files
+        print(f"\nObject GETs per probe: {n_c:,} -> {n_shards} "
+              f"(O(files) -> O(shards)); same admitted set both ways.")
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

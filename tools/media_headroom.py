@@ -98,6 +98,7 @@ def main() -> None:
     ap.add_argument("--sizes", default="10000,50000,200000")
     ap.add_argument("--side", type=int, default=16)
     ap.add_argument("--format", default="ppm", choices=["ppm", "jpeg", "gif"])
+    ap.add_argument("--decoder-seam", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -146,6 +147,55 @@ def main() -> None:
         results.append({"n": n, "wall_s": round(best, 2), "rows_per_s": rps})
     print(json.dumps({"side": args.side, "format": args.format,
                       "bytes_per": bytes_per, "sweep": results}))
+
+    if args.decoder_seam:
+        # ------------------------------------------------------------
+        # round 13: the CODEC SEAM at realistic image sizes — the
+        # built-in pure-Python huffman decode vs a near-zero-cost
+        # decoder dropped through decode_media(decoder=...), isolating
+        # how much of the wall is codec (swappable) vs plumbing
+        # (partitioning + Arrow transfer + schema, which stays)
+        # ------------------------------------------------------------
+        n_seam = sizes[0]
+        print(f"\n# codec seam (round 13): {n_seam} payloads, "
+              f"{args.format} {args.side}x{args.side} "
+              f"({bytes_per} B each)")
+        print("| decoder | wall | rows/s | note |")
+        print("|---|---|---|---|")
+        media = build(n_seam).cache()
+        media.count()
+
+        def native_stub(payload: bytes, media_type: str) -> dict:
+            # stands in for a native codec (libjpeg-turbo via PIL):
+            # per-payload cost ~0 relative to pure Python, everything
+            # else (Arrow batches, partitioning, schema) identical
+            return {"width": args.side, "height": args.side,
+                    "n_frames": 1, "feature": [0.0] * 8}
+
+        walls = {}
+        for label, kw in (
+            ("built-in pure-Python codec", {"fake": False}),
+            ("seam: near-zero native stub", {"decoder": native_stub}),
+        ):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                decode_media(media, **kw).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            walls[label] = best
+            print(f"| {label} | {round(best, 2)} s | "
+                  f"{int(n_seam / best)} | |")
+        ratio = walls["built-in pure-Python codec"] / max(
+            walls["seam: near-zero native stub"], 1e-9
+        )
+        print(f"\nCodec is {ratio:.0f}x the plumbing at this size — "
+              f"the seam swap recovers that factor without touching "
+              f"the operator (plan/schema/error policy pinned by "
+              f"tests/test_multimodal.py).")
+        media.unpersist()
     spark.stop()
 
 
