@@ -562,11 +562,15 @@ def files_scanned(
 ) -> int:
     """How many manifest files ``scan_table`` would read for
     ``predicate`` — the observable for pruning tests and capacity
-    planning (metadata only). Pass ``spark`` to include the
-    DISTRIBUTED bloom probe past ``bloom.PROBE_CAP`` (round 12 —
-    without a session that leg is skipped, so on large bloomed tables
-    the count is an UPPER BOUND on what ``scan_table`` reads with the
-    same predicate and session)."""
+    planning (metadata only). On tables whose shards carry
+    consolidated sidecar objects (round 13) the count is EXACT even
+    past ``bloom.PROBE_CAP`` with no session — the driver gets full
+    file-grain verdicts at O(shards) GETs (pinned report == scan by
+    tests/test_manifest_s3.py::test_consolidated_probe_request_budget).
+    Pass ``spark`` to also include the DISTRIBUTED probe for whatever
+    consolidation doesn't cover (pre-r13 shards, loose appends past
+    the cap) — without a session that residual leg is skipped and the
+    count is an upper bound for exactly those files."""
     man, entries, loose, _ = _live_state(path)
     if man is None:
         return -1  # unmanaged table: directory scan, count unknown
@@ -612,6 +616,7 @@ def explain_skipping(
             "atoms": atoms, "shards_loaded": (0, 0),
             "files_scanned": -1, "files_total": -1,
             "bloom_policy": None, "bloom_probes": [],
+            "bloom_consolidated_shards": (0, 0),
             "prunable": False,
         }
     policy = man.get("bloom") or None
@@ -623,6 +628,7 @@ def explain_skipping(
     scanned = entries
     if predicate and _prunable(man):
         scanned = prune_entries(entries, predicate, path, man, spark)
+    ext = (man.get("files_ext") or {}).get("shards") or []
     return {
         "atoms": atoms,
         "shards_loaded": shards_loaded(path, predicate),
@@ -630,6 +636,12 @@ def explain_skipping(
         "files_total": len(entries) + len(loose),
         "bloom_policy": pcols if policy else None,
         "bloom_probes": [(c, len(v)) for c, v in probes],
+        # round 13: shards carrying a consolidated sidecar object —
+        # full coverage means point lookups stay exact at O(shards)
+        # GETs no matter how far past PROBE_CAP the table grows
+        "bloom_consolidated_shards": (
+            sum(1 for s in ext if s.get("bloomside")), len(ext)
+        ),
         "prunable": _prunable(man),
     }
 

@@ -458,6 +458,8 @@ def test_explain_skipping_report(spark, tmp_path):
     assert rep["bloom_policy"] == ["fp"]
     assert rep["bloom_probes"] == [("fp", 1)]
     assert rep["files_scanned"] <= 2 and rep["prunable"]
+    # unsharded table: no consolidated objects, honestly (0, 0)
+    assert rep["bloom_consolidated_shards"] == (0, 0)
 
     # predicate shape that defeats the grammar: empty atoms explains
     # the full scan in one field
@@ -469,3 +471,37 @@ def test_explain_skipping_report(spark, tmp_path):
     df.limit(10).write.parquet(raw)
     rep = explain_skipping(raw, "id = 1")
     assert rep["files_scanned"] == -1 and not rep["prunable"]
+
+
+def test_explain_skipping_reports_consolidated_coverage(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: the explainer surfaces consolidated-object coverage —
+    (covered, total) shard records — so a 100 TB operator can see
+    whether point lookups stay O(shards) past the probe cap."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    import retail_sales_data_pipeline_spark.sinks as S
+    from retail_sales_data_pipeline_spark.data_skipping import (
+        explain_skipping,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "consexp")
+    df = (
+        spark.range(4000)
+        .withColumn("fp", F.md5(F.col("id").cast("string")))
+        .withColumn("grp", F.col("id") % 7)
+    )
+    S.write_parquet(df.repartition(8), path)
+    S.convert_to_manifest(spark, path)
+    S.compact_parquet(spark, path, target_files=8, sort_col="id")
+    S.set_bloom_columns(spark, path, ["fp"])
+    target = hashlib.md5(b"123").hexdigest()
+    rep = explain_skipping(path, f"fp = '{target}'")
+    covered, total = rep["bloom_consolidated_shards"]
+    assert total == 4 and covered == total
+    assert rep["files_scanned"] <= 2
