@@ -301,6 +301,11 @@ def _probe_budget(probes) -> int:
 # shard-record bloom probing is pure driver CPU over root metadata;
 # key batches beyond this skip the shard grain (file grain still runs)
 _SHARD_PROBE_VALUES = 1_000
+# past this many candidates, a session-holding caller routes the
+# consolidated probe through the distributed job instead of the
+# driver loop (same O(shards) GETs; the job's parallel CPU beats the
+# driver's ~10-20 us/member loop past a few seconds of work)
+_CONS_DRIVER_MAX_FILES = 200_000
 
 
 def _bloom_probe_list(
@@ -384,10 +389,17 @@ def prune_entries(
                 s.get("bloomside") for s in ext
             )
             rest, kept, cov_ran = out, [], False
-            if cons and n_vals * len(out) <= budget:
+            if cons and n_vals * len(out) <= budget and (
+                spark is None or len(out) <= _CONS_DRIVER_MAX_FILES
+            ):
                 # same CPU budget as the per-file path — the GET count
                 # is what changed (O(shards), threaded): the selective
-                # point lookup on a 1M-file table resolves driver-side
+                # point lookup on a 1M-file table resolves driver-side.
+                # With a session AND a very large candidate list the
+                # distributed consolidated plan below wins instead:
+                # the driver loop costs ~10-20 us per member verdict,
+                # so past ~200k candidates a Spark job's floor beats
+                # it while reading the same O(shards) objects
                 admitted, covered = _bloom.consolidated_admits(
                     _sinks_io(table_path), table_path, ext, probes
                 )
