@@ -146,6 +146,20 @@ def _unsettled(attempt: dict) -> bool:
     )
 
 
+def _representative(attempts: list[dict]) -> int:
+    """Settled attempts beat unsettled ones REGARDLESS of spread
+    (review finding: a gate-tripped attempt with a tight spread but a
+    >2x probe ratio must not outrank the settled re-run it
+    triggered); ties break on the tighter spread."""
+    return min(
+        range(len(attempts)),
+        key=lambda i: (
+            _unsettled(attempts[i]),
+            attempts[i]["calibration_spread"],
+        ),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -177,12 +191,10 @@ def main() -> None:
         time.sleep(_SETTLE_SEC)
         attempts.append(_run_suite(spark, queries, names, sf_dir))
 
-    # representative = the attempt with the tighter probe spread; if
-    # even that one trips the gate, the artifact says so mechanically
-    rep_i = min(
-        range(len(attempts)),
-        key=lambda i: attempts[i]["calibration_spread"],
-    )
+    # representative = a settled attempt when one exists (tighter
+    # spread breaks ties); if even it trips the gate, the artifact
+    # says so mechanically
+    rep_i = _representative(attempts)
     rep = attempts[rep_i]
     timings = rep["queries"]
     calibration = rep["calibration_sec"]

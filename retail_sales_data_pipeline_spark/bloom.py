@@ -91,6 +91,7 @@ _SIDE_CACHE_MAX = 8192
 # payloads each), so the cache is entry-bounded much lower
 _CONS_CACHE: dict[str, dict | None] = {}
 _CONS_CACHE_MAX = 256
+_CACHE_MISS = object()
 
 
 def params(n_rows: int, fpp: float) -> tuple[int, int]:
@@ -207,8 +208,9 @@ def load_sidecar(io, table_path: str, rel_name: str) -> dict | None:
     """Cached immutable sidecar read; None on missing/corrupt (the
     probe then admits — advisory index, never a correctness gate)."""
     p = sidecar_path(table_path, rel_name)
-    if p in _SIDE_CACHE:
-        return _SIDE_CACHE[p]
+    hit = _SIDE_CACHE.get(p, _CACHE_MISS)
+    if hit is not _CACHE_MISS:
+        return hit
     try:
         raw = io.load_json(p)
         cols = {}
@@ -273,25 +275,28 @@ def encode_consolidated(members: dict[str, dict]) -> dict:
 
 
 def load_consolidated(io, table_path: str, rel: str) -> dict | None:
-    """Cached consolidated-object read: ``{member rel: decoded
-    payload}``; ``None`` on missing/corrupt (callers fall back to the
-    per-file sidecars — advisory at every granularity)."""
+    """Cached consolidated-object read: ``{member rel: payload}`` with
+    each payload's bits left BASE64 — the verdict kernel decodes per
+    probe, so loading an object costs one GET plus a JSON parse, and
+    decode work is paid only for members actually probed (review
+    finding: eagerly decoding every member made loading a 4000-member
+    object O(members) b64 work whether or not any was a candidate).
+    ``None`` on missing/corrupt (callers fall back to the per-file
+    sidecars — advisory at every granularity)."""
     p = os.path.join(table_path, rel)
-    if p in _CONS_CACHE:
-        return _CONS_CACHE[p]
+    # sentinel get, not check-then-index: a racing thread's eviction
+    # between the two would KeyError out of the read path (review
+    # finding — the 256-entry cap makes eviction routine)
+    hit = _CONS_CACHE.get(p, _CACHE_MISS)
+    if hit is not _CACHE_MISS:
+        return hit
     try:
         raw = io.load_json(p)
-        members: dict = {}
-        for name, payload in (raw or {}).get("members", {}).items():
-            cols = {}
-            for c, rec in (payload or {}).get("cols", {}).items():
-                cols[c] = {
-                    "type": rec["type"],
-                    "k": int(rec["k"]),
-                    "bits": base64.b64decode(rec["bits"]),
-                }
-            if cols:
-                members[name] = {"cols": cols}
+        members = {
+            name: payload
+            for name, payload in (raw or {}).get("members", {}).items()
+            if isinstance(payload, dict) and payload.get("cols")
+        }
         out: dict | None = members if members else None
     except Exception:
         out = None
@@ -304,41 +309,68 @@ def load_consolidated(io, table_path: str, rel: str) -> dict | None:
     return out
 
 
+# prefetch/probe chunk for the driver-side consolidated pass: half the
+# cache so a >256-shard table cannot evict a chunk's own prefetched
+# objects before the verdict loop reads them (review finding)
+_CONS_PROBE_CHUNK = _CONS_CACHE_MAX // 2
+
+
 def consolidated_admits(
-    io, table_path: str, shard_recs: list[dict], probes, threads: int = 16
+    io, table_path: str, shard_recs: list[dict], probes, rel_names,
+    threads: int = 16,
 ) -> tuple[set | None, set | None]:
     """Driver-side O(shards) probe over the consolidated objects: one
     GET per shard record carrying a ``bloomside`` ref, then the same
-    per-member verdict kernel as every other granularity. Returns
+    per-member verdict kernel as every other granularity — RESTRICTED
+    to the ``rel_names`` candidates, so verdict work is priced by the
+    caller's (values x candidates) budget, not by total table
+    membership (review finding: a range-pruned candidate list must
+    not pay verdicts for the 1M members it excluded). Returns
     ``(admitted, covered)`` — a candidate in ``covered`` has a real
     file-grain verdict; one absent from it got none (pre-r13 shard,
     missing object, member without a sidecar) and the CALLER must
     probe or admit it. ``(None, None)`` when no record carries a ref
-    (nothing consolidated to consult)."""
-    rels = [r["bloomside"] for r in shard_recs if r.get("bloomside")]
-    if not rels:
-        return None, None
-    todo = [
-        r for r in rels if os.path.join(table_path, r) not in _CONS_CACHE
-    ]
-    if len(todo) > 1:
+    or on any unexpected failure (advisory, never a crash in the
+    read path). Objects prefetch-then-probe in cache-bounded chunks
+    so large shard counts never thrash their own prefetch."""
+    try:
+        rels = [r["bloomside"] for r in shard_recs if r.get("bloomside")]
+        if not rels:
+            return None, None
+        want = set(rel_names)
+        admitted: set = set()
+        covered: set = set()
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(threads, len(todo))) as ex:
-            list(ex.map(
-                lambda r: load_consolidated(io, table_path, r), todo
-            ))
-    admitted: set = set()
-    covered: set = set()
-    for rel in rels:
-        members = load_consolidated(io, table_path, rel)
-        if members is None:
-            continue  # missing/corrupt object: members stay uncovered
-        for name, payload in members.items():
-            covered.add(name)
-            if not payload_rejects(payload, probes):
-                admitted.add(name)
-    return admitted, covered
+        for i in range(0, len(rels), _CONS_PROBE_CHUNK):
+            chunk = rels[i:i + _CONS_PROBE_CHUNK]
+            todo = [
+                r for r in chunk
+                if os.path.join(table_path, r) not in _CONS_CACHE
+            ]
+            if len(todo) > 1:
+                with ThreadPoolExecutor(
+                    max_workers=min(threads, len(todo))
+                ) as ex:
+                    list(ex.map(
+                        lambda r: load_consolidated(io, table_path, r),
+                        todo,
+                    ))
+            for rel in chunk:
+                members = load_consolidated(io, table_path, rel)
+                if members is None:
+                    continue  # missing/corrupt: members stay uncovered
+                for name in (
+                    want.intersection(members)
+                    if len(want) < len(members) else
+                    [n for n in members if n in want]
+                ):
+                    covered.add(name)
+                    if not payload_rejects(members[name], probes):
+                        admitted.add(name)
+        return admitted, covered
+    except Exception:
+        return None, None
 
 
 def fold_bits(bits: bytes, target_bytes: int) -> bytes:

@@ -401,7 +401,8 @@ def prune_entries(
                 # so past ~200k candidates a Spark job's floor beats
                 # it while reading the same O(shards) objects
                 admitted, covered = _bloom.consolidated_admits(
-                    _sinks_io(table_path), table_path, ext, probes
+                    _sinks_io(table_path), table_path, ext, probes,
+                    [e["name"] for e in rest],
                 )
                 if covered:
                     cov_ran = True

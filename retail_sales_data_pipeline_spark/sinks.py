@@ -1210,14 +1210,33 @@ def _verify_shard_consolidated(
     from . import bloom as B
 
     msgs: list[str] = []
-    raw = io.load_json(os.path.join(path, cons_rel))
+    # an FSCK must never crash on the corruption it exists to detect
+    # (review finding): a truncated/garbage object or a non-dict
+    # members shape is ONE reported error, not an aborted sweep
+    try:
+        raw = io.load_json(os.path.join(path, cons_rel))
+    except Exception as exc:
+        return [
+            f"shard {sname}: unreadable consolidated object "
+            f"{cons_rel}: {type(exc).__name__}"
+        ]
     if raw is None:
         return [f"shard {sname}: missing consolidated object {cons_rel}"]
+    membs = raw.get("members") if isinstance(raw, dict) else None
+    if not isinstance(membs, dict):
+        return [
+            f"shard {sname}: malformed consolidated object {cons_rel}"
+        ]
     names = {e["name"] for e in members}
-    for mname, payload in (raw.get("members") or {}).items():
+    for mname, payload in membs.items():
         if mname not in names:
             msgs.append(
                 f"shard {sname} consolidated: foreign member {mname}"
+            )
+            continue
+        if not isinstance(payload, dict):
+            msgs.append(
+                f"shard {sname} consolidated[{mname}]: malformed payload"
             )
             continue
         side = B.load_sidecar(io, path, mname)

@@ -1310,3 +1310,45 @@ def test_digest_cache_bounded_for_long_values(monkeypatch):
     bits = bytearray(m // 8)
     B.add_values(bits, k, long_vals)
     assert all(B.might_contain(bytes(bits), k, v) for v in long_vals)
+
+
+def test_consolidated_admits_restricted_to_candidates(
+    spark, tmp_path, monkeypatch
+):
+    """Review pin: verdict work is priced by the caller's candidate
+    list — members outside it are never probed or covered, and a
+    garbage consolidated object degrades to (None coverage for its
+    members | full fallback), never a crash."""
+    path = _consolidated_table(spark, tmp_path, monkeypatch, name="restr")
+    man = S._load_manifest(path)
+    shards = man["files_ext"]["shards"]
+    io = S._io(path)
+    all_names = [e["name"] for e in S._version_files(man, path)]
+    probes = [("fp", [_md5("4321")])]
+    B._CONS_CACHE.clear()
+    sub = all_names[:3]
+    admitted, covered = B.consolidated_admits(
+        io, path, shards, probes, sub
+    )
+    assert covered == set(sub)  # full coverage, but ONLY the asked-for
+    assert admitted <= set(sub)
+    # corrupt one object: its members drop out of coverage, the rest
+    # still get verdicts, nothing raises
+    victim = os.path.join(path, shards[0]["bloomside"])
+    with open(victim, "w") as f:
+        f.write("{not json")
+    B._CONS_CACHE.clear()
+    admitted2, covered2 = B.consolidated_admits(
+        io, path, shards, probes, all_names
+    )
+    victim_members = {
+        e["name"] for e in S._load_shard(path, shards[0]["name"])
+    }
+    assert covered2 == set(all_names) - victim_members
+    # deep FSCK reports the corruption as ONE error and keeps sweeping
+    fsck = S.verify_table(path, deep=True)
+    assert not fsck["ok"]
+    assert any(
+        "consolidated" in e and shards[0]["bloomside"] in e
+        for e in fsck["errors"]
+    ), fsck["errors"]

@@ -176,3 +176,13 @@ def test_bench_settledness_gate():
     assert bench._unsettled(r12)
     assert not bench._unsettled(settled)
     assert bench._unsettled(ratio_trip)
+    # representative pick: settled beats unsettled even when the
+    # unsettled attempt's spread is tighter (ratio-tripped cold run
+    # must not outrank the settled re-run it triggered)
+    assert bench._representative([ratio_trip, settled]) == 1
+    assert bench._representative([settled, r12]) == 0
+    tight_settled = {
+        "calibration_spread": 0.1,
+        "calibration_probes": [0.7, 0.72, 0.75, 0.78, 0.8],
+    }
+    assert bench._representative([settled, tight_settled]) == 1
