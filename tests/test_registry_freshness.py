@@ -164,25 +164,33 @@ def test_bench_settledness_gate():
     r12 = {  # the artifact that motivated the gate
         "calibration_spread": 0.761,
         "calibration_probes": [0.719, 0.743, 0.801, 1.102, 1.48],
+        "value": 36.1,
     }
     settled = {
         "calibration_spread": 0.21,
         "calibration_probes": [0.71, 0.74, 0.80, 0.88, 0.92],
+        "value": 40.0,
     }
     ratio_trip = {  # tight spread but a >2x probe ratio still trips
         "calibration_spread": 0.39,
         "calibration_probes": [0.3, 0.31, 0.33, 0.6, 0.69],
+        "value": 33.0,
     }
     assert bench._unsettled(r12)
     assert not bench._unsettled(settled)
     assert bench._unsettled(ratio_trip)
     # representative pick: settled beats unsettled even when the
-    # unsettled attempt's spread is tighter (ratio-tripped cold run
-    # must not outrank the settled re-run it triggered)
+    # unsettled attempt's spread (or total) is better (a gate-tripped
+    # cold run must not outrank the settled re-run it triggered)
     assert bench._representative([ratio_trip, settled]) == 1
     assert bench._representative([settled, r12]) == 0
-    tight_settled = {
+    # among settled attempts the LOWER suite total is representative:
+    # the first r13 pair slipped the probe gates entirely (spread
+    # 0.379) while the suite ran 1.88x — value, not spread, is the
+    # ambient-pollution signal between settled attempts
+    inflated_settled = {
         "calibration_spread": 0.1,
         "calibration_probes": [0.7, 0.72, 0.75, 0.78, 0.8],
+        "value": 67.8,
     }
-    assert bench._representative([settled, tight_settled]) == 1
+    assert bench._representative([inflated_settled, settled]) == 1
