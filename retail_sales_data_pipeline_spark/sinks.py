@@ -2220,6 +2220,32 @@ def _commit_generation(
     n_staged = sum(e["rows"] for e in new_entries)
     if n_staged != expected_new_rows:
         io.rmtree_quiet(staging)
+        cur = _load_manifest(path)
+        if (
+            man is not None
+            and cur is not None
+            and cur.get("gen_no", 0) != man.get("gen_no", 0)
+        ):
+            # a winner committed while this pass was STAGING: with
+            # retain_versions=0 its post-commit retire deletes the very
+            # files this rewrite was reading, and Spark's parallel file
+            # listing treats a vanished input as EMPTY (one WARN, zero
+            # rows) rather than raising FAILED_READ_FILE — so the race
+            # surfaces HERE, through the row-count validation, instead
+            # of through _is_stale_snapshot_error's exception shapes.
+            # Classify it as the lost writer race it is;
+            # retry_on_conflict re-runs against the winner's table.
+            # A genuine row-count bug is unaffected: the snapshot gen
+            # matches and the RuntimeError below still surfaces (and a
+            # systematic bug re-raised here simply fails again on the
+            # fresh snapshot). Caught live by the sharded
+            # concurrent-pair fuzz (seed 31337, round 7).
+            raise ConcurrentWriteError(
+                f"staged rewrite raced a concurrent commit at {path!r}: "
+                f"snapshot gen {man.get('gen_no')} superseded by "
+                f"{cur.get('gen_no')} (staged {n_staged} != expected "
+                f"{expected_new_rows})"
+            )
         raise RuntimeError(
             f"rewrite row-count mismatch: staged {n_staged} != expected "
             f"{expected_new_rows}"

@@ -2812,3 +2812,50 @@ def test_evolving_merge_winner_blocks_rebase(spark, tmp_path, monkeypatch):
     assert tbl.count() == 375
     assert tbl.where("tag = 'tagged'").count() == 1
     assert tbl.where("id < 25").count() == 0
+
+
+def test_staging_mismatch_classifies_superseded_snapshot(spark, tmp_path):
+    """Round-13 race fix (caught live by the sharded pair fuzz, seed
+    31337 round 7): a winner's post-commit retire can delete the files
+    a racing rewrite is STAGING from, and Spark's parallel listing
+    treats the vanished input as EMPTY (zero rows, one WARN) instead
+    of raising — so the race surfaces through the row-count
+    validation. With the snapshot generation superseded the mismatch
+    must classify as ConcurrentWriteError (retryable); with a current
+    snapshot it stays the loud RuntimeError (genuine row loss must
+    never silently retry)."""
+    import pytest as _pt
+
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    path = str(tmp_path / "racecls")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    ).coalesce(2).write.parquet(path)
+    S.convert_to_manifest(spark, path)
+    stale_man = S._load_manifest(path)
+
+    def commit_with(man, expected):
+        return S._commit_generation(
+            spark, path, man=man,
+            loose=[], stale=[],
+            keep_entries=[],
+            new_df=spark.createDataFrame(
+                [(1, 1.0)], "id long, v double"
+            ).coalesce(1),
+            suffix="._test", expected_new_rows=expected,
+        )
+
+    # no race, wrong count: the loud invariant stays loud
+    with _pt.raises(RuntimeError) as exc:
+        commit_with(stale_man, expected=999)
+    assert not isinstance(exc.value, S.ConcurrentWriteError)
+
+    # advance the table under the stale snapshot, then mismatch:
+    # classified as the lost writer race (retry_on_conflict retries)
+    S.insert_into(
+        spark, path,
+        spark.createDataFrame([(100, 1.0)], "id long, v double"),
+    )
+    with _pt.raises(S.ConcurrentWriteError):
+        commit_with(stale_man, expected=999)
