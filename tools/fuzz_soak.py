@@ -1,0 +1,97 @@
+"""Long-running soak driver for the concurrency + model fuzzes.
+
+Replays the exact fuzz harnesses the suite pins (the WriteSerializable
+concurrent-pair fuzz and the single-writer DML model fuzz from
+``tests/test_maintenance.py``) over MANY seeds, in all three table
+modes (plain manifest, sharded-manifest with tiny thresholds, bloom
+policy active).  The suite runs a handful of seeds per mode so CI
+stays fast; this tool is the budget-bounded background sweep — the
+pair fuzz has caught three real defects live (dv-target liveness,
+PATH_NOT_FOUND stale-snapshot classification, and the round-13
+superseded-snapshot staging mismatch), each at a seed the suite did
+not carry, so widening the seed space is how the next one surfaces.
+
+Usage:
+    python tools/fuzz_soak.py [--seeds N] [--start S] [--mode all|pair|pair-sharded|model]
+
+Prints one line per (mode, seed); failures are collected and re-printed
+at the end with their full assertion payloads.  Exit 1 on any failure.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
+import retail_sales_data_pipeline_spark.sinks as S  # noqa: E402
+from test_maintenance import (  # noqa: E402
+    run_concurrent_pair_fuzz,
+    run_dml_model_fuzz,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=20)
+    ap.add_argument("--start", type=int, default=1_000)
+    ap.add_argument("--mode", default="all",
+                    choices=["all", "pair", "pair-sharded", "model"])
+    ap.add_argument("--rounds", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="fuzz-soak",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")
+        },
+    )
+    failures: list[tuple[str, int, str]] = []
+    modes = (["pair", "pair-sharded", "model"]
+             if args.mode == "all" else [args.mode])
+
+    for i in range(args.seeds):
+        seed = args.start + i
+        for mode in modes:
+            t0 = time.time()
+            tmp = tempfile.mkdtemp(prefix=f"soak_{mode}_{seed}_")
+            old_thr = S._SHARD_THRESHOLD
+            old_sz = S._SHARD_SIZE
+            try:
+                if mode == "pair":
+                    run_concurrent_pair_fuzz(
+                        spark, f"{tmp}/t", seed, rounds=args.rounds)
+                elif mode == "pair-sharded":
+                    S._SHARD_THRESHOLD = 4
+                    S._SHARD_SIZE = 2
+                    run_concurrent_pair_fuzz(
+                        spark, f"{tmp}/t", seed, rounds=args.rounds)
+                else:
+                    run_dml_model_fuzz(
+                        spark, f"{tmp}/t", tmp, seed,
+                        steps=14, bloom_cols=["id"])
+                print(f"OK   {mode:12s} seed={seed} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+            except Exception:
+                tb = traceback.format_exc()
+                failures.append((mode, seed, tb))
+                print(f"FAIL {mode:12s} seed={seed}\n{tb}", flush=True)
+            finally:
+                S._SHARD_THRESHOLD = old_thr
+                S._SHARD_SIZE = old_sz
+
+    print(f"\nsoak done: {len(failures)} failure(s)")
+    for mode, seed, tb in failures:
+        print(f"--- {mode} seed={seed}\n{tb}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
