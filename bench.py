@@ -146,11 +146,43 @@ def _run_suite(spark, queries, names: list[str], sf_dir: str) -> dict:
     }
 
 
+# one quiet _regression_check per attempt, cached so the raw-ratio
+# gate, the settledness predicate, and the final vs_prior block all
+# read the SAME computation (review finding: the settled single-attempt
+# path used to re-glob and re-parse the prior artifact twice)
+_VS_PRIOR_CACHE: dict[int, dict | None] = {}
+
+
+def _vs_prior_for(attempt: dict) -> dict | None:
+    key = id(attempt)
+    if key not in _VS_PRIOR_CACHE:
+        _VS_PRIOR_CACHE[key] = _regression_check(
+            attempt["queries"], attempt["calibration_sec"], quiet=True
+        )
+    return _VS_PRIOR_CACHE[key]
+
+
+def _mark_raw_ratio(attempt: dict) -> dict | None:
+    """Stamp the suite-level raw-ratio verdict ON the attempt record
+    (it serializes into the artifact's ``attempts`` list, so the trip
+    leaves a mechanical trace even under SPARK_GRAFT_BENCH_ONESHOT)."""
+    vp = _vs_prior_for(attempt)
+    attempt["raw_ratio_tripped"] = bool(
+        vp and vp["raw_ratio"] > _RAW_RATIO_GATE
+    )
+    return vp
+
+
 def _unsettled(attempt: dict) -> bool:
     probes = attempt["calibration_probes"]
     return (
         attempt["calibration_spread"] > _SPREAD_GATE
         or (probes[0] > 0 and probes[-1] / probes[0] > _PROBE_RATIO_GATE)
+        # review finding: a raw-ratio-tripped attempt must count as
+        # UNSETTLED too, else a uniformly-inflated run with tight
+        # probes outranks the settle re-run it triggered (and gets
+        # published with inflated_band: false)
+        or bool(attempt.get("raw_ratio_tripped"))
     )
 
 
@@ -188,22 +220,22 @@ def main() -> None:
     _warmup(spark, queries, names)
 
     attempts = [_run_suite(spark, queries, names, sf_dir)]
+    a0 = attempts[0]
+    prelim = _mark_raw_ratio(a0)
+    probes = a0["calibration_probes"]
     rerun_reason = None
-    if _unsettled(attempts[0]):
+    if a0["calibration_spread"] > _SPREAD_GATE or (
+        probes[0] > 0 and probes[-1] / probes[0] > _PROBE_RATIO_GATE
+    ):
         rerun_reason = (
-            f"probe gate: spread {attempts[0]['calibration_spread']}s / "
+            f"probe gate: spread {a0['calibration_spread']}s / "
             f"ratio past {_PROBE_RATIO_GATE}"
         )
-    else:
-        prelim = _regression_check(
-            attempts[0]["queries"], attempts[0]["calibration_sec"],
-            quiet=True,
+    elif a0["raw_ratio_tripped"] and prelim:
+        rerun_reason = (
+            f"suite-wide raw_ratio {prelim['raw_ratio']} > "
+            f"{_RAW_RATIO_GATE} vs {prelim['prior_file']}"
         )
-        if prelim and prelim["raw_ratio"] > _RAW_RATIO_GATE:
-            rerun_reason = (
-                f"suite-wide raw_ratio {prelim['raw_ratio']} > "
-                f"{_RAW_RATIO_GATE} vs {prelim['prior_file']}"
-            )
     if rerun_reason and not os.environ.get("SPARK_GRAFT_BENCH_ONESHOT"):
         print(
             f"# UNSETTLED attempt 0 ({rerun_reason}) — settling "
@@ -212,6 +244,11 @@ def main() -> None:
         )
         time.sleep(_SETTLE_SEC)
         attempts.append(_run_suite(spark, queries, names, sf_dir))
+        # the re-run gets the same raw-ratio stamp: if the whole box
+        # (or the code) is genuinely slower, BOTH attempts trip and
+        # inflated_band stays true — a recovery shows up as a clean
+        # second attempt winning representative
+        _mark_raw_ratio(attempts[1])
 
     # representative = a settled attempt when one exists (lower suite
     # total breaks ties); if even it trips the gate, the artifact
@@ -220,7 +257,24 @@ def main() -> None:
     rep = attempts[rep_i]
     timings = rep["queries"]
     calibration = rep["calibration_sec"]
-    vs_prior = _regression_check(timings, calibration)
+    vs_prior = _vs_prior_for(rep)
+    if vs_prior:
+        # the quiet per-attempt check suppressed stderr; re-emit the
+        # interactive diagnostics from the computed record
+        if vs_prior["calibration_scale"] != 1.0:
+            print(
+                f"# machine-state scale vs {vs_prior['prior_file']}: "
+                f"{vs_prior['calibration_scale']} (calibration "
+                f"{calibration}s)",
+                file=sys.stderr,
+            )
+        for name in vs_prior["regressions"]:
+            print(
+                f"# REGRESSION {name}: {timings[name]}s "
+                f"(>1.5x machine-normalized vs "
+                f"{vs_prior['prior_file']})",
+                file=sys.stderr,
+            )
 
     result = {
         "metric": "headline_queries_total_sec",
@@ -233,10 +287,14 @@ def main() -> None:
         "inflated_band": _unsettled(rep),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if rerun_reason:
+        # emitted even when SPARK_GRAFT_BENCH_ONESHOT suppressed the
+        # re-run (review finding: a raw-ratio trip used to leave zero
+        # trace in a single-attempt artifact)
+        result["rerun_reason"] = rerun_reason
     if len(attempts) > 1:
         result["attempts"] = attempts
         result["representative_attempt"] = rep_i
-        result["rerun_reason"] = rerun_reason
     if vs_prior:
         # both raw and machine-normalized deltas vs the last recorded
         # round, so drift vs regression is settled by data in the file

@@ -2233,19 +2233,39 @@ def _commit_generation(
             # rows) rather than raising FAILED_READ_FILE — so the race
             # surfaces HERE, through the row-count validation, instead
             # of through _is_stale_snapshot_error's exception shapes.
-            # Classify it as the lost writer race it is;
-            # retry_on_conflict re-runs against the winner's table.
-            # A genuine row-count bug is unaffected: the snapshot gen
-            # matches and the RuntimeError below still surfaces (and a
-            # systematic bug re-raised here simply fails again on the
-            # fresh snapshot). Caught live by the sharded
-            # concurrent-pair fuzz (seed 31337, round 7).
-            raise ConcurrentWriteError(
-                f"staged rewrite raced a concurrent commit at {path!r}: "
-                f"snapshot gen {man.get('gen_no')} superseded by "
-                f"{cur.get('gen_no')} (staged {n_staged} != expected "
-                f"{expected_new_rows})"
-            )
+            # Gen advance ALONE is not evidence (r13 review finding: a
+            # concurrent pure append retires nothing, and a genuine
+            # row-loss bug coinciding with one must stay loud) — the
+            # race verdict additionally requires an input file of the
+            # staged-against snapshot to have VANISHED from disk. Then
+            # classify as the lost writer race it is; retry_on_conflict
+            # re-runs against the winner's table. A systematic
+            # row-count bug re-raised on retry fails again on the
+            # fresh snapshot with nothing vanished — loudly. Caught
+            # live by the sharded concurrent-pair fuzz (seed 31337,
+            # round 7).
+            try:
+                vanished = next(
+                    (
+                        e["name"]
+                        for e in _version_files(man, path)
+                        if not io.exists(os.path.join(path, e["name"]))
+                    ),
+                    None,
+                )
+            except Exception:
+                # the snapshot's entry shards themselves are no longer
+                # resolvable — the winner's retire beat us to them;
+                # that IS the vanished-input evidence
+                vanished = "<snapshot entry shards unresolvable>"
+            if vanished is not None:
+                raise ConcurrentWriteError(
+                    f"staged rewrite raced a concurrent commit at "
+                    f"{path!r}: snapshot gen {man.get('gen_no')} "
+                    f"superseded by {cur.get('gen_no')} and input "
+                    f"{vanished!r} vanished (staged {n_staged} != "
+                    f"expected {expected_new_rows})"
+                )
         raise RuntimeError(
             f"rewrite row-count mismatch: staged {n_staged} != expected "
             f"{expected_new_rows}"

@@ -2820,10 +2820,13 @@ def test_staging_mismatch_classifies_superseded_snapshot(spark, tmp_path):
     a racing rewrite is STAGING from, and Spark's parallel listing
     treats the vanished input as EMPTY (zero rows, one WARN) instead
     of raising — so the race surfaces through the row-count
-    validation. With the snapshot generation superseded the mismatch
-    must classify as ConcurrentWriteError (retryable); with a current
-    snapshot it stays the loud RuntimeError (genuine row loss must
-    never silently retry)."""
+    validation. The race verdict needs BOTH signals (r13 review
+    narrowing): the snapshot generation superseded AND an input file
+    of the staged-against snapshot vanished from disk — then the
+    mismatch classifies as ConcurrentWriteError (retryable). With a
+    current snapshot, or with a gen advance whose winner retired
+    nothing (a pure append), it stays the loud RuntimeError: genuine
+    row loss must never silently retry behind an unrelated commit."""
     import pytest as _pt
 
     import retail_sales_data_pipeline_spark.sinks as S
@@ -2851,11 +2854,22 @@ def test_staging_mismatch_classifies_superseded_snapshot(spark, tmp_path):
         commit_with(stale_man, expected=999)
     assert not isinstance(exc.value, S.ConcurrentWriteError)
 
-    # advance the table under the stale snapshot, then mismatch:
-    # classified as the lost writer race (retry_on_conflict retries)
+    # gen advanced by a PURE APPEND (retires nothing — every snapshot
+    # input still on disk): a mismatch is still a genuine row-loss
+    # signal, not a race, and must stay the loud RuntimeError
     S.insert_into(
         spark, path,
         spark.createDataFrame([(100, 1.0)], "id long, v double"),
     )
-    with _pt.raises(S.ConcurrentWriteError):
+    with _pt.raises(RuntimeError) as exc:
         commit_with(stale_man, expected=999)
+    assert not isinstance(exc.value, S.ConcurrentWriteError)
+
+    # gen advanced by a RETIRING winner (delete_where rewrites the
+    # touched files; retain_versions=0 deletes the superseded inputs):
+    # now an input of the stale snapshot has vanished — classified as
+    # the lost writer race (retry_on_conflict retries)
+    stale_man2 = S._load_manifest(path)
+    S.delete_where(spark, path, "id < 5")
+    with _pt.raises(S.ConcurrentWriteError):
+        commit_with(stale_man2, expected=999)

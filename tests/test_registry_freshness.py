@@ -194,3 +194,19 @@ def test_bench_settledness_gate():
         "value": 67.8,
     }
     assert bench._representative([inflated_settled, settled]) == 1
+    # r13 review finding: a raw-ratio-tripped attempt is UNSETTLED
+    # even with tight probes — otherwise the uniformly-inflated run
+    # outranks the settle re-run it triggered whenever the re-run
+    # trips a probe gate on a machine still reclaiming, and gets
+    # published with inflated_band: false. Between two unsettled
+    # attempts the lower suite total wins.
+    raw_trip = dict(inflated_settled, raw_ratio_tripped=True)
+    assert bench._unsettled(raw_trip)
+    recovering = {
+        "calibration_spread": 0.45,  # past the spread gate
+        "calibration_probes": [0.7, 0.75, 0.8, 1.0, 1.15],
+        "value": 45.4,
+        "raw_ratio_tripped": False,
+    }
+    assert bench._unsettled(recovering)
+    assert bench._representative([raw_trip, recovering]) == 1

@@ -20,6 +20,7 @@ at the end with their full assertion payloads.  Exit 1 on any failure.
 from __future__ import annotations
 
 import argparse
+import shutil
 import sys
 import tempfile
 import time
@@ -79,10 +80,16 @@ def main() -> int:
                         steps=14, bloom_cols=["id"])
                 print(f"OK   {mode:12s} seed={seed} "
                       f"({time.time() - t0:.1f}s)", flush=True)
+                # passing seeds leave no residue (a 500-seed sweep
+                # would otherwise fill /tmp and churn the page cache
+                # the bench gate exists to defend against); failing
+                # seeds keep their table dir for debugging
+                shutil.rmtree(tmp, ignore_errors=True)
             except Exception:
                 tb = traceback.format_exc()
                 failures.append((mode, seed, tb))
-                print(f"FAIL {mode:12s} seed={seed}\n{tb}", flush=True)
+                print(f"FAIL {mode:12s} seed={seed} dir={tmp}\n{tb}",
+                      flush=True)
             finally:
                 S._SHARD_THRESHOLD = old_thr
                 S._SHARD_SIZE = old_sz
