@@ -184,9 +184,20 @@ def might_contain(bits: bytes, k: int, value) -> bool:
     return True
 
 
-def encode_sidecar(fpp: float, cols: dict[str, tuple[str, int, bytearray]]) -> dict:
-    """Sidecar payload: ``{col: {"type", "k", "bits"(b64)}}``."""
-    return {
+def encode_sidecar(
+    fpp: float,
+    cols: dict[str, tuple[str, int, bytearray]],
+    self_rel: str | None = None,
+) -> dict:
+    """Sidecar payload: ``{col: {"type", "k", "bits"(b64)}}``.
+
+    ``self_rel`` (round 13) embeds the data file's TABLE-RELATIVE name
+    in the payload, so the distributed probe can key a verdict by
+    content instead of inferring the name back from the URI Spark
+    reports — URI percent-encoding of reported paths is not stable
+    across schemes/versions, and name inference on an escape-carrying
+    file name is ambiguous (see :func:`distributed_admits`)."""
+    out = {
         "format": 1,
         "fpp": fpp,
         "cols": {
@@ -198,6 +209,9 @@ def encode_sidecar(fpp: float, cols: dict[str, tuple[str, int, bytearray]]) -> d
             for c, (tc, k, bits) in cols.items()
         },
     }
+    if self_rel:
+        out["self"] = self_rel
+    return out
 
 
 def sidecar_path(table_path: str, rel_name: str) -> str:
@@ -646,16 +660,28 @@ def distributed_admits(
             for pdf in batches:
                 rejected: list[str] = []
                 for p, content in zip(pdf["path"], pdf["content"]):
-                    # exact table-relative key. Spark reports the path
-                    # as a percent-encoded URI (spaces/%/# etc.), so
-                    # unquote BEFORE the root-prefix match and relkey
-                    # extraction — a still-encoded name would never
-                    # match its candidate and the file's reject
-                    # verdict would silently drop (r12 advice #2). A
-                    # path that doesn't sit under the root after
-                    # normalization emits nothing and thus admits.
-                    pn = _strip_scheme(unquote(p))
-                    if not pn.startswith(root_n):
+                    # table-relative keying. Whether Spark reports the
+                    # path percent-encoded is NOT stable across
+                    # schemes/versions (r12 advice #2 said encoded;
+                    # measured on this Spark/local fs it is NOT — a
+                    # blanket unquote would corrupt a legal name like
+                    # "pc%20t" into "pc t", mis-keying its verdict
+                    # onto a DIFFERENT candidate: a false-negative
+                    # hazard, worse than the lost pruning it fixed).
+                    # So: the RAW and the unquoted normalizations must
+                    # AGREE before a path-derived relkey is trusted;
+                    # when they differ the sidecar's own content-
+                    # embedded "self" name (written since r13) keys
+                    # the verdict, and a self-less legacy sidecar
+                    # with an escape-ambiguous name emits nothing —
+                    # the admit direction, sound in every world.
+                    raw_n = _strip_scheme(p)
+                    unq_n = _strip_scheme(unquote(p))
+                    under = [
+                        n for n in dict.fromkeys((raw_n, unq_n))
+                        if n.startswith(root_n)
+                    ]
+                    if not under:
                         continue
                     try:
                         raw = _json.loads(bytes(content))
@@ -664,12 +690,21 @@ def distributed_admits(
                     membs = raw.get("members")
                     if isinstance(membs, dict):
                         # consolidated object: per-member verdicts,
-                        # keyed like the member's own sidecar would be
+                        # keyed by CONTENT (the member names embedded
+                        # at write time) — no path inference at all
                         for mname, payload in membs.items():
                             if payload_rejects(payload, probes_b):
                                 rejected.append(mname + BLOOM_SUFFIX)
-                    elif payload_rejects(raw, probes_b):
-                        rejected.append(pn[len(root_n):])
+                        continue
+                    self_rel = raw.get("self")
+                    if isinstance(self_rel, str) and self_rel:
+                        relkey = self_rel + BLOOM_SUFFIX
+                    elif len(under) == 1:
+                        relkey = under[0][len(root_n):]
+                    else:
+                        continue  # ambiguous legacy name: admit
+                    if payload_rejects(raw, probes_b):
+                        rejected.append(relkey)
                 yield pd.DataFrame({"relkey": rejected})
 
         def run(side) -> set:

@@ -3388,7 +3388,7 @@ def _write_bloom_sidecars(
             payload_cols[c] = (tclass[c], k, bits)
         io.write_json(
             B.sidecar_path(path, e["name"]),
-            B.encode_sidecar(fpp, payload_cols),
+            B.encode_sidecar(fpp, payload_cols, self_rel=e["name"]),
         )
         B._SIDE_CACHE.pop(B.sidecar_path(path, e["name"]), None)
 

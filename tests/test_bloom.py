@@ -1352,3 +1352,65 @@ def test_consolidated_admits_restricted_to_candidates(
         "consolidated" in e and shards[0]["bloomside"] in e
         for e in fsck["errors"]
     ), fsck["errors"]
+
+
+def test_distributed_admits_escape_carrying_names(spark, tmp_path):
+    """r12 advice #2, resolved the sound way. Whether Spark reports
+    binaryFile paths percent-encoded is not stable across schemes and
+    versions (measured NOT encoded on this Spark/local fs, contra the
+    advice's premise), so name inference from the URI is ambiguous
+    exactly when the file name carries escape-able characters — and a
+    blanket unquote would mis-key "pc%20t"'s verdict onto a candidate
+    literally named "pc t": a FALSE-NEGATIVE hazard. Pins: (1)
+    sidecars written since r13 embed their own table-relative name
+    ("self") and their verdicts survive any name; (2) a legacy
+    sidecar (no self) with an unambiguous name still prunes; (3) a
+    legacy sidecar with an escape-ambiguous name admits — pruning
+    forfeited, soundness kept; (4) a verdict never transfers across
+    the raw/unquoted name pair."""
+    root = str(tmp_path / "esc")
+    gen = os.path.join(root, "gen-000001")
+    os.makedirs(gen)
+    m, k = B.params(8, 0.01)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, ["present"])
+
+    def write_side(rel, with_self):
+        payload = B.encode_sidecar(
+            0.01, {"key": ("str", k, bits)},
+            self_rel=rel if with_self else None,
+        )
+        with open(os.path.join(root, rel + B.BLOOM_SUFFIX), "w") as f:
+            json.dump(payload, f)
+
+    rel_plain = "gen-000001/part-plain.parquet"        # legacy, clean
+    rel_space = "gen-000001/part with space.parquet"   # self-keyed
+    rel_pct = "gen-000001/part pc%20t.parquet"         # self-keyed
+    rel_legacy_pct = "gen-000001/old pc%41t.parquet"   # legacy + escape
+    write_side(rel_plain, with_self=False)
+    write_side(rel_space, with_self=True)
+    write_side(rel_pct, with_self=True)
+    write_side(rel_legacy_pct, with_self=False)
+    names = [rel_plain, rel_space, rel_pct, rel_legacy_pct]
+
+    # absent value: every self-keyed or unambiguous file rejects; the
+    # escape-ambiguous LEGACY sidecar admits (sound, pruning lost)
+    admitted = B.distributed_admits(
+        spark, root, [("key", ["absent"])], names
+    )
+    assert admitted == {rel_legacy_pct}
+
+    # present value: everything admits (soundness unchanged)
+    admitted2 = B.distributed_admits(
+        spark, root, [("key", ["present"])], names
+    )
+    assert admitted2 == set(names)
+
+    # cross-keying: "pc%20t"'s unquoted twin "pc t" exists as its own
+    # candidate WITHOUT a sidecar — it must admit (no verdict), never
+    # inherit the escaped file's reject
+    twin = "gen-000001/part pc t.parquet"
+    admitted3 = B.distributed_admits(
+        spark, root, [("key", ["absent"])], [rel_pct, twin]
+    )
+    assert twin in admitted3 and rel_pct not in admitted3

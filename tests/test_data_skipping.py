@@ -505,3 +505,26 @@ def test_explain_skipping_reports_consolidated_coverage(
     covered, total = rep["bloom_consolidated_shards"]
     assert total == 4 and covered == total
     assert rep["files_scanned"] <= 2
+
+
+def test_probe_budget_tier_keyed_on_largest_atom():
+    """r12 advice #3 pin: the raised vector-tier pair budget engages
+    on the LARGEST single atom's value count, not the sum across
+    atoms — _batch_rejects engages per atom, so many sub-batch atoms
+    would run the whole raised budget through the pure-Python driver
+    loop (a multi-second stall the tier exists to prevent)."""
+    import retail_sales_data_pipeline_spark.bloom as B
+    import retail_sales_data_pipeline_spark.data_skipping as D
+
+    sub = B._BATCH_PROBE_MIN - 1
+    many_small = [
+        (f"c{i}", [f"v{i}_{j}" for j in range(sub)]) for i in range(64)
+    ]
+    assert sum(len(v) for _, v in many_small) >= B._BATCH_PROBE_MIN
+    assert D._probe_budget(many_small) == D._DRIVER_PROBE_BUDGET
+
+    # one batch-sized atom flips the tier (numpy is available here)
+    with_big = many_small + [
+        ("big", [f"b{j}" for j in range(B._BATCH_PROBE_MIN)])
+    ]
+    assert D._probe_budget(with_big) == D._DRIVER_PROBE_BUDGET_VECTOR
