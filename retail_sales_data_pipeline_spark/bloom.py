@@ -235,6 +235,11 @@ def load_sidecar(io, table_path: str, rel_name: str) -> dict | None:
                 "bits": base64.b64decode(rec["bits"]),
             }
         out: dict | None = {"cols": cols} if cols else None
+        if out is not None and isinstance(raw.get("self"), str):
+            # preserved for deep FSCK: the distributed probe keys
+            # verdicts by this name, so a mismatch vs the sidecar's
+            # actual location is in the UNSOUND direction
+            out["self"] = raw["self"]
     except Exception:
         out = None
     try:

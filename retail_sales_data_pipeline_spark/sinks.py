@@ -1540,6 +1540,24 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                         "table_schema — those columns are invisible "
                         "to explicit-schema reads"
                     )
+    if deep and man.get("bloom") and live_fully_resolved:
+        # self-name integrity (round 13): the distributed probe keys a
+        # sidecar's verdict by its content-embedded "self" name — a
+        # sidecar whose self points at a DIFFERENT file (bad copy,
+        # writer bug) would re-key its rejects onto that file, the one
+        # direction the index must never err in. Missing sidecars and
+        # self-less legacy payloads are fine (admit direction).
+        from . import bloom as B
+
+        for e in man_entries:
+            side = B.load_sidecar(io, path, e["name"])
+            sself = (side or {}).get("self")
+            if sself is not None and sself != e["name"]:
+                errors.append(
+                    f"sidecar for {e['name']} declares self "
+                    f"{sself!r} — distributed verdicts would key to "
+                    "the wrong file (unsound rejects possible)"
+                )
     live_names = {e["name"] for e in man_entries}
     if live_fully_resolved:
         # with a missing/unreadable live shard this check would emit a

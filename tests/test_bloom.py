@@ -1414,3 +1414,41 @@ def test_distributed_admits_escape_carrying_names(spark, tmp_path):
         spark, root, [("key", ["absent"])], [rel_pct, twin]
     )
     assert twin in admitted3 and rel_pct not in admitted3
+
+
+def test_deep_fsck_flags_sidecar_self_mismatch(spark, tmp_path):
+    """The distributed probe keys a sidecar's verdict by its
+    content-embedded "self" name; a sidecar whose self points at a
+    DIFFERENT live file (bad copy, writer bug) would re-key its
+    rejects onto that file — unsound. Deep FSCK must flag exactly
+    that state; a self-less legacy payload stays fine."""
+    path = _fp_table(spark, tmp_path, n=2000, files=4, name="selfchk")
+    S.set_bloom_columns(spark, path, ["fp"])
+    man = S._load_manifest(path)
+    entries = S._version_files(man, path)
+    assert len(entries) >= 2
+    assert S.verify_table(path, deep=True)["ok"]
+
+    # point one sidecar's self at ANOTHER live file
+    victim, other = entries[0]["name"], entries[1]["name"]
+    sp = B.sidecar_path(path, victim)
+    with open(sp) as f:
+        raw = json.load(f)
+    assert raw.get("self") == victim  # written since r13
+    raw["self"] = other
+    with open(sp, "w") as f:
+        json.dump(raw, f)
+    B._SIDE_CACHE.clear()
+    fsck = S.verify_table(path, deep=True)
+    assert not fsck["ok"]
+    assert any(
+        victim in e and "self" in e and other in e
+        for e in fsck["errors"]
+    ), fsck["errors"]
+
+    # a LEGACY sidecar (no self at all) is not an error
+    del raw["self"]
+    with open(sp, "w") as f:
+        json.dump(raw, f)
+    B._SIDE_CACHE.clear()
+    assert S.verify_table(path, deep=True)["ok"]
