@@ -2592,7 +2592,8 @@ def test_rebase_ingest_stress_exactly_once(spark, tmp_path):
     assert man["gen_no"] == 13
 
 
-def run_concurrent_pair_fuzz(spark, path, seed, rounds=8):
+def run_concurrent_pair_fuzz(spark, path, seed, rounds=8,
+                             bloom_cols=None):
     """Seeded CONCURRENCY fuzz for the rebase protocol, path-
     parameterized so the object-store suite (tests/test_manifest_s3.py)
     replays it over s3://: each round runs TWO randomly chosen DML ops
@@ -2620,6 +2621,13 @@ def run_concurrent_pair_fuzz(spark, path, seed, rounds=8):
 
     S.write_parquet(to_df(model).repartition(4), path)
     S.convert_to_manifest(spark, path)
+    if bloom_cols:
+        # round 13: the racing pair now also maintains a live bloom
+        # policy — every DML commit builds sidecars, carried shards
+        # take the one-time aggregate/consolidated upgrade, and the
+        # keyed probes run against an index that is itself being
+        # rewritten by the other thread
+        S.set_bloom_columns(spark, path, list(bloom_cols))
     next_id = [10_000, 50_000]  # per-thread-slot fresh-id pools
 
     def make_op(slot: int):
@@ -2730,6 +2738,28 @@ def test_dml_sequence_model_fuzz_bloomed(spark, tmp_path):
 @_pt.mark.parametrize("seed", [20260815, 907])
 def test_concurrent_dml_pair_fuzz(spark, tmp_path, seed):
     run_concurrent_pair_fuzz(spark, str(tmp_path / f"pair{seed}"), seed)
+
+
+@_pt.mark.parametrize("seed", [6502])
+def test_concurrent_dml_pair_fuzz_sharded_bloomed(
+    spark, tmp_path, seed, monkeypatch
+):
+    """The heaviest configuration in one fuzz: SHARDED table (tiny
+    thresholds) with a live BLOOM POLICY, two racing DML threads.
+    Every commit builds sidecars and maintains shard aggregates +
+    consolidated objects while the selective resolve's carry/rebase
+    paths run under real interleaving — and the WriteSerializable
+    model check plus the closing deep FSCK (which now also proves
+    aggregate coverage, consolidated bit coverage, and sidecar
+    self-name integrity) must still hold."""
+    import retail_sales_data_pipeline_spark.sinks as S
+
+    monkeypatch.setattr(S, "_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 2)
+    run_concurrent_pair_fuzz(
+        spark, str(tmp_path / f"sbpair{seed}"), seed,
+        rounds=6, bloom_cols=["id"],
+    )
 
 
 @_pt.mark.parametrize("seed", [31337])

@@ -42,7 +42,8 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--start", type=int, default=1_000)
     ap.add_argument("--mode", default="all",
-                    choices=["all", "pair", "pair-sharded", "model"])
+                    choices=["all", "pair", "pair-sharded",
+                             "pair-sharded-bloom", "model"])
     ap.add_argument("--rounds", type=int, default=8)
     args = ap.parse_args()
 
@@ -55,7 +56,7 @@ def main() -> int:
         },
     )
     failures: list[tuple[str, int, str]] = []
-    modes = (["pair", "pair-sharded", "model"]
+    modes = (["pair", "pair-sharded", "pair-sharded-bloom", "model"]
              if args.mode == "all" else [args.mode])
 
     for i in range(args.seeds):
@@ -74,6 +75,13 @@ def main() -> int:
                     S._SHARD_SIZE = 2
                     run_concurrent_pair_fuzz(
                         spark, f"{tmp}/t", seed, rounds=args.rounds)
+                elif mode == "pair-sharded-bloom":
+                    S._SHARD_THRESHOLD = 4
+                    S._SHARD_SIZE = 2
+                    run_concurrent_pair_fuzz(
+                        spark, f"{tmp}/t", seed,
+                        rounds=max(4, args.rounds - 2),
+                        bloom_cols=["id"])
                 else:
                     run_dml_model_fuzz(
                         spark, f"{tmp}/t", tmp, seed,
