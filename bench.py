@@ -146,20 +146,17 @@ def _run_suite(spark, queries, names: list[str], sf_dir: str) -> dict:
     }
 
 
-# one quiet _regression_check per attempt, cached so the raw-ratio
-# gate, the settledness predicate, and the final vs_prior block all
-# read the SAME computation (review finding: the settled single-attempt
-# path used to re-glob and re-parse the prior artifact twice)
-_VS_PRIOR_CACHE: dict[int, dict | None] = {}
-
-
+# one quiet _regression_check per attempt, stashed ON the attempt
+# record (underscore key, stripped before serialization) so the
+# raw-ratio gate and the final vs_prior block read the SAME
+# computation — an id()-keyed module cache would serve stale records
+# if CPython ever reused a freed dict's id across main() invocations
 def _vs_prior_for(attempt: dict) -> dict | None:
-    key = id(attempt)
-    if key not in _VS_PRIOR_CACHE:
-        _VS_PRIOR_CACHE[key] = _regression_check(
+    if "_vs_prior" not in attempt:
+        attempt["_vs_prior"] = _regression_check(
             attempt["queries"], attempt["calibration_sec"], quiet=True
         )
-    return _VS_PRIOR_CACHE[key]
+    return attempt["_vs_prior"]
 
 
 def _mark_raw_ratio(attempt: dict) -> dict | None:
@@ -173,17 +170,23 @@ def _mark_raw_ratio(attempt: dict) -> dict | None:
     return vp
 
 
-def _unsettled(attempt: dict) -> bool:
+def _probe_gate(attempt: dict) -> bool:
+    """The calibration-probe settledness predicate — ONE definition,
+    shared by the rerun trigger and :func:`_unsettled` (review
+    finding: two inlined copies could drift)."""
     probes = attempt["calibration_probes"]
     return (
         attempt["calibration_spread"] > _SPREAD_GATE
         or (probes[0] > 0 and probes[-1] / probes[0] > _PROBE_RATIO_GATE)
-        # review finding: a raw-ratio-tripped attempt must count as
-        # UNSETTLED too, else a uniformly-inflated run with tight
-        # probes outranks the settle re-run it triggered (and gets
-        # published with inflated_band: false)
-        or bool(attempt.get("raw_ratio_tripped"))
     )
+
+
+def _unsettled(attempt: dict) -> bool:
+    # review finding: a raw-ratio-tripped attempt must count as
+    # UNSETTLED too, else a uniformly-inflated run with tight probes
+    # outranks the settle re-run it triggered (and gets published
+    # with inflated_band: false)
+    return _probe_gate(attempt) or bool(attempt.get("raw_ratio_tripped"))
 
 
 def _representative(attempts: list[dict]) -> int:
@@ -222,11 +225,8 @@ def main() -> None:
     attempts = [_run_suite(spark, queries, names, sf_dir)]
     a0 = attempts[0]
     prelim = _mark_raw_ratio(a0)
-    probes = a0["calibration_probes"]
     rerun_reason = None
-    if a0["calibration_spread"] > _SPREAD_GATE or (
-        probes[0] > 0 and probes[-1] / probes[0] > _PROBE_RATIO_GATE
-    ):
+    if _probe_gate(a0):
         rerun_reason = (
             f"probe gate: spread {a0['calibration_spread']}s / "
             f"ratio past {_PROBE_RATIO_GATE}"
@@ -293,7 +293,10 @@ def main() -> None:
         # trace in a single-attempt artifact)
         result["rerun_reason"] = rerun_reason
     if len(attempts) > 1:
-        result["attempts"] = attempts
+        result["attempts"] = [
+            {k: v for k, v in a.items() if not k.startswith("_")}
+            for a in attempts
+        ]
         result["representative_attempt"] = rep_i
     if vs_prior:
         # both raw and machine-normalized deltas vs the last recorded

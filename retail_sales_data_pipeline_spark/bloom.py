@@ -703,6 +703,19 @@ def distributed_admits(
                         continue
                     self_rel = raw.get("self")
                     if isinstance(self_rel, str) and self_rel:
+                        # SELF-AUTHENTICATING (review finding): the
+                        # self name is honored only when one of the
+                        # two path normalizations sits at exactly
+                        # root + self + suffix — whichever encoding
+                        # world Spark reported in, the sidecar's TRUE
+                        # location matches one of them. A stray copy
+                        # at a different name (self pointing at a
+                        # live file it is not adjacent to) matches
+                        # neither and emits nothing, so it can never
+                        # re-key its verdict onto that file.
+                        expect = root_n + self_rel + BLOOM_SUFFIX
+                        if not any(n == expect for n in under):
+                            continue  # stray/mislocated: admit
                         relkey = self_rel + BLOOM_SUFFIX
                     elif len(under) == 1:
                         relkey = under[0][len(root_n):]

@@ -1541,22 +1541,29 @@ def _verify_table_sweep(path: str, deep: bool) -> dict:
                         "to explicit-schema reads"
                     )
     if deep and man.get("bloom") and live_fully_resolved:
-        # self-name integrity (round 13): the distributed probe keys a
-        # sidecar's verdict by its content-embedded "self" name — a
-        # sidecar whose self points at a DIFFERENT file (bad copy,
-        # writer bug) would re-key its rejects onto that file, the one
-        # direction the index must never err in. Missing sidecars and
-        # self-less legacy payloads are fine (admit direction).
-        from . import bloom as B
-
+        # self-name integrity (round 13): the distributed probe only
+        # honors a sidecar's content-embedded "self" when the sidecar
+        # actually sits at that name (self-authenticating), so a
+        # mis-selfed sidecar costs pruning, never soundness — this
+        # sweep surfaces the integrity breakage that would otherwise
+        # show up only as silently-lost pruning. Missing sidecars and
+        # self-less legacy payloads are fine (admit direction). B is
+        # bound by the deep-gated import at the sweep's top; threaded
+        # prefetch first — one sequential GET per live file would
+        # re-create the O(files x latency) loop this codebase keeps
+        # removing.
+        B.prefetch_sidecars(
+            io, path, [e["name"] for e in man_entries]
+        )
         for e in man_entries:
             side = B.load_sidecar(io, path, e["name"])
             sself = (side or {}).get("self")
             if sself is not None and sself != e["name"]:
                 errors.append(
                     f"sidecar for {e['name']} declares self "
-                    f"{sself!r} — distributed verdicts would key to "
-                    "the wrong file (unsound rejects possible)"
+                    f"{sself!r} — the probe refuses mislocated "
+                    "selves (sound), so this file's distributed "
+                    "verdicts are silently lost until rebuilt"
                 )
     live_names = {e["name"] for e in man_entries}
     if live_fully_resolved:
@@ -2263,19 +2270,28 @@ def _commit_generation(
             # live by the sharded concurrent-pair fuzz (seed 31337,
             # round 7).
             try:
-                vanished = next(
-                    (
-                        e["name"]
-                        for e in _version_files(man, path)
-                        if not io.exists(os.path.join(path, e["name"]))
-                    ),
-                    None,
-                )
+                snap_files = _version_files(man, path)
             except Exception:
                 # the snapshot's entry shards themselves are no longer
                 # resolvable — the winner's retire beat us to them;
                 # that IS the vanished-input evidence
                 vanished = "<snapshot entry shards unresolvable>"
+            else:
+                vanished = None
+                for e in snap_files:
+                    try:
+                        if not io.exists(
+                            os.path.join(path, e["name"])
+                        ):
+                            vanished = e["name"]
+                            break
+                    except Exception:
+                        # a transient store error is NOT vanished-
+                        # input evidence (review finding: folding it
+                        # in would let throttling convert a genuine
+                        # row-loss bug into a silent retry) — skip
+                        # the file; err toward the loud RuntimeError
+                        continue
             if vanished is not None:
                 raise ConcurrentWriteError(
                     f"staged rewrite raced a concurrent commit at "

@@ -1452,3 +1452,38 @@ def test_deep_fsck_flags_sidecar_self_mismatch(spark, tmp_path):
         json.dump(raw, f)
     B._SIDE_CACHE.clear()
     assert S.verify_table(path, deep=True)["ok"]
+
+
+def test_distributed_admits_refuses_stray_self(spark, tmp_path):
+    """Self-authentication (review finding): a stray sidecar COPY at
+    a DIFFERENT name whose embedded self points at a live file must
+    never re-key its reject verdict onto that file — self is honored
+    only when the sidecar actually sits at root + self + suffix."""
+    root = str(tmp_path / "stray")
+    gen = os.path.join(root, "gen-000001")
+    os.makedirs(gen)
+    m, k = B.params(8, 0.01)
+    bits = bytearray(m // 8)
+    B.add_values(bits, k, ["present"])
+    rel_live = "gen-000001/part-live.parquet"
+    payload = B.encode_sidecar(
+        0.01, {"key": ("str", k, bits)}, self_rel=rel_live
+    )
+
+    # the live file has NO sidecar of its own; a stray copy carrying
+    # self=rel_live sits at a retired-looking name
+    stray = "gen-000001/part-retired.parquet"
+    with open(os.path.join(root, stray + B.BLOOM_SUFFIX), "w") as f:
+        json.dump(payload, f)
+    admitted = B.distributed_admits(
+        spark, root, [("key", ["absent"])], [rel_live]
+    )
+    assert admitted == {rel_live}  # stray refused: the live file admits
+
+    # control: the same payload AT its own name rejects as normal
+    with open(os.path.join(root, rel_live + B.BLOOM_SUFFIX), "w") as f:
+        json.dump(payload, f)
+    admitted2 = B.distributed_admits(
+        spark, root, [("key", ["absent"])], [rel_live]
+    )
+    assert admitted2 == set()

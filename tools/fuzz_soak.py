@@ -2,9 +2,10 @@
 
 Replays the exact fuzz harnesses the suite pins (the WriteSerializable
 concurrent-pair fuzz and the single-writer DML model fuzz from
-``tests/test_maintenance.py``) over MANY seeds, in all three table
-modes (plain manifest, sharded-manifest with tiny thresholds, bloom
-policy active).  The suite runs a handful of seeds per mode so CI
+``tests/test_maintenance.py``) over MANY seeds, in four table modes:
+plain manifest pair, sharded pair (tiny thresholds), sharded pair
+with a live bloom policy, and the bloomed single-writer model
+fuzz.  The suite runs a handful of seeds per mode so CI
 stays fast; this tool is the budget-bounded background sweep — the
 pair fuzz has caught three real defects live (dv-target liveness,
 PATH_NOT_FOUND stale-snapshot classification, and the round-13
@@ -12,7 +13,8 @@ superseded-snapshot staging mismatch), each at a seed the suite did
 not carry, so widening the seed space is how the next one surfaces.
 
 Usage:
-    python tools/fuzz_soak.py [--seeds N] [--start S] [--mode all|pair|pair-sharded|model]
+    python tools/fuzz_soak.py [--seeds N] [--start S] \
+        [--mode all|pair|pair-sharded|pair-sharded-bloom|model]
 
 Prints one line per (mode, seed); failures are collected and re-printed
 at the end with their full assertion payloads.  Exit 1 on any failure.
