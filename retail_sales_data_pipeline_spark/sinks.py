@@ -2277,8 +2277,22 @@ def _commit_generation(
                 # that IS the vanished-input evidence
                 vanished = "<snapshot entry shards unresolvable>"
             else:
+                # only files the winner RETIRED can have vanished: a
+                # snapshot file still live in the current manifest
+                # exists by the manifest invariant, so the existence
+                # probes run only over the live-set difference —
+                # O(shards) metadata reads instead of O(live files)
+                # object HEADs on a 1M-file table's failure path
+                try:
+                    cur_live = {
+                        e["name"] for e in _version_files(cur, path)
+                    }
+                except Exception:
+                    cur_live = None  # unreadable: probe everything
                 vanished = None
                 for e in snap_files:
+                    if cur_live is not None and e["name"] in cur_live:
+                        continue
                     try:
                         if not io.exists(
                             os.path.join(path, e["name"])
