@@ -1785,6 +1785,11 @@ def _dv_names(version: dict) -> set[str]:
     return set((version.get("dv") or {}).get("data", []))
 
 
+# the deletion-vector sidecar schema: data-file BASENAME + physical
+# row index (written from _metadata.row_index, a LongType)
+_DV_SCHEMA = "_file STRING, _pos BIGINT"
+
+
 def _read_dv(spark: SparkSession, path: str, version: dict) -> DataFrame:
     """The version's deletion-vector row set: ``(_file, _pos)`` —
     data-file BASENAME plus physical row index. Patch-sized by
@@ -1792,7 +1797,15 @@ def _read_dv(spark: SparkSession, path: str, version: dict) -> DataFrame:
     the hybrid threshold in the DV-writing ops rewrites files whose
     deleted fraction grows past it."""
     rels = sorted(_dv_names(version))
-    return spark.read.parquet(
+    # the DV schema is PROTOCOL-FIXED — never infer it from the files.
+    # Inference turns a racing winner's retire (sidecar dir emptied
+    # mid-plan) into a path-less [UNABLE_TO_INFER_SCHEMA]
+    # AnalysisException the stale-snapshot classifier cannot safely
+    # recognize (caught live by the soak pair fuzz, seed 5000 round
+    # 7); with the schema declared the same race surfaces as an empty
+    # frame or a classified PATH_NOT_FOUND/FAILED_READ_FILE, and the
+    # commit fence still rejects the stale pass either way.
+    return spark.read.schema(_DV_SCHEMA).parquet(
         *[_spark_path(os.path.join(path, r)) for r in rels]
     )
 
@@ -1849,7 +1862,7 @@ def _read_version_keyed(
     if plain:
         frames.append(keyed(plain))
     if dved:
-        dvdf = spark.read.parquet(
+        dvdf = spark.read.schema(_DV_SCHEMA).parquet(
             *[
                 _spark_path(os.path.join(path, r))
                 for r in sorted(_dv_names({"dv": dv}))
