@@ -628,6 +628,13 @@ def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         return vecs.select("vec_id", best.alias("cluster"))
 
     for _ in range(KM_ITERS):
+        # NOTE (r13 optimization round): inlining the assignment
+        # expression into the posexplode projection (to drop this 1:1
+        # self-join) was tried and REVERTED — under GenerateExec the
+        # k× aggregate(zip_with(...)) distance expression is
+        # re-evaluated per exploded element (dim× blow-up; measured
+        # 7.6× slower end-to-end). The join keeps the expensive
+        # expression evaluated once per vector.
         assigned = assign(cents)
         rows = (
             assigned.join(vecs, "vec_id")

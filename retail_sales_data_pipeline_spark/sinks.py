@@ -2127,8 +2127,9 @@ def _commit_generation(
     keep_entries: list[dict],
     new_df: DataFrame | None,
     suffix: str,
-    expected_new_rows: int,
+    expected_new_rows,
     retain_versions: int = 0,
+    skip_empty: bool = False,
     adopt: list[tuple[str, dict]] | None = None,
     cdc: dict | None = None,
     mixed_schema: bool | None = None,
@@ -2256,6 +2257,20 @@ def _commit_generation(
         staged = io.list_basenames(staging, "part-")
     new_entries = [_file_entry(path, f"{gen}/{b}") for b in staged]
     n_staged = sum(e["rows"] for e in new_entries)
+    if callable(expected_new_rows):
+        # single-pass writers (insert_into's micro-batch fast path, r13
+        # optimization): the expected count rides an Observation ON the
+        # staging write job itself, so it resolves only after the write
+        # above completed — still an independent check of the footers
+        # (the observation counts rows the job SAW; the footers count
+        # rows the files RETAINED)
+        expected_new_rows = int(expected_new_rows())
+    if skip_empty and n_staged == 0 and n_staged == expected_new_rows:
+        # observed-empty batch (the single-pass twin of insert_into's
+        # pre-count empty skip): drop the staged empty file and leave
+        # the table untouched — no generation burned
+        io.rmtree_quiet(staging)
+        return (man.get("gen_no", 0) if man else 0), man, 0
     if n_staged != expected_new_rows:
         io.rmtree_quiet(staging)
         cur = _load_manifest(path)
@@ -4429,16 +4444,37 @@ def insert_into(
                 f"{got} (schema evolution goes through "
                 "merge_into(evolve_schema=True))"
             )
-    we_persisted = not df.is_cached
-    if we_persisted:
+    we_persisted = False
+    obs = None
+    if not df.is_cached and df.rdd.getNumPartitions() == 1:
+        # SINGLE-PASS fast path (r13 optimization; guide §1.2 "fewer
+        # passes", §5 "don't cache what you don't reuse"): a
+        # one-partition batch — the micro-batch / filtered-file-scan
+        # common case — stages exactly one part file, which is the same
+        # file count the pre-count path's coalesce(_rewrite_partitions)
+        # yields for ANY n on a one-partition input (coalesce only ever
+        # shrinks). So the pre-count's two remaining jobs — the
+        # expected-rows validation and the empty-batch skip — ride the
+        # staging write itself as an Observation: ONE action over the
+        # batch instead of two, and no whole-batch persist (at scale:
+        # no cache memory pressure, one pass instead of two).
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        new_df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    else:
         df = df.persist()
+        we_persisted = True
     try:
-        n = df.count()
-        if n == 0:
-            # replay-safe skip: inserting zero rows is idempotent, so
-            # the watermark needn't advance — don't burn a generation
-            # (and an empty data file) on a quiet microbatch
-            return 0
+        if obs is None:
+            n = df.count()
+            if n == 0:
+                # replay-safe skip: inserting zero rows is idempotent, so
+                # the watermark needn't advance — don't burn a generation
+                # (and an empty data file) on a quiet microbatch
+                return 0
+            new_df = df.coalesce(_rewrite_partitions(n, 0))
         # carried files keep their DVs by reference (nothing rewritten)
         dv_df, dv_n, dv_carry = _dv_after_drop(spark, path, man, set())
         try:
@@ -4449,9 +4485,12 @@ def insert_into(
                 loose=[],  # loose appends stay loose and visible
                 stale=stale,
                 keep_entries=entries,
-                new_df=df.coalesce(_rewrite_partitions(n, 0)),
+                new_df=new_df,
                 suffix="._insert",
-                expected_new_rows=n,
+                expected_new_rows=(
+                    (lambda: int(obs.get["n"])) if obs is not None else n
+                ),
+                skip_empty=obs is not None,
                 retain_versions=retain_versions,
                 # the staged data files ARE the insert feed — recorded BY
                 # REFERENCE, so the batch bytes are written once, not twice
@@ -4472,6 +4511,8 @@ def insert_into(
             # a duplicate delivery of this very (app_id, version) won
             # the race mid-commit — exactly-once says this copy drops
             return 0
+        if obs is not None:
+            n = int(obs.get["n"])
         return n
     finally:
         if we_persisted:

@@ -28,6 +28,27 @@ TABLE_NAMES = [
 ]
 
 
+# Per-process parquet schema cache (r13 optimization, guide §6: schema
+# lives in metadata, not in per-query footer inference). Every
+# spark.read.parquet() without an explicit schema pays a driver-side
+# footer-inference pass (~115 ms measured on this box); a bench/contract
+# session builds hundreds of load_table frames over the same immutable
+# fixture files. Keyed by (path, dataset mtime) so a test that rewrites
+# a table in place re-infers; non-statable paths (object stores) key by
+# path alone — their catalog analogue is a metastore schema, which is
+# exactly what this cache emulates.
+_SCHEMA_CACHE: dict = {}
+
+
+def _dataset_mtime(path: str) -> float:
+    import os
+
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return 0.0
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -42,7 +63,15 @@ def load_table(
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (path, _dataset_mtime(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if len(_SCHEMA_CACHE) >= 256:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)), None)
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos; truncate to micros like
         # DuckDB does so both engines see identical timestamps. Built as

@@ -91,6 +91,27 @@ def test_month_key_forms_agree(spark, sf_dir):
     assert diff.count() == 0
 
 
+def test_month_key_equals_date_format(spark, sf_dir):
+    """r13 optimization pin: the year()/month() field-extraction form of
+    month_key must render exactly like the date_format('yyyy-MM') form it
+    replaced — on the real fact column AND on NULL/boundary values."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_shipdate")
+    diff = li.select(
+        month_key("l_shipdate").alias("a"),
+        F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("b"),
+    ).filter(~F.col("a").eqNullSafe(F.col("b")))
+    assert diff.count() == 0
+    edge = spark.createDataFrame(
+        [("0003-01-31",), ("0999-12-01",), ("9999-06-15",), (None,)], ["d"]
+    ).select(F.col("d").cast("date").alias("d"))
+    rows = edge.select(
+        month_key("d").alias("a"),
+        F.date_format(F.col("d"), "yyyy-MM").alias("b"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"], (r["a"], r["b"])
+
+
 def test_year_boundary_month_key(spark):
     df = spark.createDataFrame(
         [("2023-12-31",), ("2024-01-01",)], ["d"]
