@@ -202,7 +202,14 @@ def lsh_ann_topk(
 
     qb = lsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed("id", "query_id")
     cb = lsh_buckets(corpus, planes, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
-    cand = qb.join(cb, "bucket").select("query_id", "neighbor_id")
+    # broadcast the QUERY bucket side (r13 optimization, guide §3.1):
+    # queries are small by this operator's contract (the `q` rerank
+    # below already broadcasts them), but the planner only sees
+    # post-aggregate estimates and picks a sort-merge join — shuffling
+    # and sorting the WHOLE corpus bucket relation. The hint turns the
+    # candidate probe into a map-side hash join: zero corpus-side
+    # exchange at any corpus size.
+    cand = F.broadcast(qb).join(cb, "bucket").select("query_id", "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_q"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_c"))
     pairs = (
@@ -246,7 +253,9 @@ def lsh_ann_topk_banded(
     qb = lsh_band_buckets(queries, planes, planes_per_band, id_col, vec_col)
     cb = lsh_band_buckets(corpus, planes, planes_per_band, id_col, vec_col)
     cand = (
-        qb.select(F.col("id").alias("query_id"), "band", "bucket")
+        # query side broadcast: same §3.1 rationale as lsh_ann_topk —
+        # the corpus bucket relation is never shuffled for the probe
+        F.broadcast(qb.select(F.col("id").alias("query_id"), "band", "bucket"))
         .join(
             cb.select(F.col("id").alias("neighbor_id"), "band", "bucket"),
             ["band", "bucket"],
@@ -479,7 +488,8 @@ def lsh_ann_topk_banded_arrow(
     qb = lsh_band_buckets_arrow(queries, planes, planes_per_band, id_col, vec_col)
     cb = lsh_band_buckets_arrow(corpus, planes, planes_per_band, id_col, vec_col)
     cand = (
-        qb.select(F.col("id").alias("query_id"), "band", "bucket")
+        # query side broadcast: same §3.1 rationale as lsh_ann_topk
+        F.broadcast(qb.select(F.col("id").alias("query_id"), "band", "bucket"))
         .join(
             cb.select(F.col("id").alias("neighbor_id"), "band", "bucket"),
             ["band", "bucket"],

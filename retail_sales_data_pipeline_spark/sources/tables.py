@@ -49,6 +49,21 @@ def _dataset_mtime(path: str) -> float:
         return 0.0
 
 
+def dataset_schema(spark: SparkSession, path: str):
+    """Inferred-once parquet schema for ``path`` (the same
+    ``(path, mtime)``-keyed cache ``load_table`` uses) — for callers
+    that need a schema object without building the frame (e.g. the
+    streaming file source, which requires an explicit schema)."""
+    key = (path, _dataset_mtime(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if len(_SCHEMA_CACHE) >= 256:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)), None)
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -64,14 +79,7 @@ def load_table(
         raise KeyError(f"unknown table {name!r}; catalog: {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    key = (path, _dataset_mtime(path))
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        if len(_SCHEMA_CACHE) >= 256:
-            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)), None)
-        _SCHEMA_CACHE[key] = schema
-    df = spark.read.schema(schema).parquet(path)
+    df = spark.read.schema(dataset_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos; truncate to micros like
         # DuckDB does so both engines see identical timestamps. Built as

@@ -67,8 +67,12 @@ SEQ_RETENTION_SEC = 30 * 24 * 3600
 def _events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
+    from ..sources.tables import dataset_schema
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # (path, mtime)-cached inference (r13 optimization): each streaming
+    # query build paid a fresh driver-side footer-inference pass here
+    schema = dataset_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
@@ -94,6 +98,22 @@ def _events_stream(
     return stream
 
 
+def _ephemeral_ckpt_root() -> str | None:
+    """Scratch root for ONE-SHOT drain checkpoints. These checkpoints
+    are deleted the moment the drain finishes (see _run_to_memory), so
+    durability is irrelevant by construction — prefer RAM-backed tmpfs
+    when the host has one (r13 optimization: the HDFS-backed state
+    store writes a delta + commit file per partition per micro-batch;
+    measured 8.5 s → 4.7 s on the stateful sessionize drain by skipping
+    the disk round trip). Restartable production streams pass their own
+    durable checkpointLocation through the public stream APIs and never
+    come through here."""
+    import os
+
+    d = "/dev/shm"
+    return d if os.path.isdir(d) and os.access(d, os.W_OK) else None
+
+
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     """Drain a finite stream into a memory sink and return the table.
 
@@ -105,7 +125,7 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     import shutil
 
     name = "t_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_ephemeral_ckpt_root())
     try:
         q = (
             result.writeStream.format("memory")
@@ -422,8 +442,9 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     job. Output: surviving ``doc_id, lang, n_tokens, quality_score``.
     """
     from ..operators import text as X
+    from ..sources.tables import dataset_schema
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = dataset_schema(spark, f"{sf_dir}/documents.parquet")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
