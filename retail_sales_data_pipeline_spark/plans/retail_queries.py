@@ -30,7 +30,7 @@ from ..functions.scalars import (
     month_key_substring,
     revenue,
 )
-from ..operators.marts import grouped_sum, rank_incentive, window_sum_distinct
+from ..operators.marts import rank_incentive, window_sum_distinct
 from ..schema import conform, union_conformed
 from ..sources.tables import load_table
 
@@ -313,14 +313,20 @@ def monthly_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-preferred twin of ``window_sum_distinct`` (single exchange,
     map-side partial aggregation).
     """
+    from ..functions.scalars import money
+
     li = load_table(
         spark, sf_dir, "lineitem", ["l_shipdate", "l_extendedprice", "l_discount"]
     )
     monthly = li.select(month_key("l_shipdate").alias("sales_month"), revenue().alias("_rev"))
-    out = grouped_sum(monthly, ["sales_month"], F.col("_rev"), "total_sales")
-    return out.join(
-        monthly.groupBy("sales_month").agg(F.count(F.lit(1)).alias("n_lines")),
-        "sales_month",
+    # r13 optimization (guide §1.2): sum and count were two separate
+    # aggregations over `monthly` joined back on sales_month — two fact
+    # scans plus a join for values one groupBy produces. Fused: one
+    # scan, one exchange (with map-side partial agg), no join. Same
+    # rounding chain as grouped_sum, so values are bit-identical.
+    return monthly.groupBy("sales_month").agg(
+        money(F.sum(F.col("_rev"))).alias("total_sales"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
 
 
