@@ -83,20 +83,20 @@ def month_key(date_col: str | Column) -> Column:
     ``substring(sales_date, 1, 7)`` on a DateType column
     (reference: customer_mart_sql_tranform_write.py:11-12).
 
-    Built from ``year()``/``month()`` field extraction rather than
-    ``date_format(c, "yyyy-MM")``: identical strings for any year in
-    [0, 9999] (both zero-pad to 4/2 digits), but field extraction skips
-    the TIMESTAMP_NTZ→LTZ cast and the java.time formatter — measured
-    1.4× cheaper per row on the fact-table derive stage (r13
-    optimization; equality with the date_format form is pinned in
-    tests/test_marts.py).
+    NOTE (r13 optimization round): a ``concat(lpad(year), '-',
+    lpad(month))`` field-extraction form was tried and REVERTED. It won
+    a projection-only microbenchmark (0.29 s vs 0.42 s on the 600 k-row
+    derive — an order-biased first measurement), but balanced
+    interleaved A/Bs inside all four consuming queries showed
+    date_format consistently 7-16%% FASTER end-to-end (e.g.
+    monthly_grouped_sum min 0.579 s vs 0.674 s, sales_team_mart 1.333 s
+    vs 1.422 s), and the concat chain additionally loses the inferred
+    IsNotNull pushdown on derived-month filters (Catalyst's constraint
+    inference walks date_format but not concat/lpad). Equality of the
+    two forms stays pinned in tests/test_marts.py.
     """
     c = F.col(date_col) if isinstance(date_col, str) else date_col
-    return F.concat(
-        F.lpad(F.year(c).cast("string"), 4, "0"),
-        F.lit("-"),
-        F.lpad(F.month(c).cast("string"), 2, "0"),
-    )
+    return F.date_format(c, "yyyy-MM")
 
 
 def month_key_substring(date_col: str) -> Column:

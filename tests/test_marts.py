@@ -92,9 +92,11 @@ def test_month_key_forms_agree(spark, sf_dir):
 
 
 def test_month_key_equals_date_format(spark, sf_dir):
-    """r13 optimization pin: the year()/month() field-extraction form of
-    month_key must render exactly like the date_format('yyyy-MM') form it
-    replaced — on the real fact column AND on NULL/boundary values."""
+    """r13 optimization pin: whatever expression month_key uses must
+    render exactly like date_format('yyyy-MM') — on the real fact column
+    AND on NULL/boundary values. (The r13 round tried a year()/month()
+    field-extraction form and reverted it on end-to-end measurements;
+    this pin stays so any future re-attempt keeps the contract.)"""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_shipdate")
     diff = li.select(
         month_key("l_shipdate").alias("a"),
