@@ -162,12 +162,27 @@ def _vs_prior_for(attempt: dict) -> dict | None:
 def _mark_raw_ratio(attempt: dict) -> dict | None:
     """Stamp the suite-level raw-ratio verdict ON the attempt record
     (it serializes into the artifact's ``attempts`` list, so the trip
-    leaves a mechanical trace even under SPARK_GRAFT_BENCH_ONESHOT)."""
+    leaves a mechanical trace even under SPARK_GRAFT_BENCH_ONESHOT).
+
+    SYMMETRIC (r13 verdict wrong #2 / next #3): the r13 gate re-ran
+    only when the suite looked *slow* and picked the lowest settled
+    total, so it could never correct an anomalously *fast* band —
+    a mild downward selection bias vs single-run rounds. An
+    unexpectedly fast suite (raw ratio < 1/gate) now triggers the same
+    settle + re-run; a genuine code speedup reproduces in BOTH
+    attempts, a lucky band doesn't."""
     vp = _vs_prior_for(attempt)
     attempt["raw_ratio_tripped"] = bool(
-        vp and vp["raw_ratio"] > _RAW_RATIO_GATE
+        vp and _raw_ratio_outside_band(vp["raw_ratio"])
     )
     return vp
+
+
+def _raw_ratio_outside_band(raw_ratio: float) -> bool:
+    """Two-sided trip predicate (shared with the tests): a suite that
+    ran >1.4x OR <1/1.4x the prior recorded round is suspect either
+    way."""
+    return raw_ratio > _RAW_RATIO_GATE or raw_ratio < 1.0 / _RAW_RATIO_GATE
 
 
 def _probe_gate(attempt: dict) -> bool:
@@ -233,8 +248,9 @@ def main() -> None:
         )
     elif a0["raw_ratio_tripped"] and prelim:
         rerun_reason = (
-            f"suite-wide raw_ratio {prelim['raw_ratio']} > "
-            f"{_RAW_RATIO_GATE} vs {prelim['prior_file']}"
+            f"suite-wide raw_ratio {prelim['raw_ratio']} outside "
+            f"[{round(1.0 / _RAW_RATIO_GATE, 3)}, {_RAW_RATIO_GATE}] "
+            f"vs {prelim['prior_file']}"
         )
     if rerun_reason and not os.environ.get("SPARK_GRAFT_BENCH_ONESHOT"):
         print(

@@ -198,6 +198,14 @@ def lsh_ann_topk(
     Output schema matches :func:`cosine_topk`; recall < 1 by design —
     the tradeoff that makes 100 TB ANN feasible (candidates per query
     ≈ corpus / 2^P instead of corpus).
+
+    Size contract: ``queries`` must fit in a broadcast relation (the
+    rerank leg already broadcasts the query *vectors*; the candidate
+    probe broadcasts the query *buckets* — a few dozen bytes per query,
+    so up to ~10M queries is comfortable under Spark's 8 GB broadcast
+    cap). An oversized query set fails the broadcast instead of
+    degrading to a sort-merge join; split it into slices and union the
+    top-k results if you have one.
     """
 
     qb = lsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed("id", "query_id")
@@ -248,6 +256,10 @@ def lsh_ann_topk_banded(
     ~L·|corpus|/2^P per query. The bucket join shuffles on
     (band, bucket) — bounded and uniform, the same scale shape as the
     near-dup variant.
+
+    Size contract: same as :func:`lsh_ann_topk` — ``queries`` (×L band
+    rows each) must fit in a broadcast relation; an oversized query set
+    fails fast rather than degrading, so slice and union if needed.
     """
 
     qb = lsh_band_buckets(queries, planes, planes_per_band, id_col, vec_col)

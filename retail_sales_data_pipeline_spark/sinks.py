@@ -4464,8 +4464,13 @@ def insert_into(
         obs = Observation()
         new_df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     else:
-        df = df.persist()
-        we_persisted = True
+        # persist only when the CALLER hasn't (pre-r13 guard, restored):
+        # unconditionally persisting here would set we_persisted on a
+        # caller-cached batch and the finally block would unpersist the
+        # caller's cache out from under it
+        if not df.is_cached:
+            df = df.persist()
+            we_persisted = True
     try:
         if obs is None:
             n = df.count()

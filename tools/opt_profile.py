@@ -1,9 +1,9 @@
 """Round-13 optimization profiler: isolate each headline query with the
 noop sink (guide §1.4), time best-of-N, and dump `.explain("formatted")`
-to plans/r13/<query>_<tag>.txt so plan claims are checkable offline.
+to plans/<round>/<query>_<tag>.txt so plan claims are checkable offline.
 
 Usage:
-    SPARK_GRAFT_CPUS=32 python tools/opt_profile.py [--tag before] \
+    SPARK_GRAFT_CPUS=32 python tools/opt_profile.py [--tag before] [--plandir r14] \
         [--runs 3] [--sf /root/testdata/sf0.1] [--plans-only] [query ...]
 
 Defaults to the bench HEADLINE list plus the bench_* twins (the exact
@@ -31,11 +31,12 @@ from retail_sales_data_pipeline_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="queries (default: bench set)")
-    ap.add_argument("--tag", default=None, help="plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="plans/<plandir>/<q>_<tag>.txt")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--plans-only", action="store_true")
+    ap.add_argument("--plandir", default="r14", help="plans/<plandir>/")
     args = ap.parse_args()
 
     spark = get_spark(app_name="opt_profile")
@@ -47,7 +48,7 @@ def main() -> None:
     )
 
     plandir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", args.plandir)
     os.makedirs(plandir, exist_ok=True)
 
     out: dict[str, float] = {}
