@@ -83,7 +83,10 @@ _MODULES = [
 # oracle algebra.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
-# Round 13 rotates onto the 50 r11-stale queries (exactly the
+# Round 14 rotates onto the 49 r12-stale queries plus the force-seated
+# freshness reserve (exactly the tools/rotate_registry.py output
+# against the r13 history; r13 ∪ r14 covers the full registry).
+# Round 13 rotated onto the 50 r11-stale queries (exactly the
 # tools/rotate_registry.py output against the r12 history). The r13
 # FRESHNESS RESERVE (VERDICT r12 missing #3): queries strengthened in
 # the round being shipped must land in that same round's driver window
@@ -95,60 +98,67 @@ _MODULES = [
 # keyed UPDATE relabel leg via update_keys) is itself r11-stale, so the
 # natural rotation already seats it.
 ROUND_FRESH_RESERVE = (
-    "dv_takedown_counts",  # r13: update_keys relabel leg under the oracle
+    # r14 (optimization round): queries whose IMPLEMENTATION changed
+    # this round — arrow bucket stage / input-sized drain state
+    # partitions — so the driver's own CORRECTNESS_r14.json carries
+    # their oracle evidence, not only the judge's re-drive. Each
+    # displaces one least-stale r12-green query by one round.
+    "dedup_embedding_cosine",  # r14: arrow matmul bucket stage
+    "streaming_hourly_rollup",  # r14: input-sized drain state partitions
+    "streaming_dedup_rollup",  # r14: input-sized drain state partitions
 )
 
 DRIVER_PRIORITY = [
-    "customer_monthly_mart",  # green r11
-    "sales_team_mart",  # green r11
-    "star_join_enrich",  # green r11
-    "conform_union",  # green r11
-    "ledger_filter",  # green r11
-    "distinct_dedup",  # green r11
-    "sketch_heavy_sources",  # green r11
-    "dedup_exact",  # green r11
-    "dedup_minhash_lsh",  # green r11
-    "dedup_simhash",  # green r11
-    "corpus_report",  # green r11
-    "corpus_approx_distinct",  # green r11
-    "dedup_incremental",  # green r11
-    "corpus_curation_funnel",  # green r11
-    "streaming_quality_filter",  # green r11
-    "corpus_split_assign",  # green r11
-    "corpus_shuffle_shard",  # green r11
-    "dv_takedown_counts",  # green r11
-    "corpus_ingest_exactly_once",  # green r11
-    "corpus_commit_lineage",  # green r11
-    "events_sessionize",  # green r11
-    "events_json_variant",  # green r11
-    "events_daily_stats",  # green r11
-    "events_asof_attribution",  # green r11
-    "events_range_pairs",  # green r11
-    "events_funnel",  # green r11
-    "events_cohort_retention",  # green r11
-    "streaming_hourly_rollup",  # green r11
-    "streaming_dedup_rollup",  # green r11
-    "streaming_sessionize",  # green r11
-    "events_approx_quantiles",  # green r11
-    "events_rolling_7day",  # green r11
-    "ann_cosine_topk",  # green r11
-    "ann_lsh_topk",  # green r11
-    "ann_ivf_topk",  # green r11
-    "dedup_embedding_cosine",  # green r11
-    "ann_recall_at_5",  # green r11
-    "kmeans_embeddings",  # green r11
-    "ann_quantized_topk",  # green r11
-    "dedup_semantic_cells",  # green r11
-    "kmeans_fixed_assign",  # green r11
-    "dedup_semantic_keep",  # green r11
-    "cluster_balanced_sample",  # green r11
-    "ann_label_agreement",  # green r11
-    "multimodal_decode",  # green r11
-    "multimodal_frame_sample",  # green r11
-    "multimodal_resize",  # green r11
-    "multimodal_pointer_decode",  # green r11
-    "multimodal_embed_texts",  # green r11
-    "multimodal_text_retrieval",  # green r11
+    "monthly_grouped_sum",  # green r12
+    "month_key_forms",  # green r12
+    "product_enrich",  # green r12
+    "sales_rollup",  # green r12
+    "sales_cube",  # green r12
+    "customers_churned",  # green r12
+    "suppliers_with_returns",  # green r12
+    "customer_upsert",  # green r12
+    "scd2_customer_segments",  # green r12
+    "key_skew_profile",  # green r12
+    "maintenance_compaction_plan",  # green r12
+    "dq_violations",  # green r12
+    "mart_reconcile",  # green r12
+    "top_customers_per_month",  # green r12
+    "sales_pivot_by_flag",  # green r12
+    "customer_running_total",  # green r12
+    "monthly_price_quantiles",  # green r12
+    "revenue_anomalies",  # green r12
+    "order_value_quartiles",  # green r12
+    "text_token_stats",  # green r12
+    "profile_documents_stats",  # green r12
+    "corpus_scan_pruned",  # green r12
+    "text_quality",  # green r12
+    "text_lang_id",  # green r12
+    "text_fingerprint",  # green r12
+    "dedup_ngram_jaccard",  # green r12
+    "dedup_clusters",  # green r12
+    "dedup_rate_by_lang",  # green r12
+    "corpus_filter_pipeline",  # green r12
+    "corpus_sample",  # green r12
+    "corpus_stratified_sample",  # green r12
+    "corpus_tfidf_terms",  # green r12
+    "corpus_length_histogram",  # green r12
+    "text_redact_pii",  # green r12
+    "corpus_pack_sequences",  # green r12
+    "corpus_decontaminate",  # green r12
+    "text_repetition",  # green r12
+    "corpus_source_mix",  # green r12
+    "corpus_boilerplate_ngrams",  # green r12
+    "corpus_ngram_novelty",  # green r12
+    "dedup_keep_canonical",  # green r12
+    "text_langid_confusion",  # green r12
+    "corpus_unigram_logprob",  # green r12
+    "corpus_quality_sample",  # green r12
+    "corpus_mix_rebalance",  # green r12
+    "dedup_fuzzy_keys",  # green r12
+    "corpus_merge_evolve",  # green r12
+    "streaming_hourly_rollup",  # green r13
+    "streaming_dedup_rollup",  # green r13
+    "dedup_embedding_cosine",  # green r13
 ]
 
 def _collect(attr: str) -> dict:

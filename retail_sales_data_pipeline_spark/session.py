@@ -76,6 +76,18 @@ def get_spark(
             "10000",
         )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+        # shuffle codec (r14, guide §2.3): parameterised, NOT silently
+        # changed — zstd measured 2.14x fewer shuffle bytes (1.77 vs
+        # 3.79 GB on the 500k-doc text harness) at a local wall-clock
+        # wash (0-6% slower; local shuffle "disk" is page cache, so
+        # byte savings buy nothing here). Local default stays lz4 to
+        # keep driver benches comparable; on a real cluster where
+        # shuffle crosses NICs/disks, set SPARK_GRAFT_IO_CODEC=zstd —
+        # the 2x byte cut is the operative number (docs/SCALE.md r14).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
