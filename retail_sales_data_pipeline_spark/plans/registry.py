@@ -83,9 +83,11 @@ _MODULES = [
 # oracle algebra.
 # When adding a query, re-run ``python tools/rotate_registry.py`` and
 # keep the registered count <= 2x the window minus the slack you want.
-# Round 14 rotates onto the 49 r12-stale queries plus the force-seated
-# freshness reserve (exactly the tools/rotate_registry.py output
-# against the r13 history; r13 ∪ r14 covers the full registry).
+# Round 14 rotates onto 47 r12-stale queries plus the force-seated
+# 3-query freshness reserve (exactly the tools/rotate_registry.py
+# output against the r13 history; r13 ∪ r14 covers the full registry;
+# the 3 displaced r12-greens get their row from the judge's re-drive
+# and the local full-registry drive).
 # Round 13 rotated onto the 50 r11-stale queries (exactly the
 # tools/rotate_registry.py output against the r12 history). The r13
 # FRESHNESS RESERVE (VERDICT r12 missing #3): queries strengthened in

@@ -67,7 +67,13 @@ def test_driver_window_matches_rotation_policy():
     assert names[: len(registry.DRIVER_PRIORITY)] == registry.DRIVER_PRIORITY
     from tests.test_registry_freshness import ROTATION_BASIS_ROUND
 
-    expected = rotate.compute_window(max_round=ROTATION_BASIS_ROUND)
+    # the freshness reserve is part of the policy: rotate_registry
+    # force-seats ROUND_FRESH_RESERVE (r14: the three queries whose
+    # implementation changed this round), so the expectation must too
+    expected = rotate.compute_window(
+        max_round=ROTATION_BASIS_ROUND,
+        reserve=tuple(registry.ROUND_FRESH_RESERVE),
+    )
     assert registry.DRIVER_PRIORITY == expected, (
         "DRIVER_PRIORITY is stale vs the rotation policy — run "
         "`python tools/rotate_registry.py` and paste the output"

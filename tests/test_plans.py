@@ -85,7 +85,11 @@ PLAN_SHAPE = {
     # which is the pin's job. The big shifts here (r4) are the persist
     # fix that took the sf0.1 bench query from 5.1 s to 1.4 s.
     "dedup_minhash_lsh": (208, 54, 54, 0),
-    "dedup_embedding_cosine": (19, 7, 7, 2),
+    # r14: the banded bucket stage moved to the arrow matmul builder
+    # (zero-shuffle MapInPandas replaces posexplode + plane broadcast +
+    # two aggregation exchanges): 19/7/7/2 -> 8/6/6/0. Balanced A/B med
+    # 2.35 s -> 1.86 s, output bit-identical, oracle hash green.
+    "dedup_embedding_cosine": (8, 6, 6, 0),
     # r5: pin the two bench queries whose r4 deltas were adjudicated as
     # machine-state noise (events_cohort_retention, docs/SCALE.md) or
     # were still unadjudicated (corpus_boilerplate_ngrams +24% — the r4
